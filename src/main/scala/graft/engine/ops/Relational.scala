@@ -1,0 +1,648 @@
+package graft.engine.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.io.Tables
+
+/** Relational operator inventory, SURVEY.md §2.2 sections A–H.
+  *
+  * Every query is a pure `(SparkSession, sfDir) => DataFrame` built from
+  * declarative Column expressions so Catalyst sees the whole plan
+  * (pushdown, pruning, join selection are asserted in PlanShapeSpec).
+  *
+  * Determinism contract vs the DuckDB oracle (SURVEY §2.2):
+  *  - every query ends in a total-order sort whose last key is unique;
+  *  - SUMs of doubles go through DECIMAL(18,6) and the result is cast to
+  *    DECIMAL(38,6): decimal addition is exact, so engine summation order
+  *    cannot perturb the value (a raw double sum over 60k ~1e5-magnitude
+  *    rows can drift > 1e-4 between engines, defeating ROUND(x,4));
+  *  - AVG / stddev / ratios stay double but are ROUND(x,4)'d (their
+  *    error is sum-error/n, far below 1e-4);
+  *  - per-row arithmetic is left raw: identical IEEE ops on identical
+  *    inputs are bit-equal across engines;
+  *  - no raw TIMESTAMP column is ever output (cast to DATE instead);
+  *  - integer-ish outputs are cast to BIGINT on both sides (DuckDB's
+  *    sum(BIGINT)→HUGEINT, year()→BIGINT, Spark's row_number→INT etc.
+  *    would otherwise mismatch the schema).
+  */
+object Relational {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Exact deterministic sum of a double expression (see scaladoc). */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("decimal(38,6)")
+  /** SQL-side mirror of [[dsum]]. */
+  private def dsumSql(e: String): String = s"CAST(sum(CAST($e AS DECIMAL(18,6))) AS DECIMAL(38,6))"
+
+  // ---------------------------------------------------------------- A. scans
+  private val qScanCount: Q = (s, d) =>
+    Tables.lineitem(s, d).agg(count(lit(1)).as("n_rows"))
+
+  private val qScanPrune: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_returnflag", "l_quantity") // 2 of 11 cols → pruned scan
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  // ---------------------------------------------------- B. project / filter
+  private val qProjectArith: Q = (s, d) =>
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_extendedprice"), col("l_discount"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("charge"))
+      .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "net_price", "charge")
+
+  private val qFilterBasic: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter((col("l_quantity") < 24 && col("l_discount") >= 0.05) ||
+              (col("l_returnflag") === "A" && col("l_linestatus") =!= "F" && !(col("l_tax") > 0.06)))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag", "l_linestatus", "l_tax")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag", "l_linestatus", "l_tax")
+
+  private val qFilterInLikeBetween: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter((col("o_orderpriority").isin("1-URGENT", "2-HIGH") && !col("o_orderpriority").like("1-%")) ||
+              (col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+               col("o_orderdate").between(lit("1996-01-01").cast("timestamp"), lit("1998-12-31").cast("timestamp"))))
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderpriority"), col("o_orderstatus"),
+        expr("nullif(o_orderstatus,'P') IS NULL").as("is_pending"),
+        col("o_orderpriority").like("1-%").as("is_top"),
+        col("o_orderdate").cast("date").as("od"))
+      .orderBy("o_orderkey")
+
+  // ----------------------------------------------------------------- C. joins
+  private val qJoinInner: Q = (s, d) => {
+    val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"), col("c_mktsegment"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  private val qJoinLeft: Q = (s, d) => {
+    val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("c_custkey")
+  }
+
+  private val qJoinSemi: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment").orderBy("c_custkey")
+  }
+
+  private val qJoinAnti: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment").orderBy("c_custkey")
+  }
+
+  private val qJoinNonequi: Q = (s, d) => {
+    val l = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey") &&
+              l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_late"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val qJoinCross: Q = (s, d) =>
+    Tables.region(s, d).crossJoin(Tables.nation(s, d))
+      .select("r_name", "n_name").orderBy("r_name", "n_name")
+
+  private val qJoinMulti: Q = (s, d) => {
+    val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d); val n = Tables.nation(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  private val qJoinBroadcast: Q = (s, d) => {
+    val l = Tables.lineitem(s, d); val p = Tables.part(s, d)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
+  // ----------------------------------------------------------- D. aggregates
+  /** Flagship: TPC-H Q1 shape (SURVEY §2.2-D). */
+  val qAggGroup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val qAggDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("distinct_parts"), count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  private val qAggStats: Q = (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_linestatus")
+      .agg(min("l_extendedprice").as("min_price"), max("l_extendedprice").as("max_price"),
+           round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+           round(var_samp(col("l_discount")), 4).as("var_disc"))
+      .orderBy("l_linestatus")
+
+  private val qAggHaving: Q = (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_suppkey")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), round(avg("l_quantity"), 4).as("avg_qty"),
+           count(lit(1)).as("n_rows"))
+      .filter(col("avg_qty") > 25.5)
+      .orderBy("l_suppkey")
+
+  private val qAggRollup: Q = (s, d) =>
+    Tables.lineitem(s, d).rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val qAggCube: Q = (s, d) =>
+    Tables.lineitem(s, d).cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val qAggGroupingSets: Q = (s, d) =>
+    s.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |  count(*) AS n_rows
+         |FROM parquet.`$d/lineitem.parquet`
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+
+  /** Non-oracle (HLL estimates are engine-specific); rows-only check. */
+  private val qAggApproxDistinct: Q = (s, d) =>
+    Tables.events(s, d).groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"), count(lit(1)).as("n_rows"))
+      .orderBy("event_type")
+
+  // ------------------------------------------------------------- E. windows
+  private val qWindowRank: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      row_number().over(w).cast("long").as("rn"),
+      rank().over(w).cast("long").as("rk"),
+      dense_rank().over(w).cast("long").as("drk"),
+      ntile(4).over(w).cast("long").as("nt"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val qWindowAnalytic: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d).select(
+      col("user_id"), col("event_id"), col("value"),
+      lag("value", 1).over(w).as("prev_value"),
+      lead("value", 1).over(w).as("next_value"),
+      first("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_val"),
+      last("value").over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)).as("last_val"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val qWindowFrame: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast("date").as("od"),
+      round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4).as("running_total"),
+      round(avg("o_totalprice").over(w.rowsBetween(-2, Window.currentRow)), 4).as("trail3_avg"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // ------------------------------------------------------- F. sort / top-k
+  private val qSortMulti: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+              col("o_orderdate").cast("date").as("od"), col("o_totalprice"))
+      .orderBy(col("o_orderstatus").desc_nulls_last, col("o_orderpriority").asc_nulls_first,
+               col("o_totalprice").desc_nulls_last, col("o_orderkey").asc)
+
+  private val qTopk: Q = (s, d) =>
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+
+  // ------------------------------------------------------------ G. set ops
+  private def urgentKeys(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+  private def buildingKeys(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+
+  private val qSetUnionAll: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey", "o_totalprice")
+      .unionAll(o.filter(col("o_orderstatus") === "F").select("o_orderkey", "o_totalprice"))
+      .orderBy("o_orderkey", "o_totalprice")
+  }
+
+  private val qSetUnionDistinct: Q = (s, d) =>
+    buildingKeys(s, d).union(urgentKeys(s, d)).distinct().orderBy("c_custkey")
+
+  private val qSetIntersect: Q = (s, d) =>
+    buildingKeys(s, d).intersect(urgentKeys(s, d)).orderBy("c_custkey")
+
+  private val qSetExcept: Q = (s, d) => {
+    val withOrders = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+    val auto = Tables.customer(s, d).filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+    withOrders.except(auto).orderBy("c_custkey")
+  }
+
+  // ------------------------------------------------- H. scalar fns & more
+  private val qStrFuncs: Q = (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("up_name"),
+      lower(col("p_brand")).as("lo_brand"),
+      substring(col("p_name"), 1, 8).as("name8"),
+      length(col("p_name")).cast("long").as("name_len"),
+      trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+      expr("replace(p_name, ' ', '_')").as("name_us"),
+      lpad(col("p_brand"), 12, "*").as("brand_pad"),
+      expr("split_part(p_type, ' ', 1)").as("first_word"),
+      concat(col("p_brand"), lit("-"), col("p_size").cast("string")).as("brand_size"))
+      .orderBy("p_partkey")
+
+  private val qRegexp: Q = (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"), col("p_type"),
+      regexp_extract(col("p_type"), "^(\\w+)", 1).as("first_tok"),
+      col("p_type").rlike("^PROMO").as("is_promo"))
+      .orderBy("p_partkey")
+
+  private val qDateFuncs: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("yr"),
+      month(col("o_orderdate")).cast("long").as("mo"),
+      dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+      datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).cast("long").as("days_to_2002"),
+      add_months(col("o_orderdate"), 3).cast("date").as("plus3m"))
+      .orderBy("o_orderkey")
+
+  private val qMathFuncs: Q = (s, d) =>
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      abs(col("l_quantity") - 25.0).as("abs_qty"),
+      ceil(col("l_extendedprice")).as("ceil_price"),
+      floor(col("l_extendedprice")).as("floor_price"),
+      round(sqrt(col("l_extendedprice")), 4).as("sqrt_price"),
+      round(pow(col("l_extendedprice") / 1000.0, 2), 4).as("pow_price"),
+      pmod(col("l_orderkey"), lit(7)).as("mod7"))
+      .orderBy("l_orderkey", "l_linenumber", "abs_qty", "ceil_price", "sqrt_price")
+
+  private val qCaseCast: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      when(col("o_totalprice") < 50000, "low")
+        .when(col("o_totalprice") < 150000, "mid")
+        .otherwise("high").as("band"),
+      col("o_orderkey").cast("string").as("okey_str"),
+      col("o_orderkey").cast("string").cast("long").as("okey_back"),
+      col("o_totalprice").cast("long").as("price_int"),
+      col("o_orderdate").cast("date").as("od"))
+      .orderBy("o_orderkey")
+
+  private val qArrayFuncs: Q = (s, d) =>
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      size(col("embedding")).cast("long").as("dim"),
+      element_at(col("embedding"), 1).as("first_val"),
+      slice(col("embedding"), 1, 3).as("first3"),
+      (element_at(col("embedding"), 1).cast("double") +
+       element_at(col("embedding"), 2).cast("double") +
+       element_at(col("embedding"), 3).cast("double")).as("sum3"))
+      .orderBy("vec_id")
+
+  private val qJsonFuncs: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"), round(avg("k"), 4).as("avg_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  private val qExplodeTokens: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+
+  private val qSubqueryScalar: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val g = o.agg(avg("o_totalprice").as("g"))
+    o.crossJoin(broadcast(g)).filter(col("o_totalprice") > col("g"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  // ------------------------------------------------------------------ maps
+  val queries: Map[String, Q] = Map(
+    "q_scan_count" -> qScanCount, "q_scan_prune" -> qScanPrune,
+    "q_project_arith" -> qProjectArith, "q_filter_basic" -> qFilterBasic,
+    "q_filter_in_like_between" -> qFilterInLikeBetween,
+    "q_join_inner" -> qJoinInner, "q_join_left" -> qJoinLeft,
+    "q_join_semi" -> qJoinSemi, "q_join_anti" -> qJoinAnti,
+    "q_join_nonequi" -> qJoinNonequi, "q_join_cross" -> qJoinCross,
+    "q_join_multi" -> qJoinMulti, "q_join_broadcast" -> qJoinBroadcast,
+    "q_agg_group" -> qAggGroup, "q_agg_distinct" -> qAggDistinct,
+    "q_agg_stats" -> qAggStats, "q_agg_having" -> qAggHaving,
+    "q_agg_rollup" -> qAggRollup, "q_agg_cube" -> qAggCube,
+    "q_agg_grouping_sets" -> qAggGroupingSets, "q_agg_approx_distinct" -> qAggApproxDistinct,
+    "q_window_rank" -> qWindowRank, "q_window_analytic" -> qWindowAnalytic,
+    "q_window_frame" -> qWindowFrame,
+    "q_sort_multi" -> qSortMulti, "q_topk" -> qTopk,
+    "q_set_union_all" -> qSetUnionAll, "q_set_union_distinct" -> qSetUnionDistinct,
+    "q_set_intersect" -> qSetIntersect, "q_set_except" -> qSetExcept,
+    "q_str_funcs" -> qStrFuncs, "q_regexp" -> qRegexp,
+    "q_date_funcs" -> qDateFuncs, "q_math_funcs" -> qMathFuncs,
+    "q_case_cast" -> qCaseCast, "q_array_funcs" -> qArrayFuncs,
+    "q_json_funcs" -> qJsonFuncs, "q_explode_tokens" -> qExplodeTokens,
+    "q_subquery_scalar" -> qSubqueryScalar,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_count" -> "SELECT count(*) AS n_rows FROM lineitem",
+
+    "q_scan_prune" ->
+      s"""SELECT l_returnflag, count(*) AS n_rows, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_project_arith" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+        |  l_extendedprice * (1 - l_discount) AS net_price,
+        |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_discount, net_price, charge""".stripMargin,
+
+    "q_filter_basic" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_linestatus, l_tax
+        |FROM lineitem
+        |WHERE (l_quantity < 24 AND l_discount >= 0.05)
+        |   OR (l_returnflag = 'A' AND l_linestatus <> 'F' AND NOT (l_tax > 0.06))
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_linestatus, l_tax""".stripMargin,
+
+    "q_filter_in_like_between" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority, o_orderstatus,
+        |  nullif(o_orderstatus,'P') IS NULL AS is_pending,
+        |  o_orderpriority LIKE '1-%' AS is_top,
+        |  CAST(o_orderdate AS DATE) AS od
+        |FROM orders
+        |WHERE (o_orderpriority IN ('1-URGENT','2-HIGH') AND NOT o_orderpriority LIKE '1-%')
+        |   OR (o_orderpriority IN ('1-URGENT','2-HIGH')
+        |       AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_left" ->
+      s"""SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS sum_price
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_nonequi" ->
+      """SELECT o_orderpriority, count(*) AS n_late
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+
+    "q_join_multi" ->
+      s"""SELECT n_name,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_join_broadcast" ->
+      s"""SELECT p_brand, count(*) AS n_items, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_agg_group" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  round(avg(l_quantity), 4) AS avg_qty,
+         |  round(avg(l_extendedprice), 4) AS avg_price,
+         |  round(avg(l_discount), 4) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT l_linestatus, min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_discount), 4) AS var_disc
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_agg_having" ->
+      s"""SELECT l_suppkey, ${dsumSql("l_quantity")} AS sum_qty,
+         |  round(avg(l_quantity), 4) AS avg_qty, count(*) AS n_rows
+         |FROM lineitem GROUP BY l_suppkey
+         |HAVING round(avg(l_quantity), 4) > 25.5
+         |ORDER BY l_suppkey""".stripMargin,
+
+    "q_agg_rollup" ->
+      s"""SELECT CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |  l_returnflag, l_linestatus, count(*) AS n_rows, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      s"""SELECT CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |  l_returnflag, l_linestatus, count(*) AS n_rows, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER w AS rn, rank() OVER w AS rk,
+        |  dense_rank() OVER w AS drk, ntile(4) OVER w AS nt
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_analytic" ->
+      """SELECT user_id, event_id, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  first_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_val,
+        |  last_value(value) OVER (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_val
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_window_frame" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        |  round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
+        |  round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS trail3_avg
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_sort_multi" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, CAST(o_orderdate AS DATE) AS od, o_totalprice
+        |FROM orders
+        |ORDER BY o_orderstatus DESC NULLS LAST, o_orderpriority ASC NULLS FIRST,
+        |  o_totalprice DESC NULLS LAST, o_orderkey ASC""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_set_union_all" ->
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey, o_totalprice""".stripMargin,
+
+    "q_set_union_distinct" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT o_custkey AS c_custkey FROM orders
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_str_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up_name, lower(p_brand) AS lo_brand,
+        |  substr(p_name, 1, 8) AS name8,
+        |  length(p_name) AS name_len,
+        |  trim('  ' || p_name || '  ') AS trimmed,
+        |  replace(p_name, ' ', '_') AS name_us,
+        |  lpad(p_brand, 12, '*') AS brand_pad,
+        |  split_part(p_type, ' ', 1) AS first_word,
+        |  p_brand || '-' || CAST(p_size AS VARCHAR) AS brand_size
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_regexp" ->
+      """SELECT p_partkey, p_type,
+        |  regexp_extract(p_type, '^(\w+)', 1) AS first_tok,
+        |  regexp_matches(p_type, '^PROMO') AS is_promo
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |  CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_to_2002,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25.0) AS abs_qty,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+        |  round(sqrt(l_extendedprice), 4) AS sqrt_price,
+        |  round(pow(l_extendedprice / 1000.0, 2), 4) AS pow_price,
+        |  l_orderkey % 7 AS mod7
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, abs_qty, ceil_price, sqrt_price""".stripMargin,
+
+    "q_case_cast" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice < 50000 THEN 'low'
+        |       WHEN o_totalprice < 150000 THEN 'mid'
+        |       ELSE 'high' END AS band,
+        |  CAST(o_orderkey AS VARCHAR) AS okey_str,
+        |  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS okey_back,
+        |  CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
+        |  CAST(o_orderdate AS DATE) AS od
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id, label,
+        |  len(embedding) AS dim,
+        |  embedding[1] AS first_val,
+        |  embedding[1:3] AS first3,
+        |  CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE) + CAST(embedding[3] AS DOUBLE) AS sum3
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_json_funcs" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |  round(avg(k), 4) AS avg_k, max(k) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_explode_tokens" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC""".stripMargin,
+
+    "q_subquery_scalar" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+  )
+}

@@ -1,0 +1,219 @@
+package graft.engine.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.io.Tables
+
+/** Similarity search + probabilistic near-dup operators (north-star
+  * additions, SURVEY.md §2.2-I): brute-force cosine top-k as the exact
+  * baseline, LSH (random-hyperplane) bucketed ANN as the scale path, and
+  * MinHash-LSH / SimHash document near-dup.
+  *
+  * Scale design:
+  *  - brute-force kNN is a broadcast of the (tiny) query vector against a
+  *    full scan — a single narrow pass + TakeOrderedAndProject, no shuffle
+  *    of the big side; at 100 TB it is the per-partition exact scorer
+  *    that the LSH variants prune candidates FOR;
+  *  - LSH bucketing turns all-pairs O(n²) into a groupBy/join on a small
+  *    band key: the only shuffle is hash-partitioned by band, which is
+  *    uniformly distributed by construction (hash bits), so no skew;
+  *  - all hashes are computed with Spark's codegen'd xxhash64/hash — no
+  *    UDFs anywhere, everything stays in whole-stage codegen.
+  *
+  * Deterministic "randomness": hyperplanes and MinHash coefficients come
+  * from a fixed-seed scala.util.Random at plan-construction time, so
+  * every run (and every executor) sees identical literals.
+  */
+object Similarity {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** dot(a, b) with per-element double promotion — stays in codegen. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  // ------------------------------------------------- exact cosine top-k
+  /** Brute-force top-10 nearest to vec_id 0 (self excluded), the exact
+    * baseline every ANN variant is judged against. */
+  private val qSimCosine: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q0))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+  }
+
+  /** Embedding near-dup: top-20 most-similar pairs over all pairs.
+    * The exact O(n²) oracle for what MinHash/SimHash/LSH approximate. */
+  private val qSimPairsTopk: Q = (s, d) => {
+    val a = Tables.embeddings(s, d).select(col("vec_id").as("vec_id_1"), col("embedding").as("ea"))
+    val b = Tables.embeddings(s, d).select(col("vec_id").as("vec_id_2"), col("embedding").as("eb"))
+    a.join(b, col("vec_id_1") < col("vec_id_2"))
+      .select(col("vec_id_1"), col("vec_id_2"),
+        round(cosine(col("ea"), col("eb")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id_1").asc, col("vec_id_2").asc)
+      .limit(20)
+      .orderBy(col("cos_sim").desc, col("vec_id_1").asc, col("vec_id_2").asc)
+  }
+
+  // ------------------------------------------------------- LSH-bucketed ANN
+  private val Dim = 64
+  private val NBits = 16
+
+  /** Fixed-seed random hyperplanes as literal nested arrays (16 × 64). */
+  private lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NBits, Dim)(rnd.nextGaussian())
+  }
+
+  private def planeCol(j: Int): Column = array(planes(j).map(lit(_)): _*)
+
+  /** 16-bit random-hyperplane signature packed into a long. */
+  private def lshSig(v: Column): Column =
+    (0 until NBits).map { j =>
+      when(dot(v, planeCol(j)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Non-oracle (LSH recall is probabilistic): ANN top-10 for vec_id 0
+    * searching only its LSH bucket-mates (same 4-bit band in any of 4
+    * bands) — the 100 TB path: candidates shrink ~16× per band while
+    * recall over the exact top-10 stays high. */
+  private val qAnnLsh: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).withColumn("sig", lshSig(col("embedding")))
+    val bands = (0 until 4).map(k =>
+      e.select(col("vec_id"), col("embedding"), col("sig"),
+        lit(k).as("band"), shiftright(col("sig"), k * 4).bitwiseAND(0xF).as("band_key")))
+      .reduce(_ unionAll _)
+    val q0 = bands.filter(col("vec_id") === 0)
+      .select(col("band"), col("band_key"), col("embedding").as("qe"))
+    val cands = bands.join(broadcast(q0), Seq("band", "band_key"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"), col("qe")).dropDuplicates("vec_id")
+    cands.select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+  }
+
+  // ------------------------------------------------------------- MinHash
+  private val NumPerms = 16
+  private val MersennePrime = (1L << 61) - 1
+  private val HashDomain = 2147483647L // 2^31-1: keeps a*h+b < 2^63 (no ANSI overflow)
+
+  private lazy val perms: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(NumPerms)((math.abs(rnd.nextLong()) % HashDomain + 1,
+                          math.abs(rnd.nextLong()) % HashDomain))
+  }
+
+  /** Non-oracle: MinHash + LSH banding near-dup (shingle → k=16 signature
+    * → 4 bands × 4 rows → band-bucket join → exact Jaccard verify).
+    * Emits the same (pair, jaccard) shape as q_ngram_jaccard so the two
+    * can be diffed: LSH candidates verified ≥ 0.5 ⊆ exact pairs ≥ 0.5. */
+  private val qDedupMinhash: Q = (s, d) => {
+    // token-set shingles (n=1), matching q_ngram_jaccard's exact query so
+    // LSH recall is directly measurable against the exact pair list
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"), array_distinct(split(col("text"), " ")).as("shingles"))
+    val exploded = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .withColumn("h", pmod(xxhash64(col("sh")), lit(HashDomain))) // 31-bit base hash
+    // k min-hashes: min over shingles of (a_i*h + b_i) mod p  (positive domain)
+    val sigCols = (0 until NumPerms).map { i =>
+      val (a, b) = perms(i)
+      min(pmod(col("h") * a + b, lit(MersennePrime))).as(s"m$i")
+    }
+    val sigs = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // 4 bands of 4 rows; band key = hash of the 4 signature components
+    val banded = (0 until 4).map { bnd =>
+      val cs = (bnd * 4 until bnd * 4 + 4).map(i => col(s"m$i"))
+      sigs.select(col("doc_id"), lit(bnd).as("band"), xxhash64(cs: _*).as("bkey"))
+    }.reduce(_ unionAll _)
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
+      .distinct()
+    // exact-Jaccard verification of LSH candidates
+    val sa = docs.select(col("doc_id").as("doc_id_1"), col("shingles").as("sa"))
+    val sb = docs.select(col("doc_id").as("doc_id_2"), col("shingles").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    cand.join(sa, "doc_id_1").join(sb, "doc_id_2")
+      .withColumn("jaccard", round(inter / (size(col("sa")) + size(col("sb")) - inter), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_id_1", "doc_id_2", "jaccard")
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
+  // ------------------------------------------------------------- SimHash
+  /** Non-oracle: 64-bit SimHash near-dup; candidates blocked by LSH on
+    * 16-bit chunks (two docs within hamming 3 of each other must agree
+    * exactly on ≥ 1 of the 4 chunks — pigeonhole), then verified by
+    * popcount of the XOR. */
+  private val qDedupSimhash: Q = (s, d) => {
+    val tokHash = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$j")
+    }
+    val sums = tokHash.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigs = sums.select(col("doc_id"), sig.as("simhash"))
+    val chunks = (0 until 4).map(k =>
+      sigs.select(col("doc_id"), col("simhash"),
+        lit(k).as("chunk"), shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL).as("ckey")))
+      .reduce(_ unionAll _)
+    val cand = chunks.as("x").join(chunks.as("y"), Seq("chunk", "ckey"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"),
+              col("x.simhash").as("h1"), col("y.simhash").as("h2"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("doc_id_1", "doc_id_2", "hamming")
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sim_cosine" -> qSimCosine,
+    "q_sim_pairs_topk" -> qSimPairsTopk,
+    "q_ann_lsh" -> qAnnLsh,
+    "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_simhash" -> qDedupSimhash,
+  )
+
+  /** Oracles for the exact (non-probabilistic) queries only. The DuckDB
+    * side pairs list elements positionally via aligned unnest +
+    * generate_subscripts and accumulates in DOUBLE, mirroring the Spark
+    * fold; ROUND(,4) absorbs sub-ulp association differences. */
+  val oracle: Map[String, String] = Map(
+    "q_sim_cosine" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |p AS (SELECT e.vec_id,
+        |        CAST(unnest(e.embedding) AS DOUBLE) AS x,
+        |        CAST(unnest(q.qe) AS DOUBLE) AS y
+        |      FROM embeddings e, q WHERE e.vec_id <> 0),
+        |s AS (SELECT vec_id, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+        |      FROM p GROUP BY vec_id)
+        |SELECT vec_id, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos_sim
+        |FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_sim_pairs_topk" ->
+      """WITH p AS (SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+        |        CAST(unnest(a.embedding) AS DOUBLE) AS x,
+        |        CAST(unnest(b.embedding) AS DOUBLE) AS y
+        |      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |s AS (SELECT vec_id_1, vec_id_2, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+        |      FROM p GROUP BY vec_id_1, vec_id_2)
+        |SELECT vec_id_1, vec_id_2, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos_sim
+        |FROM s ORDER BY cos_sim DESC, vec_id_1 ASC, vec_id_2 ASC LIMIT 20""".stripMargin,
+  )
+}
