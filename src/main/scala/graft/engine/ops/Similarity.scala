@@ -113,13 +113,14 @@ object Similarity {
                           math.abs(rnd.nextLong()) % HashDomain))
   }
 
-  /** Non-oracle: MinHash + LSH banding near-dup (shingle → k=16 signature
-    * → 4 bands × 4 rows → band-bucket join → exact Jaccard verify).
-    * Emits the same (pair, jaccard) shape as q_ngram_jaccard so the two
-    * can be diffed: LSH candidates verified ≥ 0.5 ⊆ exact pairs ≥ 0.5. */
+  /** Non-oracle: MinHash + LSH banding near-dup (token set → k=16
+    * signature → 2 bands × 8 rows → band-bucket join → exact Jaccard
+    * verify at 0.9). Banding is tuned to the corpus: the fixture's shared
+    * 31-token vocabulary makes the AVERAGE pair jaccard 0.63, so the LSH
+    * threshold (1/b)^(1/r) = 0.5^(1/8) ≈ 0.92 keeps bucket collisions —
+    * and therefore the verification join — sparse. Verified output ⊆ the
+    * exact unblocked jaccard-0.9 pair set (asserted in tests). */
   private val qDedupMinhash: Q = (s, d) => {
-    // token-set shingles (n=1), matching q_ngram_jaccard's exact query so
-    // LSH recall is directly measurable against the exact pair list
     val docs = Tables.documents(s, d).select(
       col("doc_id"), array_distinct(split(col("text"), " ")).as("shingles"))
     val exploded = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
@@ -130,9 +131,9 @@ object Similarity {
       min(pmod(col("h") * a + b, lit(MersennePrime))).as(s"m$i")
     }
     val sigs = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    // 4 bands of 4 rows; band key = hash of the 4 signature components
-    val banded = (0 until 4).map { bnd =>
-      val cs = (bnd * 4 until bnd * 4 + 4).map(i => col(s"m$i"))
+    // 2 bands of 8 rows; band key = hash of the 8 signature components
+    val banded = (0 until 2).map { bnd =>
+      val cs = (bnd * 8 until bnd * 8 + 8).map(i => col(s"m$i"))
       sigs.select(col("doc_id"), lit(bnd).as("band"), xxhash64(cs: _*).as("bkey"))
     }.reduce(_ unionAll _)
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
@@ -145,7 +146,7 @@ object Similarity {
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
     cand.join(sa, "doc_id_1").join(sb, "doc_id_2")
       .withColumn("jaccard", round(inter / (size(col("sa")) + size(col("sb")) - inter), 4))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= 0.9)
       .select("doc_id_1", "doc_id_2", "jaccard")
       .orderBy("doc_id_1", "doc_id_2")
   }

@@ -1,0 +1,129 @@
+package graft.engine.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, StreamingQueryListener, Trigger}
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** Structured-Streaming re-expression of the reference's streaming surface
+  * (SURVEY.md §2.1 O1–O10 + §2.2-J north-star operators).
+  *
+  * The reference (KafkaDirectStream.scala:57–74) hand-builds a direct Kafka
+  * DStream with externally-stored per-partition offsets (ZooKeeper CSV,
+  * K:104) re-seeked on restart (K:66–68) — at-least-once, duplicates
+  * accepted (README R:93–95). Structured Streaming subsumes every piece:
+  * the offset WAL + commit log under `checkpointLocation` give the same
+  * replay-not-gap guarantee, upgraded to exactly-once with idempotent
+  * sinks. What remains for us is (a) the source/sink builders with the
+  * reference's decode projection, (b) an observability mirror of its
+  * offset bookkeeping, (c) event-time operators the reference lacked.
+  *
+  * Scale: stateful aggregations keep state partitioned by grouping key in
+  * the state store (RocksDB at cluster scale); watermarks bound state.
+  * Nothing here collects to the driver — the reference's `rdd.collect()`
+  * console sink (K:48) is deliberately NOT reproduced; `foreachBatch`
+  * receives a distributed DataFrame instead.
+  */
+object Streams {
+
+  /** O1/O2: direct Kafka source, config-only (no broker in this env).
+    * `startingOffsets=latest` reproduces first-run semantics (K:64–65);
+    * a checkpointed restart reproduces the O2 re-seek. */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topics: String,
+                  startingOffsets: String = "latest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topics)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** O5: the reference's decode projection `(K,V) ⇒ value-as-string`
+    * (K:43 `.map(_._2)` + StringDecoder). Works on any (key, value)
+    * binary/string schema, Kafka or MemoryStream. */
+  def decodeProjection(df: DataFrame): DataFrame =
+    df.selectExpr("CAST(value AS STRING) AS value")
+
+  /** O6/O7/O8: per-batch sink with the reference's empty-batch
+    * short-circuit (K:45–46) — but executor-side, never collect. */
+  def foreachBatchSink[T](ds: Dataset[T], checkpoint: String)(
+      handler: (Dataset[T], Long) => Unit): DataStreamWriter[T] =
+    ds.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[T], id: Long) =>
+        if (!batch.isEmpty) handler(batch, id) // O6 emptiness probe
+      }
+
+  /** One observed batch from the offset mirror (O3/O4 parity). */
+  final case class OffsetRecord(batchId: Long, source: String,
+                                startOffset: String, endOffset: String)
+
+  /** O3/O4 parity: read-only mirror of the engine's per-batch offset
+    * bookkeeping, the Structured-Streaming analogue of the reference's
+    * `saveOffsets` ZK write (K:98–109). One record per completed batch,
+    * exposing start/end offsets exactly as the WAL commits them. */
+  final class OffsetMirror extends StreamingQueryListener {
+    private val records = new ConcurrentLinkedQueue[OffsetRecord]()
+    def observed: Seq[OffsetRecord] = records.asScala.toSeq
+
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      p.sources.foreach { s =>
+        records.add(OffsetRecord(p.batchId, s.description,
+          Option(s.startOffset).map(_.toString).getOrElse("none"),
+          Option(s.endOffset).map(_.toString).getOrElse("none")))
+      }
+    }
+  }
+
+  /** O10: graceful stop — Structured Streaming's `stop()` is
+    * batch-boundary safe (no partial commit), the declarative form of
+    * `ssc.stop(stopSparkContext, stopGracefully=true)` (K:33). */
+  def gracefulStop(q: StreamingQuery): Unit = {
+    q.processAllAvailable() // drain, mirroring stopGracefullyOnShutdown (K:40)
+    q.stop()
+    q.awaitTermination()
+  }
+
+  // ---------------------------------------------------- event-time operators
+
+  /** s_window_tumbling: per-window per-key counts (generalizes the
+    * reference's 5 s processing-time cadence, K:41, to event time). */
+  def tumblingCounts(events: DataFrame, width: String = "5 seconds"): DataFrame =
+    events.groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** s_window_sliding. */
+  def slidingCounts(events: DataFrame, width: String = "10 seconds",
+                    slide: String = "5 seconds"): DataFrame =
+    events.groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** s_window_session: gap-based session windows per user. */
+  def sessionCounts(events: DataFrame, gap: String = "30 seconds"): DataFrame =
+    events.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+
+  /** s_watermark_late: windowed counts that drop data later than the
+    * watermark (append mode) — the event-time discipline the reference
+    * never had (§1.1: processing time only). */
+  def watermarkedCounts(events: DataFrame, watermark: String = "10 seconds",
+                        width: String = "5 seconds"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** s_stream_dedup: streaming upgrade of the reference's "dedupe
+    * downstream" requirement (R:76, R:95) — duplicate event_ids dropped,
+    * state bounded by the watermark. */
+  def streamingDedup(events: DataFrame, watermark: String = "10 seconds"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** s_stream_static_join: stream enriched against a static dimension —
+    * the static side is broadcast per micro-batch, no stream shuffle. */
+  def streamStaticJoin(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left_outer")
+}

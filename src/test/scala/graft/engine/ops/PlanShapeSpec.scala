@@ -1,0 +1,67 @@
+package graft.engine.ops
+
+import graft.SparkSuite
+import graft.SparkEntry
+
+/** Pins the physical-plan properties SURVEY §4.2 relies on Catalyst for.
+  * These are the 100 TB guarantees: a query that silently stops pushing
+  * filters into the parquet scan or stops broadcasting a dimension would
+  * still pass the value oracle at sf0.01 — and fall over at scale. */
+class PlanShapeSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q_filter_basic pushes predicates into the parquet scan") {
+    val p = plan("q_filter_basic")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("LessThan(l_quantity") || p.contains("Or(And("),
+      "filter subtree must reach the scan:\n" + p.take(2000))
+  }
+
+  test("q_scan_prune reads only the 2 referenced columns") {
+    val p = plan("q_scan_prune")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"), readSchema)
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_shipdate"),
+      s"scan must not read unprojected columns: $readSchema")
+  }
+
+  test("q_join_broadcast uses a broadcast hash join") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_join_multi broadcasts the nation dimension") {
+    assert(plan("q_join_multi").contains("BroadcastHashJoin"))
+  }
+
+  test("q_topk compiles to TakeOrderedAndProject (no full sort)") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_agg_group uses partial+final hash aggregation") {
+    val p = plan("q_agg_group")
+    assert(p.contains("HashAggregate"), p.take(1500))
+    assert(p.contains("partial_"), "map-side partial aggregation expected:\n" + p.take(1500))
+  }
+
+  test("q_agg_group stays inside whole-stage codegen") {
+    // AQE hides the final plan until execution — run it, then inspect.
+    // Codegen stages print as "*(n) Operator" in the tree string.
+    val df = SparkEntry.queries("q_agg_group")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1)") && p.contains("*(2)"),
+      "scan→filter→partial-agg and final-agg must each be a codegen stage:\n" + p.take(1500))
+  }
+
+  test("q_sim_cosine broadcasts the query vector (no shuffle of the big side)") {
+    val p = plan("q_sim_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(1500))
+  }
+
+  test("q_join_semi / q_join_anti plan as semi/anti joins, not materialized joins") {
+    assert(plan("q_join_semi").contains("LeftSemi"))
+    assert(plan("q_join_anti").contains("LeftAnti"))
+  }
+}

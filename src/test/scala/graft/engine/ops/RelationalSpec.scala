@@ -1,0 +1,111 @@
+package graft.engine.ops
+
+import graft.{SparkEntry, SparkSuite}
+import org.apache.spark.sql.functions._
+
+/** Hand-computed unit checks per operator family on sf0.001 + tiny
+  * in-memory frames — the granularity the DuckDB oracle can't isolate
+  * (SURVEY §5.2 item 2). */
+class RelationalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("every declared query executes and every oracled query is declared") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
+    assert(qs.size >= 50, s"inventory unexpectedly small: ${qs.size}")
+  }
+
+  test("q_scan_count equals the documented sf0.001 row count") {
+    assert(run("q_scan_count").head().getLong(0) == 6000L)
+  }
+
+  test("q_join_cross yields |region| × |nation| = 125 rows") {
+    assert(run("q_join_cross").count() == 125L)
+  }
+
+  test("q_agg_group: group sums reconcile with the global filtered sum") {
+    val df = run("q_agg_group")
+    val total = df.agg(sum("count_order")).head().getLong(0)
+    val direct = graft.engine.io.Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count()
+    assert(total == direct)
+  }
+
+  test("set algebra: |A∪B| = |A|+|B| (bag) and distinct ∪ ⊇ ∩") {
+    val all = run("q_set_union_all").count()
+    val o = graft.engine.io.Tables.orders(spark, sfDir)
+    val a = o.filter(col("o_orderpriority") === "1-URGENT").count()
+    val b = o.filter(col("o_orderstatus") === "F").count()
+    assert(all == a + b)
+    assert(run("q_set_union_distinct").count() >= run("q_set_intersect").count())
+  }
+
+  test("semi + anti partition the customer set") {
+    val c = graft.engine.io.Tables.customer(spark, sfDir).count()
+    assert(run("q_join_semi").count() + run("q_join_anti").count() == c)
+  }
+
+  test("rollup = groups + per-flag subtotals + grand total; cube adds the flipped hierarchy") {
+    val groups = graft.engine.io.Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_linestatus").distinct().count()
+    val flags = graft.engine.io.Tables.lineitem(spark, sfDir)
+      .select("l_returnflag").distinct().count()
+    val statuses = graft.engine.io.Tables.lineitem(spark, sfDir)
+      .select("l_linestatus").distinct().count()
+    assert(run("q_agg_rollup").count() == groups + flags + 1)
+    assert(run("q_agg_cube").count() == groups + flags + statuses + 1)
+  }
+
+  test("window rank: row_number is a 1..n permutation per partition") {
+    val bad = run("q_window_rank")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), max("rn").as("mx"), min("rn").as("mn"),
+           countDistinct("rn").as("d"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1 || col("d") =!= col("n"))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("ntile never differs by more than 1 in bucket size") {
+    val sizes = run("q_window_rank").groupBy("o_custkey", "nt").count()
+      .groupBy("o_custkey").agg((max("count") - min("count")).as("spread"))
+      .filter(col("spread") > 1).count()
+    assert(sizes == 0L)
+  }
+
+  test("q_topk returns exactly the 10 priciest orders") {
+    val topk = run("q_topk").select("o_orderkey").as[Long].collect().toSet
+    val brute = graft.engine.io.Tables.orders(spark, sfDir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(topk == brute)
+  }
+
+  test("q_dedup_exact is idempotent (dedup of dedup output is a no-op)") {
+    val once = run("q_dedup_exact")
+    assert(once.count() == once.dropDuplicates("text").count())
+  }
+
+  test("q_dedup_key keeps exactly one row per user") {
+    val d = run("q_dedup_key")
+    assert(d.count() == d.select("user_id").distinct().count())
+  }
+
+  test("join on tiny hand-built frames matches hand-computed result") {
+    val l = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "lv")
+    val r = Seq((1, "x"), (1, "y"), (4, "z")).toDF("id", "rv")
+    assert(l.join(r, Seq("id"), "inner").count() == 2)
+    assert(l.join(r, Seq("id"), "left_outer").count() == 4)
+    assert(l.join(r, Seq("id"), "left_semi").count() == 1)
+    assert(l.join(r, Seq("id"), "left_anti").as[(Int, String)].collect().map(_._1).sorted.toSeq == Seq(2, 3))
+  }
+
+  test("decimal sum path is exact: dsum equals integer arithmetic on a known frame") {
+    val df = Seq(0.1, 0.2, 0.3).toDF("x")
+    val got = df.agg(sum(col("x").cast("decimal(18,6)")).cast("decimal(38,6)")).head().getDecimal(0)
+    assert(got.compareTo(new java.math.BigDecimal("0.600000")) == 0)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.engine.ops
+
+import graft.{SparkEntry, SparkSuite}
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the LLM-pipeline operators: the probabilistic
+  * (non-oracle) paths are validated against their exact counterparts —
+  * the property that matters at 100 TB, where only the sketch is
+  * affordable but the exact answer defines correctness. */
+class TextSimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("cosine: self-similarity of every embedding is 1.0") {
+    val e = graft.engine.io.Tables.embeddings(spark, sfDir)
+    val bad = e.select(
+      abs(aggregate(zip_with(col("embedding"), col("embedding"),
+            (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, x) => a + x) /
+          (sqrt(aggregate(zip_with(col("embedding"), col("embedding"),
+            (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, x) => a + x)) *
+           sqrt(aggregate(zip_with(col("embedding"), col("embedding"),
+            (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, x) => a + x))) - 1.0
+      ).as("err")).agg(max("err")).head().getDouble(0)
+    assert(bad < 1e-9)
+  }
+
+  test("q_ann_lsh results are a subset of brute-force scoring, correctly scored") {
+    val exact = run("q_sim_cosine").as[(Long, Double)].collect().toMap
+    val approx = run("q_ann_lsh").as[(Long, Double)].collect().toMap
+    // every ANN hit that IS in the exact top-10 must carry the same score
+    approx.foreach { case (id, cos) =>
+      exact.get(id).foreach(e => assert(math.abs(e - cos) < 1e-9, s"vec $id score drift"))
+    }
+    // recall sanity: buckets should recover a good share of the true top-10
+    val recall = exact.keySet.intersect(approx.keySet).size / 10.0
+    assert(recall >= 0.3, s"LSH recall collapsed: $recall (hits=${approx.keySet})")
+  }
+
+  /** Exact UNBLOCKED token-set jaccard over all pairs (the ground truth
+    * the probabilistic operators approximate; q_ngram_jaccard itself
+    * blocks on (lang, n_chars), which is a different candidate space). */
+  private def exactPairs(threshold: Double): Set[(Long, Long)] = {
+    val base = graft.engine.io.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("t"))
+    val a = base.select(col("doc_id").as("d1"), col("t").as("ta"))
+    val b = base.select(col("doc_id").as("d2"), col("t").as("tb"))
+    val inter = size(array_intersect(col("ta"), col("tb"))).cast("double")
+    a.join(b, col("d1") < col("d2"))
+      .withColumn("j", inter / (size(col("ta")) + size(col("tb")) - inter))
+      .filter(col("j") >= threshold)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+  }
+
+  test("q_dedup_minhash: verified pairs ⊆ exact jaccard-0.9 pairs, with real recall") {
+    val exact = exactPairs(0.9)
+    val lsh = run("q_dedup_minhash").select("doc_id_1", "doc_id_2")
+      .as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"false positives survived verification: ${lsh -- exact}")
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.4, s"MinHash recall too low: $recall of ${exact.size} pairs")
+  }
+
+  test("simhash pairs are genuinely near-duplicate (token jaccard ≥ 0.8)") {
+    val sim = run("q_dedup_simhash").select("doc_id_1", "doc_id_2")
+      .as[(Long, Long)].collect().toSet
+    assert(sim.nonEmpty, "hamming≤3 pairs exist in this corpus")
+    val loose = exactPairs(0.8)
+    val precision = sim.intersect(loose).size.toDouble / sim.size
+    assert(precision >= 0.8,
+      s"simhash should surface high-jaccard pairs: precision=$precision, misses=${sim -- loose}")
+  }
+
+  test("fingerprint is order-sensitive: permuted docs get different fingerprints") {
+    val fp = run("q_fingerprint").select("doc_id", "fp").as[(Long, Long)].collect().toMap
+    assert(fp.values.toSet.size > fp.size / 2, "fingerprint collides too much to be useful")
+  }
+
+  test("lang_id is deterministic and total") {
+    val l = run("q_lang_id")
+    assert(l.filter(col("pred_lang").isNull).count() == 0)
+    assert(l.count() == 500)
+  }
+
+  test("multimodal pipeline: every source aggregated, features bounded") {
+    val m = run("q_multimodal_pipeline")
+    assert(m.count() == 20) // src0..src19
+    val f = m.agg(max(abs(col("avg_f0")))).head().getDouble(0)
+    assert(f <= 1.0, "stub features must stay in [-1,1]")
+  }
+}
