@@ -1,0 +1,261 @@
+package graft.engine.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.io.Tables
+
+/** Second-wave analytics operators extending SURVEY.md §2.2: reshaping
+  * (pivot/unpivot), deterministic sampling, exact percentiles, per-group
+  * top-k, ordered string aggregation, map-typed columns, sequence
+  * generators, correlated/IN subqueries (exercising Catalyst
+  * decorrelation), and a scalable as-of join.
+  *
+  * Scale notes:
+  *  - the as-of join uses the union + keyed-window formulation: both
+  *    sides shuffle ONCE by key and are merged by a single sort within
+  *    partitions — no per-row range probe, no broadcast of the big side,
+  *    no state blowup on skewed time ranges. This is the shape that
+  *    survives 100 TB (a range-condition join would explode);
+  *  - the hash sample is a pure narrow filter (no shuffle, fully
+  *    pushdown-adjacent) and reproducible across engines/runs, unlike
+  *    `TABLESAMPLE`, whose row set depends on partitioning;
+  *  - pivot compiles to one hash aggregate with conditional partials —
+  *    same cost as a plain groupBy, no extra pass per pivot value.
+  *
+  * Determinism contract identical to [[Relational]] (total-order sorts,
+  * decimal sums via dsum-equivalent casts, ROUND(x,4) on doubles).
+  */
+object Analytics {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("decimal(38,6)")
+  private def dsumSql(e: String): String = s"CAST(sum(CAST($e AS DECIMAL(18,6))) AS DECIMAL(38,6))"
+
+  // ------------------------------------------------------------ reshaping
+  private val prios = Seq("1-URGENT" -> "p_urgent", "2-HIGH" -> "p_high",
+    "3-MEDIUM" -> "p_medium", "4-NOT SPECIFIED" -> "p_notspec", "5-LOW" -> "p_low")
+
+  private val qPivot: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", prios.map(_._1))
+      .agg(dsum(col("o_totalprice")))
+      .select(col("o_orderstatus") +: prios.map { case (v, a) => col(s"`$v`").as(a) }: _*)
+      .orderBy("o_orderstatus")
+
+  private val qUnpivot: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_custkey").cast("double").as("o_custkey_d"))
+      .unpivot(Array(col("o_orderkey")),
+               Array(col("o_totalprice"), col("o_custkey_d")), "measure", "val")
+      .orderBy("o_orderkey", "measure")
+
+  // ------------------------------------------------------------- sampling
+  /** Deterministic ~10% Bernoulli sample via multiplicative hashing of the
+    * key — exact BIGINT arithmetic on both engines, reproducible at any
+    * parallelism (unlike seeded `sample()`, whose outcome depends on
+    * partition layout). The standard trick for repeatable pipeline
+    * sampling at scale. */
+  private val qSampleHash: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("h", pmod(col("o_orderkey") * lit(2654435761L), lit(4294967296L)))
+      .filter(pmod(col("h"), lit(100)) < 10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  // ---------------------------------------------------------- percentiles
+  /** Exact percentiles (linear interpolation) per group; the exact
+    * baseline for approx_percentile-style sketches at scale. */
+  private val qAggPercentile: Q = (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  // -------------------------------------------------------- top-k per key
+  /** Top-3 orders per customer by totalprice — the grouped top-k shape
+    * (rank-filter prunes before any downstream join/sort). */
+  private val qTopkPerGroup: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rk")
+  }
+
+  // -------------------------------------------------- ordered string agg
+  /** Ordered string aggregation: nations per region as a CSV string.
+    * collect_list is order-nondeterministic, so sort before joining —
+    * same contract as SQL LISTAGG ... WITHIN GROUP (ORDER BY). */
+  private val qStrAgg: Q = (s, d) => {
+    val r = Tables.region(s, d); val n = Tables.nation(s, d)
+    r.join(n, r("r_regionkey") === n("n_regionkey"))
+      .groupBy("r_name")
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+           count(lit(1)).as("n_nations"))
+      .orderBy("r_name")
+  }
+
+  // ------------------------------------------------------------ map funcs
+  /** MapType surface: build a map column, extract, enumerate keys/values.
+    * Output columns are scalars/arrays so the oracle stays engine-neutral
+    * (map binary layouts differ across engines). */
+  private val qMapFuncs: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("m", map(
+        lit("status"), col("o_orderstatus"),
+        lit("prio"), col("o_orderpriority")))
+      .select(
+        col("o_orderkey"),
+        element_at(col("m"), "status").as("status"),
+        element_at(col("m"), "prio").as("prio"),
+        map_keys(col("m")).as("ks"),
+        map_values(col("m")).as("vs"),
+        size(col("m")).cast("long").as("m_size"))
+      .orderBy("o_orderkey")
+
+  // ----------------------------------------------------------- generators
+  /** Row generator beyond explode-of-data: per region emit regionkey+1
+    * rows from a sequence — the lateral/table-function shape. */
+  private val qGeneratorSeq: Q = (s, d) =>
+    Tables.region(s, d)
+      .select(col("r_name"), col("r_regionkey"),
+              explode(sequence(lit(0L), col("r_regionkey"))).as("i"))
+      .orderBy("r_name", "i")
+
+  // ----------------------------------------------------------- subqueries
+  /** Correlated scalar subquery (per-customer average) — exercises
+    * Catalyst's RewriteCorrelatedScalarSubquery decorrelation. */
+  private val qSubqueryCorr: Q = (s, d) =>
+    s.sql(
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM parquet.`$d/orders.parquet` o
+         |WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+         |                      FROM parquet.`$d/orders.parquet` o2
+         |                      WHERE o2.o_custkey = o.o_custkey)
+         |ORDER BY o_orderkey""".stripMargin)
+
+  /** IN-subquery (compiles to left-semi) — SQL surface of q_join_semi. */
+  private val qSubqueryIn: Q = (s, d) =>
+    s.sql(
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM parquet.`$d/orders.parquet`
+         |WHERE o_custkey IN (SELECT c_custkey FROM parquet.`$d/customer.parquet`
+         |                    WHERE c_mktsegment = 'BUILDING')
+         |ORDER BY o_orderkey""".stripMargin)
+
+  // ------------------------------------------------------------ as-of join
+  /** As-of join: for each order, the value of the latest event (user_id =
+    * o_custkey mod 150) with ts <= o_orderdate.
+    *
+    * Implementation is the union + keyed-window formulation: tag both
+    * sides, union, and take last non-null event value over (key, time)
+    * order. One shuffle on the key, one in-partition sort — the 100 TB
+    * shape (see object scaladoc). Events sort before orders at equal
+    * timestamps (side 0 < 1), giving inclusive <= semantics; (user_id,
+    * ts) is unique in the fixture so the match is deterministic. */
+  private val qAsofJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(
+      col("user_id").as("u"), col("ts").as("t"), lit(0).as("side"),
+      lit(null).cast("long").as("o_orderkey"), col("value"))
+    val od = Tables.orders(s, d).select(
+      pmod(col("o_custkey"), lit(150)).as("u"), col("o_orderdate").as("t"), lit(1).as("side"),
+      col("o_orderkey"), lit(null).cast("double").as("value"))
+    val w = Window.partitionBy("u").orderBy(col("t").asc, col("side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionAll(od)
+      .withColumn("ev_value", last("value", ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("o_orderkey"), col("u"), col("ev_value"))
+      .orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_pivot" -> qPivot, "q_unpivot" -> qUnpivot,
+    "q_sample_hash" -> qSampleHash, "q_agg_percentile" -> qAggPercentile,
+    "q_topk_per_group" -> qTopkPerGroup, "q_str_agg" -> qStrAgg,
+    "q_map_funcs" -> qMapFuncs, "q_generator_seq" -> qGeneratorSeq,
+    "q_subquery_corr" -> qSubqueryCorr, "q_subquery_in" -> qSubqueryIn,
+    "q_asof_join" -> qAsofJoin,
+  )
+
+  private def pivotCaseSql: String = prios.map { case (v, a) =>
+    s"CAST(sum(CASE WHEN o_orderpriority = '$v' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS $a"
+  }.mkString(",\n  ")
+
+  val oracle: Map[String, String] = Map(
+    "q_pivot" ->
+      s"""SELECT o_orderstatus,
+         |  $pivotCaseSql
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT o_orderkey, 'o_totalprice' AS measure, o_totalprice AS val FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'o_custkey_d' AS measure, CAST(o_custkey AS DOUBLE) AS val FROM orders
+        |ORDER BY o_orderkey, measure""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE ((o_orderkey * 2654435761) % 4294967296) % 100 < 10
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_str_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n_nations
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_map_funcs" ->
+      """SELECT o_orderkey,
+        |  o_orderstatus AS status,
+        |  o_orderpriority AS prio,
+        |  ['status', 'prio'] AS ks,
+        |  [o_orderstatus, o_orderpriority] AS vs,
+        |  2 AS m_size
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_generator_seq" ->
+      """SELECT r_name, r_regionkey, unnest(generate_series(0, r_regionkey)) AS i
+        |FROM region ORDER BY r_name, i""".stripMargin,
+
+    "q_subquery_corr" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_subquery_in" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT o.o_orderkey, o.o_custkey % 150 AS u, e.value AS ev_value
+        |FROM orders o ASOF LEFT JOIN events e
+        |  ON o.o_custkey % 150 = e.user_id AND e.ts <= o.o_orderdate
+        |ORDER BY o_orderkey""".stripMargin,
+  )
+}

@@ -1,0 +1,116 @@
+package graft.engine.ops
+
+import graft.{SparkEntry, SparkSuite}
+import graft.engine.io.Tables
+import org.apache.spark.sql.functions._
+
+/** Unit checks for the second-wave analytics operators (Analytics.scala):
+  * algebraic invariants the DuckDB oracle can't isolate. */
+class AnalyticsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("pivot cells reconcile with the unpivoted group totals") {
+    val pivoted = run("q_pivot")
+    val cells = pivoted.select(
+      (col("p_urgent") + col("p_high") + col("p_medium") + col("p_notspec") + col("p_low")).as("row_sum"))
+      .agg(sum("row_sum")).head().getDecimal(0)
+    val direct = Tables.orders(spark, sfDir)
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)"))).head().getDecimal(0)
+    assert(cells.compareTo(direct) == 0)
+  }
+
+  test("unpivot emits exactly 2 rows per order (one per measure)") {
+    val n = Tables.orders(spark, sfDir).count()
+    val u = run("q_unpivot")
+    assert(u.count() == 2 * n)
+    assert(u.groupBy("o_orderkey").count().filter(col("count") =!= 2).count() == 0)
+  }
+
+  test("hash sample is deterministic and roughly 10%") {
+    val a = run("q_sample_hash").count()
+    val b = run("q_sample_hash").count()
+    val n = Tables.orders(spark, sfDir).count()
+    assert(a == b)
+    assert(a > n / 20 && a < n / 5, s"sample $a of $n out of expected band")
+  }
+
+  test("percentiles are ordered p25 <= p50 <= p75 <= p95 and within min/max") {
+    val bad = run("q_agg_percentile")
+      .filter(col("p25") > col("p50") || col("p50") > col("p75") || col("p75") > col("p95"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("top-3 per group: no group exceeds 3 rows, ranks are 1..k, values descend") {
+    val t = run("q_topk_per_group")
+    assert(t.groupBy("o_custkey").count().filter(col("count") > 3).count() == 0)
+    val badRank = t.groupBy("o_custkey")
+      .agg(max("rk").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n")).count()
+    assert(badRank == 0)
+    // within each group the price at rank r is >= price at rank r+1
+    val self = t.as("a").join(t.as("b"),
+      $"a.o_custkey" === $"b.o_custkey" && $"a.rk" === $"b.rk" - 1)
+    assert(self.filter($"a.o_totalprice" < $"b.o_totalprice").count() == 0)
+  }
+
+  test("string agg covers all 25 nations over 5 regions") {
+    val r = run("q_str_agg")
+    assert(r.count() == 5)
+    assert(r.agg(sum("n_nations")).head().getLong(0) == 25)
+    // CSV lists are sorted
+    val unsorted = r.select(split(col("nations"), ",").as("a"))
+      .filter(col("a") =!= array_sort(col("a"))).count()
+    assert(unsorted == 0)
+  }
+
+  test("map column round-trips its entries") {
+    val m = run("q_map_funcs")
+    assert(m.filter(col("m_size") =!= 2).count() == 0)
+    assert(m.filter(element_at(col("vs"), 1) =!= col("status")).count() == 0)
+  }
+
+  test("sequence generator emits regionkey+1 rows per region") {
+    val g = run("q_generator_seq")
+    val bad = g.groupBy("r_name", "r_regionkey").count()
+      .filter(col("count") =!= col("r_regionkey") + 1).count()
+    assert(bad == 0)
+  }
+
+  test("correlated subquery result is a subset of orders above the global minimum bar") {
+    val c = run("q_subquery_corr")
+    // every returned order beats 1.5x its customer's average, recomputed directly
+    val avgs = Tables.orders(spark, sfDir).groupBy("o_custkey")
+      .agg((avg("o_totalprice") * 1.5).as("bar"))
+    val joined = c.join(avgs, "o_custkey")
+    assert(joined.filter(col("o_totalprice") <= col("bar")).count() == 0)
+  }
+
+  test("IN-subquery equals the left-semi DataFrame formulation") {
+    val viaSql = run("q_subquery_in").select("o_orderkey")
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val viaDf = o.join(c, o("o_custkey") === c("c_custkey"), "left_semi").select("o_orderkey")
+    assert(viaSql.exceptAll(viaDf).count() == 0 && viaDf.exceptAll(viaSql).count() == 0)
+  }
+
+  test("as-of join: every matched value comes from an event at or before the order date") {
+    val a = run("q_asof_join")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id").as("u"), col("ts"), col("value").as("ev_value"))
+    // joining back on (u, ev_value): the matched event's ts must be <= o_orderdate
+    val od = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val bad = a.filter(col("ev_value").isNotNull)
+      .join(ev, Seq("u", "ev_value"))
+      .join(od, "o_orderkey")
+      .groupBy("o_orderkey")
+      // at least one event instance with that value is at or before the date
+      .agg(min(when(col("ts") <= col("o_orderdate"), 0).otherwise(1)).as("viol"))
+      .filter(col("viol") === 1)
+    assert(bad.count() == 0)
+    assert(a.count() == Tables.orders(spark, sfDir).count())
+  }
+}
