@@ -165,10 +165,13 @@ object Similarity {
       .filter(col("x.rep") < col("y.rep"))
       .select(col("x.rep").as("rep_1"), col("y.rep").as("rep_2"))
       .distinct()
-    // exact-Jaccard verification of LSH candidates, still at rep level
+    // exact-Jaccard verification of LSH candidates, still at rep level.
+    // `hsh` arrays are sorted, so the native merge-walk expression counts
+    // the overlap with zero allocation (vs array_intersect's per-row set).
     val sa = groups.select(col("rep").as("rep_1"), col("hsh").as("sa"), col("members").as("ma"))
     val sb = groups.select(col("rep").as("rep_2"), col("hsh").as("sb"), col("members").as("mb"))
-    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val inter = graft.engine.functions.GraftFunctions
+      .sortedIntersectSize(s, col("sa"), col("sb")).cast("double")
     val verified = cand.join(sa, "rep_1").join(sb, "rep_2")
       .withColumn("jaccard", round(inter / (size(col("sa")) + size(col("sb")) - inter), 4))
       .filter(col("jaccard") >= 0.9)
@@ -199,7 +202,7 @@ object Similarity {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$j")
+      sum(shiftright(col("h"), j).bitwiseAND(1L) * 2L - 1L).as(s"b$j")
     }
     val sums = tokHash.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until 64).map { j =>

@@ -1,0 +1,69 @@
+package graft.engine.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Checks for the native sorted-merge intersect-size expression: equality
+  * with the built-in `size(array_intersect(...))` on random sorted-set
+  * inputs (codegen path), interpreted-path equality, null handling, and
+  * SQL registration via GraftFunctions.register / GraftExtensions. */
+class FunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def randomSets(seed: Int, n: Int): Seq[(Array[Long], Array[Long])] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n) {
+      def mk = Array.fill(rnd.nextInt(60) + 1)(rnd.nextLong() % 1000).distinct.sorted
+      (mk, mk)
+    }
+  }
+
+  test("matches size(array_intersect) on 500 random sorted-set pairs (codegen)") {
+    val df = randomSets(1, 500).toDF("a", "b")
+      .select(
+        GraftFunctions.sortedIntersectSize(spark, col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+    assert(df.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("matches under the interpreted (non-codegen) path too") {
+    withClue("codegen disabled") {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try {
+        val df = randomSets(2, 200).toDF("a", "b")
+          .select(
+            GraftFunctions.sortedIntersectSize(spark, col("a"), col("b")).as("fast"),
+            size(array_intersect(col("a"), col("b"))).as("ref"))
+        assert(df.filter(col("fast") =!= col("ref")).count() == 0)
+      } finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+  }
+
+  test("disjoint, identical, and empty arrays") {
+    val df = Seq(
+      (Array(1L, 2L, 3L), Array(4L, 5L, 6L), 0),  // disjoint
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L), 3),  // identical
+      (Array.empty[Long], Array(1L, 2L), 0),      // empty side
+      (Array(-5L, 0L, 7L), Array(-5L, 7L, 9L), 2) // negatives
+    ).toDF("a", "b", "expected")
+    assert(df.filter(
+      GraftFunctions.sortedIntersectSize(spark, col("a"), col("b")) =!= col("expected")).count() == 0)
+  }
+
+  test("null array propagates null") {
+    val df = Seq((Some(Array(1L, 2L)), Option.empty[Array[Long]])).toDF("a", "b")
+    val r = df.select(GraftFunctions.sortedIntersectSize(spark, col("a"), col("b"))).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("registered SQL function works end-to-end") {
+    GraftFunctions.register(spark)
+    val n = spark.sql(
+      "SELECT sorted_intersect_size(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS n").head().getInt(0)
+    assert(n == 2)
+  }
+}
