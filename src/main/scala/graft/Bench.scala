@@ -14,6 +14,21 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: exercise the scan → shuffle-agg → window → join →
+    // noop-sink stack once so JIT/codegen infrastructure compilation is
+    // paid before the first measured query (it otherwise lands on
+    // whichever query sorts first and distorts per-query attribution).
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val l = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(50000)
+      l.groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("s"), count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(Window.partitionBy("l_returnflag").orderBy("n")))
+        .join(broadcast(spark.read.parquet(s"$sfDir/region.parquet")),
+              col("n") =!= col("r_regionkey"), "left_outer")
+        .write.format("noop").mode("overwrite").save()
+    }
     // noop sink forces full evaluation of every operator (count() would let
     // Catalyst prune projections and under-measure), still executor-side.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

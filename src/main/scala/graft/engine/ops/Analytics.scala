@@ -67,15 +67,21 @@ object Analytics {
 
   // ---------------------------------------------------------- percentiles
   /** Exact percentiles (linear interpolation) per group; the exact
-    * baseline for approx_percentile-style sketches at scale. */
+    * baseline for approx_percentile-style sketches at scale. All four
+    * points come from ONE percentile(array(...)) aggregate, so the
+    * per-group value buffer is built once, not four times. */
   private val qAggPercentile: Q = (s, d) =>
     Tables.lineitem(s, d).groupBy("l_returnflag")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+        expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))").as("ps"),
         count(lit(1)).as("n_rows"))
+      .select(
+        col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("p25"),
+        round(element_at(col("ps"), 2), 4).as("p50"),
+        round(element_at(col("ps"), 3), 4).as("p75"),
+        round(element_at(col("ps"), 4), 4).as("p95"),
+        col("n_rows"))
       .orderBy("l_returnflag")
 
   // -------------------------------------------------------- top-k per key
