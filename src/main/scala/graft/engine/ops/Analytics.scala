@@ -157,6 +157,20 @@ object Analytics {
          |                    WHERE c_mktsegment = 'BUILDING')
          |ORDER BY o_orderkey""".stripMargin)
 
+  // ------------------------------------------------------- null handling
+  /** Null-handling scalar surface: coalesce / nullif / ifnull / greatest /
+    * least with null propagation over synthesized nulls. */
+  private val qNullFuncs: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      expr("nullif(o_orderstatus, 'P')").as("st_np"),
+      coalesce(expr("nullif(o_orderstatus, 'P')"), lit("PENDING")).as("st_filled"),
+      expr("ifnull(nullif(o_orderpriority, '5-LOW'), 'LOW')").as("prio_filled"),
+      greatest(col("o_totalprice"), lit(100000.0)).as("hi"),
+      least(col("o_totalprice"), lit(100000.0)).as("lo"),
+      isnull(expr("nullif(o_orderstatus, 'P')")).as("is_p"))
+      .orderBy("o_orderkey")
+
   // ------------------------------------------------------------ as-of join
   /** As-of join: for each order, the value of the latest event (user_id =
     * o_custkey mod 150) with ts <= o_orderdate.
@@ -189,7 +203,7 @@ object Analytics {
     "q_topk_per_group" -> qTopkPerGroup, "q_str_agg" -> qStrAgg,
     "q_map_funcs" -> qMapFuncs, "q_generator_seq" -> qGeneratorSeq,
     "q_subquery_corr" -> qSubqueryCorr, "q_subquery_in" -> qSubqueryIn,
-    "q_asof_join" -> qAsofJoin,
+    "q_null_funcs" -> qNullFuncs, "q_asof_join" -> qAsofJoin,
   )
 
   private def pivotCaseSql: String = prios.map { case (v, a) =>
@@ -257,6 +271,16 @@ object Analytics {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_null_funcs" ->
+      """SELECT o_orderkey,
+        |  nullif(o_orderstatus, 'P') AS st_np,
+        |  coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS st_filled,
+        |  ifnull(nullif(o_orderpriority, '5-LOW'), 'LOW') AS prio_filled,
+        |  greatest(o_totalprice, 100000.0) AS hi,
+        |  least(o_totalprice, 100000.0) AS lo,
+        |  nullif(o_orderstatus, 'P') IS NULL AS is_p
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_asof_join" ->
       """SELECT o.o_orderkey, o.o_custkey % 150 AS u, e.value AS ev_value

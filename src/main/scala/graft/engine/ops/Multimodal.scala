@@ -1,6 +1,6 @@
 package graft.engine.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.io.Tables
 
@@ -64,9 +64,64 @@ object Multimodal {
       (col("meta.width") * col("meta.height")).as("pixels"))
       .orderBy("asset_id")
 
+  // ------------------------------------------------ mapPartitions kernel
+  /** Typed asset row for the partition-level decode path. */
+  final case class Asset(asset_id: Long, payload: Array[Byte], width: Long, height: Long)
+  /** Decoded output row: features + derived thumbnail dims. */
+  final case class Decoded(asset_id: Long, features: Array[Double],
+                           thumb_w: Long, thumb_h: Long, n_bytes: Long)
+
+  /** Per-partition batch decode — the shape a native codec kernel (JNI /
+    * off-heap, or a Python worker via mapInPandas on the PySpark surface)
+    * plugs into: one iterator per partition, payloads processed in
+    * BatchSize groups so a real kernel amortizes per-call setup across a
+    * batch, nothing ever collected to the driver.
+    *
+    * The kernel itself is a clearly-marked DETERMINISTIC STUB (this
+    * container ships no image/audio codecs): 8 pseudo-features from a
+    * rolling polynomial over the payload bytes. Swapping in a real decoder
+    * changes only the body of `decodeBatch`. */
+  private val BatchSize = 64
+  private def decodeBatch(batch: Seq[Asset]): Seq[Decoded] =
+    // STUB: real impl would hand `batch.map(_.payload)` to a codec here.
+    batch.map { a =>
+      var h = 1125899906842597L // rolling polynomial hash of the bytes
+      val feats = new Array[Double](8)
+      var i = 0
+      while (i < a.payload.length) {
+        h = h * 31 + (a.payload(i) & 0xff)
+        feats(i % 8) += (h % 1000L).toDouble / 500.0 - 1.0
+        i += 1
+      }
+      Decoded(a.asset_id, feats, a.width / 4, a.height / 4, a.payload.length.toLong)
+    }
+
+  /** The typed decode pipeline as a Dataset transform (exposed for tests
+    * and composition). */
+  def decodeAssets(assets: Dataset[Asset]): Dataset[Decoded] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.grouped(BatchSize).flatMap(decodeBatch))
+  }
+
+  /** Rows-only check (stub kernel): full partition-parallel decode →
+    * feature aggregation per thumbnail-width band. */
+  private val qMultimodalDecode: Q = (s, d) => {
+    import s.implicits._
+    val a = assets(s, d).select(
+      col("asset_id"), col("payload"),
+      col("meta.width").as("width"), col("meta.height").as("height")).as[Asset]
+    decodeAssets(a)
+      .groupBy((col("thumb_w") / 40).cast("long").as("w_band"))
+      .agg(count(lit(1)).as("n_assets"),
+           sum("n_bytes").as("total_bytes"),
+           round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
+      .orderBy("w_band")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_pipeline" -> qMultimodalPipeline,
     "q_multimodal_meta" -> qMultimodalMeta,
+    "q_multimodal_decode" -> qMultimodalDecode,
   )
 
   val oracle: Map[String, String] = Map(

@@ -224,12 +224,82 @@ object Similarity {
       .orderBy("doc_id_1", "doc_id_2")
   }
 
+  // ---------------------------------------------------------------- IVF ANN
+  private val NCells = 16
+  private val NProbe = 4
+
+  /** Fixed-seed Gaussian coarse centroids (IVF codebook stand-in: at real
+    * scale these come from a sampled k-means; the partition/probe shape —
+    * which is what scales — is identical). */
+  private lazy val centroids: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(11)
+    Array.fill(NCells, Dim)(rnd.nextGaussian())
+  }
+
+  private def centroidCol(j: Int): Column = array(centroids(j).map(lit(_)): _*)
+
+  /** Non-oracle: IVF-style ANN — vectors are bucketed by nearest coarse
+    * centroid (the inverted file), the query probes its NProbe closest
+    * cells, and only those cells are scored exactly. The 100 TB shape:
+    * the index pass is one narrow scan, search touches ~NProbe/NCells of
+    * the data, and the cell id is a partition key (cluster layout:
+    * `partitionBy(cell)` makes a probe a partition-pruned read). */
+  private val qAnnIvf: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val dots = array((0 until NCells).map(j => dot(col("embedding"), centroidCol(j))): _*)
+    val cell = array_position(col("dots"), array_max(col("dots"))).as("cell")
+    val indexed = e.withColumn("dots", dots).select(col("vec_id"), col("embedding"), cell)
+    val q0 = indexed.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("cell").as("qcell"))
+    // the query's NProbe nearest cells, by centroid dot with the query
+    val qcells = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(posexplode(dots.as("d")).as(Seq("j", "qdot")))
+      .orderBy(col("qdot").desc, col("j").asc).limit(NProbe)
+      .select((col("j") + 1).as("cell")) // array_position is 1-based
+    val cands = indexed.filter(col("vec_id") =!= 0)
+      .join(broadcast(qcells), "cell")
+      .crossJoin(broadcast(q0.select("qe")))
+    cands.select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+  }
+
+  // ------------------------------------------------- embedding near-dup
+  /** Non-oracle: embedding-cosine near-dup — pairs with cosine ≥ 0.99,
+    * blocked by random-hyperplane LSH (two vectors at angle θ disagree on
+    * a hyperplane with probability θ/π, so near-identical vectors agree
+    * on whole 4-bit bands; candidates are band-bucket collisions only),
+    * then verified exactly. Same shape as q_dedup_minhash: block → join
+    * on band key → exact verify, no all-pairs stage. */
+  private val qDedupEmbedding: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .withColumn("sig", lshSig(col("embedding")))
+    val bands = (0 until 4).map(k =>
+      e.select(col("vec_id"), col("embedding"), col("nrm"),
+        lit(k).as("band"), shiftright(col("sig"), k * 4).bitwiseAND(0xF).as("band_key")))
+      .reduce(_ unionAll _)
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "band_key"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id_1"), col("y.vec_id").as("vec_id_2"),
+              col("x.embedding").as("ea"), col("y.embedding").as("eb"),
+              col("x.nrm").as("na"), col("y.nrm").as("nb"))
+      .dropDuplicates("vec_id_1", "vec_id_2")
+    cand.select(col("vec_id_1"), col("vec_id_2"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.99)
+      .orderBy("vec_id_1", "vec_id_2")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sim_cosine" -> qSimCosine,
     "q_sim_pairs_topk" -> qSimPairsTopk,
     "q_ann_lsh" -> qAnnLsh,
+    "q_ann_ivf" -> qAnnIvf,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_embedding" -> qDedupEmbedding,
   )
 
   /** Oracles for the exact (non-probabilistic) queries only. The DuckDB

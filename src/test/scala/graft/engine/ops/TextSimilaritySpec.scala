@@ -89,4 +89,53 @@ class TextSimilaritySpec extends SparkSuite {
     val f = m.agg(max(abs(col("avg_f0")))).head().getDouble(0)
     assert(f <= 1.0, "stub features must stay in [-1,1]")
   }
+
+  test("q_ann_ivf results are a subset of brute-force scoring with usable recall") {
+    val exact = run("q_sim_cosine").as[(Long, Double)].collect().toMap
+    val approx = run("q_ann_ivf").as[(Long, Double)].collect().toMap
+    approx.foreach { case (id, cos) =>
+      exact.get(id).foreach(e => assert(math.abs(e - cos) < 1e-9, s"vec $id score drift"))
+    }
+    val recall = exact.keySet.intersect(approx.keySet).size / 10.0
+    assert(recall >= 0.3, s"IVF recall collapsed: $recall (hits=${approx.keySet})")
+    // determinism: two runs agree exactly
+    assert(run("q_ann_ivf").as[(Long, Double)].collect().toMap == approx)
+  }
+
+  test("q_dedup_embedding: every surviving pair is verified >= 0.99 and subset of exact pairs") {
+    val pairs = run("q_dedup_embedding")
+      .select("vec_id_1", "vec_id_2", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.forall(_._3 >= 0.99), "verification filter must hold")
+    // exact all-pairs ground truth at the same threshold
+    val e = graft.engine.io.Tables.embeddings(spark, sfDir)
+    val dotc = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val l = e.select(col("vec_id").as("v1"), col("embedding").as("ea"))
+    val r = e.select(col("vec_id").as("v2"), col("embedding").as("eb"))
+    val exact = l.join(r, col("v1") < col("v2"))
+      .withColumn("cs", dotc(col("ea"), col("eb")) /
+        (sqrt(dotc(col("ea"), col("ea"))) * sqrt(dotc(col("eb"), col("eb")))))
+      .filter(round(col("cs"), 4) >= 0.99)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    assert(got.subsetOf(exact), s"false positives: ${got -- exact}")
+  }
+
+  test("mapPartitions decode: deterministic, partition-count preserving, batch-correct") {
+    import graft.engine.ops.Multimodal.{Asset, decodeAssets}
+    val assets = (1L to 200L).map(i =>
+      Asset(i, s"payload-$i-${"x" * (i % 37).toInt}".getBytes("UTF-8"), 640, 480)).toDS()
+      .repartition(7)
+    val out1 = decodeAssets(assets).collect().sortBy(_.asset_id)
+    val out2 = decodeAssets(assets).collect().sortBy(_.asset_id)
+    assert(out1.length == 200)
+    assert(out1.map(_.asset_id).toSeq == out2.map(_.asset_id).toSeq)
+    assert(out1.zip(out2).forall { case (a, b) => a.features.sameElements(b.features) },
+      "stub kernel must be deterministic")
+    assert(out1.forall(d => d.thumb_w == 160 && d.thumb_h == 120))
+    assert(decodeAssets(assets).rdd.getNumPartitions == 7,
+      "decode is a narrow per-partition transform")
+  }
 }
