@@ -64,4 +64,44 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))
   }
+
+  test("q_subquery_in decorrelates to a semi join (no materialized subquery)") {
+    assert(plan("q_subquery_in").contains("LeftSemi"))
+  }
+
+  test("q_asof_join shuffles each side once by key — no range-probe join") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of must not degrade to a product join:\n" + p.take(1500))
+    assert(p.contains("Window"), "as-of is the keyed-window formulation")
+    val keyShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(u#"))
+    assert(keyShuffles <= 1, s"one key shuffle expected, saw $keyShuffles:\n" + p.take(2000))
+  }
+
+  test("q_dedup_minhash verification runs on the native merge-walk expression") {
+    assert(plan("q_dedup_minhash").contains("sorted_intersect_size"))
+  }
+
+  test("q_ann_ivf probes cells via broadcast (no shuffle of the indexed side)") {
+    val p = plan("q_ann_ivf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p.take(1500))
+  }
+
+  test("q_pivot reads the data once: partial aggs + at most 2 keyed shuffles") {
+    // Spark plans pivot as sum-per-(row,pivot-key) then pivotfirst-per-row:
+    // one full-data pass with map-side partials, then a tiny regroup.
+    val p = plan("q_pivot")
+    assert(p.contains("partial_"), "map-side partials expected:\n" + p.take(1500))
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"pivot must scan the fact table once, saw $scans")
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 2, s"expected ≤2 keyed shuffles, saw $shuffles:\n" + p.take(2000))
+  }
+
+  test("q_sample_hash is a narrow filter (no shuffle before the output sort)") {
+    val p = plan("q_sample_hash")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 0, s"hash sampling must not shuffle:\n" + p.take(1500))
+  }
 }

@@ -1,0 +1,94 @@
+package graft.engine.ops
+
+import graft.SparkSuite
+import graft.engine.functions.SortedLongIntersectSize
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based algebraic laws (SURVEY §5.2 item 4) via scalacheck.
+  * Pure-expression laws run many iterations; laws needing Spark jobs run
+  * fewer (each iteration is a full job). */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def check(label: String, iters: Int)(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(iters), p)
+    assert(res.passed, s"$label: ${res.status}")
+  }
+
+  private val sortedSet: Gen[Array[Long]] =
+    Gen.listOf(Gen.chooseNum(-500L, 500L)).map(_.distinct.sorted.toArray)
+
+  test("sorted_intersect_size equals set-intersection cardinality (expression eval, 200 iters)") {
+    check("intersect", 200)(Prop.forAll(sortedSet, sortedSet) { (a, b) =>
+      val expr = SortedLongIntersectSize(
+        Literal(new GenericArrayData(a), ArrayType(LongType)),
+        Literal(new GenericArrayData(b), ArrayType(LongType)))
+      expr.eval(null).asInstanceOf[Int] == a.toSet.intersect(b.toSet).size
+    })
+  }
+
+  private val smallRows: Gen[List[(Int, Double)]] =
+    Gen.listOfN(60, Gen.zip(Gen.chooseNum(0, 8), Gen.chooseNum(-100.0, 100.0)))
+
+  test("unionAll is bag-additive in count") {
+    check("union", 5)(Prop.forAll(smallRows, smallRows) { (xs, ys) =>
+      val a = xs.toDF("k", "v"); val b = ys.toDF("k", "v")
+      a.unionAll(b).count() == xs.length + ys.length
+    })
+  }
+
+  test("dropDuplicates is idempotent and bounded by the key space") {
+    check("dedup", 5)(Prop.forAll(smallRows) { xs =>
+      val df = xs.toDF("k", "v")
+      val once = df.dropDuplicates("k")
+      once.count() == once.dropDuplicates("k").count() &&
+        once.count() == xs.map(_._1).distinct.length
+    })
+  }
+
+  test("row_number over any partition/order is a 1..n permutation per key") {
+    check("rownum", 5)(Prop.forAll(smallRows) { xs =>
+      Prop.passed.label("trivial") // guard empty
+      val df = xs.toDF("k", "v")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("v")
+      val bad = df.withColumn("rn", row_number().over(w))
+        .groupBy("k").agg(count(lit(1)).as("n"), max("rn").as("mx"), countDistinct("rn").as("d"))
+        .filter(col("mx") =!= col("n") || col("d") =!= col("n")).count()
+      bad == 0L
+    })
+  }
+
+  test("rollup row count = groups + distinct first key + 1 (no-null keys)") {
+    check("rollup", 5)(Prop.forAll(smallRows) { xs =>
+      val df = xs.toDF("k", "v").withColumn("k2", pmod(col("v").cast("int"), lit(3)))
+      val groups = df.select("k", "k2").distinct().count()
+      val k1s = df.select("k").distinct().count()
+      df.rollup("k", "k2").agg(count(lit(1))).count() == groups + k1s + 1
+    })
+  }
+
+  test("cosine(v, v) = 1 for any non-zero vector") {
+    val vec: Gen[List[Double]] =
+      Gen.listOfN(16, Gen.chooseNum(0.1, 10.0)) // bounded away from zero
+    check("cosine", 5)(Prop.forAll(Gen.listOfN(20, vec)) { vs =>
+      val df = vs.map(v => Tuple1(v.toArray)).toDF("e")
+      val dotc = aggregate(zip_with(col("e"), col("e"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+      val err = df.select(max(abs(dotc / (sqrt(dotc) * sqrt(dotc)) - 1.0))).head().getDouble(0)
+      err < 1e-9
+    })
+  }
+
+  test("hash sample is a deterministic pure function of the key") {
+    check("sample", 5)(Prop.forAll(Gen.listOfN(100, Gen.chooseNum(0L, 100000L))) { ks =>
+      val df = ks.distinct.toDF("k")
+      val f = pmod(pmod(col("k") * lit(2654435761L), lit(4294967296L)), lit(100)) < 10
+      val a = df.filter(f).as[Long].collect().sorted.toSeq
+      val b = df.repartition(7).filter(f).as[Long].collect().sorted.toSeq
+      a == b // invariant to physical layout — TABLESAMPLE is not
+    })
+  }
+}
