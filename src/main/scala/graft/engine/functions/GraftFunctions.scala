@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions.call_function
   * path (no private Spark APIs), so the same functions are reachable from
   * SQL text and from the DataFrame API alike. */
 object GraftFunctions {
-  private val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+  private[functions] val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedLongIntersectSize].getName, "sorted_intersect_size"),
-      (children: Seq[Expression]) => SortedLongIntersectSize(children(0), children(1))))
+      (children: Seq[Expression]) => SortedLongIntersectSize(children(0), children(1))),
+    (FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
+      (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))))
 
   /** Register the engine functions into a session (idempotent). */
   def register(spark: SparkSession): Unit = registry.foreach { case (ident, info, builder) =>
@@ -21,11 +24,18 @@ object GraftFunctions {
   }
 
   /** |a ∩ b| for sorted long arrays — see [[SortedLongIntersectSize]].
-    * Needs the owning session to resolve the registered function. */
+    * Resolution needs the analyzing session to have [[register]]ed the
+    * functions (Tables.load does this for every engine query; external
+    * sessions use GraftExtensions or call register directly). */
   def sortedIntersectSize(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("sorted_intersect_size", a, b)
   }
+
+  /** dot(a, b) with double accumulation — see [[ArrayDotProduct]].
+    * Session-free: the column resolves at analysis against whichever
+    * session runs the plan (registered via Tables.load / GraftExtensions). */
+  def arrayDot(a: Column, b: Column): Column = call_function("array_dot", a, b)
 }
 
 /** SQL-extension entry point (SURVEY §4.2's injection stub, now live):
@@ -33,8 +43,5 @@ object GraftFunctions {
   * makes the engine's native functions available to pure-SQL users. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(
-      (FunctionIdentifier("sorted_intersect_size"),
-        new ExpressionInfo(classOf[SortedLongIntersectSize].getName, "sorted_intersect_size"),
-        (children: Seq[Expression]) => SortedLongIntersectSize(children(0), children(1))))
+    GraftFunctions.registry.foreach(ext.injectFunction)
 }

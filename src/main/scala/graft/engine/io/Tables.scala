@@ -19,6 +19,9 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // every engine query loads through here → the session always has the
+    // native functions (array_dot, sorted_intersect_size) registered
+    graft.engine.functions.GraftFunctions.register(spark)
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 cannot read as a
     // timestamp; sessions set spark.sql.legacy.parquet.nanosAsLong=true and

@@ -27,10 +27,12 @@ import graft.engine.io.Tables
 object Similarity {
   private type Q = (SparkSession, String) => DataFrame
 
-  /** dot(a, b) with per-element double promotion — stays in codegen. */
+  /** dot(a, b): native fused-loop expression (ArrayDotProduct) — same
+    * left-to-right double accumulation as the higher-order
+    * `aggregate(zip_with(...))` fold it replaced (bit-identical results),
+    * minus the per-row intermediate array. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.engine.functions.GraftFunctions.arrayDot(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -66,4 +66,26 @@ class FunctionsSpec extends SparkSuite {
       "SELECT sorted_intersect_size(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS n").head().getInt(0)
     assert(n == 2)
   }
+
+  test("array_dot is bit-identical to the higher-order fold it replaced") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(3)
+    val df = Seq.fill(300)((Array.fill(64)(rnd.nextFloat()), Array.fill(64)(rnd.nextFloat())))
+      .toDF("a", "b")
+    val fold = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+    // exact equality on purpose: same accumulation order must give the same bits
+    val bad = df.select(GraftFunctions.arrayDot(col("a"), col("b")).as("fast"), fold.as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0)
+  }
+
+  test("array_dot handles double arrays, empty arrays, and nulls") {
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))").head().getDouble(0) == 11.0)
+    assert(spark.sql(
+      "SELECT array_dot(CAST(array() AS ARRAY<DOUBLE>), CAST(array() AS ARRAY<DOUBLE>))")
+      .head().getDouble(0) == 0.0)
+    assert(spark.sql("SELECT array_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D))").head().isNullAt(0))
+  }
 }
