@@ -139,17 +139,21 @@ object Similarity {
     // back to doc pairs. Output is EXACTLY the pair set the naive
     // doc-level banding produces, because bucket collisions and jaccard
     // depend only on the sets.
+    // `hsh`: the token set as sorted xxhash64 longs, computed BEFORE the
+    // group stage so (a) the groupBy shuffles/compares long arrays, never
+    // string arrays, and (b) the minhash base hash and the verification
+    // intersect both run on the same longs (one string hash per token in
+    // the whole pipeline).
     val docs = Tables.documents(s, d).select(
-      col("doc_id"), array_distinct(split(col("text"), " ")).as("shingles"))
-    // `hsh`: the token set as sorted xxhash64 longs. Both the minhash base
-    // hash and the verification intersect run on these longs — one string
-    // hash per token total, and the 2.3M-pair verification intersects long
-    // arrays instead of string arrays (~10× cheaper per pair).
-    val groups = docs.groupBy(array_sort(col("shingles")).as("shingles"))
+      col("doc_id"),
+      array_sort(transform(array_distinct(split(col("text"), " ")), t => xxhash64(t))).as("hsh"))
+    // The rep-level table is consumed by five downstream subplans; the
+    // recompute is cheap on long-array keys (measured cheaper than an
+    // InMemoryRelation round-trip, which also breaks codegen fusion).
+    val groups = docs.groupBy(col("hsh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("members"),
            min(col("doc_id")).as("rep"))
-      .select(col("rep"), col("members"),
-              array_sort(transform(col("shingles"), t => xxhash64(t))).as("hsh"))
+      .select(col("rep"), col("members"), col("hsh"))
     val exploded = groups.select(col("rep"), explode(col("hsh")).as("sh"))
       .withColumn("h", pmod(col("sh"), lit(HashDomain))) // 31-bit base hash
     // k min-hashes: min over shingles of (a_i*h + b_i) mod p  (positive domain)
