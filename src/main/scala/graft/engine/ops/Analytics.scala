@@ -157,6 +157,63 @@ object Analytics {
          |                    WHERE c_mktsegment = 'BUILDING')
          |ORDER BY o_orderkey""".stripMargin)
 
+  // -------------------------------------------------------- sessionization
+  /** Batch sessionization (gaps-and-islands): events more than 30 min
+    * apart per user open a new session; session id is the running count
+    * of session-opens. One shuffle on user_id; both window passes reuse
+    * the same (user_id | ts) sort order, so Spark sorts once. */
+  private val qSessionize: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+             col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_s").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).cast("long").as("start_s"),
+           max(col("ts")).cast("long").as("end_s"))
+      .orderBy("user_id", "session_id")
+  }
+
+  // ------------------------------------------- distribution window funcs
+  private val qWindowDist: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("value").asc, col("event_id").asc)
+    Tables.events(s, d).select(
+      col("user_id"), col("event_id"), col("value"),
+      round(percent_rank().over(w), 4).as("pr"),
+      round(cume_dist().over(w), 4).as("cd"),
+      nth_value(col("value"), 2).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("second_lowest"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** RANGE frame: peers defined by value distance, not row position. */
+  private val qWindowRange: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice").asc)
+      .rangeBetween(-50000L, Window.currentRow)
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+      count(lit(1)).over(w).as("n_within_50k"),
+      // exact decimal frame-sum: any float avg/round over a 400+-row frame
+      // eventually lands on a round-half boundary where engines disagree
+      sum(col("o_totalprice").cast("decimal(18,6)")).over(w)
+        .cast("decimal(38,6)").as("sum_within_50k"))
+      .orderBy("o_orderkey")
+  }
+
+  /** max_by/min_by (argmax aggregation); (o_custkey, o_totalprice) is
+    * verified tie-free in the fixtures, so the arg is deterministic. */
+  private val qAggMinmaxBy: Q = (s, d) =>
+    Tables.orders(s, d).groupBy("o_custkey")
+      .agg(max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
+           min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"),
+           max("o_totalprice").as("best_price"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
   // ------------------------------------------------------- null handling
   /** Null-handling scalar surface: coalesce / nullif / ifnull / greatest /
     * least with null propagation over synthesized nulls. */
@@ -204,6 +261,8 @@ object Analytics {
     "q_map_funcs" -> qMapFuncs, "q_generator_seq" -> qGeneratorSeq,
     "q_subquery_corr" -> qSubqueryCorr, "q_subquery_in" -> qSubqueryIn,
     "q_null_funcs" -> qNullFuncs, "q_asof_join" -> qAsofJoin,
+    "q_sessionize" -> qSessionize, "q_window_dist" -> qWindowDist,
+    "q_window_range" -> qWindowRange, "q_agg_minmax_by" -> qAggMinmaxBy,
   )
 
   private def pivotCaseSql: String = prios.map { case (v, a) =>
@@ -287,5 +346,50 @@ object Analytics {
         |FROM orders o ASOF LEFT JOIN events e
         |  ON o.o_custkey % 150 = e.user_id AND e.ts <= o.o_orderdate
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_sessionize" ->
+      """SELECT user_id, session_id, count(*) AS n_events,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s
+        |FROM (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |      CASE WHEN prev_ts IS NULL
+        |             OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |           THEN 1 ELSE 0 END AS new_s
+        |    FROM (SELECT user_id, event_id, ts,
+        |            lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |          FROM events)))
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT user_id, event_id, value,
+        |  round(percent_rank() OVER w, 4) AS pr,
+        |  round(cume_dist() OVER w, 4) AS cd,
+        |  nth_value(value, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_lowest
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  count(*) OVER w AS n_within_50k,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DECIMAL(38,6)) AS sum_within_50k
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC
+        |             RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_agg_minmax_by" ->
+      """SELECT o_custkey,
+        |  arg_max(o_orderkey, o_totalprice) AS best_order,
+        |  arg_min(o_orderkey, o_totalprice) AS worst_order,
+        |  max(o_totalprice) AS best_price,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
   )
 }

@@ -96,6 +96,46 @@ class AnalyticsSpec extends SparkSuite {
     assert(viaSql.exceptAll(viaDf).count() == 0 && viaDf.exceptAll(viaSql).count() == 0)
   }
 
+  test("sessionization: sessions partition each user's events, gaps only between sessions") {
+    val sess = run("q_sessionize")
+    val ev = Tables.events(spark, sfDir)
+    // total events preserved
+    assert(sess.agg(sum("n_events")).head().getLong(0) == ev.count())
+    // session ids are 1..k per user
+    val bad = sess.groupBy("user_id")
+      .agg(max("session_id").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n")).count()
+    assert(bad == 0)
+    // sessions don't overlap in time per user
+    val overlap = sess.as("a").join(sess.as("b"),
+      $"a.user_id" === $"b.user_id" && $"a.session_id" === $"b.session_id" - 1)
+      .filter($"b.start_s" <= $"a.end_s").count()
+    assert(overlap == 0, "consecutive sessions must be time-ordered")
+  }
+
+  test("window distribution: percent_rank in [0,1], cume_dist monotone with value") {
+    val d = run("q_window_dist")
+    assert(d.filter(col("pr") < 0 || col("pr") > 1 || col("cd") <= 0 || col("cd") > 1).count() == 0)
+  }
+
+  test("range frame: every row's frame includes itself; counts within group size") {
+    val r = run("q_window_range")
+    assert(r.filter(col("n_within_50k") < 1).count() == 0)
+    val sizes = Tables.orders(spark, sfDir).groupBy("o_orderstatus").count()
+      .withColumnRenamed("count", "gsize")
+    assert(r.join(sizes, "o_orderstatus").filter(col("n_within_50k") > col("gsize")).count() == 0)
+  }
+
+  test("max_by/min_by agree with window-rank formulation") {
+    val m = run("q_agg_minmax_by")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+    val top = Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("best_order"))
+    assert(m.select("o_custkey", "best_order").exceptAll(top).count() == 0)
+  }
+
   test("as-of join: every matched value comes from an event at or before the order date") {
     val a = run("q_asof_join")
     val ev = Tables.events(spark, sfDir)
