@@ -2,7 +2,7 @@ package graft.engine.stream
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, StreamingQueryListener, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, StreamingQueryListener, Trigger}
 import java.util.concurrent.ConcurrentLinkedQueue
 import scala.jdk.CollectionConverters._
 
@@ -126,4 +126,41 @@ object Streams {
     * the static side is broadcast per micro-batch, no stream shuffle. */
   def streamStaticJoin(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left_outer")
+
+  /** Output row of [[statefulTypeStats]]. */
+  final case class TypeStat(event_type: String, n: Long, total: Double)
+
+  /** s_stateful_agg: arbitrary keyed state via flatMapGroupsWithState —
+    * the custom-state primitive (running count + sum per event_type that
+    * survives across micro-batches in the state store). This is the
+    * operator tier above built-in windowed aggs: user code owns the state
+    * transition. State is partitioned by key in the state store (RocksDB
+    * at cluster scale), so it scales with keys, not with stream length. */
+  def statefulTypeStats(events: DataFrame): Dataset[TypeStat] = {
+    import events.sparkSession.implicits._
+    events.selectExpr("event_type", "value").as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[(Long, Double)]) => {
+          var (n, total) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { r => n += 1; total += r._2 }
+          state.update((n, total))
+          Iterator(TypeStat(key, n, total))
+        })
+  }
+
+  /** s_stream_stream_join: inner join of two streams on user_id where the
+    * right event lands within 10 s after the left one. Both sides carry
+    * watermarks so the join state is bounded (rows older than watermark +
+    * range are evicted) — unbounded-state stream joins don't survive
+    * production, let alone 100 TB/day. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.withWatermark("ts", "10 seconds").alias("l")
+    val r = right.withWatermark("ts", "10 seconds").alias("r")
+    l.join(r, expr(
+      "l.user_id = r.user_id AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 SECONDS"))
+      .select(col("l.user_id").as("user_id"),
+              col("l.event_id").as("left_id"), col("r.event_id").as("right_id"),
+              col("l.ts").as("l_ts"), col("r.ts").as("r_ts"))
+  }
 }
