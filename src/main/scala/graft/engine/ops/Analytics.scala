@@ -190,14 +190,19 @@ object Analytics {
       .orderBy("user_id", "event_id")
   }
 
-  /** RANGE frame: peers defined by value distance, not row position. */
+  /** RANGE frame: peers defined by value distance, not row position.
+    * Partitioned by customer, NOT by the 3-value status column: Spark
+    * recomputes bounded-start frame aggregates per row (O(rows × frame)),
+    * so a coarse partition key turns a RANGE frame quadratic — with
+    * per-customer partitions both rows-per-partition and frame size stay
+    * small and constant as data grows. */
   private val qWindowRange: Q = (s, d) => {
-    val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice").asc)
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").asc)
       .rangeBetween(-50000L, Window.currentRow)
     Tables.orders(s, d).select(
-      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
       count(lit(1)).over(w).as("n_within_50k"),
-      // exact decimal frame-sum: any float avg/round over a 400+-row frame
+      // exact decimal frame-sum: any float avg/round over a frame
       // eventually lands on a round-half boundary where engines disagree
       sum(col("o_totalprice").cast("decimal(18,6)")).over(w)
         .cast("decimal(38,6)").as("sum_within_50k"))
@@ -376,11 +381,11 @@ object Analytics {
         |ORDER BY user_id, event_id""".stripMargin,
 
     "q_window_range" ->
-      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      """SELECT o_orderkey, o_custkey, o_totalprice,
         |  count(*) OVER w AS n_within_50k,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DECIMAL(38,6)) AS sum_within_50k
         |FROM orders
-        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC
         |             RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
 

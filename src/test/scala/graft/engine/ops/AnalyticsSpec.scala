@@ -121,9 +121,9 @@ class AnalyticsSpec extends SparkSuite {
   test("range frame: every row's frame includes itself; counts within group size") {
     val r = run("q_window_range")
     assert(r.filter(col("n_within_50k") < 1).count() == 0)
-    val sizes = Tables.orders(spark, sfDir).groupBy("o_orderstatus").count()
+    val sizes = Tables.orders(spark, sfDir).groupBy("o_custkey").count()
       .withColumnRenamed("count", "gsize")
-    assert(r.join(sizes, "o_orderstatus").filter(col("n_within_50k") > col("gsize")).count() == 0)
+    assert(r.join(sizes, "o_custkey").filter(col("n_within_50k") > col("gsize")).count() == 0)
   }
 
   test("max_by/min_by agree with window-rank formulation") {
