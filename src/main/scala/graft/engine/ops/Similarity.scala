@@ -2,27 +2,36 @@ package graft.engine.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.engine.functions.GraftFunctions
 import graft.engine.io.Tables
 
 /** Similarity search + probabilistic near-dup operators (north-star
   * additions, SURVEY.md §2.2-I): brute-force cosine top-k as the exact
-  * baseline, LSH (random-hyperplane) bucketed ANN as the scale path, and
-  * MinHash-LSH / SimHash document near-dup.
+  * baseline, LSH (random-hyperplane) bucketed and IVF-style ANN as the
+  * scale paths, and MinHash-LSH / SimHash / embedding-cosine near-dup.
+  *
+  * The public functions are table-agnostic (caller names the id/vector/
+  * text columns); the `queries` map binds them to the fixture tables for
+  * the driver's oracle and bench.
   *
   * Scale design:
   *  - brute-force kNN is a broadcast of the (tiny) query vector against a
   *    full scan — a single narrow pass + TakeOrderedAndProject, no shuffle
   *    of the big side; at 100 TB it is the per-partition exact scorer
-  *    that the LSH variants prune candidates FOR;
-  *  - LSH bucketing turns all-pairs O(n²) into a groupBy/join on a small
-  *    band key: the only shuffle is hash-partitioned by band, which is
-  *    uniformly distributed by construction (hash bits), so no skew;
-  *  - all hashes are computed with Spark's codegen'd xxhash64/hash — no
-  *    UDFs anywhere, everything stays in whole-stage codegen.
+  *    that the ANN variants prune candidates FOR;
+  *  - LSH/IVF bucketing turns all-pairs O(n²) into a join on a small
+  *    band/cell key: the only shuffle is hash-partitioned by that key,
+  *    which is uniformly distributed by construction (hash bits), no skew;
+  *  - near-dup pipelines collapse identical content to one representative
+  *    BEFORE any quadratic stage and verify with the native merge-walk
+  *    expression — both measured order-of-magnitude wins (see git log);
+  *  - dot products run through the native fused-loop `array_dot`
+  *    expression; norms are computed once per vector in linear pre-passes,
+  *    never inside pair loops.
   *
-  * Deterministic "randomness": hyperplanes and MinHash coefficients come
-  * from a fixed-seed scala.util.Random at plan-construction time, so
-  * every run (and every executor) sees identical literals.
+  * Deterministic "randomness": hyperplanes, MinHash coefficients and IVF
+  * centroids come from fixed-seed scala.util.Random at plan-construction
+  * time, so every run (and every executor) sees identical literals.
   */
 object Similarity {
   private type Q = (SparkSession, String) => DataFrame
@@ -31,44 +40,43 @@ object Similarity {
     * left-to-right double accumulation as the higher-order
     * `aggregate(zip_with(...))` fold it replaced (bit-identical results),
     * minus the per-row intermediate array. */
-  private def dot(a: Column, b: Column): Column =
-    graft.engine.functions.GraftFunctions.arrayDot(a, b)
+  private def dot(a: Column, b: Column): Column = GraftFunctions.arrayDot(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
   private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  private def canonVec(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vectors.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+
   // ------------------------------------------------- exact cosine top-k
-  /** Brute-force top-10 nearest to vec_id 0 (self excluded), the exact
-    * baseline every ANN variant is judged against. */
-  private val qSimCosine: Q = (s, d) => {
-    val e = Tables.embeddings(s, d)
-    val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-    e.filter(col("vec_id") =!= 0)
+  /** Brute-force top-k nearest to `queryId` by cosine (self excluded) —
+    * the exact baseline every ANN variant is judged against. */
+  def knnCosine(vectors: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
+    val q0 = e.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    e.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q0))
       .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      .limit(10)
+      .limit(k)
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
   }
 
-  /** Embedding near-dup: top-20 most-similar pairs over all pairs.
-    * The exact O(n²) oracle for what MinHash/SimHash/LSH approximate.
-    *
-    * Scale shape: norms are computed ONCE per vector in the linear
-    * pre-pass (an O(n) scan), so the quadratic pair stage evaluates a
-    * single dot product per pair instead of three — at 100 TB the pair
-    * stage is the whole cost, so this is a direct 3× cut. The norm fold
-    * is the identical expression either way, so cos_sim is bit-equal. */
-  private val qSimPairsTopk: Q = (s, d) => {
-    val e = Tables.embeddings(s, d)
+  /** Exact top-k most-similar pairs over ALL pairs — the O(n²) oracle for
+    * what the near-dup sketches approximate. Norms are computed once per
+    * vector in the linear pre-pass, so the quadratic stage does a single
+    * fused dot per pair. */
+  def allPairsTopK(vectors: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
     val a = e.select(col("vec_id").as("vec_id_1"), col("embedding").as("ea"), norm(col("embedding")).as("na"))
     val b = e.select(col("vec_id").as("vec_id_2"), col("embedding").as("eb"), norm(col("embedding")).as("nb"))
     a.join(b, col("vec_id_1") < col("vec_id_2"))
       .select(col("vec_id_1"), col("vec_id_2"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id_1").asc, col("vec_id_2").asc)
-      .limit(20)
+      .limit(k)
       .orderBy(col("cos_sim").desc, col("vec_id_1").asc, col("vec_id_2").asc)
   }
 
@@ -90,24 +98,66 @@ object Similarity {
       when(dot(v, planeCol(j)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Non-oracle (LSH recall is probabilistic): ANN top-10 for vec_id 0
-    * searching only its LSH bucket-mates (same 4-bit band in any of 4
-    * bands) — the 100 TB path: candidates shrink ~16× per band while
-    * recall over the exact top-10 stays high. */
-  private val qAnnLsh: Q = (s, d) => {
-    val e = Tables.embeddings(s, d).withColumn("sig", lshSig(col("embedding")))
-    val bands = (0 until 4).map(k =>
+  /** LSH-bucketed ANN: search only the query's bucket-mates (same 4-bit
+    * band in any of 4 bands) — candidates shrink ~16× per band while
+    * recall over the exact top-k stays high (asserted in tests). */
+  def annLsh(vectors: DataFrame, idCol: String, vecCol: String,
+             queryId: Long, k: Int): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol).withColumn("sig", lshSig(col("embedding")))
+    val bands = (0 until 4).map(b =>
       e.select(col("vec_id"), col("embedding"), col("sig"),
-        lit(k).as("band"), shiftright(col("sig"), k * 4).bitwiseAND(0xF).as("band_key")))
+        lit(b).as("band"), shiftright(col("sig"), b * 4).bitwiseAND(0xF).as("band_key")))
       .reduce(_ unionAll _)
-    val q0 = bands.filter(col("vec_id") === 0)
+    val q0 = bands.filter(col("vec_id") === queryId)
       .select(col("band"), col("band_key"), col("embedding").as("qe"))
     val cands = bands.join(broadcast(q0), Seq("band", "band_key"))
-      .filter(col("vec_id") =!= 0)
+      .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("embedding"), col("qe")).dropDuplicates("vec_id")
     cands.select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      .limit(10)
+      .limit(k)
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+  }
+
+  // ---------------------------------------------------------------- IVF ANN
+  private val NCells = 16
+  private val NProbe = 4
+
+  /** Fixed-seed Gaussian coarse centroids (IVF codebook stand-in: at real
+    * scale these come from a sampled k-means; the partition/probe shape —
+    * which is what scales — is identical). */
+  private lazy val centroids: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(11)
+    Array.fill(NCells, Dim)(rnd.nextGaussian())
+  }
+
+  private def centroidCol(j: Int): Column = array(centroids(j).map(lit(_)): _*)
+
+  /** IVF-style ANN — vectors are bucketed by nearest coarse centroid (the
+    * inverted file), the query probes its NProbe closest cells, and only
+    * those cells are scored exactly. The 100 TB shape: the index pass is
+    * one narrow scan, search touches ~NProbe/NCells of the data, and the
+    * cell id is a partition key (cluster layout: `partitionBy(cell)` makes
+    * a probe a partition-pruned read). */
+  def annIvf(vectors: DataFrame, idCol: String, vecCol: String,
+             queryId: Long, k: Int): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
+    val dots = array((0 until NCells).map(j => dot(col("embedding"), centroidCol(j))): _*)
+    val cell = array_position(col("dots"), array_max(col("dots"))).as("cell")
+    val indexed = e.withColumn("dots", dots).select(col("vec_id"), col("embedding"), cell)
+    val q0 = indexed.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"), col("cell").as("qcell"))
+    // the query's NProbe nearest cells, by centroid dot with the query
+    val qcells = e.filter(col("vec_id") === queryId)
+      .select(posexplode(dots.as("d")).as(Seq("j", "qdot")))
+      .orderBy(col("qdot").desc, col("j").asc).limit(NProbe)
+      .select((col("j") + 1).as("cell")) // array_position is 1-based
+    val cands = indexed.filter(col("vec_id") =!= queryId)
+      .join(broadcast(qcells), "cell")
+      .crossJoin(broadcast(q0.select("qe")))
+    cands.select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
   }
 
@@ -122,31 +172,28 @@ object Similarity {
                           math.abs(rnd.nextLong()) % HashDomain))
   }
 
-  /** Non-oracle: MinHash + LSH banding near-dup (token set → k=16
+  /** MinHash + LSH banding near-dup over whitespace token sets: k=16
     * signature → 2 bands × 8 rows → band-bucket join → exact Jaccard
-    * verify at 0.9). Banding is tuned to the corpus: the fixture's shared
-    * 31-token vocabulary makes the AVERAGE pair jaccard 0.63, so the LSH
-    * threshold (1/b)^(1/r) = 0.5^(1/8) ≈ 0.92 keeps bucket collisions —
-    * and therefore the verification join — sparse. Verified output ⊆ the
-    * exact unblocked jaccard-0.9 pair set (asserted in tests). */
-  private val qDedupMinhash: Q = (s, d) => {
-    // Identical-content collapse FIRST (the decisive 100 TB move): the
-    // MinHash signature is a pure function of the token SET, so documents
-    // with equal sets are interchangeable. Group them under one
-    // representative (min doc_id) and run every quadratic stage at rep
-    // level — on this corpus that is ~60× fewer candidate pairs — then
-    // expand verified rep pairs (and the jaccard-1.0 within-group pairs)
-    // back to doc pairs. Output is EXACTLY the pair set the naive
-    // doc-level banding produces, because bucket collisions and jaccard
-    // depend only on the sets.
+    * verify at `threshold`. Emits (doc_id_1, doc_id_2, jaccard) pairs.
+    *
+    * Identical-content collapse FIRST (the decisive 100 TB move): the
+    * MinHash signature is a pure function of the token SET, so documents
+    * with equal sets are interchangeable. Group them under one
+    * representative (min id) and run every quadratic stage at rep level
+    * (~60× fewer candidate pairs on the fixture corpus), then expand
+    * verified rep pairs — and the jaccard-1.0 within-group pairs — back
+    * to doc pairs. Output is EXACTLY the pair set naive doc-level banding
+    * produces, because bucket collisions and jaccard depend only on sets. */
+  def minhashNearDup(documents: DataFrame, idCol: String, textCol: String,
+                     threshold: Double): DataFrame = {
+    val spark = documents.sparkSession
     // `hsh`: the token set as sorted xxhash64 longs, computed BEFORE the
     // group stage so (a) the groupBy shuffles/compares long arrays, never
     // string arrays, and (b) the minhash base hash and the verification
-    // intersect both run on the same longs (one string hash per token in
-    // the whole pipeline).
-    val docs = Tables.documents(s, d).select(
-      col("doc_id"),
-      array_sort(transform(array_distinct(split(col("text"), " ")), t => xxhash64(t))).as("hsh"))
+    // intersect run on the same longs (one string hash per token total).
+    val docs = documents.select(
+      col(idCol).as("doc_id"),
+      array_sort(transform(array_distinct(split(col(textCol), " ")), t => xxhash64(t))).as("hsh"))
     // The rep-level table is consumed by five downstream subplans; the
     // recompute is cheap on long-array keys (measured cheaper than an
     // InMemoryRelation round-trip, which also breaks codegen fusion).
@@ -176,11 +223,10 @@ object Similarity {
     // the overlap with zero allocation (vs array_intersect's per-row set).
     val sa = groups.select(col("rep").as("rep_1"), col("hsh").as("sa"), col("members").as("ma"))
     val sb = groups.select(col("rep").as("rep_2"), col("hsh").as("sb"), col("members").as("mb"))
-    val inter = graft.engine.functions.GraftFunctions
-      .sortedIntersectSize(s, col("sa"), col("sb")).cast("double")
+    val inter = GraftFunctions.sortedIntersectSize(spark, col("sa"), col("sb")).cast("double")
     val verified = cand.join(sa, "rep_1").join(sb, "rep_2")
       .withColumn("jaccard", round(inter / (size(col("sa")) + size(col("sb")) - inter), 4))
-      .filter(col("jaccard") >= 0.9)
+      .filter(col("jaccard") >= threshold)
     // expand cross-group rep pairs to doc pairs (jaccard as verified) …
     val cross = verified
       .select(explode(col("ma")).as("a"), col("mb"), col("jaccard"))
@@ -199,13 +245,14 @@ object Similarity {
   }
 
   // ------------------------------------------------------------- SimHash
-  /** Non-oracle: 64-bit SimHash near-dup; candidates blocked by LSH on
-    * 16-bit chunks (two docs within hamming 3 of each other must agree
+  /** 64-bit SimHash near-dup; candidates blocked by LSH on 16-bit chunks
+    * (two docs within hamming `maxHamming` ≤ 3 of each other must agree
     * exactly on ≥ 1 of the 4 chunks — pigeonhole), then verified by
-    * popcount of the XOR. */
-  private val qDedupSimhash: Q = (s, d) => {
-    val tokHash = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    * popcount of the XOR. Emits (doc_id_1, doc_id_2, hamming). */
+  def simhashNearDup(documents: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int): DataFrame = {
+    val tokHash = documents
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { j =>
       sum(shiftright(col("h"), j).bitwiseAND(1L) * 2L - 1L).as(s"b$j")
@@ -225,61 +272,21 @@ object Similarity {
               col("x.simhash").as("h1"), col("y.simhash").as("h2"))
       .distinct()
     cand.withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= maxHamming)
       .select("doc_id_1", "doc_id_2", "hamming")
       .orderBy("doc_id_1", "doc_id_2")
   }
 
-  // ---------------------------------------------------------------- IVF ANN
-  private val NCells = 16
-  private val NProbe = 4
-
-  /** Fixed-seed Gaussian coarse centroids (IVF codebook stand-in: at real
-    * scale these come from a sampled k-means; the partition/probe shape —
-    * which is what scales — is identical). */
-  private lazy val centroids: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(11)
-    Array.fill(NCells, Dim)(rnd.nextGaussian())
-  }
-
-  private def centroidCol(j: Int): Column = array(centroids(j).map(lit(_)): _*)
-
-  /** Non-oracle: IVF-style ANN — vectors are bucketed by nearest coarse
-    * centroid (the inverted file), the query probes its NProbe closest
-    * cells, and only those cells are scored exactly. The 100 TB shape:
-    * the index pass is one narrow scan, search touches ~NProbe/NCells of
-    * the data, and the cell id is a partition key (cluster layout:
-    * `partitionBy(cell)` makes a probe a partition-pruned read). */
-  private val qAnnIvf: Q = (s, d) => {
-    val e = Tables.embeddings(s, d)
-    val dots = array((0 until NCells).map(j => dot(col("embedding"), centroidCol(j))): _*)
-    val cell = array_position(col("dots"), array_max(col("dots"))).as("cell")
-    val indexed = e.withColumn("dots", dots).select(col("vec_id"), col("embedding"), cell)
-    val q0 = indexed.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qe"), col("cell").as("qcell"))
-    // the query's NProbe nearest cells, by centroid dot with the query
-    val qcells = Tables.embeddings(s, d).filter(col("vec_id") === 0)
-      .select(posexplode(dots.as("d")).as(Seq("j", "qdot")))
-      .orderBy(col("qdot").desc, col("j").asc).limit(NProbe)
-      .select((col("j") + 1).as("cell")) // array_position is 1-based
-    val cands = indexed.filter(col("vec_id") =!= 0)
-      .join(broadcast(qcells), "cell")
-      .crossJoin(broadcast(q0.select("qe")))
-    cands.select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      .limit(10)
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-  }
-
   // ------------------------------------------------- embedding near-dup
-  /** Non-oracle: embedding-cosine near-dup — pairs with cosine ≥ 0.99,
-    * blocked by random-hyperplane LSH (two vectors at angle θ disagree on
-    * a hyperplane with probability θ/π, so near-identical vectors agree
-    * on whole 4-bit bands; candidates are band-bucket collisions only),
-    * then verified exactly. Same shape as q_dedup_minhash: block → join
-    * on band key → exact verify, no all-pairs stage. */
-  private val qDedupEmbedding: Q = (s, d) => {
-    val e = Tables.embeddings(s, d)
+  /** Embedding-cosine near-dup — pairs with cosine ≥ `minCosine`, blocked
+    * by random-hyperplane LSH (two vectors at angle θ disagree on a
+    * hyperplane with probability θ/π, so near-identical vectors agree on
+    * whole 4-bit bands; candidates are band-bucket collisions only), then
+    * verified exactly. Same shape as minhashNearDup: block → join on band
+    * key → exact verify, no all-pairs stage. */
+  def embeddingNearDup(vectors: DataFrame, idCol: String, vecCol: String,
+                       minCosine: Double): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
       .withColumn("sig", lshSig(col("embedding")))
     val bands = (0 until 4).map(k =>
@@ -294,18 +301,19 @@ object Similarity {
       .dropDuplicates("vec_id_1", "vec_id_2")
     cand.select(col("vec_id_1"), col("vec_id_2"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.99)
+      .filter(col("cos_sim") >= minCosine)
       .orderBy("vec_id_1", "vec_id_2")
   }
 
+  // ------------------------------------------------- fixture bindings
   val queries: Map[String, Q] = Map(
-    "q_sim_cosine" -> qSimCosine,
-    "q_sim_pairs_topk" -> qSimPairsTopk,
-    "q_ann_lsh" -> qAnnLsh,
-    "q_ann_ivf" -> qAnnIvf,
-    "q_dedup_minhash" -> qDedupMinhash,
-    "q_dedup_simhash" -> qDedupSimhash,
-    "q_dedup_embedding" -> qDedupEmbedding,
+    "q_sim_cosine" -> ((s, d) => knnCosine(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
+    "q_sim_pairs_topk" -> ((s, d) => allPairsTopK(Tables.embeddings(s, d), "vec_id", "embedding", 20)),
+    "q_ann_lsh" -> ((s, d) => annLsh(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
+    "q_ann_ivf" -> ((s, d) => annIvf(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
+    "q_dedup_minhash" -> ((s, d) => minhashNearDup(Tables.documents(s, d), "doc_id", "text", 0.9)),
+    "q_dedup_simhash" -> ((s, d) => simhashNearDup(Tables.documents(s, d), "doc_id", "text", 3)),
+    "q_dedup_embedding" -> ((s, d) => embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding", 0.99)),
   )
 
   /** Oracles for the exact (non-probabilistic) queries only. The DuckDB

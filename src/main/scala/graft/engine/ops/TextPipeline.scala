@@ -8,22 +8,24 @@ import graft.engine.io.Tables
 /** Text-analysis / dedup operators for large-scale training-data pipelines
   * (SURVEY.md §2.2-I + the north-star additions).
   *
-  * All operators are Column-expression compositions (higher-order array
-  * functions, no UDFs) so they stay inside whole-stage codegen and
-  * distribute trivially: every one is a scan → narrow map → hash
-  * aggregate/join on an explicit key. At 100 TB the only shuffles are the
-  * groupBy(doc/token/band) hashes, which partition by key; none of them
-  * collect to the driver.
+  * The public functions are table-agnostic (caller names id/text/grouping
+  * columns); `queries` binds them to the fixture tables. All operators are
+  * Column-expression compositions (higher-order array functions, no UDFs)
+  * so they stay inside whole-stage codegen and distribute trivially: every
+  * one is a scan → narrow map → hash aggregate/join on an explicit key.
+  * At 100 TB the only shuffles are the groupBy(doc/token/band) hashes,
+  * which partition by key; none of them collect to the driver.
   *
   * Determinism notes (shared with Relational's oracle contract):
   *  - the document fingerprint is a position-weighted polynomial over a
   *    per-token code `(7*len(tok) + ascii(tok)) % 1000003` — chosen
   *    because both Spark and DuckDB can evaluate it exactly in BIGINT,
   *    making the hash itself oracle-checkable (unlike murmur/xxhash);
-  *  - Jaccard near-dup blocks candidate pairs on (lang, n_chars): cheap,
-  *    deterministic, and at scale a provable superset of exact-length
-  *    duplicates. The MinHash/LSH path in Similarity.scala is the
-  *    probabilistic scale-out variant of the same query.
+  *  - Jaccard near-dup blocks candidate pairs on caller-chosen columns
+  *    ((lang, n_chars) in the fixture binding): cheap, deterministic, and
+  *    at scale a provable superset of exact-length duplicates. The
+  *    MinHash/LSH path in Similarity.scala is the probabilistic scale-out
+  *    variant of the same query.
   */
 object TextPipeline {
   private type Q = (SparkSession, String) => DataFrame
@@ -31,27 +33,27 @@ object TextPipeline {
   private def toks(c: Column): Column = split(c, " ")
 
   // -------------------------------------------------------------- dedup
-  /** Exact dedup: deterministic survivor = min(doc_id) per text. */
-  private val qDedupExact: Q = (s, d) =>
-    Tables.documents(s, d).groupBy("text")
+  /** Exact dedup over a text column: deterministic survivor = min(id). */
+  def exactDedup(documents: DataFrame, idCol: String, textCol: String): DataFrame =
+    documents.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .groupBy("text")
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
       .select("doc_id", "n_dups", "text")
       .orderBy("doc_id")
 
-  /** Key-dedup: latest event per user (ts desc, event_id desc tiebreak). */
-  private val qDedupKey: Q = (s, d) => {
-    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
-    Tables.events(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("user_id", "event_id", "event_type", "value")
-      .orderBy("user_id")
+  /** Key-dedup: latest row per key (ts desc, tiebreak desc). */
+  def latestPerKey(df: DataFrame, keyCol: String, tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).desc, col(tieCol).desc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
   // -------------------------------------------------------- text analysis
-  private val qTextStats: Q = (s, d) =>
-    Tables.documents(s, d)
-      .select(col("lang"), col("n_chars"), size(toks(col("text"))).cast("long").as("n_tokens"))
+  /** Per-group doc count, avg chars, total whitespace tokens. */
+  def textStats(documents: DataFrame, groupCol: String, textCol: String,
+                charsCol: String): DataFrame =
+    documents
+      .select(col(groupCol).as("lang"), col(charsCol).as("n_chars"),
+              size(toks(col(textCol))).cast("long").as("n_tokens"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
            round(avg("n_chars"), 4).as("avg_chars"),
@@ -61,20 +63,22 @@ object TextPipeline {
   /** Stopword-signature language ID (n-gram heuristic, SURVEY §2.2-I).
     * Deterministic: score per language = #tokens in that language's
     * signature set; argmax with alphabetical tiebreak. */
-  private val langSigs: Seq[(String, Seq[String])] = Seq(
+  private[ops] val langSigs: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "nicht"),
     "en" -> Seq("the", "a", "of", "and"),
     "es" -> Seq("el", "la", "de", "que"),
     "fr" -> Seq("le", "la", "et", "les"),
     "zh" -> Seq("de5", "shi4", "le5", "bu4"))
 
-  private def sigScore(sig: Seq[String]): Column =
-    size(filter(toks(col("text")), t => t.isin(sig.map(lit(_)): _*))).cast("long")
+  private def sigScore(textCol: String, sig: Seq[String]): Column =
+    size(filter(toks(col(textCol)), t => t.isin(sig.map(lit(_)): _*))).cast("long")
 
-  private val qLangId: Q = (s, d) => {
-    val scored = Tables.documents(s, d).select(
-      (col("doc_id") +: col("lang").as("true_lang") +:
-        langSigs.map { case (l, sig) => sigScore(sig).as(s"score_$l") }): _*)
+  /** Language ID over `textCol`; keeps `trueLangCol` for accuracy checks. */
+  def langId(documents: DataFrame, idCol: String, textCol: String,
+             trueLangCol: String): DataFrame = {
+    val scored = documents.select(
+      (col(idCol).as("doc_id") +: col(trueLangCol).as("true_lang") +:
+        langSigs.map { case (l, sig) => sigScore(textCol, sig).as(s"score_$l") }): _*)
     val m = greatest(langSigs.map { case (l, _) => col(s"score_$l") }: _*)
     val pred = langSigs.foldRight(lit("und")) { case ((l, _), acc) =>
       when(col(s"score_$l") === m && m > 0, lit(l)).otherwise(acc)
@@ -85,15 +89,16 @@ object TextPipeline {
   }
 
   /** Quality scoring: length / diversity / stopword ratios + band. */
-  private val qQualityScore: Q = (s, d) => {
-    val t = toks(col("text"))
+  def qualityScore(documents: DataFrame, idCol: String, textCol: String,
+                   charsCol: String): DataFrame = {
+    val t = toks(col(textCol))
     val nTok = size(t).cast("double")
     val stop = Seq("the", "a", "of", "and", "is", "to")
-    Tables.documents(s, d).select(
-      col("doc_id"), col("n_chars"),
+    documents.select(
+      col(idCol).as("doc_id"), col(charsCol).as("n_chars"),
       size(t).cast("long").as("n_tokens"),
       round(size(array_distinct(t)).cast("double") / nTok, 4).as("distinct_ratio"),
-      round((col("n_chars") - (size(t) - lit(1))).cast("double") / nTok, 4).as("avg_token_len"),
+      round((col(charsCol) - (size(t) - lit(1))).cast("double") / nTok, 4).as("avg_token_len"),
       round(size(filter(t, x => x.isin(stop.map(lit(_)): _*))).cast("double") / nTok, 4).as("stopword_ratio"))
       .withColumn("quality_band",
         when(col("distinct_ratio") >= 0.6, "high")
@@ -103,18 +108,18 @@ object TextPipeline {
   }
 
   /** Token counting: whitespace split vs a BPE-ish regex tokenizer. */
-  private val qTokenCount: Q = (s, d) =>
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      size(toks(col("text"))).cast("long").as("ws_tokens"),
-      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).cast("long").as("re_tokens"))
+  def tokenCounts(documents: DataFrame, idCol: String, textCol: String): DataFrame =
+    documents.select(
+      col(idCol).as("doc_id"),
+      size(toks(col(textCol))).cast("long").as("ws_tokens"),
+      size(expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+', 0)")).cast("long").as("re_tokens"))
       .orderBy("doc_id")
 
   /** Position-weighted polynomial document fingerprint (rolling-hash
     * family; exactly reproducible in ANSI SQL — see object scaladoc). */
-  private val qFingerprint: Q = (s, d) =>
-    Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+  def fingerprint(documents: DataFrame, idCol: String, textCol: String): DataFrame =
+    documents
+      .select(col(idCol).as("doc_id"), posexplode(toks(col(textCol))).as(Seq("pos", "tok")))
       .groupBy("doc_id")
       .agg(
         pmod(sum((col("pos").cast("long") + 1L) *
@@ -123,31 +128,43 @@ object TextPipeline {
         count(lit(1)).as("n_tokens"))
       .orderBy("doc_id")
 
-  /** Near-dup detection: exact n-gram Jaccard over candidate pairs
-    * blocked on (lang, n_chars). n = 1 (token sets) here because the
-    * fixture's near-dups are token-shuffles — order-sensitive shingles
-    * max out at jaccard 0.011 on this corpus; the 3-gram variant of the
-    * same machinery backs q_dedup_minhash. */
-  private val qNgramJaccard: Q = (s, d) => {
-    val base = Tables.documents(s, d).select(
-      col("doc_id"), col("lang"), col("n_chars"),
-      array_distinct(toks(col("text"))).as("shingles"))
-    val a = base.select(col("doc_id").as("doc_id_1"), col("lang"), col("n_chars"), col("shingles").as("sa"))
-    val b = base.select(col("doc_id").as("doc_id_2"), col("lang"), col("n_chars"), col("shingles").as("sb"))
+  /** Near-dup detection: exact token-set Jaccard over candidate pairs
+    * blocked on `blockCols`. n = 1 (token sets) in the fixture binding
+    * because its near-dups are token-shuffles — order-sensitive shingles
+    * max out at jaccard 0.011 on that corpus; the banded variant of the
+    * same machinery backs Similarity.minhashNearDup. */
+  def ngramJaccard(documents: DataFrame, idCol: String, textCol: String,
+                   blockCols: Seq[String], threshold: Double): DataFrame = {
+    val base = documents.select(
+      col(idCol).as("doc_id") +: blockCols.map(col) :+
+        array_distinct(toks(col(textCol))).as("shingles"): _*)
+    val a = base.select(
+      col("doc_id").as("doc_id_1") +: blockCols.map(col) :+ col("shingles").as("sa"): _*)
+    val b = base.select(
+      col("doc_id").as("doc_id_2") +: blockCols.map(col) :+ col("shingles").as("sb"): _*)
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
-    a.join(b, Seq("lang", "n_chars"))
+    a.join(b, blockCols)
       .filter(col("doc_id_1") < col("doc_id_2"))
       .withColumn("jaccard", round(inter / (size(col("sa")) + size(col("sb")) - inter), 4))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
       .select("doc_id_1", "doc_id_2", "jaccard")
       .orderBy("doc_id_1", "doc_id_2")
   }
 
+  // ------------------------------------------------- fixture bindings
   val queries: Map[String, Q] = Map(
-    "q_dedup_exact" -> qDedupExact, "q_dedup_key" -> qDedupKey,
-    "q_text_stats" -> qTextStats, "q_lang_id" -> qLangId,
-    "q_quality_score" -> qQualityScore, "q_token_count" -> qTokenCount,
-    "q_fingerprint" -> qFingerprint, "q_ngram_jaccard" -> qNgramJaccard,
+    "q_dedup_exact" -> ((s, d) => exactDedup(Tables.documents(s, d), "doc_id", "text")),
+    "q_dedup_key" -> ((s, d) =>
+      latestPerKey(Tables.events(s, d), "user_id", "ts", "event_id")
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")),
+    "q_text_stats" -> ((s, d) => textStats(Tables.documents(s, d), "lang", "text", "n_chars")),
+    "q_lang_id" -> ((s, d) => langId(Tables.documents(s, d), "doc_id", "text", "lang")),
+    "q_quality_score" -> ((s, d) => qualityScore(Tables.documents(s, d), "doc_id", "text", "n_chars")),
+    "q_token_count" -> ((s, d) => tokenCounts(Tables.documents(s, d), "doc_id", "text")),
+    "q_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d), "doc_id", "text")),
+    "q_ngram_jaccard" -> ((s, d) =>
+      ngramJaccard(Tables.documents(s, d), "doc_id", "text", Seq("lang", "n_chars"), 0.5)),
   )
 
   private def sigList(sig: Seq[String]): String = sig.map(t => s"'$t'").mkString("(", ",", ")")
