@@ -254,12 +254,23 @@ object Similarity {
     val tokHash = documents
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { j =>
-      sum(shiftright(col("h"), j).bitwiseAND(1L) * 2L - 1L).as(s"b$j")
+    // Pack the 64 per-bit one-counters into 16 aggregate columns of four
+    // 16-bit lanes each (bit p = j + 16k lives in column j, lane k):
+    // 4× fewer aggregation-buffer updates per row than 64 plain sums,
+    // overflow-safe to 65535 tokens/doc. bit_p of the signature is set
+    // iff ones_p > tokens/2, i.e. 2*ones_p > n — identical to the sign
+    // of the classic Σ(±1) formulation (ties → 0 in both).
+    val packedSums = (0 until 16).map { j =>
+      sum((0 until 4).map { k =>
+        shiftleft(shiftright(col("h"), j + 16 * k).bitwiseAND(1L), 16 * k)
+      }.reduce(_ + _)).as(s"c$j")
     }
-    val sums = tokHash.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    val sums = tokHash.groupBy("doc_id")
+      .agg(packedSums.head, packedSums.tail :+ count(lit(1)).as("n_tok"): _*)
+    val sig = (0 until 64).map { p =>
+      val j = p % 16; val k = p / 16
+      val ones = shiftright(col(s"c$j"), 16 * k).bitwiseAND(0xFFFFL)
+      when(ones * 2L > col("n_tok"), lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     val sigs = sums.select(col("doc_id"), sig.as("simhash"))
     val chunks = (0 until 4).map(k =>
