@@ -118,13 +118,49 @@ object Multimodal {
       .orderBy("w_band")
   }
 
+  /** Frame sampling: treat each payload as a pseudo-video whose frame
+    * count derives from the metadata, emit every `stride`-th frame index
+    * with a per-frame pseudo-feature. Pure generator arithmetic
+    * (`sequence` + `explode`) — the real decoder would replace the
+    * feature column, not the row-generation shape, which is what must
+    * scale (no driver loops, frames generated executor-side). */
+  def frameSample(assets: DataFrame, stride: Int): DataFrame =
+    assets
+      .withColumn("n_frames", pmod(col("meta.width") * col("meta.height"), lit(240L)) + 1L)
+      .select(col("asset_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong))).as("frame_no"))
+      // STUB per-frame feature (real impl: decode frame `frame_no`)
+      .withColumn("frame_sig", pmod(xxhash64(col("asset_id"), col("frame_no")), lit(1000L)))
+
+  /** Oracle-checkable: frame sampling arithmetic (generator + stride). */
+  private val qMultimodalFrames: Q = (s, d) =>
+    frameSample(assets(s, d), stride = 10)
+      .groupBy("asset_id")
+      .agg(max("n_frames").as("n_frames"),
+           count(lit(1)).as("n_sampled"),
+           max("frame_no").as("last_frame"))
+      .orderBy("asset_id")
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_pipeline" -> qMultimodalPipeline,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode,
+    "q_multimodal_frames" -> qMultimodalFrames,
   )
 
   val oracle: Map[String, String] = Map(
+    // frame count = (width*height) % 240 + 1 over the derived metadata;
+    // sampled every 10th frame starting at 0
+    "q_multimodal_frames" ->
+      """SELECT asset_id, n_frames,
+        |  CAST((n_frames + 9) // 10 AS BIGINT) AS n_sampled,
+        |  CAST(((n_frames - 1) // 10) * 10 AS BIGINT) AS last_frame
+        |FROM (
+        |  SELECT doc_id AS asset_id,
+        |    ((n_chars % 640 + 1) * ((n_chars * 7) % 480 + 1)) % 240 + 1 AS n_frames
+        |  FROM documents)
+        |ORDER BY asset_id""".stripMargin,
+
     "q_multimodal_meta" ->
       """SELECT doc_id AS asset_id,
         |  octet_length(CAST(text AS BLOB)) AS n_bytes,
