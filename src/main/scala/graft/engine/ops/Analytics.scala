@@ -233,6 +233,70 @@ object Analytics {
       isnull(expr("nullif(o_orderstatus, 'P')")).as("is_p"))
       .orderBy("o_orderkey")
 
+  // ----------------------------------------------------------- lateral join
+  /** Correlated LATERAL subquery (top-1 order per customer) — the
+    * "dependent join" surface; Catalyst decorrelates the limit-1 lateral
+    * into a window/aggregate, no per-row re-execution. */
+  private val qLateralJoin: Q = (s, d) =>
+    s.sql(
+      s"""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+         |FROM parquet.`$d/customer.parquet` c,
+         |LATERAL (SELECT o_orderkey, o_totalprice FROM parquet.`$d/orders.parquet` o
+         |         WHERE o.o_custkey = c.c_custkey
+         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+         |ORDER BY c_custkey""".stripMargin)
+
+  // ----------------------------------------------------- statistical aggs
+  private val qCorrCovar: Q = (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qp"),
+           round(covar_samp("l_quantity", "l_extendedprice"), 4).as("covs_qp"),
+           round(covar_pop("l_quantity", "l_extendedprice"), 4).as("covp_qp"),
+           count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  private val qBoolAgg: Q = (s, d) =>
+    Tables.orders(s, d).groupBy("o_orderpriority")
+      .agg(bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+           bool_or(col("o_orderstatus") === "P").as("any_pending"),
+           count(lit(1)).as("n_rows"))
+      .orderBy("o_orderpriority")
+
+  // -------------------------------------------------------- union by name
+  /** Schema-evolution union: right side has reordered columns and no
+    * `src`; unionByName aligns by name and null-fills the gap. */
+  private val qUnionByName: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), col("o_totalprice"), lit("hi").as("src"))
+    val b = o.filter(col("o_totalprice") < 1000)
+      .select(col("o_totalprice"), col("o_orderkey")) // reordered, no src
+    a.unionByName(b, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
+  // ------------------------------------------------------------- gap fill
+  /** Time-series gap fill: per-user daily event spine (min..max day),
+    * missing days zero-filled, daily average forward-filled with
+    * last(ignoreNulls). Spine generation is `sequence`+`explode` per key
+    * (executor-side, no driver calendar), fill is one keyed window. */
+  private val qGapFill: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_v"))
+    val spine = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(min(col("ts").cast("date")).as("d0"), max(col("ts").cast("date")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left_outer")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("avg_v"), ignoreNulls = true).over(w).as("avg_v_filled"))
+      .orderBy("user_id", "day")
+  }
+
   // ------------------------------------------------------------ as-of join
   /** As-of join: for each order, the value of the latest event (user_id =
     * o_custkey mod 150) with ts <= o_orderdate.
@@ -268,6 +332,9 @@ object Analytics {
     "q_null_funcs" -> qNullFuncs, "q_asof_join" -> qAsofJoin,
     "q_sessionize" -> qSessionize, "q_window_dist" -> qWindowDist,
     "q_window_range" -> qWindowRange, "q_agg_minmax_by" -> qAggMinmaxBy,
+    "q_lateral_join" -> qLateralJoin, "q_corr_covar" -> qCorrCovar,
+    "q_bool_agg" -> qBoolAgg, "q_union_by_name" -> qUnionByName,
+    "q_gap_fill" -> qGapFill,
   )
 
   private def pivotCaseSql: String = prios.map { case (v, a) =>
@@ -396,5 +463,49 @@ object Analytics {
         |  max(o_totalprice) AS best_price,
         |  count(*) AS n_orders
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_lateral_join" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_corr_covar" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qp,
+        |  round(covar_pop(l_quantity, l_extendedprice), 4) AS covp_qp,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_bool_agg" ->
+      """SELECT o_orderpriority,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_orderstatus = 'P') AS any_pending,
+        |  count(*) AS n_rows
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_union_by_name" ->
+      """SELECT o_orderkey, o_totalprice, 'hi' AS src FROM orders WHERE o_totalprice > 400000
+        |UNION ALL BY NAME
+        |SELECT o_totalprice, o_orderkey FROM orders WHERE o_totalprice < 1000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, ts::DATE AS day, count(*) AS n, round(avg(value), 4) AS avg_v
+        |  FROM events GROUP BY user_id, ts::DATE
+        |), spine AS (
+        |  SELECT user_id, unnest(generate_series(min(ts::DATE), max(ts::DATE), INTERVAL 1 DAY))::DATE AS day
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT s.user_id, s.day,
+        |  coalesce(d.n, 0) AS n_events,
+        |  last_value(d.avg_v IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_v_filled
+        |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+        |ORDER BY s.user_id, s.day""".stripMargin,
   )
 }

@@ -136,6 +136,35 @@ class AnalyticsSpec extends SparkSuite {
     assert(m.select("o_custkey", "best_order").exceptAll(top).count() == 0)
   }
 
+  test("lateral join returns at most one row per customer, matching max_by") {
+    val lat = run("q_lateral_join")
+    assert(lat.groupBy("c_custkey").count().filter(col("count") > 1).count() == 0)
+    val viaAgg = Tables.orders(spark, sfDir).groupBy(col("o_custkey").as("c_custkey"))
+      .agg(max_by(col("o_orderkey"), col("o_totalprice")).as("o_orderkey"))
+    assert(lat.select("c_custkey", "o_orderkey").exceptAll(viaAgg).count() == 0)
+  }
+
+  test("gap fill: spine is contiguous per user and zero-filled days carry forward values") {
+    val g = run("q_gap_fill")
+    // contiguous: per user, row count equals day span
+    val span = g.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), (datediff(max("day"), min("day")) + 1).as("expect"))
+      .filter(col("n") =!= col("expect"))
+    assert(span.count() == 0)
+    // forward fill: avg_v_filled is only null before a user's first event day
+    val firstReal = g.filter(col("n_events") > 0).groupBy("user_id").agg(min("day").as("d0"))
+    val badNull = g.join(firstReal, "user_id")
+      .filter(col("day") >= col("d0") && col("avg_v_filled").isNull)
+    assert(badNull.count() == 0)
+  }
+
+  test("union by name aligns reordered columns and null-fills the missing one") {
+    val u = run("q_union_by_name")
+    assert(u.columns.toSeq == Seq("o_orderkey", "o_totalprice", "src"))
+    assert(u.filter(col("src").isNull).count() ==
+      Tables.orders(spark, sfDir).filter(col("o_totalprice") < 1000).count())
+  }
+
   test("as-of join: every matched value comes from an event at or before the order date") {
     val a = run("q_asof_join")
     val ev = Tables.events(spark, sfDir)
