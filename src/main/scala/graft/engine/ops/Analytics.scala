@@ -284,9 +284,11 @@ object Analytics {
     val daily = Tables.events(s, d)
       .groupBy(col("user_id"), col("ts").cast("date").as("day"))
       .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_v"))
-    val spine = Tables.events(s, d)
+    // spine bounds come from the daily aggregate (~|users × days| rows),
+    // not a second scan of the raw events table
+    val spine = daily
       .groupBy("user_id")
-      .agg(min(col("ts").cast("date")).as("d0"), max(col("ts").cast("date")).as("d1"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
     val w = Window.partitionBy("user_id").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -141,6 +141,7 @@ class AnalyticsSpec extends SparkSuite {
     assert(lat.groupBy("c_custkey").count().filter(col("count") > 1).count() == 0)
     val viaAgg = Tables.orders(spark, sfDir).groupBy(col("o_custkey").as("c_custkey"))
       .agg(max_by(col("o_orderkey"), col("o_totalprice")).as("o_orderkey"))
+    assert(lat.count() == viaAgg.count(), "lateral must cover every customer with orders")
     assert(lat.select("c_custkey", "o_orderkey").exceptAll(viaAgg).count() == 0)
   }
 
