@@ -47,6 +47,32 @@ object TextPipeline {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** Deduplicated corpus: drop every document that near-duplicates a
+    * smaller-id document (greedy keep-min survivor over the verified pair
+    * set from [[Similarity.minhashNearDup]]). This is the operator a
+    * training pipeline actually runs — pair detection is the mechanism,
+    * corpus shrinkage is the product. One anti-join against the pair
+    * list's greater-id side; no all-pairs stage anywhere. */
+  def dedupCorpus(documents: DataFrame, idCol: String, textCol: String,
+                  threshold: Double): DataFrame = {
+    val removed = Similarity.minhashNearDup(documents, idCol, textCol, threshold)
+      .select(col("doc_id_2").as(idCol))
+    documents.join(removed.distinct(), Seq(idCol), "left_anti")
+  }
+
+  /** Stratified deterministic sampling: per-stratum rates via the same
+    * multiplicative key hash as q_sample_hash — the quality/domain-mixing
+    * primitive of training-data curation (sample high-value strata at
+    * higher rates), reproducible at any parallelism. */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+                       rates: Map[String, Int], defaultPct: Int): DataFrame = {
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
+      when(col(strataCol) === k, lit(p)).otherwise(acc)
+    }
+    val h = pmod(pmod(col(keyCol) * lit(2654435761L), lit(4294967296L)), lit(100))
+    df.filter(h < pct)
+  }
+
   // -------------------------------------------------------- text analysis
   /** Per-group doc count, avg chars, total whitespace tokens. */
   def textStats(documents: DataFrame, groupCol: String, textCol: String,
@@ -165,11 +191,25 @@ object TextPipeline {
     "q_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d), "doc_id", "text")),
     "q_ngram_jaccard" -> ((s, d) =>
       ngramJaccard(Tables.documents(s, d), "doc_id", "text", Seq("lang", "n_chars"), 0.5)),
+    // rows-only (inherits the probabilistic pair set): the deduplicated corpus
+    "q_dedup_survivors" -> ((s, d) =>
+      dedupCorpus(Tables.documents(s, d), "doc_id", "text", 0.9)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
+    "q_sample_stratified" -> ((s, d) =>
+      stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
+        Map("en" -> 30, "zh" -> 20), defaultPct = 5)
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
   )
 
   private def sigList(sig: Seq[String]): String = sig.map(t => s"'$t'").mkString("(", ",", ")")
 
   val oracle: Map[String, String] = Map(
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
+        |      CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 20 ELSE 5 END
+        |ORDER BY doc_id""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups, text
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

@@ -123,6 +123,38 @@ class TextSimilaritySpec extends SparkSuite {
     assert(got.subsetOf(exact), s"false positives: ${got -- exact}")
   }
 
+  test("dedup survivors: every removed doc has a smaller near-dup partner; survivors + removed = corpus") {
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    val survivors = run("q_dedup_survivors").select("doc_id").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    val removed = all -- survivors
+    assert(survivors.subsetOf(all) && removed.nonEmpty, "fixture has near-dups to remove")
+    val pairs = run("q_dedup_minhash").select("doc_id_1", "doc_id_2")
+      .as[(Long, Long)].collect()
+    val removable = pairs.map(_._2).toSet // greater-id side of each pair
+    assert(removed == removable, s"removed set must be exactly the greater-id pair members")
+    // min doc of every pair survives unless itself dominated by a smaller doc
+    val dominated = pairs.map(_._2).toSet
+    assert(pairs.map(_._1).toSet.diff(dominated).subsetOf(survivors))
+  }
+
+  test("stratified sample: per-stratum rates land near target, deterministic across layouts") {
+    val s1 = run("q_sample_stratified")
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val got = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val enRate = got.getOrElse("en", 0L).toDouble / totals("en")
+    val deRate = got.getOrElse("de", 0L).toDouble / totals("de")
+    assert(enRate > 0.15 && enRate < 0.45, s"en ~30%: $enRate")
+    assert(deRate < 0.15, s"de ~5%: $deRate")
+    // determinism across physical layout
+    val a = s1.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = graft.engine.ops.TextPipeline.stratifiedSample(
+      docs.repartition(13), "doc_id", "lang", Map("en" -> 30, "zh" -> 20), 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("mapPartitions decode: deterministic, partition-count preserving, batch-correct") {
     import graft.engine.ops.Multimodal.{Asset, decodeAssets}
     val assets = (1L to 200L).map(i =>
