@@ -185,7 +185,7 @@ object Similarity {
     * to doc pairs. Output is EXACTLY the pair set naive doc-level banding
     * produces, because bucket collisions and jaccard depend only on sets. */
   def minhashNearDup(documents: DataFrame, idCol: String, textCol: String,
-                     threshold: Double): DataFrame = {
+                     threshold: Double, ordered: Boolean = true): DataFrame = {
     val spark = documents.sparkSession
     // `hsh`: the token set as sorted xxhash64 longs, computed BEFORE the
     // group stage so (a) the groupBy shuffles/compares long arrays, never
@@ -239,9 +239,10 @@ object Similarity {
       .select(col("a"), explode(col("members")).as("b"))
       .filter(col("a") < col("b"))
       .select(col("a").as("doc_id_1"), col("b").as("doc_id_2"), lit(1.0).as("jaccard"))
-    cross.unionAll(within)
-      .select("doc_id_1", "doc_id_2", "jaccard")
-      .orderBy("doc_id_1", "doc_id_2")
+    val pairs = cross.unionAll(within).select("doc_id_1", "doc_id_2", "jaccard")
+    // consumers that only need the pair SET (e.g. survivor anti-joins)
+    // skip the global sort of ~|pairs| rows
+    if (ordered) pairs.orderBy("doc_id_1", "doc_id_2") else pairs
   }
 
   // ------------------------------------------------------------- SimHash

@@ -55,7 +55,7 @@ object TextPipeline {
     * list's greater-id side; no all-pairs stage anywhere. */
   def dedupCorpus(documents: DataFrame, idCol: String, textCol: String,
                   threshold: Double): DataFrame = {
-    val removed = Similarity.minhashNearDup(documents, idCol, textCol, threshold)
+    val removed = Similarity.minhashNearDup(documents, idCol, textCol, threshold, ordered = false)
       .select(col("doc_id_2").as(idCol))
     documents.join(removed.distinct(), Seq(idCol), "left_anti")
   }
