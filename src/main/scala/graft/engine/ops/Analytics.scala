@@ -84,6 +84,26 @@ object Analytics {
         col("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Non-oracle (sketch is engine-specific): approx_percentile paired
+    * with the exact q_agg_percentile baseline — at 100 TB the sketch is
+    * what runs; the exact variant defines its error. */
+  private val qAggApproxPercentile: Q = (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 1000)").as("ps"),
+           count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"),
+        element_at(col("ps"), 1).as("p25"), element_at(col("ps"), 2).as("p50"),
+        element_at(col("ps"), 3).as("p75"), col("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** Histogram: fixed-width value binning — exact integer arithmetic on
+    * both engines (no float rounding in the bin key). */
+  private val qHistogram: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select((floor(col("o_totalprice") / 50000).cast("long") * 50000).as("bin_lo"))
+      .groupBy("bin_lo").agg(count(lit(1)).as("n"))
+      .orderBy("bin_lo")
+
   // -------------------------------------------------------- top-k per key
   /** Top-3 orders per customer by totalprice — the grouped top-k shape
     * (rank-filter prunes before any downstream join/sort). */
@@ -336,7 +356,8 @@ object Analytics {
     "q_window_range" -> qWindowRange, "q_agg_minmax_by" -> qAggMinmaxBy,
     "q_lateral_join" -> qLateralJoin, "q_corr_covar" -> qCorrCovar,
     "q_bool_agg" -> qBoolAgg, "q_union_by_name" -> qUnionByName,
-    "q_gap_fill" -> qGapFill,
+    "q_gap_fill" -> qGapFill, "q_agg_approx_percentile" -> qAggApproxPercentile,
+    "q_histogram" -> qHistogram,
   )
 
   private def pivotCaseSql: String = prios.map { case (v, a) =>
@@ -465,6 +486,10 @@ object Analytics {
         |  max(o_totalprice) AS best_price,
         |  count(*) AS n_orders
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000 AS bin_lo, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bin_lo""".stripMargin,
 
     "q_lateral_join" ->
       """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice

@@ -99,6 +99,32 @@ class PlanShapeSpec extends SparkSuite {
     assert(shuffles <= 2, s"expected ≤2 keyed shuffles, saw $shuffles:\n" + p.take(2000))
   }
 
+  test("runtime bloom-filter join pruning engages on a selective fact join") {
+    // at 100 TB, a bloom filter built from the filtered dim side prunes
+    // fact rows BEFORE the join shuffle — assert Spark injects it
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val l = graft.engine.io.Tables.lineitem(spark, sfDir)
+      val o = graft.engine.io.Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"bloom runtime filter expected on the fact side:\n${p.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q_sample_hash is a narrow filter (no shuffle before the output sort)") {
     val p = plan("q_sample_hash")
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
