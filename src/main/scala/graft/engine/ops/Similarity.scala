@@ -104,10 +104,13 @@ object Similarity {
   def annLsh(vectors: DataFrame, idCol: String, vecCol: String,
              queryId: Long, k: Int): DataFrame = {
     val e = canonVec(vectors, idCol, vecCol).withColumn("sig", lshSig(col("embedding")))
-    val bands = (0 until 4).map(b =>
-      e.select(col("vec_id"), col("embedding"), col("sig"),
-        lit(b).as("band"), shiftright(col("sig"), b * 4).bitwiseAND(0xF).as("band_key")))
-      .reduce(_ unionAll _)
+    // one explode per row, not a 4-way unionAll recomputing sig per band
+    val bands = e.select(col("vec_id"), col("embedding"), col("sig"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * 4).bitwiseAND(0xF).as("band_key"))): _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("sig"),
+              col("bb.band").as("band"), col("bb.band_key").as("band_key"))
     val q0 = bands.filter(col("vec_id") === queryId)
       .select(col("band"), col("band_key"), col("embedding").as("qe"))
     val cands = bands.join(broadcast(q0), Seq("band", "band_key"))
@@ -209,11 +212,14 @@ object Similarity {
       min(pmod(col("h") * a + b, lit(MersennePrime))).as(s"m$i")
     }
     val sigs = exploded.groupBy("rep").agg(sigCols.head, sigCols.tail: _*)
-    // 2 bands of 8 rows; band key = hash of the 8 signature components
-    val banded = (0 until 2).map { bnd =>
-      val cs = (bnd * 8 until bnd * 8 + 8).map(i => col(s"m$i"))
-      sigs.select(col("rep"), lit(bnd).as("band"), xxhash64(cs: _*).as("bkey"))
-    }.reduce(_ unionAll _)
+    // 2 bands of 8 rows; band key = hash of the 8 signature components.
+    // Bands come from ONE explode over the sig row (a unionAll of selects
+    // would recompute the whole signature aggregation once per band).
+    val banded = sigs.select(col("rep"), explode(array((0 until 2).map { bnd =>
+        val cs = (bnd * 8 until bnd * 8 + 8).map(i => col(s"m$i"))
+        struct(lit(bnd).as("band"), xxhash64(cs: _*).as("bkey"))
+      }: _*)).as("bb"))
+      .select(col("rep"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
       .filter(col("x.rep") < col("y.rep"))
       .select(col("x.rep").as("rep_1"), col("y.rep").as("rep_2"))
@@ -274,10 +280,13 @@ object Similarity {
       when(ones * 2L > col("n_tok"), lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     val sigs = sums.select(col("doc_id"), sig.as("simhash"))
-    val chunks = (0 until 4).map(k =>
-      sigs.select(col("doc_id"), col("simhash"),
-        lit(k).as("chunk"), shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL).as("ckey")))
-      .reduce(_ unionAll _)
+    // one explode per sig row, not a 4-way unionAll recomputing the 64-bit
+    // aggregation per chunk
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(k =>
+          struct(lit(k).as("chunk"),
+            shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL).as("ckey"))): _*)).as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"))
     val cand = chunks.as("x").join(chunks.as("y"), Seq("chunk", "ckey"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"),
@@ -301,10 +310,13 @@ object Similarity {
     val e = canonVec(vectors, idCol, vecCol)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
       .withColumn("sig", lshSig(col("embedding")))
-    val bands = (0 until 4).map(k =>
-      e.select(col("vec_id"), col("embedding"), col("nrm"),
-        lit(k).as("band"), shiftright(col("sig"), k * 4).bitwiseAND(0xF).as("band_key")))
-      .reduce(_ unionAll _)
+    // one explode per row, not a 4-way unionAll recomputing sig per band
+    val bands = e.select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(array((0 until 4).map(k =>
+          struct(lit(k).as("band"),
+            shiftright(col("sig"), k * 4).bitwiseAND(0xF).as("band_key"))): _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+              col("bb.band").as("band"), col("bb.band_key").as("band_key"))
     val cand = bands.as("x").join(bands.as("y"), Seq("band", "band_key"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_id_1"), col("y.vec_id").as("vec_id_2"),
