@@ -177,6 +177,22 @@ object Analytics {
          |                    WHERE c_mktsegment = 'BUILDING')
          |ORDER BY o_orderkey""".stripMargin)
 
+  // ------------------------------------------------------- time windows
+  /** Event-time tumbling windows in BATCH mode — the same `window()`
+    * operator the streaming surface uses (Streams.tumblingCounts), here
+    * over the full history. Window starts are epoch-aligned, so the
+    * oracle reproduces them with integer epoch arithmetic. */
+  private val qTimeWindow: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      // min/max are order-free and exact — full-precision doubles like
+      // events.value make ANY rounded mean a cross-engine half-boundary
+      // coin flip (see q_window_range history)
+      .agg(count(lit(1)).as("n"), min("value").as("min_v"), max("value").as("max_v"))
+      .select(col("w.start").cast("long").as("win_start_s"), col("event_type"),
+              col("n"), col("min_v"), col("max_v"))
+      .orderBy("win_start_s", "event_type")
+
   // -------------------------------------------------------- sessionization
   /** Batch sessionization (gaps-and-islands): events more than 30 min
     * apart per user open a new session; session id is the running count
@@ -357,7 +373,7 @@ object Analytics {
     "q_lateral_join" -> qLateralJoin, "q_corr_covar" -> qCorrCovar,
     "q_bool_agg" -> qBoolAgg, "q_union_by_name" -> qUnionByName,
     "q_gap_fill" -> qGapFill, "q_agg_approx_percentile" -> qAggApproxPercentile,
-    "q_histogram" -> qHistogram,
+    "q_histogram" -> qHistogram, "q_time_window" -> qTimeWindow,
   )
 
   private def pivotCaseSql: String = prios.map { case (v, a) =>
@@ -490,6 +506,11 @@ object Analytics {
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000 AS bin_lo, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY bin_lo""".stripMargin,
+
+    "q_time_window" ->
+      """SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS win_start_s,
+        |  event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1, 2 ORDER BY win_start_s, event_type""".stripMargin,
 
     "q_lateral_join" ->
       """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
