@@ -60,6 +60,55 @@ object TextPipeline {
     documents.join(removed.distinct(), Seq(idCol), "left_anti")
   }
 
+  /** Near-dup CLUSTERS via iterative min-label propagation (connected
+    * components over the verified pair graph) — the transitive closure
+    * greedy pair-removal misses: if A~B and B~C but A≁C, all three belong
+    * to one duplicate cluster represented by min(A,B,C).
+    *
+    * Scale shape: a handful of label-propagation rounds (iterations ≈
+    * graph diameter, and near-dup clusters are dense so it converges
+    * quickly), each one join + one min-aggregate, both hash-partitioned
+    * on the id. The edge list is persisted once; each round's labels are
+    * `localCheckpoint`ed to truncate lineage — the standard iterative-
+    * DataFrame pattern. (A persist/unpersist chain does NOT work here:
+    * unpersisting round N's labels cascade-invalidates round N+1's cache
+    * because its plan depends on them, and each round then recomputes the
+    * whole history — measured exponential, 1.5 s → 16 s by iteration 6.)
+    * Convergence is detected by the monotone-decreasing label sum, so
+    * termination needs no fixed iteration cap. Returns (id, cluster) for
+    * EVERY document. */
+  def dedupClusters(documents: DataFrame, idCol: String, textCol: String,
+                    threshold: Double, maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = Similarity.minhashNearDup(documents, idCol, textCol, threshold, ordered = false)
+      .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
+    // undirected edge list, materialized once
+    val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = documents.select(col(idCol).as("id"))
+        .withColumn("cluster", col("id"))
+        .localCheckpoint()
+      var prevSum = labels.agg(sum("cluster")).head().getLong(0)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        // each node adopts the min of its own and its neighbors' labels
+        val msgs = edges.join(labels.withColumnRenamed("id", "b"), "b")
+          .select(col("a").as("id"), col("cluster"))
+        labels = labels.select(col("id"), col("cluster"))
+          .unionAll(msgs)
+          .groupBy("id").agg(min("cluster").as("cluster"))
+          .localCheckpoint() // eager: truncates lineage, stays distributed
+        val nextSum = labels.agg(sum("cluster")).head().getLong(0)
+        converged = nextSum == prevSum // monotone ⇒ equal sum = fixpoint
+        prevSum = nextSum
+        iter += 1
+      }
+      labels
+    } finally edges.unpersist()
+  }
+
   /** Stratified deterministic sampling: per-stratum rates via the same
     * multiplicative key hash as q_sample_hash — the quality/domain-mixing
     * primitive of training-data curation (sample high-value strata at
@@ -199,6 +248,10 @@ object TextPipeline {
       stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
         Map("en" -> 30, "zh" -> 20), defaultPct = 5)
         .select("doc_id", "lang", "source").orderBy("doc_id")),
+    // rows-only (probabilistic pair graph): connected-component clusters
+    "q_dedup_clusters" -> ((s, d) =>
+      dedupClusters(Tables.documents(s, d), "doc_id", "text", 0.9)
+        .orderBy("id")),
   )
 
   private def sigList(sig: Seq[String]): String = sig.map(t => s"'$t'").mkString("(", ",", ")")

@@ -138,6 +138,35 @@ class TextSimilaritySpec extends SparkSuite {
     assert(pairs.map(_._1).toSet.diff(dominated).subsetOf(survivors))
   }
 
+  test("dedup clusters: hand-built transitive chain collapses to one cluster") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "e d c b a"),        // 1~2 (same set)
+      (3L, "a b c d f"),                           // 3~1/2? jaccard 4/6=0.67 < 0.9 → separate
+      (10L, "p q r s t u v w x y"),
+      (11L, "y x w v u t s r q p"),                // 10~11
+      (12L, "p q r s t u v w x z"),                // 12 vs 10: 9/11 = 0.82 < 0.9 → separate
+      (20L, "solo doc nothing else")
+    ).toDF("doc_id", "text")
+    val clusters = graft.engine.ops.TextPipeline.dedupClusters(docs, "doc_id", "text", 0.9)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L)
+    assert(clusters(10L) == 10L && clusters(11L) == 10L)
+    assert(clusters(3L) == 3L && clusters(12L) == 12L && clusters(20L) == 20L)
+  }
+
+  test("dedup clusters on the fixture: every verified pair lands in one cluster, reps are minima") {
+    val clusters = run("q_dedup_clusters").as[(Long, Long)].collect().toMap
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    assert(clusters.size == docs.count(), "every doc gets a cluster")
+    val pairs = run("q_dedup_minhash").select("doc_id_1", "doc_id_2")
+      .as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => clusters(a) == clusters(b) },
+      "pair members must share a cluster (transitive closure)")
+    // each cluster's representative is its minimum member
+    val byCluster = clusters.toSeq.groupBy(_._2).map { case (c, m) => c -> m.map(_._1).min }
+    assert(byCluster.forall { case (c, minId) => c == minId })
+  }
+
   test("stratified sample: per-stratum rates land near target, deterministic across layouts") {
     val s1 = run("q_sample_stratified")
     val docs = graft.engine.io.Tables.documents(spark, sfDir)
