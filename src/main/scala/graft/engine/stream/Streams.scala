@@ -87,6 +87,23 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Catch-up drain: process everything available at start, then
+    * self-terminate — the declarative form of the reference's
+    * restart-after-outage catch-up (R:160–176: supervised restart reads
+    * saved offsets and works through the backlog). `Trigger.AvailableNow`
+    * splits the backlog into rate-limited micro-batches (unlike the
+    * legacy `Once` trigger's single giant batch) and exits at the end,
+    * checkpoint-compatible with the continuous form of the same query. */
+  def drainAvailable[T](ds: Dataset[T], checkpoint: String)(
+      handler: (Dataset[T], Long) => Unit): StreamingQuery =
+    ds.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[T], id: Long) =>
+        if (!batch.isEmpty) handler(batch, id)
+      }
+      .start()
+
   // ---------------------------------------------------- event-time operators
 
   /** s_window_tumbling: per-window per-key counts (generalizes the

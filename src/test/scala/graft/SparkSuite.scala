@@ -6,15 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** One shared local session per suite, configured like Verify/Bench. */
 trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+  lazy val spark: SparkSession = graft.engine.GraftSession
+    .builder("local[4]", 4)
     .appName(getClass.getSimpleName)
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.ansi.enabled", "false")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.sql.adaptive.enabled", "true")
     .getOrCreate()
 
   val sfDir = "/root/testdata/sf0.001"

@@ -228,6 +228,26 @@ class StreamingSpec extends SparkSuite {
     assert(rows == Set((10L, 20L)), s"exactly the in-range same-user pair joins: $rows")
   }
 
+  // Catch-up drain (reference restart pattern R:160-176, generalized)
+  test("drainAvailable processes the backlog then self-terminates; restart sees only new data") {
+    val ckpt = tmpDir("drain")
+    val in = MemoryStream[(String, String)](spark)
+    val seen = mutable.ArrayBuffer[String]()
+    def drain() = {
+      val q = Streams.drainAvailable(in.toDF().toDF("key", "value"), ckpt) { (b, _) =>
+        seen.synchronized { seen ++= b.collect().map(_.getString(1)) }
+        ()
+      }
+      q.awaitTermination() // AvailableNow exits on its own when drained
+    }
+    in.addData(("k", "a"), ("k", "b"))
+    drain()
+    assert(seen.sorted == Seq("a", "b"), s"backlog drained: $seen")
+    in.addData(("k", "c"))
+    drain() // second catch-up run resumes from the checkpoint
+    assert(seen.sorted == Seq("a", "b", "c"), s"no reprocessing, no gap: $seen")
+  }
+
   // Large-state path: the scaladoc commits to RocksDB at cluster scale;
   // prove the engine's stateful operators actually run on it.
   test("stateful dedup runs on the RocksDB state store provider") {
