@@ -1,0 +1,56 @@
+package graft.engine.ops
+
+import graft.SparkSuite
+import graft.engine.io.Tables
+import org.apache.spark.sql.functions._
+
+/** Capstone: the LLM-curation pipeline composed end-to-end from the
+  * public API — quality gate → language filter → near-dup cluster dedup →
+  * stratified sample → token accounting. Each stage is a DataFrame
+  * transform; nothing collects to the driver until the final assertions.
+  * This is the "switch your pipeline to this library" path. */
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("curation pipeline composes and shrinks monotonically with sane stats") {
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.count()
+
+    // 1. quality gate: keep mid+high diversity docs
+    val scored = TextPipeline.qualityScore(docs, "doc_id", "text", "n_chars")
+    val keepIds = scored.filter(col("quality_band") =!= "low").select("doc_id")
+    val gated = docs.join(keepIds, "doc_id")
+    val nGated = gated.count()
+    assert(nGated <= total && nGated > 0)
+
+    // 2. language filter via predicted language (en/de only)
+    val langs = TextPipeline.langId(gated, "doc_id", "text", "lang")
+      .filter(col("pred_lang").isin("en", "de")).select("doc_id")
+    val inLang = gated.join(langs, "doc_id")
+    val nLang = inLang.count()
+    assert(nLang <= nGated)
+
+    // 3. near-dup removal at cluster granularity: keep each cluster's rep
+    val clusters = TextPipeline.dedupClusters(inLang, "doc_id", "text", 0.9)
+    val reps = clusters.filter(col("id") === col("cluster"))
+      .select(col("id").as("doc_id"))
+    val deduped = inLang.join(reps, "doc_id")
+    val nDeduped = deduped.count()
+    assert(nDeduped <= nLang && nDeduped > 0)
+    // exactly one representative per cluster
+    assert(clusters.select("cluster").distinct().count() == nDeduped)
+
+    // 4. stratified sample: en-heavy mix
+    val sampled = TextPipeline.stratifiedSample(deduped, "doc_id", "lang",
+      Map("en" -> 50), defaultPct = 10)
+    val nSampled = sampled.count()
+    assert(nSampled <= nDeduped)
+
+    // 5. token accounting over the final corpus
+    val stats = TextPipeline.tokenCounts(sampled, "doc_id", "text")
+      .agg(sum("ws_tokens").as("total_ws"), count(lit(1)).as("n"))
+      .head()
+    assert(stats.getAs[Long]("n") == nSampled)
+    assert(stats.getAs[Long]("total_ws") > 0)
+  }
+}
