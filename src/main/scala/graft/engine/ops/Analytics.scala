@@ -29,8 +29,14 @@ import graft.engine.io.Tables
 object Analytics {
   private type Q = (SparkSession, String) => DataFrame
 
-  private def dsum(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("decimal(38,6)")
-  private def dsumSql(e: String): String = s"CAST(sum(CAST($e AS DECIMAL(18,6))) AS DECIMAL(38,6))"
+  // Final .cast("double") on both sides: the exact decimal sum converts to
+  // the same IEEE double in either engine, and a DECIMAL output column would
+  // hash-mismatch in the driver comparator on dtype alone (pandas Decimal
+  // objects vs DuckDB float64). See Relational's determinism scaladoc.
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,6)")).cast("decimal(38,6)").cast("double")
+  private def dsumSql(e: String): String =
+    s"CAST(CAST(sum(CAST($e AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)"
 
   // ------------------------------------------------------------ reshaping
   private val prios = Seq("1-URGENT" -> "p_urgent", "2-HIGH" -> "p_high",
@@ -131,8 +137,9 @@ object Analytics {
 
   // ------------------------------------------------------------ map funcs
   /** MapType surface: build a map column, extract, enumerate keys/values.
-    * Output columns are scalars/arrays so the oracle stays engine-neutral
-    * (map binary layouts differ across engines). */
+    * Output columns are scalars — key/value enumerations are joined to CSV
+    * strings because the driver comparator cannot sort/hash array cells
+    * (and map binary layouts differ across engines anyway). */
   private val qMapFuncs: Q = (s, d) =>
     Tables.orders(s, d)
       .withColumn("m", map(
@@ -142,8 +149,8 @@ object Analytics {
         col("o_orderkey"),
         element_at(col("m"), "status").as("status"),
         element_at(col("m"), "prio").as("prio"),
-        map_keys(col("m")).as("ks"),
-        map_values(col("m")).as("vs"),
+        array_join(map_keys(col("m")), ",").as("ks"),
+        array_join(map_values(col("m")), ",").as("vs"),
         size(col("m")).cast("long").as("m_size"))
       .orderBy("o_orderkey")
 
@@ -239,9 +246,10 @@ object Analytics {
       col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
       count(lit(1)).over(w).as("n_within_50k"),
       // exact decimal frame-sum: any float avg/round over a frame
-      // eventually lands on a round-half boundary where engines disagree
+      // eventually lands on a round-half boundary where engines disagree;
+      // final double cast matches the oracle (see dsum note above)
       sum(col("o_totalprice").cast("decimal(18,6)")).over(w)
-        .cast("decimal(38,6)").as("sum_within_50k"))
+        .cast("decimal(38,6)").cast("double").as("sum_within_50k"))
       .orderBy("o_orderkey")
   }
 
@@ -283,11 +291,20 @@ object Analytics {
          |ORDER BY c_custkey""".stripMargin)
 
   // ----------------------------------------------------- statistical aggs
+  /** Statistical aggregates. corr stays rounded (its sqrt denominator
+    * makes an exact round-half-boundary landing impossible), but the
+    * covariances are emitted as their exact decimal co-moment ingredients
+    * (sum x, sum y, sum x*y + n): covariance over money values divides by
+    * n = 2^a·5^b·…, which can terminate exactly on a 4-dp half boundary
+    * where Spark (shortest-repr HALF_UP) and DuckDB (binary) disagree.
+    * covar_samp/covar_pop themselves are pinned against the co-moment
+    * formula in AnalyticsSpec. */
   private val qCorrCovar: Q = (s, d) =>
     Tables.lineitem(s, d).groupBy("l_returnflag")
       .agg(round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qp"),
-           round(covar_samp("l_quantity", "l_extendedprice"), 4).as("covs_qp"),
-           round(covar_pop("l_quantity", "l_extendedprice"), 4).as("covp_qp"),
+           dsum(col("l_quantity")).as("sum_q"),
+           dsum(col("l_extendedprice")).as("sum_p"),
+           dsum(col("l_quantity") * col("l_extendedprice")).as("sum_qp"),
            count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
@@ -313,13 +330,16 @@ object Analytics {
 
   // ------------------------------------------------------------- gap fill
   /** Time-series gap fill: per-user daily event spine (min..max day),
-    * missing days zero-filled, daily average forward-filled with
+    * missing days zero-filled, the daily value total forward-filled with
     * last(ignoreNulls). Spine generation is `sequence`+`explode` per key
-    * (executor-side, no driver calendar), fill is one keyed window. */
+    * (executor-side, no driver calendar), fill is one keyed window.
+    * The filled measure is an exact decimal day-sum (plus the count, from
+    * which a consumer derives the mean) — a round(avg) over full-precision
+    * doubles is a cross-engine round-half-boundary coin flip. */
   private val qGapFill: Q = (s, d) => {
     val daily = Tables.events(s, d)
       .groupBy(col("user_id"), col("ts").cast("date").as("day"))
-      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_v"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
     // spine bounds come from the daily aggregate (~|users × days| rows),
     // not a second scan of the raw events table
     val spine = daily
@@ -331,7 +351,7 @@ object Analytics {
     spine.join(daily, Seq("user_id", "day"), "left_outer")
       .select(col("user_id"), col("day"),
         coalesce(col("n"), lit(0L)).as("n_events"),
-        last(col("avg_v"), ignoreNulls = true).over(w).as("avg_v_filled"))
+        last(col("sum_v"), ignoreNulls = true).over(w).as("sum_v_filled"))
       .orderBy("user_id", "day")
   }
 
@@ -377,7 +397,7 @@ object Analytics {
   )
 
   private def pivotCaseSql: String = prios.map { case (v, a) =>
-    s"CAST(sum(CASE WHEN o_orderpriority = '$v' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS $a"
+    s"CAST(CAST(sum(CASE WHEN o_orderpriority = '$v' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS DOUBLE) AS $a"
   }.mkString(",\n  ")
 
   val oracle: Map[String, String] = Map(
@@ -422,9 +442,9 @@ object Analytics {
       """SELECT o_orderkey,
         |  o_orderstatus AS status,
         |  o_orderpriority AS prio,
-        |  ['status', 'prio'] AS ks,
-        |  [o_orderstatus, o_orderpriority] AS vs,
-        |  2 AS m_size
+        |  'status,prio' AS ks,
+        |  o_orderstatus || ',' || o_orderpriority AS vs,
+        |  CAST(2 AS BIGINT) AS m_size
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_generator_seq" ->
@@ -464,8 +484,8 @@ object Analytics {
         |  CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s
         |FROM (
         |  SELECT user_id, ts,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM (
         |    SELECT user_id, event_id, ts,
         |      CASE WHEN prev_ts IS NULL
@@ -489,7 +509,7 @@ object Analytics {
     "q_window_range" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |  count(*) OVER w AS n_within_50k,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DECIMAL(38,6)) AS sum_within_50k
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DECIMAL(38,6)) AS DOUBLE) AS sum_within_50k
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC
         |             RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
@@ -521,10 +541,11 @@ object Analytics {
         |ORDER BY c_custkey""".stripMargin,
 
     "q_corr_covar" ->
-      """SELECT l_returnflag,
+      s"""SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
-        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qp,
-        |  round(covar_pop(l_quantity, l_extendedprice), 4) AS covp_qp,
+        |  ${dsumSql("l_quantity")} AS sum_q,
+        |  ${dsumSql("l_extendedprice")} AS sum_p,
+        |  ${dsumSql("l_quantity * l_extendedprice")} AS sum_qp,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
@@ -542,8 +563,8 @@ object Analytics {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_gap_fill" ->
-      """WITH daily AS (
-        |  SELECT user_id, ts::DATE AS day, count(*) AS n, round(avg(value), 4) AS avg_v
+      s"""WITH daily AS (
+        |  SELECT user_id, ts::DATE AS day, count(*) AS n, ${dsumSql("value")} AS sum_v
         |  FROM events GROUP BY user_id, ts::DATE
         |), spine AS (
         |  SELECT user_id, unnest(generate_series(min(ts::DATE), max(ts::DATE), INTERVAL 1 DAY))::DATE AS day
@@ -551,8 +572,8 @@ object Analytics {
         |)
         |SELECT s.user_id, s.day,
         |  coalesce(d.n, 0) AS n_events,
-        |  last_value(d.avg_v IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_v_filled
+        |  last_value(d.sum_v IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_v_filled
         |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
         |ORDER BY s.user_id, s.day""".stripMargin,
   )

@@ -13,10 +13,15 @@ import graft.engine.io.Tables
   *
   * Determinism contract vs the DuckDB oracle (SURVEY §2.2):
   *  - every query ends in a total-order sort whose last key is unique;
-  *  - SUMs of doubles go through DECIMAL(18,6) and the result is cast to
-  *    DECIMAL(38,6): decimal addition is exact, so engine summation order
-  *    cannot perturb the value (a raw double sum over 60k ~1e5-magnitude
-  *    rows can drift > 1e-4 between engines, defeating ROUND(x,4));
+  *  - SUMs of doubles go through DECIMAL(18,6): decimal addition is
+  *    exact, so engine summation order cannot perturb the value (a raw
+  *    double sum over 60k ~1e5-magnitude rows can drift > 1e-4 between
+  *    engines, defeating ROUND(x,4)). The exact decimal is cast to DOUBLE
+  *    in the final projection on BOTH sides — a correctly-rounded IEEE
+  *    conversion of the same rational, hence bit-identical — because the
+  *    driver comparator reads Spark parquet via pandas (DECIMAL → python
+  *    Decimal objects) but the oracle via DuckDB (DECIMAL → float64), so
+  *    a DECIMAL output column hash-mismatches on dtype alone;
   *  - AVG / stddev / ratios stay double but are ROUND(x,4)'d (their
   *    error is sum-error/n, far below 1e-4);
   *  - per-row arithmetic is left raw: identical IEEE ops on identical
@@ -30,9 +35,11 @@ object Relational {
   private type Q = (SparkSession, String) => DataFrame
 
   /** Exact deterministic sum of a double expression (see scaladoc). */
-  private def dsum(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("decimal(38,6)")
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,6)")).cast("decimal(38,6)").cast("double")
   /** SQL-side mirror of [[dsum]]. */
-  private def dsumSql(e: String): String = s"CAST(sum(CAST($e AS DECIMAL(18,6))) AS DECIMAL(38,6))"
+  private def dsumSql(e: String): String =
+    s"CAST(CAST(sum(CAST($e AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)"
 
   // ---------------------------------------------------------------- A. scans
   private val qScanCount: Q = (s, d) =>
@@ -325,12 +332,15 @@ object Relational {
       col("o_orderdate").cast("date").as("od"))
       .orderBy("o_orderkey")
 
+  // slice() is exercised but projected back to scalars (size + last
+  // element): the driver comparator cannot sort/hash array cells.
   private val qArrayFuncs: Q = (s, d) =>
     Tables.embeddings(s, d).select(
       col("vec_id"), col("label"),
       size(col("embedding")).cast("long").as("dim"),
       element_at(col("embedding"), 1).as("first_val"),
-      slice(col("embedding"), 1, 3).as("first3"),
+      size(slice(col("embedding"), 1, 3)).cast("long").as("first3_len"),
+      element_at(slice(col("embedding"), 1, 3), 3).as("first3_last"),
       (element_at(col("embedding"), 1).cast("double") +
        element_at(col("embedding"), 2).cast("double") +
        element_at(col("embedding"), 3).cast("double")).as("sum3"))
@@ -625,7 +635,8 @@ object Relational {
       """SELECT vec_id, label,
         |  len(embedding) AS dim,
         |  embedding[1] AS first_val,
-        |  embedding[1:3] AS first3,
+        |  len(embedding[1:3]) AS first3_len,
+        |  embedding[1:3][3] AS first3_last,
         |  CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE) + CAST(embedding[3] AS DOUBLE) AS sum3
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 

@@ -46,8 +46,13 @@ object Similarity {
 
   private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  private def canonVec(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private def canonVec(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // Register the native functions against the caller's session so the
+    // public entry points resolve on ANY DataFrame — not just ones whose
+    // session went through Tables.load / GraftExtensions. Idempotent.
+    GraftFunctions.register(vectors.sparkSession)
     vectors.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+  }
 
   // ------------------------------------------------- exact cosine top-k
   /** Brute-force top-k nearest to `queryId` by cosine (self excluded) —
@@ -258,26 +263,39 @@ object Similarity {
     * popcount of the XOR. Emits (doc_id_1, doc_id_2, hamming). */
   def simhashNearDup(documents: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int): DataFrame = {
+    // Token stream is segmented (32768 tokens/segment) so the packed lane
+    // counters below cannot carry into the adjacent lane no matter how
+    // long a document is — the former 65535-tokens/doc contract held only
+    // by a comment is now structural.
     val tokHash = documents
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .select(col(idCol).as("doc_id"),
+              posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), (col("pos") / 32768).cast("long").as("seg"),
+              xxhash64(col("tok")).as("h"))
     // Pack the 64 per-bit one-counters into 16 aggregate columns of four
     // 16-bit lanes each (bit p = j + 16k lives in column j, lane k):
-    // 4× fewer aggregation-buffer updates per row than 64 plain sums,
-    // overflow-safe to 65535 tokens/doc. bit_p of the signature is set
-    // iff ones_p > tokens/2, i.e. 2*ones_p > n — identical to the sign
-    // of the classic Σ(±1) formulation (ties → 0 in both).
+    // 4× fewer aggregation-buffer updates per row than 64 plain sums;
+    // per-segment counts are ≤ 32768 < 2^16, so lanes never overflow.
     val packedSums = (0 until 16).map { j =>
       sum((0 until 4).map { k =>
         shiftleft(shiftright(col("h"), j + 16 * k).bitwiseAND(1L), 16 * k)
       }.reduce(_ + _)).as(s"c$j")
     }
-    val sums = tokHash.groupBy("doc_id")
-      .agg(packedSums.head, packedSums.tail :+ count(lit(1)).as("n_tok"): _*)
-    val sig = (0 until 64).map { p =>
+    val segSums = tokHash.groupBy("doc_id", "seg")
+      .agg(packedSums.head, packedSums.tail :+ count(lit(1)).as("seg_n"): _*)
+    // Unpack lanes and total per bit across segments — one input row per
+    // 32k tokens, so this second aggregate is negligible; exact for any
+    // document length. bit_p of the signature is set iff ones_p >
+    // tokens/2, i.e. 2*ones_p > n — identical to the sign of the classic
+    // Σ(±1) formulation (ties → 0 in both).
+    val bitSums = (0 until 64).map { p =>
       val j = p % 16; val k = p / 16
-      val ones = shiftright(col(s"c$j"), 16 * k).bitwiseAND(0xFFFFL)
-      when(ones * 2L > col("n_tok"), lit(1L << p)).otherwise(lit(0L))
+      sum(shiftright(col(s"c$j"), 16 * k).bitwiseAND(0xFFFFL)).as(s"o$p")
+    }
+    val sums = segSums.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail :+ sum("seg_n").as("n_tok"): _*)
+    val sig = (0 until 64).map { p =>
+      when(col(s"o$p") * 2L > col("n_tok"), lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     val sigs = sums.select(col("doc_id"), sig.as("simhash"))
     // one explode per sig row, not a 4-way unionAll recomputing the 64-bit

@@ -187,7 +187,7 @@ object TextPipeline {
     documents.select(
       col(idCol).as("doc_id"),
       size(toks(col(textCol))).cast("long").as("ws_tokens"),
-      size(expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+', 0)")).cast("long").as("re_tokens"))
+      size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+"), lit(0))).cast("long").as("re_tokens"))
       .orderBy("doc_id")
 
   /** Position-weighted polynomial document fingerprint (rolling-hash
