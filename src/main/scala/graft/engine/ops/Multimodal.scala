@@ -33,22 +33,29 @@ object Multimodal {
 
   /** STUB decode: a real implementation would decode `payload` via a
     * native codec (mapPartitions + JNI / off-heap buffers). Here:
-    * 8 deterministic pseudo-features derived from the bytes. */
+    * 8 deterministic pseudo-features derived from the payload length —
+    * engine-neutral integer arithmetic, so the WHOLE pipeline (not just
+    * its metadata slice) is DuckDB-oracled; a real kernel changes only
+    * this expression. */
   private def decodeFeaturesStub(payload: org.apache.spark.sql.Column) =
-    array((0 until 8).map(i =>
-      (pmod(xxhash64(payload, lit(i)), lit(1000L)).cast("double") / 500.0 - 1.0)): _*)
+    array((0 until 8).map { i =>
+      val x = octet_length(payload).cast("long") * lit(31L + 2L * i) + lit((i + 1) * 12345L)
+      pmod(x, lit(1000L)).cast("double") / 500.0 - 1.0
+    }: _*)
 
-  /** Non-oracle (binary + stubbed decode): full multimodal pipeline shape
-    * — load binary, decode to features, "resize" (metadata transform),
-    * aggregate per origin. Rows-only check. */
+  /** Full multimodal pipeline shape — load binary, decode to features,
+    * "resize" (metadata transform), aggregate per origin. Oracled: the
+    * stub kernel is engine-neutral, and the feature sum goes through the
+    * exact-decimal convention (features have 3-decimal granularity). */
   private val qMultimodalPipeline: Q = (s, d) =>
     assets(s, d)
       .withColumn("features", decodeFeaturesStub(col("payload")))
       .withColumn("thumb_width", (col("meta.width") / 4).cast("long"))
       .groupBy(col("meta.origin").as("origin"))
       .agg(count(lit(1)).as("n_assets"),
-           sum(octet_length(col("payload"))).as("total_bytes"),
-           round(avg(element_at(col("features"), 1)), 4).as("avg_f0"),
+           sum(octet_length(col("payload"))).cast("long").as("total_bytes"),
+           sum(element_at(col("features"), 1).cast("decimal(18,6)"))
+             .cast("decimal(38,6)").cast("double").as("sum_f0"),
            max("thumb_width").as("max_thumb_w"))
       .orderBy("origin")
 
@@ -84,16 +91,14 @@ object Multimodal {
   private val BatchSize = 64
   private def decodeBatch(batch: Seq[Asset]): Seq[Decoded] =
     // STUB: real impl would hand `batch.map(_.payload)` to a codec here.
+    // The fake features use engine-neutral integer arithmetic over the
+    // payload length + id, so the mapPartitions path itself is oracled.
     batch.map { a =>
-      var h = 1125899906842597L // rolling polynomial hash of the bytes
-      val feats = new Array[Double](8)
-      var i = 0
-      while (i < a.payload.length) {
-        h = h * 31 + (a.payload(i) & 0xff)
-        feats(i % 8) += (h % 1000L).toDouble / 500.0 - 1.0
-        i += 1
+      val n = a.payload.length.toLong
+      val feats = Array.tabulate(8) { i =>
+        ((n * (31L + 2L * i) + a.asset_id * (17L + i)) % 1000L).toDouble / 500.0 - 1.0
       }
-      Decoded(a.asset_id, feats, a.width / 4, a.height / 4, a.payload.length.toLong)
+      Decoded(a.asset_id, feats, a.width / 4, a.height / 4, n)
     }
 
   /** The typed decode pipeline as a Dataset transform (exposed for tests
@@ -103,8 +108,8 @@ object Multimodal {
     assets.mapPartitions(_.grouped(BatchSize).flatMap(decodeBatch))
   }
 
-  /** Rows-only check (stub kernel): full partition-parallel decode →
-    * feature aggregation per thumbnail-width band. */
+  /** Full partition-parallel decode → feature aggregation per
+    * thumbnail-width band. Oracled end-to-end (engine-neutral stub). */
   private val qMultimodalDecode: Q = (s, d) => {
     import s.implicits._
     val a = assets(s, d).select(
@@ -114,7 +119,8 @@ object Multimodal {
       .groupBy((col("thumb_w") / 40).cast("long").as("w_band"))
       .agg(count(lit(1)).as("n_assets"),
            sum("n_bytes").as("total_bytes"),
-           round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
+           sum(element_at(col("features"), 1).cast("decimal(18,6)"))
+             .cast("decimal(38,6)").cast("double").as("sum_f0"))
       .orderBy("w_band")
   }
 
@@ -149,6 +155,28 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // f0 = ((n_bytes*31 + 12345) % 1000)/500 - 1: 3-decimal granularity, so
+    // the exact-decimal sum convention applies cleanly
+    "q_multimodal_pipeline" ->
+      """SELECT source AS origin, count(*) AS n_assets,
+        |  CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+        |  CAST(CAST(sum(CAST(
+        |    (octet_length(CAST(text AS BLOB)) * 31 + 12345) % 1000 / 500.0 - 1.0
+        |  AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_f0,
+        |  CAST(max((n_chars % 640 + 1) // 4) AS BIGINT) AS max_thumb_w
+        |FROM documents GROUP BY source ORDER BY origin""".stripMargin,
+
+    "q_multimodal_decode" ->
+      """SELECT CAST(((n_chars % 640 + 1) // 4) // 40 AS BIGINT) AS w_band,
+        |  count(*) AS n_assets,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(CAST(sum(CAST(
+        |    (n_bytes * 31 + doc_id * 17) % 1000 / 500.0 - 1.0
+        |  AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_f0
+        |FROM (SELECT doc_id, n_chars, octet_length(CAST(text AS BLOB)) AS n_bytes
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY w_band""".stripMargin,
+
     // frame count = (width*height) % 240 + 1 over the derived metadata;
     // sampled every 10th frame starting at 0
     "q_multimodal_frames" ->

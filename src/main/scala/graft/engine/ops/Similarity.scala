@@ -355,8 +355,25 @@ object Similarity {
     "q_ann_ivf" -> ((s, d) => annIvf(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     "q_dedup_minhash" -> ((s, d) => minhashNearDup(Tables.documents(s, d), "doc_id", "text", 0.9)),
     "q_dedup_simhash" -> ((s, d) => simhashNearDup(Tables.documents(s, d), "doc_id", "text", 3)),
-    "q_dedup_embedding" -> ((s, d) => embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding", 0.99)),
+    "q_dedup_embedding" -> ((s, d) =>
+      embeddingNearDup(withPlantedNearDups(Tables.embeddings(s, d)), "vec_id", "embedding", 0.99)),
   )
+
+  /** The synthetic embeddings are near-orthogonal (max pair cosine ~0.5 at
+    * sf0.01), so a 0.99 near-dup threshold over the raw table is vacuously
+    * empty. Plant one near-duplicate per vector — a copy at id+1e6 with
+    * its first component nudged by +0.05 (cosine ≈ 0.999) — so the
+    * operator's block→verify path is exercised on pairs it must FIND, not
+    * just pairs it must reject. Derivation is executor-side Column
+    * arithmetic; at 100 TB the same harness doubles as a planted-recall
+    * canary over a sampled slice. */
+  def withPlantedNearDups(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding")).unionAll(
+      embeddings.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1) + lit(0.05f)),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1)).as("embedding")))
 
   /** Oracles for the exact (non-probabilistic) queries only. The DuckDB
     * side pairs list elements positionally via aligned unnest +
