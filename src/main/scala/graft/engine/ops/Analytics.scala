@@ -381,7 +381,49 @@ object Analytics {
       .orderBy("o_orderkey")
   }
 
+  // ---------------------------------------------------------- skew salting
+  /** Salted join — the skew-mitigation pattern for joining a large fact
+    * to a hot-keyed table when BOTH sides are too big to broadcast: the
+    * dim side is replicated NSalt× (one copy per salt), the fact side
+    * derives a deterministic salt from row identity, and the join key
+    * becomes (key, salt) so one hot key fans out over NSalt shuffle
+    * partitions instead of hammering one reducer. The `merge` hint forbids
+    * the broadcast Catalyst would otherwise pick for this fixture-sized
+    * dim, so the exercised path IS the two-big-tables shuffle path (plan
+    * pinned in PlanShapeSpec). Salting never changes the result — each
+    * fact row still meets exactly one dim copy — so the oracle is the
+    * plain join. AQE's skewedJoin handles moderate skew adaptively; the
+    * explicit salt is for the pathological hot key it cannot split. */
+  private val NSalt = 16
+  private val qSkewJoin: Q = (s, d) => {
+    val fact = Tables.lineitem(s, d).select(
+      col("l_suppkey"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"),
+      pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(NSalt)).as("salt"))
+    val dimSalted = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("s_nationkey"))
+      .withColumn("salt", explode(array((0 until NSalt).map(i => lit(i.toLong)): _*)))
+    fact.hint("merge")
+      .join(dimSalted, col("l_suppkey") === col("s_suppkey") && fact("salt") === dimSalted("salt"))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"), dsum(col("net")).as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
+  // ------------------------------------------------------- misc aggregates
+  /** Conditional / distinct / median aggregate surface: count_if, exact
+    * interpolated median, sum(DISTINCT), per group. median interpolates
+    * two 2-decimal money values (≤ 3 decimals) so round(,4) is exact. */
+  private val qAggMisc: Q = (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_linestatus")
+      .agg(count_if(col("l_quantity") > 25).as("n_big"),
+           round(median(col("l_extendedprice")), 4).as("med_price"),
+           sum_distinct(col("l_quantity").cast("long")).as("sum_dq"),
+           count(lit(1)).as("n_rows"))
+      .orderBy("l_linestatus")
+
   val queries: Map[String, Q] = Map(
+    "q_skew_join" -> qSkewJoin, "q_agg_misc" -> qAggMisc,
     "q_pivot" -> qPivot, "q_unpivot" -> qUnpivot,
     "q_sample_hash" -> qSampleHash, "q_agg_percentile" -> qAggPercentile,
     "q_topk_per_group" -> qTopkPerGroup, "q_str_agg" -> qStrAgg,
@@ -401,6 +443,21 @@ object Analytics {
   }.mkString(",\n  ")
 
   val oracle: Map[String, String] = Map(
+    // salting is result-invariant: the oracle is the unsalted join
+    "q_skew_join" ->
+      s"""SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n_items,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "q_agg_misc" ->
+      """SELECT l_linestatus,
+        |  CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+        |  round(median(l_extendedprice), 4) AS med_price,
+        |  CAST(sum(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_dq,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
     "q_pivot" ->
       s"""SELECT o_orderstatus,
          |  $pivotCaseSql

@@ -1,0 +1,114 @@
+package graft.engine.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.io.Tables
+
+/** Temporal operators beyond the as-of join / sessionization already in
+  * [[Analytics]]: the native `session_window` generator in batch mode and
+  * a banded range (interval) join.
+  *
+  * Scale notes:
+  *  - `session_window` is the same operator the streaming surface uses
+  *    (Streams session tests); in batch it compiles to one shuffle on the
+  *    user key + an in-partition merge of overlapping windows — no
+  *    quadratic self-join, and the SAME code path later absorbs the
+  *    streaming state store. Its gap semantics differ from the
+  *    gaps-and-islands formulation at exact-boundary events (a gap of
+  *    exactly 30 min CLOSES a session window because windows are
+  *    half-open `[ts, ts+gap)`, while `diff > 1800` keeps it open), which
+  *    is why both shapes ship and both are oracled.
+  *  - the range join brackets event time into band-width buckets and
+  *    equi-joins on (key, bucket): each probe expands to exactly 2
+  *    adjacent buckets, so the join stays a hash/sort-merge equi-join
+  *    with a cheap residual filter instead of the O(n·m) per-key range
+  *    probe a naive theta join degenerates to. At 100 TB the bucket id
+  *    doubles as the partition key of the events layout, turning each
+  *    probe into a partition-pruned read.
+  */
+object Temporal {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Native session_window over events: 30-minute gap, per user. */
+  private val qSessionWindow: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min("event_id").as("first_event"))
+      .select(col("user_id"),
+              col("sw.start").cast("long").as("start_s"),
+              col("sw.end").cast("long").as("end_s"),
+              col("n_events"), col("first_event"))
+      .orderBy("user_id", "start_s")
+
+  /** Banded range join: per order, how many events its user (custkey mod
+    * 150) produced in the 3 days strictly before the order date, plus the
+    * exact decimal sum of their values. Implemented as the 2-bucket
+    * equi-join described in the object scaladoc; orders with no events in
+    * range are kept (zero-filled) via a final left join. */
+  private val qRangeJoin: Q = (s, d) => {
+    val W = 259200L // band = bucket width = 3 days, so 2 buckets cover any probe
+    val ev = Tables.events(s, d).select(
+      col("user_id").as("u"), col("ts"),
+      (col("ts").cast("long") - pmod(col("ts").cast("long"), lit(W))).as("bucket"),
+      col("value"))
+    val od = Tables.orders(s, d).select(
+      col("o_orderkey"), pmod(col("o_custkey"), lit(150)).as("u"),
+      col("o_orderdate").cast("timestamp").as("t0"))
+    val probes = od.select(col("o_orderkey"), col("u"), col("t0"),
+      explode(array(
+        (col("t0").cast("long") - pmod(col("t0").cast("long"), lit(W))) - W,
+        col("t0").cast("long") - pmod(col("t0").cast("long"), lit(W)))).as("bucket"))
+    val matched = probes.join(ev, Seq("u", "bucket"))
+      .filter(col("ts") >= col("t0") - expr("INTERVAL 3 DAYS") && col("ts") < col("t0"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_ev"),
+           sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
+             .cast("double").as("sum_v"))
+    od.select("o_orderkey").join(matched, Seq("o_orderkey"), "left_outer")
+      .select(col("o_orderkey"),
+              coalesce(col("n_ev"), lit(0L)).as("n_ev"), col("sum_v"))
+      .orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_session_window" -> qSessionWindow,
+    "q_range_join" -> qRangeJoin,
+  )
+
+  val oracle: Map[String, String] = Map(
+    // session_window semantics: a session CLOSES when the next event is
+    // >= gap after the previous one (half-open windows), unlike
+    // q_sessionize's strict >. end = last event + gap.
+    "q_session_window" ->
+      """SELECT user_id,
+        |  CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS start_s,
+        |  CAST((epoch_us(max(ts)) + 1800000000) // 1000000 AS BIGINT) AS end_s,
+        |  count(*) AS n_events,
+        |  min(event_id) AS first_event
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |      CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |           THEN 1 ELSE 0 END AS new_s
+        |    FROM (SELECT user_id, event_id, ts,
+        |            lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |          FROM events)))
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, start_s""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT o.o_orderkey,
+        |  count(e.ts) AS n_ev,
+        |  CAST(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_v
+        |FROM orders o LEFT JOIN events e
+        |  ON o.o_custkey % 150 = e.user_id
+        | AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP) - INTERVAL 3 DAY
+        | AND e.ts <  CAST(o.o_orderdate AS TIMESTAMP)
+        |GROUP BY o.o_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+  )
+}
