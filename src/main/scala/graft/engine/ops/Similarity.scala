@@ -69,6 +69,29 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
   }
 
+  /** Brute-force k-NN JOIN: top-k cosine neighbors for EVERY id in
+    * `queryIds` in one pass (the batch-retrieval shape, vs knnCosine's
+    * single probe). The query side is broadcast — it is the small side
+    * by construction — so the corpus scan runs once for all probes and
+    * never shuffles; ranking is a per-query-id window over a corpus×|Q|
+    * expansion. At 100 TB this is the exact-rerank stage: run it on the
+    * candidate set an ANN pre-pass (annLsh/annIvf) emits, not the full
+    * corpus. */
+  def knnJoin(vectors: DataFrame, idCol: String, vecCol: String,
+              queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("q_id", "rk")
+  }
+
   /** Exact top-k most-similar pairs over ALL pairs — the O(n²) oracle for
     * what the near-dup sketches approximate. Norms are computed once per
     * vector in the linear pre-pass, so the quadratic stage does a single
@@ -351,6 +374,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "q_sim_cosine" -> ((s, d) => knnCosine(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     "q_sim_pairs_topk" -> ((s, d) => allPairsTopK(Tables.embeddings(s, d), "vec_id", "embedding", 20)),
+    "q_sim_knn" -> ((s, d) => knnJoin(Tables.embeddings(s, d), "vec_id", "embedding", Seq(1L, 2L, 3L), 5)),
     "q_ann_lsh" -> ((s, d) => annLsh(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     "q_ann_ivf" -> ((s, d) => annIvf(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     "q_dedup_minhash" -> ((s, d) => minhashNearDup(Tables.documents(s, d), "doc_id", "text", 0.9)),
@@ -390,6 +414,22 @@ object Similarity {
         |      FROM p GROUP BY vec_id)
         |SELECT vec_id, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos_sim
         |FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_sim_knn" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id IN (1, 2, 3)),
+        |p AS (SELECT q.q_id, e.vec_id,
+        |        CAST(unnest(e.embedding) AS DOUBLE) AS x,
+        |        CAST(unnest(q.qe) AS DOUBLE) AS y
+        |      FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+        |s AS (SELECT q_id, vec_id, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+        |      FROM p GROUP BY q_id, vec_id),
+        |r AS (SELECT q_id, vec_id, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos_sim FROM s)
+        |SELECT q_id, vec_id, cos_sim, rk FROM (
+        |  SELECT q_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rk
+        |  FROM r)
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
     "q_sim_pairs_topk" ->
       """WITH p AS (SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,

@@ -71,9 +71,25 @@ object Temporal {
       .orderBy("o_orderkey")
   }
 
+  /** Batch sliding windows: 12 h width sliding by 6 h, so every event
+    * lands in exactly 2 epoch-aligned windows. Spark expands the event
+    * via the same generator the tumbling case uses (no self-join); at
+    * 100 TB the expansion factor is width/slide — bounded and chosen by
+    * the caller, and the post-expansion aggregate is an ordinary
+    * partial+final hash agg on (window, type). Exact outputs only
+    * (count/min/max) per the q_time_window precedent. */
+  private val qWindowSliding: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "12 hours", "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min("value").as("min_v"), max("value").as("max_v"))
+      .select(col("w.start").cast("long").as("win_start_s"), col("event_type"),
+              col("n"), col("min_v"), col("max_v"))
+      .orderBy("win_start_s", "event_type")
+
   val queries: Map[String, Q] = Map(
     "q_session_window" -> qSessionWindow,
     "q_range_join" -> qRangeJoin,
+    "q_window_sliding" -> qWindowSliding,
   )
 
   val oracle: Map[String, String] = Map(
@@ -110,5 +126,19 @@ object Temporal {
         | AND e.ts <  CAST(o.o_orderdate AS TIMESTAMP)
         |GROUP BY o.o_orderkey
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    // every event belongs to exactly 2 windows: the 6h-aligned start at
+    // or before it, and the one 6h earlier (12h width / 6h slide)
+    "q_window_sliding" ->
+      """SELECT win_start_s, event_type, count(*) AS n,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM (
+        |  SELECT unnest([
+        |      CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT),
+        |      CAST(floor(epoch(ts) / 21600) * 21600 - 21600 AS BIGINT)]) AS win_start_s,
+        |    event_type, value
+        |  FROM events)
+        |GROUP BY win_start_s, event_type
+        |ORDER BY win_start_s, event_type""".stripMargin,
   )
 }

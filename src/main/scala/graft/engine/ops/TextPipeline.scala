@@ -203,6 +203,39 @@ object TextPipeline {
         count(lit(1)).as("n_tokens"))
       .orderBy("doc_id")
 
+  /** Exact-integer TF-IDF: top-k terms per document scored
+    * `tf * ((1_000_000 * N) / df rounded down)` — every intermediate is
+    * BIGINT (the division is one exact double op on values < 2^53, then
+    * floored), so the score is bit-identical across engines where a
+    * float `ln(N/df)` idf would hit cross-engine libm divergence.
+    * Rank ties break on the token, making top-k deterministic.
+    *
+    * Scale: two hash aggregates (tf on (doc, token), df on token) that
+    * AQE co-partitions on `token` for the join, plus a broadcast of the
+    * N singleton. The df side is vocabulary-sized (Zipf: millions of
+    * rows at 100 TB, not billions) — far smaller than the corpus but
+    * too hot to broadcast blindly; the shuffle equi-join on token is
+    * the safe default and skew on stopword tokens is bounded because
+    * tf already collapsed per-doc repeats. */
+  def tfidfTopTerms(documents: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val tokens = documents
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfq = tokens.groupBy("token").agg(countDistinct("doc_id").as("df"))
+    val nDocs = documents.agg(countDistinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token").asc)
+    tf.join(dfq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * floor(lit(1000000L) * col("n_docs") / col("df")).cast("long"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("doc_id", "rk", "token", "tf", "df", "score")
+      .orderBy("doc_id", "rk")
+  }
+
   /** Near-dup detection: exact token-set Jaccard over candidate pairs
     * blocked on `blockCols`. n = 1 (token sets) in the fixture binding
     * because its near-dups are token-shuffles — order-sensitive shingles
@@ -252,6 +285,7 @@ object TextPipeline {
     "q_dedup_clusters" -> ((s, d) =>
       dedupClusters(Tables.documents(s, d), "doc_id", "text", 0.9)
         .orderBy("id")),
+    "q_tfidf" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", 3)),
   )
 
   private def sigList(sig: Seq[String]): String = sig.map(t => s"'$t'").mkString("(", ",", ")")
@@ -326,6 +360,24 @@ object TextPipeline {
         |        generate_subscripts(string_split(text, ' '), 1) AS pos
         |      FROM documents)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tfq AS (SELECT doc_id, token, count(*) AS tf
+        |        FROM tokens WHERE len(token) > 0 GROUP BY doc_id, token),
+        |dfq AS (SELECT token, count(DISTINCT doc_id) AS df
+        |        FROM tokens WHERE len(token) > 0 GROUP BY token),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tfq.doc_id, tfq.token, tfq.tf, dfq.df,
+        |    tfq.tf * CAST(floor(1000000.0 * n.n_docs / dfq.df) AS BIGINT) AS score
+        |  FROM tfq JOIN dfq USING (token) CROSS JOIN n)
+        |SELECT doc_id, rk, token, tf, df, score FROM (
+        |  SELECT doc_id, token, tf, df, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rk
+        |  FROM scored)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH base AS (

@@ -1,0 +1,75 @@
+package graft.engine.ops
+
+import graft.{SparkEntry, SparkSuite}
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the temporal operators: the native
+  * session_window vs the gaps-and-islands formulation, the banded range
+  * join vs a naive theta join, and sliding vs tumbling windows. */
+class TemporalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("session_window: sessions are disjoint per user and ordered, gap semantics hold") {
+    val s = run("q_session_window")
+      .select("user_id", "start_s", "end_s", "n_events")
+      .as[(Long, Long, Long, Long)].collect()
+    s.groupBy(_._1).foreach { case (_, rows) =>
+      rows.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          // next session starts at or after the previous window closed
+          assert(s2 >= e1, s"overlapping session windows: end=$e1 next start=$s2")
+        case _ => ()
+      }
+    }
+    assert(s.forall { case (_, st, en, n) => en > st && n >= 1 })
+  }
+
+  test("session_window event counts conserve the corpus") {
+    val total = run("q_session_window").agg(sum("n_events")).head().getLong(0)
+    val events = graft.engine.io.Tables.events(spark, sfDir).count()
+    assert(total == events, s"session windows lost events: $total != $events")
+  }
+
+  test("range join matches the naive theta-join formulation exactly") {
+    val banded = run("q_range_join")
+    val ev = graft.engine.io.Tables.events(spark, sfDir)
+      .select(col("user_id").as("u"), col("ts"), col("value"))
+    val od = graft.engine.io.Tables.orders(spark, sfDir).select(
+      col("o_orderkey"), pmod(col("o_custkey"), lit(150)).as("u"),
+      col("o_orderdate").cast("timestamp").as("t0"))
+    val naive = od.join(ev,
+        od("u") === ev("u") &&
+          col("ts") >= col("t0") - expr("INTERVAL 3 DAYS") && col("ts") < col("t0"),
+        "left_outer")
+      .groupBy("o_orderkey")
+      .agg(count(col("ts")).as("n_ev"),
+           sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
+             .cast("double").as("sum_v"))
+      .orderBy("o_orderkey")
+    assert(banded.collect().toSeq == naive.collect().toSeq)
+  }
+
+  test("sliding windows: every event lands in exactly width/slide windows") {
+    val n = run("q_window_sliding").agg(sum("n")).head().getLong(0)
+    val events = graft.engine.io.Tables.events(spark, sfDir).count()
+    assert(n == 2 * events, s"12h/6h sliding must double-count: $n != 2*$events")
+  }
+
+  test("sliding windows contain the tumbling windows of the same width grid") {
+    // every (6h-aligned start) tumbling bucket's count is <= the sliding
+    // window count starting there (the sliding window covers 12h)
+    val slide = run("q_window_sliding")
+      .groupBy("win_start_s").agg(sum("n").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val tumble = graft.engine.io.Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "6 hours").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long"), col("n"))
+      .as[(Long, Long)].collect()
+    tumble.foreach { case (start, n) =>
+      assert(slide.getOrElse(start, 0L) >= n, s"window at $start dropped rows")
+    }
+  }
+}

@@ -206,4 +206,38 @@ class TextSimilaritySpec extends SparkSuite {
     assert(decodeAssets(assets).rdd.getNumPartitions == 7,
       "decode is a narrow per-partition transform")
   }
+
+  test("knn join: per-probe results equal the single-probe knnCosine path") {
+    val e = graft.engine.io.Tables.embeddings(spark, sfDir)
+    val joined = Similarity.knnJoin(e, "vec_id", "embedding", Seq(1L, 2L), 5)
+      .select("q_id", "vec_id", "cos_sim")
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+    Seq(1L, 2L).foreach { qid =>
+      val single = Similarity.knnCosine(e, "vec_id", "embedding", qid, 5)
+        .as[(Long, Double)].collect().toSeq
+      val multi = joined(qid).map(t => (t._2, t._3)).toSeq
+      assert(multi == single, s"probe $qid diverges from knnCosine")
+    }
+  }
+
+  test("tfidf: rare terms outscore stopwords within a document") {
+    val t = run("q_tfidf")
+    // ranks are 1..k, unique per doc, ordered by nonincreasing score
+    val byDoc = t.select("doc_id", "rk", "score")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    byDoc.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3
+        case _           => true
+      })
+    }
+    // a term appearing in every document (df = N) has the minimum possible
+    // idf, so it can only win rank 1 when repeated often; spot-check that
+    // top-ranked terms have df strictly below the corpus size
+    val n = graft.engine.io.Tables.documents(spark, sfDir).count()
+    val top = t.filter(col("rk") === 1).agg(max("df")).head().getLong(0)
+    assert(top < n, "rank-1 terms should never be corpus-wide stopwords")
+  }
 }
