@@ -16,7 +16,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => SortedLongIntersectSize(children(0), children(1))),
     (FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
-      (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSignature(children(0))))
 
   /** Register the engine functions into a session (idempotent). */
   def register(spark: SparkSession): Unit = registry.foreach { case (ident, info, builder) =>
@@ -36,6 +39,13 @@ object GraftFunctions {
     * Session-free: the column resolves at analysis against whichever
     * session runs the plan (registered via Tables.load / GraftExtensions). */
   def arrayDot(a: Column, b: Column): Column = call_function("array_dot", a, b)
+
+  /** k=16 MinHash signature of a hashed-token array — see
+    * [[MinHashSignature]]. */
+  def minhashSig(spark: SparkSession, a: Column): Column = {
+    register(spark)
+    call_function("minhash_sig", a)
+  }
 }
 
 /** SQL-extension entry point (SURVEY §4.2's injection stub, now live):

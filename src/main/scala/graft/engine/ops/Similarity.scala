@@ -193,16 +193,6 @@ object Similarity {
   }
 
   // ------------------------------------------------------------- MinHash
-  private val NumPerms = 16
-  private val MersennePrime = (1L << 61) - 1
-  private val HashDomain = 2147483647L // 2^31-1: keeps a*h+b < 2^63 (no ANSI overflow)
-
-  private lazy val perms: Array[(Long, Long)] = {
-    val rnd = new scala.util.Random(7)
-    Array.fill(NumPerms)((math.abs(rnd.nextLong()) % HashDomain + 1,
-                          math.abs(rnd.nextLong()) % HashDomain))
-  }
-
   /** MinHash + LSH banding near-dup over whitespace token sets: k=16
     * signature → 2 bands × 8 rows → band-bucket join → exact Jaccard
     * verify at `threshold`. Emits (doc_id_1, doc_id_2, jaccard) pairs.
@@ -232,19 +222,17 @@ object Similarity {
       .agg(sort_array(collect_list(col("doc_id"))).as("members"),
            min(col("doc_id")).as("rep"))
       .select(col("rep"), col("members"), col("hsh"))
-    val exploded = groups.select(col("rep"), explode(col("hsh")).as("sh"))
-      .withColumn("h", pmod(col("sh"), lit(HashDomain))) // 31-bit base hash
-    // k min-hashes: min over shingles of (a_i*h + b_i) mod p  (positive domain)
-    val sigCols = (0 until NumPerms).map { i =>
-      val (a, b) = perms(i)
-      min(pmod(col("h") * a + b, lit(MersennePrime))).as(s"m$i")
-    }
-    val sigs = exploded.groupBy("rep").agg(sigCols.head, sigCols.tail: _*)
+    // k=16 signature as ONE native fused pass per rep (no explode, no
+    // second shuffle — the signature is a scalar projection; see
+    // MinHashSignature). Bit-identical to the explode + 16-min-agg
+    // formulation it replaced (property-tested in FunctionsSpec).
+    val sigs = groups.select(col("rep"),
+      GraftFunctions.minhashSig(spark, col("hsh")).as("sig"))
     // 2 bands of 8 rows; band key = hash of the 8 signature components.
     // Bands come from ONE explode over the sig row (a unionAll of selects
-    // would recompute the whole signature aggregation once per band).
+    // would recompute the whole signature once per band).
     val banded = sigs.select(col("rep"), explode(array((0 until 2).map { bnd =>
-        val cs = (bnd * 8 until bnd * 8 + 8).map(i => col(s"m$i"))
+        val cs = (bnd * 8 until bnd * 8 + 8).map(i => element_at(col("sig"), i + 1))
         struct(lit(bnd).as("band"), xxhash64(cs: _*).as("bkey"))
       }: _*)).as("bb"))
       .select(col("rep"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))

@@ -88,4 +88,57 @@ class FunctionsSpec extends SparkSuite {
       .head().getDouble(0) == 0.0)
     assert(spark.sql("SELECT array_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D))").head().isNullAt(0))
   }
+
+  /** The explode + 16-min-agg formulation minhash_sig replaced, rebuilt
+    * as the reference implementation (same constants via the companion). */
+  private def referenceSignature(hashes: Array[Long]): Seq[Long] = {
+    import MinHashSignature._
+    (0 until NumPerms).map { i =>
+      hashes.foldLeft(Long.MaxValue) { (m, sh) =>
+        val h0 = sh % HashDomain
+        val h = if (h0 < 0) h0 + HashDomain else h0
+        math.min(m, (h * permA(i) + permB(i)) % MersennePrime)
+      }
+    }
+  }
+
+  test("minhash_sig equals the explode + min-agg reference on random inputs (codegen)") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(300)(Array.fill(rnd.nextInt(80) + 1)(rnd.nextLong()))
+    val got = rows.toDF("hsh")
+      .select(GraftFunctions.minhashSig(spark, col("hsh")).as("sig"))
+      .as[Seq[Long]].collect()
+    rows.zip(got).foreach { case (in, sig) =>
+      assert(sig == referenceSignature(in), s"signature drift for ${in.take(3).mkString(",")}…")
+    }
+  }
+
+  test("minhash_sig interpreted path matches codegen path") {
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val rnd = new scala.util.Random(12)
+      val rows = Seq.fill(100)(Array.fill(rnd.nextInt(40) + 1)(rnd.nextLong()))
+      val got = rows.toDF("hsh")
+        .select(GraftFunctions.minhashSig(spark, col("hsh")).as("sig"))
+        .as[Seq[Long]].collect()
+      rows.zip(got).foreach { case (in, sig) => assert(sig == referenceSignature(in)) }
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("minhash_sig: empty array gives the identity signature, null propagates") {
+    GraftFunctions.register(spark)
+    val idSig = spark.sql("SELECT minhash_sig(CAST(array() AS ARRAY<BIGINT>)) AS s")
+      .as[Seq[Long]].head()
+    assert(idSig == Seq.fill(MinHashSignature.NumPerms)(Long.MaxValue))
+    assert(spark.sql("SELECT minhash_sig(CAST(NULL AS ARRAY<BIGINT>))").head().isNullAt(0))
+    // and min(sig(a ++ b)) = elementwise min of sig(a), sig(b): mergeability,
+    // the property that makes signatures partial-aggregatable at scale
+    val a = Array(1L, 2L, 3L); val b = Array(99L, -7L)
+    val sa = referenceSignature(a); val sb = referenceSignature(b)
+    assert(referenceSignature(a ++ b) == sa.zip(sb).map(t => math.min(t._1, t._2)))
+  }
 }
