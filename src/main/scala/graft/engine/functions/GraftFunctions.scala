@@ -19,7 +19,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
-      (children: Seq[Expression]) => MinHashSignature(children(0))))
+      (children: Seq[Expression]) => MinHashSignature(children(0))),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children(0))))
 
   /** Register the engine functions into a session (idempotent). */
   def register(spark: SparkSession): Unit = registry.foreach { case (ident, info, builder) =>
@@ -45,6 +48,12 @@ object GraftFunctions {
   def minhashSig(spark: SparkSession, a: Column): Column = {
     register(spark)
     call_function("minhash_sig", a)
+  }
+
+  /** 64-bit SimHash of a hashed-token multiset — see [[SimHash64]]. */
+  def simhash64(spark: SparkSession, a: Column): Column = {
+    register(spark)
+    call_function("simhash64", a)
   }
 }
 

@@ -274,41 +274,17 @@ object Similarity {
     * popcount of the XOR. Emits (doc_id_1, doc_id_2, hamming). */
   def simhashNearDup(documents: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int): DataFrame = {
-    // Token stream is segmented (32768 tokens/segment) so the packed lane
-    // counters below cannot carry into the adjacent lane no matter how
-    // long a document is — the former 65535-tokens/doc contract held only
-    // by a comment is now structural.
-    val tokHash = documents
-      .select(col(idCol).as("doc_id"),
-              posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
-      .select(col("doc_id"), (col("pos") / 32768).cast("long").as("seg"),
-              xxhash64(col("tok")).as("h"))
-    // Pack the 64 per-bit one-counters into 16 aggregate columns of four
-    // 16-bit lanes each (bit p = j + 16k lives in column j, lane k):
-    // 4× fewer aggregation-buffer updates per row than 64 plain sums;
-    // per-segment counts are ≤ 32768 < 2^16, so lanes never overflow.
-    val packedSums = (0 until 16).map { j =>
-      sum((0 until 4).map { k =>
-        shiftleft(shiftright(col("h"), j + 16 * k).bitwiseAND(1L), 16 * k)
-      }.reduce(_ + _)).as(s"c$j")
-    }
-    val segSums = tokHash.groupBy("doc_id", "seg")
-      .agg(packedSums.head, packedSums.tail :+ count(lit(1)).as("seg_n"): _*)
-    // Unpack lanes and total per bit across segments — one input row per
-    // 32k tokens, so this second aggregate is negligible; exact for any
-    // document length. bit_p of the signature is set iff ones_p >
-    // tokens/2, i.e. 2*ones_p > n — identical to the sign of the classic
-    // Σ(±1) formulation (ties → 0 in both).
-    val bitSums = (0 until 64).map { p =>
-      val j = p % 16; val k = p / 16
-      sum(shiftright(col(s"c$j"), 16 * k).bitwiseAND(0xFFFFL)).as(s"o$p")
-    }
-    val sums = segSums.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail :+ sum("seg_n").as("n_tok"): _*)
-    val sig = (0 until 64).map { p =>
-      when(col(s"o$p") * 2L > col("n_tok"), lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val sigs = sums.select(col("doc_id"), sig.as("simhash"))
+    GraftFunctions.register(documents.sparkSession)
+    // The 64-bit signature is a pure function of one row's token-hash
+    // multiset, so it computes as a native scalar projection (one fused
+    // pass, int[64] counters — see SimHash64): no explode, no
+    // aggregation shuffle, and none of the 16-bit lane-packing carry
+    // hazard the aggregate formulation needed to guard (correct to 2^31
+    // tokens/doc structurally). Bit-identical to the packed-lane
+    // two-stage aggregate it replaced (property-tested).
+    val sigs = documents.select(col(idCol).as("doc_id"),
+      GraftFunctions.simhash64(documents.sparkSession,
+        transform(split(col(textCol), " "), t => xxhash64(t))).as("simhash"))
     // one explode per sig row, not a 4-way unionAll recomputing the 64-bit
     // aggregation per chunk
     val chunks = sigs.select(col("doc_id"), col("simhash"),

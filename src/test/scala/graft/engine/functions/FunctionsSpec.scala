@@ -141,4 +141,45 @@ class FunctionsSpec extends SparkSuite {
     val sa = referenceSignature(a); val sb = referenceSignature(b)
     assert(referenceSignature(a ++ b) == sa.zip(sb).map(t => math.min(t._1, t._2)))
   }
+
+  /** Per-bit majority vote, the definitional SimHash. */
+  private def referenceSimhash(hashes: Array[Long]): Long =
+    (0 until 64).foldLeft(0L) { (sig, p) =>
+      val ones = hashes.count(h => ((h >>> p) & 1L) == 1L)
+      if (2L * ones > hashes.length) sig | (1L << p) else sig
+    }
+
+  test("simhash64 equals the per-bit majority reference on random inputs, multiplicity-sensitive") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(300)(Array.fill(rnd.nextInt(100) + 1)(rnd.nextLong()))
+    val got = rows.toDF("hsh")
+      .select(GraftFunctions.simhash64(spark, col("hsh")).as("sig"))
+      .as[Long].collect()
+    rows.zip(got).foreach { case (in, sig) => assert(sig == referenceSimhash(in)) }
+    // duplicates must shift the majority (multiset, not set, semantics)
+    val base = Array(0x0FL, 0xF0L, 0xF0L)
+    assert(referenceSimhash(base) == 0xF0L)
+    val df = Seq(base).toDF("hsh")
+      .select(GraftFunctions.simhash64(spark, col("hsh")).as("sig")).as[Long].head()
+    assert(df == 0xF0L)
+  }
+
+  test("simhash64: interpreted matches codegen; empty is 0; null propagates") {
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT simhash64(CAST(array() AS ARRAY<BIGINT>))").head().getLong(0) == 0L)
+    assert(spark.sql("SELECT simhash64(CAST(NULL AS ARRAY<BIGINT>))").head().isNullAt(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val rnd = new scala.util.Random(14)
+      val rows = Seq.fill(100)(Array.fill(rnd.nextInt(50) + 1)(rnd.nextLong()))
+      val got = rows.toDF("hsh")
+        .select(GraftFunctions.simhash64(spark, col("hsh")).as("sig"))
+        .as[Long].collect()
+      rows.zip(got).foreach { case (in, sig) => assert(sig == referenceSimhash(in)) }
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }
