@@ -22,7 +22,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => MinHashSignature(children(0))),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[Expression]) => SimHash64(children(0))))
+      (children: Seq[Expression]) => SimHash64(children(0))),
+    (FunctionIdentifier("hyperplane_sig64"),
+      new ExpressionInfo(classOf[HyperplaneSig64].getName, "hyperplane_sig64"),
+      (children: Seq[Expression]) => HyperplaneSig64(children(0))))
 
   /** Register the engine functions into a session (idempotent). */
   def register(spark: SparkSession): Unit = registry.foreach { case (ident, info, builder) =>
@@ -54,6 +57,13 @@ object GraftFunctions {
   def simhash64(spark: SparkSession, a: Column): Column = {
     register(spark)
     call_function("simhash64", a)
+  }
+
+  /** 64-bit random-hyperplane LSH signature of an embedding — see
+    * [[HyperplaneSig64]]. */
+  def hyperplaneSig64(spark: SparkSession, a: Column): Column = {
+    register(spark)
+    call_function("hyperplane_sig64", a)
   }
 }
 

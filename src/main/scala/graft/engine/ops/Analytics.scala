@@ -422,7 +422,37 @@ object Analytics {
            count(lit(1)).as("n_rows"))
       .orderBy("l_linestatus")
 
+  /** Exact distinct-count via mergeable roaring-style bitmaps — the
+    * 100 TB distinct pattern: per-(group, 32k-bucket) bitmaps build with
+    * partial aggregation on every executor, OR-merge in one shuffle, and
+    * the final count is a cheap sum of per-bucket popcounts. Unlike
+    * countDistinct's expand-based plan there is no per-value row
+    * explosion past the first partial agg, and unlike HLL the result is
+    * exact (oracled against DuckDB's count(DISTINCT)). */
+  private val qBitmapDistinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"), bitmap_bucket_number(col("user_id")).as("bkt"))
+      .agg(bitmap_count(bitmap_construct_agg(bitmap_bit_position(col("user_id")))).as("cnt"))
+      .groupBy("event_type")
+      .agg(sum("cnt").as("n_users"))
+      .orderBy("event_type")
+
+  /** HLL sketch build → union → estimate (the SURVEY §7.3 "HLL merge
+    * across pre-aggregated sketches" item): per-(type, day) sketches are
+    * the stored partial — re-aggregating to per-type needs only a
+    * sketch union, never a re-scan of raw data. Non-oracle (DataSketches
+    * binary images are engine-specific); AnalyticsSpec pins estimates to
+    * within 5% of exact and the union-vs-flat-sketch identity. */
+  private val qAggHllSketch: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      .orderBy("event_type")
+
   val queries: Map[String, Q] = Map(
+    "q_bitmap_distinct" -> qBitmapDistinct, "q_agg_hll_sketch" -> qAggHllSketch,
     "q_skew_join" -> qSkewJoin, "q_agg_misc" -> qAggMisc,
     "q_pivot" -> qPivot, "q_unpivot" -> qUnpivot,
     "q_sample_hash" -> qSampleHash, "q_agg_percentile" -> qAggPercentile,
@@ -443,6 +473,11 @@ object Analytics {
   }.mkString(",\n  ")
 
   val oracle: Map[String, String] = Map(
+    // the bitmap rollup is exact, so the oracle is a plain distinct count
+    "q_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // salting is result-invariant: the oracle is the unsalted join
     "q_skew_join" ->
       s"""SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n_items,

@@ -126,6 +126,20 @@ object Similarity {
       when(dot(v, planeCol(j)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** 64-bit hyperplane signature for the near-dup path. Near-dup blocking
+    * wants far finer buckets than ANN search: at cos ≥ 0.99 two vectors
+    * agree per hyperplane with p ≈ 1 − acos(0.99)/π ≈ 0.955, so a 16-bit
+    * band still collides for true pairs (p¹⁶ ≈ 0.48 per band, ≈ 93%
+    * recall over 4 bands; ≈ 99.8% at the planted cos ≈ 0.9988) while
+    * unrelated near-orthogonal vectors (p ≈ 0.5) collide with p ≈ 2⁻¹⁶ —
+    * 65 536 buckets per band instead of the 16 a 4-bit band gives.
+    * Separate seed from the ANN planes so the two paths stay
+    * independently tunable. */
+  /** Signature for the near-dup path: the native 64-plane expression
+    * (one compact plan node, one fused loop — see HyperplaneSig64). */
+  private def dedupSig(v: Column): Column =
+    call_function("hyperplane_sig64", v)
+
   /** LSH-bucketed ANN: search only the query's bucket-mates (same 4-bit
     * band in any of 4 bands) — candidates shrink ~16× per band while
     * recall over the exact top-k stays high (asserted in tests). */
@@ -314,12 +328,16 @@ object Similarity {
                        minCosine: Double): DataFrame = {
     val e = canonVec(vectors, idCol, vecCol)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-      .withColumn("sig", lshSig(col("embedding")))
-    // one explode per row, not a 4-way unionAll recomputing sig per band
+      .withColumn("sig", dedupSig(col("embedding")))
+    // 4 bands × 16 bits (65 536 buckets/band — see dedupSig): for a
+    // near-orthogonal corpus the expected bucket population is n/2¹⁶ per
+    // band, so the self-join candidate set is ~linear in n instead of
+    // the n²/16-ish a 4-bit key allowed. One explode per row, not a
+    // 4-way unionAll recomputing sig per band.
     val bands = e.select(col("vec_id"), col("embedding"), col("nrm"),
         explode(array((0 until 4).map(k =>
           struct(lit(k).as("band"),
-            shiftright(col("sig"), k * 4).bitwiseAND(0xF).as("band_key"))): _*)).as("bb"))
+            shiftright(col("sig"), k * 16).bitwiseAND(0xFFFFL).as("band_key"))): _*)).as("bb"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
               col("bb.band").as("band"), col("bb.band_key").as("band_key"))
     val cand = bands.as("x").join(bands.as("y"), Seq("band", "band_key"))

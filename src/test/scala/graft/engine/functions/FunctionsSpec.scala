@@ -164,6 +164,42 @@ class FunctionsSpec extends SparkSuite {
     assert(df == 0xF0L)
   }
 
+  test("hyperplane_sig64 equals sign-of-dot per plane; codegen and interpreted agree") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(15)
+    val rows = Seq.fill(200)(Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    def reference(v: Array[Float]): Long =
+      (0 until HyperplaneSig64.NBits).foldLeft(0L) { (sig, j) =>
+        var acc = 0.0; var d = 0
+        while (d < 64) { acc += v(d).toDouble * HyperplaneSig64.Planes(j * 64 + d); d += 1 }
+        if (acc > 0) sig | (1L << j) else sig
+      }
+    val got = rows.toDF("v")
+      .select(GraftFunctions.hyperplaneSig64(spark, col("v")).as("sig"))
+      .as[Long].collect()
+    rows.zip(got).foreach { case (in, sig) => assert(sig == reference(in)) }
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val got2 = rows.toDF("v")
+        .select(GraftFunctions.hyperplaneSig64(spark, col("v")).as("sig"))
+        .as[Long].collect()
+      assert(got2.toSeq == got.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // near-identical vectors agree on almost every bit; a sign-flipped
+    // vector inverts every bit (the LSH property the near-dup path rides)
+    val v = rows.head
+    val nudged = v.clone(); nudged(0) = nudged(0) + 1e-6f
+    val Seq(s1, s2, s3) = Seq(v, nudged, v.map(-_)).toDF("v")
+      .select(GraftFunctions.hyperplaneSig64(spark, col("v")).as("sig"))
+      .as[Long].collect().toSeq
+    assert(java.lang.Long.bitCount(s1 ^ s2) <= 2)
+    assert(s3 == ~s1)
+  }
+
   test("simhash64: interpreted matches codegen; empty is 0; null propagates") {
     GraftFunctions.register(spark)
     assert(spark.sql("SELECT simhash64(CAST(array() AS ARRAY<BIGINT>))").head().getLong(0) == 0L)

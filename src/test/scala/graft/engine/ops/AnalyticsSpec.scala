@@ -209,4 +209,30 @@ class AnalyticsSpec extends SparkSuite {
     assert(bad.count() == 0)
     assert(a.count() == Tables.orders(spark, sfDir).count())
   }
+
+  test("bitmap distinct rollup equals countDistinct exactly") {
+    val bm = run("q_bitmap_distinct").as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(bm == exact)
+  }
+
+  test("hll sketch union estimate lands within 5% of exact and equals the flat sketch") {
+    val est = run("q_agg_hll_sketch").as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"HLL estimate ${est(k)} too far from exact $n for $k")
+    }
+    // sketch-of-unions == union-of-sketches: re-aggregating stored daily
+    // sketches must give the same estimate as sketching the raw column
+    val flat = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .as[(String, Long)].collect().toMap
+    assert(est == flat)
+  }
 }
