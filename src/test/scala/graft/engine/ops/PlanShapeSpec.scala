@@ -130,4 +130,46 @@ class PlanShapeSpec extends SparkSuite {
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 0, s"hash sampling must not shuffle:\n" + p.take(1500))
   }
+
+  test("q_sim_knn broadcasts the probe set — the corpus side never shuffles for the join") {
+    val p = plan("q_sim_knn")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe side must broadcast:\n${p.take(1500)}")
+  }
+
+  test("q_skew_join takes the shuffle path (salt defeats broadcast) and re-aggregates") {
+    val p = plan("q_skew_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"salted join must shuffle, not broadcast:\n${p.take(1500)}")
+  }
+
+  test("q_dedup_embedding computes signatures with the native expression, no quadratic stage") {
+    val p = plan("q_dedup_embedding")
+    assert(p.contains("hyperplane_sig64"), s"native signature expected:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), "near-dup must never plan a cartesian stage")
+  }
+
+  test("q_dedup_simhash signature is a scalar projection (no aggregate before banding)") {
+    val p = plan("q_dedup_simhash")
+    assert(p.contains("simhash64"), s"native signature expected:\n${p.take(1500)}")
+  }
+
+  test("q_bitmap_distinct plans partial+final at both rollup levels (mergeable bitmaps)") {
+    val p = plan("q_bitmap_distinct")
+    // bitmap_construct_agg carries a binary buffer → SortAggregate; the
+    // popcount-sum level hash-aggregates. Both must run partial+final so
+    // executors merge bitmaps before any shuffle.
+    assert(p.contains("partial_bitmap_construct_agg"), p.take(1500))
+    assert(p.contains("partial_sum"), p.take(1500))
+    assert(p.linesIterator.count(l =>
+      l.contains("HashAggregate") || l.contains("SortAggregate")) >= 4, p.take(1500))
+  }
+
+  test("q_tfidf: token tf and df aggregations both run partial+final (no raw-token shuffle)") {
+    val p = plan("q_tfidf")
+    // every exploded token row must hit a partial HashAggregate before
+    // any exchange — at 100 TB the raw token stream is the largest
+    // intermediate in the whole pipeline
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p.take(2000))
+  }
 }
