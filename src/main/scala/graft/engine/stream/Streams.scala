@@ -139,6 +139,23 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** s_stream_neardup: in-stream near-duplicate suppression for a
+    * document stream — the curation primitive a training-data ingest
+    * runs at the firehose. Each document is SimHashed with the native
+    * `simhash64` expression and dropped if its signature was already
+    * seen within the watermark: token-reordered copies (identical
+    * multiset → identical signature) collapse, and the state store
+    * holds one 8-byte key per unique document in the window instead of
+    * the full text an exact-dedup key would pin. */
+  def streamingNearDup(docs: DataFrame, textCol: String,
+                       watermark: String = "10 seconds"): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(docs.sparkSession)
+    docs.withWatermark("ts", watermark)
+      .withColumn("simhash", call_function("simhash64",
+        transform(split(col(textCol), " "), t => xxhash64(t))))
+      .dropDuplicatesWithinWatermark("simhash")
+  }
+
   /** s_stream_static_join: stream enriched against a static dimension —
     * the static side is broadcast per micro-batch, no stream shuffle. */
   def streamStaticJoin(events: DataFrame, dim: DataFrame, key: String): DataFrame =

@@ -17,6 +17,7 @@ class StreamingSpec extends SparkSuite {
   private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
   private def tmpDir(tag: String): String =
     Files.createTempDirectory(s"graft-$tag").toString
@@ -180,6 +181,28 @@ class StreamingSpec extends SparkSuite {
     in.addData(Ev(1, ts(2), 1, "click", 1.0), Ev(2, ts(2), 1, "view", 1.0))
     q.processAllAvailable(); q.stop()
     assert(out.sorted.toSeq == Seq(1L, 2L), s"dupes dropped across batches: $out")
+  }
+
+  // s_stream_neardup
+  test("s_stream_neardup: token-reordered near-dup docs collapse in-stream, distinct docs pass") {
+    val in = MemoryStream[Doc](spark)
+    val out = mutable.ArrayBuffer[Long]()
+    val q = Streams.streamingNearDup(in.toDF(), "text").writeStream
+      .option("checkpointLocation", tmpDir("neardup"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.select("doc_id").as[Long].collect() }
+        ()
+      }.start()
+    in.addData(
+      Doc(1, ts(1), "the quick brown fox jumps"),
+      Doc(2, ts(1), "fox jumps the quick brown")) // token shuffle of doc 1
+    q.processAllAvailable()
+    in.addData(
+      Doc(3, ts(2), "jumps brown quick the fox"),  // another shuffle, later batch
+      Doc(4, ts(2), "completely different content here now"))
+    q.processAllAvailable(); q.stop()
+    assert(out.sorted.toSeq == Seq(1L, 4L),
+      s"near-dups must collapse within and across batches: $out")
   }
 
   // s_stream_static_join
