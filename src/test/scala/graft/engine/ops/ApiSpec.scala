@@ -49,4 +49,47 @@ class ApiSpec extends SparkSuite {
       .select("fp").as[Long].collect().toSet
     assert(fps.size == 2, "permutations must fingerprint differently")
   }
+
+  test("knnJoin on renamed columns returns per-probe ranked neighbors") {
+    val mk = (s: Double) => Array.tabulate(64)(i => ((i + 1) * s).toFloat)
+    val df = Seq((10L, mk(1.0)), (11L, mk(1.001)), (12L, mk(-2.0)), (13L, mk(0.5)))
+      .toDF("key", "emb")
+    val out = Similarity.knnJoin(df, "key", "emb", Seq(10L, 12L), 2)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val byProbe = out.groupBy(_._1)
+    assert(byProbe.keySet == Set(10L, 12L))
+    // probe 10's nearest is its scaled copy (cosine 1.0 at rank 1)
+    assert(byProbe(10L).find(_._4 == 1L).exists(r => r._2 == 11L && r._3 == 1.0))
+    // every probe gets exactly k ranked rows 1..k
+    byProbe.values.foreach(rs => assert(rs.map(_._4).sorted.toSeq == Seq(1L, 2L)))
+  }
+
+  test("tfidfTopTerms on renamed columns: repeated rare term wins rank 1") {
+    val df = Seq(
+      (1L, "zebra zebra common common common"),
+      (2L, "common common yak yak yak"),
+      (3L, "common plain words only here")
+    ).toDF("k", "body")
+    val top = TextPipeline.tfidfTopTerms(df, "k", "body", 2)
+      .filter(col("rk") === 1)
+      .select("doc_id", "token").as[(Long, String)].collect().toMap
+    assert(top(1L) == "zebra" && top(2L) == "yak",
+      s"df=1 terms must outscore the df=3 stopword: $top")
+  }
+
+  test("simhash64 and minhash_sig compose on any frame via plain SQL") {
+    graft.engine.functions.GraftFunctions.register(spark)
+    val df = Seq((1L, "x y z"), (2L, "z y x"), (3L, "p q r")).toDF("id", "t")
+    df.createOrReplaceTempView("api_docs")
+    val sigs = spark.sql(
+      """SELECT id,
+        |  simhash64(transform(split(t, ' '), tok -> xxhash64(tok))) AS sh,
+        |  minhash_sig(array_sort(transform(array_distinct(split(t, ' ')), tok -> xxhash64(tok)))) AS mh
+        |FROM api_docs""".stripMargin)
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(sigs(0)._2 == sigs(1)._2, "token-reordered docs share a simhash")
+    assert(sigs(0)._3 == sigs(1)._3, "token-reordered docs share a minhash signature")
+    assert(sigs(0)._2 != sigs(2)._2 || sigs(0)._3 != sigs(2)._3,
+      "different content must differ in at least one signature")
+  }
 }
