@@ -52,5 +52,22 @@ class PipelineSpec extends SparkSuite {
       .head()
     assert(stats.getAs[Long]("n") == nSampled)
     assert(stats.getAs[Long]("total_ws") > 0)
+
+    // 6. keyword features for the kept corpus: every surviving doc gets
+    // ranked TF-IDF terms and no dropped doc leaks in
+    val feats = TextPipeline.tfidfTopTerms(sampled, "doc_id", "text", 3)
+    assert(feats.select("doc_id").distinct().count() == nSampled)
+    assert(feats.groupBy("doc_id").count().agg(max("count")).head().getLong(0) <= 3)
+
+    // 7. corpus accounting via the mergeable-bitmap rollup: distinct
+    // surviving docs per language equals a plain distinct count
+    val perLang = sampled
+      .groupBy(col("lang"), bitmap_bucket_number(col("doc_id")).as("bkt"))
+      .agg(bitmap_count(bitmap_construct_agg(bitmap_bit_position(col("doc_id")))).as("c"))
+      .groupBy("lang").agg(sum("c").as("n_docs"))
+      .as[(String, Long)].collect().toMap
+    val exact = sampled.groupBy("lang").agg(countDistinct("doc_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(perLang == exact)
   }
 }
