@@ -96,6 +96,40 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** FULL OUTER join with genuinely unmatched rows on BOTH sides
+    * (BUILDING-segment customers vs urgent-order counts): the
+    * null-completion semantics left/right joins can't express. The
+    * pre-aggregated right side keeps the join 1:1, so the output key is
+    * unique and the oracle sort total. */
+  private val qJoinFull: Q = (s, d) => {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_urgent"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(
+        coalesce(c("c_custkey"), o("o_custkey")).as("k"),
+        col("c_name"),
+        coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+        when(c("c_custkey").isNull, "order_only")
+          .when(o("o_custkey").isNull, "cust_only")
+          .otherwise("both").as("side"))
+      .orderBy("k")
+  }
+
+  /** Higher-order array functions (transform / filter / aggregate) over
+    * the embeddings column — the lambda surface a user processes array
+    * columns with when no built-in fits. The fold runs left-to-right in
+    * both engines, so the double sum is bit-identical unrounded. */
+  private val qHigherOrder: Q = (s, d) =>
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("dim"),
+      size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos"),
+      aggregate(transform(col("embedding"), x => x.cast("double")),
+        lit(0.0), (a, x) => a + x).as("vec_sum"))
+      .orderBy("vec_id")
+
   private val qJoinSemi: Q = (s, d) => {
     val c = Tables.customer(s, d)
     val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
@@ -373,6 +407,7 @@ object Relational {
     "q_project_arith" -> qProjectArith, "q_filter_basic" -> qFilterBasic,
     "q_filter_in_like_between" -> qFilterInLikeBetween,
     "q_join_inner" -> qJoinInner, "q_join_left" -> qJoinLeft,
+    "q_join_full" -> qJoinFull, "q_higher_order" -> qHigherOrder,
     "q_join_semi" -> qJoinSemi, "q_join_anti" -> qJoinAnti,
     "q_join_nonequi" -> qJoinNonequi, "q_join_cross" -> qJoinCross,
     "q_join_multi" -> qJoinMulti, "q_join_broadcast" -> qJoinBroadcast,
@@ -439,6 +474,27 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT COALESCE(c.c_custkey, o.o_custkey) AS k, c.c_name AS c_name,
+        |  COALESCE(o.n_urgent, 0) AS n_urgent,
+        |  CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+        |       WHEN o.o_custkey IS NULL THEN 'cust_only'
+        |       ELSE 'both' END AS side
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING') c
+        |FULL JOIN (SELECT o_custkey, count(*) AS n_urgent FROM orders
+        |           WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY k""".stripMargin,
+
+    "q_higher_order" ->
+      """SELECT vec_id,
+        |  len(embedding) AS dim,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE))),
+        |    (a, b) -> a + b) AS vec_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q_join_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
