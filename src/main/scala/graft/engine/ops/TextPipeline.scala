@@ -224,6 +224,41 @@ object TextPipeline {
         count(lit(1)).as("n_tokens"))
       .orderBy("doc_id")
 
+  /** Gopher-style document quality rules in exact arithmetic — the
+    * rule-based curation filter (word-count bounds, mean-word-length
+    * band, max-token-repetition cap) every large text pipeline runs
+    * before anything model-based. All metrics are integers or floored
+    * integer-scaled ratios, so the verdict is bit-identical across
+    * engines: mean word length ×100 uses the single-space-join identity
+    * `Σ len(w) = n_chars − (n_words − 1)`, and the floored small-integer
+    * divisions cannot straddle an integer boundary in IEEE doubles
+    * (numerator/denominator < 2⁵³, gap ≥ 1/denominator ≫ ulp).
+    *
+    * Scale: one token explode feeding one (doc, token) partial+final
+    * count and a per-doc max — the same shuffle key throughout — plus a
+    * narrow doc-level projection. */
+  def gopherRules(documents: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = documents.select(
+      col(idCol).as("doc_id"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      size(toks(col(textCol))).cast("long").as("n_words"))
+    val maxTf = documents
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("max_tf"))
+    base.join(maxTf, "doc_id")
+      .withColumn("mean_len_x100",
+        floor(lit(100.0) * (col("n_chars") - col("n_words") + 1) / col("n_words")).cast("long"))
+      .withColumn("rep_x10000",
+        floor(lit(10000.0) * col("max_tf") / col("n_words")).cast("long"))
+      .withColumn("keep",
+        col("n_words").between(5, 1000) &&
+        col("mean_len_x100").between(300, 1000) &&
+        col("rep_x10000") < 2000)
+      .select("doc_id", "n_words", "mean_len_x100", "rep_x10000", "keep")
+      .orderBy("doc_id")
+  }
+
   /** Exact-integer TF-IDF: top-k terms per document scored
     * `tf * ((1_000_000 * N) / df rounded down)` — every intermediate is
     * BIGINT (the division is one exact double op on values < 2^53, then
@@ -307,6 +342,7 @@ object TextPipeline {
       dedupClusters(Tables.documents(s, d), "doc_id", "text", 0.9)
         .orderBy("id")),
     "q_tfidf" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", 3)),
+    "q_gopher_rules" -> ((s, d) => gopherRules(Tables.documents(s, d), "doc_id", "text")),
   )
 
   private def sigList(sig: Seq[String]): String = sig.map(t => s"'$t'").mkString("(", ",", ")")
@@ -381,6 +417,26 @@ object TextPipeline {
         |        generate_subscripts(string_split(text, ' '), 1) AS pos
         |      FROM documents)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |         len(string_split(text, ' ')) AS n_words
+        |  FROM documents),
+        |mtf AS (
+        |  SELECT doc_id, max(c) AS max_tf FROM (
+        |    SELECT doc_id, token, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |    GROUP BY doc_id, token)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_words,
+        |  CAST(floor(100.0 * (b.n_chars - b.n_words + 1) / b.n_words) AS BIGINT) AS mean_len_x100,
+        |  CAST(floor(10000.0 * m.max_tf / b.n_words) AS BIGINT) AS rep_x10000,
+        |  (b.n_words BETWEEN 5 AND 1000
+        |    AND CAST(floor(100.0 * (b.n_chars - b.n_words + 1) / b.n_words) AS BIGINT) BETWEEN 300 AND 1000
+        |    AND CAST(floor(10000.0 * m.max_tf / b.n_words) AS BIGINT) < 2000) AS keep
+        |FROM base b JOIN mtf m USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_tfidf" ->
       """WITH tokens AS (
