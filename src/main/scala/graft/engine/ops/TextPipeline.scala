@@ -292,6 +292,54 @@ object TextPipeline {
       .orderBy("doc_id", "rk")
   }
 
+  /** Data-mixture report: per-(dims) document and token accounting with
+    * corpus shares in exact parts-per-million — the mixture table a
+    * training run is configured from. One hash aggregate plus a
+    * broadcast of the two-value totals row; shares are floored
+    * integer-scaled ratios (engine-stable like gopherRules). */
+  def mixtureReport(documents: DataFrame, idCol: String, textCol: String,
+                    dims: Seq[String]): DataFrame = {
+    val base = documents.select(
+      col(idCol).as("doc_id") +: size(toks(col(textCol))).cast("long").as("n_toks") +:
+        dims.map(col): _*)
+    val grouped = base.groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+    val totals = base.agg(count(lit(1)).as("t_docs"), sum("n_toks").as("t_tokens"))
+    grouped.crossJoin(broadcast(totals))
+      .select(dims.map(col) ++ Seq(
+        col("n_docs"), col("n_tokens"),
+        floor(lit(1000000.0) * col("n_docs") / col("t_docs")).cast("long").as("doc_ppm"),
+        floor(lit(1000000.0) * col("n_tokens") / col("t_tokens")).cast("long").as("token_ppm")): _*)
+      .orderBy(dims.map(col): _*)
+  }
+
+  /** Benchmark-contamination detection: flag corpus documents sharing at
+    * least `minShared` distinct word n-gram shingles with any benchmark
+    * document — the eval-decontamination pass a training corpus needs.
+    * The benchmark shingle set is small by construction, so it
+    * broadcasts and the corpus side never shuffles for the probe; the
+    * per-(doc, bench) overlap count is an ordinary partial+final
+    * aggregate. Exact (no hashing), hence oracle-checkable. */
+  def contamination(corpus: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+                    n: Int = 3, minShared: Int = 2): DataFrame = {
+    require(n == 3, "fixture contract pins 3-token shingles")
+    def shingles(c: Column): Column = {
+      val t = toks(c)
+      when(size(t) >= n,
+        array_distinct(transform(sequence(lit(1), size(t) - (n - 1)), i =>
+          concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val cs = corpus.select(col(idCol).as("doc_id"), explode(shingles(col(textCol))).as("sh"))
+    val bs = benchmark.select(col(benchIdCol).as("bench_id"),
+      explode(shingles(col(benchTextCol))).as("sh"))
+    cs.join(broadcast(bs), "sh")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** Near-dup detection: exact token-set Jaccard over candidate pairs
     * blocked on `blockCols`. n = 1 (token sets) in the fixture binding
     * because its near-dups are token-shuffles — order-sensitive shingles
@@ -343,6 +391,13 @@ object TextPipeline {
         .orderBy("id")),
     "q_tfidf" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", 3)),
     "q_gopher_rules" -> ((s, d) => gopherRules(Tables.documents(s, d), "doc_id", "text")),
+    "q_mix_report" -> ((s, d) =>
+      mixtureReport(Tables.documents(s, d), "doc_id", "text", Seq("source", "lang"))),
+    "q_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      contamination(docs.filter(col("doc_id") >= 10), "doc_id", "text",
+        docs.filter(col("doc_id") < 10), "doc_id", "text")
+    }),
   )
 
   private def sigList(sig: Seq[String]): String = sig.map(t => s"'$t'").mkString("(", ",", ")")
@@ -417,6 +472,35 @@ object TextPipeline {
         |        generate_subscripts(string_split(text, ' '), 1) AS pos
         |      FROM documents)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_mix_report" ->
+      """WITH base AS (
+        |  SELECT source, lang, len(string_split(text, ' ')) AS n_toks FROM documents),
+        |g AS (SELECT source, lang, count(*) AS n_docs,
+        |        CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |      FROM base GROUP BY source, lang),
+        |t AS (SELECT count(*) AS t_docs, CAST(sum(n_toks) AS BIGINT) AS t_tokens FROM base)
+        |SELECT g.source, g.lang, g.n_docs, g.n_tokens,
+        |  CAST(floor(1000000.0 * g.n_docs / t.t_docs) AS BIGINT) AS doc_ppm,
+        |  CAST(floor(1000000.0 * g.n_tokens / t.t_tokens) AS BIGINT) AS token_ppm
+        |FROM g CROSS JOIN t
+        |ORDER BY source, lang""".stripMargin,
+
+    "q_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1] || ' ' ||
+        |           string_split(text, ' ')[i+2]))) AS s
+        |  FROM documents),
+        |cs AS (SELECT doc_id, s FROM sh WHERE doc_id >= 10),
+        |bs AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 10)
+        |SELECT cs.doc_id, bs.bench_id, count(*) AS n_shared
+        |FROM cs JOIN bs USING (s)
+        |GROUP BY cs.doc_id, bs.bench_id
+        |HAVING count(*) >= 2
+        |ORDER BY doc_id, bench_id""".stripMargin,
 
     "q_gopher_rules" ->
       """WITH base AS (
