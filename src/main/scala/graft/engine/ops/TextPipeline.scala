@@ -292,6 +292,26 @@ object TextPipeline {
       .orderBy("doc_id", "rk")
   }
 
+  /** Fixed-size token chunking with overlap — the RAG / sequence-packing
+    * primitive: each document becomes ⌈n/stride⌉ chunks of up to
+    * `chunkSize` tokens starting every `chunkSize − overlap` tokens.
+    * Pure generator shape (stepped `sequence` + `posexplode` + `slice`):
+    * narrow, no shuffle, chunk text rebuilt executor-side. */
+  def chunkDocuments(documents: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap < chunkSize, "overlap must be smaller than the chunk")
+    val stride = chunkSize - overlap
+    documents
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("t"))
+      .select(col("doc_id"), col("t"),
+        posexplode(sequence(lit(1), size(col("t")), lit(stride))).as(Seq("p", "start")))
+      .select(
+        col("doc_id"), (col("p") + 1).cast("long").as("chunk_idx"),
+        size(slice(col("t"), col("start"), lit(chunkSize))).cast("long").as("n_toks"),
+        concat_ws(" ", slice(col("t"), col("start"), lit(chunkSize))).as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Data-mixture report: per-(dims) document and token accounting with
     * corpus shares in exact parts-per-million — the mixture table a
     * training run is configured from. One hash aggregate plus a
@@ -393,6 +413,8 @@ object TextPipeline {
     "q_gopher_rules" -> ((s, d) => gopherRules(Tables.documents(s, d), "doc_id", "text")),
     "q_mix_report" -> ((s, d) =>
       mixtureReport(Tables.documents(s, d), "doc_id", "text", Seq("source", "lang"))),
+    "q_chunk" -> ((s, d) =>
+      chunkDocuments(Tables.documents(s, d), "doc_id", "text", chunkSize = 32, overlap = 8)),
     "q_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       contamination(docs.filter(col("doc_id") >= 10), "doc_id", "text",
@@ -472,6 +494,17 @@ object TextPipeline {
         |        generate_subscripts(string_split(text, ' '), 1) AS pos
         |      FROM documents)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, t,
+        |        unnest(range(1, len(t) + 1, 24)) AS start,
+        |        generate_subscripts(range(1, len(t) + 1, 24), 1) AS chunk_idx
+        |      FROM d)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  len(list_slice(t, start, least(start + 31, len(t)))) AS n_toks,
+        |  array_to_string(list_slice(t, start, least(start + 31, len(t))), ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_mix_report" ->
       """WITH base AS (
