@@ -77,6 +77,48 @@ class ApiSpec extends SparkSuite {
       s"df=1 terms must outscore the df=3 stopword: $top")
   }
 
+  test("chunkDocuments covers every token and repeats exactly the overlap") {
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val df = Seq((7L, text)).toDF("id", "body")
+    val chunks = TextPipeline.chunkDocuments(df, "id", "body", chunkSize = 32, overlap = 8)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // starts at 1, 25, 49, 73, 97 → 5 chunks; last has 4 tokens
+    assert(chunks.map(_._2) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(chunks.map(_._3) == Seq(32L, 32L, 32L, 28L, 4L))
+    // every source token appears; consecutive chunks share exactly 8
+    val toksSeen = chunks.flatMap(_._4.split(" ")).toSet
+    assert(toksSeen == (1 to 100).map(i => s"w$i").toSet)
+    chunks.sliding(2).foreach {
+      case Seq(a, b) =>
+        val shared = a._4.split(" ").toSet.intersect(b._4.split(" ").toSet)
+        assert(shared.size == math.min(8, b._3).toInt, s"overlap ${shared.size}")
+      case _ => ()
+    }
+  }
+
+  test("contamination flags an exact benchmark copy and ignores disjoint docs") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("bid", "btext")
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"), // exact copy → 4 shared shingles
+      (200L, "alpha beta unrelated gamma delta"),    // only 1 shared shingle → below threshold
+      (300L, "totally different words entirely here")
+    ).toDF("cid", "ctext")
+    val hits = TextPipeline.contamination(corpus, "cid", "ctext", bench, "bid", "btext")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(hits == Seq((100L, 1L, 4L)), s"got $hits")
+  }
+
+  test("mixtureReport shares sum to ~1e6 and totals conserve the corpus") {
+    val df = Seq(
+      (1L, "a b c", "web"), (2L, "d e", "web"), (3L, "f g h i", "books")
+    ).toDF("id", "body", "src")
+    val rep = TextPipeline.mixtureReport(df, "id", "body", Seq("src"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(rep.map(_._2).sum == 3 && rep.map(_._3).sum == 9)
+    val ppmSum = rep.map(_._4).sum
+    assert(ppmSum >= 999998 && ppmSum <= 1000000, s"doc ppm sum $ppmSum")
+  }
+
   test("simhash64 and minhash_sig compose on any frame via plain SQL") {
     graft.engine.functions.GraftFunctions.register(spark)
     val df = Seq((1L, "x y z"), (2L, "z y x"), (3L, "p q r")).toDF("id", "t")
