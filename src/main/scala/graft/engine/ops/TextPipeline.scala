@@ -312,6 +312,25 @@ object TextPipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Sequence packing: assign each chunk to a fixed-token-budget training
+    * sequence, greedily in chunk order within its document. `seq_id` is
+    * `(cumulative tokens before me) div budget` over a per-document
+    * running sum — exact integer arithmetic, one window sorted the same
+    * way the chunker emits. Packing is per-document on purpose: a global
+    * packer is a single-partition window (a scale cliff), while per-doc
+    * packing distributes by the same key as every other doc-wise stage
+    * and wastes at most one partial sequence per document. */
+  def packSequences(chunks: DataFrame, docCol: String, idxCol: String,
+                    nToksCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(docCol).orderBy(col(idxCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("cum", sum(col(nToksCol)).over(w))
+      .select(col(docCol), col(idxCol), col(nToksCol),
+        floor((col("cum") - col(nToksCol)).cast("double") / budget).cast("long").as("seq_id"))
+      .orderBy(docCol, idxCol)
+  }
+
   /** Data-mixture report: per-(dims) document and token accounting with
     * corpus shares in exact parts-per-million — the mixture table a
     * training run is configured from. One hash aggregate plus a
@@ -415,6 +434,11 @@ object TextPipeline {
       mixtureReport(Tables.documents(s, d), "doc_id", "text", Seq("source", "lang"))),
     "q_chunk" -> ((s, d) =>
       chunkDocuments(Tables.documents(s, d), "doc_id", "text", chunkSize = 32, overlap = 8)),
+    "q_pack" -> ((s, d) =>
+      packSequences(
+        chunkDocuments(Tables.documents(s, d), "doc_id", "text", 32, 8)
+          .select("doc_id", "chunk_idx", "n_toks"),
+        "doc_id", "chunk_idx", "n_toks", budget = 64)),
     "q_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       contamination(docs.filter(col("doc_id") >= 10), "doc_id", "text",
@@ -505,6 +529,21 @@ object TextPipeline {
         |  len(list_slice(t, start, least(start + 31, len(t)))) AS n_toks,
         |  array_to_string(list_slice(t, start, least(start + 31, len(t))), ' ') AS chunk_text
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_pack" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, t,
+        |        unnest(range(1, len(t) + 1, 24)) AS start,
+        |        generate_subscripts(range(1, len(t) + 1, 24), 1) AS chunk_idx
+        |      FROM d),
+        |c AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |        len(list_slice(t, start, least(start + 31, len(t)))) AS n_toks
+        |      FROM s)
+        |SELECT doc_id, chunk_idx, n_toks,
+        |  CAST(floor(CAST(sum(n_toks) OVER (PARTITION BY doc_id ORDER BY chunk_idx ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS DOUBLE)
+        |       / 64) AS BIGINT) AS seq_id
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_mix_report" ->
       """WITH base AS (
