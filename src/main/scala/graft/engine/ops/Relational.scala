@@ -96,6 +96,20 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Error-tolerant scalar surface: `try_cast` / `try_divide` /
+    * `try_element_at` return NULL where strict evaluation would raise —
+    * the semantics malformed records demand at 100 TB (one bad row must
+    * not kill a stage). DuckDB's default division-by-zero → NULL and
+    * TRY_CAST line up exactly, so the whole query is oracle-checkable. */
+  private val qTryFuncs: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      expr("try_cast(o_orderpriority AS INT)").as("prio_int"),
+      expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)").as("prio_num"),
+      expr("try_divide(o_totalprice, CAST(o_custkey % 3 AS DOUBLE))").as("ratio"),
+      expr("try_element_at(array(o_orderkey, o_custkey), CAST(o_custkey % 3 AS INT) + 1)").as("oob"))
+      .orderBy("o_orderkey")
+
   /** FULL OUTER join with genuinely unmatched rows on BOTH sides
     * (BUILDING-segment customers vs urgent-order counts): the
     * null-completion semantics left/right joins can't express. The
@@ -408,6 +422,7 @@ object Relational {
     "q_filter_in_like_between" -> qFilterInLikeBetween,
     "q_join_inner" -> qJoinInner, "q_join_left" -> qJoinLeft,
     "q_join_full" -> qJoinFull, "q_higher_order" -> qHigherOrder,
+    "q_try_funcs" -> qTryFuncs,
     "q_join_semi" -> qJoinSemi, "q_join_anti" -> qJoinAnti,
     "q_join_nonequi" -> qJoinNonequi, "q_join_cross" -> qJoinCross,
     "q_join_multi" -> qJoinMulti, "q_join_broadcast" -> qJoinBroadcast,
@@ -486,6 +501,14 @@ object Relational {
         |           WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) o
         |  ON c.c_custkey = o.o_custkey
         |ORDER BY k""".stripMargin,
+
+    "q_try_funcs" ->
+      """SELECT o_orderkey,
+        |  TRY_CAST(o_orderpriority AS INT) AS prio_int,
+        |  TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+        |  o_totalprice / CAST(o_custkey % 3 AS DOUBLE) AS ratio,
+        |  ([o_orderkey, o_custkey])[CAST(o_custkey % 3 AS INT) + 1] AS oob
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_higher_order" ->
       """SELECT vec_id,
