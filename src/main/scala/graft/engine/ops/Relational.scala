@@ -324,6 +324,24 @@ object Relational {
     withOrders.except(auto).orderBy("c_custkey")
   }
 
+  /** Bag (ALL) set semantics: multiplicities are preserved — the
+    * INTERSECT ALL / EXCEPT ALL pair completing the distinct variants
+    * above. Aggregated to (key, count) so the oracle sort is total. */
+  private val qSetIntersectAll: Q = (s, d) => {
+    val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("k"))
+    val high = Tables.orders(s, d).filter(col("o_orderpriority") === "2-HIGH")
+      .select(col("o_custkey").as("k"))
+    urgent.intersectAll(high).groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+  }
+
+  private val qSetExceptAll: Q = (s, d) => {
+    val all = Tables.orders(s, d).select(col("o_custkey").as("k"))
+    val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("k"))
+    all.exceptAll(urgent).groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+  }
+
   // ------------------------------------------------- H. scalar fns & more
   private val qStrFuncs: Q = (s, d) =>
     Tables.part(s, d).select(
@@ -435,6 +453,7 @@ object Relational {
     "q_sort_multi" -> qSortMulti, "q_topk" -> qTopk,
     "q_set_union_all" -> qSetUnionAll, "q_set_union_distinct" -> qSetUnionDistinct,
     "q_set_intersect" -> qSetIntersect, "q_set_except" -> qSetExcept,
+    "q_set_intersect_all" -> qSetIntersectAll, "q_set_except_all" -> qSetExceptAll,
     "q_str_funcs" -> qStrFuncs, "q_regexp" -> qRegexp,
     "q_date_funcs" -> qDateFuncs, "q_math_funcs" -> qMathFuncs,
     "q_case_cast" -> qCaseCast, "q_array_funcs" -> qArrayFuncs,
@@ -655,6 +674,20 @@ object Relational {
         |INTERSECT
         |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_set_intersect_all" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT ALL
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '2-HIGH')
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "q_set_except_all" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT o_custkey AS k FROM orders
+        |  EXCEPT ALL
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY k ORDER BY k""".stripMargin,
 
     "q_set_except" ->
       """SELECT o_custkey AS c_custkey FROM orders
