@@ -91,4 +91,24 @@ class PropertySpec extends SparkSuite {
       a == b // invariant to physical layout — TABLESAMPLE is not
     })
   }
+
+  test("chunking covers every token exactly once per stride window; packing respects the budget") {
+    val docGen = Gen.chooseNum(1, 120).map(n => (1 to n).map(i => s"t$i").mkString(" "))
+    check("chunk+pack", 5)(Prop.forAll(Gen.listOfN(4, docGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "body")
+      val chunks = TextPipeline.chunkDocuments(df, "id", "body", chunkSize = 32, overlap = 8)
+      val back = chunks.as[(Long, Long, Long, String)].collect()
+      // coverage: the union of chunk tokens equals the source tokens
+      val covered = back.groupBy(_._1).view.mapValues(_.flatMap(_._4.split(" ")).toSet).toMap
+      val src = texts.zipWithIndex.map { case (t, i) => i.toLong -> t.split(" ").toSet }.toMap
+      val coverageOk = src.forall { case (id, toks) => covered.get(id).contains(toks) }
+      // packing: no sequence exceeds budget + one straddling chunk
+      val packed = TextPipeline.packSequences(
+          chunks.select("doc_id", "chunk_idx", "n_toks"), "doc_id", "chunk_idx", "n_toks", 64)
+        .as[(Long, Long, Long, Long)].collect()
+      val budgetOk = packed.groupBy(p => (p._1, p._4)).values
+        .forall(_.map(_._3).sum < 64 + 32)
+      coverageOk && budgetOk
+    })
+  }
 }
