@@ -312,6 +312,24 @@ object TextPipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Deterministic train/val/test split by multiplicative key hash
+    * (80/10/10): the split is a pure function of the key — stable under
+    * any partitioning, repartitioning, or re-run, unlike seeded
+    * `randomSplit` whose outcome depends on physical layout. Returns
+    * per-(split, dims) doc and token counts — the split manifest. */
+  def assignSplits(documents: DataFrame, idCol: String, textCol: String,
+                   dims: Seq[String]): DataFrame = {
+    val bucket = pmod(pmod(col(idCol) * lit(2654435761L), lit(4294967296L)), lit(100))
+    documents
+      .select(col(idCol) +: size(toks(col(textCol))).cast("long").as("n_toks") +:
+        dims.map(col): _*)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split") +: dims.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+      .orderBy(col("split") +: dims.map(col): _*)
+  }
+
   /** Sequence packing: assign each chunk to a fixed-token-budget training
     * sequence, greedily in chunk order within its document. `seq_id` is
     * `(cumulative tokens before me) div budget` over a per-document
@@ -434,6 +452,8 @@ object TextPipeline {
       mixtureReport(Tables.documents(s, d), "doc_id", "text", Seq("source", "lang"))),
     "q_chunk" -> ((s, d) =>
       chunkDocuments(Tables.documents(s, d), "doc_id", "text", chunkSize = 32, overlap = 8)),
+    "q_split" -> ((s, d) =>
+      assignSplits(Tables.documents(s, d), "doc_id", "text", Seq("lang"))),
     "q_pack" -> ((s, d) =>
       packSequences(
         chunkDocuments(Tables.documents(s, d), "doc_id", "text", 32, 8)
@@ -529,6 +549,16 @@ object TextPipeline {
         |  len(list_slice(t, start, least(start + 31, len(t)))) AS n_toks,
         |  array_to_string(list_slice(t, start, least(start + 31, len(t))), ' ') AS chunk_text
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_split" ->
+      """WITH b AS (
+        |  SELECT lang, len(string_split(text, ' ')) AS n_toks,
+        |    CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |         WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
     "q_pack" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
