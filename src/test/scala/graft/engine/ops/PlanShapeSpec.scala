@@ -165,6 +165,17 @@ class PlanShapeSpec extends SparkSuite {
       l.contains("HashAggregate") || l.contains("SortAggregate")) >= 4, p.take(1500))
   }
 
+  test("q_contamination broadcasts the benchmark shingle set") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n${p.take(1500)}")
+  }
+
+  test("q_pack shuffles once: the per-document window is the only keyed exchange") {
+    val p = plan("q_pack")
+    val keyed = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyed == 1, s"chunk generation must stay narrow:\n${p.take(1500)}")
+  }
+
   test("q_tfidf: token tf and df aggregations both run partial+final (no raw-token shuffle)") {
     val p = plan("q_tfidf")
     // every exploded token row must hit a partial HashAggregate before
