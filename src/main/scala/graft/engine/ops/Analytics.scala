@@ -422,6 +422,16 @@ object Analytics {
            count(lit(1)).as("n_rows"))
       .orderBy("l_linestatus")
 
+  /** Bitwise aggregates (bit_and / bit_or / bit_xor) per group — exact
+    * integer semantics, identical across engines. */
+  private val qBitAgg: Q = (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_linestatus")
+      .agg(bit_and(col("l_orderkey")).as("k_and"),
+           bit_or(col("l_orderkey")).as("k_or"),
+           bit_xor(col("l_orderkey")).as("k_xor"),
+           count(lit(1)).as("n"))
+      .orderBy("l_linestatus")
+
   /** Exact distinct-count via mergeable roaring-style bitmaps — the
     * 100 TB distinct pattern: per-(group, 32k-bucket) bitmaps build with
     * partial aggregation on every executor, OR-merge in one shuffle, and
@@ -453,6 +463,7 @@ object Analytics {
 
   val queries: Map[String, Q] = Map(
     "q_bitmap_distinct" -> qBitmapDistinct, "q_agg_hll_sketch" -> qAggHllSketch,
+    "q_bit_agg" -> qBitAgg,
     "q_skew_join" -> qSkewJoin, "q_agg_misc" -> qAggMisc,
     "q_pivot" -> qPivot, "q_unpivot" -> qUnpivot,
     "q_sample_hash" -> qSampleHash, "q_agg_percentile" -> qAggPercentile,
@@ -473,6 +484,12 @@ object Analytics {
   }.mkString(",\n  ")
 
   val oracle: Map[String, String] = Map(
+    "q_bit_agg" ->
+      """SELECT l_linestatus,
+        |  bit_and(l_orderkey) AS k_and, bit_or(l_orderkey) AS k_or,
+        |  bit_xor(l_orderkey) AS k_xor, count(*) AS n
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
     // the bitmap rollup is exact, so the oracle is a plain distinct count
     "q_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
