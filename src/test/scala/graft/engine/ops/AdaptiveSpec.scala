@@ -1,0 +1,44 @@
+package graft.engine.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Runtime re-planning guarantees: AQE must split skewed join partitions
+  * at execution time — the safety net under every shuffle join at 100 TB
+  * when a hot key slips past manual salting. */
+class AdaptiveSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // tiny thresholds so the fixture-scale hot key counts as skewed
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 95% of the left side lands on key 0 → one huge shuffle partition
+      val left = spark.range(0, 200000)
+        .select(when(col("id") % 20 =!= 0, 0L).otherwise(col("id")).as("k"),
+                col("id").as("v"))
+      val right = spark.range(0, 5000)
+        .select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = left.join(right, "k").groupBy(lit(1)).agg(count(lit(1)).as("n"))
+      // execute THIS QueryExecution, then read its (now final) adaptive plan
+      val rows = j.collect()
+      assert(rows.nonEmpty && rows(0).getLong(1) > 0)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true") && finalPlan.contains("AQEShuffleRead skewed"),
+        s"AQE skew-join split expected in the final plan:\n${finalPlan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
