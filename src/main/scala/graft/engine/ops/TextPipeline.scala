@@ -298,10 +298,11 @@ object TextPipeline {
     * Pure generator shape (stepped `sequence` + `posexplode` + `slice`):
     * narrow, no shuffle, chunk text rebuilt executor-side. */
   def chunkDocuments(documents: DataFrame, idCol: String, textCol: String,
-                     chunkSize: Int, overlap: Int): DataFrame = {
+                     chunkSize: Int, overlap: Int,
+                     ordered: Boolean = true): DataFrame = {
     require(overlap < chunkSize, "overlap must be smaller than the chunk")
     val stride = chunkSize - overlap
-    documents
+    val chunks = documents
       .select(col(idCol).as("doc_id"), toks(col(textCol)).as("t"))
       .select(col("doc_id"), col("t"),
         posexplode(sequence(lit(1), size(col("t")), lit(stride))).as(Seq("p", "start")))
@@ -309,7 +310,10 @@ object TextPipeline {
         col("doc_id"), (col("p") + 1).cast("long").as("chunk_idx"),
         size(slice(col("t"), col("start"), lit(chunkSize))).cast("long").as("n_toks"),
         concat_ws(" ", slice(col("t"), col("start"), lit(chunkSize))).as("chunk_text"))
-      .orderBy("doc_id", "chunk_idx")
+    // ordered=false keeps the transform fully narrow — required for
+    // streaming frames (global sort is unsupported there) and for
+    // callers that feed another keyed stage anyway
+    if (ordered) chunks.orderBy("doc_id", "chunk_idx") else chunks
   }
 
   /** Deterministic train/val/test split by multiplicative key hash

@@ -205,6 +205,28 @@ class StreamingSpec extends SparkSuite {
       s"near-dups must collapse within and across batches: $out")
   }
 
+  // s_stream_chunk: the batch curation ops compose unchanged on streams
+  test("s_stream_chunk: batch chunker runs on a streaming frame (narrow, append mode)") {
+    val in = MemoryStream[Doc](spark)
+    val out = mutable.ArrayBuffer[(Long, Long, Long)]()
+    val chunked = graft.engine.ops.TextPipeline.chunkDocuments(
+      in.toDF(), "doc_id", "text", chunkSize = 4, overlap = 1, ordered = false)
+    val q = chunked.writeStream
+      .option("checkpointLocation", tmpDir("streamchunk"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.select("doc_id", "chunk_idx", "n_toks")
+            .as[(Long, Long, Long)].collect()
+        }
+        ()
+      }.start()
+    in.addData(Doc(1, ts(1), (1 to 10).map(i => s"w$i").mkString(" ")))
+    q.processAllAvailable(); q.stop()
+    // 10 tokens, size 4, stride 3 → starts 1,4,7,10 → lengths 4,4,4,1
+    assert(out.sortBy(_._2).toSeq ==
+      Seq((1L, 1L, 4L), (1L, 2L, 4L), (1L, 3L, 4L), (1L, 4L, 1L)), s"got $out")
+  }
+
   // s_stream_static_join
   test("s_stream_static_join: stream enriched against a static dimension") {
     val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("user_id", "tier")
