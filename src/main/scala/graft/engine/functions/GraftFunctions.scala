@@ -25,7 +25,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => SimHash64(children(0))),
     (FunctionIdentifier("hyperplane_sig64"),
       new ExpressionInfo(classOf[HyperplaneSig64].getName, "hyperplane_sig64"),
-      (children: Seq[Expression]) => HyperplaneSig64(children(0))))
+      (children: Seq[Expression]) => HyperplaneSig64(children(0))),
+    (FunctionIdentifier("poly_hash31"),
+      new ExpressionInfo(classOf[PolyHash31].getName, "poly_hash31"),
+      (children: Seq[Expression]) => PolyHash31(children(0))))
 
   /** Register the engine functions into a session (idempotent). */
   def register(spark: SparkSession): Unit = registry.foreach { case (ident, info, builder) =>

@@ -142,6 +142,26 @@ class FunctionsSpec extends SparkSuite {
     assert(referenceSignature(a ++ b) == sa.zip(sb).map(t => math.min(t._1, t._2)))
   }
 
+  test("poly_hash31 pins the cross-engine fold value and handles unicode/empty/null") {
+    GraftFunctions.register(spark)
+    // value pinned against DuckDB's list_reduce over unicode code points:
+    // fold (h*31 + cp) % (2^31-1) over 'hello' = 99162322
+    assert(spark.sql("SELECT poly_hash31('hello')").head().getLong(0) == 99162322L)
+    assert(spark.sql("SELECT poly_hash31('')").head().getLong(0) == 0L)
+    assert(spark.sql("SELECT poly_hash31(CAST(NULL AS STRING))").head().isNullAt(0))
+    // multi-byte path folds code points, matching unicode() semantics
+    val snowman = spark.sql("SELECT poly_hash31('a☃b')").head().getLong(0)
+    val expected = Seq('a'.toLong, 0x2603L, 'b'.toLong)
+      .foldLeft(0L)((h, cp) => (h * 31 + cp) % 2147483647L)
+    assert(snowman == expected)
+    // range contract: always in [0, 2^31-1)
+    val rnd = new scala.util.Random(16)
+    val words = Seq.fill(200)(rnd.alphanumeric.take(rnd.nextInt(12) + 1).mkString)
+    val vals = words.toDF("w")
+      .select(call_function("poly_hash31", col("w"))).as[Long].collect()
+    assert(vals.forall(v => v >= 0 && v < 2147483647L))
+  }
+
   /** Per-bit majority vote, the definitional SimHash. */
   private def referenceSimhash(hashes: Array[Long]): Long =
     (0 until 64).foldLeft(0L) { (sig, p) =>
