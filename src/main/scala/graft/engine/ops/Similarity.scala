@@ -295,6 +295,19 @@ object Similarity {
   }
 
   // ------------------------------------------------------------- SimHash
+  /** Engine-neutral 63-bit token-hash multiset for SimHash: widen
+    * poly_hash31 (31 bits — raw, it would zero signature bits 31–63 and
+    * DEGENERATE two pigeonhole chunks into all-pairs joins) to
+    * `h·2³² + (h·2654435761) mod 2³²`. Bits 32–62 carry the raw hash,
+    * bits 0–31 its Knuth multiplicative mix; bit 63 stays 0, so every
+    * step fits BIGINT exactly (DuckDB errors on overflow — silent wrap
+    * is not an option) and values are nonnegative on both engines. Two
+    * nested transforms so the inner hash evaluates once per token. */
+  def tokenHash64(textCol: Column): Column =
+    transform(
+      transform(split(textCol, " "), t => call_function("poly_hash31", t)),
+      h => h * 4294967296L + pmod(h * 2654435761L, lit(4294967296L)))
+
   /** 64-bit SimHash near-dup; candidates blocked by LSH on 16-bit chunks
     * (two docs within hamming `maxHamming` ≤ 3 of each other must agree
     * exactly on ≥ 1 of the 4 chunks — pigeonhole), then verified by
@@ -307,11 +320,14 @@ object Similarity {
     // pass, int[64] counters — see SimHash64): no explode, no
     // aggregation shuffle, and none of the 16-bit lane-packing carry
     // hazard the aggregate formulation needed to guard (correct to 2^31
-    // tokens/doc structurally). Bit-identical to the packed-lane
-    // two-stage aggregate it replaced (property-tested).
+    // tokens/doc structurally). Tokens hash through tokenHash64 (the
+    // engine-neutral widened poly hash) so every signature bit is
+    // replicable in DuckDB SQL — q_dedup_simhash is value-oracled, not
+    // rows-only — and values stay nonnegative, keeping the per-bit
+    // shifts sign-free on both engines.
     val sigs = documents.select(col(idCol).as("doc_id"),
       GraftFunctions.simhash64(documents.sparkSession,
-        transform(split(col(textCol), " "), t => xxhash64(t))).as("simhash"))
+        tokenHash64(col(textCol))).as("simhash"))
     // one explode per sig row, not a 4-way unionAll recomputing the 64-bit
     // aggregation per chunk
     val chunks = sigs.select(col("doc_id"), col("simhash"),
@@ -399,6 +415,42 @@ object Similarity {
     * generate_subscripts and accumulates in DOUBLE, mirroring the Spark
     * fold; ROUND(,4) absorbs sub-ulp association differences. */
   val oracle: Map[String, String] = Map(
+    // Full replication of the SimHash pipeline: same widened poly token
+    // hashes (tokenHash64), per-bit majority vote via a range(64) cross
+    // join, 16-bit pigeonhole chunk blocking, popcount verification.
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_transform(string_split(text, ' '),
+        |        tok -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                 list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |               (a, b) -> (a * 31 + b) % 2147483647)),
+        |      h -> h * 4294967296 + (h * 2654435761) % 4294967296) AS hs
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, p, sum((h >> CAST(p AS INT)) & 1) AS ones, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(hs) AS h FROM toks), range(64) t(p)
+        |  GROUP BY doc_id, p),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN 2 * ones > n
+        |             THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits WHERE p < 63 GROUP BY doc_id),
+        |chunks AS (
+        |  SELECT doc_id, simhash, k AS chunk,
+        |    (simhash >> CAST(k * 16 AS INT)) & 65535 AS ckey
+        |  FROM sig, range(4) t(k)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
+        |    x.simhash AS h1, y.simhash AS h2
+        |  FROM chunks x JOIN chunks y
+        |    ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.doc_id < y.doc_id)
+        |SELECT doc_id_1, doc_id_2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(h1, h2)) <= 3
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+
     // Full replication of the MinHash-LSH pipeline in DuckDB SQL — same
     // poly_hash31 token hashes (fold over code points), same affine
     // permutation constants (MinHashSignature seed 7), same fold band

@@ -152,7 +152,7 @@ object Streams {
     graft.engine.functions.GraftFunctions.register(docs.sparkSession)
     docs.withWatermark("ts", watermark)
       .withColumn("simhash", call_function("simhash64",
-        transform(split(col(textCol), " "), t => xxhash64(t))))
+        graft.engine.ops.Similarity.tokenHash64(col(textCol))))
       .dropDuplicatesWithinWatermark("simhash")
   }
 
