@@ -414,6 +414,74 @@ object Similarity {
     * side pairs list elements positionally via aligned unnest +
     * generate_subscripts and accumulates in DOUBLE, mirroring the Spark
     * fold; ROUND(,4) absorbs sub-ulp association differences. */
+  /** Shared DuckDB replication of the MinHash-LSH pipeline up to the
+    * verified pair set (`cross_pairs` ∪ `within_pairs`) — the prefix of
+    * the q_dedup_minhash oracle, reused by the survivors and clusters
+    * oracles in [[TextPipeline]]. Declared WITH RECURSIVE so consumers
+    * may append recursive CTEs (connected components). */
+  val minhashOracleCtes: String =
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id,
+      |    list_sort(list_distinct(list_transform(list_distinct(string_split(text, ' ')),
+      |      tok -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |               list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+      |             (a, b) -> (a * 31 + b) % 2147483647)))) AS hsh
+      |  FROM documents),
+      |grps AS (
+      |  SELECT min(doc_id) AS rep, list_sort(list(doc_id)) AS members, hsh
+      |  FROM docs GROUP BY hsh),
+      |sig AS (
+      |  SELECT rep,
+      |    min((h * 1718262968 + 2113260563) % 2305843009213693951) AS m0,
+      |    min((h * 804122738 + 1987956716) % 2305843009213693951) AS m1,
+      |    min((h * 62260124 + 672101282) % 2305843009213693951) AS m2,
+      |    min((h * 2122292658 + 444940935) % 2305843009213693951) AS m3,
+      |    min((h * 1516669673 + 142572806) % 2305843009213693951) AS m4,
+      |    min((h * 432731727 + 809228604) % 2305843009213693951) AS m5,
+      |    min((h * 538615714 + 157044814) % 2305843009213693951) AS m6,
+      |    min((h * 464598633 + 1672589343) % 2305843009213693951) AS m7,
+      |    min((h * 1449455743 + 657603831) % 2305843009213693951) AS m8,
+      |    min((h * 2010434989 + 353389187) % 2305843009213693951) AS m9,
+      |    min((h * 777315767 + 694219494) % 2305843009213693951) AS m10,
+      |    min((h * 1545948471 + 585783330) % 2305843009213693951) AS m11,
+      |    min((h * 927132535 + 11900405) % 2305843009213693951) AS m12,
+      |    min((h * 249906175 + 2008261607) % 2305843009213693951) AS m13,
+      |    min((h * 856329022 + 1492327925) % 2305843009213693951) AS m14,
+      |    min((h * 933082142 + 1634481595) % 2305843009213693951) AS m15
+      |  FROM (SELECT rep, unnest(hsh) AS h FROM grps) GROUP BY rep),
+      |banded AS (
+      |  SELECT rep, 0 AS band,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      [m0 % 2147483647, m1 % 2147483647, m2 % 2147483647, m3 % 2147483647,
+      |       m4 % 2147483647, m5 % 2147483647, m6 % 2147483647, m7 % 2147483647]),
+      |      (a, b) -> (a * 131 + b) % 2147483647) AS bkey
+      |  FROM sig
+      |  UNION ALL
+      |  SELECT rep, 1,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      [m8 % 2147483647, m9 % 2147483647, m10 % 2147483647, m11 % 2147483647,
+      |       m12 % 2147483647, m13 % 2147483647, m14 % 2147483647, m15 % 2147483647]),
+      |      (a, b) -> (a * 131 + b) % 2147483647)
+      |  FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT x.rep AS r1, y.rep AS r2
+      |  FROM banded x JOIN banded y
+      |    ON x.band = y.band AND x.bkey = y.bkey AND x.rep < y.rep),
+      |ver AS (
+      |  SELECT r1, r2, a.members AS ma, b.members AS mb,
+      |    round(CAST(len(list_intersect(a.hsh, b.hsh)) AS DOUBLE) /
+      |          (len(a.hsh) + len(b.hsh) - len(list_intersect(a.hsh, b.hsh))), 4) AS jaccard
+      |  FROM cand JOIN grps a ON a.rep = r1 JOIN grps b ON b.rep = r2),
+      |cross_pairs AS (
+      |  SELECT least(ta.a, tb.b) AS doc_id_1, greatest(ta.a, tb.b) AS doc_id_2, jaccard
+      |  FROM ver, unnest(ma) AS ta(a), unnest(mb) AS tb(b)
+      |  WHERE jaccard >= 0.9),
+      |within_pairs AS (
+      |  SELECT ta.a AS doc_id_1, tb.b AS doc_id_2, CAST(1.0 AS DOUBLE) AS jaccard
+      |  FROM (SELECT members FROM grps WHERE len(members) > 1) g,
+      |       unnest(g.members) AS ta(a), unnest(g.members) AS tb(b)
+      |  WHERE ta.a < tb.b)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // Full replication of the SimHash pipeline: same widened poly token
     // hashes (tokenHash64), per-bit majority vote via a range(64) cross
@@ -454,75 +522,16 @@ object Similarity {
     // Full replication of the MinHash-LSH pipeline in DuckDB SQL — same
     // poly_hash31 token hashes (fold over code points), same affine
     // permutation constants (MinHashSignature seed 7), same fold band
-    // keys, same exact-jaccard verification and pair expansion. Every
-    // intermediate is exact integer arithmetic, so the verified pair set
-    // is bit-identical by construction, not probabilistically.
-    "q_dedup_minhash" ->
-      """WITH docs AS (
-        |  SELECT doc_id,
-        |    list_sort(list_distinct(list_transform(list_distinct(string_split(text, ' ')),
-        |      tok -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |               list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
-        |             (a, b) -> (a * 31 + b) % 2147483647)))) AS hsh
-        |  FROM documents),
-        |grps AS (
-        |  SELECT min(doc_id) AS rep, list_sort(list(doc_id)) AS members, hsh
-        |  FROM docs GROUP BY hsh),
-        |sig AS (
-        |  SELECT rep,
-        |    min((h * 1718262968 + 2113260563) % 2305843009213693951) AS m0,
-        |    min((h * 804122738 + 1987956716) % 2305843009213693951) AS m1,
-        |    min((h * 62260124 + 672101282) % 2305843009213693951) AS m2,
-        |    min((h * 2122292658 + 444940935) % 2305843009213693951) AS m3,
-        |    min((h * 1516669673 + 142572806) % 2305843009213693951) AS m4,
-        |    min((h * 432731727 + 809228604) % 2305843009213693951) AS m5,
-        |    min((h * 538615714 + 157044814) % 2305843009213693951) AS m6,
-        |    min((h * 464598633 + 1672589343) % 2305843009213693951) AS m7,
-        |    min((h * 1449455743 + 657603831) % 2305843009213693951) AS m8,
-        |    min((h * 2010434989 + 353389187) % 2305843009213693951) AS m9,
-        |    min((h * 777315767 + 694219494) % 2305843009213693951) AS m10,
-        |    min((h * 1545948471 + 585783330) % 2305843009213693951) AS m11,
-        |    min((h * 927132535 + 11900405) % 2305843009213693951) AS m12,
-        |    min((h * 249906175 + 2008261607) % 2305843009213693951) AS m13,
-        |    min((h * 856329022 + 1492327925) % 2305843009213693951) AS m14,
-        |    min((h * 933082142 + 1634481595) % 2305843009213693951) AS m15
-        |  FROM (SELECT rep, unnest(hsh) AS h FROM grps) GROUP BY rep),
-        |banded AS (
-        |  SELECT rep, 0 AS band,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      [m0 % 2147483647, m1 % 2147483647, m2 % 2147483647, m3 % 2147483647,
-        |       m4 % 2147483647, m5 % 2147483647, m6 % 2147483647, m7 % 2147483647]),
-        |      (a, b) -> (a * 131 + b) % 2147483647) AS bkey
-        |  FROM sig
-        |  UNION ALL
-        |  SELECT rep, 1,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      [m8 % 2147483647, m9 % 2147483647, m10 % 2147483647, m11 % 2147483647,
-        |       m12 % 2147483647, m13 % 2147483647, m14 % 2147483647, m15 % 2147483647]),
-        |      (a, b) -> (a * 131 + b) % 2147483647)
-        |  FROM sig),
-        |cand AS (
-        |  SELECT DISTINCT x.rep AS r1, y.rep AS r2
-        |  FROM banded x JOIN banded y
-        |    ON x.band = y.band AND x.bkey = y.bkey AND x.rep < y.rep),
-        |ver AS (
-        |  SELECT r1, r2, a.members AS ma, b.members AS mb,
-        |    round(CAST(len(list_intersect(a.hsh, b.hsh)) AS DOUBLE) /
-        |          (len(a.hsh) + len(b.hsh) - len(list_intersect(a.hsh, b.hsh))), 4) AS jaccard
-        |  FROM cand JOIN grps a ON a.rep = r1 JOIN grps b ON b.rep = r2),
-        |cross_pairs AS (
-        |  SELECT least(ta.a, tb.b) AS doc_id_1, greatest(ta.a, tb.b) AS doc_id_2, jaccard
-        |  FROM ver, unnest(ma) AS ta(a), unnest(mb) AS tb(b)
-        |  WHERE jaccard >= 0.9),
-        |within_pairs AS (
-        |  SELECT ta.a AS doc_id_1, tb.b AS doc_id_2, CAST(1.0 AS DOUBLE) AS jaccard
-        |  FROM (SELECT members FROM grps WHERE len(members) > 1) g,
-        |       unnest(g.members) AS ta(a), unnest(g.members) AS tb(b)
-        |  WHERE ta.a < tb.b)
+    // keys, same exact-jaccard verification and pair expansion (the
+    // shared minhashOracleCtes above). Every intermediate is exact
+    // integer arithmetic, so the verified pair set is bit-identical by
+    // construction, not probabilistically.
+    "q_dedup_minhash" -> (minhashOracleCtes +
+      """
         |SELECT doc_id_1, doc_id_2, jaccard FROM cross_pairs
         |UNION ALL
         |SELECT doc_id_1, doc_id_2, jaccard FROM within_pairs
-        |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin),
     "q_sim_cosine" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |p AS (SELECT e.vec_id,

@@ -608,6 +608,39 @@ object TextPipeline {
         |HAVING count(*) >= 2
         |ORDER BY doc_id, bench_id""".stripMargin,
 
+    // Survivors = documents minus any doc near-duplicating a smaller-id
+    // doc — the pair graph is the (fully oracled) minhash pipeline, so
+    // the anti-join is deterministic too.
+    "q_dedup_survivors" -> (Similarity.minhashOracleCtes +
+      """,
+        |all_pairs AS (
+        |  SELECT doc_id_1, doc_id_2 FROM cross_pairs
+        |  UNION ALL SELECT doc_id_1, doc_id_2 FROM within_pairs),
+        |removed AS (SELECT DISTINCT doc_id_2 AS doc_id FROM all_pairs)
+        |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)
+        |ORDER BY d.doc_id""".stripMargin),
+
+    // Clusters = connected components of the pair graph: a recursive
+    // reachability walk carrying candidate labels; min per node = the
+    // component minimum, exactly the Spark label-propagation fixpoint.
+    "q_dedup_clusters" -> (Similarity.minhashOracleCtes +
+      """,
+        |all_pairs AS (
+        |  SELECT doc_id_1, doc_id_2 FROM cross_pairs
+        |  UNION ALL SELECT doc_id_1, doc_id_2 FROM within_pairs),
+        |edges AS MATERIALIZED (
+        |  -- MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+        |  -- an inlined edge list would re-run the entire minhash pipeline
+        |  -- on EVERY recursive iteration
+        |  SELECT doc_id_1 AS a, doc_id_2 AS b FROM all_pairs
+        |  UNION SELECT doc_id_2, doc_id_1 FROM all_pairs),
+        |walk AS (
+        |  SELECT doc_id AS id, doc_id AS lab FROM documents
+        |  UNION
+        |  SELECT e.a AS id, w.lab FROM edges e JOIN walk w ON w.id = e.b)
+        |SELECT id, min(lab) AS cluster FROM walk GROUP BY id ORDER BY id""".stripMargin),
+
     "q_gopher_rules" ->
       """WITH base AS (
         |  SELECT doc_id, length(text) AS n_chars,
