@@ -482,7 +482,128 @@ object Similarity {
       |       unnest(g.members) AS ta(a), unnest(g.members) AS tb(b)
       |  WHERE ta.a < tb.b)""".stripMargin
 
+  /** DuckDB replication of the embedding near-dup pipeline, built
+    * programmatically so the 64×64 hyperplane matrix is embedded from
+    * the same constants the native expression uses (shortest-repr
+    * doubles round-trip exactly). All dot products are left-to-right
+    * `list_reduce` folds — bit-identical to the fused loops in
+    * HyperplaneSig64/ArrayDotProduct, which the sign test `acc > 0`
+    * depends on. Bit 63 is added as the min-long literal (DuckDB errors
+    * on 1<<63); negative-signature shifts mask identically (`>>` is
+    * arithmetic in both engines). */
+  private def embeddingOracleSql: String = {
+    val planesList = graft.engine.functions.HyperplaneSig64.Planes.mkString("[", ", ", "]")
+    val sigTerms = (0 until 64).map { j =>
+      val acc = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, 65), i -> CAST(v[i] AS DOUBLE) * p[${j * 64} + i])), (a, b) -> a + b)"
+      if (j == 63) s"CASE WHEN $acc > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END"
+      else s"CASE WHEN $acc > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END"
+    }.mkString("\n      + ")
+    s"""WITH planes AS (SELECT $planesList AS p),
+       |base AS (
+       |  SELECT vec_id, embedding AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |    list_concat([embedding[1] + CAST(0.05 AS FLOAT)], embedding[2:]) AS v
+       |  FROM embeddings),
+       |sigs AS (
+       |  SELECT vec_id, v,
+       |    CAST($sigTerms AS BIGINT) AS sig
+       |  FROM base CROSS JOIN planes),
+       |withnorm AS (
+       |  SELECT vec_id, v, sig,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm
+       |  FROM sigs),
+       |bands AS (
+       |  SELECT vec_id, v, nrm, k AS band, (sig >> CAST(k * 16 AS INT)) & 65535 AS band_key
+       |  FROM withnorm, range(4) t(k)),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_id_1, y.vec_id AS vec_id_2,
+       |    x.v AS va, y.v AS vb, x.nrm AS na, y.nrm AS nb
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_key = y.band_key AND x.vec_id < y.vec_id)
+       |SELECT vec_id_1, vec_id_2, cos_sim FROM (
+       |  SELECT vec_id_1, vec_id_2,
+       |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, 65), i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))),
+       |      (a, b) -> a + b) / (na * nb), 4) AS cos_sim
+       |  FROM cand)
+       |WHERE cos_sim >= 0.99
+       |ORDER BY vec_id_1, vec_id_2""".stripMargin
+  }
+
+  /** Fold-based dot product in DuckDB, bit-identical to ArrayDotProduct's
+    * left-to-right double accumulation. */
+  private def foldDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      s"(a, b) -> a + b)"
+
+  /** DuckDB replication of annLsh (16-plane signature, 4×4-bit bands,
+    * query-bucket probe, exact rerank) — same programmatic-constants
+    * approach as the embedding oracle. */
+  private def annLshOracleSql: String = {
+    val planesList = planes.flatten.mkString("[", ", ", "]")
+    val sigTerms = (0 until NBits).map { j =>
+      val acc = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, 65), i -> CAST(v[i] AS DOUBLE) * p[${j * 64} + i])), (a, b) -> a + b)"
+      s"CASE WHEN $acc > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END"
+    }.mkString("\n      + ")
+    s"""WITH planes AS (SELECT $planesList AS p),
+       |sigs AS (
+       |  SELECT vec_id, embedding AS v, CAST($sigTerms AS BIGINT) AS sig
+       |  FROM embeddings CROSS JOIN planes),
+       |bands AS (
+       |  SELECT vec_id, v, k AS band, (sig >> CAST(k * 4 AS INT)) & 15 AS band_key
+       |  FROM sigs, range(4) t(k)),
+       |q0 AS (SELECT band, band_key, v AS qe FROM bands WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT DISTINCT b.vec_id, b.v, q.qe
+       |  FROM bands b JOIN q0 q USING (band, band_key)
+       |  WHERE b.vec_id <> 0)
+       |SELECT vec_id,
+       |  round(${foldDot("v", "qe")} /
+       |        (sqrt(${foldDot("v", "v")}) * sqrt(${foldDot("qe", "qe")})), 4) AS cos_sim
+       |FROM cand
+       |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
+  /** DuckDB replication of annIvf (nearest-centroid inverted file, 4-cell
+    * probe, exact rerank). `list_position(l, list_aggregate(l, 'max'))`
+    * reproduces Spark's first-tie 1-based `array_position(array_max)`. */
+  private def annIvfOracleSql: String = {
+    val centroidsList = centroids.flatten.mkString("[", ", ", "]")
+    val dotList = (0 until NCells).map { j =>
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, 65), i -> CAST(v[i] AS DOUBLE) * c[${j * 64} + i])), (a, b) -> a + b)"
+    }.mkString("[\n      ", ",\n      ", "]")
+    s"""WITH cents AS (SELECT $centroidsList AS c),
+       |dotted AS (
+       |  SELECT vec_id, embedding AS v, $dotList AS dots
+       |  FROM embeddings CROSS JOIN cents),
+       |indexed AS (
+       |  SELECT vec_id, v, list_position(dots, list_aggregate(dots, 'max')) AS cell, dots
+       |  FROM dotted),
+       |qcells AS (
+       |  SELECT j AS cell FROM (
+       |    SELECT generate_subscripts(dots, 1) AS j, unnest(dots) AS qd
+       |    FROM indexed WHERE vec_id = 0)
+       |  ORDER BY qd DESC, j ASC LIMIT $NProbe),
+       |qe AS (SELECT v AS qv FROM indexed WHERE vec_id = 0)
+       |SELECT vec_id,
+       |  round(${foldDot("v", "qv")} /
+       |        (sqrt(${foldDot("v", "v")}) * sqrt(${foldDot("qv", "qv")})), 4) AS cos_sim
+       |FROM indexed JOIN qcells USING (cell) CROSS JOIN qe
+       |WHERE vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_dedup_embedding" -> embeddingOracleSql,
+    "q_ann_lsh" -> annLshOracleSql,
+    "q_ann_ivf" -> annIvfOracleSql,
+
     // Full replication of the SimHash pipeline: same widened poly token
     // hashes (tokenHash64), per-bit majority vote via a range(64) cross
     // join, 16-bit pigeonhole chunk blocking, popcount verification.
