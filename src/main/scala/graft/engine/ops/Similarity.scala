@@ -267,13 +267,27 @@ object Similarity {
       .filter(col("x.rep") < col("y.rep"))
       .select(col("x.rep").as("rep_1"), col("y.rep").as("rep_2"))
       .distinct()
+    // Size-bound pruning BEFORE the array joins: jaccard ≥ t forces
+    // min(|sa|,|sb|) ≥ t·max(|sa|,|sb|), so candidates failing the bound
+    // can skip the intersect — and, joined via the broadcast-small sizes
+    // table first, their hsh arrays are never shuffled at all. The 0.001
+    // slack covers pairs whose ROUNDED jaccard crosses the threshold
+    // from just below; output is therefore exactly unchanged (the oracle
+    // keeps verifying all candidates and matches).
+    val sizes = groups.select(col("rep"), size(col("hsh")).as("sz"))
+    val candSized = cand
+      .join(broadcast(sizes.select(col("rep").as("rep_1"), col("sz").as("sz1"))), "rep_1")
+      .join(broadcast(sizes.select(col("rep").as("rep_2"), col("sz").as("sz2"))), "rep_2")
+      .filter(least(col("sz1"), col("sz2")).cast("double") >=
+              greatest(col("sz1"), col("sz2")) * lit(threshold - 0.001))
+      .select("rep_1", "rep_2")
     // exact-Jaccard verification of LSH candidates, still at rep level.
     // `hsh` arrays are sorted, so the native merge-walk expression counts
     // the overlap with zero allocation (vs array_intersect's per-row set).
     val sa = groups.select(col("rep").as("rep_1"), col("hsh").as("sa"), col("members").as("ma"))
     val sb = groups.select(col("rep").as("rep_2"), col("hsh").as("sb"), col("members").as("mb"))
     val inter = GraftFunctions.sortedIntersectSize(spark, col("sa"), col("sb")).cast("double")
-    val verified = cand.join(sa, "rep_1").join(sb, "rep_2")
+    val verified = candSized.join(sa, "rep_1").join(sb, "rep_2")
       .withColumn("jaccard", round(inter / (size(col("sa")) + size(col("sb")) - inter), 4))
       .filter(col("jaccard") >= threshold)
     // expand cross-group rep pairs to doc pairs (jaccard as verified) …
