@@ -126,17 +126,16 @@ object Similarity {
       when(dot(v, planeCol(j)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** 64-bit hyperplane signature for the near-dup path. Near-dup blocking
-    * wants far finer buckets than ANN search: at cos ≥ 0.99 two vectors
-    * agree per hyperplane with p ≈ 1 − acos(0.99)/π ≈ 0.955, so a 16-bit
-    * band still collides for true pairs (p¹⁶ ≈ 0.48 per band, ≈ 93%
-    * recall over 4 bands; ≈ 99.8% at the planted cos ≈ 0.9988) while
-    * unrelated near-orthogonal vectors (p ≈ 0.5) collide with p ≈ 2⁻¹⁶ —
-    * 65 536 buckets per band instead of the 16 a 4-bit band gives.
-    * Separate seed from the ANN planes so the two paths stay
-    * independently tunable. */
-  /** Signature for the near-dup path: the native 64-plane expression
-    * (one compact plan node, one fused loop — see HyperplaneSig64). */
+  /** 64-bit hyperplane signature for the near-dup path, via the native
+    * 64-plane expression (one compact plan node, one fused loop — see
+    * HyperplaneSig64). Near-dup blocking wants far finer buckets than
+    * ANN search: at cos ≥ 0.99 two vectors agree per hyperplane with
+    * p ≈ 1 − acos(0.99)/π ≈ 0.955, so a 16-bit band still collides for
+    * true pairs (≈ 99.8% recall over 4 bands at the planted
+    * cos ≈ 0.9988) while unrelated near-orthogonal vectors (p ≈ 0.5)
+    * collide with p ≈ 2⁻¹⁶ — 65 536 buckets per band instead of the 16
+    * a 4-bit band gives. Separate seed from the ANN planes so the two
+    * paths stay independently tunable. */
   private def dedupSig(v: Column): Column =
     call_function("hyperplane_sig64", v)
 
