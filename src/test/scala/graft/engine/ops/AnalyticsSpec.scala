@@ -218,6 +218,37 @@ class AnalyticsSpec extends SparkSuite {
     assert(bm == exact)
   }
 
+  test("approx_count_distinct lands within 5% of exact per group") {
+    val approx = run("q_agg_approx_distinct")
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"approx ${approx(k)} too far from exact $n for $k")
+    }
+  }
+
+  test("approx_percentile brackets the exact percentiles within the accuracy contract") {
+    val approx = run("q_agg_approx_percentile")
+      .select("l_returnflag", "p25", "p50", "p75")
+      .as[(String, Double, Double, Double)].collect()
+    val exact = run("q_agg_percentile")
+      .select("l_returnflag", "p25", "p50", "p75")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    approx.foreach { case (k, a25, a50, a75) =>
+      val (_, e25, e50, e75) = exact(k)
+      // approx_percentile(…, 1000) guarantees rank error <= n/1000; on
+      // this distribution that is a small relative value error
+      Seq((a25, e25), (a50, e50), (a75, e75)).foreach { case (a, e) =>
+        assert(math.abs(a - e) <= math.max(1.0, e * 0.05),
+          s"approx percentile $a drifted from exact $e for $k")
+      }
+    }
+  }
+
   test("hll sketch union estimate lands within 5% of exact and equals the flat sketch") {
     val est = run("q_agg_hll_sketch").as[(String, Long)].collect().toMap
     val exact = Tables.events(spark, sfDir)
