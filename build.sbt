@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must reach stdout RAW: the default LoggedOutput
+// strategy prefixes every program line with `[info] `, which broke the
+// harness's JSON-line parse of Bench output two rounds running
+// (BENCH_r0{1,2}.json "parsed": null). StdoutOutput passes the child's
+// stdout/stderr through untouched; showSuccess drops the trailing
+// `[success] Total time …` line so the bench JSON is the final line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -22,20 +22,29 @@ object Bench {
     }
     // noop sink forces full evaluation of every operator (count() would let
     // Catalyst prune projections and under-measure), still executor-side.
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed run returns ok=false and its elapsed time — it must never be
+    // min-replaced by a rerun nor silently counted as a ~0 s success.
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t1 = timeOnce(fn)
+    val measured = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (t1, ok1) = timeOnce(fn)
       // A measurement far above steady state is almost always an external
       // stall (GC pause, page-cache eviction, co-tenant I/O) mis-attributed
       // to one query — r01 recorded a 0.6 s query at 94 s that way. Re-run
-      // outliers once and report the min (standard best-of-N practice).
-      name -> (if (t1 > 5.0) math.min(t1, timeOnce(fn)) else t1)
-    }.toMap
+      // outliers once and report the min, but only across SUCCESSFUL runs:
+      // a throwing query keeps its failure marker no matter how fast it died.
+      if (ok1 && t1 > 5.0) {
+        val (t2, ok2) = timeOnce(fn)
+        (name, if (ok2) math.min(t1, t2) else t1, true)
+      } else (name, t1, ok1)
+    }
+    val failed = measured.collect { case (n, _, false) => n }
+    val results = measured.map { case (n, t, _) => n -> t }.toMap
     // The harness keeps only the last 2000 bytes of stdout and the JSON line
     // must survive intact inside that tail (r01's full per-query map pushed
     // the line past the buffer and it was never parsed). Report the slowest
@@ -45,7 +54,14 @@ object Bench {
     val qs = headline.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"errors":${failed.size},"queries":$qs,"sf":"$sfDir"}"""
+    // Sidecar copy for any consumer that reads files instead of stdout tails.
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Stop Spark BEFORE printing: its shutdown INFO lines go to stderr after
+    // this point, so the JSON stays the final stdout line of the process.
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

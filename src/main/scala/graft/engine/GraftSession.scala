@@ -31,7 +31,17 @@ object GraftSession {
   /** Local session with `cores` worker threads (the driver-contract
     * shape: `local[n]` with shuffle partitions = n). */
   def local(cores: Int): SparkSession = {
-    val spark = builder(s"local[$cores]", cores).getOrCreate()
+    // Shuffle + localCheckpoint blocks default to /tmp, and co-tenant
+    // cleaners on shared hosts purge them MID-JOB (observed live: a
+    // blockmgr subtree deleted during a running stage → every task in it
+    // fails on its index file → stage retry recomputes from the source —
+    // the likely cause of r2's unstable q_dedup_clusters measurement).
+    // Keep scratch under the project workdir instead; SPARK_LOCAL_DIRS,
+    // when set by an operator, still takes precedence inside Spark.
+    val scratch = new java.io.File("target/sparklocal").getAbsolutePath
+    val spark = builder(s"local[$cores]", cores)
+      .config("spark.local.dir", scratch)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

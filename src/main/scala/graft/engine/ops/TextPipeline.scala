@@ -76,10 +76,24 @@ object TextPipeline {
     * whole history — measured exponential, 1.5 s → 16 s by iteration 6.)
     * Convergence is detected by the monotone-decreasing label sum, so
     * termination needs no fixed iteration cap. Returns (id, cluster) for
-    * EVERY document. */
+    * EVERY document.
+    *
+    * `reliable=true` swaps `localCheckpoint` for `checkpoint` against the
+    * context's checkpoint dir every `checkpointEvery` rounds (the rest stay
+    * local): executor-local blocks are NOT fault-tolerant, so on a real
+    * cluster a lost executor mid-fixpoint kills the job; a reliable
+    * checkpoint every k rounds bounds the recompute to k rounds of lineage.
+    * Requires `spark.sparkContext.setCheckpointDir` to have been called. */
   def dedupClusters(documents: DataFrame, idCol: String, textCol: String,
-                    threshold: Double, maxIters: Int = 20): DataFrame = {
+                    threshold: Double, maxIters: Int = 20,
+                    reliable: Boolean = false, checkpointEvery: Int = 1): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // one materialization per round: reliable rounds write to the
+    // checkpoint dir (fault-tolerant), all others truncate lineage via
+    // executor-local blocks (fast; the local[n] default)
+    def mat(df: DataFrame, round: Int): DataFrame =
+      if (reliable && round % math.max(1, checkpointEvery) == 0) df.checkpoint()
+      else df.localCheckpoint()
     val pairs = Similarity.minhashNearDup(documents, idCol, textCol, threshold, ordered = false)
       .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
     // undirected edge list, materialized once, hash-partitioned on the
@@ -90,9 +104,8 @@ object TextPipeline {
       .repartition(col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = documents.select(col(idCol).as("id"))
-        .withColumn("cluster", col("id"))
-        .localCheckpoint()
+      var labels = mat(documents.select(col(idCol).as("id"))
+        .withColumn("cluster", col("id")), 0)
       var prevSum = labels.agg(sum("cluster")).head().getLong(0)
       var iter = 0
       var converged = false
@@ -100,27 +113,29 @@ object TextPipeline {
         // each node adopts the min of its own and its neighbors' labels
         val msgs = edges.join(labels.withColumnRenamed("id", "b"), "b")
           .select(col("a").as("id"), col("cluster"))
-        // checkpoint before the self-join below: both join sides read
-        // this result, and without materialization Spark would recompute
-        // the whole hop aggregation twice per round
         val hopped = labels.select(col("id"), col("cluster"))
           .unionAll(msgs)
           .groupBy("id").agg(min("cluster").as("cluster"))
-          .localCheckpoint()
         // pointer jumping: also adopt the label's own label. Every label
-        // IS a node id, so this halves the remaining chain length each
-        // round — O(log diameter) rounds instead of O(diameter) (the
-        // sf0.1 pair graph has chains: 8 hop-only rounds vs 4 with
-        // jumping). Monotone like the hop, so the sum fixpoint test is
-        // unchanged: an unchanged sum means the hop alone changed
-        // nothing, which is exactly the original convergence condition.
-        val ptr = hopped.select(col("id").as("pid"), col("cluster").as("pcluster"))
-        labels = hopped
+        // IS a node id, so this roughly halves the remaining chain length
+        // each round — O(log diameter) rounds instead of O(diameter) (the
+        // sf0.1 pair graph has chains: 8 hop-only rounds vs 4-5 with
+        // jumping). The jump table is the PREVIOUS round's labels — already
+        // materialized — not the fresh hop result, so each round pays
+        // exactly ONE materialization (r2 checkpointed the hop too, to
+        // feed a self-join, and the double full-corpus write was ~half the
+        // round cost). Labels are monotone per node (labels_n(c) ≤ c for
+        // every node c), so jumping through the older table is still a
+        // pure decrease and the sum fixpoint test is unchanged: an equal
+        // sum means no node moved, i.e. the hop alone is at fixpoint.
+        val ptr = labels.select(col("id").as("pid"), col("cluster").as("pcluster"))
+        labels = mat(hopped
           .join(ptr, hopped("cluster") === ptr("pid"), "left_outer")
           .select(hopped("id"),
                   least(hopped("cluster"),
-                        coalesce(col("pcluster"), hopped("cluster"))).as("cluster"))
-          .localCheckpoint() // eager: truncates lineage, stays distributed
+                        coalesce(col("pcluster"), hopped("cluster"))).as("cluster")),
+          iter + 1) // eager: truncates lineage, stays distributed
+        // cheap: a one-column sum over the just-materialized blocks
         val nextSum = labels.agg(sum("cluster")).head().getLong(0)
         converged = nextSum == prevSum // monotone ⇒ equal sum = fixpoint
         prevSum = nextSum
@@ -438,7 +453,7 @@ object TextPipeline {
     "q_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d), "doc_id", "text")),
     "q_ngram_jaccard" -> ((s, d) =>
       ngramJaccard(Tables.documents(s, d), "doc_id", "text", Seq("lang", "n_chars"), 0.5)),
-    // rows-only (inherits the probabilistic pair set): the deduplicated corpus
+    // fully oracled: anti-join over the shared pair CTEs replayed in DuckDB
     "q_dedup_survivors" -> ((s, d) =>
       dedupCorpus(Tables.documents(s, d), "doc_id", "text", 0.9)
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
@@ -446,7 +461,7 @@ object TextPipeline {
       stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
         Map("en" -> 30, "zh" -> 20), defaultPct = 5)
         .select("doc_id", "lang", "source").orderBy("doc_id")),
-    // rows-only (probabilistic pair graph): connected-component clusters
+    // fully oracled: recursive-CTE reachability over the materialized edge list
     "q_dedup_clusters" -> ((s, d) =>
       dedupClusters(Tables.documents(s, d), "doc_id", "text", 0.9)
         .orderBy("id")),

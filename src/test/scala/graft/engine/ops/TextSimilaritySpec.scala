@@ -174,6 +174,25 @@ class TextSimilaritySpec extends SparkSuite {
     assert(byCluster.forall { case (c, minId) => c == minId })
   }
 
+  test("dedup clusters: reliable checkpoint mode (fault-tolerant lineage truncation) matches local mode") {
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    try {
+      spark.sparkContext.setCheckpointDir(ckpt.getAbsolutePath)
+      val local = graft.engine.ops.TextPipeline.dedupClusters(docs, "doc_id", "text", 0.9)
+        .as[(Long, Long)].collect().toMap
+      val reliable = graft.engine.ops.TextPipeline.dedupClusters(docs, "doc_id", "text", 0.9,
+          reliable = true, checkpointEvery = 2)
+        .as[(Long, Long)].collect().toMap
+      assert(reliable == local, "reliable-checkpoint fixpoint must be bit-identical to local mode")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(ckpt)
+    }
+  }
+
   test("stratified sample: per-stratum rates land near target, deterministic across layouts") {
     val s1 = run("q_sample_stratified")
     val docs = graft.engine.io.Tables.documents(spark, sfDir)
