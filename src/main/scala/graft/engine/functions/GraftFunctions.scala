@@ -28,7 +28,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => HyperplaneSig64(children(0))),
     (FunctionIdentifier("poly_hash31"),
       new ExpressionInfo(classOf[PolyHash31].getName, "poly_hash31"),
-      (children: Seq[Expression]) => PolyHash31(children(0))))
+      (children: Seq[Expression]) => PolyHash31(children(0))),
+    (FunctionIdentifier("poly_hash62"),
+      new ExpressionInfo(classOf[PolyHash62].getName, "poly_hash62"),
+      (children: Seq[Expression]) => PolyHash62(children(0))))
 
   /** Register the engine functions into a session (idempotent). */
   def register(spark: SparkSession): Unit = registry.foreach { case (ident, info, builder) =>

@@ -47,4 +47,33 @@ object Tables {
     * (grouping-sets etc. are SQL-only surfaces). */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** The date-partitioned events layout SURVEY §4.2 commits to for the
+    * 100 TB table, materialized once per sfDir under `target/` (plus the
+    * tiny date dimension DPP needs): a directory per `event_date`, so a
+    * date predicate prunes directories at PLAN time and a filtered-dim
+    * join prunes them at RUN time (dynamic partition pruning). Returns
+    * `(fact, dateDim)` readers over the partitioned layout. Contents are
+    * exactly the events table plus the derived date column — queries over
+    * this layout oracle against raw `events` with the same derivation. */
+  def eventsByDate(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val tag = new java.io.File(sfDir).getName
+    val base = new java.io.File(s"target/partitioned/$tag").getAbsolutePath
+    val factDir = s"$base/events_by_date"
+    val dimDir = s"$base/date_dim"
+    val done = new java.io.File(s"$base/_BUILT")
+    this.synchronized {
+      if (!done.exists()) {
+        val ev = events(spark, sfDir).withColumn("event_date", col("ts").cast("date"))
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(factDir)
+        val w = org.apache.spark.sql.expressions.Window.orderBy("event_date")
+        ev.select(col("event_date")).distinct()
+          .withColumn("day_no", row_number().over(w).cast("long"))
+          .write.mode("overwrite").parquet(dimDir)
+        done.createNewFile()
+      }
+    }
+    (spark.read.parquet(factDir), spark.read.parquet(dimDir))
+  }
 }

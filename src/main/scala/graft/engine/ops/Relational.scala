@@ -52,6 +52,22 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy("l_returnflag")
 
+  /** A. scans, partitioned layout: the date-partitioned events directory
+    * (SURVEY §4.2's 100 TB layout via [[Tables.eventsByDate]]) scanned
+    * through dynamic partition pruning — the filtered date-dimension
+    * join prunes fact directories at RUNTIME, so only the first two
+    * days are ever read off disk no matter how many days the table
+    * spans (the DPP subquery + static partition filter are pinned in
+    * PlanShapeSpec). At 100 TB this is THE scan-pruning story: a year
+    * of events is ~365 directories and a two-day query touches 2. */
+  private val qScanPartitioned: Q = (s, d) => {
+    val (fact, dim) = Tables.eventsByDate(s, d)
+    fact.join(dim.filter(col("day_no") <= 2), Seq("event_date"))
+      .groupBy("event_date", "event_type")
+      .agg(count(lit(1)).as("n"), sum("user_id").as("sum_user"))
+      .orderBy("event_date", "event_type")
+  }
+
   // ---------------------------------------------------- B. project / filter
   private val qProjectArith: Q = (s, d) =>
     Tables.lineitem(s, d).select(
@@ -436,6 +452,7 @@ object Relational {
   // ------------------------------------------------------------------ maps
   val queries: Map[String, Q] = Map(
     "q_scan_count" -> qScanCount, "q_scan_prune" -> qScanPrune,
+    "q_scan_partitioned" -> qScanPartitioned,
     "q_project_arith" -> qProjectArith, "q_filter_basic" -> qFilterBasic,
     "q_filter_in_like_between" -> qFilterInLikeBetween,
     "q_join_inner" -> qJoinInner, "q_join_left" -> qJoinLeft,
@@ -463,6 +480,21 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q_scan_count" -> "SELECT count(*) AS n_rows FROM lineitem",
+
+    // replays the partitioned-layout query over raw events: the layout is
+    // content-preserving (events + derived event_date), so the same
+    // derivation + dim join reproduces it exactly
+    "q_scan_partitioned" ->
+      """WITH ev AS (SELECT ts::DATE AS event_date, event_type, user_id FROM events),
+        |dim AS (
+        |  SELECT event_date, row_number() OVER (ORDER BY event_date) AS day_no
+        |  FROM (SELECT DISTINCT event_date FROM ev))
+        |SELECT e.event_date, e.event_type, count(*) AS n,
+        |       CAST(sum(e.user_id) AS BIGINT) AS sum_user
+        |FROM ev e JOIN dim USING (event_date)
+        |WHERE day_no <= 2
+        |GROUP BY e.event_date, e.event_type
+        |ORDER BY e.event_date, e.event_type""".stripMargin,
 
     "q_scan_prune" ->
       s"""SELECT l_returnflag, count(*) AS n_rows, ${dsumSql("l_quantity")} AS sum_qty

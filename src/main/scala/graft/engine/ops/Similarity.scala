@@ -163,6 +163,41 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
   }
 
+  /** ANN candidate generation + exact rerank, composed end-to-end for a
+    * BATCH of queries — the retrieval shape a 100 TB corpus actually
+    * runs: the LSH band probe prunes the corpus to bucket-mates (~16×
+    * per band), and only those candidates reach the exact cosine
+    * scorer + per-query top-k window (knnJoin's ranking, applied to the
+    * pruned set instead of the full corpus). One corpus scan computes
+    * the signature and carries the embedding straight into the
+    * candidate join — candidates are never re-joined against the corpus
+    * — and the query side (bands × |Q| rows) is broadcast, so the big
+    * side never shuffles until the (small) candidate set hits the
+    * ranking window. */
+  def annRerank(vectors: DataFrame, idCol: String, vecCol: String,
+                queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol).withColumn("sig", lshSig(col("embedding")))
+    val bands = e.select(col("vec_id"), col("embedding"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * 4).bitwiseAND(0xF).as("band_key"))): _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"),
+              col("bb.band").as("band"), col("bb.band_key").as("band_key"))
+    val q = bands.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("band"), col("band_key"),
+              col("embedding").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    bands.join(broadcast(q), Seq("band", "band_key"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "vec_id") // a pair may collide in several bands
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("q_id", "rk")
+  }
+
   // ---------------------------------------------------------------- IVF ANN
   private val NCells = 16
   private val NProbe = 4
@@ -222,19 +257,24 @@ object Similarity {
                      threshold: Double, ordered: Boolean = true): DataFrame = {
     val spark = documents.sparkSession
     GraftFunctions.register(spark)
-    // `hsh`: the token set as a sorted DISTINCT array of poly_hash31
+    // `hsh`: the token set as a sorted DISTINCT array of poly_hash62
     // longs, computed BEFORE the group stage so (a) the groupBy
     // shuffles/compares long arrays, never string arrays, and (b) the
     // minhash base hash and the verification intersect run on the same
-    // longs (one string hash per token total). poly_hash31 (not
+    // longs (one string hash per token total). poly_hash62 (not
     // xxhash64) on purpose: every value this pipeline produces is
     // expressible in DuckDB SQL, so the whole LSH pipeline — signatures,
     // band keys, verified pairs — is value-checked by the driver oracle
-    // rather than rows-only.
+    // rather than rows-only. The 62-bit width matters here: the
+    // identical-set collapse and the exact-Jaccard verify both trust
+    // these longs as token identities, and a 31-bit hash's birthday
+    // collisions would silently merge different tokens (inflated
+    // jaccard) or even different documents (false "exact" duplicates) —
+    // invisible to the oracle, which replays the same hash.
     val docs = documents.select(
       col(idCol).as("doc_id"),
       array_sort(array_distinct(transform(array_distinct(split(col(textCol), " ")),
-        t => call_function("poly_hash31", t)))).as("hsh"))
+        t => call_function("poly_hash62", t)))).as("hsh"))
     // The rep-level table is consumed by five downstream subplans; the
     // recompute is cheap on long-array keys (measured cheaper than an
     // InMemoryRelation round-trip, which also breaks codegen fusion).
@@ -308,18 +348,31 @@ object Similarity {
   }
 
   // ------------------------------------------------------------- SimHash
-  /** Engine-neutral 63-bit token-hash multiset for SimHash: widen
-    * poly_hash31 (31 bits — raw, it would zero signature bits 31–63 and
-    * DEGENERATE two pigeonhole chunks into all-pairs joins) to
-    * `h·2³² + (h·2654435761) mod 2³²`. Bits 32–62 carry the raw hash,
-    * bits 0–31 its Knuth multiplicative mix; bit 63 stays 0, so every
-    * step fits BIGINT exactly (DuckDB errors on overflow — silent wrap
-    * is not an option) and values are nonnegative on both engines. Two
-    * nested transforms so the inner hash evaluates once per token. */
+  /** Engine-neutral 63-bit token-hash multiset for SimHash: split the
+    * poly_hash62 double fold into its independent 31-bit halves and run
+    * each through its own Knuth multiplicative mix — high 31 bits
+    * `(h₁·2654435761) mod 2³¹`, low 32 bits `(h₂·2246822519) mod 2³²`.
+    *
+    * Why the mixes, not the raw folds: SimHash samples individual BITS,
+    * and raw polynomial folds have structured bits — short ASCII tokens
+    * fold to values ≪ 2³¹ (zeroing the top bits of BOTH halves) and
+    * similar tokens give correlated bit patterns. The earlier widening
+    * (raw poly high, one mix low) left signature bits ~59–62 ~always 0
+    * corpus-wide — ~5 bits of blocking entropy lost in the top
+    * pigeonhole chunk ≈ 32× spurious candidates in that chunk's
+    * self-join — and a raw-both-halves variant measurably dropped
+    * hamming≤3 precision (0.80 → 0.71 on the fixture). Multiplicative
+    * mixing spreads each half across its full width, so bits 0–62 all
+    * carry entropy; bit 63 stays 0 by construction, keeping every step
+    * inside nonnegative BIGINT on both engines (DuckDB errors on
+    * overflow — silent wrap is not an option; all products here stay
+    * under 2⁶³: (2³¹−2)·2654435761 ≈ 5.7e18, (2³¹−1)·2246822519 ≈
+    * 4.8e18, mixed-high·2³² ≤ 2⁶³−2³²). */
   def tokenHash64(textCol: Column): Column =
     transform(
-      transform(split(textCol, " "), t => call_function("poly_hash31", t)),
-      h => h * 4294967296L + pmod(h * 2654435761L, lit(4294967296L)))
+      transform(split(textCol, " "), t => call_function("poly_hash62", t)),
+      h => pmod(shiftright(h, 31) * 2654435761L, lit(2147483648L)) * 4294967296L +
+           pmod(h.bitwiseAND(lit(2147483647L)) * 2246822519L, lit(4294967296L)))
 
   /** 64-bit SimHash near-dup; candidates blocked by LSH on 16-bit chunks
     * (two docs within hamming `maxHamming` ≤ 3 of each other must agree
@@ -401,6 +454,7 @@ object Similarity {
     "q_sim_knn" -> ((s, d) => knnJoin(Tables.embeddings(s, d), "vec_id", "embedding", Seq(1L, 2L, 3L), 5)),
     "q_ann_lsh" -> ((s, d) => annLsh(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     "q_ann_ivf" -> ((s, d) => annIvf(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
+    "q_ann_rerank" -> ((s, d) => annRerank(Tables.embeddings(s, d), "vec_id", "embedding", Seq(1L, 2L, 3L), 5)),
     "q_dedup_minhash" -> ((s, d) => minhashNearDup(Tables.documents(s, d), "doc_id", "text", 0.9)),
     "q_dedup_simhash" -> ((s, d) => simhashNearDup(Tables.documents(s, d), "doc_id", "text", 3)),
     "q_dedup_embedding" -> ((s, d) =>
@@ -438,29 +492,32 @@ object Similarity {
       |    list_sort(list_distinct(list_transform(list_distinct(string_split(text, ' ')),
       |      tok -> list_reduce(list_prepend(CAST(0 AS BIGINT),
       |               list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
-      |             (a, b) -> (a * 31 + b) % 2147483647)))) AS hsh
+      |             (a, b) -> (a * 31 + b) % 2147483647) * 2147483648
+      |           + list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |               list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+      |             (a, b) -> (a * 37 + b) % 2147483647)))) AS hsh
       |  FROM documents),
       |grps AS (
       |  SELECT min(doc_id) AS rep, list_sort(list(doc_id)) AS members, hsh
       |  FROM docs GROUP BY hsh),
       |sig AS (
       |  SELECT rep,
-      |    min((h * 1718262968 + 2113260563) % 2305843009213693951) AS m0,
-      |    min((h * 804122738 + 1987956716) % 2305843009213693951) AS m1,
-      |    min((h * 62260124 + 672101282) % 2305843009213693951) AS m2,
-      |    min((h * 2122292658 + 444940935) % 2305843009213693951) AS m3,
-      |    min((h * 1516669673 + 142572806) % 2305843009213693951) AS m4,
-      |    min((h * 432731727 + 809228604) % 2305843009213693951) AS m5,
-      |    min((h * 538615714 + 157044814) % 2305843009213693951) AS m6,
-      |    min((h * 464598633 + 1672589343) % 2305843009213693951) AS m7,
-      |    min((h * 1449455743 + 657603831) % 2305843009213693951) AS m8,
-      |    min((h * 2010434989 + 353389187) % 2305843009213693951) AS m9,
-      |    min((h * 777315767 + 694219494) % 2305843009213693951) AS m10,
-      |    min((h * 1545948471 + 585783330) % 2305843009213693951) AS m11,
-      |    min((h * 927132535 + 11900405) % 2305843009213693951) AS m12,
-      |    min((h * 249906175 + 2008261607) % 2305843009213693951) AS m13,
-      |    min((h * 856329022 + 1492327925) % 2305843009213693951) AS m14,
-      |    min((h * 933082142 + 1634481595) % 2305843009213693951) AS m15
+      |    min(((h % 2147483647) * 1718262968 + 2113260563) % 2305843009213693951) AS m0,
+      |    min(((h % 2147483647) * 804122738 + 1987956716) % 2305843009213693951) AS m1,
+      |    min(((h % 2147483647) * 62260124 + 672101282) % 2305843009213693951) AS m2,
+      |    min(((h % 2147483647) * 2122292658 + 444940935) % 2305843009213693951) AS m3,
+      |    min(((h % 2147483647) * 1516669673 + 142572806) % 2305843009213693951) AS m4,
+      |    min(((h % 2147483647) * 432731727 + 809228604) % 2305843009213693951) AS m5,
+      |    min(((h % 2147483647) * 538615714 + 157044814) % 2305843009213693951) AS m6,
+      |    min(((h % 2147483647) * 464598633 + 1672589343) % 2305843009213693951) AS m7,
+      |    min(((h % 2147483647) * 1449455743 + 657603831) % 2305843009213693951) AS m8,
+      |    min(((h % 2147483647) * 2010434989 + 353389187) % 2305843009213693951) AS m9,
+      |    min(((h % 2147483647) * 777315767 + 694219494) % 2305843009213693951) AS m10,
+      |    min(((h % 2147483647) * 1545948471 + 585783330) % 2305843009213693951) AS m11,
+      |    min(((h % 2147483647) * 927132535 + 11900405) % 2305843009213693951) AS m12,
+      |    min(((h % 2147483647) * 249906175 + 2008261607) % 2305843009213693951) AS m13,
+      |    min(((h % 2147483647) * 856329022 + 1492327925) % 2305843009213693951) AS m14,
+      |    min(((h % 2147483647) * 933082142 + 1634481595) % 2305843009213693951) AS m15
       |  FROM (SELECT rep, unnest(hsh) AS h FROM grps) GROUP BY rep),
       |banded AS (
       |  SELECT rep, 0 AS band,
@@ -582,6 +639,41 @@ object Similarity {
        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
   }
 
+  /** DuckDB replication of annRerank (batch band probe → distinct
+    * candidate pairs → exact cosine → per-query top-k window) — the
+    * composed retrieval path, value-oracled end-to-end. */
+  private def annRerankOracleSql: String = {
+    val planesList = planes.flatten.mkString("[", ", ", "]")
+    val sigTerms = (0 until NBits).map { j =>
+      val acc = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, 65), i -> CAST(v[i] AS DOUBLE) * p[${j * 64} + i])), (a, b) -> a + b)"
+      s"CASE WHEN $acc > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END"
+    }.mkString("\n      + ")
+    s"""WITH planes AS (SELECT $planesList AS p),
+       |sigs AS (
+       |  SELECT vec_id, embedding AS v, CAST($sigTerms AS BIGINT) AS sig
+       |  FROM embeddings CROSS JOIN planes),
+       |bands AS (
+       |  SELECT vec_id, v, k AS band, (sig >> CAST(k * 4 AS INT)) & 15 AS band_key
+       |  FROM sigs, range(4) t(k)),
+       |q AS (SELECT vec_id AS q_id, band, band_key, v AS qe
+       |      FROM bands WHERE vec_id IN (1, 2, 3)),
+       |cand AS (
+       |  SELECT DISTINCT q.q_id, b.vec_id, b.v, q.qe
+       |  FROM bands b JOIN q USING (band, band_key)
+       |  WHERE b.vec_id <> q.q_id),
+       |scored AS (
+       |  SELECT q_id, vec_id,
+       |    round(${foldDot("v", "qe")} /
+       |          (sqrt(${foldDot("v", "v")}) * sqrt(${foldDot("qe", "qe")})), 4) AS cos_sim
+       |  FROM cand)
+       |SELECT q_id, vec_id, cos_sim, rk FROM (
+       |  SELECT q_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rk
+       |  FROM scored)
+       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  }
+
   /** DuckDB replication of annIvf (nearest-centroid inverted file, 4-cell
     * probe, exact rerank). `list_position(l, list_aggregate(l, 'max'))`
     * reproduces Spark's first-tie 1-based `array_position(array_max)`. */
@@ -616,10 +708,12 @@ object Similarity {
     "q_dedup_embedding" -> embeddingOracleSql,
     "q_ann_lsh" -> annLshOracleSql,
     "q_ann_ivf" -> annIvfOracleSql,
+    "q_ann_rerank" -> annRerankOracleSql,
 
-    // Full replication of the SimHash pipeline: same widened poly token
-    // hashes (tokenHash64), per-bit majority vote via a range(64) cross
-    // join, 16-bit pigeonhole chunk blocking, popcount verification.
+    // Full replication of the SimHash pipeline: same 62-bit double-poly
+    // token hashes (poly_hash62) with the same per-half Knuth mixes
+    // (tokenHash64), per-bit majority vote via a range(64) cross join,
+    // 16-bit pigeonhole chunk blocking, popcount verification.
     "q_dedup_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -627,8 +721,12 @@ object Similarity {
         |      list_transform(string_split(text, ' '),
         |        tok -> list_reduce(list_prepend(CAST(0 AS BIGINT),
         |                 list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
-        |               (a, b) -> (a * 31 + b) % 2147483647)),
-        |      h -> h * 4294967296 + (h * 2654435761) % 4294967296) AS hs
+        |               (a, b) -> (a * 31 + b) % 2147483647) * 2147483648
+        |             + list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                 list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |               (a, b) -> (a * 37 + b) % 2147483647)),
+        |      h -> ((h // 2147483648) * 2654435761) % 2147483648 * 4294967296
+        |         + ((h % 2147483648) * 2246822519) % 4294967296) AS hs
         |  FROM documents),
         |bits AS (
         |  SELECT doc_id, p, sum((h >> CAST(p AS INT)) & 1) AS ones, count(*) AS n
@@ -654,10 +752,11 @@ object Similarity {
         |ORDER BY doc_id_1, doc_id_2""".stripMargin,
 
     // Full replication of the MinHash-LSH pipeline in DuckDB SQL — same
-    // poly_hash31 token hashes (fold over code points), same affine
-    // permutation constants (MinHashSignature seed 7), same fold band
-    // keys, same exact-jaccard verification and pair expansion (the
-    // shared minhashOracleCtes above). Every intermediate is exact
+    // poly_hash62 token hashes (double fold over code points), same
+    // affine permutation constants (MinHashSignature seed 7, applied to
+    // the hash reduced mod 2³¹−1 exactly as the native expression does),
+    // same fold band keys, same exact-jaccard verification and pair
+    // expansion (the shared minhashOracleCtes above). Every intermediate is exact
     // integer arithmetic, so the verified pair set is bit-identical by
     // construction, not probabilistically.
     "q_dedup_minhash" -> (minhashOracleCtes +

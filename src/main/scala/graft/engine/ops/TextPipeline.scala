@@ -244,26 +244,35 @@ object TextPipeline {
     * band, max-token-repetition cap) every large text pipeline runs
     * before anything model-based. All metrics are integers or floored
     * integer-scaled ratios, so the verdict is bit-identical across
-    * engines: mean word length ×100 uses the single-space-join identity
-    * `Σ len(w) = n_chars − (n_words − 1)`, and the floored small-integer
-    * divisions cannot straddle an integer boundary in IEEE doubles
-    * (numerator/denominator < 2⁵³, gap ≥ 1/denominator ≫ ulp).
+    * engines (numerator/denominator < 2⁵³, gap ≥ 1/denominator ≫ ulp).
+    *
+    * Zero-length tokens are dropped BEFORE any counting: consecutive /
+    * leading / trailing spaces make `split` emit empty strings, and an
+    * earlier formulation that derived mean word length from the
+    * single-space-join identity `Σ len(w) = n_chars − (n_words − 1)`
+    * silently skewed n_words, mean_len_x100, and rep_x10000 — flipping
+    * keep verdicts — on any real-world text violating that contract.
+    * `Σ len(w)` is now summed directly from the surviving tokens (the
+    * same filter tfidfTopTerms applies).
     *
     * Scale: one token explode feeding one (doc, token) partial+final
-    * count and a per-doc max — the same shuffle key throughout — plus a
-    * narrow doc-level projection. */
+    * count, then a per-doc rollup — the same shuffle key throughout;
+    * the doc-id left join keeps a (keep=false) row for documents whose
+    * text tokenizes to nothing. */
   def gopherRules(documents: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = documents.select(
-      col(idCol).as("doc_id"),
-      length(col(textCol)).cast("long").as("n_chars"),
-      size(toks(col(textCol))).cast("long").as("n_words"))
-    val maxTf = documents
+    val perTok = documents
       .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
       .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max("c").as("max_tf"))
-    base.join(maxTf, "doc_id")
+    val stats = perTok.groupBy("doc_id").agg(
+      sum("c").as("n_words"),
+      sum(col("c") * length(col("token")).cast("long")).as("sum_len"),
+      max("c").as("max_tf"))
+    documents.select(col(idCol).as("doc_id"))
+      .join(stats, Seq("doc_id"), "left_outer")
+      .withColumn("n_words", coalesce(col("n_words"), lit(0L)))
       .withColumn("mean_len_x100",
-        floor(lit(100.0) * (col("n_chars") - col("n_words") + 1) / col("n_words")).cast("long"))
+        floor(lit(100.0) * col("sum_len") / col("n_words")).cast("long"))
       .withColumn("rep_x10000",
         floor(lit(10000.0) * col("max_tf") / col("n_words")).cast("long"))
       .withColumn("keep",
@@ -657,23 +666,24 @@ object TextPipeline {
         |SELECT id, min(lab) AS cluster FROM walk GROUP BY id ORDER BY id""".stripMargin),
 
     "q_gopher_rules" ->
-      """WITH base AS (
-        |  SELECT doc_id, length(text) AS n_chars,
-        |         len(string_split(text, ' ')) AS n_words
-        |  FROM documents),
-        |mtf AS (
-        |  SELECT doc_id, max(c) AS max_tf FROM (
-        |    SELECT doc_id, token, count(*) AS c
-        |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
-        |    GROUP BY doc_id, token)
-        |  GROUP BY doc_id)
-        |SELECT b.doc_id, b.n_words,
-        |  CAST(floor(100.0 * (b.n_chars - b.n_words + 1) / b.n_words) AS BIGINT) AS mean_len_x100,
-        |  CAST(floor(10000.0 * m.max_tf / b.n_words) AS BIGINT) AS rep_x10000,
-        |  (b.n_words BETWEEN 5 AND 1000
-        |    AND CAST(floor(100.0 * (b.n_chars - b.n_words + 1) / b.n_words) AS BIGINT) BETWEEN 300 AND 1000
-        |    AND CAST(floor(10000.0 * m.max_tf / b.n_words) AS BIGINT) < 2000) AS keep
-        |FROM base b JOIN mtf m USING (doc_id)
+      """WITH pertok AS (
+        |  SELECT doc_id, token, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE len(token) > 0
+        |  GROUP BY doc_id, token),
+        |stats AS (
+        |  SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_words,
+        |    CAST(sum(c * len(token)) AS BIGINT) AS sum_len,
+        |    max(c) AS max_tf
+        |  FROM pertok GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(s.n_words, 0) AS n_words,
+        |  CAST(floor(100.0 * s.sum_len / s.n_words) AS BIGINT) AS mean_len_x100,
+        |  CAST(floor(10000.0 * s.max_tf / s.n_words) AS BIGINT) AS rep_x10000,
+        |  (coalesce(s.n_words, 0) BETWEEN 5 AND 1000
+        |    AND CAST(floor(100.0 * s.sum_len / s.n_words) AS BIGINT) BETWEEN 300 AND 1000
+        |    AND CAST(floor(10000.0 * s.max_tf / s.n_words) AS BIGINT) < 2000) AS keep
+        |FROM (SELECT doc_id FROM documents) d LEFT JOIN stats s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q_tfidf" ->

@@ -78,6 +78,59 @@ object Streams {
     }
   }
 
+  /** O3/O4 as a durable operational artifact, not just an in-memory
+    * observability hook: one JSON file per (batch, source) under `dir`,
+    * written temp-then-atomic-rename — the Structured-Streaming analogue
+    * of the reference persisting offsets externally every batch with a
+    * single atomic ZK write (K:98–109). A restart replaying the last
+    * uncommitted batch re-emits the same batchId and the rename
+    * idempotently overwrites, so after any kill-and-restart the
+    * directory reads back as contiguous, gapless offset ranges (tested).
+    * External consumers (lag monitors, the reference's R:143 audit) can
+    * tail the directory without touching Spark's checkpoint internals. */
+  final class DurableOffsetMirror(dir: String) extends StreamingQueryListener {
+    private val path = java.nio.file.Paths.get(dir)
+
+    private def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    private def unesc(s: String): String = s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      java.nio.file.Files.createDirectories(path)
+      val p = e.progress
+      p.sources.zipWithIndex.foreach { case (s, i) =>
+        val start = Option(s.startOffset).map(_.toString).getOrElse("none")
+        val end = Option(s.endOffset).map(_.toString).getOrElse("none")
+        val rec = s"""{"batchId":${p.batchId},"source":"${esc(s.description)}",""" +
+          s""""startOffset":"${esc(start)}","endOffset":"${esc(end)}"}"""
+        val name = f"batch-${p.batchId}%012d-src$i%d.json"
+        val tmp = path.resolve(name + ".tmp")
+        java.nio.file.Files.write(tmp, (rec + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, path.resolve(name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+
+    /** Read the directory back as batch-ordered records (the audit view). */
+    def readBack(): Seq[OffsetRecord] = {
+      if (!java.nio.file.Files.isDirectory(path)) return Seq.empty
+      val re = ("""\{"batchId":(\d+),"source":"(.*)","startOffset":"(.*)","endOffset":"(.*)"\}""").r
+      val files = java.nio.file.Files.list(path).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json")).toSeq
+        .sortBy(_.getFileName.toString)
+      files.flatMap { f =>
+        new String(java.nio.file.Files.readAllBytes(f),
+          java.nio.charset.StandardCharsets.UTF_8).trim match {
+          case re(b, src, st, en) =>
+            Some(OffsetRecord(b.toLong, unesc(src), unesc(st), unesc(en)))
+          case _ => None
+        }
+      }
+    }
+  }
+
   /** O10: graceful stop — Structured Streaming's `stop()` is
     * batch-boundary safe (no partial commit), the declarative form of
     * `ssc.stop(stopSparkContext, stopGracefully=true)` (K:33). */

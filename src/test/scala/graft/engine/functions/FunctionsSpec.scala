@@ -162,6 +162,29 @@ class FunctionsSpec extends SparkSuite {
     assert(vals.forall(v => v >= 0 && v < 2147483647L))
   }
 
+  test("poly_hash62 separates poly_hash31 collisions and pins the double-fold value") {
+    GraftFunctions.register(spark)
+    // 'Aa' and 'BB' collide under the single base-31 fold (both 2112) —
+    // the motivating case for the 62-bit double fold
+    assert(spark.sql("SELECT poly_hash31('Aa') = poly_hash31('BB')").head().getBoolean(0))
+    assert(!spark.sql("SELECT poly_hash62('Aa') = poly_hash62('BB')").head().getBoolean(0))
+    // value = base31 fold · 2^31 + base37 fold, each mod 2^31-1
+    def fold(s: String, base: Long): Long =
+      s.codePoints().toArray.foldLeft(0L)((h, cp) => (h * base + cp) % 2147483647L)
+    def expected(s: String): Long = fold(s, 31) * 2147483648L + fold(s, 37)
+    for (s <- Seq("hello", "a☃b", "", "Aa", "BB")) {
+      assert(spark.sql(s"SELECT poly_hash62('$s')").head().getLong(0) == expected(s))
+    }
+    assert(spark.sql("SELECT poly_hash62(CAST(NULL AS STRING))").head().isNullAt(0))
+    // range contract: [0, 2^62) — bits 62/63 clear, downstream affine
+    // steps on (h % 2^31-1) stay under 2^63
+    val rnd = new scala.util.Random(17)
+    val words = Seq.fill(200)(rnd.alphanumeric.take(rnd.nextInt(12) + 1).mkString)
+    val vals = words.toDF("w")
+      .select(call_function("poly_hash62", col("w"))).as[Long].collect()
+    assert(vals.forall(v => v >= 0 && v < (1L << 62)))
+  }
+
   /** Per-bit majority vote, the definitional SimHash. */
   private def referenceSimhash(hashes: Array[Long]): Long =
     (0 until 64).foldLeft(0L) { (sig, p) =>

@@ -31,6 +31,18 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q_scan_partitioned prunes fact partitions statically and dynamically") {
+    val p = plan("q_scan_partitioned")
+    // static: the partition column filter never reaches row groups — it
+    // selects directories at plan time
+    assert(p.contains("PartitionFilters: [isnotnull(event_date"),
+      "partition-column predicate must be a PartitionFilter, not a data filter:\n" + p.take(2000))
+    // dynamic: the filtered dim side injects a runtime pruning subquery
+    // into the fact scan, so only the matching day directories are read
+    assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"),
+      "expected a dynamic partition pruning subquery on the fact scan:\n" + p.take(2000))
+  }
+
   test("q_join_multi broadcasts the nation dimension") {
     assert(plan("q_join_multi").contains("BroadcastHashJoin"))
   }

@@ -37,6 +37,29 @@ class TextSimilaritySpec extends SparkSuite {
     assert(recall >= 0.3, s"LSH recall collapsed: $recall (hits=${approx.keySet})")
   }
 
+  test("q_ann_rerank composes the band probe with the exact scorer: scores match knnJoin, ranks are dense") {
+    // the full-corpus exact scorer over the same probes, deep enough to
+    // cover every candidate the bands can emit
+    val exact = graft.engine.ops.Similarity.knnJoin(
+        graft.engine.io.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        Seq(1L, 2L, 3L), 100000)
+      .select("q_id", "vec_id", "cos_sim").as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    val rr = run("q_ann_rerank").as[(Long, Long, Double, Long)].collect()
+    assert(rr.nonEmpty, "band probe must produce candidates on the fixture")
+    rr.foreach { case (q, v, c, _) =>
+      assert(math.abs(exact((q, v)) - c) < 1e-9, s"rerank score drift for ($q,$v)")
+    }
+    // per query: ranks are 1..n with scores non-increasing (the exact
+    // top-k contract over the candidate set)
+    rr.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq, s"ranks not dense for $q")
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(-(_: Double)).toSeq,
+        s"scores not ranked for $q")
+    }
+  }
+
   /** Exact UNBLOCKED token-set jaccard over all pairs (the ground truth
     * the probabilistic operators approximate; q_ngram_jaccard itself
     * blocks on (lang, n_chars), which is a different candidate space). */

@@ -76,6 +76,44 @@ class StreamingSpec extends SparkSuite {
     } finally spark.streams.removeListener(mirror)
   }
 
+  // s_offset_mirror_durable (O3/O4 as a durable artifact: the analogue of
+  // the reference's per-batch atomic ZK offset write, K:98-109)
+  test("s_offset_mirror_durable: killed-and-restarted query leaves contiguous, gapless offset files") {
+    val dir = tmpDir("mirror")
+    val ckpt = tmpDir("mirror-ckpt")
+    val mirror = new Streams.DurableOffsetMirror(dir)
+    spark.streams.addListener(mirror)
+    try {
+      val in = MemoryStream[(String, String)](spark)
+      def start() = Streams.foreachBatchSink(in.toDF().toDF("key", "value"), ckpt) {
+        (_, _) => ()
+      }.start()
+      val q1 = start()
+      in.addData(("k", "a")); q1.processAllAvailable()
+      in.addData(("k", "b")); q1.processAllAvailable()
+      q1.stop(); q1.awaitTermination()    // "crash" at a batch boundary
+      in.addData(("k", "c"))              // produced while down
+      val q2 = start()                    // restart: resumes from offset log
+      q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+      // listener events are async — wait for the third committed batch
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (mirror.readBack().size < 3 && System.nanoTime() < deadline) Thread.sleep(50)
+      val recs = mirror.readBack()
+      assert(recs.size >= 3, s"expected ≥3 durable batch records, got $recs")
+      val ids = recs.map(_.batchId)
+      assert(ids == ids.sorted && ids.distinct == ids,
+        s"batch ids strictly increasing, replays overwritten in place: $ids")
+      assert(ids.zip(ids.tail).forall { case (a, b) => b == a + 1 },
+        s"batch ids gapless across the restart: $ids")
+      // ranges chain across the kill: end of batch n is start of batch n+1
+      recs.zip(recs.tail).foreach { case (prev, next) =>
+        assert(next.startOffset == prev.endOffset,
+          s"offset chain broken between batches ${prev.batchId} and ${next.batchId}: $recs")
+      }
+      assert(recs.forall(_.endOffset != "none"), "every committed batch records an end offset")
+    } finally spark.streams.removeListener(mirror)
+  }
+
   // s_resume_from_offsets (O2: replay-not-gap across restart, R:93-95)
   test("s_resume_from_offsets: restart from checkpoint loses nothing, duplicates nothing") {
     val ckpt = tmpDir("resume")
