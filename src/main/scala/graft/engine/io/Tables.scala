@@ -48,6 +48,39 @@ object Tables {
   def registerViews(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 
+  /** The bucketed join layout SURVEY §4.2 commits to for the big-fact
+    * joins: lineitem and orders CLUSTERED BY the order key into the same
+    * bucket count, so an equi-join on that key reads co-located buckets
+    * and needs NO shuffle on either side — at 100 TB the single biggest
+    * join cost simply disappears from every query that joins on the
+    * bucket key. `repartition(8, key)` before the bucketed write uses
+    * the same murmur3 hash as the bucket assignment, so each task holds
+    * exactly one bucket → one file per bucket → the scan also reports
+    * per-bucket sort order and the join elides its sorts. Tables are
+    * registered in the session catalog on first use (external, data
+    * under `target/`), so bench reruns in one session pay the write
+    * once. */
+  def bucketedOrdersJoin(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val tag = new java.io.File(sfDir).getName.replace(".", "_").replace("-", "_")
+    val base = new java.io.File(s"target/bucketed/$tag").getAbsolutePath
+    def ensure(name: String, df: => DataFrame, key: String): DataFrame = {
+      val full = s"${name}_$tag"
+      this.synchronized {
+        if (!spark.catalog.tableExists(full)) {
+          df.repartition(8, col(key))
+            .write.mode("overwrite")
+            .bucketBy(8, key).sortBy(key)
+            .option("path", s"$base/$full")
+            .saveAsTable(full)
+        }
+      }
+      spark.table(full)
+    }
+    (ensure("lineitem_bkt", lineitem(spark, sfDir), "l_orderkey"),
+     ensure("orders_bkt", orders(spark, sfDir), "o_orderkey"))
+  }
+
   /** The date-partitioned events layout SURVEY §4.2 commits to for the
     * 100 TB table, materialized once per sfDir under `target/` (plus the
     * tiny date dimension DPP needs): a directory per `event_date`, so a

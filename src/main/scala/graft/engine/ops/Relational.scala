@@ -135,6 +135,23 @@ object Relational {
       expr("try_element_at(array(o_orderkey, o_custkey), CAST(o_custkey % 3 AS INT) + 1)").as("oob"))
       .orderBy("o_orderkey")
 
+  /** C. joins, bucketed layout: lineitem ⋈ orders on the order key over
+    * [[Tables.bucketedOrdersJoin]]'s co-located buckets — the join AND
+    * the post-join per-order aggregation both run with ZERO shuffle
+    * (the SMJ inherits the bucket partitioning; the groupBy key equals
+    * the join key, so the agg reuses it; pinned in PlanShapeSpec as "no
+    * Exchange hashpartitioning anywhere"). The merge hint keeps AQE
+    * from broadcasting the small fixture side, because the point IS the
+    * sort-merge path — at 100 TB neither side broadcasts, and bucketing
+    * is what deletes the shuffle. */
+  private val qJoinBucketed: Q = (s, d) => {
+    val (l, o) = Tables.bucketedOrdersJoin(s, d)
+    l.hint("merge").join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderkey")
+  }
+
   /** FULL OUTER join with genuinely unmatched rows on BOTH sides
     * (BUILDING-segment customers vs urgent-order counts): the
     * null-completion semantics left/right joins can't express. The
@@ -462,6 +479,7 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "q_scan_count" -> qScanCount, "q_scan_prune" -> qScanPrune,
     "q_scan_partitioned" -> qScanPartitioned,
+    "q_join_bucketed" -> qJoinBucketed,
     "q_project_arith" -> qProjectArith, "q_filter_basic" -> qFilterBasic,
     "q_filter_in_like_between" -> qFilterInLikeBetween,
     "q_join_inner" -> qJoinInner, "q_join_left" -> qJoinLeft,
@@ -561,6 +579,14 @@ object Relational {
         |           WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) o
         |  ON c.c_custkey = o.o_custkey
         |ORDER BY k""".stripMargin,
+
+    // the bucketed layout is content-preserving, so the co-located join
+    // replays as a plain equi-join on the raw tables
+    "q_join_bucketed" ->
+      s"""SELECT o_orderkey, count(*) AS n_items,
+         |  ${dsumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
     "q_try_funcs" ->
       """SELECT o_orderkey,

@@ -31,6 +31,18 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q_join_bucketed joins co-located buckets with zero shuffle, agg included") {
+    // AQE finalizes the plan at execution — run it, then inspect
+    val df = SparkEntry.queries("q_join_bucketed")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "bucketed co-located join must not shuffle either side or the post-join agg:\n" + p.take(2500))
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      "scan must actually read bucket metadata:\n" + p.take(2500))
+  }
+
   test("q_scan_partitioned prunes fact partitions statically and dynamically") {
     val p = plan("q_scan_partitioned")
     // static: the partition column filter never reaches row groups — it
