@@ -286,7 +286,7 @@ object Similarity {
     // second shuffle — the signature is a scalar projection; see
     // MinHashSignature). Bit-identical to the explode + 16-min-agg
     // formulation it replaced (property-tested in FunctionsSpec).
-    val sigs = groups.select(col("rep"),
+    val sigs = groups.select(col("rep"), size(col("hsh")).as("sz"),
       GraftFunctions.minhashSig(spark, col("hsh")).as("sig"))
     // 2 bands of 8 rows; band key = left fold (acc·131 + mᵢ mod p) mod p
     // over the band's signature components — engine-neutral (the oracle
@@ -295,38 +295,38 @@ object Similarity {
     // both engines. Bands come from ONE explode over the sig row (a
     // unionAll of selects would recompute the whole signature per band).
     val P31 = 2147483647L
-    val banded = sigs.select(col("rep"), explode(array((0 until 2).map { bnd =>
+    val banded = sigs.select(col("rep"), col("sz"), explode(array((0 until 2).map { bnd =>
         val cs = (bnd * 8 until bnd * 8 + 8).map(i => element_at(col("sig"), i + 1))
         val bkey = cs.foldLeft(lit(0L): Column)((acc, m) =>
           pmod(acc * 131L + pmod(m, lit(P31)), lit(P31)))
         struct(lit(bnd).as("band"), bkey.as("bkey"))
       }: _*)).as("bb"))
-      .select(col("rep"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .select(col("rep"), col("sz"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    // Size-bound pruning INSIDE the band self-join: jaccard ≥ t forces
+    // min(|sa|,|sb|) ≥ t·max(|sa|,|sb|), so pairs failing the bound are
+    // dropped as the join probes — BEFORE the distinct, which is the
+    // dominant stage of the whole pipeline (the self-similar fixture
+    // emits ~4.25 M raw candidates from ~4 k reps; shuffling all of
+    // them into the dedup was ~80% of pipeline time; an earlier
+    // formulation pruned after the distinct via broadcast size joins
+    // and paid it in full). Carrying `sz` through the explode costs one
+    // int per band row. The 0.001 slack covers pairs whose ROUNDED
+    // jaccard crosses the threshold from just below; output is
+    // therefore exactly unchanged (the oracle keeps verifying ALL
+    // band collisions and matches).
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
-      .filter(col("x.rep") < col("y.rep"))
+      .filter(col("x.rep") < col("y.rep") &&
+        least(col("x.sz"), col("y.sz")).cast("double") >=
+          greatest(col("x.sz"), col("y.sz")) * lit(threshold - 0.001))
       .select(col("x.rep").as("rep_1"), col("y.rep").as("rep_2"))
       .distinct()
-    // Size-bound pruning BEFORE the array joins: jaccard ≥ t forces
-    // min(|sa|,|sb|) ≥ t·max(|sa|,|sb|), so candidates failing the bound
-    // can skip the intersect — and, joined via the broadcast-small sizes
-    // table first, their hsh arrays are never shuffled at all. The 0.001
-    // slack covers pairs whose ROUNDED jaccard crosses the threshold
-    // from just below; output is therefore exactly unchanged (the oracle
-    // keeps verifying all candidates and matches).
-    val sizes = groups.select(col("rep"), size(col("hsh")).as("sz"))
-    val candSized = cand
-      .join(broadcast(sizes.select(col("rep").as("rep_1"), col("sz").as("sz1"))), "rep_1")
-      .join(broadcast(sizes.select(col("rep").as("rep_2"), col("sz").as("sz2"))), "rep_2")
-      .filter(least(col("sz1"), col("sz2")).cast("double") >=
-              greatest(col("sz1"), col("sz2")) * lit(threshold - 0.001))
-      .select("rep_1", "rep_2")
     // exact-Jaccard verification of LSH candidates, still at rep level.
     // `hsh` arrays are sorted, so the native merge-walk expression counts
     // the overlap with zero allocation (vs array_intersect's per-row set).
     val sa = groups.select(col("rep").as("rep_1"), col("hsh").as("sa"), col("members").as("ma"))
     val sb = groups.select(col("rep").as("rep_2"), col("hsh").as("sb"), col("members").as("mb"))
     val inter = GraftFunctions.sortedIntersectSize(spark, col("sa"), col("sb")).cast("double")
-    val verified = candSized.join(sa, "rep_1").join(sb, "rep_2")
+    val verified = cand.join(sa, "rep_1").join(sb, "rep_2")
       .withColumn("jaccard", round(inter / (size(col("sa")) + size(col("sb")) - inter), 4))
       .filter(col("jaccard") >= threshold)
     // expand cross-group rep pairs to doc pairs (jaccard as verified) …
