@@ -171,6 +171,60 @@ object TextPipeline {
            sum("n_tokens").as("total_tokens"))
       .orderBy("lang")
 
+  /** Corpus-derived stopword filtering: a token is a stopword iff its
+    * document frequency exceeds `dfFracPct`% of the corpus — the
+    * data-driven variant of a fixed stopword list (new domains and
+    * languages get the right list for free). Emits per document the
+    * non-empty token count, the post-filter count, and the filtered
+    * text itself (order preserved).
+    *
+    * Scale shape: the stopword list is the HEAD of the vocabulary — by
+    * Zipf a handful of rows no matter the corpus size — so it collapses
+    * to a single-row array broadcast under every document via
+    * crossJoin; the per-doc filter is then a narrow higher-order
+    * function, no second shuffle of the corpus. The df aggregation is
+    * the one shuffle (token-keyed, partial+final). */
+  def stopwordFilter(documents: DataFrame, idCol: String, textCol: String,
+                     dfFracPct: Int): DataFrame = {
+    val tokens = documents
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val nDocs = documents.select(countDistinct(col(idCol)).as("n_docs"))
+    val stops = tokens.groupBy("token").agg(countDistinct("doc_id").as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 100 > col("n_docs") * dfFracPct)
+      .agg(sort_array(collect_list("token")).as("stops"))
+    val tk = filter(toks(col(textCol)), t => length(t) > 0)
+    val kept = filter(tk, t => !array_contains(col("stops"), t))
+    documents.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .crossJoin(broadcast(stops))
+      .select(col("doc_id"),
+        size(tk).cast("long").as("n_toks"),
+        size(kept).cast("long").as("n_kept"),
+        array_join(kept, " ").as("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus n-gram collocation stats: top-k bigrams by occurrence count
+    * (ties broken on the bigram), the LM-style corpus statistic behind
+    * vocabulary building and boilerplate detection. One narrow
+    * generator (adjacent-pair transform + explode) feeding one
+    * token-keyed partial+final count and a TakeOrderedAndProject —
+    * never a corpus-wide sort. */
+  def ngramStats(documents: DataFrame, textCol: String, k: Int): DataFrame = {
+    val tk = filter(toks(col(textCol)), t => length(t) > 0)
+    val grams = documents.select(
+        when(size(tk) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(tk) - 1),
+            i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
+          .as("grams"))
+      .select(explode(col("grams")).as("bigram"))
+    grams.groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(k)
+      .orderBy(col("n").desc, col("bigram").asc)
+  }
+
   /** Stopword-signature language ID (n-gram heuristic, SURVEY §2.2-I).
     * Deterministic: score per language = #tokens in that language's
     * signature set; argmax with alphabetical tiebreak. */
@@ -476,6 +530,10 @@ object TextPipeline {
         .orderBy("id")),
     "q_tfidf" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", 3)),
     "q_gopher_rules" -> ((s, d) => gopherRules(Tables.documents(s, d), "doc_id", "text")),
+    // threshold 78: the fixture vocabulary is ~30 tokens at 74-80% df
+    // plus a rare tail, so 78 splits it into real stopwords vs content
+    "q_stopword_filter" -> ((s, d) => stopwordFilter(Tables.documents(s, d), "doc_id", "text", 78)),
+    "q_ngram_stats" -> ((s, d) => ngramStats(Tables.documents(s, d), "text", 20)),
     "q_mix_report" -> ((s, d) =>
       mixtureReport(Tables.documents(s, d), "doc_id", "text", Seq("source", "lang"))),
     "q_chunk" -> ((s, d) =>
@@ -685,6 +743,32 @@ object TextPipeline {
         |    AND CAST(floor(10000.0 * s.max_tf / s.n_words) AS BIGINT) < 2000) AS keep
         |FROM (SELECT doc_id FROM documents) d LEFT JOIN stats s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_stopword_filter" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks
+        |       WHERE len(token) > 0 GROUP BY token),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |st AS (SELECT coalesce(list_sort(list(token)), CAST([] AS VARCHAR[])) AS stops
+        |       FROM tf, nd WHERE df * 100 > n_docs * 78)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_toks,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |       t -> len(t) > 0 AND NOT list_contains(stops, t))) AS BIGINT) AS n_kept,
+        |  coalesce(array_to_string(list_filter(string_split(text, ' '),
+        |       t -> len(t) > 0 AND NOT list_contains(stops, t)), ' '), '') AS kept_text
+        |FROM documents, st
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_stats" ->
+      """WITH tk AS (
+        |  SELECT list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk FROM documents),
+        |grams AS (
+        |  SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        |  FROM tk)
+        |SELECT bigram, count(*) AS n
+        |FROM grams GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
 
     "q_tfidf" ->
       """WITH tokens AS (
