@@ -43,6 +43,17 @@ class PlanShapeSpec extends SparkSuite {
       "scan must actually read bucket metadata:\n" + p.take(2500))
   }
 
+  test("q_stopword_filter broadcasts the stopword head; q_ngram_stats takes ordered top-k") {
+    val p1 = plan("q_stopword_filter")
+    // the Zipf-head stopword array goes UNDER the corpus via broadcast —
+    // the corpus itself must not shuffle for the per-doc filter
+    assert(p1.contains("BroadcastNestedLoopJoin") || p1.contains("BroadcastExchange"),
+      "stopword array must broadcast:\n" + p1.take(2000))
+    val p2 = plan("q_ngram_stats")
+    assert(p2.contains("TakeOrderedAndProject"),
+      "top-k must not be a corpus-wide sort:\n" + p2.take(1500))
+  }
+
   test("q_scan_partitioned prunes fact partitions statically and dynamically") {
     val p = plan("q_scan_partitioned")
     // static: the partition column filter never reaches row groups — it
