@@ -517,6 +517,89 @@ object TextPipeline {
       .orderBy("doc_id_1", "doc_id_2")
   }
 
+  /** Paragraph-level exact dedup (the C4/RefinedWeb boilerplate pass):
+    * documents are cut into fixed-size non-overlapping token paragraphs
+    * (the [[chunkDocuments]] generator with overlap 0), each distinct
+    * paragraph text survives only at its FIRST corpus occurrence
+    * (min (doc_id, chunk_idx) — the deterministic survivor policy), and
+    * every document is rebuilt from its surviving paragraphs in order.
+    * Finer-grained than document dedup: a page that quotes a widely
+    * copied footer loses just that paragraph, not the page.
+    *
+    * Scale shape: the chunker is a narrow generator; the survivor pick
+    * is ONE shuffle of the chunk stream keyed on the paragraph text
+    * (Spark hash-partitions the string key — at 100 TB you'd project
+    * `xxhash64(chunk_text)` as the window key first to shrink shuffle
+    * records; kept exact here so the oracle replays it); the rebuild is
+    * a doc-keyed aggregate, the same key the chunker emitted, and the
+    * per-doc totals ride the same aggregate. No driver action anywhere. */
+  def dedupParagraphs(documents: DataFrame, idCol: String, textCol: String,
+                      paraSize: Int): DataFrame = {
+    val chunks = chunkDocuments(documents, idCol, textCol, paraSize, 0, ordered = false)
+    val w = Window.partitionBy("chunk_text").orderBy(col("doc_id").asc, col("chunk_idx").asc)
+    val marked = chunks.withColumn("rk", row_number().over(w))
+    val perDoc = marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      count(when(col("rk") === 1, lit(1))).as("n_kept"),
+      array_join(
+        transform(
+          sort_array(collect_list(when(col("rk") === 1,
+            struct(col("chunk_idx"), col("chunk_text"))))),
+          s => s("chunk_text")),
+        " ").as("clean_text"))
+    documents.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Regex denylist scrub — the PII-redaction shape: count matches and
+    * replace every occurrence with a mask token, in one projection. The
+    * fixture binds a word-denylist pattern; real email/phone/IP patterns
+    * slot into the same `\b(...)\b` alternation unchanged (the fixture
+    * corpus is a letters-only token vocabulary, so those patterns would
+    * exercise nothing here). Purely narrow — no shuffle at any scale —
+    * and the pattern compiles once per task, not per row. */
+  def regexScrub(documents: DataFrame, idCol: String, textCol: String,
+                 pattern: String, mask: String): DataFrame =
+    documents.select(col(idCol).as("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(pattern), lit(0))).cast("long").as("n_hits"),
+      regexp_replace(col(textCol), pattern, mask).as("clean_text"))
+      .orderBy("doc_id")
+
+  /** Temperature-scaled mixture sampling weights: stratum weight
+    * ∝ n_docs^(1/2) (temperature T = 2 up-weights small strata, the
+    * standard multilingual-sampling move), normalized to ppm plus the
+    * floored per-stratum document target under `budget`. `sqrt` is an
+    * IEEE correctly-rounded op, so individual weights are engine-exact;
+    * the only order-sensitive value — the normalizing sum — is computed
+    * as a left-to-right fold over the stratum-sorted weight list
+    * (`aggregate` ≡ DuckDB `list_reduce`), never a parallel double sum.
+    *
+    * Scale: runs on the ALREADY-AGGREGATED stratum table (thousands of
+    * rows at most, after the one corpus-side count shuffle), so the
+    * single-row collect_list is a deliberate small-data barrier, not a
+    * corpus materialization. */
+  def mixtureWeights(documents: DataFrame, strataCol: String, budget: Int): DataFrame = {
+    val counts = documents.groupBy(col(strataCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+    val packed = counts
+      .agg(sort_array(collect_list(struct(col("stratum"), col("n_docs")))).as("arr"))
+      .select(col("arr"),
+        aggregate(col("arr"), lit(0.0d),
+          (acc, x) => acc + sqrt(x("n_docs").cast("double"))).as("total"))
+    packed.select(explode(col("arr")).as("s"), col("total"))
+      .select(col("s.stratum").as("stratum"), col("s.n_docs").as("n_docs"),
+        floor(lit(1000000.0) * sqrt(col("s.n_docs").cast("double")) / col("total"))
+          .cast("long").as("weight_ppm"),
+        floor(lit(budget.toDouble) * sqrt(col("s.n_docs").cast("double")) / col("total"))
+          .cast("long").as("target_docs"))
+      .orderBy("stratum")
+  }
+
   // ------------------------------------------------- fixture bindings
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, d) => exactDedup(Tables.documents(s, d), "doc_id", "text")),
@@ -565,6 +648,13 @@ object TextPipeline {
       contamination(docs.filter(col("doc_id") >= 10), "doc_id", "text",
         docs.filter(col("doc_id") < 10), "doc_id", "text")
     }),
+    "q_dedup_paragraph" -> ((s, d) =>
+      dedupParagraphs(Tables.documents(s, d), "doc_id", "text", paraSize = 16)),
+    "q_pii_scrub" -> ((s, d) =>
+      regexScrub(Tables.documents(s, d), "doc_id", "text",
+        "\\b(customer|key|value)\\b", "<PII>")),
+    "q_mixture_weights" -> ((s, d) =>
+      mixtureWeights(Tables.documents(s, d), "source", budget = 1000)),
   )
 
   private def sigList(sig: Seq[String]): String = sig.map(t => s"'$t'").mkString("(", ",", ")")
@@ -802,6 +892,44 @@ object TextPipeline {
         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rk
         |  FROM scored)
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "q_dedup_paragraph" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, t,
+        |        unnest(range(1, len(t) + 1, 16)) AS start,
+        |        generate_subscripts(range(1, len(t) + 1, 16), 1) AS chunk_idx
+        |      FROM d),
+        |c AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |        array_to_string(list_slice(t, start, least(start + 15, len(t))), ' ') AS chunk_text
+        |      FROM s),
+        |k AS (SELECT doc_id, chunk_idx, chunk_text,
+        |        row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) AS rk
+        |      FROM c),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_chunks,
+        |    count(*) FILTER (WHERE rk = 1) AS n_kept,
+        |    coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_idx) FILTER (WHERE rk = 1), '') AS clean_text
+        |  FROM k GROUP BY doc_id)
+        |SELECT d0.doc_id, coalesce(p.n_chunks, 0) AS n_chunks,
+        |  coalesce(p.n_kept, 0) AS n_kept, coalesce(p.clean_text, '') AS clean_text
+        |FROM (SELECT doc_id FROM documents) d0 LEFT JOIN perdoc p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|key|value)\b')) AS BIGINT) AS n_hits,
+        |  regexp_replace(text, '\b(customer|key|value)\b', '<PII>', 'g') AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mixture_weights" ->
+      """WITH c AS (SELECT source AS stratum, count(*) AS n_docs FROM documents GROUP BY source),
+        |t AS (SELECT list_reduce(
+        |        list_prepend(0.0, list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY stratum)),
+        |        (a, b) -> a + b) AS total FROM c)
+        |SELECT stratum, n_docs,
+        |  CAST(floor(1000000.0 * sqrt(CAST(n_docs AS DOUBLE)) / total) AS BIGINT) AS weight_ppm,
+        |  CAST(floor(1000.0 * sqrt(CAST(n_docs AS DOUBLE)) / total) AS BIGINT) AS target_docs
+        |FROM c, t ORDER BY stratum""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH base AS (

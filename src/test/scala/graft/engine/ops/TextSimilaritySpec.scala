@@ -262,6 +262,77 @@ class TextSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("paragraph dedup: shared paragraph survives only at its first occurrence; docs rebuilt in order") {
+    val docs = Seq(
+      (1L, "a b c d p1 p1 p1 p1 tail1 x"),
+      (2L, "a b c d p1 p1 p1 p1 tail2 y"), // first 8 tokens == doc 1's first paragraph
+      (3L, "zz yy")
+    ).toDF("doc_id", "text")
+    val out = graft.engine.ops.TextPipeline.dedupParagraphs(docs, "doc_id", "text", paraSize = 8)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3 == 2 && byId(1L)._4 == "a b c d p1 p1 p1 p1 tail1 x",
+      "doc 1 keeps both paragraphs intact")
+    assert(byId(2L)._3 == 1 && byId(2L)._4 == "tail2 y",
+      "doc 2 loses the paragraph doc 1 already owns, keeps its tail")
+    assert(byId(3L)._3 == 1 && byId(3L)._4 == "zz yy")
+  }
+
+  test("q_dedup_paragraph fixture invariants: kept = distinct paragraphs, exact-dup docs fully collapse") {
+    val out = run("q_dedup_paragraph")
+    // global: total kept paragraphs == corpus-distinct paragraph texts
+    val totalKept = out.agg(sum("n_kept")).head().getLong(0)
+    val distinctParas = graft.engine.ops.TextPipeline
+      .chunkDocuments(graft.engine.io.Tables.documents(spark, sfDir),
+        "doc_id", "text", 16, 0, ordered = false)
+      .select("chunk_text").distinct().count()
+    assert(totalKept == distinctParas)
+    // an exact-duplicate doc (same text as a smaller doc_id) keeps nothing
+    val dups = run("q_dedup_exact").filter(col("n_dups") > 1)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    if (dups.nonEmpty) {
+      val docs = graft.engine.io.Tables.documents(spark, sfDir)
+        .select("doc_id", "text").as[(Long, String)].collect()
+      val losers = for {
+        (minId, text) <- dups
+        (id, t) <- docs if t == text && id != minId
+      } yield id
+      val keptMap = out.select("doc_id", "n_kept").as[(Long, Long)].collect().toMap
+      losers.foreach(id => assert(keptMap(id) == 0, s"exact-dup doc $id should keep 0 paragraphs"))
+    }
+  }
+
+  test("regex scrub: counts and masking agree, clean text carries no denylist hits") {
+    val docs = Seq(
+      (1L, "customer key value keychain customer"),
+      (2L, "nothing here")
+    ).toDF("doc_id", "text")
+    val out = graft.engine.ops.TextPipeline
+      .regexScrub(docs, "doc_id", "text", "\\b(customer|key|value)\\b", "<PII>")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // keychain must NOT match (word boundary), the rest must
+    assert(out(0) == ((1L, 4L, "<PII> <PII> <PII> keychain <PII>")))
+    assert(out(1) == ((2L, 0L, "nothing here")))
+    val fx = run("q_pii_scrub")
+    assert(fx.filter(col("clean_text").rlike("\\b(customer|key|value)\\b")).count() == 0)
+  }
+
+  test("mixture weights: sqrt temperature scaling, ppm normalization, determinism") {
+    val docs = (1L to 400L).map(i => (i, if (i <= 320) "big" else "small"))
+      .toDF("doc_id", "source")
+    val w = graft.engine.ops.TextPipeline.mixtureWeights(docs, "source", budget = 100)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // 320 vs 80 docs = 4:1 → sqrt weights 2:1 → ppm ≈ 666666 / 333333
+    assert(w("big")._2 == 320 && w("small")._2 == 80)
+    assert(math.abs(w("big")._3 - 666666L) <= 1, s"big ppm: ${w("big")._3}")
+    assert(math.abs(w("small")._3 - 333333L) <= 1)
+    assert(w("big")._4 == 66 && w("small")._4 == 33)
+    // fixture: weights normalize to 1e6 within one ulp-floor per stratum
+    val fx = run("q_mixture_weights").as[(String, Long, Long, Long)].collect()
+    val s = fx.map(_._3).sum
+    assert(s <= 1000000L && s > 1000000L - fx.length, s"ppm sum $s")
+  }
+
   test("tfidf: rare terms outscore stopwords within a document") {
     val t = run("q_tfidf")
     // ranks are 1..k, unique per doc, ordered by nonincreasing score
