@@ -475,8 +475,40 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** SCD-1 MERGE/upsert expressed as one full-outer coalesce join — the
+    * engine-agnostic shape of `MERGE INTO` (no transactional table format
+    * ships in this environment, so the merge RESULT is the operator):
+    * matched keys take the update's values, source-only keys become
+    * inserts, target-only keys pass through unchanged. The updates side
+    * derives from orders (max price per customer), with keys ≡ 0 (mod 7)
+    * shifted past the key space to exercise the insert path.
+    *
+    * Scale: a single equi-join on the merge key — AQE broadcasts the
+    * updates side when small, else a standard shuffle join; exactly the
+    * plan a MERGE rewrite lowers to. `max` (not a float sum) keeps the
+    * updated balance bit-exact cross-engine. */
+  private val qMergeUpsert: Q = (s, d) => {
+    val upd = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(max("o_totalprice").as("u_bal"))
+      .select(
+        when(col("o_custkey") % 7 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        col("u_bal"))
+    Tables.customer(s, d).join(upd, Seq("c_custkey"), "full_outer")
+      .select(
+        col("c_custkey"),
+        coalesce(col("c_name"), concat(lit("NEW#"), col("c_custkey"))).as("c_name"),
+        coalesce(col("u_bal"), col("c_acctbal")).as("c_acctbal"),
+        when(col("u_bal").isNull, "unchanged")
+          .when(col("c_name").isNull, "insert")
+          .otherwise("update").as("merge_action"))
+      .orderBy("c_custkey")
+  }
+
   // ------------------------------------------------------------------ maps
   val queries: Map[String, Q] = Map(
+    "q_merge_upsert" -> qMergeUpsert,
     "q_scan_count" -> qScanCount, "q_scan_prune" -> qScanPrune,
     "q_scan_partitioned" -> qScanPartitioned,
     "q_join_bucketed" -> qJoinBucketed,
@@ -507,6 +539,20 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q_scan_count" -> "SELECT count(*) AS n_rows FROM lineitem",
+
+    "q_merge_upsert" ->
+      """WITH u0 AS (SELECT o_custkey, max(o_totalprice) AS u_bal
+        |            FROM orders GROUP BY o_custkey),
+        |upd AS (SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000
+        |               ELSE o_custkey END AS c_custkey, u_bal FROM u0)
+        |SELECT COALESCE(c.c_custkey, u.c_custkey) AS c_custkey,
+        |  COALESCE(c.c_name, 'NEW#' || COALESCE(c.c_custkey, u.c_custkey)) AS c_name,
+        |  COALESCE(u.u_bal, c.c_acctbal) AS c_acctbal,
+        |  CASE WHEN u.u_bal IS NULL THEN 'unchanged'
+        |       WHEN c.c_name IS NULL THEN 'insert'
+        |       ELSE 'update' END AS merge_action
+        |FROM customer c FULL JOIN upd u ON c.c_custkey = u.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
 
     // replays the partitioned-layout query over raw events: the layout is
     // content-preserving (events + derived event_date), so the same

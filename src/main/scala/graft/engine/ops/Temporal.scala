@@ -86,10 +86,32 @@ object Temporal {
               col("n"), col("min_v"), col("max_v"))
       .orderBy("win_start_s", "event_type")
 
+  /** SCD-2 validity intervals: each event becomes a versioned row whose
+    * validity runs from its own timestamp to the next event's (NULL =
+    * still current) — the slowly-changing-dimension history build every
+    * warehouse pipeline runs over CDC feeds. One window over the natural
+    * key, both outputs (`lead` + `row_number`) share the single sort, and
+    * the shuffle key (user) is the same key downstream temporal queries
+    * partition by. Timestamps are reported as epoch seconds (the
+    * cross-engine-stable projection of a µs timestamp). */
+  private val qScd2: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("valid_from_s"),
+        col("valid_to_ts").cast("long").as("valid_to_s"),
+        col("valid_to_ts").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_session_window" -> qSessionWindow,
     "q_range_join" -> qRangeJoin,
     "q_window_sliding" -> qWindowSliding,
+    "q_scd2_intervals" -> qScd2,
   )
 
   val oracle: Map[String, String] = Map(
@@ -126,6 +148,19 @@ object Temporal {
         | AND e.ts <  CAST(o.o_orderdate AS TIMESTAMP)
         |GROUP BY o.o_orderkey
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q_scd2_intervals" ->
+      """SELECT user_id, version, event_id, event_type,
+        |  CAST(epoch_us(ts) // 1000000 AS BIGINT) AS valid_from_s,
+        |  CAST(epoch_us(valid_to_ts) // 1000000 AS BIGINT) AS valid_to_s,
+        |  valid_to_ts IS NULL AS is_current
+        |FROM (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CAST(row_number() OVER w AS BIGINT) AS version,
+        |    lead(ts, 1) OVER w AS valid_to_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        |ORDER BY user_id, version""".stripMargin,
 
     // every event belongs to exactly 2 windows: the 6h-aligned start at
     // or before it, and the one 6h earlier (12h width / 6h slide)

@@ -18,6 +18,20 @@ class RelationalSpec extends SparkSuite {
     assert(qs.size >= 50, s"inventory unexpectedly small: ${qs.size}")
   }
 
+  test("merge upsert: actions partition the key space; inserts carry synthetic names") {
+    val m = run("q_merge_upsert").select("c_custkey", "c_name", "merge_action")
+      .as[(Long, String, String)].collect()
+    val byAction = m.groupBy(_._3).map { case (k, v) => k -> v.length }
+    // all three merge paths exercised on the fixture
+    assert(byAction.keySet == Set("insert", "update", "unchanged"), s"got $byAction")
+    // inserted keys sit past the shifted key space and carry NEW# names
+    m.filter(_._3 == "insert").foreach { case (k, n, _) =>
+      assert(k >= 1000000L && n == s"NEW#$k")
+    }
+    // merge is key-preserving: one output row per distinct merged key
+    assert(m.map(_._1).distinct.length == m.length)
+  }
+
   test("q_scan_count equals the documented sf0.001 row count") {
     assert(run("q_scan_count").head().getLong(0) == 6000L)
   }

@@ -11,6 +11,23 @@ class TemporalSpec extends SparkSuite {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
 
+  test("scd2 intervals: versions dense per user, intervals chain gaplessly, exactly one current") {
+    val rows = run("q_scd2_intervals")
+      .select("user_id", "version", "valid_from_s", "valid_to_s")
+      .as[(Long, Long, Long, Option[Long])].collect()
+    rows.groupBy(_._1).foreach { case (u, history) =>
+      val h = history.sortBy(_._2)
+      assert(h.map(_._2).toSeq == (1L to h.length).toSeq, s"versions not dense for user $u")
+      // each version's valid_to equals the next version's valid_from
+      h.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._3), s"interval gap for user $u at v${a._2}")
+        case _           =>
+      }
+      assert(h.count(_._4.isEmpty) == 1 && h.last._4.isEmpty,
+        s"exactly the last version is current for user $u")
+    }
+  }
+
   test("session_window: sessions are disjoint per user and ordered, gap semantics hold") {
     val s = run("q_session_window")
       .select("user_id", "start_s", "end_s", "n_events")
