@@ -240,6 +240,63 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
   }
 
+  /** One Lloyd step of k-means over the IVF codebook, split into its two
+    * distributable halves: the ASSIGNMENT (max-dot first-tie argmax — the
+    * exact annIvf cell rule) and the per-(cell, dimension) UPDATE
+    * statistics a driver folds into the next codebook. Statistics are
+    * exact integers — a count and a `floor(v·10⁶)`-scaled component sum
+    * (plus the floored mean) — because a float mean depends on summation
+    * order and would be neither reproducible across layouts nor
+    * oracle-checkable; the 10⁻⁶ quantization is far below any codebook
+    * update that matters.
+    *
+    * Scale: the centroid matrix is plan literals (broadcast-equivalent),
+    * so assignment is a narrow projection; the update is one
+    * partial+final hash agg keyed (cell, dim) after a 64-way posexplode
+    * — map-side combine collapses each partition to ≤ cells×dims rows
+    * before the shuffle, the same shape as the token-count aggregates. */
+  def kmeansStep(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
+    val dots = array((0 until NCells).map(j => dot(col("embedding"), centroidCol(j))): _*)
+    e.withColumn("dots", dots)
+      .select(array_position(col("dots"), array_max(col("dots"))).as("cell"),
+              col("embedding"))
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .groupBy("cell", "dim0")
+      .agg(count(lit(1)).as("n"),
+           sum(floor(col("v").cast("double") * lit(1000000.0)).cast("long")).as("sum_x1e6"))
+      .select(col("cell"), (col("dim0") + 1).cast("long").as("dim"), col("n"),
+        col("sum_x1e6"),
+        floor(col("sum_x1e6").cast("double") / col("n")).cast("long").as("mean_x1e6"))
+      .orderBy("cell", "dim")
+  }
+
+  /** SemDeDup-style semantic dedup: candidate pairs are blocked by the
+    * k-means cell (nearest-centroid assignment — semantically close
+    * vectors share a cell), then verified by exact cosine at a LOW
+    * threshold — this is topic-level pruning of redundant content, not
+    * the cos ≥ 0.99 near-copy detection [[embeddingNearDup]] does with
+    * hyperplane blocking. Within-cell-only comparison is the operator's
+    * defining approximation (and what makes it ~linear: cells shrink the
+    * quadratic stage by ~NCells×; at real scale the cell is additionally
+    * the partition key, so each block's self-join is partition-local). */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+                    minCosine: Double): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
+    val dots = array((0 until NCells).map(j => dot(col("embedding"), centroidCol(j))): _*)
+    val cells = e.withColumn("dots", dots)
+      .select(col("vec_id"), col("embedding"),
+              array_position(col("dots"), array_max(col("dots"))).as("cell"),
+              norm(col("embedding")).as("nrm"))
+    cells.as("x").join(cells.as("y"), Seq("cell"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("cell"), col("x.vec_id").as("vec_id_1"), col("y.vec_id").as("vec_id_2"),
+        round(dot(col("x.embedding"), col("y.embedding")) /
+              (col("x.nrm") * col("y.nrm")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
+      .orderBy("cell", "vec_id_1", "vec_id_2")
+  }
+
   // ------------------------------------------------------------- MinHash
   /** MinHash + LSH banding near-dup over whitespace token sets: k=16
     * signature → 2 bands × 8 rows → band-bucket join → exact Jaccard
@@ -459,6 +516,11 @@ object Similarity {
     "q_dedup_simhash" -> ((s, d) => simhashNearDup(Tables.documents(s, d), "doc_id", "text", 3)),
     "q_dedup_embedding" -> ((s, d) =>
       embeddingNearDup(withPlantedNearDups(Tables.embeddings(s, d)), "vec_id", "embedding", 0.99)),
+    "q_kmeans_step" -> ((s, d) => kmeansStep(Tables.embeddings(s, d), "vec_id", "embedding")),
+    // 0.35: the raw corpus is near-orthogonal (max pair cos ~0.5), so a
+    // low threshold surfaces the genuinely-related tail within each cell
+    "q_semantic_dedup" -> ((s, d) =>
+      semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding", 0.35)),
   )
 
   /** The synthetic embeddings are near-orthogonal (max pair cosine ~0.5 at
@@ -704,8 +766,51 @@ object Similarity {
        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
   }
 
+  /** Shared DuckDB replication of the nearest-centroid (IVF/k-means)
+    * assignment: `cents` (the codebook literal) → `dotted` (16 fold-dots
+    * per vector) → `indexed` (first-tie argmax cell). */
+  private def ivfAssignCtes: String = {
+    val centroidsList = centroids.flatten.mkString("[", ", ", "]")
+    val dotList = (0 until NCells).map { j =>
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, 65), i -> CAST(v[i] AS DOUBLE) * c[${j * 64} + i])), (a, b) -> a + b)"
+    }.mkString("[\n      ", ",\n      ", "]")
+    s"""WITH cents AS (SELECT $centroidsList AS c),
+       |dotted AS (
+       |  SELECT vec_id, embedding AS v, $dotList AS dots
+       |  FROM embeddings CROSS JOIN cents),
+       |indexed AS (
+       |  SELECT vec_id, v,
+       |    CAST(list_position(dots, list_aggregate(dots, 'max')) AS BIGINT) AS cell
+       |  FROM dotted)""".stripMargin
+  }
+
+  private def kmeansStepOracleSql: String =
+    s"""$ivfAssignCtes,
+       |expl AS (
+       |  SELECT cell, generate_subscripts(v, 1) AS dim,
+       |    CAST(floor(CAST(unnest(v) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+       |  FROM indexed)
+       |SELECT cell, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+       |  CAST(sum(xq) AS BIGINT) AS sum_x1e6,
+       |  CAST(floor(CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS mean_x1e6
+       |FROM expl GROUP BY cell, dim ORDER BY cell, dim""".stripMargin
+
+  private def semanticDedupOracleSql: String =
+    s"""$ivfAssignCtes,
+       |withnorm AS (
+       |  SELECT vec_id, v, cell, sqrt(${foldDot("v", "v")}) AS nrm FROM indexed)
+       |SELECT cell, vec_id_1, vec_id_2, cos_sim FROM (
+       |  SELECT x.cell AS cell, x.vec_id AS vec_id_1, y.vec_id AS vec_id_2,
+       |    round(${foldDot("x.v", "y.v")} / (x.nrm * y.nrm), 4) AS cos_sim
+       |  FROM withnorm x JOIN withnorm y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+       |WHERE cos_sim >= 0.35
+       |ORDER BY cell, vec_id_1, vec_id_2""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_dedup_embedding" -> embeddingOracleSql,
+    "q_kmeans_step" -> kmeansStepOracleSql,
+    "q_semantic_dedup" -> semanticDedupOracleSql,
     "q_ann_lsh" -> annLshOracleSql,
     "q_ann_ivf" -> annIvfOracleSql,
     "q_ann_rerank" -> annRerankOracleSql,

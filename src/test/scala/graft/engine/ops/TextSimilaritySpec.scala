@@ -333,6 +333,45 @@ class TextSimilaritySpec extends SparkSuite {
     assert(s <= 1000000L && s > 1000000L - fx.length, s"ppm sum $s")
   }
 
+  test("kmeans step: cells partition the corpus, per-cell counts constant across dims, means bounded") {
+    val rows = run("q_kmeans_step")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val n = graft.engine.io.Tables.embeddings(spark, sfDir).count()
+    // every (cell, dim) row carries the cell population; dims are 1..64
+    val byCell = rows.groupBy(_._1)
+    byCell.foreach { case (c, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to 64L).toSeq, s"cell $c dims not dense")
+      assert(rs.map(_._3).distinct.length == 1, s"cell $c count varies across dims")
+    }
+    assert(byCell.map(_._2.head._3).sum == n, "cell populations must partition the corpus")
+    // the floored mean sits within the scaled sum / n by construction
+    rows.foreach { case (c, d, cnt, s, m) =>
+      assert(m == math.floor(s.toDouble / cnt).toLong, s"mean drift at ($c,$d)")
+    }
+  }
+
+  test("semantic dedup: pairs are cell-coherent and a subset of global pairs at the threshold") {
+    val pairs = run("q_semantic_dedup")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(pairs.nonEmpty, "fixture should surface related pairs at 0.35")
+    assert(pairs.forall(_._4 >= 0.35))
+    // global (unblocked) exact pairs at the same threshold: the blocked
+    // result must be a subset — blocking only ever removes candidates
+    val e = graft.engine.io.Tables.embeddings(spark, sfDir)
+    val dotc = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val l = e.select(col("vec_id").as("v1"), col("embedding").as("ea"))
+    val r = e.select(col("vec_id").as("v2"), col("embedding").as("eb"))
+    val global = l.join(r, col("v1") < col("v2"))
+      .withColumn("cs", dotc(col("ea"), col("eb")) /
+        (sqrt(dotc(col("ea"), col("ea"))) * sqrt(dotc(col("eb"), col("eb")))))
+      .filter(round(col("cs"), 4) >= 0.35)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    val got = pairs.map(p => (p._2, p._3)).toSet
+    assert(got.subsetOf(global), s"false positives: ${got -- global}")
+  }
+
   test("tfidf: rare terms outscore stopwords within a document") {
     val t = run("q_tfidf")
     // ranks are 1..k, unique per doc, ordered by nonincreasing score
