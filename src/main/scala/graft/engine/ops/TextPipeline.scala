@@ -258,13 +258,16 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
-  /** Quality scoring: length / diversity / stopword ratios + band. */
+  /** Quality scoring: length / diversity / stopword ratios + band.
+    * `ordered=false` keeps the projection fully narrow — the form that
+    * runs unchanged on a streaming frame (global sort is unsupported
+    * there), mirroring chunkDocuments' flag. */
   def qualityScore(documents: DataFrame, idCol: String, textCol: String,
-                   charsCol: String): DataFrame = {
+                   charsCol: String, ordered: Boolean = true): DataFrame = {
     val t = toks(col(textCol))
     val nTok = size(t).cast("double")
     val stop = Seq("the", "a", "of", "and", "is", "to")
-    documents.select(
+    val scored = documents.select(
       col(idCol).as("doc_id"), col(charsCol).as("n_chars"),
       size(t).cast("long").as("n_tokens"),
       round(size(array_distinct(t)).cast("double") / nTok, 4).as("distinct_ratio"),
@@ -274,7 +277,7 @@ object TextPipeline {
         when(col("distinct_ratio") >= 0.6, "high")
           .when(col("distinct_ratio") >= 0.3, "mid")
           .otherwise("low"))
-      .orderBy("doc_id")
+    if (ordered) scored.orderBy("doc_id") else scored
   }
 
   /** Token counting: whitespace split vs a BPE-ish regex tokenizer. */

@@ -209,6 +209,19 @@ object Streams {
       .dropDuplicatesWithinWatermark("simhash")
   }
 
+  /** s_stream_mixture: running data-mixture accounting over a document
+    * stream — per-stratum doc and token counts maintained incrementally
+    * in Update mode (the streaming face of the batch mixtureReport's
+    * grouped half; ppm shares divide in whatever sink consumes the
+    * table). State is one row per stratum — bounded by the stratum
+    * vocabulary, never by stream length — and the agg is the ordinary
+    * partial+final shuffle on the stratum key. */
+  def streamingMixture(docs: DataFrame, textCol: String, dims: Seq[String]): DataFrame =
+    docs.select(dims.map(col) :+
+        size(split(col(textCol), " ")).cast("long").as("n_toks"): _*)
+      .groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+
   /** s_stream_static_join: stream enriched against a static dimension —
     * the static side is broadcast per micro-batch, no stream shuffle. */
   def streamStaticJoin(events: DataFrame, dim: DataFrame, key: String): DataFrame =

@@ -18,6 +18,7 @@ class StreamingSpec extends SparkSuite {
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class Doc(doc_id: Long, ts: Timestamp, text: String)
+  case class LDoc(doc_id: Long, ts: Timestamp, lang: String, text: String)
 
   private def tmpDir(tag: String): String =
     Files.createTempDirectory(s"graft-$tag").toString
@@ -263,6 +264,54 @@ class StreamingSpec extends SparkSuite {
     // 10 tokens, size 4, stride 3 → starts 1,4,7,10 → lengths 4,4,4,1
     assert(out.sortBy(_._2).toSeq ==
       Seq((1L, 1L, 4L), (1L, 2L, 4L), (1L, 3L, 4L), (1L, 4L, 1L)), s"got $out")
+  }
+
+  // s_stream_quality: the quality scorer is a narrow projection, so the
+  // batch op runs unchanged as an in-stream curation filter
+  test("s_stream_quality: batch quality scorer filters a document stream in append mode") {
+    val in = MemoryStream[Doc](spark)
+    val out = mutable.ArrayBuffer[(Long, String)]()
+    val scored = graft.engine.ops.TextPipeline.qualityScore(
+      in.toDF().withColumn("n_chars", length(col("text"))),
+      "doc_id", "text", "n_chars", ordered = false)
+      .filter(col("quality_band") === "high")
+    val q = scored.writeStream
+      .option("checkpointLocation", tmpDir("streamquality"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.select("doc_id", "quality_band").as[(Long, String)].collect()
+        }
+        ()
+      }.start()
+    in.addData(
+      Doc(1, ts(1), "all tokens here are fully distinct words"), // distinct_ratio 1.0
+      Doc(2, ts(1), "spam spam spam spam spam spam spam spam"),  // distinct_ratio 0.125
+      Doc(3, ts(2), "mixed mixed mixed mixed content content content content"))
+    q.processAllAvailable(); q.stop()
+    assert(out.toSeq == Seq((1L, "high")),
+      s"only the diverse doc passes the high-band filter: $out")
+  }
+
+  // s_stream_mixture: running mixture accounting, Update output mode
+  test("s_stream_mixture: per-stratum doc/token counts accumulate across micro-batches") {
+    val in = MemoryStream[LDoc](spark)
+    val latest = mutable.Map[String, (Long, Long)]()
+    val q = Streams.streamingMixture(in.toDF(), "text", Seq("lang")).writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", tmpDir("streammixture"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        latest.synchronized {
+          b.select("lang", "n_docs", "n_tokens").as[(String, Long, Long)].collect()
+            .foreach { case (l, d, t) => latest(l) = (d, t) }
+        }
+        ()
+      }.start()
+    in.addData(LDoc(1, ts(1), "en", "one two three"), LDoc(2, ts(1), "de", "eins zwei"))
+    q.processAllAvailable()
+    in.addData(LDoc(3, ts(2), "en", "four five"))
+    q.processAllAvailable(); q.stop()
+    assert(latest("en") == ((2L, 5L)), s"en accumulates across batches: $latest")
+    assert(latest("de") == ((1L, 2L)), s"de unchanged by the second batch: $latest")
   }
 
   // s_stream_static_join
