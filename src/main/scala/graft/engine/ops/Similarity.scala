@@ -548,8 +548,14 @@ object Similarity {
     * the q_dedup_minhash oracle, reused by the survivors and clusters
     * oracles in [[TextPipeline]]. Declared WITH RECURSIVE so consumers
     * may append recursive CTEs (connected components). */
-  val minhashOracleCtes: String =
-    """WITH RECURSIVE docs AS (
+  val minhashOracleCtes: String = minhashOracleCtesFor("")
+
+  /** Same pipeline over a filtered corpus slice (`where` is a complete
+    * `WHERE ...` clause on `documents`, or empty for the full table) —
+    * lets composed oracles (the curation pipeline) dedup exactly the
+    * corpus they curate. */
+  def minhashOracleCtesFor(where: String): String =
+    s"""WITH RECURSIVE docs AS (
       |  SELECT doc_id,
       |    list_sort(list_distinct(list_transform(list_distinct(string_split(text, ' ')),
       |      tok -> list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -558,7 +564,7 @@ object Similarity {
       |           + list_reduce(list_prepend(CAST(0 AS BIGINT),
       |               list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
       |             (a, b) -> (a * 37 + b) % 2147483647)))) AS hsh
-      |  FROM documents),
+      |  FROM documents $where),
       |grps AS (
       |  SELECT min(doc_id) AS rep, list_sort(list(doc_id)) AS members, hsh
       |  FROM docs GROUP BY hsh),

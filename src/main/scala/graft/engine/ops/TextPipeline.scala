@@ -603,6 +603,47 @@ object TextPipeline {
       .orderBy("stratum")
   }
 
+  /** The composed corpus build — the end-to-end operator a training
+    * pipeline actually runs, chaining the individually-oracled stages:
+    *
+    *   1. RULE FILTER: Gopher-style quality verdict (keep = true);
+    *   2. DECONTAMINATION: drop docs sharing ≥ 2 distinct 3-token
+    *      shingles with any benchmark doc;
+    *   3. NEAR-DUP DEDUP: drop every doc near-duplicating a smaller-id
+    *      doc (MinHash-LSH pair graph over the SAME corpus slice);
+    *   4. SPLIT MANIFEST: deterministic 80/10/10 assignment, reported
+    *      per (split, dims) with doc/token counts.
+    *
+    * This is the text-side analogue of the annRerank composition: each
+    * stage is already a first-class oracled operator; the pipeline query
+    * proves they compose — ids flow through semi/anti joins only, no
+    * stage rereads the corpus, and the benchmark side stays broadcast.
+    * At 100 TB the three filters are two id-keyed anti-joins and one
+    * semi-join over the doc-id partitioning every stage already uses. */
+  def curationPipeline(corpus: DataFrame, idCol: String, textCol: String,
+                       benchmark: DataFrame, dims: Seq[String],
+                       threshold: Double = 0.9): DataFrame = {
+    val keep = gopherRules(corpus, idCol, textCol)
+      .filter(col("keep")).select("doc_id")
+    val contaminated = contamination(corpus, idCol, textCol,
+        benchmark, idCol, textCol)
+      .select("doc_id").distinct()
+    val removed = Similarity.minhashNearDup(corpus, idCol, textCol, threshold, ordered = false)
+      .select(col("doc_id_2").as("doc_id")).distinct()
+    val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100))
+    corpus
+      .select(col(idCol).as("doc_id") +:
+        size(toks(col(textCol))).cast("long").as("n_toks") +: dims.map(col): _*)
+      .join(keep, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(removed, Seq("doc_id"), "left_anti")
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split") +: dims.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+      .orderBy(col("split") +: dims.map(col): _*)
+  }
+
   // ------------------------------------------------- fixture bindings
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, d) => exactDedup(Tables.documents(s, d), "doc_id", "text")),
@@ -658,6 +699,13 @@ object TextPipeline {
         "\\b(customer|key|value)\\b", "<PII>")),
     "q_mixture_weights" -> ((s, d) =>
       mixtureWeights(Tables.documents(s, d), "source", budget = 1000)),
+    // same corpus/benchmark split as q_contamination: docs < 10 are the
+    // held-out eval set, the rest is the trainable corpus
+    "q_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      curationPipeline(docs.filter(col("doc_id") >= 10), "doc_id", "text",
+        docs.filter(col("doc_id") < 10), Seq("lang"))
+    }),
   )
 
   private def sigList(sig: Seq[String]): String = sig.map(t => s"'$t'").mkString("(", ",", ")")
@@ -830,6 +878,59 @@ object TextPipeline {
         |  UNION
         |  SELECT e.a AS id, w.lab FROM edges e JOIN walk w ON w.id = e.b)
         |SELECT id, min(lab) AS cluster FROM walk GROUP BY id ORDER BY id""".stripMargin),
+
+    // The composed corpus build: minhash pairs over the corpus slice
+    // (doc_id >= 10), gopher keep, shingle decontamination vs the
+    // benchmark slice, split manifest — each CTE block is the same
+    // replication its standalone oracle uses.
+    "q_curation_pipeline" -> (Similarity.minhashOracleCtesFor("WHERE doc_id >= 10") +
+      """,
+        |all_pairs AS (
+        |  SELECT doc_id_1, doc_id_2 FROM cross_pairs
+        |  UNION ALL SELECT doc_id_1, doc_id_2 FROM within_pairs),
+        |removed AS (SELECT DISTINCT doc_id_2 AS doc_id FROM all_pairs),
+        |pertok AS (
+        |  SELECT doc_id, token, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents WHERE doc_id >= 10)
+        |  WHERE len(token) > 0
+        |  GROUP BY doc_id, token),
+        |stats AS (
+        |  SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_words,
+        |    CAST(sum(c * len(token)) AS BIGINT) AS sum_len,
+        |    max(c) AS max_tf
+        |  FROM pertok GROUP BY doc_id),
+        |keep AS (
+        |  SELECT doc_id FROM stats
+        |  WHERE n_words BETWEEN 5 AND 1000
+        |    AND CAST(floor(100.0 * sum_len / n_words) AS BIGINT) BETWEEN 300 AND 1000
+        |    AND CAST(floor(10000.0 * max_tf / n_words) AS BIGINT) < 2000),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1] || ' ' ||
+        |           string_split(text, ' ')[i+2]))) AS s
+        |  FROM documents),
+        |cont0 AS (
+        |  SELECT cs.doc_id, bs.bench_id, count(*) AS n
+        |  FROM (SELECT doc_id, s FROM sh WHERE doc_id >= 10) cs
+        |  JOIN (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 10) bs USING (s)
+        |  GROUP BY cs.doc_id, bs.bench_id HAVING count(*) >= 2),
+        |contaminated AS (SELECT DISTINCT doc_id FROM cont0),
+        |base AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks,
+        |    CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |         WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents WHERE doc_id >= 10)
+        |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |FROM base
+        |WHERE doc_id IN (SELECT doc_id FROM keep)
+        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |  AND doc_id NOT IN (SELECT doc_id FROM removed)
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin),
 
     "q_gopher_rules" ->
       """WITH pertok AS (

@@ -12,6 +12,31 @@ import org.apache.spark.sql.functions._
 class PipelineSpec extends SparkSuite {
   import spark.implicits._
 
+  test("q_curation_pipeline manifest reconciles with its standalone stages") {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") >= 10)
+    val bench = docs.filter(col("doc_id") < 10)
+    // recompute the three filters from the standalone operators
+    val keep = TextPipeline.gopherRules(corpus, "doc_id", "text")
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    val contaminated = TextPipeline.contamination(corpus, "doc_id", "text",
+        bench, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val removed = Similarity.minhashNearDup(corpus, "doc_id", "text", 0.9, ordered = false)
+      .select("doc_id_2").as[Long].collect().toSet
+    val expectedIds = keep -- contaminated -- removed
+    // the manifest's doc total must equal the surviving id set exactly
+    val manifest = graft.SparkEntry.queries("q_curation_pipeline")(spark, sfDir)
+    val nDocs = manifest.agg(sum("n_docs")).head().getLong(0)
+    assert(nDocs == expectedIds.size,
+      s"manifest covers $nDocs docs, standalone stages leave ${expectedIds.size}")
+    assert(nDocs > 0 && nDocs < corpus.count(), "pipeline must filter but not annihilate")
+    // split shares: train ≈ 80% of survivors (hash split, wide tolerance)
+    val bySplit = manifest.groupBy("split").agg(sum("n_docs").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(bySplit("train").toDouble / nDocs > 0.6, s"train share collapsed: $bySplit")
+  }
+
   test("curation pipeline composes and shrinks monotonically with sane stats") {
     val docs = Tables.documents(spark, sfDir)
     val total = docs.count()
