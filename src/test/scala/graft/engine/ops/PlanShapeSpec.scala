@@ -218,4 +218,50 @@ class PlanShapeSpec extends SparkSuite {
     // intermediate in the whole pipeline
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p.take(2000))
   }
+
+  test("q_merge_upsert lowers to exactly one join, no cartesian") {
+    val p = plan("q_merge_upsert")
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+      l.contains("ShuffledHashJoin"))
+    assert(joins == 1, s"MERGE shape is a single equi-join:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "merge must stay an equi-join")
+  }
+
+  test("q_dedup_paragraph: survivor pick and rebuild reuse the same two keyed shuffles") {
+    val p = plan("q_dedup_paragraph")
+    // one exchange on chunk_text (the survivor window), one on doc_id
+    // (rebuild agg + completion join share it) — at 100 TB the chunk
+    // stream shuffles at most twice, never per-stage
+    val keyed = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyed <= 3, s"paragraph dedup must stay at ≤3 keyed exchanges:\n${p.take(2500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_kmeans_step: update statistics aggregate partial+final after the posexplode") {
+    val p = plan("q_kmeans_step")
+    // the 64-way component explosion must collapse via map-side partial
+    // aggregation before the (cell, dim) shuffle — at 100 TB the raw
+    // exploded stream is 64× the corpus and must never hit the wire
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(2000))
+    assert(p.contains("Generate posexplode"), p.take(1500))
+  }
+
+  test("q_semantic_dedup joins on the cell key only — equi-join, no cartesian") {
+    val p = plan("q_semantic_dedup")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "cell blocking must keep the pair stage an equi-join")
+  }
+
+  test("q_curation_pipeline: benchmark side broadcasts; id filters are semi/anti joins") {
+    val p = plan("q_curation_pipeline")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark shingles must broadcast:\n${p.take(2000)}")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"stage filters must be id-keyed semi/anti joins:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
