@@ -603,6 +603,28 @@ object TextPipeline {
       .orderBy("stratum")
   }
 
+  /** Fuzzy record-linkage: candidate pairs blocked on caller-chosen
+    * columns, verified by exact Levenshtein distance ≤ `maxDist` — the
+    * typo-tolerant entity-matching primitive (dedup of user-entered
+    * names, near-identical titles). Blocking keeps the quadratic stage
+    * block-local exactly like [[ngramJaccard]]; the distance is the
+    * codegen'd built-in, and at scale a cheaper guard (length band,
+    * shared prefix) composes into `blockCols` without touching the
+    * verify. */
+  def fuzzyMatch(records: DataFrame, idCol: String, strCol: String,
+                 blockCols: Seq[String], maxDist: Int): DataFrame = {
+    val base = records.select(
+      col(idCol).as("id") +: col(strCol).as("s") +: blockCols.map(col): _*)
+    val a = base.select(col("id").as("id_1") +: col("s").as("sa") +: blockCols.map(col): _*)
+    val b = base.select(col("id").as("id_2") +: col("s").as("sb") +: blockCols.map(col): _*)
+    a.join(b, blockCols)
+      .filter(col("id_1") < col("id_2"))
+      .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("id_1", "id_2", "sa", "sb", "dist")
+      .orderBy("id_1", "id_2")
+  }
+
   /** The composed corpus build — the end-to-end operator a training
     * pipeline actually runs, chaining the individually-oracled stages:
     *
@@ -699,6 +721,9 @@ object TextPipeline {
         "\\b(customer|key|value)\\b", "<PII>")),
     "q_mixture_weights" -> ((s, d) =>
       mixtureWeights(Tables.documents(s, d), "source", budget = 1000)),
+    // distance ≤ 1 within a nation block: names differing in one digit
+    "q_fuzzy_match" -> ((s, d) =>
+      fuzzyMatch(Tables.customer(s, d), "c_custkey", "c_name", Seq("c_nationkey"), 1)),
     // same corpus/benchmark split as q_contamination: docs < 10 are the
     // held-out eval set, the rest is the trainable corpus
     "q_curation_pipeline" -> ((s, d) => {
@@ -878,6 +903,16 @@ object TextPipeline {
         |  UNION
         |  SELECT e.a AS id, w.lab FROM edges e JOIN walk w ON w.id = e.b)
         |SELECT id, min(lab) AS cluster FROM walk GROUP BY id ORDER BY id""".stripMargin),
+
+    "q_fuzzy_match" ->
+      """SELECT id_1, id_2, sa, sb, dist FROM (
+        |  SELECT a.c_custkey AS id_1, b.c_custkey AS id_2,
+        |    a.c_name AS sa, b.c_name AS sb,
+        |    CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey)
+        |WHERE dist <= 1
+        |ORDER BY id_1, id_2""".stripMargin,
 
     // The composed corpus build: minhash pairs over the corpus slice
     // (doc_id >= 10), gopher keep, shingle decontamination vs the

@@ -302,6 +302,55 @@ class TextSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("paragraph dedup with paraSize ≥ doc length degenerates to doc-level first-occurrence dedup") {
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    val out = graft.engine.ops.TextPipeline.dedupParagraphs(docs, "doc_id", "text", paraSize = 100000)
+      .select("doc_id", "n_chunks", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.forall(_._2 == 1), "one giant paragraph per doc")
+    // survivors (n_kept=1) must be exactly the exact-dedup survivor set
+    val survivors = out.filter(_._3 == 1).map(_._1).toSet
+    val exact = run("q_dedup_exact").select("doc_id").as[Long].collect().toSet
+    assert(survivors == exact, "degenerate paragraph dedup == exact doc dedup")
+    // and survivors keep their full text verbatim
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    out.filter(_._3 == 1).foreach { case (id, _, _, t) => assert(t == texts(id)) }
+  }
+
+  test("regex scrub is idempotent: scrubbing clean text changes nothing") {
+    val once = run("q_pii_scrub").select("doc_id", "clean_text")
+    val twice = graft.engine.ops.TextPipeline.regexScrub(
+      once.withColumnRenamed("clean_text", "text"), "doc_id", "text",
+      "\\b(customer|key|value)\\b", "<PII>")
+    assert(twice.filter(col("n_hits") > 0).count() == 0)
+    val a = once.as[(Long, String)].collect().toMap
+    val b = twice.select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(a == b)
+  }
+
+  test("fuzzy match: pairs are genuinely within edit distance, blocked pairs only") {
+    val pairs = run("q_fuzzy_match")
+      .as[(Long, Long, String, String, Long)].collect()
+    assert(pairs.nonEmpty, "nation blocks contain distance-1 name pairs")
+    // spot-verify the distance on the strings themselves
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    pairs.take(200).foreach { case (_, _, sa, sb, dist) =>
+      assert(lev(sa, sb) == dist && dist <= 1)
+    }
+    // blocking: both members always share a nation
+    val nation = graft.engine.io.Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey").as[(Long, Int)].collect().toMap
+    pairs.foreach { case (a, b, _, _, _) => assert(nation(a) == nation(b)) }
+  }
+
   test("regex scrub: counts and masking agree, clean text carries no denylist hits") {
     val docs = Seq(
       (1L, "customer key value keychain customer"),
