@@ -90,6 +90,36 @@ object Analytics {
         col("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Quantile banding — the two-pass feature-engineering shape: exact
+    * per-group quartiles aggregate once, broadcast back UNDER the fact
+    * scan, and every row is banded by its group's boundaries. The fact
+    * side never shuffles (group count is dimension-sized); per-band
+    * counts reduce partial+final. Boundary determinism: quartiles either
+    * land exactly on a data value (integer rank → identical in both
+    * engines) or strictly between ¢-granular prices (ulp differences
+    * can't flip a comparison), so the band verdict is exact without
+    * rounding the boundary. */
+  private val qQuantileBand: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val qs = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ps"))
+      .select(col("l_returnflag"),
+        element_at(col("ps"), 1).as("p25"),
+        element_at(col("ps"), 2).as("p50"),
+        element_at(col("ps"), 3).as("p75"))
+    li.join(broadcast(qs), Seq("l_returnflag"))
+      .withColumn("band",
+        when(col("l_extendedprice") <= col("p25"), "q1")
+          .when(col("l_extendedprice") <= col("p50"), "q2")
+          .when(col("l_extendedprice") <= col("p75"), "q3")
+          .otherwise("q4"))
+      .groupBy("l_returnflag", "band")
+      .agg(count(lit(1)).as("n"),
+           round(min("l_extendedprice"), 4).as("min_p"),
+           round(max("l_extendedprice"), 4).as("max_p"))
+      .orderBy("l_returnflag", "band")
+  }
+
   /** Non-oracle (sketch is engine-specific): approx_percentile paired
     * with the exact q_agg_percentile baseline — at 100 TB the sketch is
     * what runs; the exact variant defines its error. */
@@ -477,6 +507,7 @@ object Analytics {
     "q_bool_agg" -> qBoolAgg, "q_union_by_name" -> qUnionByName,
     "q_gap_fill" -> qGapFill, "q_agg_approx_percentile" -> qAggApproxPercentile,
     "q_histogram" -> qHistogram, "q_time_window" -> qTimeWindow,
+    "q_quantile_band" -> qQuantileBand,
   )
 
   private def pivotCaseSql: String = prios.map { case (v, a) =>
@@ -484,6 +515,24 @@ object Analytics {
   }.mkString(",\n  ")
 
   val oracle: Map[String, String] = Map(
+    "q_quantile_band" ->
+      """WITH qs AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.25) AS p25,
+        |    quantile_cont(l_extendedprice, 0.50) AS p50,
+        |    quantile_cont(l_extendedprice, 0.75) AS p75
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag,
+        |  CASE WHEN l_extendedprice <= p25 THEN 'q1'
+        |       WHEN l_extendedprice <= p50 THEN 'q2'
+        |       WHEN l_extendedprice <= p75 THEN 'q3'
+        |       ELSE 'q4' END AS band,
+        |  count(*) AS n,
+        |  round(min(l_extendedprice), 4) AS min_p,
+        |  round(max(l_extendedprice), 4) AS max_p
+        |FROM lineitem l JOIN qs ON l.l_returnflag = qs.l_returnflag
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_bit_agg" ->
       """SELECT l_linestatus,
         |  bit_and(l_orderkey) AS k_and, bit_or(l_orderkey) AS k_or,

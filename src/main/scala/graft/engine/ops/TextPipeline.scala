@@ -567,11 +567,14 @@ object TextPipeline {
     * exercise nothing here). Purely narrow — no shuffle at any scale —
     * and the pattern compiles once per task, not per row. */
   def regexScrub(documents: DataFrame, idCol: String, textCol: String,
-                 pattern: String, mask: String): DataFrame =
-    documents.select(col(idCol).as("doc_id"),
+                 pattern: String, mask: String,
+                 ordered: Boolean = true): DataFrame = {
+    val scrubbed = documents.select(col(idCol).as("doc_id"),
       size(regexp_extract_all(col(textCol), lit(pattern), lit(0))).cast("long").as("n_hits"),
       regexp_replace(col(textCol), pattern, mask).as("clean_text"))
-      .orderBy("doc_id")
+    // ordered=false keeps it fully narrow — the streaming form
+    if (ordered) scrubbed.orderBy("doc_id") else scrubbed
+  }
 
   /** Temperature-scaled mixture sampling weights: stratum weight
     * ∝ n_docs^(1/2) (temperature T = 2 up-weights small strata, the

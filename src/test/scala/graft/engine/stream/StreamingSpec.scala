@@ -292,6 +292,27 @@ class StreamingSpec extends SparkSuite {
       s"only the diverse doc passes the high-band filter: $out")
   }
 
+  // s_stream_scrub: the regex scrubber is a narrow projection — PII
+  // masking runs at the ingest firehose before anything persists
+  test("s_stream_scrub: regex masking scrubs a document stream in append mode") {
+    val in = MemoryStream[Doc](spark)
+    val out = mutable.ArrayBuffer[(Long, Long, String)]()
+    val scrubbed = graft.engine.ops.TextPipeline.regexScrub(
+      in.toDF(), "doc_id", "text", "\\b(secret|token)\\b", "<X>", ordered = false)
+    val q = scrubbed.writeStream
+      .option("checkpointLocation", tmpDir("streamscrub"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.select("doc_id", "n_hits", "clean_text").as[(Long, Long, String)].collect()
+        }
+        ()
+      }.start()
+    in.addData(Doc(1, ts(1), "a secret token leaks"), Doc(2, ts(1), "nothing sensitive"))
+    q.processAllAvailable(); q.stop()
+    assert(out.sortBy(_._1).toSeq ==
+      Seq((1L, 2L, "a <X> <X> leaks"), (2L, 0L, "nothing sensitive")), s"got $out")
+  }
+
   // s_stream_mixture: running mixture accounting, Update output mode
   test("s_stream_mixture: per-stratum doc/token counts accumulate across micro-batches") {
     val in = MemoryStream[LDoc](spark)
