@@ -120,6 +120,38 @@ object Analytics {
       .orderBy("l_returnflag", "band")
   }
 
+  /** The declared user-extension contract (SURVEY §2.2 UDF/UDAF note),
+    * exercised end-to-end: a scalar `udf()` and an `Aggregator[IN,BUF,OUT]`
+    * registered via `functions.udaf`, both in EXACT integer arithmetic so
+    * the extension path itself is oracle-checkable. Built-ins are still
+    * the house rule (a udf is an opaque box to Catalyst: no pushdown
+    * through it, no codegen inside it) — this query exists to prove the
+    * escape hatch works and costs what it costs, not to recommend it. */
+  private val qUserExtensions: Q = (s, d) => {
+    val polyUdf = udf((x: Long) => (x * 31L + 7L) % 1000003L)
+    // exact sum of squares: BIGINT throughout (quantities are small ints)
+    val sumSq = new org.apache.spark.sql.expressions.Aggregator[Long, Long, Long] {
+      def zero: Long = 0L
+      def reduce(b: Long, a: Long): Long = b + a * a
+      def merge(b1: Long, b2: Long): Long = b1 + b2
+      def finish(r: Long): Long = r
+      def bufferEncoder: org.apache.spark.sql.Encoder[Long] =
+        org.apache.spark.sql.Encoders.scalaLong
+      def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+        org.apache.spark.sql.Encoders.scalaLong
+    }
+    val sumSqUdaf = udaf(sumSq)
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("q"),
+        polyUdf(col("l_orderkey")).as("okey_hash"))
+      .groupBy("l_returnflag")
+      .agg(sumSqUdaf(col("q")).as("sum_q_sq"),
+           sum("okey_hash").as("sum_hash"),
+           count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   /** Non-oracle (sketch is engine-specific): approx_percentile paired
     * with the exact q_agg_percentile baseline — at 100 TB the sketch is
     * what runs; the exact variant defines its error. */
@@ -508,6 +540,7 @@ object Analytics {
     "q_gap_fill" -> qGapFill, "q_agg_approx_percentile" -> qAggApproxPercentile,
     "q_histogram" -> qHistogram, "q_time_window" -> qTimeWindow,
     "q_quantile_band" -> qQuantileBand,
+    "q_user_extensions" -> qUserExtensions,
   )
 
   private def pivotCaseSql: String = prios.map { case (v, a) =>
@@ -515,6 +548,15 @@ object Analytics {
   }.mkString(",\n  ")
 
   val oracle: Map[String, String] = Map(
+    // l_quantity is integral-valued, so DuckDB's rounding double→BIGINT
+    // cast and Spark's truncating one agree
+    "q_user_extensions" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q_sq,
+        |  CAST(sum((l_orderkey * 31 + 7) % 1000003) AS BIGINT) AS sum_hash,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_quantile_band" ->
       """WITH qs AS (
         |  SELECT l_returnflag,
