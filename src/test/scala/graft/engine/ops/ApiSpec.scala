@@ -119,6 +119,49 @@ class ApiSpec extends SparkSuite {
     assert(ppmSum >= 999998 && ppmSum <= 1000000, s"doc ppm sum $ppmSum")
   }
 
+  test("fuzzyMatch links a typo pair on renamed columns and honors the block") {
+    val df = Seq(
+      (1L, "jonathan smith", "NY"), (2L, "jonathan smyth", "NY"),
+      (3L, "jonathan smyth", "CA"), // same name, wrong block — must not pair with 2
+      (4L, "entirely different", "NY")
+    ).toDF("rec", "fullname", "region")
+    val pairs = TextPipeline.fuzzyMatch(df, "rec", "fullname", Seq("region"), 1)
+      .select("id_1", "id_2", "dist").as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 1L)), s"got $pairs")
+  }
+
+  test("dedupParagraphs on renamed columns: duplicate paragraph collapses across docs") {
+    val df = Seq(
+      (7L, "p p p p tail a"), (9L, "p p p p tail b")
+    ).toDF("k", "body")
+    val out = TextPipeline.dedupParagraphs(df, "k", "body", paraSize = 4)
+      .select("doc_id", "n_kept", "clean_text").as[(Long, Long, String)].collect()
+      .sortBy(_._1)
+    assert(out(0) == ((7L, 2L, "p p p p tail a")))
+    assert(out(1) == ((9L, 1L, "tail b")))
+  }
+
+  test("kmeansStep and semanticDedup run on a renamed-column vector frame") {
+    val vecs = (0L until 32L).map(i =>
+      (i, Array.tabulate(64)(j => ((i * 7 + j) % 13).toFloat / 13f)))
+      .toDF("point", "features")
+    val step = Similarity.kmeansStep(vecs, "point", "features")
+    // every (cell, dim) row accounted, populations partition the 32 points
+    val n = step.groupBy("cell").agg(max("n").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(n == 32L)
+    val pairs = Similarity.semanticDedup(vecs, "point", "features", 0.99)
+    // the modular construction repeats every 13 ids → exact duplicates exist
+    assert(pairs.count() > 0)
+  }
+
+  test("mixtureWeights on renamed columns: ppm sums to ~1e6") {
+    val df = (1L to 90L).map(i => (i, s"src${i % 3}")).toDF("row", "origin")
+    val w = TextPipeline.mixtureWeights(df, "origin", budget = 10)
+      .select("stratum", "weight_ppm").as[(String, Long)].collect()
+    assert(w.length == 3 && math.abs(w.map(_._2).sum - 1000000L) <= 3)
+  }
+
   test("simhash64 and minhash_sig compose on any frame via plain SQL") {
     graft.engine.functions.GraftFunctions.register(spark)
     val df = Seq((1L, "x y z"), (2L, "z y x"), (3L, "p q r")).toDF("id", "t")
