@@ -361,14 +361,23 @@ object Analytics {
     * where Spark (shortest-repr HALF_UP) and DuckDB (binary) disagree.
     * covar_samp/covar_pop themselves are pinned against the co-moment
     * formula in AnalyticsSpec. */
-  private val qCorrCovar: Q = (s, d) =>
+  /** Correlation plus the exact first moments it is built from. The
+    * moments are integer-scaled BIGINT sums, not decimal sums: quantity
+    * is integral and price has exactly 2 decimals, so ×100 scaling is
+    * exact, stays far under 2⁶³, and keeps the aggregate in codegen'd
+    * long arithmetic — the decimal-object path cost ~0.5 s/600 k rows
+    * here (measured), and decimal exactness is already exercised where
+    * it is genuinely needed (dsum in the price rollups). */
+  private val qCorrCovar: Q = (s, d) => {
+    val p100 = round(col("l_extendedprice") * 100).cast("long")
     Tables.lineitem(s, d).groupBy("l_returnflag")
       .agg(round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qp"),
-           dsum(col("l_quantity")).as("sum_q"),
-           dsum(col("l_extendedprice")).as("sum_p"),
-           dsum(col("l_quantity") * col("l_extendedprice")).as("sum_qp"),
+           sum(col("l_quantity").cast("long")).as("sum_q"),
+           sum(p100).as("sum_p_x100"),
+           sum(col("l_quantity").cast("long") * p100).as("sum_qp_x100"),
            count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
+  }
 
   private val qBoolAgg: Q = (s, d) =>
     Tables.orders(s, d).groupBy("o_orderpriority")
@@ -741,11 +750,11 @@ object Analytics {
         |ORDER BY c_custkey""".stripMargin,
 
     "q_corr_covar" ->
-      s"""SELECT l_returnflag,
+      """SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
-        |  ${dsumSql("l_quantity")} AS sum_q,
-        |  ${dsumSql("l_extendedprice")} AS sum_p,
-        |  ${dsumSql("l_quantity * l_extendedprice")} AS sum_qp,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_p_x100,
+        |  CAST(sum(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_qp_x100,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 

@@ -167,8 +167,9 @@ class AnalyticsSpec extends SparkSuite {
   }
 
   test("covar_samp/covar_pop match the exact co-moment formula") {
-    // q_corr_covar's oracle now checks the exact decimal co-moments; this
-    // pins the covariance aggregates themselves against those ingredients
+    // q_corr_covar's oracle checks the exact (integer-scaled) co-moments;
+    // this pins the covariance aggregates themselves against those
+    // ingredients
     val m = Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
       .agg(covar_samp("l_quantity", "l_extendedprice").as("covs"),
            covar_pop("l_quantity", "l_extendedprice").as("covp"),
