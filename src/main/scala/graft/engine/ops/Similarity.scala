@@ -271,6 +271,20 @@ object Similarity {
       .orderBy("cell", "dim")
   }
 
+  /** Nearest-centroid assignment as a standalone narrow projection — the
+    * streaming face of [[kmeansStep]]: every row maps to its cell with
+    * zero state (the codebook is plan literals), so the same expression
+    * runs on a streaming frame and the per-cell counts aggregate in
+    * Update mode downstream. At scale this is also the routing function
+    * that turns `cell` into a partition/bucket key at write time. */
+  def assignCells(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
+    val dots = array((0 until NCells).map(j => dot(col("embedding"), centroidCol(j))): _*)
+    e.withColumn("dots", dots)
+      .select(col("vec_id"),
+              array_position(col("dots"), array_max(col("dots"))).as("cell"))
+  }
+
   /** SemDeDup-style semantic dedup: candidate pairs are blocked by the
     * k-means cell (nearest-centroid assignment — semantically close
     * vectors share a cell), then verified by exact cosine at a LOW

@@ -335,6 +335,37 @@ class StreamingSpec extends SparkSuite {
     assert(latest("de") == ((1L, 2L)), s"de unchanged by the second batch: $latest")
   }
 
+  // s_stream_cluster_assign: the nearest-centroid router is stateless
+  // (codebook = plan literals), so vectors route to cells in-stream and
+  // per-cell populations accumulate in Update mode
+  test("s_stream_cluster_assign: streaming vectors route to cells, populations accumulate") {
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val latest = mutable.Map[Long, Long]()
+    val assigned = graft.engine.ops.Similarity.assignCells(
+      in.toDF().toDF("vid", "emb"), "vid", "emb")
+    val q = assigned.groupBy("cell").agg(count(lit(1)).as("n")).writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", tmpDir("streamassign"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        latest.synchronized {
+          b.select("cell", "n").as[(Long, Long)].collect()
+            .foreach { case (c, n) => latest(c) = n }
+        }
+        ()
+      }.start()
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(j => (((seed * 31 + j) % 17) - 8).toFloat / 8f)
+    in.addData((1L, vec(1)), (2L, vec(2)), (3L, vec(1)))
+    q.processAllAvailable()
+    in.addData((4L, vec(1)))
+    q.processAllAvailable(); q.stop()
+    assert(latest.keys.forall(c => c >= 1 && c <= 16), s"cells in range: $latest")
+    assert(latest.values.sum >= 1 && latest.nonEmpty)
+    // identical vectors land in one cell: ids 1,3,4 share vec(1) — that
+    // cell's population must be >= 3 after the second batch
+    assert(latest.values.max >= 3, s"identical vectors must co-route: $latest")
+  }
+
   // s_stream_static_join
   test("s_stream_static_join: stream enriched against a static dimension") {
     val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("user_id", "tier")
