@@ -609,6 +609,42 @@ object TextPipeline {
       .orderBy("stratum")
   }
 
+  /** Inverted-index build: token → document-frequency + posting list
+    * (sorted doc ids) — the index-construction operator behind keyword
+    * retrieval and the df side of TF-IDF. The posting list itself is
+    * projected to an order-sensitive polynomial hash (the driver
+    * comparator can't hash array cells, and at 100 TB you'd ship the
+    * list to the index store, not the comparator) — the hash pins the
+    * EXACT sorted membership cross-engine. One token-keyed partial+final
+    * aggregate; postings assemble per token, never corpus-wide. */
+  def invertedIndex(documents: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = documents
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+    tokens.groupBy("token")
+      .agg(count(lit(1)).as("df"),
+           min("doc_id").as("first_doc"),
+           max("doc_id").as("last_doc"),
+           aggregate(sort_array(collect_list("doc_id")), lit(0L),
+             (acc, x) => pmod(acc * 1000003L + x, lit(1000000007L)))
+             .as("postings_hash"))
+      .orderBy("token")
+  }
+
+  /** Near-dup graph degree histogram: how many documents have k verified
+    * near-duplicate partners — the corpus-health statistic that decides
+    * dedup aggressiveness (a fat tail = boilerplate flood). Consumes the
+    * verified pair graph (shared with survivors/clusters); two id-keyed
+    * aggregates. */
+  def dedupDegreeHistogram(pairs: DataFrame): DataFrame = {
+    val touched = pairs.select(col("doc_id_1").as("doc_id"))
+      .unionAll(pairs.select(col("doc_id_2").as("doc_id")))
+    touched.groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+
   /** Fuzzy record-linkage: candidate pairs blocked on caller-chosen
     * columns, verified by exact Levenshtein distance ≤ `maxDist` — the
     * typo-tolerant entity-matching primitive (dedup of user-entered
@@ -753,6 +789,9 @@ object TextPipeline {
         "\\b(customer|key|value)\\b", "<PII>")),
     "q_mixture_weights" -> ((s, d) =>
       mixtureWeights(Tables.documents(s, d), "source", budget = 1000)),
+    "q_inverted_index" -> ((s, d) =>
+      invertedIndex(Tables.documents(s, d), "doc_id", "text")),
+    "q_dedup_degree" -> ((s, d) => dedupDegreeHistogram(sharedPairs(s, d))),
     // distance ≤ 1 within a nation block: names differing in one digit
     "q_fuzzy_match" -> ((s, d) =>
       fuzzyMatch(Tables.customer(s, d), "c_custkey", "c_name", Seq("c_nationkey"), 1)),
@@ -935,6 +974,27 @@ object TextPipeline {
         |  UNION
         |  SELECT e.a AS id, w.lab FROM edges e JOIN walk w ON w.id = e.b)
         |SELECT id, min(lab) AS cluster FROM walk GROUP BY id ORDER BY id""".stripMargin),
+
+    "q_inverted_index" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE len(token) > 0)
+        |SELECT token, count(*) AS df, min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_sort(list(doc_id))),
+        |    (a, b) -> (a * 1000003 + b) % 1000000007) AS BIGINT) AS postings_hash
+        |FROM dt GROUP BY token ORDER BY token""".stripMargin,
+
+    "q_dedup_degree" -> (Similarity.minhashOracleCtes +
+      """,
+        |all_pairs AS (
+        |  SELECT doc_id_1, doc_id_2 FROM cross_pairs
+        |  UNION ALL SELECT doc_id_1, doc_id_2 FROM within_pairs),
+        |touched AS (
+        |  SELECT doc_id_1 AS doc_id FROM all_pairs
+        |  UNION ALL SELECT doc_id_2 FROM all_pairs),
+        |deg AS (SELECT doc_id, count(*) AS degree FROM touched GROUP BY doc_id)
+        |SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree ORDER BY degree""".stripMargin),
 
     "q_fuzzy_match" ->
       """SELECT id_1, id_2, sa, sb, dist FROM (

@@ -421,6 +421,34 @@ class TextSimilaritySpec extends SparkSuite {
     assert(got.subsetOf(global), s"false positives: ${got -- global}")
   }
 
+  test("inverted index reconciles with tfidf document frequencies; postings hash is membership-exact") {
+    val idx = run("q_inverted_index")
+      .select("token", "df").as[(String, Long)].collect().toMap
+    val dfq = run("q_tfidf").select("token", "df").distinct()
+      .as[(String, Long)].collect().toMap
+    // tfidf's df column is computed independently — the two must agree on
+    // every token tfidf surfaces
+    dfq.foreach { case (t, df) => assert(idx(t) == df, s"df drift for '$t'") }
+    // hash is order-sensitive membership: recompute one token's hash by hand
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    val someToken = idx.keys.head
+    val posting = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") === someToken).select("doc_id").distinct()
+      .as[Long].collect().sorted
+    val expected = posting.foldLeft(0L)((a, x) => Math.floorMod(a * 1000003L + x, 1000000007L))
+    val got = run("q_inverted_index").filter(col("token") === someToken)
+      .select("postings_hash").head().getLong(0)
+    assert(got == expected)
+  }
+
+  test("dedup degree histogram conserves the pair count (sum degree·n = 2·|pairs|)") {
+    val hist = run("q_dedup_degree").as[(Long, Long)].collect()
+    val nPairs = run("q_dedup_minhash").count()
+    assert(hist.map { case (d, n) => d * n }.sum == 2 * nPairs)
+    assert(hist.map(_._1).distinct.length == hist.length)
+  }
+
   test("tfidf: rare terms outscore stopwords within a document") {
     val t = run("q_tfidf")
     // ranks are 1..k, unique per doc, ordered by nonincreasing score
