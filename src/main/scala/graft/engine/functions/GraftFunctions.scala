@@ -31,7 +31,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => PolyHash31(children(0))),
     (FunctionIdentifier("poly_hash62"),
       new ExpressionInfo(classOf[PolyHash62].getName, "poly_hash62"),
-      (children: Seq[Expression]) => PolyHash62(children(0))))
+      (children: Seq[Expression]) => PolyHash62(children(0))),
+    (FunctionIdentifier("simhash_text64"),
+      new ExpressionInfo(classOf[SimHashText64].getName, "simhash_text64"),
+      (children: Seq[Expression]) => SimHashText64(children(0))))
 
   /** Register the engine functions into a session (idempotent). */
   def register(spark: SparkSession): Unit = registry.foreach { case (ident, info, builder) =>
@@ -63,6 +66,15 @@ object GraftFunctions {
   def simhash64(spark: SparkSession, a: Column): Column = {
     register(spark)
     call_function("simhash64", a)
+  }
+
+  /** Fused 64-bit SimHash straight from document text — see
+    * [[SimHashText64]]. Value-identical to
+    * `simhash64(Similarity.tokenHash64(text))` without the interpreted
+    * lambda passes. */
+  def simhashText64(spark: SparkSession, a: Column): Column = {
+    register(spark)
+    call_function("simhash_text64", a)
   }
 
   /** 64-bit random-hyperplane LSH signature of an embedding — see

@@ -452,19 +452,20 @@ object Similarity {
   def simhashNearDup(documents: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int): DataFrame = {
     GraftFunctions.register(documents.sparkSession)
-    // The 64-bit signature is a pure function of one row's token-hash
-    // multiset, so it computes as a native scalar projection (one fused
-    // pass, int[64] counters — see SimHash64): no explode, no
-    // aggregation shuffle, and none of the 16-bit lane-packing carry
-    // hazard the aggregate formulation needed to guard (correct to 2^31
-    // tokens/doc structurally). Tokens hash through tokenHash64 (the
-    // engine-neutral widened poly hash) so every signature bit is
-    // replicable in DuckDB SQL — q_dedup_simhash is value-oracled, not
-    // rows-only — and values stay nonnegative, keeping the per-bit
+    // The 64-bit signature is a pure function of one row's text, so it
+    // computes as ONE fused native scalar projection (tokenize → hash →
+    // mix → int[64] bit vote, see SimHashText64): no explode, no
+    // aggregation shuffle, no intermediate token/hash arrays, and none
+    // of the 16-bit lane-packing carry hazard the aggregate formulation
+    // needed to guard (correct to 2^31 tokens/doc structurally). The
+    // fused pass is value-identical to simhash64(tokenHash64(text)) —
+    // the engine-neutral widened poly hash — so every signature bit is
+    // replicable in DuckDB SQL: q_dedup_simhash is value-oracled, not
+    // rows-only, and values stay nonnegative, keeping the per-bit
     // shifts sign-free on both engines.
     val sigs = documents.select(col(idCol).as("doc_id"),
-      GraftFunctions.simhash64(documents.sparkSession,
-        tokenHash64(col(textCol))).as("simhash"))
+      GraftFunctions.simhashText64(documents.sparkSession,
+        col(textCol)).as("simhash"))
     // one explode per sig row, not a 4-way unionAll recomputing the 64-bit
     // aggregation per chunk
     val chunks = sigs.select(col("doc_id"), col("simhash"),

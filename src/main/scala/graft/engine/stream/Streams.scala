@@ -194,8 +194,8 @@ object Streams {
 
   /** s_stream_neardup: in-stream near-duplicate suppression for a
     * document stream — the curation primitive a training-data ingest
-    * runs at the firehose. Each document is SimHashed with the native
-    * `simhash64` expression and dropped if its signature was already
+    * runs at the firehose. Each document is SimHashed with the fused
+    * native `simhash_text64` expression and dropped if its signature was already
     * seen within the watermark: token-reordered copies (identical
     * multiset → identical signature) collapse, and the state store
     * holds one 8-byte key per unique document in the window instead of
@@ -204,8 +204,7 @@ object Streams {
                        watermark: String = "10 seconds"): DataFrame = {
     graft.engine.functions.GraftFunctions.register(docs.sparkSession)
     docs.withWatermark("ts", watermark)
-      .withColumn("simhash", call_function("simhash64",
-        graft.engine.ops.Similarity.tokenHash64(col(textCol))))
+      .withColumn("simhash", call_function("simhash_text64", col(textCol)))
       .dropDuplicatesWithinWatermark("simhash")
   }
 

@@ -243,6 +243,34 @@ class FunctionsSpec extends SparkSuite {
     assert(s3 == ~s1)
   }
 
+  test("simhash_text64 equals simhash64(tokenHash64(text)) exactly, incl. edge tokenization") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(19)
+    val random = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(30) + 1)(rnd.alphanumeric.take(rnd.nextInt(10) + 1).mkString)
+        .mkString(" "))
+    // split(text,' ',-1) semantics: empty/leading/trailing/double-space
+    // tokens are kept; multi-byte text takes the code-point hash path
+    val edges = Seq("", " ", "a", "a b", "a  b", " a", "a ", "  ",
+      "café thé", "日本 語 日本", "a é b")
+    val docs = (random ++ edges).toDF("text")
+    val both = docs.select(
+      call_function("simhash_text64", col("text")).as("fused"),
+      GraftFunctions.simhash64(spark,
+        graft.engine.ops.Similarity.tokenHash64(col("text"))).as("composed"))
+    assert(both.filter(col("fused") =!= col("composed")).count() == 0)
+    // null propagates; interpreted path agrees with codegen
+    assert(spark.sql("SELECT simhash_text64(CAST(NULL AS STRING))").head().isNullAt(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      assert(both.filter(col("fused") =!= col("composed")).count() == 0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("simhash64: interpreted matches codegen; empty is 0; null propagates") {
     GraftFunctions.register(spark)
     assert(spark.sql("SELECT simhash64(CAST(array() AS ARRAY<BIGINT>))").head().getLong(0) == 0L)

@@ -186,7 +186,10 @@ class PlanShapeSpec extends SparkSuite {
 
   test("q_dedup_simhash signature is a scalar projection (no aggregate before banding)") {
     val p = plan("q_dedup_simhash")
-    assert(p.contains("simhash64"), s"native signature expected:\n${p.take(1500)}")
+    assert(p.contains("simhash_text64"), s"fused native signature expected:\n${p.take(1500)}")
+    // the fused pass replaced the interpreted transform∘transform lambda
+    // chain — no higher-order function may reappear in the signature stage
+    assert(!p.contains("lambdafunction"), s"interpreted lambda crept back:\n${p.take(1500)}")
   }
 
   test("q_bitmap_distinct plans partial+final at both rollup levels (mergeable bitmaps)") {
