@@ -29,7 +29,14 @@ object Sources {
 
   private def ensure(spark: SparkSession, sfDir: String, name: String,
                      fmt: String): DataFrame = {
-    val tag = new java.io.File(sfDir).getName
+    // Cache key = full source path + its parquet mtime/size fingerprint,
+    // not just the sfDir basename: two sfDirs sharing a basename must not
+    // collide, and a regenerated fixture must invalidate the copy (a
+    // stale _SUCCESS-gated copy shows up as a spurious oracle mismatch).
+    val srcFile = new java.io.File(sfDir, s"$name.parquet")
+    val stamp = java.lang.Long.toHexString(
+      java.util.Objects.hash(sfDir, srcFile.lastModified(), srcFile.length()).toLong & 0xFFFFFFFFL)
+    val tag = new java.io.File(sfDir).getName + "_" + stamp
     val dir = new java.io.File(s"target/formats/$tag/${name}_$fmt").getAbsolutePath
     val src = Tables.load(spark, sfDir, name)
     this.synchronized {

@@ -66,8 +66,7 @@ object Analytics {
     * sampling at scale. */
   private val qSampleHash: Q = (s, d) =>
     Tables.orders(s, d)
-      .withColumn("h", pmod(col("o_orderkey") * lit(2654435761L), lit(4294967296L)))
-      .filter(pmod(col("h"), lit(100)) < 10)
+      .filter(TextPipeline.keyBucket(col("o_orderkey")) < 10)
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
 
@@ -622,8 +621,8 @@ object Analytics {
         |ORDER BY o_orderkey, measure""".stripMargin,
 
     "q_sample_hash" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |WHERE ((o_orderkey * 2654435761) % 4294967296) % 100 < 10
+      s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE ${TextPipeline.keyBucketSql("o_orderkey")} < 10
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_agg_percentile" ->

@@ -32,6 +32,29 @@ object TextPipeline {
 
   private def toks(c: Column): Column = split(c, " ")
 
+  /** `((key·2654435761) mod 2³²) mod 100` — the deterministic
+    * multiplicative split/sample bucket, in overflow-safe steps. The
+    * obvious single multiply silently wraps in Spark once
+    * key·2654435761 ≥ 2⁶³ (key ≈ 3.47e9 — a real doc count at 100 TB)
+    * while DuckDB raises on BIGINT overflow, so the engines diverge
+    * (wrapped value vs error). Masking the key to 32 bits and splitting
+    * it into 16-bit halves keeps every intermediate under 2⁴⁹ on both
+    * engines, and the result is congruent to the wrapped product for
+    * EVERY input (Java's wrap is mod 2⁶⁴, which preserves residues mod
+    * 2³²) — so existing fixture hashes are unchanged. */
+  private[ops] def keyBucket(key: Column): Column = {
+    val k = pmod(key, lit(4294967296L))
+    val hi = pmod(shiftright(k, 16) * lit(2654435761L), lit(4294967296L))
+    val lo = k.bitwiseAND(lit(65535L)) * lit(2654435761L)
+    pmod(pmod(hi * lit(65536L) + lo, lit(4294967296L)), lit(100))
+  }
+
+  /** DuckDB replay of [[keyBucket]] — same two-step arithmetic, every
+    * intermediate under 2⁴⁹ so DuckDB's overflow error can't fire. */
+  private[ops] def keyBucketSql(key: String): String =
+    s"((($key % 4294967296) // 65536 * 2654435761 % 4294967296 * 65536 + " +
+      s"($key % 4294967296) % 65536 * 2654435761) % 4294967296) % 100"
+
   // -------------------------------------------------------------- dedup
   /** Exact dedup over a text column: deterministic survivor = min(id). */
   def exactDedup(documents: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -157,8 +180,7 @@ object TextPipeline {
     val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
       when(col(strataCol) === k, lit(p)).otherwise(acc)
     }
-    val h = pmod(pmod(col(keyCol) * lit(2654435761L), lit(4294967296L)), lit(100))
-    df.filter(h < pct)
+    df.filter(keyBucket(col(keyCol)) < pct)
   }
 
   // -------------------------------------------------------- text analysis
@@ -412,7 +434,7 @@ object TextPipeline {
     * per-(split, dims) doc and token counts — the split manifest. */
   def assignSplits(documents: DataFrame, idCol: String, textCol: String,
                    dims: Seq[String]): DataFrame = {
-    val bucket = pmod(pmod(col(idCol) * lit(2654435761L), lit(4294967296L)), lit(100))
+    val bucket = keyBucket(col(idCol))
     documents
       .select(col(idCol) +: size(toks(col(textCol))).cast("long").as("n_toks") +:
         dims.map(col): _*)
@@ -694,15 +716,21 @@ object TextPipeline {
     * semi-join over the doc-id partitioning every stage already uses. */
   def curationPipeline(corpus: DataFrame, idCol: String, textCol: String,
                        benchmark: DataFrame, dims: Seq[String],
-                       threshold: Double = 0.9): DataFrame = {
+                       threshold: Double = 0.9,
+                       pairs: Option[DataFrame] = None): DataFrame = {
     val keep = gopherRules(corpus, idCol, textCol)
       .filter(col("keep")).select("doc_id")
     val contaminated = contamination(corpus, idCol, textCol,
         benchmark, idCol, textCol)
       .select("doc_id").distinct()
-    val removed = Similarity.minhashNearDup(corpus, idCol, textCol, threshold, ordered = false)
+    // like dedupCorpus/dedupClusters, accept the verified pair graph as
+    // an input: a real pipeline computes it once and fans it out, and
+    // the graph here must cover exactly THIS corpus slice (pairs over a
+    // superset would remove docs whose duplicate lies outside the slice)
+    val removed = pairs
+      .getOrElse(Similarity.minhashNearDup(corpus, idCol, textCol, threshold, ordered = false))
       .select(col("doc_id_2").as("doc_id")).distinct()
-    val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100))
+    val bucket = keyBucket(col("doc_id"))
     corpus
       .select(col(idCol).as("doc_id") +:
         size(toks(col(textCol))).cast("long").as("n_toks") +: dims.map(col): _*)
@@ -718,20 +746,58 @@ object TextPipeline {
 
   // ------------------------------------------------- fixture bindings
 
-  /** Session-scoped memo of the verified minhash pair graph over the full
-    * documents table at threshold 0.9 — q_dedup_survivors and
-    * q_dedup_clusters are both downstream consumers of the SAME pair set,
-    * and a real pipeline computes that graph once and feeds every
-    * consumer (the r2 review suggested exactly this shared intermediate).
-    * The pair list is tiny (≪ corpus), so the persist is a few KB per
-    * (session, sfDir); entries live for the session, like the bucketed
-    * table registrations. */
+  /** Session-scoped memo of verified minhash pair graphs —
+    * q_dedup_survivors, q_dedup_clusters, q_dedup_degree (full corpus)
+    * and q_curation_pipeline (its doc_id ≥ 10 slice) are downstream
+    * consumers of a shared pair set, and a real pipeline computes each
+    * graph once and feeds every consumer (the r2 review suggested
+    * exactly this shared intermediate). The pair lists are tiny
+    * (≪ corpus), so each persist is a few KB per (session, sfDir, scope).
+    *
+    * Keying: a weakly-held per-session UUID (identity hashes can collide
+    * after a session is GC'd, handing a new session a DataFrame bound to
+    * a dead SparkContext). Eviction: every lookup first sweeps entries
+    * whose owning session is gone or stopped, unpersisting their blocks —
+    * so long-lived JVMs (the test runner) don't accumulate dead cached
+    * plans across sessions. */
+  private final case class PairEntry(
+      owner: java.lang.ref.WeakReference[SparkSession], df: DataFrame)
   private val pairMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, PairEntry]()
+  // value does not reference the key, so entries vanish with the session
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, String]()
+  private def sessionKey(s: SparkSession): String = sessionIds.synchronized {
+    var id = sessionIds.get(s)
+    if (id == null) { id = java.util.UUID.randomUUID().toString; sessionIds.put(s, id) }
+    id
+  }
+  private def memoizedPairs(s: SparkSession, scope: String)
+                           (build: => DataFrame): DataFrame = {
+    val it = pairMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val owner = e.getValue.owner.get()
+      if (owner == null || owner.sparkContext.isStopped) {
+        try e.getValue.df.unpersist(false) catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+    pairMemo.computeIfAbsent(sessionKey(s) + "|" + scope, _ =>
+      PairEntry(new java.lang.ref.WeakReference(s),
+        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))).df
+  }
   private def sharedPairs(s: SparkSession, d: String): DataFrame =
-    pairMemo.computeIfAbsent(System.identityHashCode(s) + "|" + d, _ =>
+    memoizedPairs(s, d + "|full") {
       Similarity.minhashNearDup(Tables.documents(s, d), "doc_id", "text", 0.9, ordered = false)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+  /** The q_contamination/q_curation_pipeline corpus slice (doc_id ≥ 10)
+    * needs its OWN graph: full-corpus pairs would mark docs as removable
+    * whose only duplicate is a benchmark doc outside the slice. */
+  private def slicePairs(s: SparkSession, d: String): DataFrame =
+    memoizedPairs(s, d + "|ge10") {
+      Similarity.minhashNearDup(Tables.documents(s, d).filter(col("doc_id") >= 10),
+        "doc_id", "text", 0.9, ordered = false)
+    }
 
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, d) => exactDedup(Tables.documents(s, d), "doc_id", "text")),
@@ -800,7 +866,8 @@ object TextPipeline {
     "q_curation_pipeline" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       curationPipeline(docs.filter(col("doc_id") >= 10), "doc_id", "text",
-        docs.filter(col("doc_id") < 10), Seq("lang"))
+        docs.filter(col("doc_id") < 10), Seq("lang"),
+        pairs = Some(slicePairs(s, d)))
     }),
   )
 
@@ -808,8 +875,8 @@ object TextPipeline {
 
   val oracle: Map[String, String] = Map(
     "q_sample_stratified" ->
-      """SELECT doc_id, lang, source FROM documents
-        |WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
+      s"""SELECT doc_id, lang, source FROM documents
+        |WHERE ${keyBucketSql("doc_id")} <
         |      CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 20 ELSE 5 END
         |ORDER BY doc_id""".stripMargin,
 
@@ -889,10 +956,10 @@ object TextPipeline {
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_split" ->
-      """WITH b AS (
+      s"""WITH b AS (
         |  SELECT lang, len(string_split(text, ' ')) AS n_toks,
-        |    CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
-        |         WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        |    CASE WHEN ${keyBucketSql("doc_id")} < 80 THEN 'train'
+        |         WHEN ${keyBucketSql("doc_id")} < 90 THEN 'val'
         |         ELSE 'test' END AS split
         |  FROM documents)
         |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
@@ -1011,7 +1078,7 @@ object TextPipeline {
     // benchmark slice, split manifest — each CTE block is the same
     // replication its standalone oracle uses.
     "q_curation_pipeline" -> (Similarity.minhashOracleCtesFor("WHERE doc_id >= 10") +
-      """,
+      s""",
         |all_pairs AS (
         |  SELECT doc_id_1, doc_id_2 FROM cross_pairs
         |  UNION ALL SELECT doc_id_1, doc_id_2 FROM within_pairs),
@@ -1048,8 +1115,8 @@ object TextPipeline {
         |contaminated AS (SELECT DISTINCT doc_id FROM cont0),
         |base AS (
         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks,
-        |    CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
-        |         WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        |    CASE WHEN ${keyBucketSql("doc_id")} < 80 THEN 'train'
+        |         WHEN ${keyBucketSql("doc_id")} < 90 THEN 'val'
         |         ELSE 'test' END AS split
         |  FROM documents WHERE doc_id >= 10)
         |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens

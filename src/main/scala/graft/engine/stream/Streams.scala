@@ -1,6 +1,6 @@
 package graft.engine.stream
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, StreamingQueryListener, Trigger}
 import java.util.concurrent.ConcurrentLinkedQueue
@@ -78,43 +78,46 @@ object Streams {
     }
   }
 
-  /** O3/O4 as a durable operational artifact, not just an in-memory
-    * observability hook: one JSON file per (batch, source) under `dir`,
-    * written temp-then-atomic-rename — the Structured-Streaming analogue
-    * of the reference persisting offsets externally every batch with a
-    * single atomic ZK write (K:98–109). A restart replaying the last
-    * uncommitted batch re-emits the same batchId and the rename
-    * idempotently overwrites, so after any kill-and-restart the
-    * directory reads back as contiguous, gapless offset ranges (tested).
-    * External consumers (lag monitors, the reference's R:143 audit) can
-    * tail the directory without touching Spark's checkpoint internals. */
-  final class DurableOffsetMirror(dir: String) extends StreamingQueryListener {
+  /** Pluggable external offset store — the persistence seam of the O3/O4
+    * parity mirror. The reference hardcodes ZooKeeper as its store
+    * (`saveOffsets`/`readOffsets`, K:77–109); here the store is a trait so
+    * the same listener drives a file store locally and a ZK/JDBC/object-
+    * store implementation as a config drop-in on a real cluster. Contract:
+    * `write` must be ATOMIC (a concurrent reader sees the old record or
+    * the new one, never a torn write) and IDEMPOTENT per (batchId,
+    * sourceIdx) — a restart replays the last uncommitted batch with the
+    * same batchId, and the rewrite must converge to one record, keeping
+    * the read-back gapless. `readBack` returns records ordered by
+    * (batchId, sourceIdx) — the audit view external lag monitors consume
+    * (the reference's R:143 usage) without touching checkpoint internals. */
+  trait OffsetStore {
+    def write(rec: OffsetRecord, sourceIdx: Int): Unit
+    def readBack(): Seq[OffsetRecord]
+  }
+
+  /** Default [[OffsetStore]]: one JSON file per (batch, source) under
+    * `dir`, written temp-then-atomic-rename — same guarantees as the
+    * reference's single-znode ZK write (atomic, per-batch, tail-able),
+    * with idempotent overwrite on batch replay. */
+  final class AtomicFileOffsetStore(dir: String) extends OffsetStore {
     private val path = java.nio.file.Paths.get(dir)
 
     private def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
     private def unesc(s: String): String = s.replace("\\\"", "\"").replace("\\\\", "\\")
 
-    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    override def write(rec: OffsetRecord, sourceIdx: Int): Unit = {
       java.nio.file.Files.createDirectories(path)
-      val p = e.progress
-      p.sources.zipWithIndex.foreach { case (s, i) =>
-        val start = Option(s.startOffset).map(_.toString).getOrElse("none")
-        val end = Option(s.endOffset).map(_.toString).getOrElse("none")
-        val rec = s"""{"batchId":${p.batchId},"source":"${esc(s.description)}",""" +
-          s""""startOffset":"${esc(start)}","endOffset":"${esc(end)}"}"""
-        val name = f"batch-${p.batchId}%012d-src$i%d.json"
-        val tmp = path.resolve(name + ".tmp")
-        java.nio.file.Files.write(tmp, (rec + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        java.nio.file.Files.move(tmp, path.resolve(name),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+      val json = s"""{"batchId":${rec.batchId},"source":"${esc(rec.source)}",""" +
+        s""""startOffset":"${esc(rec.startOffset)}","endOffset":"${esc(rec.endOffset)}"}"""
+      val name = f"batch-${rec.batchId}%012d-src$sourceIdx%d.json"
+      val tmp = path.resolve(name + ".tmp")
+      java.nio.file.Files.write(tmp, (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, path.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
 
-    /** Read the directory back as batch-ordered records (the audit view). */
-    def readBack(): Seq[OffsetRecord] = {
+    override def readBack(): Seq[OffsetRecord] = {
       if (!java.nio.file.Files.isDirectory(path)) return Seq.empty
       val re = ("""\{"batchId":(\d+),"source":"(.*)","startOffset":"(.*)","endOffset":"(.*)"\}""").r
       val files = java.nio.file.Files.list(path).iterator().asScala
@@ -129,6 +132,33 @@ object Streams {
         }
       }
     }
+  }
+
+  /** O3/O4 as a durable operational artifact, not just an in-memory
+    * observability hook: every completed batch's per-source offset range
+    * goes through the [[OffsetStore]] — the Structured-Streaming analogue
+    * of the reference persisting offsets externally every batch
+    * (K:98–109). A restart replaying the last uncommitted batch re-emits
+    * the same batchId and the store's idempotent write converges, so
+    * after any kill-and-restart the store reads back as contiguous,
+    * gapless offset ranges (tested). */
+  final class DurableOffsetMirror(store: OffsetStore) extends StreamingQueryListener {
+    /** File-store convenience — the local default. */
+    def this(dir: String) = this(new AtomicFileOffsetStore(dir))
+
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      p.sources.zipWithIndex.foreach { case (s, i) =>
+        store.write(OffsetRecord(p.batchId, s.description,
+          Option(s.startOffset).map(_.toString).getOrElse("none"),
+          Option(s.endOffset).map(_.toString).getOrElse("none")), i)
+      }
+    }
+
+    /** Read the store back as batch-ordered records (the audit view). */
+    def readBack(): Seq[OffsetRecord] = store.readBack()
   }
 
   /** O10: graceful stop — Structured Streaming's `stop()` is
@@ -206,6 +236,88 @@ object Streams {
     docs.withWatermark("ts", watermark)
       .withColumn("simhash", call_function("simhash_text64", col(textCol)))
       .dropDuplicatesWithinWatermark("simhash")
+  }
+
+  /** A near-dup hit emitted by [[streamingNearDupLsh]]. */
+  final case class NearDupHit(doc_id_1: Long, doc_id_2: Long, est_jaccard: Double)
+
+  /** s_stream_neardup_lsh: cross-batch MinHash-LSH near-duplicate
+    * DETECTION at a Jaccard threshold — the operator a 100 TB/day ingest
+    * actually needs. [[streamingNearDup]] only collapses exact-signature
+    * copies (simhash equality); here each document's k=16 MinHash
+    * signature is banded exactly like the batch pipeline
+    * ([[graft.engine.ops.Similarity.minhashNearDup]]: 2 bands × 8 rows,
+    * same fold key), the stream is keyed by (band, band-key), and
+    * `flatMapGroupsWithState` holds each band bucket's members so a new
+    * document is checked against every bucket-mate seen within the state
+    * horizon — across micro-batches and across restarts (the state store
+    * checkpoints with the query; tested kill-and-restart).
+    *
+    * Emits (doc_id_1 < doc_id_2, estimated jaccard = matching signature
+    * fraction) for pairs meeting `minEstJaccard`. A pair colliding in
+    * both bands is emitted twice (once per band group) — downstream
+    * consumers dedup, exactly as the batch pipeline's `distinct()` does;
+    * doing it here would stack a second stateful operator for no gain.
+    *
+    * Scale/state: one state entry per (band, band-key) bucket holding
+    * (id, 16-long signature) per member — signatures, never text. Event-
+    * time timeout evicts a bucket `horizonMs` past its newest member, so
+    * state is bounded by the stream's rate × horizon, not its history. */
+  def streamingNearDupLsh(docs: DataFrame, textCol: String,
+                          minEstJaccard: Double = 0.7,
+                          watermark: String = "10 seconds",
+                          horizonMs: Long = 10000L): Dataset[NearDupHit] = {
+    graft.engine.functions.GraftFunctions.register(docs.sparkSession)
+    import docs.sparkSession.implicits._
+    val P31 = 2147483647L
+    // token-set hash + native fused signature: identical arithmetic to
+    // the batch path, so batch and stream agree on what "near-dup" means
+    val hsh = array_sort(array_distinct(transform(array_distinct(split(col(textCol), " ")),
+      t => call_function("poly_hash62", t))))
+    val banded = docs.withWatermark("ts", watermark)
+      .withColumn("sig", call_function("minhash_sig", hsh))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        explode(array((0 until 2).map { bnd =>
+          val cs = (bnd * 8 until bnd * 8 + 8).map(i => element_at(col("sig"), i + 1))
+          val bkey = cs.foldLeft(lit(0L): Column)((acc, m) =>
+            pmod(acc * 131L + pmod(m, lit(P31)), lit(P31)))
+          struct(lit(bnd).as("band"), bkey.as("bkey"))
+        }: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+              col("doc_id"), col("sig"), col("ts"))
+      .as[(Int, Long, Long, Seq[Long], java.sql.Timestamp)]
+    banded.groupByKey { case (band, bkey, _, _, _) => (band, bkey) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long, Seq[Long], java.sql.Timestamp)],
+         state: GroupState[List[(Long, Seq[Long])]]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var members = state.getOption.getOrElse(Nil)
+            val out = List.newBuilder[NearDupHit]
+            var maxTs = 0L
+            // deterministic within-batch order: compare in doc_id order so
+            // a batch containing both ends of a pair emits it exactly once
+            rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sig, t) =>
+              maxTs = math.max(maxTs, t.getTime)
+              if (!members.exists(_._1 == id)) {
+                members.foreach { case (mid, msig) =>
+                  val est = sig.iterator.zip(msig.iterator).count { case (a, b) => a == b }
+                    .toDouble / sig.length
+                  if (est >= minEstJaccard)
+                    out += NearDupHit(math.min(mid, id), math.max(mid, id),
+                      math.round(est * 10000.0) / 10000.0)
+                }
+                members = (id, sig) :: members
+              }
+            }
+            state.update(members)
+            // evict the bucket once the watermark passes its newest member
+            // by the horizon (must stay ahead of the current watermark)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + horizonMs, state.getCurrentWatermarkMs() + 1000L))
+            out.result().iterator
+          }
+        })
   }
 
   /** s_stream_mixture: running data-mixture accounting over a document

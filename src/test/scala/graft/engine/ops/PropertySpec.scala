@@ -85,10 +85,26 @@ class PropertySpec extends SparkSuite {
   test("hash sample is a deterministic pure function of the key") {
     check("sample", 5)(Prop.forAll(Gen.listOfN(100, Gen.chooseNum(0L, 100000L))) { ks =>
       val df = ks.distinct.toDF("k")
-      val f = pmod(pmod(col("k") * lit(2654435761L), lit(4294967296L)), lit(100)) < 10
+      val f = TextPipeline.keyBucket(col("k")) < 10
       val a = df.filter(f).as[Long].collect().sorted.toSeq
       val b = df.repartition(7).filter(f).as[Long].collect().sorted.toSeq
       a == b // invariant to physical layout — TABLESAMPLE is not
+    })
+  }
+
+  test("overflow-safe split bucket equals the wrapped multiply for every key, incl. past 3.47e9") {
+    // Java's long multiply wraps mod 2^64, which preserves residues mod
+    // 2^32 — so the two-step form must agree with the single wrapped
+    // multiply on ALL keys, while keeping every intermediate (and the
+    // DuckDB replay's) under 2^63. Probe the full long range plus the
+    // exact overflow frontier 2^63 / 2654435761 ≈ 3.47e9.
+    check("bucket-equiv", 5)(Prop.forAll(
+        Gen.listOfN(200, Gen.oneOf(Gen.chooseNum(0L, Long.MaxValue),
+          Gen.chooseNum(3471810556L, 3471810560L)))) { ks =>
+      val df = ks.distinct.toDF("k")
+      val wrapped = pmod(pmod(col("k") * lit(2654435761L), lit(4294967296L)), lit(100))
+      df.select(TextPipeline.keyBucket(col("k")).as("safe"), wrapped.as("w"))
+        .filter(col("safe") =!= col("w")).count() == 0
     })
   }
 

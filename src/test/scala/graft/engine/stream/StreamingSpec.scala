@@ -244,6 +244,40 @@ class StreamingSpec extends SparkSuite {
       s"near-dups must collapse within and across batches: $out")
   }
 
+  // s_stream_neardup_lsh: threshold near-dup detection with banded state
+  test("s_stream_neardup_lsh: banded MinHash state detects threshold pairs across batches and restarts") {
+    val in = MemoryStream[Doc](spark)
+    val ckpt = tmpDir("neardup-lsh")
+    val out = mutable.ArrayBuffer[(Long, Long)]()
+    def start() = Streams.streamingNearDupLsh(in.toDF(), "text", minEstJaccard = 0.5)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.NearDupHit], _: Long) =>
+        out.synchronized { out ++= b.collect().map(h => (h.doc_id_1, h.doc_id_2)) }
+        ()
+      }.start()
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val near = "alpha bravo charlie delta echo foxtrot golf hotel india kilo" // 9/11 tokens shared
+    val far = "one two three four five six seven eight nine ten"
+    val q1 = start()
+    in.addData(Doc(1, ts(1), base), Doc(4, ts(1), far))
+    q1.processAllAvailable()
+    q1.stop() // kill: band-bucket state must survive in the checkpoint
+    val q2 = start()
+    in.addData(Doc(2, ts(2), near)) // near-dup of doc 1, AFTER the restart
+    q2.processAllAvailable()
+    in.addData(Doc(3, ts(3), near + " extra")) // near-dup of 1 and 2, later batch
+    q2.processAllAvailable(); q2.stop()
+    // a pair may arrive once per colliding band — dedup like the batch op
+    val pairs = out.distinct.sorted.toSeq
+    assert(pairs.contains((1L, 2L)),
+      s"state must survive the kill-and-restart to pair 1 with 2: $out")
+    assert(pairs.contains((2L, 3L)), s"cross-batch pair missing: $out")
+    assert(pairs.forall { case (a, b) => a != 4L && b != 4L },
+      s"distinct doc must pair with nothing: $out")
+  }
+
   // s_stream_chunk: the batch curation ops compose unchanged on streams
   test("s_stream_chunk: batch chunker runs on a streaming frame (narrow, append mode)") {
     val in = MemoryStream[Doc](spark)
