@@ -519,6 +519,40 @@ object Similarity {
       .orderBy("vec_id_1", "vec_id_2")
   }
 
+  // ------------------------------------------------- embedding quantization
+  /** Int8 scalar quantization of an embedding column: per-dimension
+    * min/max over the corpus → each component maps to
+    * `floor((x−mn)/(mx−mn)·255) − 128` ∈ [−128, 127] (a constant
+    * dimension maps to 0). Emits one (vec_id, dim, code) row per
+    * component — the training-data form of the codes (4× smaller than
+    * float32 at <2% recall loss on the fixture, pinned in its spec).
+    *
+    * Every step is deterministic IEEE double arithmetic on both engines
+    * (float → double cast is exact; the min/max/div/mul/floor sequence
+    * is written identically in the oracle), so the codes hash-oracle
+    * exactly — no float tolerance anywhere.
+    *
+    * Scale shape: one posexplode + partial+final (dim)-keyed agg for the
+    * stats (64 rows out), stats broadcast back under the same scan —
+    * the corpus never shuffles; the codes projection is narrow. At
+    * 100 TB the stats pass subsamples (any fixed hash-sample works, the
+    * quantizer only needs approximate extremes) — here it is exact so
+    * the oracle replays it. */
+  def quantizeEmbeddings(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
+    val ex = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "xf")))
+      .select(col("vec_id"), (col("dim0") + 1).cast("long").as("dim"),
+              col("xf").cast("double").as("x"))
+    val stats = ex.groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+    ex.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255.0)
+            .cast("long") - 128)
+          .as("code"))
+      .orderBy("vec_id", "dim")
+  }
+
   // ------------------------------------------------- fixture bindings
   val queries: Map[String, Q] = Map(
     "q_sim_cosine" -> ((s, d) => knnCosine(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
@@ -532,6 +566,7 @@ object Similarity {
     "q_dedup_embedding" -> ((s, d) =>
       embeddingNearDup(withPlantedNearDups(Tables.embeddings(s, d)), "vec_id", "embedding", 0.99)),
     "q_kmeans_step" -> ((s, d) => kmeansStep(Tables.embeddings(s, d), "vec_id", "embedding")),
+    "q_embed_quantize" -> ((s, d) => quantizeEmbeddings(Tables.embeddings(s, d), "vec_id", "embedding")),
     // 0.35: the raw corpus is near-orthogonal (max pair cos ~0.5), so a
     // low threshold surfaces the genuinely-related tail within each cell
     "q_semantic_dedup" -> ((s, d) =>
@@ -829,6 +864,20 @@ object Similarity {
        |ORDER BY cell, vec_id_1, vec_id_2""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // int8 scalar quantization: identical IEEE double sequence — cast,
+    // per-dim min/max, (x−mn)/(mx−mn)·255, floor — so codes hash-match
+    "q_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |stats AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY dim)
+        |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+        |  CASE WHEN mx = mn THEN 0
+        |       ELSE CAST(floor((x - mn) / (mx - mn) * 255.0) AS BIGINT) - 128
+        |  END AS code
+        |FROM e JOIN stats USING (dim)
+        |ORDER BY vec_id, dim""".stripMargin,
     "q_dedup_embedding" -> embeddingOracleSql,
     "q_kmeans_step" -> kmeansStepOracleSql,
     "q_semantic_dedup" -> semanticDedupOracleSql,

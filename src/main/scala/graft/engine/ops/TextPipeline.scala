@@ -522,6 +522,63 @@ object TextPipeline {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** EXACT substring decontamination (the Lee-et-al.-style pass that
+    * [[contamination]]'s unordered shingle count approximates): for every
+    * (corpus doc, benchmark doc) pair, the length of their longest EXACT
+    * common token run, kept when ≥ `minRun` tokens. A verbatim leaked
+    * eval question scores here even if the doc shares no other
+    * vocabulary, and a doc merely topically close to a benchmark (many
+    * scattered shingles, no long run) does NOT — the distinction the
+    * approximate pass can't make.
+    *
+    * Mechanism: anchor n-grams WITH POSITIONS. Any common run of length
+    * L ≥ `anchor` contains exactly L−anchor+1 consecutive anchor matches
+    * on one diagonal (diag = corpus pos − bench pos), so after the
+    * anchor equi-join, a gaps-and-islands pass per (doc, bench, diag)
+    * recovers every maximal run length exactly: island size + anchor − 1.
+    * No quadratic alignment, no per-pair DP — one broadcast join on the
+    * anchor gram (benchmark side is small by definition) plus one window
+    * and two aggregations, all keyed by (doc, bench, diag), the same
+    * partitioning every stage uses.
+    *
+    * At 100 TB the anchor join is the only wide stage and it is bounded
+    * by true anchor collisions — rare for 3-token grams outside real
+    * overlap; a pathological stop-gram ("of the and") fans out but the
+    * island group-by collapses it before anything quadratic forms. */
+  def contaminationExact(corpus: DataFrame, idCol: String, textCol: String,
+                         benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+                         minRun: Int = 5, anchor: Int = 3): DataFrame = {
+    require(anchor == 3, "fixture contract pins 3-token anchors")
+    // positioned 3-gram anchors; duplicates KEPT (positions matter here,
+    // unlike contamination's distinct shingle sets); same zipped-slice
+    // formulation (a lambda over element_at would re-split per element)
+    def grams(c: Column): Column = {
+      val t = toks(c)
+      when(size(t) >= anchor,
+        transform(
+          arrays_zip(slice(t, lit(1), size(t) - (anchor - 1)),
+                     slice(t, lit(2), size(t) - (anchor - 1)),
+                     slice(t, lit(3), size(t) - (anchor - 1))),
+          s => concat_ws(" ", s("0"), s("1"), s("2"))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val cs = corpus.select(col(idCol).as("doc_id"),
+      posexplode(grams(col(textCol))).as(Seq("cpos", "gram")))
+    val bs = benchmark.select(col(benchIdCol).as("bench_id"),
+      posexplode(grams(col(benchTextCol))).as(Seq("bpos", "gram")))
+    val m = cs.join(broadcast(bs), "gram")
+      .select(col("doc_id"), col("bench_id"),
+              (col("cpos") - col("bpos")).as("diag"), col("cpos"))
+    val w = Window.partitionBy("doc_id", "bench_id", "diag").orderBy("cpos")
+    m.withColumn("island", col("cpos") - row_number().over(w))
+      .groupBy("doc_id", "bench_id", "diag", "island")
+      .agg((count(lit(1)) + lit((anchor - 1).toLong)).as("run_len"))
+      .groupBy("doc_id", "bench_id")
+      .agg(max("run_len").as("max_run"))
+      .filter(col("max_run") >= minRun)
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** Near-dup detection: exact token-set Jaccard over candidate pairs
     * blocked on `blockCols`. n = 1 (token sets) in the fixture binding
     * because its near-dups are token-shuffles — order-sensitive shingles
@@ -850,6 +907,12 @@ object TextPipeline {
     }),
     "q_dedup_paragraph" -> ((s, d) =>
       dedupParagraphs(Tables.documents(s, d), "doc_id", "text", paraSize = 16)),
+    // same corpus/benchmark split as q_contamination; exact ≥5-token runs
+    "q_contamination_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      contaminationExact(docs.filter(col("doc_id") >= 10), "doc_id", "text",
+        docs.filter(col("doc_id") < 10), "doc_id", "text", minRun = 5)
+    }),
     "q_pii_scrub" -> ((s, d) =>
       regexScrub(Tables.documents(s, d), "doc_id", "text",
         "\\b(customer|key|value)\\b", "<PII>")),
@@ -1007,6 +1070,34 @@ object TextPipeline {
         |FROM cs JOIN bs USING (s)
         |GROUP BY cs.doc_id, bs.bench_id
         |HAVING count(*) >= 2
+        |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // Exact-run decontamination: positioned 3-gram anchors, diagonal
+    // gaps-and-islands — the oracle replays the identical anchor → diag →
+    // island arithmetic (positions are 1-based here vs posexplode's
+    // 0-based, but diag and island only ever difference positions, so
+    // the constant offset cancels inside each engine).
+    "q_contamination_exact" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |cp AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS pos
+        |       FROM tok WHERE doc_id >= 10 AND len(t) >= 3),
+        |cg AS (SELECT doc_id, pos AS cpos,
+        |         t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2] AS gram FROM cp),
+        |bp AS (SELECT doc_id AS bench_id, t, unnest(range(1, len(t) - 1)) AS pos
+        |       FROM tok WHERE doc_id < 10 AND len(t) >= 3),
+        |bg AS (SELECT bench_id, pos AS bpos,
+        |         t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2] AS gram FROM bp),
+        |m AS (SELECT cg.doc_id, bg.bench_id, cg.cpos - bg.bpos AS diag, cg.cpos
+        |      FROM cg JOIN bg USING (gram)),
+        |isl AS (SELECT doc_id, bench_id, diag, cpos,
+        |          cpos - row_number() OVER (PARTITION BY doc_id, bench_id, diag
+        |                                    ORDER BY cpos) AS island
+        |        FROM m),
+        |runs AS (SELECT doc_id, bench_id, count(*) + 2 AS run_len
+        |         FROM isl GROUP BY doc_id, bench_id, diag, island)
+        |SELECT doc_id, bench_id, CAST(max(run_len) AS BIGINT) AS max_run
+        |FROM runs GROUP BY doc_id, bench_id
+        |HAVING max(run_len) >= 5
         |ORDER BY doc_id, bench_id""".stripMargin,
 
     // Survivors = documents minus any doc near-duplicating a smaller-id

@@ -25,6 +25,63 @@ class TextSimilaritySpec extends SparkSuite {
     assert(bad < 1e-9)
   }
 
+  test("contaminationExact recovers exact maximal run lengths; scattered shingles don't qualify") {
+    val bench = Seq((1L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // verbatim 7-token leak embedded mid-document → max_run exactly 7
+      (10L, "x1 x2 q2 q3 q4 q5 q6 q7 q8 x3 x4"),
+      // two disjoint runs (4 and 3): max is 4, still below minRun=5
+      (11L, "q1 q2 q3 q4 zz q5 q6 q7 yy"),
+      // every 3-gram shared but scattered on different diagonals only if
+      // reordered — a full verbatim copy scores its whole length
+      (12L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"),
+      // topically close, zero 3-token run
+      (13L, "q1 zz q3 zz q5 zz q7 zz q9 zz")).toDF("doc_id", "text")
+    val got = TextPipeline.contaminationExact(corpus, "doc_id", "text",
+        bench, "doc_id", "text", minRun = 5)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((10L, 1L, 7L), (12L, 1L, 10L)), s"got $got")
+    // lowering the bar to 4 admits doc 11's longest run, at its true length
+    val got4 = TextPipeline.contaminationExact(corpus, "doc_id", "text",
+        bench, "doc_id", "text", minRun = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got4 == Seq((10L, 1L, 7L), (11L, 1L, 4L), (12L, 1L, 10L)), s"got $got4")
+  }
+
+  test("q_embed_quantize: int8 codes keep recall@10 >= 0.9 vs exact cosine ranking") {
+    val e = graft.engine.io.Tables.embeddings(spark, sfDir)
+    val vecs = e.select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    val codes = run("q_embed_quantize").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    // reconstruct from codes via the same per-dim (mn, mx) the quantizer used
+    val dims = vecs.head._2.length
+    val mn = (0 until dims).map(d => vecs.values.map(_(d).toDouble).min).toArray
+    val mx = (0 until dims).map(d => vecs.values.map(_(d).toDouble).max).toArray
+    def dequant(cs: Array[Long]): Array[Double] =
+      cs.zipWithIndex.map { case (c, d) =>
+        if (mx(d) == mn(d)) mn(d)
+        else mn(d) + (c + 128 + 0.5) / 255.0 * (mx(d) - mn(d)) // cell midpoint
+      }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val q = 0L
+    val qe = vecs(q).map(_.toDouble)
+    val qd = dequant(codes(q).toArray)
+    def top10(score: Long => Double): Set[Long] =
+      vecs.keySet.filter(_ != q).toSeq.sortBy(id => (-score(id), id)).take(10).toSet
+    val exact = top10(id => cos(qe, vecs(id).map(_.toDouble)))
+    val quant = top10(id => cos(qd, dequant(codes(id).toArray)))
+    val recall = exact.intersect(quant).size / 10.0
+    assert(recall >= 0.9, s"int8 recall@10 collapsed: $recall (exact=$exact quant=$quant)")
+    // the codes really are int8: full range bounded, extremes hit exactly
+    val all = codes.values.flatten
+    assert(all.min >= -128 && all.max <= 127)
+    assert(all.min == -128 && all.max == 127,
+      "per-dim min/max must map to the code extremes")
+  }
+
   test("q_ann_lsh results are a subset of brute-force scoring, correctly scored") {
     val exact = run("q_sim_cosine").as[(Long, Double)].collect().toMap
     val approx = run("q_ann_lsh").as[(Long, Double)].collect().toMap
