@@ -240,6 +240,53 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
   }
 
+  /** The IVF codebook as a DataFrame (cell, centroid) — the input shape
+    * of the broadcast-join variants below and of external callers
+    * bringing their own trained codebook. Cells are 1-based, matching
+    * the literal path's `array_position`. */
+  def codebookDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, j) => ((j + 1).toLong, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+  }
+
+  /** [[annIvf]] with the codebook as a broadcast DataFrame instead of
+    * plan literals. Identical output (same dot, same first-tie-lowest-
+    * cell argmax — the struct max on (dot, −cell) can't tie past the
+    * cell because cells are distinct per vector), different scaling law:
+    * plan literals cap the codebook at what an expression tree tolerates
+    * (fine at 16 cells, absurd at a 64 k-centroid IVF), while a
+    * broadcast relation carries any codebook that fits executor memory
+    * and upgrades to a shuffle join beyond that — no operator rewrite.
+    * The corpus still never shuffles for the probe: assignment is a
+    * broadcast nested-loop + one (vec_id)-keyed argmax agg (map-side
+    * combine collapses the ×cells fan-out per partition), and the
+    * query's probe cells and embedding both broadcast. */
+  def annIvfBroadcast(vectors: DataFrame, idCol: String, vecCol: String,
+                      codebook: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
+    val cb = broadcast(codebook.select(col("cell"), col("centroid")))
+    val assigned = e.crossJoin(cb)
+      .select(col("vec_id"),
+        struct(dot(col("embedding"), col("centroid")).as("d"),
+               (-col("cell")).as("negc"), col("embedding").as("emb")).as("sc"))
+      .groupBy("vec_id").agg(max("sc").as("m"))
+      .select(col("vec_id"), (-col("m.negc")).as("cell"), col("m.emb").as("embedding"))
+    val qcells = e.filter(col("vec_id") === queryId).crossJoin(cb)
+      .select(col("cell"), dot(col("embedding"), col("centroid")).as("qdot"))
+      .orderBy(col("qdot").desc, col("cell").asc).limit(NProbe)
+      .select("cell")
+    val q0 = e.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    assigned.filter(col("vec_id") =!= queryId)
+      .join(broadcast(qcells), "cell")
+      .crossJoin(broadcast(q0))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+  }
+
   /** One Lloyd step of k-means over the IVF codebook, split into its two
     * distributable halves: the ASSIGNMENT (max-dot first-tie argmax — the
     * exact annIvf cell rule) and the per-(cell, dimension) UPDATE
@@ -560,6 +607,8 @@ object Similarity {
     "q_sim_knn" -> ((s, d) => knnJoin(Tables.embeddings(s, d), "vec_id", "embedding", Seq(1L, 2L, 3L), 5)),
     "q_ann_lsh" -> ((s, d) => annLsh(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     "q_ann_ivf" -> ((s, d) => annIvf(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
+    "q_ann_ivf_bcast" -> ((s, d) =>
+      annIvfBroadcast(Tables.embeddings(s, d), "vec_id", "embedding", codebookDf(s), 0, 10)),
     "q_ann_rerank" -> ((s, d) => annRerank(Tables.embeddings(s, d), "vec_id", "embedding", Seq(1L, 2L, 3L), 5)),
     "q_dedup_minhash" -> ((s, d) => minhashNearDup(Tables.documents(s, d), "doc_id", "text", 0.9)),
     "q_dedup_simhash" -> ((s, d) => simhashNearDup(Tables.documents(s, d), "doc_id", "text", 3)),
@@ -883,6 +932,9 @@ object Similarity {
     "q_semantic_dedup" -> semanticDedupOracleSql,
     "q_ann_lsh" -> annLshOracleSql,
     "q_ann_ivf" -> annIvfOracleSql,
+    // the broadcast-codebook variant is output-identical by construction,
+    // so it shares the literal path's oracle verbatim
+    "q_ann_ivf_bcast" -> annIvfOracleSql,
     "q_ann_rerank" -> annRerankOracleSql,
 
     // Full replication of the SimHash pipeline: same 62-bit double-poly

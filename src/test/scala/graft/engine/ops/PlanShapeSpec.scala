@@ -123,6 +123,17 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p.take(1500))
   }
 
+  test("q_ann_ivf_bcast: codebook and probe both broadcast; corpus shuffles only for the argmax agg") {
+    val p = plan("q_ann_ivf_bcast")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"codebook must broadcast:\n${p.take(1500)}")
+    // the only keyed exchange is the per-vector assignment argmax —
+    // the corpus never shuffles for the cell-probe join itself
+    val keyed = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyed <= 1, s"corpus must not shuffle beyond the argmax agg:\n${p.take(2000)}")
+    assert(p.contains("partial_max"), s"assignment argmax needs map-side combine:\n${p.take(1500)}")
+  }
+
   test("q_pivot reads the data once: partial aggs + at most 2 keyed shuffles") {
     // Spark plans pivot as sum-per-(row,pivot-key) then pivotfirst-per-row:
     // one full-data pass with map-side partials, then a tiny regroup.

@@ -82,6 +82,12 @@ class TextSimilaritySpec extends SparkSuite {
       "per-dim min/max must map to the code extremes")
   }
 
+  test("q_ann_ivf_bcast equals the literal-codebook q_ann_ivf row for row") {
+    val literal = run("q_ann_ivf").as[(Long, Double)].collect().toSeq
+    val bcast = run("q_ann_ivf_bcast").as[(Long, Double)].collect().toSeq
+    assert(bcast == literal, s"broadcast-codebook variant diverged:\n$bcast\nvs\n$literal")
+  }
+
   test("q_ann_lsh results are a subset of brute-force scoring, correctly scored") {
     val exact = run("q_sim_cosine").as[(Long, Double)].collect().toMap
     val approx = run("q_ann_lsh").as[(Long, Double)].collect().toMap
