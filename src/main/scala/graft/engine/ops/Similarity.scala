@@ -358,6 +358,44 @@ object Similarity {
       .orderBy("cell", "vec_id_1", "vec_id_2")
   }
 
+  // ------------------------------------------------- hot-band salt fallback
+  /** Triangle-salt a banded table for a self-join with bounded per-task
+    * pair count — the fallback for a pathological hot band key (one
+    * bucket holding a huge slice of the corpus turns the band self-join
+    * into a single straggler task computing |bucket|² pairs).
+    *
+    * Members of a bucket with population `cnt` split into
+    * `s = ⌈cnt/cap⌉` salt groups (`g = id mod s`); each row replicates
+    * into the `s` unordered group-pair CELLS containing its group, and
+    * the self-join keys on (bucket, cell). A cross-group pair meets in
+    * exactly one cell ({g₁,g₂}); a same-group pair meets in every
+    * {g,·} cell, so the caller keeps it only in the diagonal cell
+    * (g,g) — the output pair set is EXACTLY the unsalted one
+    * (property-tested), but no task ever holds more than ~2·cap rows
+    * per join key. Replication cost is ×s on the hot bucket only — at
+    * cap=10⁴ a million-row bucket pays ×100 rows instead of a 10¹²-pair
+    * task. The bucket count is a window over the same key the join
+    * shuffles on, so the exchange is reused; cold buckets get s=1 and
+    * degenerate to the unsalted plan. */
+  private def saltCells(df: DataFrame, keys: Seq[String], idCol: String,
+                        cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    df.withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("nsalt", floor((col("cnt") + (cap - 1)) / lit(cap.toDouble)).cast("int"))
+      .withColumn("g", pmod(col(idCol), col("nsalt")).cast("int"))
+      .withColumn("j", explode(sequence(lit(0), col("nsalt") - 1)))
+      .withColumn("salt_lo", least(col("g"), col("j")))
+      .withColumn("salt_hi", greatest(col("g"), col("j")))
+      .drop("cnt", "nsalt", "j")
+  }
+
+  /** Keep each unordered pair exactly once after a salted self-join:
+    * cross-group pairs collide in one cell; same-group pairs only count
+    * in their diagonal cell. */
+  private def saltPairFilter: Column =
+    col("x.g") =!= col("y.g") ||
+      (col("salt_lo") === col("x.g") && col("salt_hi") === col("x.g"))
+
   // ------------------------------------------------------------- MinHash
   /** MinHash + LSH banding near-dup over whitespace token sets: k=16
     * signature → 2 bands × 8 rows → band-bucket join → exact Jaccard
@@ -372,7 +410,8 @@ object Similarity {
     * to doc pairs. Output is EXACTLY the pair set naive doc-level banding
     * produces, because bucket collisions and jaccard depend only on sets. */
   def minhashNearDup(documents: DataFrame, idCol: String, textCol: String,
-                     threshold: Double, ordered: Boolean = true): DataFrame = {
+                     threshold: Double, ordered: Boolean = true,
+                     saltCap: Option[Int] = None): DataFrame = {
     val spark = documents.sparkSession
     GraftFunctions.register(spark)
     // `hsh`: the token set as a sorted DISTINCT array of poly_hash62
@@ -432,10 +471,20 @@ object Similarity {
     // jaccard crosses the threshold from just below; output is
     // therefore exactly unchanged (the oracle keeps verifying ALL
     // band collisions and matches).
-    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
-      .filter(col("x.rep") < col("y.rep") &&
-        least(col("x.sz"), col("y.sz")).cast("double") >=
-          greatest(col("x.sz"), col("y.sz")) * lit(threshold - 0.001))
+    val sizeBound =
+      least(col("x.sz"), col("y.sz")).cast("double") >=
+        greatest(col("x.sz"), col("y.sz")) * lit(threshold - 0.001)
+    // optional hot-band salt (see saltCells): same pair set, bounded
+    // per-task pair count when a band key goes pathological
+    val cand = (saltCap match {
+      case None =>
+        banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
+          .filter(col("x.rep") < col("y.rep") && sizeBound)
+      case Some(cap) =>
+        val salted = saltCells(banded, Seq("band", "bkey"), "rep", cap)
+        salted.as("x").join(salted.as("y"), Seq("band", "bkey", "salt_lo", "salt_hi"))
+          .filter(saltPairFilter && col("x.rep") < col("y.rep") && sizeBound)
+    })
       .select(col("x.rep").as("rep_1"), col("y.rep").as("rep_2"))
       .distinct()
     // exact-Jaccard verification of LSH candidates, still at rep level.
@@ -539,7 +588,7 @@ object Similarity {
     * verified exactly. Same shape as minhashNearDup: block → join on band
     * key → exact verify, no all-pairs stage. */
   def embeddingNearDup(vectors: DataFrame, idCol: String, vecCol: String,
-                       minCosine: Double): DataFrame = {
+                       minCosine: Double, saltCap: Option[Int] = None): DataFrame = {
     val e = canonVec(vectors, idCol, vecCol)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
       .withColumn("sig", dedupSig(col("embedding")))
@@ -554,8 +603,17 @@ object Similarity {
             shiftright(col("sig"), k * 16).bitwiseAND(0xFFFFL).as("band_key"))): _*)).as("bb"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
               col("bb.band").as("band"), col("bb.band_key").as("band_key"))
-    val cand = bands.as("x").join(bands.as("y"), Seq("band", "band_key"))
-      .filter(col("x.vec_id") < col("y.vec_id"))
+    // optional hot-band salt (see saltCells): identical pair set,
+    // bounded per-task pair count on a pathological band key
+    val cand = (saltCap match {
+      case None =>
+        bands.as("x").join(bands.as("y"), Seq("band", "band_key"))
+          .filter(col("x.vec_id") < col("y.vec_id"))
+      case Some(cap) =>
+        val salted = saltCells(bands, Seq("band", "band_key"), "vec_id", cap)
+        salted.as("x").join(salted.as("y"), Seq("band", "band_key", "salt_lo", "salt_hi"))
+          .filter(saltPairFilter && col("x.vec_id") < col("y.vec_id"))
+    })
       .select(col("x.vec_id").as("vec_id_1"), col("y.vec_id").as("vec_id_2"),
               col("x.embedding").as("ea"), col("y.embedding").as("eb"),
               col("x.nrm").as("na"), col("y.nrm").as("nb"))

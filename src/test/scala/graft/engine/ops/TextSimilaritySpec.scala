@@ -82,6 +82,31 @@ class TextSimilaritySpec extends SparkSuite {
       "per-dim min/max must map to the code extremes")
   }
 
+  test("hot-band salt fallback emits EXACTLY the unsalted pair set on both LSH paths") {
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    // cap=2 is deliberately brutal: every bucket of ≥3 members splits,
+    // exercising cross-cell, diagonal-cell, and s=1 branches at once
+    val base = Similarity.minhashNearDup(docs, "doc_id", "text", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val salted = Similarity.minhashNearDup(docs, "doc_id", "text", 0.9, saltCap = Some(2))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(salted == base,
+      s"salt changed the pair set: +${salted -- base} -${base -- salted}")
+    assert(base.nonEmpty, "vacuous fixture")
+    val planted = Similarity.withPlantedNearDups(
+      graft.engine.io.Tables.embeddings(spark, sfDir))
+    val eBase = Similarity.embeddingNearDup(planted, "vec_id", "embedding", 0.99)
+      .as[(Long, Long, Double)].collect().toSet
+    val eSalted = Similarity.embeddingNearDup(planted, "vec_id", "embedding", 0.99,
+        saltCap = Some(2))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(eSalted == eBase && eBase.nonEmpty)
+    // the fallback is strictly opt-in: the default plan carries no salt stage
+    val p = Similarity.minhashNearDup(docs, "doc_id", "text", 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("salt_lo"), "salt stage must not appear unless enabled")
+  }
+
   test("q_ann_ivf_bcast equals the literal-codebook q_ann_ivf row for row") {
     val literal = run("q_ann_ivf").as[(Long, Double)].collect().toSeq
     val bcast = run("q_ann_ivf_bcast").as[(Long, Double)].collect().toSeq
