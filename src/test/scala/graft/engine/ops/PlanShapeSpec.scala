@@ -134,6 +134,53 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("partial_max"), s"assignment argmax needs map-side combine:\n${p.take(1500)}")
   }
 
+  test("CBO join reorder: with table stats, a cost-bad 4-way join order is rewritten small-first") {
+    // The 100×-scale plan story SURVEY §4.2 defers to Catalyst: at real
+    // scale the optimizer must not execute joins in syntactic order. Give
+    // it stats (ANALYZE TABLE) and a deliberately bad order — both facts
+    // first, the selective dimension last — and pin that
+    // CostBasedJoinReorder moves the filtered nation⋈customer side ahead
+    // of the lineitem fact instead of joining the two big tables first.
+    import org.apache.spark.sql.catalyst.catalog.HiveTableRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val tables = Seq("lineitem", "orders", "customer", "nation")
+    val confs = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val saved = confs.map(k => k -> spark.conf.getOption(k))
+    tables.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS cbo_$t")
+      spark.sql(s"CREATE TABLE cbo_$t USING parquet LOCATION '$sfDir/$t.parquet'")
+      spark.sql(s"ANALYZE TABLE cbo_$t COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    val badOrder =
+      """SELECT count(*) FROM cbo_lineitem l
+        |JOIN cbo_orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN cbo_customer c ON o.o_custkey = c.c_custkey
+        |JOIN cbo_nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE n.n_name = 'FRANCE'""".stripMargin
+    def leafOrder(): Seq[String] =
+      spark.sql(badOrder).queryExecution.optimizedPlan.collectLeaves().collect {
+        case r: LogicalRelation =>
+          r.catalogTable.map(_.identifier.table).getOrElse("?")
+        case h: HiveTableRelation => h.tableMeta.identifier.table
+      }
+    try {
+      confs.foreach(spark.conf.set(_, "false"))
+      val syntactic = leafOrder()
+      confs.foreach(spark.conf.set(_, "true"))
+      val reordered = leafOrder()
+      assert(syntactic.head == "cbo_lineitem",
+        s"control: without CBO the syntactic fact-first order stands: $syntactic")
+      assert(reordered != syntactic,
+        s"stats present but CostBasedJoinReorder left the bad order: $reordered")
+      assert(reordered.head != "cbo_lineitem",
+        s"the 6M-row fact must not anchor the join tree: $reordered")
+    } finally {
+      saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS cbo_$t"))
+    }
+  }
+
   test("q_pivot reads the data once: partial aggs + at most 2 keyed shuffles") {
     // Spark plans pivot as sum-per-(row,pivot-key) then pivotfirst-per-row:
     // one full-data pass with map-side partials, then a tiny regroup.
