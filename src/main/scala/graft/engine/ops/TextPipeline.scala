@@ -130,9 +130,11 @@ object TextPipeline {
       .repartition(col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      val obs0 = new org.apache.spark.sql.Observation("labelsum_init")
       var labels = mat(documents.select(col(idCol).as("id"))
-        .withColumn("cluster", col("id")), 0)
-      var prevSum = labels.agg(sum("cluster")).head().getLong(0)
+        .withColumn("cluster", col("id"))
+        .observe(obs0, sum("cluster").as("s")), 0)
+      var prevSum = obs0.get("s").asInstanceOf[Long]
       var iter = 0
       var converged = false
       while (!converged && iter < maxIters) {
@@ -155,14 +157,20 @@ object TextPipeline {
         // pure decrease and the sum fixpoint test is unchanged: an equal
         // sum means no node moved, i.e. the hop alone is at fixpoint.
         val ptr = labels.select(col("id").as("pid"), col("cluster").as("pcluster"))
+        // the convergence sum rides the SAME job that materializes the
+        // round (observe → CollectMetrics), not a second agg job — one
+        // driver round-trip per round instead of two; under co-tenant
+        // load the per-job latency is the whole cost of this loop (the
+        // label table itself is tiny)
+        val obs = new org.apache.spark.sql.Observation(s"labelsum_i$iter")
         labels = mat(hopped
           .join(ptr, hopped("cluster") === ptr("pid"), "left_outer")
           .select(hopped("id"),
                   least(hopped("cluster"),
-                        coalesce(col("pcluster"), hopped("cluster"))).as("cluster")),
+                        coalesce(col("pcluster"), hopped("cluster"))).as("cluster"))
+          .observe(obs, sum("cluster").as("s")),
           iter + 1) // eager: truncates lineage, stays distributed
-        // cheap: a one-column sum over the just-materialized blocks
-        val nextSum = labels.agg(sum("cluster")).head().getLong(0)
+        val nextSum = obs.get("s").asInstanceOf[Long]
         converged = nextSum == prevSum // monotone ⇒ equal sum = fixpoint
         prevSum = nextSum
         iter += 1
@@ -492,27 +500,29 @@ object TextPipeline {
     * broadcasts and the corpus side never shuffles for the probe; the
     * per-(doc, bench) overlap count is an ordinary partial+final
     * aggregate. Exact (no hashing), hence oracle-checkable. */
+  /** Distinct 3-token shingle set of a text column, via zipped slices —
+    * NOT element_at(tokens, i) inside the lambda: higher-order functions
+    * evaluate interpreted, so a lambda that captures the token-array
+    * EXPRESSION re-evaluates it (the full split) per element × per
+    * element_at — O(tokens²) per document, measured 7× slower on the
+    * corpus side at sf0.1 (3.4 s vs 0.5 s). The zip's lambda touches only
+    * its own struct; the slices evaluate once per row. */
+  private[engine] def shingles3(c: Column): Column = {
+    val t = toks(c)
+    when(size(t) >= 3,
+      array_distinct(transform(
+        arrays_zip(slice(t, lit(1), size(t) - 2),
+                   slice(t, lit(2), size(t) - 2),
+                   slice(t, lit(3), size(t) - 2)),
+        s => concat_ws(" ", s("0"), s("1"), s("2")))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   def contamination(corpus: DataFrame, idCol: String, textCol: String,
                     benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
                     n: Int = 3, minShared: Int = 2): DataFrame = {
     require(n == 3, "fixture contract pins 3-token shingles")
-    // Shingles via zipped slices, NOT element_at(tokens, i) inside the
-    // lambda: higher-order functions evaluate interpreted, so a lambda
-    // that captures the token-array EXPRESSION re-evaluates it (the full
-    // split) per element × per element_at — O(tokens²) per document,
-    // measured 7× slower on the corpus side at sf0.1 (3.4 s vs 0.5 s).
-    // The zip's lambda touches only its own struct; the slices evaluate
-    // once per row.
-    def shingles(c: Column): Column = {
-      val t = toks(c)
-      when(size(t) >= n,
-        array_distinct(transform(
-          arrays_zip(slice(t, lit(1), size(t) - (n - 1)),
-                     slice(t, lit(2), size(t) - (n - 1)),
-                     slice(t, lit(3), size(t) - (n - 1))),
-          s => concat_ws(" ", s("0"), s("1"), s("2")))))
-        .otherwise(array().cast("array<string>"))
-    }
+    def shingles(c: Column): Column = shingles3(c)
     val cs = corpus.select(col(idCol).as("doc_id"), explode(shingles(col(textCol))).as("sh"))
     val bs = benchmark.select(col(benchIdCol).as("bench_id"),
       explode(shingles(col(benchTextCol))).as("sh"))
@@ -520,6 +530,37 @@ object TextPipeline {
       .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy("doc_id", "bench_id")
+  }
+
+  /** Gopher-style repetition metrics: per document, the fraction of
+    * duplicate 2-grams and 3-grams (a high duplicate-n-gram share is the
+    * canonical boilerplate/spam signal the Gopher rules filter on, and
+    * repetitious text also degrades training loss directly). Fractions
+    * are floored basis points — exact integer arithmetic, so the query
+    * hash-oracles with no float tolerance.
+    *
+    * Scale shape: everything is a NARROW scalar projection — the n-gram
+    * arrays, their distinct counts, and the ratios compute per row with
+    * no explode and no shuffle (only the output sort, a harness
+    * artifact). The 100 TB form is a pure map stage. */
+  def repetitionMetrics(documents: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    def grams(n: Int): Column =
+      when(size(t) >= n,
+        transform(
+          arrays_zip((1 to n).map(i => slice(t, lit(i), size(t) - (n - 1))): _*),
+          s => concat_ws(" ", (0 until n).map(i => s(i.toString)): _*)))
+        .otherwise(array().cast("array<string>"))
+    def dupPct(g: Column): Column =
+      when(size(g) > 0,
+        floor((size(g) - size(array_distinct(g))).cast("double") * 10000.0 /
+              size(g).cast("double")).cast("long"))
+        .otherwise(0L)
+    documents.select(col(idCol).as("doc_id"),
+        size(t).cast("long").as("n_toks"),
+        dupPct(grams(2)).as("dup_bigram_bp"),
+        dupPct(grams(3)).as("dup_trigram_bp"))
+      .orderBy("doc_id")
   }
 
   /** EXACT substring decontamination (the Lee-et-al.-style pass that
@@ -885,6 +926,7 @@ object TextPipeline {
         .orderBy("id")),
     "q_tfidf" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", 3)),
     "q_gopher_rules" -> ((s, d) => gopherRules(Tables.documents(s, d), "doc_id", "text")),
+    "q_repetition" -> ((s, d) => repetitionMetrics(Tables.documents(s, d), "doc_id", "text")),
     // threshold 78: the fixture vocabulary is ~30 tokens at 74-80% df
     // plus a rare tail, so 78 splits it into real stopwords vs content
     "q_stopword_filter" -> ((s, d) => stopwordFilter(Tables.documents(s, d), "doc_id", "text", 78)),
@@ -1071,6 +1113,30 @@ object TextPipeline {
         |GROUP BY cs.doc_id, bs.bench_id
         |HAVING count(*) >= 2
         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // Repetition metrics: same zipped n-gram construction, same floored
+    // basis-point arithmetic (len/list_distinct are exact on both sides)
+    "q_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, len(t) AS n_toks,
+        |  CASE WHEN len(t) >= 2
+        |       THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |       ELSE CAST([] AS VARCHAR[]) END AS g2,
+        |  CASE WHEN len(t) >= 3
+        |       THEN list_transform(range(1, len(t) - 1),
+        |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |       ELSE CAST([] AS VARCHAR[]) END AS g3
+        |  FROM d)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        |  CASE WHEN len(g2) > 0
+        |       THEN CAST(floor(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+        |                       * 10000.0 / CAST(len(g2) AS DOUBLE)) AS BIGINT)
+        |       ELSE 0 END AS dup_bigram_bp,
+        |  CASE WHEN len(g3) > 0
+        |       THEN CAST(floor(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+        |                       * 10000.0 / CAST(len(g3) AS DOUBLE)) AS BIGINT)
+        |       ELSE 0 END AS dup_trigram_bp
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // Exact-run decontamination: positioned 3-gram anchors, diagonal
     // gaps-and-islands — the oracle replays the identical anchor → diag →

@@ -320,6 +320,31 @@ object Streams {
         })
   }
 
+  /** s_stream_decontaminate: in-stream eval-set decontamination — drop
+    * any streamed document sharing ≥ `minShared` distinct 3-token
+    * shingles with the (static) benchmark corpus, the streaming face of
+    * the batch [[graft.engine.ops.TextPipeline.contamination]] filter
+    * (same shingle construction, same threshold semantics).
+    *
+    * Shape: the benchmark's distinct shingle set is aggregated to ONE
+    * array row and broadcast under the stream — a stream-static cross
+    * join with a 1-row static side, then a NARROW intersect-size filter
+    * per document. Zero streaming state (no watermark, no store): each
+    * doc decides its own fate, exactly what a firehose filter must be.
+    * A benchmark too big for one broadcast row is a benchmark too big to
+    * be an eval set — the batch operator covers that regime. */
+  def streamingDecontaminate(docs: DataFrame, textCol: String,
+                             benchmark: DataFrame, benchTextCol: String,
+                             minShared: Int = 2): DataFrame = {
+    val benchSet = benchmark
+      .select(explode(graft.engine.ops.TextPipeline.shingles3(col(benchTextCol))).as("sh"))
+      .agg(array_sort(collect_set("sh")).as("bench_sh"))
+    docs.crossJoin(broadcast(benchSet))
+      .filter(size(array_intersect(
+        graft.engine.ops.TextPipeline.shingles3(col(textCol)), col("bench_sh"))) < minShared)
+      .drop("bench_sh")
+  }
+
   /** s_stream_mixture: running data-mixture accounting over a document
     * stream — per-stratum doc and token counts maintained incrementally
     * in Update mode (the streaming face of the batch mixtureReport's

@@ -82,6 +82,18 @@ class TextSimilaritySpec extends SparkSuite {
       "per-dim min/max must map to the code extremes")
   }
 
+  test("repetitionMetrics: duplicate n-gram basis points are exact") {
+    val docs = Seq(
+      (1L, "a b a b a"), // bigrams 4/2 distinct → 5000 bp; trigrams 3/2 → 3333 bp
+      (2L, "x y z"),     // all distinct → 0
+      (3L, "w")          // too short for any n-gram → 0
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.repetitionMetrics(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 5L, 5000L, 3333L), (2L, 3L, 0L, 0L), (3L, 1L, 0L, 0L)),
+      s"got $got")
+  }
+
   test("hot-band salt fallback emits EXACTLY the unsalted pair set on both LSH paths") {
     val docs = graft.engine.io.Tables.documents(spark, sfDir)
     // cap=2 is deliberately brutal: every bucket of ≥3 members splits,

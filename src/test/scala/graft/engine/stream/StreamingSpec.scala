@@ -278,6 +278,28 @@ class StreamingSpec extends SparkSuite {
       s"distinct doc must pair with nothing: $out")
   }
 
+  // s_stream_decontaminate: stateless in-stream eval-set filter
+  test("s_stream_decontaminate: docs sharing >=2 benchmark shingles drop, clean docs pass") {
+    val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val in = MemoryStream[Doc](spark)
+    val out = mutable.ArrayBuffer[Long]()
+    val q = Streams.streamingDecontaminate(in.toDF(), "text", bench, "text")
+      .writeStream
+      .option("checkpointLocation", tmpDir("decon"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.select("doc_id").as[Long].collect() }
+        ()
+      }.start()
+    in.addData(
+      Doc(1, ts(1), "xx the quick brown fox jumps yy"),  // 3 shared shingles → drop
+      Doc(2, ts(1), "the quick brown zz ww"),            // 1 shared shingle → keep
+      Doc(3, ts(1), "completely unrelated text body"))   // 0 shared → keep
+    q.processAllAvailable()
+    in.addData(Doc(4, ts(2), "over the lazy dog bb cc")) // 2 shared → drop, later batch
+    q.processAllAvailable(); q.stop()
+    assert(out.sorted.toSeq == Seq(2L, 3L), s"got $out")
+  }
+
   // s_stream_chunk: the batch curation ops compose unchanged on streams
   test("s_stream_chunk: batch chunker runs on a streaming frame (narrow, append mode)") {
     val in = MemoryStream[Doc](spark)
