@@ -816,6 +816,8 @@ object TextPipeline {
                        benchmark: DataFrame, dims: Seq[String],
                        threshold: Double = 0.9,
                        pairs: Option[DataFrame] = None): DataFrame = {
+    // API contract: the benchmark frame exposes the SAME idCol/textCol
+    // names as the corpus (the decon stage addresses both sides by them)
     val keep = gopherRules(corpus, idCol, textCol)
       .filter(col("keep")).select("doc_id")
     val contaminated = contamination(corpus, idCol, textCol,

@@ -43,6 +43,41 @@ class ApiSpec extends SparkSuite {
     assert(dups.map(p => (p._1, p._2)) == Seq((0L, 1L)), s"got $dups")
   }
 
+  test("round-4 operators accept renamed columns: contaminationExact, repetitionMetrics, quantizeEmbeddings, annIvfBroadcast, curationPipeline pair input") {
+    val corpus = Seq((10L, "a b c d e f g h"), (11L, "z y x w v u t s"))
+      .toDF("cid", "body")
+    val bench = Seq((1L, "c d e f g h i j")).toDF("bid", "btxt")
+    val runs = TextPipeline.contaminationExact(corpus, "cid", "body",
+        bench, "bid", "btxt", minRun = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(runs == Seq((10L, 1L, 6L)), s"got $runs") // "c d e f g h" = 6 tokens
+
+    val rep = TextPipeline.repetitionMetrics(
+        Seq((5L, "p q p q")).toDF("k", "t"), "k", "t")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rep == Seq((5L, 4L, 3333L, 0L)), s"got $rep") // bigrams 3/2 distinct
+
+    val mk = (s: Double) => Array.tabulate(64)(i => ((i % 7) * s).toFloat)
+    val vecs = Seq((0L, mk(1.0)), (1L, mk(2.0)), (2L, mk(-1.0))).toDF("vid", "vec")
+    val codes = Similarity.quantizeEmbeddings(vecs, "vid", "vec")
+    assert(codes.count() == 3 * 64)
+    assert(codes.columns.toSeq == Seq("vec_id", "dim", "code"))
+
+    // the scaled copy shares the query's cell; the negated vector may
+    // legitimately fall outside the probed cells (that's what IVF prunes)
+    val ann = Similarity.annIvfBroadcast(vecs, "vid", "vec",
+        Similarity.codebookDf(spark), 0L, 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(ann.nonEmpty && ann.head == (1L, 1.0), s"got $ann")
+
+    val pairs = Similarity.minhashNearDup(corpus, "cid", "body", 0.9, ordered = false)
+    // the benchmark side shares the corpus column names (API contract)
+    val manifest = TextPipeline.curationPipeline(corpus, "cid", "body",
+      bench.select(col("bid").as("cid"), col("btxt").as("body")),
+      Seq.empty, pairs = Some(pairs))
+    assert(manifest.columns.contains("split"))
+  }
+
   test("fingerprint is order-sensitive on the API surface") {
     val df = Seq((1L, "a b c"), (2L, "c b a")).toDF("id", "t")
     val fps = TextPipeline.fingerprint(df, "id", "t")
