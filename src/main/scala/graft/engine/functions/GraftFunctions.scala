@@ -34,7 +34,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => PolyHash62(children(0))),
     (FunctionIdentifier("simhash_text64"),
       new ExpressionInfo(classOf[SimHashText64].getName, "simhash_text64"),
-      (children: Seq[Expression]) => SimHashText64(children(0))))
+      (children: Seq[Expression]) => SimHashText64(children(0))),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NormalizeNfc].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NormalizeNfc(children(0))))
 
   /** Register the engine functions into a session (idempotent). */
   def register(spark: SparkSession): Unit = registry.foreach { case (ident, info, builder) =>

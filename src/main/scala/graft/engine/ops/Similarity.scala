@@ -669,6 +669,10 @@ object Similarity {
       annIvfBroadcast(Tables.embeddings(s, d), "vec_id", "embedding", codebookDf(s), 0, 10)),
     "q_ann_rerank" -> ((s, d) => annRerank(Tables.embeddings(s, d), "vec_id", "embedding", Seq(1L, 2L, 3L), 5)),
     "q_dedup_minhash" -> ((s, d) => minhashNearDup(Tables.documents(s, d), "doc_id", "text", 0.9)),
+    // the hot-band salt fallback under the SAME oracle: cap 64 forces
+    // real bucket splits at sf0.01+ while the output must stay identical
+    "q_dedup_minhash_salted" -> ((s, d) =>
+      minhashNearDup(Tables.documents(s, d), "doc_id", "text", 0.9, saltCap = Some(64))),
     "q_dedup_simhash" -> ((s, d) => simhashNearDup(Tables.documents(s, d), "doc_id", "text", 3)),
     "q_dedup_embedding" -> ((s, d) =>
       embeddingNearDup(withPlantedNearDups(Tables.embeddings(s, d)), "vec_id", "embedding", 0.99)),
@@ -1045,6 +1049,14 @@ object Similarity {
     // integer arithmetic, so the verified pair set is bit-identical by
     // construction, not probabilistically.
     "q_dedup_minhash" -> (minhashOracleCtes +
+      """
+        |SELECT doc_id_1, doc_id_2, jaccard FROM cross_pairs
+        |UNION ALL
+        |SELECT doc_id_1, doc_id_2, jaccard FROM within_pairs
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin),
+    // salt must not change a single pair — the salted binding replays
+    // the identical unsalted oracle
+    "q_dedup_minhash_salted" -> (minhashOracleCtes +
       """
         |SELECT doc_id_1, doc_id_2, jaccard FROM cross_pairs
         |UNION ALL

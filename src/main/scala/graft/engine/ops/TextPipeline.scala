@@ -532,6 +532,23 @@ object TextPipeline {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** Unicode NFC normalization pass — canonical composition of the text
+    * column plus a changed flag, the "fix the text before you hash it"
+    * curation step (decomposed accents, legacy encodings round-tripped
+    * through NFD, etc. make byte-identical content hash differently and
+    * silently defeat exact dedup downstream). Narrow scalar projection
+    * via the native [[graft.engine.functions.NormalizeNfc]] expression
+    * (ASCII fast-path, codegen'd); hash-oracled against DuckDB's
+    * `nfc_normalize`, which the Unicode stability policy pins to the
+    * same output. */
+  def normalizeText(documents: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
+    documents.select(col(idCol).as("doc_id"),
+        call_function("nfc_normalize", col(textCol)).as("text_nfc"),
+        (call_function("nfc_normalize", col(textCol)) =!= col(textCol)).as("changed"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style repetition metrics: per document, the fraction of
     * duplicate 2-grams and 3-grams (a high duplicate-n-gram share is the
     * canonical boilerplate/spam signal the Gopher rules filter on, and
@@ -929,6 +946,7 @@ object TextPipeline {
     "q_tfidf" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", 3)),
     "q_gopher_rules" -> ((s, d) => gopherRules(Tables.documents(s, d), "doc_id", "text")),
     "q_repetition" -> ((s, d) => repetitionMetrics(Tables.documents(s, d), "doc_id", "text")),
+    "q_normalize_text" -> ((s, d) => normalizeText(Tables.documents(s, d), "doc_id", "text")),
     // threshold 78: the fixture vocabulary is ~30 tokens at 74-80% df
     // plus a rare tail, so 78 splits it into real stopwords vs content
     "q_stopword_filter" -> ((s, d) => stopwordFilter(Tables.documents(s, d), "doc_id", "text", 78)),
@@ -1115,6 +1133,12 @@ object TextPipeline {
         |GROUP BY cs.doc_id, bs.bench_id
         |HAVING count(*) >= 2
         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // NFC is NFC on both engines (Unicode stability policy)
+    "q_normalize_text" ->
+      """SELECT doc_id, nfc_normalize(text) AS text_nfc,
+        |  (nfc_normalize(text) <> text) AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Repetition metrics: same zipped n-gram construction, same floored
     // basis-point arithmetic (len/list_distinct are exact on both sides)

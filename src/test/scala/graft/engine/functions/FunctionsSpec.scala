@@ -271,6 +271,34 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("nfc_normalize: decomposed == precomposed after the pass; ASCII untouched; codegen agrees") {
+    GraftFunctions.register(spark)
+    val decomposed = "café thé"   // e + combining acute
+    val precomposed = "café thé"    // é precomposed
+    val rows = Seq(decomposed, precomposed, "plain ascii text", "",
+      "Å test", "mixed café end").toDF("t")
+    def got() = rows.select(call_function("nfc_normalize", col("t"))).as[String].collect().toSeq
+    val g = got()
+    assert(g(0) == g(1), "NFC must unify composition forms")
+    assert(g(0) == precomposed, "NFC composes to the precomposed form")
+    assert(g(2) == "plain ascii text" && g(3) == "")
+    assert(g(4) == "Å test", "Angstrom sign canonically maps to A-ring")
+    // exact dedup over normalized text now unifies what raw text splits
+    val docs = Seq((1L, decomposed), (2L, precomposed)).toDF("id", "txt")
+    val n = graft.engine.ops.TextPipeline.exactDedup(
+      docs.select(col("id"), call_function("nfc_normalize", col("txt")).as("txt")),
+      "id", "txt").count()
+    assert(n == 1)
+    assert(spark.sql("SELECT nfc_normalize(CAST(NULL AS STRING))").head().isNullAt(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(got() == g)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("simhash64: interpreted matches codegen; empty is 0; null propagates") {
     GraftFunctions.register(spark)
     assert(spark.sql("SELECT simhash64(CAST(array() AS ARRAY<BIGINT>))").head().getLong(0) == 0L)
