@@ -42,7 +42,7 @@ object TextPipeline {
     * engines, and the result is congruent to the wrapped product for
     * EVERY input (Java's wrap is mod 2⁶⁴, which preserves residues mod
     * 2³²) — so existing fixture hashes are unchanged. */
-  private[ops] def keyBucket(key: Column): Column = {
+  private[engine] def keyBucket(key: Column): Column = {
     val k = pmod(key, lit(4294967296L))
     val hi = pmod(shiftright(k, 16) * lit(2654435761L), lit(4294967296L))
     val lo = k.bitwiseAND(lit(65535L)) * lit(2654435761L)
@@ -560,7 +560,8 @@ object TextPipeline {
     * arrays, their distinct counts, and the ratios compute per row with
     * no explode and no shuffle (only the output sort, a harness
     * artifact). The 100 TB form is a pure map stage. */
-  def repetitionMetrics(documents: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def repetitionMetrics(documents: DataFrame, idCol: String, textCol: String,
+                        ordered: Boolean = true): DataFrame = {
     val t = toks(col(textCol))
     def grams(n: Int): Column =
       when(size(t) >= n,
@@ -573,11 +574,13 @@ object TextPipeline {
         floor((size(g) - size(array_distinct(g))).cast("double") * 10000.0 /
               size(g).cast("double")).cast("long"))
         .otherwise(0L)
-    documents.select(col(idCol).as("doc_id"),
-        size(t).cast("long").as("n_toks"),
-        dupPct(grams(2)).as("dup_bigram_bp"),
-        dupPct(grams(3)).as("dup_trigram_bp"))
-      .orderBy("doc_id")
+    val out = documents.select(col(idCol).as("doc_id"),
+      size(t).cast("long").as("n_toks"),
+      dupPct(grams(2)).as("dup_bigram_bp"),
+      dupPct(grams(3)).as("dup_trigram_bp"))
+    // ordered=false keeps the projection fully narrow — required on
+    // streaming frames (global sort is unsupported there)
+    if (ordered) out.orderBy("doc_id") else out
   }
 
   /** EXACT substring decontamination (the Lee-et-al.-style pass that

@@ -345,6 +345,18 @@ object Streams {
       .drop("bench_sh")
   }
 
+  /** s_stream_split: deterministic train/val/test routing in-stream —
+    * the batch assignSplits' multiplicative bucket as a narrow per-doc
+    * projection with ZERO state: an ingest firehose routes each doc to
+    * its split at arrival, and the assignment is a pure function of the
+    * id (identical across restarts, parallelism, and to the batch
+    * manifest over the same ids). */
+  def streamingSplit(docs: DataFrame, idCol: String): DataFrame = {
+    val bucket = graft.engine.ops.TextPipeline.keyBucket(col(idCol))
+    docs.withColumn("split",
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+  }
+
   /** s_stream_mixture: running data-mixture accounting over a document
     * stream — per-stratum doc and token counts maintained incrementally
     * in Update mode (the streaming face of the batch mixtureReport's

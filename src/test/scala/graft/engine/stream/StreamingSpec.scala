@@ -300,6 +300,47 @@ class StreamingSpec extends SparkSuite {
     assert(out.sorted.toSeq == Seq(2L, 3L), s"got $out")
   }
 
+  // s_stream_split: stateless deterministic split routing
+  test("s_stream_split: in-stream split assignment equals the batch bucket on the same ids") {
+    val in = MemoryStream[Doc](spark)
+    val out = mutable.ArrayBuffer[(Long, String)]()
+    val q = Streams.streamingSplit(in.toDF(), "doc_id").writeStream
+      .option("checkpointLocation", tmpDir("streamsplit"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.select("doc_id", "split").as[(Long, String)].collect() }
+        ()
+      }.start()
+    val ids = (1L to 200L).toSeq
+    in.addData(ids.map(i => Doc(i, ts(i), s"doc $i")): _*)
+    q.processAllAvailable(); q.stop()
+    val batch = Streams.streamingSplit(
+      ids.map(i => (i, s"doc $i")).toDF("doc_id", "text"), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.size == 200 && out.forall { case (id, s) => batch(id) == s })
+    assert(out.map(_._2).toSet == Set("train", "val", "test"),
+      "200 ids must hit all three splits")
+  }
+
+  // s_stream_repetition: the narrow repetition scorer composes on streams
+  test("s_stream_repetition: batch repetition scorer filters a stream in append mode") {
+    val in = MemoryStream[Doc](spark)
+    val out = mutable.ArrayBuffer[Long]()
+    val scored = graft.engine.ops.TextPipeline.repetitionMetrics(
+        in.toDF(), "doc_id", "text", ordered = false)
+      .filter(col("dup_trigram_bp") < 5000)
+    val q = scored.writeStream
+      .option("checkpointLocation", tmpDir("streamrep"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.select("doc_id").as[Long].collect() }
+        ()
+      }.start()
+    in.addData(
+      Doc(1, ts(1), "spam spam spam spam spam spam"), // dup trigrams → drop
+      Doc(2, ts(1), "a perfectly normal varied sentence here"))
+    q.processAllAvailable(); q.stop()
+    assert(out.sorted.toSeq == Seq(2L), s"got $out")
+  }
+
   // s_stream_chunk: the batch curation ops compose unchanged on streams
   test("s_stream_chunk: batch chunker runs on a streaming frame (narrow, append mode)") {
     val in = MemoryStream[Doc](spark)
