@@ -161,6 +161,22 @@ object Streams {
     def readBack(): Seq[OffsetRecord] = store.readBack()
   }
 
+  /** The reference's restart seek (K:66–68: read the ZK offsets, build
+    * `fromOffsets`, hand them to the direct stream) re-expressed against
+    * the external [[OffsetStore]]: the last recorded endOffset of a
+    * source IS the next run's `startingOffsets` JSON for a Kafka source
+    * (both are the same `{"topic":{"partition":offset}}` shape the
+    * engine's WAL writes). Checkpoint recovery normally makes this
+    * unnecessary — this is the checkpoint-LOSS path, starting a fresh
+    * checkpoint without re-reading the world or gapping, which is
+    * exactly the scenario the reference kept an external ZK store for.
+    * `sourceFilter` selects among multiple sources (default: the last
+    * batch's single source). */
+  def resumeOffsets(store: OffsetStore,
+                    sourceFilter: String => Boolean = _ => true): Option[String] =
+    store.readBack().filter(r => sourceFilter(r.source) && r.endOffset != "none")
+      .sortBy(_.batchId).lastOption.map(_.endOffset)
+
   /** O10: graceful stop — Structured Streaming's `stop()` is
     * batch-boundary safe (no partial commit), the declarative form of
     * `ssc.stop(stopSparkContext, stopGracefully=true)` (K:33). */

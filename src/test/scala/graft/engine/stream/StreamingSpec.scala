@@ -112,6 +112,14 @@ class StreamingSpec extends SparkSuite {
           s"offset chain broken between batches ${prev.batchId} and ${next.batchId}: $recs")
       }
       assert(recs.forall(_.endOffset != "none"), "every committed batch records an end offset")
+      // the checkpoint-loss resume path (K:66-68 re-expressed): the
+      // store's last end offset is exactly where a fresh-checkpoint run
+      // would seed startingOffsets
+      assert(Streams.resumeOffsets(new Streams.AtomicFileOffsetStore(dir))
+        .contains(recs.last.endOffset))
+      assert(Streams.resumeOffsets(
+        new Streams.AtomicFileOffsetStore(tmpDir("empty-store"))).isEmpty,
+        "no records → no resume point (caller falls back to latest/earliest)")
     } finally spark.streams.removeListener(mirror)
   }
 
