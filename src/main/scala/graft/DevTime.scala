@@ -12,12 +12,20 @@ object DevTime {
     val spark = GraftSession.local(cpus)
     val names = if (args.nonEmpty) args.toSeq else Seq("q_agg_group")
     names.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      (1 to 2).foreach { i =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"DEVTIME $name run$i $dt%.2f s")
+      // "<query>!explain" dumps the formatted plan instead of timing
+      if (name.endsWith("!explain")) {
+        val q = name.stripSuffix("!explain")
+        System.err.println(s"DEVPLAN $q\n" +
+          SparkEntry.queries(q)(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      } else {
+        val fn = SparkEntry.queries(name)
+        (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"DEVTIME $name run$i $dt%.2f s")
+        }
       }
     }
     spark.stop()

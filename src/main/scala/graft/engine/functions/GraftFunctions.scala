@@ -37,7 +37,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => SimHashText64(children(0))),
     (FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NormalizeNfc].getName, "nfc_normalize"),
-      (children: Seq[Expression]) => NormalizeNfc(children(0))))
+      (children: Seq[Expression]) => NormalizeNfc(children(0))),
+    (FunctionIdentifier("token_set_hashes62"),
+      new ExpressionInfo(classOf[TokenSetHashes62].getName, "token_set_hashes62"),
+      (children: Seq[Expression]) => TokenSetHashes62(children(0))))
 
   /** Register the engine functions into a session (idempotent). */
   def register(spark: SparkSession): Unit = registry.foreach { case (ident, info, builder) =>

@@ -288,10 +288,9 @@ object Streams {
     val P31 = 2147483647L
     // token-set hash + native fused signature: identical arithmetic to
     // the batch path, so batch and stream agree on what "near-dup" means
-    val hsh = array_sort(array_distinct(transform(array_distinct(split(col(textCol), " ")),
-      t => call_function("poly_hash62", t))))
     val banded = docs.withWatermark("ts", watermark)
-      .withColumn("sig", call_function("minhash_sig", hsh))
+      .withColumn("sig", call_function("minhash_sig",
+        call_function("token_set_hashes62", col(textCol))))
       .select(col("doc_id"), col("ts"), col("sig"),
         explode(array((0 until 2).map { bnd =>
           val cs = (bnd * 8 until bnd * 8 + 8).map(i => element_at(col("sig"), i + 1))

@@ -271,6 +271,29 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("token_set_hashes62 equals the composed sort∘distinct∘hash form, incl. edge tokenization") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(23)
+    val random = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(40) + 1)(rnd.alphanumeric.take(rnd.nextInt(8) + 1).mkString)
+        .mkString(" "))
+    val edges = Seq("", " ", "a", "a a a", "a  b", " a ", "日本 語 日本", "b a b a")
+    val rows = (random ++ edges).toDF("text")
+    val both = rows.select(
+      call_function("token_set_hashes62", col("text")).as("fused"),
+      array_sort(array_distinct(transform(array_distinct(split(col("text"), " ")),
+        t => call_function("poly_hash62", t)))).as("composed"))
+    assert(both.filter(col("fused") =!= col("composed")).count() == 0)
+    assert(spark.sql("SELECT token_set_hashes62(CAST(NULL AS STRING))").head().isNullAt(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(both.filter(col("fused") =!= col("composed")).count() == 0)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("nfc_normalize: decomposed == precomposed after the pass; ASCII untouched; codegen agrees") {
     GraftFunctions.register(spark)
     val decomposed = "café thé"   // e + combining acute
