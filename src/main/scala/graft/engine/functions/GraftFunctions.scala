@@ -40,7 +40,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => NormalizeNfc(children(0))),
     (FunctionIdentifier("token_set_hashes62"),
       new ExpressionInfo(classOf[TokenSetHashes62].getName, "token_set_hashes62"),
-      (children: Seq[Expression]) => TokenSetHashes62(children(0))))
+      (children: Seq[Expression]) => TokenSetHashes62(children(0))),
+    (FunctionIdentifier("dup_ngram_bp"),
+      new ExpressionInfo(classOf[DupNgramBp].getName, "dup_ngram_bp"),
+      (children: Seq[Expression]) => DupNgramBp(children(0), children(1))))
 
   /** Register the engine functions into a session (idempotent). */
   def register(spark: SparkSession): Unit = registry.foreach { case (ident, info, builder) =>

@@ -573,22 +573,16 @@ object TextPipeline {
     * artifact). The 100 TB form is a pure map stage. */
   def repetitionMetrics(documents: DataFrame, idCol: String, textCol: String,
                         ordered: Boolean = true): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
     val t = toks(col(textCol))
-    def grams(n: Int): Column =
-      when(size(t) >= n,
-        transform(
-          arrays_zip((1 to n).map(i => slice(t, lit(i), size(t) - (n - 1))): _*),
-          s => concat_ws(" ", (0 until n).map(i => s(i.toString)): _*)))
-        .otherwise(array().cast("array<string>"))
-    def dupPct(g: Column): Column =
-      when(size(g) > 0,
-        floor((size(g) - size(array_distinct(g))).cast("double") * 10000.0 /
-              size(g).cast("double")).cast("long"))
-        .otherwise(0L)
+    // fused native pass per n (see DupNgramBp): n-grams are zero-copy
+    // byte slices of the text, distinct-counted exactly — the composed
+    // transform∘arrays_zip form ran its lambdas interpreted and
+    // materialized every gram twice (value-identity pinned in spec)
     val out = documents.select(col(idCol).as("doc_id"),
       size(t).cast("long").as("n_toks"),
-      dupPct(grams(2)).as("dup_bigram_bp"),
-      dupPct(grams(3)).as("dup_trigram_bp"))
+      call_function("dup_ngram_bp", col(textCol), lit(2)).as("dup_bigram_bp"),
+      call_function("dup_ngram_bp", col(textCol), lit(3)).as("dup_trigram_bp"))
     // ordered=false keeps the projection fully narrow — required on
     // streaming frames (global sort is unsupported there)
     if (ordered) out.orderBy("doc_id") else out

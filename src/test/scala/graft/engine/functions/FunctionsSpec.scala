@@ -294,6 +294,33 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("dup_ngram_bp equals the composed zipped-slice form for n=2..4") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(29)
+    val random = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(50) + 1)(s"w${rnd.nextInt(8)}").mkString(" "))
+    val edges = Seq("", " ", "a", "a a", "a a a a", "a  a", " a b a b",
+      "日本 語 日本 語")
+    val rows = (random ++ edges).toDF("text")
+    (2 to 4).foreach { n =>
+      val t = split(col("text"), " ")
+      val g = when(size(t) >= n,
+        transform(
+          arrays_zip((1 to n).map(i => slice(t, lit(i), size(t) - (n - 1))): _*),
+          s => concat_ws(" ", (0 until n).map(i => s(i.toString)): _*)))
+        .otherwise(array().cast("array<string>"))
+      val composed = when(size(g) > 0,
+        floor((size(g) - size(array_distinct(g))).cast("double") * 10000.0 /
+              size(g).cast("double")).cast("long")).otherwise(0L)
+      val bad = rows.select(
+        call_function("dup_ngram_bp", col("text"), lit(n)).as("fused"),
+        composed.as("composed"))
+        .filter(col("fused") =!= col("composed")).count()
+      assert(bad == 0, s"n=$n diverged")
+    }
+    assert(spark.sql("SELECT dup_ngram_bp(CAST(NULL AS STRING), 2)").head().isNullAt(0))
+  }
+
   test("nfc_normalize: decomposed == precomposed after the pass; ASCII untouched; codegen agrees") {
     GraftFunctions.register(spark)
     val decomposed = "café thé"   // e + combining acute
