@@ -955,6 +955,16 @@ object TextPipeline {
     "q_gopher_rules" -> ((s, d) => gopherRules(Tables.documents(s, d), "doc_id", "text")),
     "q_repetition" -> ((s, d) => repetitionMetrics(Tables.documents(s, d), "doc_id", "text")),
     "q_normalize_text" -> ((s, d) => normalizeText(Tables.documents(s, d), "doc_id", "text")),
+    // the normalize→dedup composition: exact dedup over NFC text — what
+    // a real pipeline runs so composition-form variants can't split
+    // identical documents (vacuously equal to q_dedup_exact on the
+    // ASCII fixture, but the CHAIN is what this binding oracles)
+    "q_dedup_exact_normalized" -> ((s, d) => {
+      graft.engine.functions.GraftFunctions.register(s)
+      exactDedup(Tables.documents(s, d)
+        .select(col("doc_id"), call_function("nfc_normalize", col("text")).as("text")),
+        "doc_id", "text")
+    }),
     // threshold 78: the fixture vocabulary is ~30 tokens at 74-80% df
     // plus a rare tail, so 78 splits it into real stopwords vs content
     "q_stopword_filter" -> ((s, d) => stopwordFilter(Tables.documents(s, d), "doc_id", "text", 78)),
@@ -1147,6 +1157,10 @@ object TextPipeline {
       """SELECT doc_id, nfc_normalize(text) AS text_nfc,
         |  (nfc_normalize(text) <> text) AS changed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact_normalized" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_dups, nfc_normalize(text) AS text
+        |FROM documents GROUP BY nfc_normalize(text) ORDER BY doc_id""".stripMargin,
 
     // Repetition metrics: same zipped n-gram construction, same floored
     // basis-point arithmetic (len/list_distinct are exact on both sides)
