@@ -163,6 +163,21 @@ object Analytics {
         element_at(col("ps"), 3).as("p75"), col("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Non-oracle (sketch is engine-specific): approx_top_k — the
+    * frequent-items sketch (the "what are the heavy hitters" question a
+    * 100 TB scan answers without a full group-by+sort). Mergeable
+    * partial sketches partial+final aggregate like any agg; at fixture
+    * cardinality (50 distinct quantities ≪ maxItemsTracked) the sketch
+    * is structurally exact, which is what its spec pins against the
+    * exact group-by — the same pairing discipline as the other
+    * sketches. */
+  private val qAggApproxTopK: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .agg(expr("approx_top_k(CAST(l_quantity AS BIGINT), 10, 10000)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("quantity"), col("e.count").as("n"))
+      .orderBy(col("n").desc, col("quantity").asc)
+
   /** Histogram: fixed-width value binning — exact integer arithmetic on
     * both engines (no float rounding in the bin key). */
   private val qHistogram: Q = (s, d) =>
@@ -546,6 +561,7 @@ object Analytics {
     "q_lateral_join" -> qLateralJoin, "q_corr_covar" -> qCorrCovar,
     "q_bool_agg" -> qBoolAgg, "q_union_by_name" -> qUnionByName,
     "q_gap_fill" -> qGapFill, "q_agg_approx_percentile" -> qAggApproxPercentile,
+    "q_agg_approx_topk" -> qAggApproxTopK,
     "q_histogram" -> qHistogram, "q_time_window" -> qTimeWindow,
     "q_quantile_band" -> qQuantileBand,
     "q_user_extensions" -> qUserExtensions,

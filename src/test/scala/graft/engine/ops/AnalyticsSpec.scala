@@ -219,6 +219,20 @@ class AnalyticsSpec extends SparkSuite {
     assert(bm == exact)
   }
 
+  test("approx_top_k is exact when cardinality fits the sketch (the fixture regime)") {
+    val approx = run("q_agg_approx_topk")
+      .select("quantity", "n").as[(Long, Long)].collect().toSeq
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_quantity").cast("long").as("quantity"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("quantity").asc)
+      .limit(10)
+      .as[(Long, Long)].collect().toSeq
+    // 50 distinct quantities << maxItemsTracked=10000: every counter is
+    // exact, so the sketch must reproduce the exact top-10 verbatim
+    assert(approx == exact, s"approx=$approx\nexact=$exact")
+  }
+
   test("approx_count_distinct lands within 5% of exact per group") {
     val approx = run("q_agg_approx_distinct")
       .select("event_type", "approx_users").as[(String, Long)].collect().toMap
