@@ -588,6 +588,49 @@ object TextPipeline {
     if (ordered) out.orderBy("doc_id") else out
   }
 
+  /** Positioned n-gram anchors (duplicates kept — positions matter),
+    * zipped-slice form for the usual interpreted-lambda reason. */
+  private def posGrams(c: Column, n: Int): Column = {
+    val t = toks(c)
+    when(size(t) >= n,
+      transform(
+        arrays_zip((1 to n).map(i => slice(t, lit(i), size(t) - (n - 1))): _*),
+        s => concat_ws(" ", (0 until n).map(i => s(i.toString)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Corpus-level duplicate-substring detection — the Lee-et-al. "dedup
+    * the training set itself" pass ([[contaminationExact]] is the same
+    * machinery pointed at a benchmark): for every UNORDERED pair of
+    * corpus documents sharing an exact token run of ≥ `minRun`, the
+    * exact maximal run length. Long verbatim boilerplate (licenses,
+    * headers, templated spam) shows up here even between documents that
+    * are NOT near-duplicates overall, which is why a pipeline runs this
+    * alongside MinHash.
+    *
+    * 5-token anchors instead of 3: the anchor self-join's fan-out is
+    * Σf² over anchor frequencies, and a rarer anchor keeps f at
+    * genuine-repeat levels (random n-gram collisions die off as
+    * vocab^n). Same diagonal gaps-and-islands recovery; the join keys
+    * by gram, the islands by (pair, diag) — no all-pairs stage, no DP. */
+  def duplicateSubstrings(documents: DataFrame, idCol: String, textCol: String,
+                          minRun: Int = 10, anchor: Int = 5): DataFrame = {
+    val g = documents.select(col(idCol).as("doc_id"),
+      posexplode(posGrams(col(textCol), anchor)).as(Seq("pos", "gram")))
+    val m = g.as("x").join(g.as("y"), Seq("gram"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"),
+              (col("x.pos") - col("y.pos")).as("diag"), col("x.pos").as("cpos"))
+    val w = Window.partitionBy("doc_id_1", "doc_id_2", "diag").orderBy("cpos")
+    m.withColumn("island", col("cpos") - row_number().over(w))
+      .groupBy("doc_id_1", "doc_id_2", "diag", "island")
+      .agg((count(lit(1)) + lit((anchor - 1).toLong)).as("run_len"))
+      .groupBy("doc_id_1", "doc_id_2")
+      .agg(max("run_len").as("max_run"))
+      .filter(col("max_run") >= minRun)
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
   /** EXACT substring decontamination (the Lee-et-al.-style pass that
     * [[contamination]]'s unordered shingle count approximates): for every
     * (corpus doc, benchmark doc) pair, the length of their longest EXACT
@@ -987,6 +1030,8 @@ object TextPipeline {
     }),
     "q_dedup_paragraph" -> ((s, d) =>
       dedupParagraphs(Tables.documents(s, d), "doc_id", "text", paraSize = 16)),
+    "q_dedup_substring" -> ((s, d) =>
+      duplicateSubstrings(Tables.documents(s, d), "doc_id", "text")),
     // same corpus/benchmark split as q_contamination; exact ≥5-token runs
     "q_contamination_exact" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1185,6 +1230,30 @@ object TextPipeline {
         |                       * 10000.0 / CAST(len(g3) AS DOUBLE)) AS BIGINT)
         |       ELSE 0 END AS dup_trigram_bp
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Corpus-level duplicate substrings: the same anchor→diag→island
+    // replay as q_contamination_exact, self-joined, 5-token anchors
+    "q_dedup_substring" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |p AS (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS pos
+        |      FROM tok WHERE len(t) >= 5),
+        |g AS (SELECT doc_id, pos,
+        |        t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2] || ' ' ||
+        |        t[pos+3] || ' ' || t[pos+4] AS gram
+        |      FROM p),
+        |m AS (SELECT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
+        |             x.pos - y.pos AS diag, x.pos AS cpos
+        |      FROM g x JOIN g y USING (gram) WHERE x.doc_id < y.doc_id),
+        |isl AS (SELECT doc_id_1, doc_id_2, diag, cpos,
+        |          cpos - row_number() OVER (PARTITION BY doc_id_1, doc_id_2, diag
+        |                                    ORDER BY cpos) AS island
+        |        FROM m),
+        |runs AS (SELECT doc_id_1, doc_id_2, count(*) + 4 AS run_len
+        |         FROM isl GROUP BY doc_id_1, doc_id_2, diag, island)
+        |SELECT doc_id_1, doc_id_2, CAST(max(run_len) AS BIGINT) AS max_run
+        |FROM runs GROUP BY doc_id_1, doc_id_2
+        |HAVING max(run_len) >= 10
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin,
 
     // Exact-run decontamination: positioned 3-gram anchors, diagonal
     // gaps-and-islands — the oracle replays the identical anchor → diag →

@@ -82,6 +82,20 @@ class TextSimilaritySpec extends SparkSuite {
       "per-dim min/max must map to the code extremes")
   }
 
+  test("duplicateSubstrings: exact maximal shared runs between corpus docs, unordered pairs once") {
+    val mk = (pre: String, shared: String, post: String) => s"$pre $shared $post"
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ") // a 12-token boilerplate block
+    val docs = Seq(
+      (1L, mk("a1 a2 a3", shared, "a4 a5")),
+      (2L, mk("b1 b2", shared, "b3 b4 b5 b6")),  // shares the block with 1 → run 12
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14"), // unrelated
+      (4L, mk("d1", shared.split(" ").take(9).mkString(" "), "d2 d3"))) // only 9 shared → below 10
+      .toDF("doc_id", "text")
+    val got = TextPipeline.duplicateSubstrings(docs, "doc_id", "text", minRun = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 12L)), s"got $got")
+  }
+
   test("repetitionMetrics: duplicate n-gram basis points are exact") {
     val docs = Seq(
       (1L, "a b a b a"), // bigrams 4/2 distinct → 5000 bp; trigrams 3/2 → 3333 bp
