@@ -181,6 +181,33 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("round-4 narrow ops stay narrow: repetition and normalize shuffle only for the output sort") {
+    Seq("q_repetition", "q_normalize_text").foreach { q =>
+      val p = plan(q)
+      val keyed = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(keyed == 0, s"$q must be a pure map stage:\n${p.take(1500)}")
+    }
+  }
+
+  test("q_embed_quantize: per-dim stats broadcast back under the scan (no corpus re-shuffle)") {
+    val p = plan("q_embed_quantize")
+    assert(p.contains("BroadcastHashJoin"), s"stats side must broadcast:\n${p.take(1500)}")
+    // exactly one keyed exchange: the 64-row stats aggregation itself
+    val keyed = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyed == 1, s"only the stats agg may shuffle:\n${p.take(2000)}")
+  }
+
+  test("q_contamination_exact: benchmark anchor side broadcasts; islands ride one keyed exchange") {
+    val p = plan("q_contamination_exact")
+    assert(p.contains("BroadcastHashJoin"), s"bench anchors must broadcast:\n${p.take(1500)}")
+  }
+
+  test("q_dedup_substring: candidates join on the gram key only — no cartesian anywhere") {
+    val p = plan("q_dedup_substring")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"anchor join must be an equi-join on gram:\n${p.take(1500)}")
+  }
+
   test("q_pivot reads the data once: partial aggs + at most 2 keyed shuffles") {
     // Spark plans pivot as sum-per-(row,pivot-key) then pivotfirst-per-row:
     // one full-data pass with map-side partials, then a tiny regroup.
