@@ -665,18 +665,28 @@ object Similarity {
     * 100 TB the stats pass subsamples (any fixed hash-sample works, the
     * quantizer only needs approximate extremes) — here it is exact so
     * the oracle replays it. */
+  /** Per-dimension (dim, mn, mx) quantization stats over a corpus — the
+    * offline "training" half of int8 quantization, split out so a
+    * streaming/serving path can apply codes against stats trained here. */
+  def quantizeStats(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+    canonVec(vectors, idCol, vecCol)
+      .select(posexplode(col("embedding")).as(Seq("dim0", "xf")))
+      .select((col("dim0") + 1).cast("long").as("dim"), col("xf").cast("double").as("x"))
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+
+  /** The int8 code expression shared by the batch and streaming paths. */
+  private[engine] def int8Code(x: Column, mn: Column, mx: Column): Column =
+    when(mx === mn, lit(0L))
+      .otherwise(floor((x - mn) / (mx - mn) * 255.0).cast("long") - 128)
+
   def quantizeEmbeddings(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val e = canonVec(vectors, idCol, vecCol)
     val ex = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "xf")))
       .select(col("vec_id"), (col("dim0") + 1).cast("long").as("dim"),
               col("xf").cast("double").as("x"))
-    val stats = ex.groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
-    ex.join(broadcast(stats), "dim")
+    ex.join(broadcast(quantizeStats(vectors, idCol, vecCol)), "dim")
       .select(col("vec_id"), col("dim"),
-        when(col("mx") === col("mn"), lit(0L))
-          .otherwise(floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255.0)
-            .cast("long") - 128)
-          .as("code"))
+        int8Code(col("x"), col("mn"), col("mx")).as("code"))
       .orderBy("vec_id", "dim")
   }
 

@@ -372,6 +372,24 @@ object Streams {
       when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
   }
 
+  /** s_stream_quantize: int8 embedding quantization in-stream against
+    * STATIC per-dim stats — the train-offline/apply-online serving
+    * shape (the batch [[graft.engine.ops.Similarity.quantizeStats]]
+    * trains the stats; the stream applies them). The stats table is
+    * ≤ dims rows, broadcast under the stream; the per-element explode
+    * is a narrow generator and the code expression is the SAME one the
+    * batch path uses, so online and offline codes agree bit-for-bit
+    * (tested). Zero streaming state. */
+  def streamingQuantize(vecs: DataFrame, idCol: String, vecCol: String,
+                        stats: DataFrame): DataFrame =
+    vecs.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("dim0", "xf")))
+      .select(col("vec_id"), (col("dim0") + 1).cast("long").as("dim"),
+              col("xf").cast("double").as("x"))
+      .join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        graft.engine.ops.Similarity.int8Code(col("x"), col("mn"), col("mx")).as("code"))
+
   /** s_stream_mixture: running data-mixture accounting over a document
     * stream — per-stratum doc and token counts maintained incrementally
     * in Update mode (the streaming face of the batch mixtureReport's

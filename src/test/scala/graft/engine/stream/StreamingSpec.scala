@@ -308,6 +308,34 @@ class StreamingSpec extends SparkSuite {
     assert(out.sorted.toSeq == Seq(2L, 3L), s"got $out")
   }
 
+  // s_stream_quantize: offline-trained stats applied online
+  test("s_stream_quantize: in-stream int8 codes equal the batch quantizer bit-for-bit") {
+    val mk = (s: Double) => Array.tabulate(8)(i => ((i % 5) * s).toFloat)
+    val corpus = Seq((0L, mk(1.0)), (1L, mk(2.0)), (2L, mk(-1.5)))
+      .toDF("vec_id", "embedding")
+    val stats = graft.engine.ops.Similarity.quantizeStats(corpus, "vec_id", "embedding")
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val out = mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = Streams.streamingQuantize(in.toDF().toDF("vid", "emb"), "vid", "emb", stats)
+      .writeStream
+      .option("checkpointLocation", tmpDir("streamquant"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.select("vec_id", "dim", "code").as[(Long, Long, Long)].collect()
+        }
+        ()
+      }.start()
+    in.addData((0L, mk(1.0)), (1L, mk(2.0)))
+    q.processAllAvailable()
+    in.addData((2L, mk(-1.5))) // later batch, same stats
+    q.processAllAvailable(); q.stop()
+    val batch = graft.engine.ops.Similarity
+      .quantizeEmbeddings(corpus, "vec_id", "embedding")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out.toSet == batch, "online codes must equal offline codes")
+    assert(out.size == 3 * 8)
+  }
+
   // s_stream_split: stateless deterministic split routing
   test("s_stream_split: in-stream split assignment equals the batch bucket on the same ids") {
     val in = MemoryStream[Doc](spark)
