@@ -483,6 +483,32 @@ object TextPipeline {
       .orderBy(docCol, idxCol)
   }
 
+  /** Per-sequence pack manifest — what a training data-loader actually
+    * consumes from packing: one row per (doc, seq) with its chunk
+    * count, total tokens, fill ratio vs the budget in floored basis
+    * points, and an order-sensitive hash of the chunk-length list (the
+    * block-diagonal attention-mask boundaries; the list itself ships to
+    * the loader at scale, the hash pins its exact content and order
+    * cross-engine, same convention as the inverted-index postings).
+    * One keyed aggregate over the packer's output — no new shuffle key:
+    * (doc, seq) extends the packer's own doc partitioning. */
+  def packManifest(packed: DataFrame, docCol: String, idxCol: String,
+                   nToksCol: String, budget: Int): DataFrame =
+    packed
+      .groupBy(col(docCol), col("seq_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(col(nToksCol)).as("seq_tokens"),
+           aggregate(
+             transform(
+               array_sort(collect_list(struct(col(idxCol).as("i"), col(nToksCol).as("n")))),
+               s => s("n")),
+             lit(0L),
+             (acc, x) => pmod(acc * 1000003L + x, lit(1000000007L))).as("lengths_hash"))
+      .select(col(docCol), col("seq_id"), col("n_chunks"), col("seq_tokens"),
+        floor(col("seq_tokens").cast("double") * 10000.0 / budget).cast("long").as("fill_bp"),
+        col("lengths_hash"))
+      .orderBy(col(docCol), col("seq_id"))
+
   /** Data-mixture report: per-(dims) document and token accounting with
     * corpus shares in exact parts-per-million — the mixture table a
     * training run is configured from. One hash aggregate plus a
@@ -1023,6 +1049,13 @@ object TextPipeline {
         chunkDocuments(Tables.documents(s, d), "doc_id", "text", 32, 8)
           .select("doc_id", "chunk_idx", "n_toks"),
         "doc_id", "chunk_idx", "n_toks", budget = 64)),
+    "q_pack_manifest" -> ((s, d) =>
+      packManifest(
+        packSequences(
+          chunkDocuments(Tables.documents(s, d), "doc_id", "text", 32, 8)
+            .select("doc_id", "chunk_idx", "n_toks"),
+          "doc_id", "chunk_idx", "n_toks", budget = 64),
+        "doc_id", "chunk_idx", "n_toks", budget = 64)),
     "q_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       contamination(docs.filter(col("doc_id") >= 10), "doc_id", "text",
@@ -1167,6 +1200,31 @@ object TextPipeline {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS DOUBLE)
         |       / 64) AS BIGINT) AS seq_id
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Pack manifest: same chunk/pack CTEs, then one (doc, seq) group
+    // with the ordered chunk-length list folded to the postings-style
+    // polynomial hash (list(n ORDER BY idx) ≡ the sorted-struct collect)
+    "q_pack_manifest" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, t,
+        |        unnest(range(1, len(t) + 1, 24)) AS start,
+        |        generate_subscripts(range(1, len(t) + 1, 24), 1) AS chunk_idx
+        |      FROM d),
+        |c AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |        len(list_slice(t, start, least(start + 31, len(t)))) AS n_toks
+        |      FROM s),
+        |p AS (SELECT doc_id, chunk_idx, n_toks,
+        |        CAST(floor(CAST(sum(n_toks) OVER (PARTITION BY doc_id ORDER BY chunk_idx ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS DOUBLE)
+        |             / 64) AS BIGINT) AS seq_id
+        |      FROM c)
+        |SELECT doc_id, seq_id, count(*) AS n_chunks,
+        |  CAST(sum(n_toks) AS BIGINT) AS seq_tokens,
+        |  CAST(floor(CAST(sum(n_toks) AS DOUBLE) * 10000.0 / 64) AS BIGINT) AS fill_bp,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(CAST(n_toks AS BIGINT) ORDER BY chunk_idx)),
+        |    (acc, x) -> (acc * 1000003 + x) % 1000000007) AS lengths_hash
+        |FROM p GROUP BY doc_id, seq_id
+        |ORDER BY doc_id, seq_id""".stripMargin,
 
     "q_mix_report" ->
       """WITH base AS (
