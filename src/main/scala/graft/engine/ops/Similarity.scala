@@ -690,6 +690,30 @@ object Similarity {
       .orderBy("vec_id", "dim")
   }
 
+  /** ANN over the int8 codes themselves — maximum-inner-product search
+    * on quantized vectors, the memory-bound regime's retrieval path
+    * (the float corpus never loads; 4× less bandwidth per candidate).
+    * Scoring is an INTEGER dot product of codes, so unlike float cosine
+    * the whole ranking is exact arithmetic and hash-oracles end-to-end:
+    * the scale path itself is under the correctness gate, not just its
+    * recall (which the quantizer spec pins separately).
+    *
+    * Shape: the query's 64 code rows broadcast under the corpus codes
+    * scan; one (vec_id)-keyed partial+final sum; TakeOrdered top-k. */
+  def annQuantized(vectors: DataFrame, idCol: String, vecCol: String,
+                   queryId: Long, k: Int): DataFrame = {
+    val codes = quantizeEmbeddings(vectors, idCol, vecCol)
+    val qc = codes.filter(col("vec_id") === queryId)
+      .select(col("dim"), col("code").as("qcode"))
+    codes.filter(col("vec_id") =!= queryId)
+      .join(broadcast(qc), "dim")
+      .groupBy("vec_id")
+      .agg(sum(col("code") * col("qcode")).as("dot"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+      .limit(k)
+      .orderBy(col("dot").desc, col("vec_id").asc)
+  }
+
   // ------------------------------------------------- fixture bindings
   val queries: Map[String, Q] = Map(
     "q_sim_cosine" -> ((s, d) => knnCosine(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
@@ -714,6 +738,7 @@ object Similarity {
       embeddingNearDup(withPlantedNearDups(Tables.embeddings(s, d)), "vec_id", "embedding", 0.99)),
     "q_kmeans_step" -> ((s, d) => kmeansStep(Tables.embeddings(s, d), "vec_id", "embedding")),
     "q_embed_quantize" -> ((s, d) => quantizeEmbeddings(Tables.embeddings(s, d), "vec_id", "embedding")),
+    "q_ann_quantized" -> ((s, d) => annQuantized(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     // 0.35: the raw corpus is near-orthogonal (max pair cos ~0.5), so a
     // low threshold surfaces the genuinely-related tail within each cell
     "q_semantic_dedup" -> ((s, d) =>
@@ -1025,6 +1050,26 @@ object Similarity {
         |  END AS code
         |FROM e JOIN stats USING (dim)
         |ORDER BY vec_id, dim""".stripMargin,
+    // integer MIPS over the same quantization CTE — exact end to end
+    "q_ann_quantized" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |stats AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY dim),
+        |codes AS (
+        |  SELECT vec_id, dim,
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE CAST(floor((x - mn) / (mx - mn) * 255.0) AS BIGINT) - 128
+        |    END AS code
+        |  FROM e JOIN stats USING (dim)),
+        |q AS (SELECT dim, code AS qcode FROM codes WHERE vec_id = 0)
+        |SELECT vec_id, CAST(sum(code * qcode) AS BIGINT) AS dot
+        |FROM codes JOIN q USING (dim)
+        |WHERE vec_id <> 0
+        |GROUP BY vec_id
+        |ORDER BY dot DESC, vec_id ASC
+        |LIMIT 10""".stripMargin,
     "q_dedup_embedding" -> embeddingOracleSql,
     "q_kmeans_step" -> kmeansStepOracleSql,
     "q_semantic_dedup" -> semanticDedupOracleSql,

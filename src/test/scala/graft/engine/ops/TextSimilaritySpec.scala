@@ -133,6 +133,15 @@ class TextSimilaritySpec extends SparkSuite {
     assert(!p.contains("salt_lo"), "salt stage must not appear unless enabled")
   }
 
+  test("annQuantized ranks a planted near-copy of the query first") {
+    val planted = Similarity.withPlantedNearDups(
+      graft.engine.io.Tables.embeddings(spark, sfDir))
+    val top = Similarity.annQuantized(planted, "vec_id", "embedding", 0L, 5)
+      .as[(Long, Long)].collect().toSeq
+    assert(top.head._1 == 1000000L,
+      s"the near-identical copy of vec 0 must win integer MIPS: $top")
+  }
+
   test("q_ann_ivf_bcast equals the literal-codebook q_ann_ivf row for row") {
     val literal = run("q_ann_ivf").as[(Long, Double)].collect().toSeq
     val bcast = run("q_ann_ivf_bcast").as[(Long, Double)].collect().toSeq
