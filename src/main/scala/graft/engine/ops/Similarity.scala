@@ -2,6 +2,7 @@ package graft.engine.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.engine.functions.GraftFunctions
 import graft.engine.io.Tables
 
@@ -498,8 +499,15 @@ object Similarity {
         // the hot-bucket count and both join sides otherwise each
         // recompute the full scan→hash→group→signature pipeline (the
         // candidate join builds broadcast, so no exchange exists to
-        // reuse); measured 2.7× the unsalted join from recompute alone
-        val b = banded.localCheckpoint()
+        // reuse); measured 2.7× the unsalted join from recompute alone.
+        // persist, NOT localCheckpoint: a checkpoint writes every
+        // partition to block storage and re-reads it three times, which
+        // at fixture scale (no hot bucket) doubled the whole query; the
+        // in-memory cache serves the same three consumers for the cost
+        // of one prefix compute, and MEMORY_AND_DISK degrades to spill
+        // (not recompute) if a 100 TB banded table outgrows the
+        // executors. Tiny either way — 4 narrow columns per rep·band.
+        val b = banded.persist(StorageLevel.MEMORY_AND_DISK)
         val salted = saltCells(b, Seq("band", "bkey"), "rep", cap)
         salted.as("x").join(salted.as("y"), Seq("band", "bkey", "salt_lo", "salt_hi"))
           .filter(saltPairFilter && col("x.rep") < col("y.rep") && sizeBound)
@@ -630,8 +638,9 @@ object Similarity {
           .filter(col("x.vec_id") < col("y.vec_id"))
       case Some(cap) =>
         // materialized once for the same recompute reason as the
-        // minhash path (here each recompute re-derives signatures too)
-        val b = bands.localCheckpoint()
+        // minhash path (here each recompute re-derives signatures too);
+        // persisted, not checkpointed — see the minhash salt branch
+        val b = bands.persist(StorageLevel.MEMORY_AND_DISK)
         val salted = saltCells(b, Seq("band", "band_key"), "vec_id", cap)
         salted.as("x").join(salted.as("y"), Seq("band", "band_key", "salt_lo", "salt_hi"))
           .filter(saltPairFilter && col("x.vec_id") < col("y.vec_id"))
