@@ -43,7 +43,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => TokenSetHashes62(children(0))),
     (FunctionIdentifier("dup_ngram_bp"),
       new ExpressionInfo(classOf[DupNgramBp].getName, "dup_ngram_bp"),
-      (children: Seq[Expression]) => DupNgramBp(children(0), children(1))))
+      (children: Seq[Expression]) => DupNgramBp(children(0), children(1))),
+    (FunctionIdentifier("pos_grams"),
+      new ExpressionInfo(classOf[PosGrams].getName, "pos_grams"),
+      (children: Seq[Expression]) => PosGrams(children(0), children(1), children(2))))
 
   /** Register the engine functions into a session (idempotent). */
   def register(spark: SparkSession): Unit = registry.foreach { case (ident, info, builder) =>

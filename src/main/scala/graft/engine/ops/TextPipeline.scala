@@ -256,17 +256,12 @@ object TextPipeline {
     * token-keyed partial+final count and a TakeOrderedAndProject —
     * never a corpus-wide sort. */
   def ngramStats(documents: DataFrame, textCol: String, k: Int): DataFrame = {
-    // zipped slices, not element_at-in-lambda — see the shingle note in
-    // [[contamination]]: a lambda capturing the token-array expression
-    // re-evaluates it per element (HOFs run interpreted, no CSE across
-    // the lambda boundary)
-    val tk = filter(toks(col(textCol)), t => length(t) > 0)
+    // fused native gram pass (see PosGrams) — value-identical to the
+    // zipped-slice transform∘arrays_zip form it replaced (pinned in
+    // FunctionsSpec), whose lambdas evaluated interpreted per gram
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
     val grams = documents.select(
-        when(size(tk) < 2, array().cast("array<string>"))
-          .otherwise(transform(
-            arrays_zip(slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1)),
-            s => concat(s("0"), lit(" "), s("1"))))
-          .as("grams"))
+        call_function("pos_grams", col(textCol), lit(2), lit(true)).as("grams"))
       .select(explode(col("grams")).as("bigram"))
     grams.groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)
@@ -615,15 +610,10 @@ object TextPipeline {
   }
 
   /** Positioned n-gram anchors (duplicates kept — positions matter),
-    * zipped-slice form for the usual interpreted-lambda reason. */
-  private def posGrams(c: Column, n: Int): Column = {
-    val t = toks(c)
-    when(size(t) >= n,
-      transform(
-        arrays_zip((1 to n).map(i => slice(t, lit(i), size(t) - (n - 1))): _*),
-        s => concat_ws(" ", (0 until n).map(i => s(i.toString)): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+    * one native zero-copy pass (see PosGrams; value-identity vs the
+    * zipped-slice form pinned in FunctionsSpec). */
+  private def posGrams(c: Column, n: Int): Column =
+    call_function("pos_grams", c, lit(n), lit(false))
 
   /** Corpus-level duplicate-substring detection — the Lee-et-al. "dedup
     * the training set itself" pass ([[contaminationExact]] is the same
@@ -641,6 +631,7 @@ object TextPipeline {
     * by gram, the islands by (pair, diag) — no all-pairs stage, no DP. */
   def duplicateSubstrings(documents: DataFrame, idCol: String, textCol: String,
                           minRun: Int = 10, anchor: Int = 5): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
     val g = documents.select(col(idCol).as("doc_id"),
       posexplode(posGrams(col(textCol), anchor)).as(Seq("pos", "gram")))
     val m = g.as("x").join(g.as("y"), Seq("gram"))
@@ -685,18 +676,10 @@ object TextPipeline {
                          minRun: Int = 5, anchor: Int = 3): DataFrame = {
     require(anchor == 3, "fixture contract pins 3-token anchors")
     // positioned 3-gram anchors; duplicates KEPT (positions matter here,
-    // unlike contamination's distinct shingle sets); same zipped-slice
-    // formulation (a lambda over element_at would re-split per element)
-    def grams(c: Column): Column = {
-      val t = toks(c)
-      when(size(t) >= anchor,
-        transform(
-          arrays_zip(slice(t, lit(1), size(t) - (anchor - 1)),
-                     slice(t, lit(2), size(t) - (anchor - 1)),
-                     slice(t, lit(3), size(t) - (anchor - 1))),
-          s => concat_ws(" ", s("0"), s("1"), s("2"))))
-        .otherwise(array().cast("array<string>"))
-    }
+    // unlike contamination's distinct shingle sets); native zero-copy
+    // pass shared with [[duplicateSubstrings]]
+    graft.engine.functions.GraftFunctions.register(corpus.sparkSession)
+    def grams(c: Column): Column = posGrams(c, anchor)
     val cs = corpus.select(col(idCol).as("doc_id"),
       posexplode(grams(col(textCol))).as(Seq("cpos", "gram")))
     val bs = benchmark.select(col(benchIdCol).as("bench_id"),

@@ -321,6 +321,54 @@ class FunctionsSpec extends SparkSuite {
     assert(spark.sql("SELECT dup_ngram_bp(CAST(NULL AS STRING), 2)").head().isNullAt(0))
   }
 
+  test("pos_grams equals the composed zipped-slice form for n=2..5, both skip_empty modes") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(31)
+    val random = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(50) + 1)(s"w${rnd.nextInt(8)}").mkString(" "))
+    // empties in every position (leading/trailing/double/triple spaces)
+    // exercise the skip_empty join path; multi-byte text the slice path
+    val edges = Seq("", " ", "a", "a a", "a  b  c", "  a b", "a b  ",
+      "   ", "a   b c   d", "日本 語  日本", "a é  b")
+    val rows = (random ++ edges).toDF("text")
+    (2 to 5).foreach { n =>
+      val t = split(col("text"), " ")
+      def zipped(tk: org.apache.spark.sql.Column): org.apache.spark.sql.Column = when(size(tk) >= n,
+        transform(
+          arrays_zip((1 to n).map(i => slice(tk, lit(i), size(tk) - (n - 1))): _*),
+          s => concat_ws(" ", (0 until n).map(i => s(i.toString)): _*)))
+        .otherwise(array().cast("array<string>"))
+      Seq(false -> zipped(t),
+          true -> zipped(filter(t, x => length(x) > 0))).foreach { case (skip, composed) =>
+        val bad = rows.select(
+          call_function("pos_grams", col("text"), lit(n), lit(skip)).as("fused"),
+          composed.as("composed"))
+          .filter(col("fused") =!= col("composed")).count()
+        assert(bad == 0, s"n=$n skip_empty=$skip diverged")
+      }
+    }
+    assert(spark.sql("SELECT pos_grams(CAST(NULL AS STRING), 2, false)").head().isNullAt(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val bad = rows.select(
+        call_function("pos_grams", col("text"), lit(3), lit(true)).as("fused"),
+        {
+          val tk = filter(split(col("text"), " "), x => length(x) > 0)
+          when(size(tk) >= 3,
+            transform(
+              arrays_zip((1 to 3).map(i => slice(tk, lit(i), size(tk) - 2)): _*),
+              s => concat_ws(" ", (0 until 3).map(i => s(i.toString)): _*)))
+            .otherwise(array().cast("array<string>"))
+        }.as("composed"))
+        .filter(col("fused") =!= col("composed")).count()
+      assert(bad == 0, "interpreted path diverged")
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("nfc_normalize: decomposed == precomposed after the pass; ASCII untouched; codegen agrees") {
     GraftFunctions.register(spark)
     val decomposed = "café thé"   // e + combining acute
