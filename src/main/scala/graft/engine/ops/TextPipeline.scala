@@ -628,12 +628,29 @@ object TextPipeline {
     * Σf² over anchor frequencies, and a rarer anchor keeps f at
     * genuine-repeat levels (random n-gram collisions die off as
     * vocab^n). Same diagonal gaps-and-islands recovery; the join keys
-    * by gram, the islands by (pair, diag) — no all-pairs stage, no DP. */
+    * by gram, the islands by (pair, diag) — no all-pairs stage, no DP.
+    *
+    * `anchorFreqCap` bounds the fan-out OUTRIGHT: an anchor occurring
+    * more than `cap` times corpus-wide is non-discriminative by
+    * definition (a stop-gram like "of the and of the" fans out f² with
+    * no run information a rarer neighbor doesn't carry), so it is
+    * dropped before the self-join — the worst per-gram join output is
+    * cap², whatever the corpus. A run detected through capped anchors
+    * survives via any one sub-cap anchor on its diagonal; boilerplate
+    * copied into more than ~cap documents is the paragraph-dedup
+    * operator's job, not this one's. The frequency count rides the SAME
+    * gram-keyed partitioning the self-join shuffles on (a window count,
+    * not a second aggregate+join), so the cap costs no extra exchange. */
   def duplicateSubstrings(documents: DataFrame, idCol: String, textCol: String,
-                          minRun: Int = 10, anchor: Int = 5): DataFrame = {
+                          minRun: Int = 10, anchor: Int = 5,
+                          anchorFreqCap: Int = 64): DataFrame = {
     graft.engine.functions.GraftFunctions.register(documents.sparkSession)
-    val g = documents.select(col(idCol).as("doc_id"),
+    val g0 = documents.select(col(idCol).as("doc_id"),
       posexplode(posGrams(col(textCol), anchor)).as(Seq("pos", "gram")))
+    val g = g0
+      .withColumn("f", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("f") <= anchorFreqCap)
+      .drop("f")
     val m = g.as("x").join(g.as("y"), Seq("gram"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"),
@@ -1274,14 +1291,19 @@ object TextPipeline {
 
     // Corpus-level duplicate substrings: the same anchor→diag→island
     // replay as q_contamination_exact, self-joined, 5-token anchors
+    // with the same frequency cap (anchors occurring > 64 times dropped)
     "q_dedup_substring" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |p AS (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS pos
         |      FROM tok WHERE len(t) >= 5),
-        |g AS (SELECT doc_id, pos,
+        |g0 AS (SELECT doc_id, pos,
         |        t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2] || ' ' ||
         |        t[pos+3] || ' ' || t[pos+4] AS gram
         |      FROM p),
+        |g AS (SELECT doc_id, pos, gram FROM
+        |        (SELECT doc_id, pos, gram,
+        |                count(*) OVER (PARTITION BY gram) AS f FROM g0)
+        |      WHERE f <= 64),
         |m AS (SELECT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
         |             x.pos - y.pos AS diag, x.pos AS cpos
         |      FROM g x JOIN g y USING (gram) WHERE x.doc_id < y.doc_id),

@@ -96,6 +96,33 @@ class TextSimilaritySpec extends SparkSuite {
     assert(got == Seq((1L, 2L, 12L)), s"got $got")
   }
 
+  test("duplicateSubstrings anchor-frequency cap: boilerplate pairs survive, stop-grams dropped") {
+    // A stop-gram phrase repeated inside EVERY doc (frequency 8 > cap 4)
+    // must not feed the self-join; the genuine boilerplate block (each
+    // anchor appears twice, ≤ cap) must still be found in full.
+    val stop = "of the and of the"                       // one 5-token stop anchor per repeat
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$stop $stop a1 $shared a2"),
+      (2L, s"b1 $shared $stop $stop b2"),
+      (3L, s"c1 c2 $stop $stop c3 c4"),
+      (4L, s"$stop $stop d1 d2 d3 d4"))
+      .toDF("doc_id", "text")
+    val got = TextPipeline.duplicateSubstrings(docs, "doc_id", "text",
+        minRun = 10, anchorFreqCap = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    // only the 12-token boilerplate pair survives: the stop-gram runs
+    // (10 tokens of "of the and of the of the and of the" shared by all
+    // six pairs) are exactly the non-discriminative fan-out the cap cuts
+    assert(got == Seq((1L, 2L, 12L)), s"got $got")
+    // without the cap the stop-gram runs flood in — pins that the cap
+    // is load-bearing, not vacuous
+    val uncapped = TextPipeline.duplicateSubstrings(docs, "doc_id", "text",
+        minRun = 10, anchorFreqCap = 1000000)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(uncapped.size == 6, s"expected all 6 stop-gram pairs, got $uncapped")
+  }
+
   test("repetitionMetrics: duplicate n-gram basis points are exact") {
     val docs = Seq(
       (1L, "a b a b a"), // bigrams 4/2 distinct → 5000 bp; trigrams 3/2 → 3333 bp
