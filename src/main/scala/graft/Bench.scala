@@ -63,18 +63,31 @@ object Bench {
       // sub-second queries' ±0.2 s wobble doesn't double the bench), and
       // report the min — but only across SUCCESSFUL runs: a throwing query
       // keeps its failure marker no matter how fast it died.
+      def isNoisy(t: Double): Boolean = t > 5.0 ||
+        prior.get(name).exists(p => t > math.max(1.5 * p, 0.75))
       val (t1, ok1) = timeOnce(fn)
-      val noisy = t1 > 5.0 ||
-        prior.get(name).exists(p => t1 > math.max(1.5 * p, 0.75))
-      if (ok1 && noisy) {
+      if (ok1 && isNoisy(t1)) {
         val (t2, ok2) = timeOnce(fn)
-        (name, if (ok2) math.min(t1, t2) else t1, true)
+        val best2 = if (ok2) math.min(t1, t2) else t1
+        // Third opinion: r04 recorded a 5.97 s entry for a 1.10 s query
+        // because BOTH runs landed inside the same co-tenant load window
+        // and min-of-2 couldn't see past it. If the min of two runs is
+        // still noisy by the same yardstick, one more run decides.
+        if (ok2 && isNoisy(best2)) {
+          val (t3, ok3) = timeOnce(fn)
+          (name, if (ok3) math.min(best2, t3) else best2, true)
+        } else (name, best2, true)
       } else (name, t1, ok1)
     }
     val failed = measured.collect { case (n, _, false) => n }
     val results = measured.map { case (n, t, _) => n -> t }.toMap
+    // Locale.ROOT explicitly: under a comma-decimal default locale a
+    // locale-sensitive format would emit invalid JSON on stdout AND in
+    // the sidecar the next run parses as its noise yardstick.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def toJson(entries: Seq[(String, Double)]): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+      entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // The harness keeps only the last 2000 bytes of stdout and the JSON line
     // must survive intact inside that tail (r01's full per-query map pushed
     // the line past the buffer and it was never parsed). Report the slowest
@@ -83,7 +96,7 @@ object Bench {
     val headline = results.toSeq.sortBy(-_._2).take(45).sortBy(_._1)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def jsonLine(qs: String) =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"errors":${failed.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"errors":${failed.size},"queries":$qs,"sf":"$sfDir"}"""
     // Sidecar: the FULL per-query map (no stdout size constraint applies to
     // a file) — both the next run's noise yardstick and the round-over-round
     // comparison record for every query, not just the 45 slowest.
