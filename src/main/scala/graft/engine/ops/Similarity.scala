@@ -688,16 +688,28 @@ object Similarity {
     when(mx === mn, lit(0L))
       .otherwise(floor((x - mn) / (mx - mn) * 255.0).cast("long") - 128)
 
-  def quantizeEmbeddings(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  /** Codes against an EXPLICIT stats frame, unordered — the composable
+    * core: the ANN path consumes it directly (a global sort in the
+    * middle of a retrieval pipeline is pure wasted wall-clock), and
+    * passing stats in keeps every consumer of one quantizer run on the
+    * same codebook — when the stats pass subsamples at 100 TB, query
+    * and corpus sides cannot silently train on different extremes. */
+  def quantizeCodes(vectors: DataFrame, idCol: String, vecCol: String,
+                    stats: DataFrame): DataFrame = {
     val e = canonVec(vectors, idCol, vecCol)
     val ex = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "xf")))
       .select(col("vec_id"), (col("dim0") + 1).cast("long").as("dim"),
               col("xf").cast("double").as("x"))
-    ex.join(broadcast(quantizeStats(vectors, idCol, vecCol)), "dim")
+    ex.join(broadcast(stats), "dim")
       .select(col("vec_id"), col("dim"),
         int8Code(col("x"), col("mn"), col("mx")).as("code"))
-      .orderBy("vec_id", "dim")
   }
+
+  /** Train-and-apply in one call, deterministically ordered — the
+    * fixture/oracle binding. */
+  def quantizeEmbeddings(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+    quantizeCodes(vectors, idCol, vecCol, quantizeStats(vectors, idCol, vecCol))
+      .orderBy("vec_id", "dim")
 
   /** ANN over the int8 codes themselves — maximum-inner-product search
     * on quantized vectors, the memory-bound regime's retrieval path
@@ -711,7 +723,12 @@ object Similarity {
     * scan; one (vec_id)-keyed partial+final sum; TakeOrdered top-k. */
   def annQuantized(vectors: DataFrame, idCol: String, vecCol: String,
                    queryId: Long, k: Int): DataFrame = {
-    val codes = quantizeEmbeddings(vectors, idCol, vecCol)
+    // ONE stats frame threads through both join sides — see
+    // quantizeCodes: subsampled stats at 100 TB stay shared by
+    // construction, and the unordered codes skip quantizeEmbeddings'
+    // fixture sort (a full exchange mid-retrieval)
+    val stats = quantizeStats(vectors, idCol, vecCol)
+    val codes = quantizeCodes(vectors, idCol, vecCol, stats)
     val qc = codes.filter(col("vec_id") === queryId)
       .select(col("dim"), col("code").as("qcode"))
     codes.filter(col("vec_id") =!= queryId)
