@@ -50,10 +50,17 @@ object TextPipeline {
   }
 
   /** DuckDB replay of [[keyBucket]] — same two-step arithmetic, every
-    * intermediate under 2⁴⁹ so DuckDB's overflow error can't fire. */
-  private[ops] def keyBucketSql(key: String): String =
-    s"((($key % 4294967296) // 65536 * 2654435761 % 4294967296 * 65536 + " +
-      s"($key % 4294967296) % 65536 * 2654435761) % 4294967296) % 100"
+    * intermediate under 2⁴⁹ so DuckDB's overflow error can't fire.
+    * Spark's `pmod` is replicated as `((x % m) + m) % m` on the first
+    * reduction, the only one whose operand can be negative (DuckDB's
+    * `%` is sign-preserving where pmod is nonnegative, so a negative
+    * key would otherwise diverge); every later operand is already
+    * nonnegative, where plain `%` equals pmod. */
+  private[ops] def keyBucketSql(key: String): String = {
+    val k = s"((($key % 4294967296) + 4294967296) % 4294967296)"
+    s"(($k // 65536 * 2654435761 % 4294967296 * 65536 + " +
+      s"$k % 65536 * 2654435761) % 4294967296) % 100"
+  }
 
   // -------------------------------------------------------------- dedup
   /** Exact dedup over a text column: deterministic survivor = min(id). */
