@@ -257,6 +257,15 @@ object Streams {
   /** A near-dup hit emitted by [[streamingNearDupLsh]]. */
   final case class NearDupHit(doc_id_1: Long, doc_id_2: Long, est_jaccard: Double)
 
+  /** Per-(band, band-key) bucket state for [[streamingNearDupLsh]]:
+    * member signatures keyed by doc id (O(1) arrival dedup) plus the
+    * bucket's RUNNING max event time — kept in the state value because
+    * a later micro-batch can legally carry older (still within-
+    * watermark) events, and a timeout computed from only that batch's
+    * max would move the eviction EARLIER than horizonMs past the
+    * bucket's true newest member. */
+  final case class LshBucketState(maxTs: Long, members: Map[Long, Seq[Long]])
+
   /** s_stream_neardup_lsh: cross-batch MinHash-LSH near-duplicate
     * DETECTION at a Jaccard threshold — the operator a 100 TB/day ingest
     * actually needs. [[streamingNearDup]] only collapses exact-signature
@@ -276,13 +285,24 @@ object Streams {
     * doing it here would stack a second stateful operator for no gain.
     *
     * Scale/state: one state entry per (band, band-key) bucket holding
-    * (id, 16-long signature) per member — signatures, never text. Event-
-    * time timeout evicts a bucket `horizonMs` past its newest member, so
-    * state is bounded by the stream's rate × horizon, not its history. */
+    * (id → 16-long signature) per member — signatures, never text.
+    * Event-time timeout evicts a bucket `horizonMs` past its newest
+    * member (the RUNNING max, kept in the state value — see
+    * [[LshBucketState]]), so state is bounded by the stream's rate ×
+    * horizon, not its history. `bucketCap` is the streaming face of the
+    * batch path's hot-band salt fallback: a band bucket that
+    * accumulates ≥ cap members inside one horizon is a pathological
+    * stop-band, and per-doc work must stay bounded — an arriving doc
+    * still compares against the (≤ cap) stored members, but is not
+    * stored itself once the bucket is full, so a degenerate key costs
+    * O(cap) per doc instead of O(rate × horizon); pairs between two
+    * post-cap arrivals in such a bucket are the documented loss, the
+    * same non-discriminative fan-out the batch salt bounds. */
   def streamingNearDupLsh(docs: DataFrame, textCol: String,
                           minEstJaccard: Double = 0.7,
                           watermark: String = "10 seconds",
-                          horizonMs: Long = 10000L): Dataset[NearDupHit] = {
+                          horizonMs: Long = 10000L,
+                          bucketCap: Int = 1024): Dataset[NearDupHit] = {
     graft.engine.functions.GraftFunctions.register(docs.sparkSession)
     import docs.sparkSession.implicits._
     val P31 = 2147483647L
@@ -304,17 +324,18 @@ object Streams {
     banded.groupByKey { case (band, bkey, _, _, _) => (band, bkey) }
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (_: (Int, Long), rows: Iterator[(Int, Long, Long, Seq[Long], java.sql.Timestamp)],
-         state: GroupState[List[(Long, Seq[Long])]]) => {
+         state: GroupState[LshBucketState]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var members = state.getOption.getOrElse(Nil)
+            val st = state.getOption.getOrElse(LshBucketState(0L, Map.empty))
+            var members = st.members
+            var maxTs = st.maxTs // running max across batches, not batch-local
             val out = List.newBuilder[NearDupHit]
-            var maxTs = 0L
             // deterministic within-batch order: compare in doc_id order so
             // a batch containing both ends of a pair emits it exactly once
             rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sig, t) =>
               maxTs = math.max(maxTs, t.getTime)
-              if (!members.exists(_._1 == id)) {
+              if (!members.contains(id)) {
                 members.foreach { case (mid, msig) =>
                   val est = sig.iterator.zip(msig.iterator).count { case (a, b) => a == b }
                     .toDouble / sig.length
@@ -322,12 +343,14 @@ object Streams {
                     out += NearDupHit(math.min(mid, id), math.max(mid, id),
                       math.round(est * 10000.0) / 10000.0)
                 }
-                members = (id, sig) :: members
+                // hot-bucket guard: compare-but-don't-store once full
+                if (members.size < bucketCap) members = members.updated(id, sig)
               }
             }
-            state.update(members)
-            // evict the bucket once the watermark passes its newest member
-            // by the horizon (must stay ahead of the current watermark)
+            state.update(LshBucketState(maxTs, members))
+            // evict the bucket once the watermark passes its newest-ever
+            // member by the horizon (must stay ahead of the current
+            // watermark for the timeout to be legal)
             state.setTimeoutTimestamp(
               math.max(maxTs + horizonMs, state.getCurrentWatermarkMs() + 1000L))
             out.result().iterator

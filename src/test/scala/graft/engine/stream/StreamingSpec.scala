@@ -286,6 +286,34 @@ class StreamingSpec extends SparkSuite {
       s"distinct doc must pair with nothing: $out")
   }
 
+  test("s_stream_neardup_lsh: bucketCap bounds state — post-cap arrivals compare but are not stored") {
+    val in = MemoryStream[Doc](spark)
+    val out = mutable.ArrayBuffer[(Long, Long)]()
+    val q = Streams.streamingNearDupLsh(in.toDF(), "text", minEstJaccard = 0.5, bucketCap = 1)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("neardup-lsh-cap"))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.NearDupHit], _: Long) =>
+        out.synchronized { out ++= b.collect().map(h => (h.doc_id_1, h.doc_id_2)) }
+        ()
+      }.start()
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    in.addData(Doc(1, ts(2), base))
+    q.processAllAvailable()
+    // older-but-within-watermark arrival: must still pair with the
+    // stored doc 1 (the bucket's running max event time, not this
+    // batch's, governs eviction), but with cap=1 it is NOT stored
+    in.addData(Doc(2, ts(1), base))
+    q.processAllAvailable()
+    in.addData(Doc(3, ts(3), base))
+    q.processAllAvailable(); q.stop()
+    val pairs = out.distinct.sorted.toSeq
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)),
+      s"arrivals must compare against the stored member: $out")
+    assert(!pairs.contains((2L, 3L)),
+      s"a full bucket must not store post-cap arrivals: $out")
+  }
+
   // s_stream_decontaminate: stateless in-stream eval-set filter
   test("s_stream_decontaminate: docs sharing >=2 benchmark shingles drop, clean docs pass") {
     val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
