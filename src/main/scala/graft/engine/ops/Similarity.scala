@@ -199,6 +199,59 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Hybrid retrieval — the full RAG-style stack as one operator:
+    * BM25 keyword candidates ([[TextPipeline.bm25TopK]], the query
+    * document's own terms as the keyword query) ∪ LSH vector candidates
+    * ([[annLsh]]'s band probe) → ONE exact cosine rerank over the
+    * union, with per-candidate provenance flags (`in_bm25`, `in_ann`).
+    * The two legs retrieve different things by construction — keyword
+    * overlap finds docs sharing rare terms regardless of geometry, the
+    * band probe finds geometric neighbors regardless of vocabulary —
+    * and the union reranked under one exact score is the standard
+    * hybrid-search composition.
+    *
+    * Scale shape: each leg is its own already-scale-shaped operator;
+    * the union is tiny (≤ 2·nCand ids) and BROADCASTS under one final
+    * corpus scan for the rerank — the corpus is never re-shuffled and
+    * candidates are never re-joined against each other. The BM25 leg
+    * keeps up to nCand+1 ranks before dropping the query document
+    * itself (which trivially ranks first on its own terms). */
+  def hybridRerank(documents: DataFrame, docIdCol: String, textCol: String,
+                   vectors: DataFrame, vecIdCol: String, vecCol: String,
+                   queryId: Long, nCand: Int, k: Int): DataFrame = {
+    // keyword query = the query doc's first 16 tokens, not its full
+    // text: a retrieval query is short by nature, and a corpus-sized
+    // term set would defeat the BM25 leg's query-term pruning
+    val qdoc = documents.filter(col(docIdCol) === queryId)
+      .select(col(docIdCol).as("query_id"),
+        concat_ws(" ", slice(split(col(textCol), " "), 1, 16)).as("qtext"))
+    val bmIds = TextPipeline.bm25TopK(documents, docIdCol, textCol,
+        qdoc, "query_id", "qtext", nCand + 1)
+      .filter(col("doc_id") =!= queryId)
+      .select(col("doc_id").as("cand_id"), lit(true).as("in_bm25"))
+    val annIds = annLsh(vectors, vecIdCol, vecCol, queryId, nCand)
+      .select(col("vec_id").as("cand_id"), lit(true).as("in_ann"))
+    val cands = bmIds.join(annIds, Seq("cand_id"), "full_outer")
+      .select(col("cand_id"),
+        coalesce(col("in_bm25"), lit(false)).as("in_bm25"),
+        coalesce(col("in_ann"), lit(false)).as("in_ann"))
+    val e = canonVec(vectors, vecIdCol, vecCol)
+    val qe = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qemb"))
+    // unpartitioned window is safe here: it ranks the ≤ 2·nCand
+    // candidate union, never the corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos_sim").desc, col("doc_id").asc)
+    e.join(broadcast(cands), col("vec_id") === col("cand_id"))
+      .crossJoin(broadcast(qe))
+      .select(col("vec_id").as("doc_id"), col("in_bm25"), col("in_ann"),
+        round(cosine(col("embedding"), col("qemb")), 4).as("cos_sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("rk", "doc_id", "cos_sim", "in_bm25", "in_ann")
+      .orderBy("rk")
+  }
+
   // ---------------------------------------------------------------- IVF ANN
   private val NCells = 16
   private val NProbe = 4
@@ -769,6 +822,11 @@ object Similarity {
     // low threshold surfaces the genuinely-related tail within each cell
     "q_semantic_dedup" -> ((s, d) =>
       semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding", 0.35)),
+    // doc/vec id spaces coincide in the fixture: doc 0's text is the
+    // keyword query, vec 0 the vector query; 20 candidates/leg, top-10
+    "q_hybrid_rerank" -> ((s, d) =>
+      hybridRerank(Tables.documents(s, d), "doc_id", "text",
+        Tables.embeddings(s, d), "vec_id", "embedding", 0, 20, 10)),
   )
 
   /** The synthetic embeddings are near-orthogonal (max pair cosine ~0.5 at
@@ -990,6 +1048,86 @@ object Similarity {
        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   }
 
+  /** DuckDB replication of hybridRerank: the BM25 leg (same CTEs as the
+    * q_bm25_topk oracle, query = doc 0's own text), the annLsh leg
+    * (same plane-literal replay as q_ann_lsh, top-20), a FULL OUTER
+    * union with provenance flags, and one exact fold-dot cosine rerank. */
+  private def hybridRerankOracleSql: String = {
+    val planesList = planes.flatten.mkString("[", ", ", "]")
+    val sigTerms = (0 until NBits).map { j =>
+      val acc = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, 65), i -> CAST(v[i] AS DOUBLE) * p[${j * 64} + i])), (a, b) -> a + b)"
+      s"CASE WHEN $acc > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END"
+    }.mkString("\n      + ")
+    s"""WITH planes AS (SELECT $planesList AS p),
+       |q AS (SELECT CAST(doc_id AS BIGINT) AS query_id,
+       |        array_to_string(list_slice(string_split(text, ' '), 1, 16), ' ') AS qtext
+       |      FROM documents WHERE doc_id = 0),
+       |qt AS (SELECT DISTINCT query_id, token FROM (
+       |         SELECT query_id, unnest(string_split(qtext, ' ')) AS token FROM q)
+       |       WHERE len(token) > 0),
+       |tok AS (SELECT doc_id, token FROM (
+       |          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |        WHERE len(token) > 0),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+       |qtok AS (SELECT doc_id, token FROM tok
+       |         WHERE token IN (SELECT DISTINCT token FROM qt)),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM qtok GROUP BY doc_id, token),
+       |dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM qtok GROUP BY token),
+       |bmscored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    CAST(floor(CAST(1000000.0 AS DOUBLE) * (tot.n_docs - dfq.df + CAST(0.5 AS DOUBLE))
+       |               / (dfq.df + CAST(0.5 AS DOUBLE))) AS BIGINT) AS idf,
+       |    (tf.tf * CAST(2.2 AS DOUBLE)) /
+       |      (tf.tf + CAST(0.3 AS DOUBLE) +
+       |       CAST(0.9 AS DOUBLE) * dl.dl * tot.n_docs / tot.total_dl) AS sat
+       |  FROM tf JOIN dfq USING (token) JOIN qt USING (token)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot),
+       |bmagg AS (
+       |  SELECT doc_id, CAST(sum(CAST(floor(idf * sat) AS BIGINT)) AS BIGINT) AS score
+       |  FROM bmscored GROUP BY query_id, doc_id),
+       |bmtop AS (
+       |  SELECT doc_id AS cand_id FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+       |    FROM bmagg)
+       |  WHERE rk <= 21 AND doc_id <> 0),
+       |sigs AS (
+       |  SELECT vec_id, embedding AS v, CAST($sigTerms AS BIGINT) AS sig
+       |  FROM embeddings CROSS JOIN planes),
+       |bands AS (
+       |  SELECT vec_id, v, k AS band, (sig >> CAST(k * 4 AS INT)) & 15 AS band_key
+       |  FROM sigs, range(4) t(k)),
+       |q0 AS (SELECT band, band_key, v AS qe FROM bands WHERE vec_id = 0),
+       |lshcand AS (
+       |  SELECT DISTINCT b.vec_id, b.v, q0.qe
+       |  FROM bands b JOIN q0 USING (band, band_key)
+       |  WHERE b.vec_id <> 0),
+       |anntop AS (
+       |  SELECT vec_id AS cand_id FROM (
+       |    SELECT vec_id,
+       |      round(${foldDot("v", "qe")} /
+       |            (sqrt(${foldDot("v", "v")}) * sqrt(${foldDot("qe", "qe")})), 4) AS cos_sim
+       |    FROM lshcand)
+       |  ORDER BY cos_sim DESC, vec_id ASC LIMIT 20),
+       |cands AS (
+       |  SELECT coalesce(b.cand_id, a.cand_id) AS cand_id,
+       |    b.cand_id IS NOT NULL AS in_bm25, a.cand_id IS NOT NULL AS in_ann
+       |  FROM bmtop b FULL OUTER JOIN anntop a ON b.cand_id = a.cand_id),
+       |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |rerank AS (
+       |  SELECT c.cand_id AS doc_id, c.in_bm25, c.in_ann,
+       |    round(${foldDot("e.embedding", "qv.qe")} /
+       |          (sqrt(${foldDot("e.embedding", "e.embedding")}) *
+       |           sqrt(${foldDot("qv.qe", "qv.qe")})), 4) AS cos_sim
+       |  FROM cands c JOIN embeddings e ON e.vec_id = c.cand_id CROSS JOIN qv)
+       |SELECT rk, doc_id, cos_sim, in_bm25, in_ann FROM (
+       |  SELECT doc_id, cos_sim, in_bm25, in_ann,
+       |    CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT) AS rk
+       |  FROM rerank)
+       |WHERE rk <= 10 ORDER BY rk""".stripMargin
+  }
+
   /** DuckDB replication of annIvf (nearest-centroid inverted file, 4-cell
     * probe, exact rerank). `list_position(l, list_aggregate(l, 'max'))`
     * reproduces Spark's first-tie 1-based `array_position(array_max)`. */
@@ -1100,6 +1238,7 @@ object Similarity {
     "q_kmeans_step" -> kmeansStepOracleSql,
     "q_semantic_dedup" -> semanticDedupOracleSql,
     "q_ann_lsh" -> annLshOracleSql,
+    "q_hybrid_rerank" -> hybridRerankOracleSql,
     "q_ann_ivf" -> annIvfOracleSql,
     // the broadcast-codebook variant is output-identical by construction,
     // so it shares the literal path's oracle verbatim

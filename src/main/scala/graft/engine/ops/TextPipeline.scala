@@ -864,6 +864,63 @@ object TextPipeline {
       .orderBy("token")
   }
 
+  /** BM25 (k1 = 1.2, b = 0.75) keyword retrieval: top-k docs per query
+    * over the same token stream the inverted index / TF-IDF operators
+    * aggregate — the keyword half of a retrieval stack whose vector
+    * half is the ANN family in [[Similarity]].
+    *
+    * Engine-exact scoring (the q_tfidf trick, extended): the float
+    * parts are each a short, identically-parenthesized IEEE double
+    * expression — idf as one floored scaled ratio
+    * `floor(10⁶·(N−df+0.5)/(df+0.5))` (the classic BM25 idf's ln is
+    * libm-divergent cross-engine; a scaled ratio preserves the same
+    * ordering for fixed N), tf saturation as
+    * `tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)` with every operand
+    * < 2⁵³ — and the per-term score is floored to BIGINT BEFORE the
+    * per-doc sum, so the aggregate is integer (order-free) and the
+    * whole ranking hash-oracles.
+    *
+    * Scale shape: the query-term set broadcasts under the token scan,
+    * pruning the stream BEFORE the tf/df aggregates (postings for
+    * non-query terms never shuffle); doc lengths are one doc-keyed agg
+    * reused across queries; the scalar totals broadcast. Top-k is a
+    * per-query window over the scored candidates — candidates, not the
+    * corpus. */
+  def bm25TopK(documents: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qIdCol: String, qTextCol: String,
+               k: Int): DataFrame = {
+    val tokens = documents
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val dl = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+    val qterms = queries
+      .select(col(qIdCol).as("query_id"), explode(toks(col(qTextCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+    val qtok = tokens.join(broadcast(qterms.select("token").distinct()), "token")
+    val tf = qtok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfq = qtok.groupBy("token").agg(countDistinct("doc_id").as("df"))
+    val scored = tf.join(dfq, "token")
+      .join(broadcast(qterms), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("idf",
+        floor(lit(1000000.0) * (col("n_docs") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5))).cast("long"))
+      .withColumn("sat",
+        (col("tf") * lit(2.2)) /
+          (col("tf") + lit(0.3) + lit(0.9) * col("dl") * col("n_docs") / col("total_dl")))
+      .withColumn("term_score", floor(col("idf") * col("sat")).cast("long"))
+    val agg = scored.groupBy("query_id", "doc_id")
+      .agg(sum("term_score").as("score"), count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
+    agg.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "doc_id", "score", "n_terms")
+      .orderBy("query_id", "rk")
+  }
+
   /** Near-dup graph degree histogram: how many documents have k verified
     * near-duplicate partners — the corpus-health statistic that decides
     * dedup aggressiveness (a fat tail = boilerplate flood). Consumes the
@@ -1096,6 +1153,12 @@ object TextPipeline {
       mixtureWeights(Tables.documents(s, d), "source", budget = 1000)),
     "q_inverted_index" -> ((s, d) =>
       invertedIndex(Tables.documents(s, d), "doc_id", "text")),
+    // three fixed keyword queries over the corpus vocabulary; k=10
+    "q_bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        bm25FixtureQueries.toDF("query_id", "qtext"), "query_id", "qtext", 10)
+    }),
     "q_dedup_degree" -> ((s, d) => dedupDegreeHistogram(sharedPairs(s, d))),
     // distance ≤ 1 within a nation block: names differing in one digit
     "q_fuzzy_match" -> ((s, d) =>
@@ -1111,6 +1174,16 @@ object TextPipeline {
   )
 
   private def sigList(sig: Seq[String]): String = sig.map(t => s"'$t'").mkString("(", ",", ")")
+
+  /** The q_bm25_topk fixture queries, shared by the binding and the
+    * oracle's VALUES clause so they can never drift. */
+  private[ops] val bm25FixtureQueries: Seq[(Long, String)] = Seq(
+    (1L, "join hash scan"),
+    (2L, "vector window batch"),
+    (3L, "customer order line"))
+
+  private def bm25QueryValues: String =
+    bm25FixtureQueries.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
     "q_sample_stratified" ->
@@ -1545,6 +1618,47 @@ object TextPipeline {
         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rk
         |  FROM scored)
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    // BM25: every float step is the same short, identically-
+    // parenthesized IEEE double expression as the Spark side (decimal
+    // literals cast to DOUBLE — DuckDB would otherwise run them as
+    // DECIMAL arithmetic), and per-term scores floor to BIGINT before
+    // the per-doc sum so the aggregate is order-free integer math.
+    "q_bm25_topk" ->
+      s"""WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext
+        |           FROM (VALUES $bm25QueryValues) AS v(query_id, qtext)),
+        |qt AS (SELECT DISTINCT query_id, token FROM (
+        |         SELECT query_id, unnest(string_split(qtext, ' ')) AS token FROM q)
+        |       WHERE len(token) > 0),
+        |tok AS (SELECT doc_id, token FROM (
+        |          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |        WHERE len(token) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+        |qtok AS (SELECT doc_id, token FROM tok
+        |         WHERE token IN (SELECT DISTINCT token FROM qt)),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM qtok GROUP BY doc_id, token),
+        |dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM qtok GROUP BY token),
+        |scored AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    CAST(floor(CAST(1000000.0 AS DOUBLE) * (tot.n_docs - dfq.df + CAST(0.5 AS DOUBLE))
+        |               / (dfq.df + CAST(0.5 AS DOUBLE))) AS BIGINT) AS idf,
+        |    (tf.tf * CAST(2.2 AS DOUBLE)) /
+        |      (tf.tf + CAST(0.3 AS DOUBLE) +
+        |       CAST(0.9 AS DOUBLE) * dl.dl * tot.n_docs / tot.total_dl) AS sat
+        |  FROM tf JOIN dfq USING (token) JOIN qt USING (token)
+        |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot),
+        |agg AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(sum(CAST(floor(idf * sat) AS BIGINT)) AS BIGINT) AS score,
+        |    count(*) AS n_terms
+        |  FROM scored GROUP BY query_id, doc_id)
+        |SELECT query_id, rk, doc_id, score, n_terms FROM (
+        |  SELECT query_id, doc_id, score, n_terms,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+        |  FROM agg)
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
 
     "q_dedup_paragraph" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -208,6 +208,24 @@ class PlanShapeSpec extends SparkSuite {
       s"anchor join must be an equi-join on gram:\n${p.take(1500)}")
   }
 
+  test("q_hybrid_rerank: both legs broadcast the query side; rerank broadcasts the candidate union") {
+    val p = plan("q_hybrid_rerank")
+    // no leg may degrade to a product join over the corpus (the only
+    // nested-loop joins are the broadcast singletons: totals, query
+    // embedding)
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere:\n" + p.take(2000))
+    // BM25 query-term prune, LSH band probe, and the final rerank all
+    // join broadcast-small against the corpus scan
+    val bcastJoins = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bcastJoins >= 3, s"expected >=3 broadcast hash joins, saw $bcastJoins:\n" + p.take(2000))
+  }
+
+  test("q_bm25_topk: query terms broadcast under the token scan before the tf/df aggregates") {
+    val p = plan("q_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), "no cartesian:\n" + p.take(1500))
+  }
+
   test("q_pivot reads the data once: partial aggs + at most 2 keyed shuffles") {
     // Spark plans pivot as sum-per-(row,pivot-key) then pivotfirst-per-row:
     // one full-data pass with map-side partials, then a tiny regroup.

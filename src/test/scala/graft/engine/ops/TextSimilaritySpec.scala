@@ -123,6 +123,23 @@ class TextSimilaritySpec extends SparkSuite {
     assert(uncapped.size == 6, s"expected all 6 stop-gram pairs, got $uncapped")
   }
 
+  test("bm25TopK: candidates only, tf raises and length normalization lowers the score") {
+    val docs = Seq(
+      (1L, "cat dog"),                          // tf(cat)=1, dl=2
+      (2L, "cat cat dog dog dog dog dog dog"),  // tf(cat)=2 but dl=8
+      (3L, "dog bird bird bird"))               // no cat
+      .toDF("doc_id", "text")
+    val qs = Seq((7L, "cat")).toDF("query_id", "qtext")
+    val got = TextPipeline.bm25TopK(docs, "doc_id", "text", qs, "query_id", "qtext", 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // only docs containing a query term are candidates; the short doc's
+    // single occurrence outranks the long doc's two (b=0.75 length
+    // normalization beats the saturated second occurrence here)
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq((7L, 1L, 1L), (7L, 2L, 2L)), s"got $got")
+    assert(got.forall(_._5 == 1L), s"each doc matched exactly one query term: $got")
+    assert(got.head._4 > got(1)._4, s"scores must strictly order the ranking: $got")
+  }
+
   test("repetitionMetrics: duplicate n-gram basis points are exact") {
     val docs = Seq(
       (1L, "a b a b a"), // bigrams 4/2 distinct → 5000 bp; trigrams 3/2 → 3333 bp
