@@ -921,6 +921,51 @@ object TextPipeline {
       .orderBy("query_id", "rk")
   }
 
+  /** One BPE-style pair-merge iteration over whitespace token streams —
+    * the vocabulary-building step (the [[Similarity.kmeansStep]] pattern
+    * applied to tokenizer training: one exactly-oracled iteration of the
+    * loop a driver would run to a vocab budget). Counts adjacent token
+    * pairs corpus-wide (the [[ngramStats]] generator reused), picks the
+    * argmax merge (count desc, pair asc — deterministic), and rewrites
+    * every document with the merged token (`a b` → `a@b`), greedy
+    * left-to-right non-overlapping — exactly BPE's application order.
+    *
+    * The rewrite is pure text-space string work, no per-token lambda:
+    * with every token boundary DOUBLED (`x y` → `x␣␣y`), consecutive
+    * pair occurrences no longer share a boundary character, so one
+    * built-in `replace` (greedy left-to-right non-overlapping in both
+    * engines) IS the BPE merge — `a a a` merges once, not twice — and
+    * boundaries then collapse back. Requires single-spaced token
+    * streams (the corpus contract every text operator here shares).
+    *
+    * Scale shape: one gram-keyed count (the same shuffle ngramStats
+    * pays), a 1-row argmax broadcast back under a second narrow scan.
+    * No driver loop — the step composes with itself via the `new_text`
+    * column. */
+  def bpeStep(documents: DataFrame, idCol: String, textCol: String,
+              ordered: Boolean = true): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
+    val top = documents
+      .select(explode(call_function("pos_grams", col(textCol), lit(2), lit(true))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(1)
+    val sp = lit(" ")
+    def rep(c: Column, from: Column, to: Column): Column =
+      call_function("replace", c, from, to)
+    val doubled = concat(sp, rep(col(textCol), sp, lit("  ")), sp)
+    val pattern = concat(sp, rep(col("pair"), sp, lit("  ")), sp)
+    val mergedTok = concat(sp, rep(col("pair"), sp, lit("@")), sp)
+    val newText = trim(rep(rep(doubled, pattern, mergedTok), lit("  "), sp))
+    val out = documents.crossJoin(broadcast(top))
+      .select(col(idCol).as("doc_id"), col("pair"),
+        size(split(col(textCol), " ")).cast("long").as("n_before"),
+        (size(split(col(textCol), " ")) - size(split(newText, " ")))
+          .cast("long").as("n_merges"),
+        newText.as("new_text"))
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
   /** Near-dup graph degree histogram: how many documents have k verified
     * near-duplicate partners — the corpus-health statistic that decides
     * dedup aggressiveness (a fat tail = boilerplate flood). Consumes the
@@ -1159,6 +1204,7 @@ object TextPipeline {
       bm25TopK(Tables.documents(s, d), "doc_id", "text",
         bm25FixtureQueries.toDF("query_id", "qtext"), "query_id", "qtext", 10)
     }),
+    "q_bpe_step" -> ((s, d) => bpeStep(Tables.documents(s, d), "doc_id", "text")),
     "q_dedup_degree" -> ((s, d) => dedupDegreeHistogram(sharedPairs(s, d))),
     // distance ≤ 1 within a nation block: names differing in one digit
     "q_fuzzy_match" -> ((s, d) =>
@@ -1590,6 +1636,32 @@ object TextPipeline {
         |       t -> len(t) > 0 AND NOT list_contains(stops, t)), ' '), '') AS kept_text
         |FROM documents, st
         |ORDER BY doc_id""".stripMargin,
+
+    // BPE step: same argmax-pair CTE as the bigram stats, then the
+    // doubled-boundary replace trick — replace() is greedy left-to-
+    // right non-overlapping in both engines, and doubling boundaries
+    // stops consecutive occurrences from sharing a space character,
+    // so the string rewrite IS the token-level BPE merge.
+    "q_bpe_step" ->
+      """WITH tk AS (
+        |  SELECT list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk FROM documents),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS pair
+        |  FROM tk),
+        |top AS (SELECT pair FROM (SELECT pair, count(*) AS n FROM pairs GROUP BY pair)
+        |        ORDER BY n DESC, pair ASC LIMIT 1),
+        |r AS (
+        |  SELECT doc_id, text, pair,
+        |    trim(replace(replace(' ' || replace(text, ' ', '  ') || ' ',
+        |                         ' ' || replace(pair, ' ', '  ') || ' ',
+        |                         ' ' || replace(pair, ' ', '@') || ' '),
+        |                 '  ', ' ')) AS new_text
+        |  FROM documents CROSS JOIN top)
+        |SELECT doc_id, pair,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_before,
+        |  CAST(len(string_split(text, ' ')) - len(string_split(new_text, ' ')) AS BIGINT) AS n_merges,
+        |  new_text
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_ngram_stats" ->
       """WITH tk AS (

@@ -140,6 +140,27 @@ class TextSimilaritySpec extends SparkSuite {
     assert(got.head._4 > got(1)._4, s"scores must strictly order the ranking: $got")
   }
 
+  test("bpeStep: argmax pair merges greedily left-to-right, hand-computed vocab") {
+    val docs = Seq(
+      (1L, "a b a b c"),  // two "a b" occurrences
+      (2L, "a b"),
+      (3L, "b a a b"))    // "b a", "a a", "a b"
+      .toDF("doc_id", "text")
+    // pair counts: "a b"=4, "b a"=2, rest 1 → merge "a b" → "a@b"
+    val got = TextPipeline.bpeStep(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a b", 5L, 2L, "a@b a@b c"),
+      (2L, "a b", 2L, 1L, "a@b"),
+      (3L, "a b", 4L, 1L, "b a a@b")), s"got $got")
+    // overlapping occurrences merge greedily, not pairwise: "a a a"
+    // yields ONE merge (a@a a), the BPE application order
+    val runs = Seq((1L, "a a a")).toDF("doc_id", "text")
+    val g2 = TextPipeline.bpeStep(runs, "doc_id", "text")
+      .as[(Long, String, Long, Long, String)].collect().toSeq
+    assert(g2 == Seq((1L, "a a", 3L, 1L, "a@a a")), s"got $g2")
+  }
+
   test("repetitionMetrics: duplicate n-gram basis points are exact") {
     val docs = Seq(
       (1L, "a b a b a"), // bigrams 4/2 distinct → 5000 bp; trigrams 3/2 → 3333 bp
