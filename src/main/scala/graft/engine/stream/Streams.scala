@@ -413,6 +413,44 @@ object Streams {
       .select(col("vec_id"), col("dim"),
         graft.engine.ops.Similarity.int8Code(col("x"), col("mn"), col("mx")).as("code"))
 
+  /** s_stream_bm25: standing-query BM25 scoring at the ingest firehose —
+    * route/alert on documents matching a fixed keyword query as they
+    * arrive. The query's per-term document frequencies and the corpus
+    * constants (n_docs, total token count) are trained OFFLINE by the
+    * batch side ([[graft.engine.ops.TextPipeline.bm25TopK]]'s
+    * aggregates); the stream applies the IDENTICAL scoring arithmetic
+    * (verified score-for-score against the batch operator in the spec),
+    * so a doc scores the same whether it arrives or sits in the corpus.
+    *
+    * Shape: term stats collapse to ONE array row broadcast under the
+    * stream (the [[streamingDecontaminate]] pattern); per-doc tf and
+    * length are narrow higher-order passes over the doc's own tokens.
+    * ZERO streaming state — each doc scores alone, exactly what a
+    * firehose filter must do. Per-doc cost is |query terms| × |doc|
+    * interpreted comparisons — fine for a standing query's handful of
+    * terms; a large query set would move tf into a native expression
+    * like the batch path's fused passes. */
+  def streamingBm25(docs: DataFrame, idCol: String, textCol: String,
+                    termStats: DataFrame, nDocs: Long, totalDl: Long,
+                    minScore: Long): DataFrame = {
+    val qrow = termStats
+      .agg(sort_array(collect_list(struct(col("token"), col("df")))).as("qstats"))
+    val t = filter(split(col(textCol), " "), x => length(x) > 0)
+    val dl = size(t)
+    val score = aggregate(col("qstats"), lit(0L), (acc, st) => {
+      val df = st("df")
+      val tf = size(filter(t, x => x === st("token"))).cast("double")
+      val idf = floor(lit(1000000.0) * (lit(nDocs.toDouble) - df + lit(0.5)) /
+                      (df + lit(0.5)))
+      val sat = (tf * lit(2.2)) /
+        (tf + lit(0.3) + lit(0.9) * dl * lit(nDocs.toDouble) / lit(totalDl.toDouble))
+      acc + floor(idf * sat).cast("long")
+    })
+    docs.crossJoin(broadcast(qrow))
+      .select(col(idCol).as("doc_id"), dl.cast("long").as("dl"), score.as("score"))
+      .filter(col("score") >= minScore)
+  }
+
   /** s_stream_mixture: running data-mixture accounting over a document
     * stream — per-stratum doc and token counts maintained incrementally
     * in Update mode (the streaming face of the batch mixtureReport's

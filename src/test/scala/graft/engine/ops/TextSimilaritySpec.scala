@@ -159,6 +159,17 @@ class TextSimilaritySpec extends SparkSuite {
     val g2 = TextPipeline.bpeStep(runs, "doc_id", "text")
       .as[(Long, String, Long, Long, String)].collect().toSeq
     assert(g2 == Seq((1L, "a a", 3L, 1L, "a@a a")), s"got $g2")
+    // the step composes with itself via new_text: round 2 over round
+    // 1's rewrite merges the next pair ("a@b c" appears twice below)
+    val step1 = TextPipeline.bpeStep(
+      Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val step2 = TextPipeline.bpeStep(
+      step1.select(col("doc_id"), col("new_text").as("text")), "doc_id", "text")
+      .as[(Long, String, Long, Long, String)].collect().toSeq
+    assert(step2 == Seq(
+      (1L, "a@b c", 3L, 1L, "a@b@c d"),
+      (2L, "a@b c", 3L, 1L, "a@b@c e")), s"got $step2")
   }
 
   test("repetitionMetrics: duplicate n-gram basis points are exact") {

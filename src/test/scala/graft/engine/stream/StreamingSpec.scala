@@ -314,6 +314,43 @@ class StreamingSpec extends SparkSuite {
       s"a full bucket must not store post-cap arrivals: $out")
   }
 
+  // s_stream_bm25: standing-query scoring with offline-trained stats
+  test("s_stream_bm25: in-stream scores equal the batch BM25 operator score-for-score") {
+    val corpus = Seq(
+      (1L, "cat dog"),
+      (2L, "cat cat dog dog dog dog dog dog"),
+      (3L, "dog bird bird bird")).toDF("doc_id", "text")
+    val qs = Seq((7L, "cat dog")).toDF("query_id", "qtext")
+    val batch = graft.engine.ops.TextPipeline
+      .bm25TopK(corpus, "doc_id", "text", qs, "query_id", "qtext", 10)
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    // offline training: query-term dfs + corpus constants
+    val toks = corpus.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val termStats = toks.filter(col("token").isin("cat", "dog"))
+      .groupBy("token").agg(countDistinct("doc_id").as("df"))
+    val r = toks.groupBy("doc_id").count()
+      .agg(count(lit(1)), sum("count")).head()
+    val (nDocs, totalDl) = (r.getLong(0), r.getLong(1))
+    val in = MemoryStream[Doc](spark)
+    val out = mutable.ArrayBuffer[(Long, Long)]()
+    val q = Streams.streamingBm25(in.toDF(), "doc_id", "text",
+        termStats, nDocs, totalDl, minScore = 1L)
+      .writeStream
+      .option("checkpointLocation", tmpDir("streambm25"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.select("doc_id", "score").as[(Long, Long)].collect() }
+        ()
+      }.start()
+    in.addData(Doc(1, ts(1), "cat dog"), Doc(3, ts(1), "dog bird bird bird"))
+    q.processAllAvailable()
+    in.addData(Doc(2, ts(2), "cat cat dog dog dog dog dog dog"))
+    q.processAllAvailable(); q.stop()
+    assert(out.toMap == batch,
+      s"streamed scores must equal batch scores: stream=${out.sorted} batch=${batch.toSeq.sorted}")
+  }
+
   // s_stream_decontaminate: stateless in-stream eval-set filter
   test("s_stream_decontaminate: docs sharing >=2 benchmark shingles drop, clean docs pass") {
     val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
