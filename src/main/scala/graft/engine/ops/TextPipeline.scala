@@ -1002,9 +1002,16 @@ object TextPipeline {
       .select(col("id").as("id_1") +: col("s").as("sa") +: blockCols.map(col): _*)
     val b = base.select(col("id").as("id_2") +: col("s").as("sb") +: blockCols.map(col): _*)
     a.join(b, blockCols)
-      .filter(col("id_1") < col("id_2"))
-      .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // length-band guard BEFORE the distance: |len(a)−len(b)| is a
+      // Levenshtein lower bound, so the prefilter is result-identical
+      // and prunes pairs before the O(n·m) verify; the thresholded
+      // levenshtein then early-exits its band at maxDist (returns −1
+      // past it — excluded by the >= 0 filter, never a kept value)
+      .filter(col("id_1") < col("id_2") &&
+        abs(length(col("sa")) - length(col("sb"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("sa"), col("sb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select("id_1", "id_2", "sa", "sb", "dist")
       .orderBy("id_1", "id_2")
   }
