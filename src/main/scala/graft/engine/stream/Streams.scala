@@ -451,6 +451,31 @@ object Streams {
       .filter(col("score") >= minScore)
   }
 
+  /** s_stream_bpe: tokenizer SERVING — apply an offline-learned, ordered
+    * BPE merge list to every arriving document (the batch
+    * [[graft.engine.ops.TextPipeline.bpeStep]] learns the merges; the
+    * stream replays them in learning order, exactly how a trained
+    * tokenizer is applied). Each merge is the same doubled-boundary
+    * greedy `replace` rewrite the batch step uses, composed left to
+    * right at plan-construction time — the merge list is a plan
+    * constant (tokenizers are small), so the whole chain is one narrow
+    * projection: ZERO streaming state, and a doc tokenizes identically
+    * in-stream and in-batch (pinned against two chained batch steps in
+    * the spec). */
+  def streamingBpeApply(docs: DataFrame, textCol: String,
+                        merges: Seq[String]): DataFrame = {
+    def rep(c: Column, from: Column, to: Column): Column =
+      call_function("replace", c, from, to)
+    val sp = lit(" ")
+    val applied = merges.foldLeft(col(textCol)) { (txt, pair) =>
+      val doubled = concat(sp, rep(txt, sp, lit("  ")), sp)
+      val pattern = lit(" " + pair.replace(" ", "  ") + " ")
+      val mergedTok = lit(" " + pair.replace(" ", "@") + " ")
+      trim(rep(rep(doubled, pattern, mergedTok), lit("  "), sp))
+    }
+    docs.withColumn("bpe_text", applied)
+  }
+
   /** s_stream_mixture: running data-mixture accounting over a document
     * stream — per-stratum doc and token counts maintained incrementally
     * in Update mode (the streaming face of the batch mixtureReport's

@@ -351,6 +351,33 @@ class StreamingSpec extends SparkSuite {
       s"streamed scores must equal batch scores: stream=${out.sorted} batch=${batch.toSeq.sorted}")
   }
 
+  // s_stream_bpe: offline-learned merge list applied at the firehose
+  test("s_stream_bpe: applying the learned merge list in-stream equals chained batch steps") {
+    val corpus = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    // learn two merges offline by chaining the batch step
+    val s1 = graft.engine.ops.TextPipeline.bpeStep(corpus, "doc_id", "text")
+    val m1 = s1.select("pair").head().getString(0)
+    val s2 = graft.engine.ops.TextPipeline.bpeStep(
+      s1.select(col("doc_id"), col("new_text").as("text")), "doc_id", "text")
+    val m2 = s2.select("pair").head().getString(0)
+    val batchFinal = s2.select("doc_id", "new_text").as[(Long, String)].collect().toMap
+    val in = MemoryStream[Doc](spark)
+    val out = mutable.ArrayBuffer[(Long, String)]()
+    val q = Streams.streamingBpeApply(in.toDF(), "text", Seq(m1, m2))
+      .writeStream
+      .option("checkpointLocation", tmpDir("streambpe"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.select("doc_id", "bpe_text").as[(Long, String)].collect() }
+        ()
+      }.start()
+    in.addData(Doc(1, ts(1), "a b c d"))
+    q.processAllAvailable()
+    in.addData(Doc(2, ts(2), "a b c e"))
+    q.processAllAvailable(); q.stop()
+    assert(out.toMap == batchFinal,
+      s"in-stream tokenization must equal the chained batch steps: stream=$out batch=$batchFinal")
+  }
+
   // s_stream_decontaminate: stateless in-stream eval-set filter
   test("s_stream_decontaminate: docs sharing >=2 benchmark shingles drop, clean docs pass") {
     val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
