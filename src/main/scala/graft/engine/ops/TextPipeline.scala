@@ -966,6 +966,40 @@ object TextPipeline {
     if (ordered) out.orderBy("doc_id") else out
   }
 
+  /** Corpus-LM fluency score — the exact-arithmetic analogue of the
+    * KenLM-perplexity quality filter a web-corpus pipeline runs: a
+    * bigram LM is "trained" on the corpus itself (count tables), and
+    * each document is scored by its mean scaled conditional
+    * probability `floor(10⁶·c(w₁w₂)/c(w₁))` over its bigrams —
+    * formulaic in-domain text scores high, out-of-domain or shuffled
+    * text low. All-integer scoring (counts, one floored scaled ratio
+    * per bigram, integer mean), so the signal hash-oracles exactly
+    * where a log-prob would diverge cross-engine.
+    *
+    * Scale shape: the LM side is the corpus's bigram/unigram vocabulary
+    * — Zipf-bounded, far smaller than the corpus — so the score join is
+    * a token-keyed shuffle equi-join against aggregate tables, then one
+    * doc-keyed mean. At 100 TB you'd train the counts on a sample and
+    * broadcast the head; exact here so the oracle replays it. */
+  def lmScore(documents: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
+    val bg = documents.select(col(idCol).as("doc_id"),
+      explode(call_function("pos_grams", col(textCol), lit(2), lit(true))).as("bigram"))
+    val bgCounts = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val ugCounts = documents
+      .select(explode(filter(toks(col(textCol)), t => length(t) > 0)).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val cond = floor(lit(1000000.0) * col("c2") / col("c1")).cast("long")
+    bg.join(bgCounts, "bigram")
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .join(ugCounts, "w1")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(cond).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        floor(col("s") / col("n_bigrams")).cast("long").as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup graph degree histogram: how many documents have k verified
     * near-duplicate partners — the corpus-health statistic that decides
     * dedup aggressiveness (a fat tail = boilerplate flood). Consumes the
@@ -1212,6 +1246,7 @@ object TextPipeline {
         bm25FixtureQueries.toDF("query_id", "qtext"), "query_id", "qtext", 10)
     }),
     "q_bpe_step" -> ((s, d) => bpeStep(Tables.documents(s, d), "doc_id", "text")),
+    "q_lm_score" -> ((s, d) => lmScore(Tables.documents(s, d), "doc_id", "text")),
     "q_dedup_degree" -> ((s, d) => dedupDegreeHistogram(sharedPairs(s, d))),
     // distance ≤ 1 within a nation block: names differing in one digit
     "q_fuzzy_match" -> ((s, d) =>
@@ -1669,6 +1704,28 @@ object TextPipeline {
         |  CAST(len(string_split(text, ' ')) - len(string_split(new_text, ' ')) AS BIGINT) AS n_merges,
         |  new_text
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Corpus-LM fluency: bigram/unigram count tables, one floored
+    // scaled ratio per bigram, integer mean — all-BIGINT except the
+    // two float divisions, written identically on both engines.
+    "q_lm_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        |  FROM tk),
+        |c2 AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM (
+        |         SELECT unnest(tk) AS w1 FROM tk) GROUP BY w1),
+        |scored AS (
+        |  SELECT bg.doc_id,
+        |    CAST(floor(CAST(1000000.0 AS DOUBLE) * c2.c2 / c1.c1) AS BIGINT) AS cond
+        |  FROM bg JOIN c2 USING (bigram)
+        |       JOIN c1 ON split_part(bg.bigram, ' ', 1) = c1.w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(floor(CAST(sum(cond) AS BIGINT) / count(*)) AS BIGINT) AS lm_score
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_ngram_stats" ->
       """WITH tk AS (

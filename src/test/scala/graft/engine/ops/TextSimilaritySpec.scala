@@ -172,6 +172,16 @@ class TextSimilaritySpec extends SparkSuite {
       (2L, "a@b c", 3L, 1L, "a@b@c e")), s"got $step2")
   }
 
+  test("lmScore: corpus bigram-LM fluency is exact integer arithmetic, hand-computed") {
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // unigrams a:3 b:2 c:1; bigrams "a b":2 "b a":1 "a c":1
+    // conds: a b -> floor(1e6*2/3)=666666, b a -> 500000, a c -> 333333
+    // doc1 = floor((666666+500000+666666)/3) = 611110; doc2 = 333333
+    val got = TextPipeline.lmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 611110L), (2L, 1L, 333333L)), s"got $got")
+  }
+
   test("repetitionMetrics: duplicate n-gram basis points are exact") {
     val docs = Seq(
       (1L, "a b a b a"), // bigrams 4/2 distinct → 5000 bp; trigrams 3/2 → 3333 bp
