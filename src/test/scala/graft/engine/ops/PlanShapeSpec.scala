@@ -226,6 +226,18 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), "no cartesian:\n" + p.take(1500))
   }
 
+  test("q_bpe_step: the argmax merge broadcasts (1 row) under the rewrite scan") {
+    val p = plan("q_bpe_step")
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), "no cartesian:\n" + p.take(1500))
+  }
+
+  test("q_lm_score: count-table joins stay keyed equi-joins") {
+    val p = plan("q_lm_score")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "LM joins must be keyed equi-joins:\n" + p.take(2000))
+  }
+
   test("q_pivot reads the data once: partial aggs + at most 2 keyed shuffles") {
     // Spark plans pivot as sum-per-(row,pivot-key) then pivotfirst-per-row:
     // one full-data pass with map-side partials, then a tiny regroup.
