@@ -315,6 +315,15 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** The diversity band [[qualityScore]] assigns, as a standalone
+    * column — shared with the streaming curation chain so batch and
+    * stream gate on the same verdict. */
+  private[engine] def qualityBand(c: Column): Column = {
+    val t = toks(c)
+    val ratio = round(size(array_distinct(t)).cast("double") / size(t).cast("double"), 4)
+    when(ratio >= 0.6, "high").when(ratio >= 0.3, "mid").otherwise("low")
+  }
+
   /** Quality scoring: length / diversity / stopword ratios + band.
     * `ordered=false` keeps the projection fully narrow — the form that
     * runs unchanged on a streaming frame (global sort is unsupported

@@ -476,6 +476,28 @@ object Streams {
     docs.withColumn("bpe_text", applied)
   }
 
+  /** s_stream_curate: the COMPOSED in-stream curation path — the
+    * streaming face of the batch `q_curation_pipeline` stage chain,
+    * minus the inherently cross-document near-dup stage (that is
+    * [[streamingNearDupLsh]]'s job, with state): quality gate (the
+    * batch scorer's band, shared expression) → benchmark shingle
+    * decontamination → PII scrub → split routing, chained as ONE
+    * streaming query. Every stage is a narrow projection or a
+    * 1-row-broadcast stream-static join, so the composition is
+    * zero-state end-to-end — proof the curation operators compose on
+    * an unbounded frame exactly as they do on a batch one (pinned
+    * stage-for-stage against the batch frame in the spec). */
+  def streamingCurate(docs: DataFrame, idCol: String, textCol: String,
+                      benchmark: DataFrame, benchTextCol: String,
+                      scrubPattern: String, mask: String): DataFrame = {
+    val gated = docs.filter(
+      graft.engine.ops.TextPipeline.qualityBand(col(textCol)) =!= "low")
+    val decon = streamingDecontaminate(gated, textCol, benchmark, benchTextCol)
+    val scrubbed = graft.engine.ops.TextPipeline.regexScrub(
+      decon, idCol, textCol, scrubPattern, mask, ordered = false)
+    streamingSplit(scrubbed, "doc_id")
+  }
+
   /** s_stream_mixture: running data-mixture accounting over a document
     * stream — per-stratum doc and token counts maintained incrementally
     * in Update mode (the streaming face of the batch mixtureReport's

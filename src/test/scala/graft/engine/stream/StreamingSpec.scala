@@ -538,6 +538,41 @@ class StreamingSpec extends SparkSuite {
       Seq((1L, 2L, "a <X> <X> leaks"), (2L, 0L, "nothing sensitive")), s"got $out")
   }
 
+  // s_stream_curate: the composed curation chain on an unbounded frame
+  test("s_stream_curate: quality gate -> decontaminate -> scrub -> split compose in one streaming query") {
+    val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val in = MemoryStream[Doc](spark)
+    val out = mutable.ArrayBuffer[(Long, String, String)]()
+    val q = Streams.streamingCurate(in.toDF(), "doc_id", "text",
+        bench, "text", "\\bsecret\\b", "<X>")
+      .writeStream
+      .option("checkpointLocation", tmpDir("streamcurate"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.select("doc_id", "clean_text", "split").as[(Long, String, String)].collect()
+        }
+        ()
+      }.start()
+    in.addData(
+      Doc(1, ts(1), "a secret report with distinct diverse words"),   // passes, scrubbed
+      Doc(2, ts(1), "spam spam spam spam spam spam spam spam"),       // low band -> gated out
+      Doc(3, ts(1), "xx the quick brown fox jumps yy zz"))            // contaminated -> dropped
+    q.processAllAvailable()
+    in.addData(Doc(4, ts(2), "clean and useful later content"))       // later batch passes
+    q.processAllAvailable(); q.stop()
+    val got = out.sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(1L, 4L), s"gate+decon must drop docs 2 and 3: $out")
+    assert(got.head._2 == "a <X> report with distinct diverse words", s"scrub ran: $out")
+    // split is the same pure key function the batch manifest uses
+    val expectSplits = Seq(1L, 4L).map { id =>
+      val b = graft.engine.ops.TextPipeline
+      spark.range(1).select(
+        when(b.keyBucket(lit(id)) < 80, "train")
+          .when(b.keyBucket(lit(id)) < 90, "val").otherwise("test")).head().getString(0)
+    }
+    assert(got.map(_._3) == expectSplits, s"split routing must match the batch bucket: $out")
+  }
+
   // s_stream_mixture: running mixture accounting, Update output mode
   test("s_stream_mixture: per-stratum doc/token counts accumulate across micro-batches") {
     val in = MemoryStream[LDoc](spark)
