@@ -990,20 +990,32 @@ object TextPipeline {
     * a token-keyed shuffle equi-join against aggregate tables, then one
     * doc-keyed mean. At 100 TB you'd train the counts on a sample and
     * broadcast the head; exact here so the oracle replays it. */
-  def lmScore(documents: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** The offline "training" half of [[lmScore]]: per-bigram scaled
+    * conditional probability table `(bigram, cond)` — split out (the
+    * quantizeStats/quantizeCodes pattern) so a streaming path can
+    * apply an offline-trained LM online. */
+  def lmTable(documents: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.engine.functions.GraftFunctions.register(documents.sparkSession)
-    val bg = documents.select(col(idCol).as("doc_id"),
+    val bg = documents.select(
       explode(call_function("pos_grams", col(textCol), lit(2), lit(true))).as("bigram"))
     val bgCounts = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
     val ugCounts = documents
       .select(explode(filter(toks(col(textCol)), t => length(t) > 0)).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
-    val cond = floor(lit(1000000.0) * col("c2") / col("c1")).cast("long")
-    bg.join(bgCounts, "bigram")
+    bgCounts
       .withColumn("w1", element_at(split(col("bigram"), " "), 1))
       .join(ugCounts, "w1")
+      .select(col("bigram"),
+        floor(lit(1000000.0) * col("c2") / col("c1")).cast("long").as("cond"))
+  }
+
+  def lmScore(documents: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
+    val bg = documents.select(col(idCol).as("doc_id"),
+      explode(call_function("pos_grams", col(textCol), lit(2), lit(true))).as("bigram"))
+    bg.join(lmTable(documents, idCol, textCol), "bigram")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(cond).as("s"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cond")).as("s"))
       .select(col("doc_id"), col("n_bigrams"),
         floor(col("s") / col("n_bigrams")).cast("long").as("lm_score"))
       .orderBy("doc_id")

@@ -476,6 +476,31 @@ object Streams {
     docs.withColumn("bpe_text", applied)
   }
 
+  /** s_stream_lm: corpus-LM fluency scoring in-stream against an
+    * OFFLINE-trained bigram table ([[graft.engine.ops.TextPipeline
+    * .lmTable]] — the same train-offline/apply-online split as
+    * quantization, BM25 and BPE): each arriving doc is scored by its
+    * mean scaled conditional over KNOWN bigrams, exactly the batch
+    * [[graft.engine.ops.TextPipeline.lmScore]] arithmetic (pinned
+    * score-for-score in the spec). The LM collapses to one map row
+    * broadcast under the stream — fine for a trained head (the Zipf
+    * head carries the signal; at scale you'd cap the table to it) —
+    * and the per-doc pass is a narrow HOF: ZERO streaming state. Docs
+    * with no known bigram emit n_bigrams = 0 and a null score. */
+  def streamingLmScore(docs: DataFrame, idCol: String, textCol: String,
+                       lm: DataFrame): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(docs.sparkSession)
+    val lmRow = lm.agg(
+      map_from_entries(collect_list(struct(col("bigram"), col("cond")))).as("lm"))
+    val grams = call_function("pos_grams", col(textCol), lit(2), lit(true))
+    val hits = filter(grams, g => map_contains_key(col("lm"), g))
+    val s = aggregate(hits, lit(0L), (acc, g) => acc + element_at(col("lm"), g))
+    docs.crossJoin(broadcast(lmRow))
+      .select(col(idCol).as("doc_id"),
+        size(hits).cast("long").as("n_bigrams"),
+        when(size(hits) > 0, floor(s / size(hits)).cast("long")).as("lm_score"))
+  }
+
   /** s_stream_curate: the COMPOSED in-stream curation path — the
     * streaming face of the batch `q_curation_pipeline` stage chain,
     * minus the inherently cross-document near-dup stage (that is

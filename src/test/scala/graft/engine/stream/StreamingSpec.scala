@@ -538,6 +538,34 @@ class StreamingSpec extends SparkSuite {
       Seq((1L, 2L, "a <X> <X> leaks"), (2L, 0L, "nothing sensitive")), s"got $out")
   }
 
+  // s_stream_lm: offline-trained LM applied at the firehose
+  test("s_stream_lm: in-stream LM fluency equals the batch scorer score-for-score") {
+    val corpus = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val lm = graft.engine.ops.TextPipeline.lmTable(corpus, "doc_id", "text")
+    val batch = graft.engine.ops.TextPipeline.lmScore(corpus, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val in = MemoryStream[Doc](spark)
+    val out = mutable.ArrayBuffer[(Long, Long, Option[Long])]()
+    val q = Streams.streamingLmScore(in.toDF(), "doc_id", "text", lm)
+      .writeStream
+      .option("checkpointLocation", tmpDir("streamlm"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.select("doc_id", "n_bigrams", "lm_score")
+            .as[(Long, Long, Option[Long])].collect()
+        }
+        ()
+      }.start()
+    in.addData(Doc(1, ts(1), "a b a b"))
+    q.processAllAvailable()
+    in.addData(Doc(2, ts(2), "a c"), Doc(3, ts(2), "zz qq"))  // doc 3: no known bigram
+    q.processAllAvailable(); q.stop()
+    val got = out.sortBy(_._1).toSeq
+    assert(got.take(2).map(r => r._1 -> (r._2, r._3.get)).toMap == batch,
+      s"streamed LM scores must equal batch: stream=$got batch=$batch")
+    assert(got(2) == (3L, 0L, None), s"unknown-bigram doc scores null: $got")
+  }
+
   // s_stream_curate: the composed curation chain on an unbounded frame
   test("s_stream_curate: quality gate -> decontaminate -> scrub -> split compose in one streaming query") {
     val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
