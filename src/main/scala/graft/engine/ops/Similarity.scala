@@ -793,6 +793,174 @@ object Similarity {
       .orderBy(col("dot").desc, col("vec_id").asc)
   }
 
+  // ------------------------------------------------- product quantization
+  private val NSub = 8      // subspaces (Dim / SubDim)
+  private val SubDim = 8    // dims per subspace
+  private val NPqCodes = 16 // codes per subspace codebook
+
+  /** Fixed-seed Gaussian INITIAL sub-codebooks [subspace][code][dim] —
+    * the k-means seed, refined by one Lloyd step in [[pqTrain]] (same
+    * stand-in rationale as the IVF `centroids`: at real scale the seed
+    * comes from a corpus sample; the train/encode/search shape is what
+    * scales and is identical). The 0.125 scale matches the component
+    * stddev of unit-ish 64-dim embeddings (≈ 1/√64) — an unscaled seed
+    * sits far outside the data cloud and collapses the argmin onto a
+    * handful of codes. */
+  private lazy val subCentroids: Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(13)
+    Array.fill(NSub, NPqCodes, SubDim)(rnd.nextGaussian() * 0.125)
+  }
+
+  /** ‖c‖² of each initial sub-centroid, folded left-to-right at plan-build
+    * time — embedded as the SAME shortest-repr double literal in the Spark
+    * plan and the DuckDB oracle, so the expanded distance below is the
+    * identical IEEE expression in both engines. */
+  private lazy val subCentNorm2: Array[Array[Double]] =
+    subCentroids.map(_.map(c => c.foldLeft(0.0)((a, x) => a + x * x)))
+
+  private def subCentCol(m: Int, j: Int): Column =
+    array(subCentroids(m)(j).map(lit(_)): _*)
+
+  /** Squared L2 distance in the EXPANDED form ‖x‖² − 2·⟨x,c⟩ + ‖c‖² —
+    * three fused-loop dots (or two plus a literal) instead of a
+    * subtract-square fold, because the dot is the native kernel both
+    * engines replay bit-identically. The distance is DEFINED as this
+    * expression tree; argmin/LUT consumers only need both engines to
+    * agree, which identical trees guarantee. */
+  private def l2ToInitCent(svv: Column, sv: Column, m: Int, j: Int): Column =
+    svv - lit(2.0) * dot(sv, subCentCol(m, j)) + lit(subCentNorm2(m)(j))
+
+  /** Per-row explode into (vec_id, subspace, sv, code): each embedding
+    * splits into NSub contiguous SubDim-slices, each assigned to its
+    * nearest INITIAL sub-centroid (first-tie-lowest-code argmin, the
+    * annIvf tie rule). The codebook is plan literals, so this is one
+    * narrow codegen'd projection + generator — no join, no shuffle. */
+  private def pqAssignInit(e: DataFrame): DataFrame = {
+    val branches = (0 until NSub).map { m =>
+      val sv = slice(col("embedding"), m * SubDim + 1, SubDim)
+      val svv = dot(sv, sv)
+      val dists = array((0 until NPqCodes).map(j => l2ToInitCent(svv, sv, m, j)): _*)
+      struct(lit(m.toLong).as("subspace"), sv.as("sv"),
+        array_position(dists, array_min(dists)).as("code"))
+    }
+    e.select(col("vec_id"), explode(array(branches: _*)).as("b"))
+      .select(col("vec_id"), col("b.subspace").as("subspace"),
+        col("b.code").as("code"), col("b.sv").as("sv"))
+  }
+
+  /** Unordered per-(subspace, code, dim) Lloyd-update statistics — the
+    * [[kmeansStep]] integer discipline (count + floor(x·10⁶) component
+    * sum + floored mean) applied per subspace: exact integers, so the
+    * trained codebook is reproducible across layouts and oracle-checkable.
+    * One narrow assign pass + one partial+final hash agg (≤ NSub·NPqCodes·
+    * SubDim = 1024 rows out); the corpus never shuffles. */
+  private def pqStats(e: DataFrame): DataFrame =
+    pqAssignInit(e)
+      .select(col("subspace"), col("code"), posexplode(col("sv")).as(Seq("dim0", "xf")))
+      .groupBy("subspace", "code", "dim0")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("xf").cast("double") * lit(1000000.0)).cast("long")).as("sum_x1e6"))
+      .select(col("subspace"), col("code"), (col("dim0") + 1).cast("long").as("dim"),
+        col("n"), col("sum_x1e6"),
+        floor(col("sum_x1e6").cast("double") / col("n")).cast("long").as("mean_x1e6"))
+
+  /** Product-quantization training: one Lloyd step per subspace over the
+    * fixed-seed seed codebooks → the per-(subspace, code, dim) update
+    * statistics whose floored means ARE the trained codebook
+    * ([[pqCodebook]] folds them). Deterministically ordered — the
+    * fixture/oracle binding. */
+  def pqTrain(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+    pqStats(canonVec(vectors, idCol, vecCol)).orderBy("subspace", "code", "dim")
+
+  /** The trained sub-codebooks as (subspace, code, centroid) rows:
+    * centroid components are `mean_x1e6 / 10⁶` — exact integers divided
+    * by the same constant in both engines, so the trained centroids are
+    * bit-identical doubles. Codes no vector mapped to simply don't exist
+    * (encode argmins over the surviving codes). ≤ 128 rows — broadcast
+    * material by construction. */
+  def pqCodebook(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+    pqStats(canonVec(vectors, idCol, vecCol))
+      .select(col("subspace"), col("code"), col("dim"),
+        (col("mean_x1e6").cast("double") / lit(1000000.0)).as("c"))
+      .groupBy("subspace", "code")
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .select(col("subspace"), col("code"),
+        transform(col("dc"), x => x("c")).as("centroid"))
+
+  /** Squared L2 against a TRAINED (data, not literal) centroid row —
+    * same expanded three-dot tree as [[l2ToInitCent]]. */
+  private def l2ToCentRow(sv: Column, cent: Column): Column =
+    dot(sv, sv) - lit(2.0) * dot(sv, cent) + dot(cent, cent)
+
+  /** PQ encoding: each (vec_id, subspace) slice maps to its nearest
+    * TRAINED sub-centroid → one (vec_id, subspace, code) row, the m-byte
+    * code word in row form (joins straight into the ADC score).
+    *
+    * Scale shape (the annIvfBroadcast discipline): the ≤128-row codebook
+    * broadcasts under the corpus scan; assignment is a broadcast hash
+    * join on `subspace` + one (vec_id, subspace)-keyed struct-min agg —
+    * map-side combine collapses the ×NPqCodes fan-out per partition
+    * before the shuffle, and the embedding floats die at the agg (only
+    * dist+code travel). This is the OFFLINE pass (codes are written once,
+    * searched many times); [[annPq]]'s per-query work never rescans or
+    * reshuffles the float corpus. */
+  def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
+    val svs = e.select(col("vec_id"), explode(array((0 until NSub).map { m =>
+        struct(lit(m.toLong).as("subspace"),
+          slice(col("embedding"), m * SubDim + 1, SubDim).as("sv"))
+      }: _*)).as("b"))
+      .select(col("vec_id"), col("b.subspace").as("subspace"), col("b.sv").as("sv"))
+    svs.join(broadcast(codebook.select(col("subspace"), col("code"), col("centroid"))),
+        "subspace")
+      .select(col("vec_id"), col("subspace"),
+        struct(l2ToCentRow(col("sv"), col("centroid")).as("dist"),
+          col("code").as("code")).as("sc"))
+      .groupBy("vec_id", "subspace").agg(min("sc").as("m"))
+      .select(col("vec_id"), col("subspace"), col("m.code").as("code"))
+  }
+
+  /** ANN by product quantization with asymmetric-distance (ADC) scoring —
+    * the memory-bound retrieval tier ABOVE int8 ([[annQuantized]]): codes
+    * are NSub small ints per vector (m·log₂K bits ≈ 4 bytes vs 64 here,
+    * 32× under float32), and search never touches the float corpus.
+    *
+    * The query builds a (subspace, code) → `floor(l2·10⁶)` lookup table
+    * against the trained codebook (≤128 integer terms, broadcast); each
+    * encoded vector's approximate distance is the SUM of its NSub table
+    * terms — an order-free integer sum, so the whole ranking is exact
+    * arithmetic and hash-oracles end-to-end, the [[annQuantized]]
+    * discipline.
+    *
+    * Plan: codebook and LUT broadcast; scoring is one broadcast hash join
+    * on (subspace, code) over the code rows + a (vec_id)-keyed partial+
+    * final sum + TakeOrdered — the corpus floats never load and the code
+    * table never shuffles with payload. */
+  def annPq(vectors: DataFrame, idCol: String, vecCol: String,
+            queryId: Long, k: Int): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
+    // ONE codebook threads through encode and LUT (the quantizeCodes
+    // shared-stats discipline): trained on the full corpus incl. the query
+    val cb = pqCodebook(vectors, idCol, vecCol)
+    val qsv = e.filter(col("vec_id") === queryId)
+      .select(explode(array((0 until NSub).map { m =>
+        struct(lit(m.toLong).as("subspace"),
+          slice(col("embedding"), m * SubDim + 1, SubDim).as("sv"))
+      }: _*)).as("b"))
+      .select(col("b.subspace").as("subspace"), col("b.sv").as("sv"))
+    val lut = qsv.join(broadcast(cb), "subspace")
+      .select(col("subspace"), col("code"),
+        floor(l2ToCentRow(col("sv"), col("centroid")) * lit(1000000.0))
+          .cast("long").as("term"))
+    pqEncode(e.filter(col("vec_id") =!= queryId), "vec_id", "embedding", cb)
+      .join(broadcast(lut), Seq("subspace", "code"))
+      .groupBy("vec_id").agg(sum("term").as("adist"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(k)
+      .orderBy(col("adist").asc, col("vec_id").asc)
+  }
+
   // ------------------------------------------------- fixture bindings
   val queries: Map[String, Q] = Map(
     "q_sim_cosine" -> ((s, d) => knnCosine(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
@@ -818,6 +986,8 @@ object Similarity {
     "q_kmeans_step" -> ((s, d) => kmeansStep(Tables.embeddings(s, d), "vec_id", "embedding")),
     "q_embed_quantize" -> ((s, d) => quantizeEmbeddings(Tables.embeddings(s, d), "vec_id", "embedding")),
     "q_ann_quantized" -> ((s, d) => annQuantized(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
+    "q_pq_train" -> ((s, d) => pqTrain(Tables.embeddings(s, d), "vec_id", "embedding")),
+    "q_ann_pq" -> ((s, d) => annPq(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     // 0.35: the raw corpus is near-orthogonal (max pair cos ~0.5), so a
     // low threshold surfaces the genuinely-related tail within each cell
     "q_semantic_dedup" -> ((s, d) =>
@@ -1177,6 +1347,97 @@ object Similarity {
        |  FROM dotted)""".stripMargin
   }
 
+  /** 8-dim fold dot for the PQ sub-vector oracle — same left-to-right
+    * double accumulation contract as [[foldDot]] over range(1, 9). */
+  private def foldDot8(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, ${SubDim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      s"(a, b) -> a + b)"
+
+  /** Shared DuckDB replication of the PQ pipeline through the initial
+    * assignment: `subcents` (flat [m][j][i] codebook literal + the 128
+    * Scala-folded ‖c‖² literals) → `sv` (8 slices per vector) → `sx`
+    * (+‖sv‖² fold) → `a0` (first-tie-lowest-code L2 argmin, expanded
+    * three-term distance — the identical IEEE tree the Spark plan builds). */
+  private def pqAssignCtes: String = {
+    val centsList = subCentroids.flatten.flatten.mkString("[", ", ", "]")
+    val cnList = subCentNorm2.flatten.mkString("[", ", ", "]")
+    val distList = (0 until NPqCodes).map { j =>
+      val dxc = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, ${SubDim + 1}), " +
+        s"i -> CAST(sv[i] AS DOUBLE) * c[(m*${NPqCodes}+${j})*${SubDim}+i])), (a, b) -> a + b)"
+      s"sxx - CAST(2.0 AS DOUBLE) * $dxc + cn[m*${NPqCodes} + ${j + 1}]"
+    }.mkString("[\n      ", ",\n      ", "]")
+    s"""WITH subcents AS (SELECT $centsList AS c, $cnList AS cn),
+       |sv AS (
+       |  SELECT vec_id, m, list_slice(embedding, m*${SubDim}+1, m*${SubDim}+${SubDim}) AS sv
+       |  FROM embeddings, range($NSub) t(m)),
+       |sx AS (SELECT vec_id, m, sv, ${foldDot8("sv", "sv")} AS sxx FROM sv),
+       |d0 AS (SELECT vec_id, m, sv, sxx, $distList AS dists FROM sx CROSS JOIN subcents),
+       |a0 AS (
+       |  SELECT vec_id, m, sv, sxx,
+       |    CAST(list_position(dists, list_aggregate(dists, 'min')) AS BIGINT) AS code
+       |  FROM d0)""".stripMargin
+  }
+
+  private def pqTrainOracleSql: String =
+    s"""$pqAssignCtes,
+       |expl AS (
+       |  SELECT m AS subspace, code, generate_subscripts(sv, 1) AS dim,
+       |    CAST(floor(CAST(unnest(sv) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+       |  FROM a0)
+       |SELECT subspace, code, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+       |  CAST(sum(xq) AS BIGINT) AS sum_x1e6,
+       |  CAST(floor(CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS mean_x1e6
+       |FROM expl GROUP BY subspace, code, dim ORDER BY subspace, code, dim""".stripMargin
+
+  /** Full q_ann_pq replication: train (the q_pq_train CTEs) → trained
+    * centroids (floored means / 10⁶ — exact doubles) → encode every
+    * non-query vector against the TRAINED codebook (row_number ≡ the
+    * struct-min (dist, code) tie rule) → the query's integer ADC lookup
+    * table → order-free integer distance sums. */
+  private def annPqOracleSql: String =
+    s"""$pqAssignCtes,
+       |stats AS (
+       |  SELECT subspace, code, dim, CAST(sum(xq) AS BIGINT) AS s, count(*) AS n
+       |  FROM (
+       |    SELECT m AS subspace, code, generate_subscripts(sv, 1) AS dim,
+       |      CAST(floor(CAST(unnest(sv) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+       |    FROM a0)
+       |  GROUP BY subspace, code, dim),
+       |cbrow AS (
+       |  SELECT subspace, code, dim,
+       |    CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS DOUBLE)
+       |      / CAST(1000000.0 AS DOUBLE) AS cc
+       |  FROM stats),
+       |cb2 AS (SELECT subspace, code, list(cc ORDER BY dim) AS centroid
+       |        FROM cbrow GROUP BY subspace, code),
+       |ccn AS (SELECT subspace, code, centroid, ${foldDot8("centroid", "centroid")} AS cnn
+       |        FROM cb2),
+       |enc0 AS (
+       |  SELECT s.vec_id, s.m AS subspace, t.code,
+       |    s.sxx - CAST(2.0 AS DOUBLE) * ${foldDot8("s.sv", "t.centroid")} + t.cnn AS dist
+       |  FROM sx s JOIN ccn t ON s.m = t.subspace
+       |  WHERE s.vec_id <> 0),
+       |enc AS (
+       |  SELECT vec_id, subspace, code FROM (
+       |    SELECT vec_id, subspace, code,
+       |      row_number() OVER (PARTITION BY vec_id, subspace
+       |                         ORDER BY dist ASC, code ASC) AS rn
+       |    FROM enc0)
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT t.subspace, t.code,
+       |    CAST(floor((s.sxx - CAST(2.0 AS DOUBLE) * ${foldDot8("s.sv", "t.centroid")} + t.cnn)
+       |               * 1000000.0) AS BIGINT) AS term
+       |  FROM sx s JOIN ccn t ON s.m = t.subspace
+       |  WHERE s.vec_id = 0)
+       |SELECT vec_id, CAST(sum(term) AS BIGINT) AS adist
+       |FROM enc JOIN lut USING (subspace, code)
+       |GROUP BY vec_id
+       |ORDER BY adist ASC, vec_id ASC
+       |LIMIT 10""".stripMargin
+
   private def kmeansStepOracleSql: String =
     s"""$ivfAssignCtes,
        |expl AS (
@@ -1236,6 +1497,8 @@ object Similarity {
         |LIMIT 10""".stripMargin,
     "q_dedup_embedding" -> embeddingOracleSql,
     "q_kmeans_step" -> kmeansStepOracleSql,
+    "q_pq_train" -> pqTrainOracleSql,
+    "q_ann_pq" -> annPqOracleSql,
     "q_semantic_dedup" -> semanticDedupOracleSql,
     "q_ann_lsh" -> annLshOracleSql,
     "q_hybrid_rerank" -> hybridRerankOracleSql,

@@ -232,6 +232,16 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), "no cartesian:\n" + p.take(1500))
   }
 
+  test("q_ann_pq: codebook + ADC table broadcast; scoring never cartesians or sort-merges") {
+    val p = plan("q_ann_pq")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "codebook/LUT joins must broadcast, not sort-merge:\n" + p.take(2000))
+    val bcastJoins = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bcastJoins >= 2,
+      s"encode codebook + score LUT must both broadcast, saw $bcastJoins:\n" + p.take(2000))
+  }
+
   test("q_lm_score: count-table joins stay keyed equi-joins") {
     val p = plan("q_lm_score")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -228,6 +228,31 @@ class TextSimilaritySpec extends SparkSuite {
       s"the near-identical copy of vec 0 must win integer MIPS: $top")
   }
 
+  test("annPq ranks a planted near-copy of the query first under integer ADC") {
+    val planted = Similarity.withPlantedNearDups(
+      graft.engine.io.Tables.embeddings(spark, sfDir))
+    val top = Similarity.annPq(planted, "vec_id", "embedding", 0L, 5)
+      .as[(Long, Long)].collect().toSeq
+    assert(top.head._1 == 1000000L,
+      s"the near-identical copy of vec 0 must minimize the ADC distance: $top")
+  }
+
+  test("pqTrain partitions the corpus: per-(subspace,dim) counts sum to |corpus|; codebook spans most cells") {
+    val emb = graft.engine.io.Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val t = Similarity.pqTrain(emb, "vec_id", "embedding").cache()
+    try {
+      val perDim = t.groupBy("subspace", "dim").agg(sum("n").as("tot"))
+        .select("tot").as[Long].collect()
+      assert(perDim.nonEmpty && perDim.forall(_ == n),
+        s"every (subspace,dim) must see every vector exactly once: ${perDim.distinct.toSeq}")
+      // a mis-scaled seed collapses the argmin onto a handful of codes —
+      // the guard that caught the unscaled-Gaussian regression
+      val cells = t.select("subspace", "code").distinct().count()
+      assert(cells >= 64, s"codebook collapse: only $cells of 128 cells populated")
+    } finally { t.unpersist() }
+  }
+
   test("q_ann_ivf_bcast equals the literal-codebook q_ann_ivf row for row") {
     val literal = run("q_ann_ivf").as[(Long, Double)].collect().toSeq
     val bcast = run("q_ann_ivf_bcast").as[(Long, Double)].collect().toSeq
