@@ -975,6 +975,68 @@ object TextPipeline {
     if (ordered) out.orderBy("doc_id") else out
   }
 
+  /** BPE merge-LIST learning: `nMerges` chained [[bpeStep]] iterations
+    * driven with the [[dedupClusters]] loop discipline — each round is
+    * ONE materialization (`localCheckpoint` truncates the rewrite
+    * lineage, which otherwise grows a replace() tree per round), and the
+    * round's outputs (the argmax pair, its count, the merges applied)
+    * ride that same job via `observe` — exactly one driver round-trip
+    * per merge, never a second aggregation job. Emits the ordered merge
+    * list `(step, pair, n, n_merges)` that [[graft.engine.stream.Streams]]'
+    * BPE-apply stage consumes as its trained vocabulary.
+    *
+    * Stops early if the corpus runs out of adjacent pairs (argmax
+    * empty ⇒ zero rows survive the broadcast join — detected from the
+    * observed row count, the list so far is returned).
+    *
+    * Scale: per round, one gram-keyed count shuffle + a 1-row broadcast
+    * rewrite — the [[bpeStep]] shape; the merge list itself is N rows on
+    * the driver, parallelized at the end. At a real vocab budget (tens
+    * of thousands of merges) the same loop runs over a SAMPLED corpus —
+    * merge selection is a frequency argmax, robust to sampling — while
+    * application stays full-corpus and streaming. */
+  def bpeLearn(documents: DataFrame, idCol: String, textCol: String,
+               nMerges: Int): DataFrame = {
+    val spark = documents.sparkSession
+    graft.engine.functions.GraftFunctions.register(spark)
+    val sp = lit(" ")
+    def rep(c: Column, from: Column, to: Column): Column =
+      call_function("replace", c, from, to)
+    var corpus = documents.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val top = corpus
+        .select(explode(call_function("pos_grams", col("text"), lit(2), lit(true))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1)
+      val doubled = concat(sp, rep(col("text"), sp, lit("  ")), sp)
+      val pattern = concat(sp, rep(col("pair"), sp, lit("  ")), sp)
+      val mergedTok = concat(sp, rep(col("pair"), sp, lit("@")), sp)
+      val newText = trim(rep(rep(doubled, pattern, mergedTok), lit("  "), sp))
+      val obs = new org.apache.spark.sql.Observation(s"bpe_learn_$step")
+      corpus = corpus.crossJoin(broadcast(top))
+        .select(col("doc_id"), col("pair"), col("n"),
+          (size(split(col("text"), " ")) - size(split(newText, " ")))
+            .cast("long").as("n_merges"),
+          newText.as("text"))
+        .observe(obs, min(col("pair")).as("pair"), min(col("n")).as("n"),
+          sum(col("n_merges")).as("m"), count(lit(1)).as("rows"))
+        .select("doc_id", "text")
+        .localCheckpoint()
+      if (obs.get("rows").asInstanceOf[Long] == 0L) exhausted = true
+      else {
+        merges += ((step.toLong, obs.get("pair").asInstanceOf[String],
+          obs.get("n").asInstanceOf[Long], obs.get("m").asInstanceOf[Long]))
+        step += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "pair", "n", "n_merges").orderBy("step")
+  }
+
   /** Corpus-LM fluency score — the exact-arithmetic analogue of the
     * KenLM-perplexity quality filter a web-corpus pipeline runs: a
     * bigram LM is "trained" on the corpus itself (count tables), and
@@ -1267,6 +1329,7 @@ object TextPipeline {
         bm25FixtureQueries.toDF("query_id", "qtext"), "query_id", "qtext", 10)
     }),
     "q_bpe_step" -> ((s, d) => bpeStep(Tables.documents(s, d), "doc_id", "text")),
+    "q_bpe_learn" -> ((s, d) => bpeLearn(Tables.documents(s, d), "doc_id", "text", 8)),
     "q_lm_score" -> ((s, d) => lmScore(Tables.documents(s, d), "doc_id", "text")),
     "q_dedup_degree" -> ((s, d) => dedupDegreeHistogram(sharedPairs(s, d))),
     // distance ≤ 1 within a nation block: names differing in one digit
@@ -1293,6 +1356,39 @@ object TextPipeline {
 
   private def bm25QueryValues: String =
     bm25FixtureQueries.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+
+  /** DuckDB replication of [[bpeLearn]]: `n` chained argmax+rewrite
+    * steps. Each step's corpus AND argmax CTEs are MATERIALIZED — each
+    * is consumed twice downstream, and inlining would re-run the whole
+    * rewrite chain per reference (exponential in steps). The rewrite is
+    * the identical doubled-boundary replace as the q_bpe_step oracle. */
+  private def bpeLearnOracleSql(n: Int): String = {
+    def rewrite(textExpr: String): String =
+      s"""trim(replace(replace(' ' || replace($textExpr, ' ', '  ') || ' ',
+         |      ' ' || replace(p.pair, ' ', '  ') || ' ',
+         |      ' ' || replace(p.pair, ' ', '@') || ' '), '  ', ' '))""".stripMargin
+    val steps = (1 to n).map { s =>
+      val src = s"s${s - 1}"
+      s"""p$s AS MATERIALIZED (
+         |  SELECT pair, count(*) AS n FROM (
+         |    SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS pair
+         |    FROM (SELECT list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk FROM $src))
+         |  GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1),
+         |m$s AS (
+         |  SELECT CAST($s AS BIGINT) AS step, p.pair AS pair, p.n AS n,
+         |    CAST(sum(len(string_split(c.text, ' ')) -
+         |             len(string_split(${rewrite("c.text")}, ' '))) AS BIGINT) AS n_merges
+         |  FROM $src c CROSS JOIN p$s p GROUP BY p.pair, p.n),
+         |s$s AS MATERIALIZED (
+         |  SELECT doc_id, ${rewrite("c.text")} AS text
+         |  FROM $src c CROSS JOIN p$s p)""".stripMargin
+    }
+    s"WITH s0 AS MATERIALIZED (SELECT doc_id, text FROM documents),\n" +
+      steps.mkString(",\n") + "\n" +
+      (1 to n).map(s => s"SELECT step, pair, n, n_merges FROM m$s")
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY step"
+  }
 
   val oracle: Map[String, String] = Map(
     "q_sample_stratified" ->
@@ -1699,6 +1795,12 @@ object TextPipeline {
         |       t -> len(t) > 0 AND NOT list_contains(stops, t)), ' '), '') AS kept_text
         |FROM documents, st
         |ORDER BY doc_id""".stripMargin,
+
+    // BPE learn: 8 chained bpe_step rewrites — every corpus CTE is
+    // MATERIALIZED (each is referenced by the next argmax AND the next
+    // rewrite; inlined, DuckDB would re-run the whole chain per
+    // reference, exponential in steps — the recursive-CTE gotcha).
+    "q_bpe_learn" -> bpeLearnOracleSql(8),
 
     // BPE step: same argmax-pair CTE as the bigram stats, then the
     // doubled-boundary replace trick — replace() is greedy left-to-

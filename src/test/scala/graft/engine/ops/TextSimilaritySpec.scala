@@ -172,6 +172,30 @@ class TextSimilaritySpec extends SparkSuite {
       (2L, "a@b c", 3L, 1L, "a@b@c e")), s"got $step2")
   }
 
+  test("bpeLearn: the merge list IS the chained bpeStep composition; exhaustion stops the loop") {
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    val learned = TextPipeline.bpeLearn(docs, "doc_id", "text", 3)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(learned.map(_._1) == Seq(1L, 2L, 3L), s"steps must be dense: $learned")
+    // replay: three manual bpeStep compositions must pick the same pairs
+    // and apply the same number of merges
+    var corpus = docs.select(col("doc_id"), col("text"))
+    val replayed = (1 to 3).map { _ =>
+      val step = TextPipeline.bpeStep(corpus, "doc_id", "text", ordered = false)
+      val agg = step.groupBy("pair")
+        .agg(sum("n_merges").as("m"), count(lit(1)).as("rows"))
+        .as[(String, Long, Long)].collect().toSeq
+      assert(agg.size == 1)
+      corpus = step.select(col("doc_id"), col("new_text").as("text"))
+      (agg.head._1, agg.head._2)
+    }
+    assert(learned.map(l => (l._2, l._4)) == replayed,
+      s"learned $learned vs replayed $replayed")
+    // a corpus with no adjacent pairs exhausts immediately: empty list
+    val single = Seq((1L, "solo"), (2L, "word")).toDF("doc_id", "text")
+    assert(TextPipeline.bpeLearn(single, "doc_id", "text", 5).count() == 0L)
+  }
+
   test("lmScore: corpus bigram-LM fluency is exact integer arithmetic, hand-computed") {
     val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
     // unigrams a:3 b:2 c:1; bigrams "a b":2 "b a":1 "a c":1

@@ -352,14 +352,22 @@ class StreamingSpec extends SparkSuite {
   }
 
   // s_stream_bpe: offline-learned merge list applied at the firehose
-  test("s_stream_bpe: applying the learned merge list in-stream equals chained batch steps") {
+  test("s_stream_bpe: applying the bpeLearn merge list in-stream equals chained batch steps") {
     val corpus = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
-    // learn two merges offline by chaining the batch step
+    // the trained tokenizer: bpeLearn's ordered merge list IS the
+    // vocabulary the stream applies (train-offline/apply-online)
+    val learned = graft.engine.ops.TextPipeline.bpeLearn(corpus, "doc_id", "text", 2)
+      .select("pair").as[String].collect().toSeq
+    assert(learned.size == 2, s"fixture must learn 2 merges: $learned")
+    val Seq(m1, m2) = learned
+    // ground truth: the chained batch-step composition
     val s1 = graft.engine.ops.TextPipeline.bpeStep(corpus, "doc_id", "text")
-    val m1 = s1.select("pair").head().getString(0)
+    assert(s1.select("pair").head().getString(0) == m1,
+      "bpeLearn step 1 must equal the batch argmax")
     val s2 = graft.engine.ops.TextPipeline.bpeStep(
       s1.select(col("doc_id"), col("new_text").as("text")), "doc_id", "text")
-    val m2 = s2.select("pair").head().getString(0)
+    assert(s2.select("pair").head().getString(0) == m2,
+      "bpeLearn step 2 must equal the chained batch argmax")
     val batchFinal = s2.select("doc_id", "new_text").as[(Long, String)].collect().toMap
     val in = MemoryStream[Doc](spark)
     val out = mutable.ArrayBuffer[(Long, String)]()
