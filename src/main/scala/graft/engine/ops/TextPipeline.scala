@@ -1083,6 +1083,81 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** Trigram back-off LM table — the Katz-style upgrade of [[lmTable]]:
+    * three levels in one frame `(ngram, level, cond)`, all-integer conds
+    * so scoring hash-oracles:
+    *  - level 3: `floor(10⁶·c(w₁w₂w₃)/c(w₁w₂))` keyed by the trigram;
+    *  - level 2: `floor(4·10⁵·c(w₂w₃)/c(w₂))` keyed by the back-off
+    *    bigram (the 0.4 discount, pre-scaled into the constant);
+    *  - level 1: `floor(1.6·10⁵·c(w₃)/T)` keyed by the unigram (0.4²).
+    * A scorer takes the highest level whose key it has seen, else 0 —
+    * the realistic shape of the KenLM-style quality filter: train on a
+    * SAMPLE, score everything, unseen n-grams degrade gracefully
+    * instead of vanishing.
+    *
+    * Scale: the tables are the training corpus's n-gram vocabulary
+    * (Zipf-bounded); each level is one gram-keyed count + one keyed
+    * equi-join against the next level down — no corpus-sized shuffle. */
+  def lmTableBackoff(documents: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
+    val c3 = documents.select(
+        explode(call_function("pos_grams", col(textCol), lit(3), lit(true))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c3"))
+    val c2 = documents.select(
+        explode(call_function("pos_grams", col(textCol), lit(2), lit(true))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c2"))
+    val c1 = documents.select(
+        explode(filter(toks(col(textCol)), t => length(t) > 0)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c1"))
+    val total = c1.agg(sum("c1").as("t"))
+    val tri = c3
+      .withColumn("ctx", concat_ws(" ", slice(split(col("g"), " "), 1, 2)))
+      .join(c2.select(col("g").as("ctx"), col("c2").as("cctx")), "ctx")
+      .select(col("g").as("ngram"), lit(3L).as("level"),
+        floor(lit(1000000.0) * col("c3") / col("cctx")).cast("long").as("cond"))
+    val bi = c2
+      .withColumn("w1", element_at(split(col("g"), " "), 1))
+      .join(c1.select(col("g").as("w1"), col("c1").as("cw1")), "w1")
+      .select(col("g").as("ngram"), lit(2L).as("level"),
+        floor(lit(400000.0) * col("c2") / col("cw1")).cast("long").as("cond"))
+    val un = c1.crossJoin(broadcast(total))
+      .select(col("g").as("ngram"), lit(1L).as("level"),
+        floor(lit(160000.0) * col("c1") / col("t")).cast("long").as("cond"))
+    tri.unionAll(bi).unionAll(un)
+  }
+
+  /** Score every document against an OFFLINE-trained back-off table
+    * ([[lmTableBackoff]]): each trigram takes the deepest level whose
+    * key the training corpus saw (trigram → back-off bigram `w₂w₃` →
+    * unigram `w₃` → 0), and the doc score is the floored integer mean —
+    * exactly the [[lmScore]] arithmetic with graceful degradation.
+    * Three token-keyed left equi-joins against Zipf-bounded tables +
+    * one doc-keyed mean; docs with <3 tokens have no trigrams and drop
+    * (the [[lmScore]] discipline). */
+  def lmScoreBackoff(documents: DataFrame, idCol: String, textCol: String,
+                     lm: DataFrame): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
+    val tg = documents.select(col(idCol).as("doc_id"),
+      explode(call_function("pos_grams", col(textCol), lit(3), lit(true))).as("g"))
+    val parts = tg
+      .withColumn("bg", concat_ws(" ", slice(split(col("g"), " "), 2, 2)))
+      .withColumn("w3", element_at(split(col("g"), " "), 3))
+    val l3 = lm.filter(col("level") === 3).select(col("ngram").as("g"), col("cond").as("cond3"))
+    val l2 = lm.filter(col("level") === 2).select(col("ngram").as("bg"), col("cond").as("cond2"))
+    val l1 = lm.filter(col("level") === 1).select(col("ngram").as("w3"), col("cond").as("cond1"))
+    parts
+      .join(l3, Seq("g"), "left_outer")
+      .join(l2, Seq("bg"), "left_outer")
+      .join(l1, Seq("w3"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cond3"), col("cond2"), col("cond1"), lit(0L)).as("sc"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"), sum("sc").as("s"))
+      .select(col("doc_id"), col("n_trigrams"),
+        floor(col("s") / col("n_trigrams")).cast("long").as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup graph degree histogram: how many documents have k verified
     * near-duplicate partners — the corpus-health statistic that decides
     * dedup aggressiveness (a fat tail = boilerplate flood). Consumes the
@@ -1331,6 +1406,14 @@ object TextPipeline {
     "q_bpe_step" -> ((s, d) => bpeStep(Tables.documents(s, d), "doc_id", "text")),
     "q_bpe_learn" -> ((s, d) => bpeLearn(Tables.documents(s, d), "doc_id", "text", 8)),
     "q_lm_score" -> ((s, d) => lmScore(Tables.documents(s, d), "doc_id", "text")),
+    // train on the even half, score EVERYTHING: odd docs carry unseen
+    // trigrams, so every back-off level (3 → 2 → 1 → 0) is exercised
+    // under the hash oracle
+    "q_lm_score_backoff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      lmScoreBackoff(docs, "doc_id", "text",
+        lmTableBackoff(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"))
+    }),
     "q_dedup_degree" -> ((s, d) => dedupDegreeHistogram(sharedPairs(s, d))),
     // distance ≤ 1 within a nation block: names differing in one digit
     "q_fuzzy_match" -> ((s, d) =>
@@ -1827,6 +1910,49 @@ object TextPipeline {
         |  CAST(len(string_split(text, ' ')) - len(string_split(new_text, ' ')) AS BIGINT) AS n_merges,
         |  new_text
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Trigram back-off LM: count tables trained on the even half,
+    // deepest-seen-level coalesce (10⁶ / 4·10⁵ / 1.6·10⁵ pre-scaled
+    // discounts), floored integer mean — the q_lm_score arithmetic
+    // with graceful degradation, replayed level for level.
+    "q_lm_score_backoff" ->
+      """WITH ttk AS (
+        |  SELECT list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |c3 AS (SELECT g, count(*) AS c3 FROM (
+        |        SELECT unnest(list_transform(range(1, len(tk)-1),
+        |                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+        |        FROM ttk) GROUP BY g),
+        |c2 AS (SELECT g, count(*) AS c2 FROM (
+        |        SELECT unnest(list_transform(range(1, len(tk)),
+        |                 i -> tk[i] || ' ' || tk[i+1])) AS g
+        |        FROM ttk) GROUP BY g),
+        |c1 AS (SELECT g, count(*) AS c1 FROM (
+        |        SELECT unnest(tk) AS g FROM ttk) GROUP BY g),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t FROM c1),
+        |l3 AS (SELECT c3.g AS g,
+        |         CAST(floor(CAST(1000000.0 AS DOUBLE) * c3.c3 / x.c2) AS BIGINT) AS cond3
+        |       FROM c3 JOIN c2 x
+        |         ON split_part(c3.g, ' ', 1) || ' ' || split_part(c3.g, ' ', 2) = x.g),
+        |l2 AS (SELECT c2.g AS g,
+        |         CAST(floor(CAST(400000.0 AS DOUBLE) * c2.c2 / c1.c1) AS BIGINT) AS cond2
+        |       FROM c2 JOIN c1 ON split_part(c2.g, ' ', 1) = c1.g),
+        |l1 AS (SELECT c1.g AS g,
+        |         CAST(floor(CAST(160000.0 AS DOUBLE) * c1.c1 / tot.t) AS BIGINT) AS cond1
+        |       FROM c1 CROSS JOIN tot),
+        |sg AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(tk)-1),
+        |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+        |       FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        |             FROM documents)),
+        |scored AS (
+        |  SELECT doc_id, coalesce(l3.cond3, l2.cond2, l1.cond1, CAST(0 AS BIGINT)) AS sc
+        |  FROM sg LEFT JOIN l3 ON sg.g = l3.g
+        |          LEFT JOIN l2 ON split_part(sg.g, ' ', 2) || ' ' || split_part(sg.g, ' ', 3) = l2.g
+        |          LEFT JOIN l1 ON split_part(sg.g, ' ', 3) = l1.g)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |  CAST(floor(CAST(sum(sc) AS BIGINT) / count(*)) AS BIGINT) AS lm_score
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Corpus-LM fluency: bigram/unigram count tables, one floored
     // scaled ratio per bigram, integer mean — all-BIGINT except the

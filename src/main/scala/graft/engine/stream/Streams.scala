@@ -501,6 +501,38 @@ object Streams {
         when(size(hits) > 0, floor(s / size(hits)).cast("long")).as("lm_score"))
   }
 
+  /** s_stream_lm_backoff: the [[streamingLmScore]] upgrade to the
+    * trigram back-off table ([[graft.engine.ops.TextPipeline
+    * .lmTableBackoff]]): three level maps broadcast as one row each,
+    * and every trigram takes the deepest level whose key the TRAINING
+    * corpus saw (trigram → back-off bigram → unigram → 0) — exactly
+    * the batch [[graft.engine.ops.TextPipeline.lmScoreBackoff]]
+    * coalesce, pinned score-for-score in the spec. Still ZERO
+    * streaming state: the trained head broadcasts, the per-doc pass
+    * is a narrow HOF. Docs with <3 tokens emit n_trigrams = 0 and a
+    * null score (they drop from the batch scorer's grouped output —
+    * the stream surfaces them so a router can quarantine instead). */
+  def streamingLmScoreBackoff(docs: DataFrame, idCol: String, textCol: String,
+                              lm: DataFrame): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(docs.sparkSession)
+    def levelMap(level: Int, as: String): DataFrame =
+      lm.filter(col("level") === level).agg(
+        map_from_entries(collect_list(struct(col("ngram"), col("cond")))).as(as))
+    val grams = call_function("pos_grams", col(textCol), lit(3), lit(true))
+    val sc = aggregate(grams, lit(0L), (acc, g) => {
+      val bg = concat_ws(" ", slice(split(g, " "), 2, 2))
+      val w3 = element_at(split(g, " "), 3)
+      acc + coalesce(element_at(col("m3"), g), element_at(col("m2"), bg),
+        element_at(col("m1"), w3), lit(0L))
+    })
+    docs.crossJoin(broadcast(levelMap(3, "m3")))
+      .crossJoin(broadcast(levelMap(2, "m2")))
+      .crossJoin(broadcast(levelMap(1, "m1")))
+      .select(col(idCol).as("doc_id"),
+        size(grams).cast("long").as("n_trigrams"),
+        when(size(grams) > 0, floor(sc / size(grams)).cast("long")).as("lm_score"))
+  }
+
   /** s_stream_curate: the COMPOSED in-stream curation path — the
     * streaming face of the batch `q_curation_pipeline` stage chain,
     * minus the inherently cross-document near-dup stage (that is

@@ -196,6 +196,24 @@ class TextSimilaritySpec extends SparkSuite {
     assert(TextPipeline.bpeLearn(single, "doc_id", "text", 5).count() == 0L)
   }
 
+  test("lmScoreBackoff: every back-off level triggers and scores hand-computed integers") {
+    // train: trigrams {"a b c":2, "b c a":1, "c a b":1}; bigrams
+    // {"a b":2, "b c":2, "c a":1}; unigrams {a:2, b:2, c:2}; T=6
+    val train = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val lm = TextPipeline.lmTableBackoff(train, "doc_id", "text")
+    val score = Seq(
+      (10L, "a b c"),   // seen trigram: floor(1e6*2/2("a b")) = 1000000
+      (11L, "x b c"),   // unseen trigram, back-off bigram "b c": floor(4e5*2/2(b)) = 400000
+      (12L, "x y c"),   // only unigram "c": floor(1.6e5*2/6) = 53333
+      (13L, "x y z"))   // fully unseen: 0
+      .toDF("doc_id", "text")
+    val got = TextPipeline.lmScoreBackoff(score, "doc_id", "text", lm)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (10L, 1L, 1000000L), (11L, 1L, 400000L), (12L, 1L, 53333L), (13L, 1L, 0L)),
+      s"got $got")
+  }
+
   test("lmScore: corpus bigram-LM fluency is exact integer arithmetic, hand-computed") {
     val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
     // unigrams a:3 b:2 c:1; bigrams "a b":2 "b a":1 "a c":1

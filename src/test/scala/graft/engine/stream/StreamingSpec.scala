@@ -574,6 +574,40 @@ class StreamingSpec extends SparkSuite {
     assert(got(2) == (3L, 0L, None), s"unknown-bigram doc scores null: $got")
   }
 
+  // s_stream_lm_backoff: the back-off-table upgrade of s_stream_lm
+  test("s_stream_lm_backoff: in-stream back-off scoring equals the batch scorer score-for-score") {
+    // train on a corpus that does NOT contain the scored docs' trigrams
+    // uniformly: "a b c" seen; "a b d" backs off to bigram "b d"? no —
+    // to unigram "d"; "z z z" is fully unseen → 0
+    val train = Seq((1L, "a b c a b c"), (2L, "b d e")).toDF("doc_id", "text")
+    val lm = graft.engine.ops.TextPipeline.lmTableBackoff(train, "doc_id", "text")
+    val scoreDocs = Seq((10L, "a b c a b d"), (11L, "z z z z")).toDF("doc_id", "text")
+    val batch = graft.engine.ops.TextPipeline
+      .lmScoreBackoff(scoreDocs, "doc_id", "text", lm)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(batch.nonEmpty)
+    val in = MemoryStream[Doc](spark)
+    val out = mutable.ArrayBuffer[(Long, Long, Option[Long])]()
+    val q = Streams.streamingLmScoreBackoff(in.toDF(), "doc_id", "text", lm)
+      .writeStream
+      .option("checkpointLocation", tmpDir("streamlmbo"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.select("doc_id", "n_trigrams", "lm_score")
+            .as[(Long, Long, Option[Long])].collect()
+        }
+        ()
+      }.start()
+    in.addData(Doc(10, ts(1), "a b c a b d"))
+    q.processAllAvailable()
+    in.addData(Doc(11, ts(2), "z z z z"), Doc(12, ts(2), "xy"))  // 12: too short
+    q.processAllAvailable(); q.stop()
+    val got = out.sortBy(_._1).toSeq
+    assert(got.take(2).map(r => r._1 -> (r._2, r._3.get)).toMap == batch,
+      s"streamed back-off scores must equal batch: stream=$got batch=$batch")
+    assert(got(2) == (12L, 0L, None), s"sub-trigram doc surfaces with null score: $got")
+  }
+
   // s_stream_curate: the composed curation chain on an unbounded frame
   test("s_stream_curate: quality gate -> decontaminate -> scrub -> split compose in one streaming query") {
     val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
