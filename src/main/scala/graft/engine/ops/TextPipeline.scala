@@ -608,6 +608,33 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** Corpus-contract tokenizer normalization: every text operator here
+    * assumes SINGLE-SPACED token streams (the [[bpeStep]] scaladoc
+    * contract); this is the pass that makes arbitrary text meet it —
+    * NFC composition (the native `nfc_normalize`), optional punctuation
+    * isolation (spaces around each ASCII-punct char, so `foo,bar`
+    * tokenizes as three tokens), and whitespace collapse (any run of
+    * space/tab/newline/CR/FF → one space, ends trimmed). One narrow
+    * codegen'd projection — the 100 TB form is a pure map stage, and
+    * `op ∘ tokenize(messy) ≡ op(clean)` is property-tested for the
+    * downstream operators.
+    *
+    * The whitespace class is written EXPLICITLY (`[ \t\n\r\f]`), not as
+    * `\s`, because Java and RE2 disagree on `\s` (vertical tab) — the
+    * explicit class is identical in both engines, which the oracle
+    * replay depends on. */
+  def tokenize(documents: DataFrame, idCol: String, textCol: String,
+               splitPunct: Boolean = false): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
+    val nfc = call_function("nfc_normalize", col(textCol))
+    val punct = if (splitPunct) regexp_replace(nfc, "([\\p{Punct}])", " $1 ") else nfc
+    val collapsed = trim(regexp_replace(punct, "[ \\t\\n\\r\\f]+", " "))
+    documents.select(col(idCol).as("doc_id"), collapsed.as("text_tok"),
+        when(length(collapsed) === 0, lit(0L))
+          .otherwise(size(split(collapsed, " ")).cast("long")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style repetition metrics: per document, the fraction of
     * duplicate 2-grams and 3-grams (a high duplicate-n-gram share is the
     * canonical boilerplate/spam signal the Gopher rules filter on, and
@@ -1343,6 +1370,13 @@ object TextPipeline {
     "q_gopher_rules" -> ((s, d) => gopherRules(Tables.documents(s, d), "doc_id", "text")),
     "q_repetition" -> ((s, d) => repetitionMetrics(Tables.documents(s, d), "doc_id", "text")),
     "q_normalize_text" -> ((s, d) => normalizeText(Tables.documents(s, d), "doc_id", "text")),
+    // deterministically messify the fixture (triple spaces, leading run,
+    // trailing tab) so the collapse path is exercised UNDER the oracle,
+    // not just in the property test
+    "q_tokenize" -> ((s, d) => tokenize(
+      Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("  "), regexp_replace(col("text"), " ", "   "), lit(" \t")).as("text")),
+      "doc_id", "text", splitPunct = true)),
     // the normalize→dedup composition: exact dedup over NFC text — what
     // a real pipeline runs so composition-form variants can't split
     // identical documents (vacuously equal to q_dedup_exact on the
@@ -1639,6 +1673,25 @@ object TextPipeline {
       """SELECT doc_id, nfc_normalize(text) AS text_nfc,
         |  (nfc_normalize(text) <> text) AS changed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Tokenizer normalization over the deterministically-messified
+    // fixture: NFC → punct isolation ([[:punct:]] ≡ Java \p{Punct},
+    // both ASCII-only) → explicit-class whitespace collapse (\s differs
+    // between Java and RE2; the explicit class doesn't).
+    "q_tokenize" ->
+      """WITH messy AS (
+        |  SELECT doc_id, '  ' || replace(text, ' ', '   ') || ' ' || chr(9) AS text
+        |  FROM documents),
+        |norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(nfc_normalize(text), '([[:punct:]])', ' \1 ', 'g'),
+        |      '[ \t\n\r\f]+', ' ', 'g')) AS text_tok
+        |  FROM messy)
+        |SELECT doc_id, text_tok,
+        |  CASE WHEN len(text_tok) = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(len(string_split(text_tok, ' ')) AS BIGINT) END AS n_tokens
+        |FROM norm ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact_normalized" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups, nfc_normalize(text) AS text

@@ -196,6 +196,36 @@ class TextSimilaritySpec extends SparkSuite {
     assert(TextPipeline.bpeLearn(single, "doc_id", "text", 5).count() == 0L)
   }
 
+  test("tokenize: op ∘ tokenize(messy) ≡ op(clean) for downstream text operators") {
+    val clean = graft.engine.io.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    // whitespace-only corruption: the normalizer must recover the clean
+    // corpus EXACTLY (the corpus-contract guarantee)
+    val messy = clean.select(col("doc_id"),
+      concat(lit(" \t "), regexp_replace(col("text"), " ", " \n  "), lit("  ")).as("text"))
+    val recovered = TextPipeline.tokenize(messy, "doc_id", "text")
+      .select(col("doc_id"), col("text_tok").as("text"))
+    assert(recovered.join(clean.withColumnRenamed("text", "t0"), "doc_id")
+      .filter(col("text") =!= col("t0")).count() == 0L,
+      "tokenize must recover the clean corpus from whitespace noise")
+    // downstream ops see identical inputs ⇒ identical outputs
+    val statsClean = TextPipeline.ngramStats(clean, "text", 5)
+      .as[(String, Long)].collect().toSeq
+    val statsMessy = TextPipeline.ngramStats(recovered, "text", 5)
+      .as[(String, Long)].collect().toSeq
+    assert(statsClean == statsMessy && statsClean.nonEmpty)
+    val countsClean = TextPipeline.tokenCounts(clean, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    val countsMessy = TextPipeline.tokenCounts(recovered, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(countsClean == countsMessy)
+    // punctuation isolation: attached punct becomes its own token
+    val punct = Seq((1L, "Hello, world! (really)")).toDF("doc_id", "text")
+    val got = TextPipeline.tokenize(punct, "doc_id", "text", splitPunct = true)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "Hello , world ! ( really )", 7L)), s"got $got")
+  }
+
   test("lmScoreBackoff: every back-off level triggers and scores hand-computed integers") {
     // train: trigrams {"a b c":2, "b c a":1, "c a b":1}; bigrams
     // {"a b":2, "b c":2, "c a":1}; unigrams {a:2, b:2, c:2}; T=6
