@@ -505,6 +505,55 @@ object TextPipeline {
       .orderBy(docCol, idxCol)
   }
 
+  /** Cross-doc second-stage packing: [[packSequences]] is per-doc by
+    * design, which strands one underfull sequence per document; this
+    * stage bin-packs those tails ACROSS documents without ever going
+    * through a global single-partition window.
+    *
+    * The trick is capacity classes: a tail of `t` tokens gets class
+    * `c = ⌊budget/t⌋`, and within a class every member has `t ≤ budget/c`
+    * — so bins of exactly `c` members NEVER overflow the budget, and
+    * every full bin is > 50% full (`c·t > c·budget/(c+1) ≥ budget/2`).
+    * Assignment is then embarrassingly parallel: rank within the class
+    * (size desc — the first-fit-decreasing order — then ids for
+    * determinism) and chop the rank into groups of `c`. A second
+    * partition key, the engine-neutral [[keyBucket]] shard of the doc
+    * id, keeps the window distributed even when one class dominates
+    * (uniform tails put ~half of them in class 1): the per-bin
+    * guarantee is per-class, so sharding costs nothing but a few more
+    * partial bins. All-integer manifest → hash-oracles.
+    *
+    * Scale: one keyed agg to the per-seq totals, one (class, shard)
+    * window over ROWS ≈ DOCS (tails only, never chunks), one keyed agg
+    * out. No single-partition exchange anywhere (plan-pinned). */
+  def packGlobal(chunks: DataFrame, docCol: String, idxCol: String,
+                 nToksCol: String, budget: Int, nShards: Int = 4): DataFrame = {
+    // the packer's own seq definition (packSequences minus its fixture
+    // sort): per-(doc, seq) token totals
+    val w0 = Window.partitionBy(docCol).orderBy(col(idxCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perSeq = chunks
+      .withColumn("cum", sum(col(nToksCol)).over(w0))
+      .withColumn("seq_id",
+        floor((col("cum") - col(nToksCol)).cast("double") / budget).cast("long"))
+      .groupBy(col(docCol), col("seq_id")).agg(sum(col(nToksCol)).as("t"))
+    val tails = perSeq.filter(col("t") < budget)
+      .withColumn("pack_class", floor(lit(budget.toDouble) / col("t")).cast("long"))
+      .withColumn("shard", pmod(keyBucket(col(docCol)), lit(nShards)).cast("long"))
+    val w = Window.partitionBy("pack_class", "shard")
+      .orderBy(col("t").desc, col(docCol).asc, col("seq_id").asc)
+    tails.withColumn("rn", row_number().over(w))
+      .withColumn("bin_id",
+        floor((col("rn") - 1).cast("double") / col("pack_class")).cast("long"))
+      .groupBy("pack_class", "shard", "bin_id")
+      .agg(count(lit(1)).as("n_parts"), sum("t").as("bin_tokens"))
+      .select(col("pack_class"), col("shard"), col("bin_id"),
+        col("n_parts"), col("bin_tokens"),
+        floor(col("bin_tokens").cast("double") * 10000.0 / budget)
+          .cast("long").as("fill_bp"))
+      .orderBy("pack_class", "shard", "bin_id")
+  }
+
   /** Per-sequence pack manifest — what a training data-loader actually
     * consumes from packing: one row per (doc, seq) with its chunk
     * count, total tokens, fill ratio vs the budget in floored basis
@@ -1402,6 +1451,11 @@ object TextPipeline {
         chunkDocuments(Tables.documents(s, d), "doc_id", "text", 32, 8)
           .select("doc_id", "chunk_idx", "n_toks"),
         "doc_id", "chunk_idx", "n_toks", budget = 64)),
+    "q_pack_global" -> ((s, d) =>
+      packGlobal(
+        chunkDocuments(Tables.documents(s, d), "doc_id", "text", 32, 8)
+          .select("doc_id", "chunk_idx", "n_toks"),
+        "doc_id", "chunk_idx", "n_toks", budget = 64)),
     "q_pack_manifest" -> ((s, d) =>
       packManifest(
         packSequences(
@@ -1613,6 +1667,40 @@ object TextPipeline {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS DOUBLE)
         |       / 64) AS BIGINT) AS seq_id
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Cross-doc pack: same chunk/seq CTEs to the per-seq totals, then
+    // capacity-class binning — floor(64/t) class, keyBucket shard,
+    // rank-desc chop into groups of `class` — all integer arithmetic.
+    "q_pack_global" ->
+      (s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, t,
+        |        unnest(range(1, len(t) + 1, 24)) AS start,
+        |        generate_subscripts(range(1, len(t) + 1, 24), 1) AS chunk_idx
+        |      FROM d),
+        |c AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |        len(list_slice(t, start, least(start + 31, len(t)))) AS n_toks
+        |      FROM s),
+        |p AS (SELECT doc_id, chunk_idx, n_toks,
+        |        CAST(floor(CAST(sum(n_toks) OVER (PARTITION BY doc_id ORDER BY chunk_idx ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS DOUBLE)
+        |             / 64) AS BIGINT) AS seq_id
+        |      FROM c),
+        |seqs AS (SELECT doc_id, seq_id, CAST(sum(n_toks) AS BIGINT) AS t
+        |         FROM p GROUP BY doc_id, seq_id),
+        |tails AS (SELECT doc_id, seq_id, t,
+        |           CAST(floor(CAST(64 AS DOUBLE) / t) AS BIGINT) AS pack_class,
+        |           CAST(${keyBucketSql("doc_id")} % 4 AS BIGINT) AS shard
+        |         FROM seqs WHERE t < 64),
+        |binned AS (SELECT pack_class, shard, t,
+        |            CAST(floor(CAST(row_number() OVER (PARTITION BY pack_class, shard
+        |                   ORDER BY t DESC, doc_id ASC, seq_id ASC) - 1 AS DOUBLE)
+        |                 / pack_class) AS BIGINT) AS bin_id
+        |          FROM tails)
+        |SELECT pack_class, shard, bin_id, count(*) AS n_parts,
+        |  CAST(sum(t) AS BIGINT) AS bin_tokens,
+        |  CAST(floor(CAST(sum(t) AS DOUBLE) * 10000.0 / 64) AS BIGINT) AS fill_bp
+        |FROM binned GROUP BY pack_class, shard, bin_id
+        |ORDER BY pack_class, shard, bin_id""").stripMargin,
 
     // Pack manifest: same chunk/pack CTEs, then one (doc, seq) group
     // with the ordered chunk-length list folded to the postings-style

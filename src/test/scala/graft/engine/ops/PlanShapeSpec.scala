@@ -232,6 +232,12 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), "no cartesian:\n" + p.take(1500))
   }
 
+  test("q_pack_global: the cross-doc bin-pack stays distributed — no single-partition exchange") {
+    val p = plan("q_pack_global")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the (class, shard) window must never collapse to one partition:\n${p.take(2000)}")
+  }
+
   test("q_ann_pq: codebook + ADC table broadcast; scoring never cartesians or sort-merges") {
     val p = plan("q_ann_pq")
     assert(!p.contains("CartesianProduct"), "no cartesian anywhere:\n" + p.take(2000))

@@ -196,6 +196,30 @@ class TextSimilaritySpec extends SparkSuite {
     assert(TextPipeline.bpeLearn(single, "doc_id", "text", 5).count() == 0L)
   }
 
+  test("packGlobal: bins never exceed the budget; cross-doc fill beats the per-doc tails it consumed") {
+    val chunks = TextPipeline.chunkDocuments(
+        graft.engine.io.Tables.documents(spark, sfDir), "doc_id", "text", 32, 8)
+      .select("doc_id", "chunk_idx", "n_toks")
+    val budget = 64
+    val bins = TextPipeline.packGlobal(chunks, "doc_id", "chunk_idx", "n_toks", budget)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(bins.nonEmpty)
+    // the capacity-class invariant: c members of size <= budget/c fit
+    assert(bins.forall(_._5 <= budget), s"bin over budget: ${bins.filter(_._5 > budget)}")
+    // every FULL bin (n_parts == pack_class) is > 50% full by construction
+    val full = bins.filter(b => b._4 == b._1)
+    assert(full.nonEmpty && full.forall(_._6 > 5000),
+      s"underfull full-bin: ${full.filter(_._6 <= 5000)}")
+    // token conservation + consolidation: same tokens, fewer rows than the
+    // underfull sequences fed in => average fill strictly improves
+    val perSeq = TextPipeline.packSequences(chunks, "doc_id", "chunk_idx", "n_toks", budget)
+      .groupBy("doc_id", "seq_id").agg(sum("n_toks").as("t"))
+      .filter(col("t") < budget).as[(Long, Long, Long)].collect().toSeq
+    assert(bins.map(_._5).sum == perSeq.map(_._3).sum, "tokens must be conserved")
+    assert(bins.size < perSeq.size,
+      s"repacking must consolidate: ${bins.size} bins vs ${perSeq.size} tails")
+  }
+
   test("tokenize: op ∘ tokenize(messy) ≡ op(clean) for downstream text operators") {
     val clean = graft.engine.io.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
