@@ -112,7 +112,11 @@ object Tables {
       if (!done.exists()) {
         val ev = events(spark, sfDir).withColumn("event_date", col("ts").cast("date"))
         ev.write.mode("overwrite").partitionBy("event_date").parquet(factDir)
-        val w = org.apache.spark.sql.expressions.Window.orderBy("event_date")
+        // the dim is ~366 distinct dates built once per sfDir; the
+        // constant partition key keeps the single-partition rank
+        // explicit instead of tripping WindowExec's warning
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0)).orderBy("event_date")
         ev.select(col("event_date")).distinct()
           .withColumn("day_no", row_number().over(w).cast("long"))
           .write.mode("overwrite").parquet(dimDir)

@@ -215,7 +215,14 @@ object Similarity {
     * corpus scan for the rerank — the corpus is never re-shuffled and
     * candidates are never re-joined against each other. The BM25 leg
     * keeps up to nCand+1 ranks before dropping the query document
-    * itself (which trivially ranks first on its own terms). */
+    * itself (which trivially ranks first on its own terms).
+    *
+    * CONTRACT: document ids and vector ids are the SAME id space
+    * (`doc_id == vec_id` row for row) — the rerank joins the candidate
+    * union inner against the embeddings, so a BM25 candidate with no
+    * embedding row would be silently dropped, provenance and all. If
+    * the spaces can diverge, map ids first (or left-join and route
+    * embedding-less candidates to an error sink). */
   def hybridRerank(documents: DataFrame, docIdCol: String, textCol: String,
                    vectors: DataFrame, vecIdCol: String, vecCol: String,
                    queryId: Long, nCand: Int, k: Int): DataFrame = {
@@ -238,9 +245,12 @@ object Similarity {
     val e = canonVec(vectors, vecIdCol, vecCol)
     val qe = e.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qemb"))
-    // unpartitioned window is safe here: it ranks the ≤ 2·nCand
-    // candidate union, never the corpus
+    // the rank runs over the ≤ 2·nCand candidate union, never the
+    // corpus; partitioning by the (constant) query id keeps the
+    // single-partition move EXPLICIT instead of tripping WindowExec's
+    // no-partition warning on every run
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(queryId))
       .orderBy(col("cos_sim").desc, col("doc_id").asc)
     e.join(broadcast(cands), col("vec_id") === col("cand_id"))
       .crossJoin(broadcast(qe))
@@ -560,6 +570,12 @@ object Similarity {
         // of one prefix compute, and MEMORY_AND_DISK degrades to spill
         // (not recompute) if a 100 TB banded table outgrows the
         // executors. Tiny either way — 4 narrow columns per rep·band.
+        // DELIBERATELY never unpersisted: the operator returns a lazy
+        // frame, so the action (and thus the last read of this cache)
+        // happens in the caller — an eager unpersist here would undo
+        // the reuse. Cached blocks are LRU-evicted; a long session
+        // calling this repeatedly trades that bounded cache for not
+        // recomputing the minhash prefix three times per call.
         val b = banded.persist(StorageLevel.MEMORY_AND_DISK)
         val salted = saltCells(b, Seq("band", "bkey"), "rep", cap)
         salted.as("x").join(salted.as("y"), Seq("band", "bkey", "salt_lo", "salt_hi"))

@@ -203,7 +203,10 @@ object TextPipeline {
         prevSum = nextSum
         iter += 1
       }
-      System.err.println(s"[dedup_clusters] ${if (converged) "converged" else "max-iters"} after $iter rounds")
+      // diagnostics opt-in (spark.graft.debug=true): library callers and
+      // tests stay silent like the rest of the operator layer
+      if (documents.sparkSession.conf.getOption("spark.graft.debug").contains("true"))
+        System.err.println(s"[dedup_clusters] ${if (converged) "converged" else "max-iters"} after $iter rounds")
       labels
     } finally edges.unpersist()
   }

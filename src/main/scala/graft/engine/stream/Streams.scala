@@ -264,6 +264,14 @@ object Streams {
     * watermark) events, and a timeout computed from only that batch's
     * max would move the eviction EARLIER than horizonMs past the
     * bucket's true newest member. */
+  /** COMPAT NOTE: this is the flatMapGroupsWithState state type — its
+    * shape is part of the streaming-checkpoint contract. Changing it
+    * (round 5 replaced a List[(Long, Seq[Long])] member with this
+    * class) breaks state deserialization for any query restarted from a
+    * PRE-CHANGE checkpoint: fixture/test runs always start fresh, but a
+    * long-lived deployment must either keep the old shape, version the
+    * state (wrap in an evolvable envelope), or restart with a NEW
+    * checkpointLocation after any field change. */
   final case class LshBucketState(maxTs: Long, members: Map[Long, Seq[Long]])
 
   /** s_stream_neardup_lsh: cross-batch MinHash-LSH near-duplicate
