@@ -286,6 +286,55 @@ class StreamingSpec extends SparkSuite {
       s"distinct doc must pair with nothing: $out")
   }
 
+  // s_stream_neardup_lsh_rocksdb: same operator, large-state store. The
+  // HDFS-backed default keeps every bucket on the executor heap; RocksDB
+  // is the declared scale path once LSH state outgrows it (SURVEY §4.2).
+  // The provider is a session conf captured at query start — the toggle
+  // is config-only, zero operator changes, and the detection semantics
+  // (cross-batch pairs, kill-and-restart recovery) must be IDENTICAL.
+  test("s_stream_neardup_lsh on RocksDB state store: same pairs, same restart recovery") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Doc](spark)
+      val ckpt = tmpDir("neardup-lsh-rocks")
+      val out = mutable.ArrayBuffer[(Long, Long)]()
+      def start() = Streams.streamingNearDupLsh(in.toDF(), "text", minEstJaccard = 0.5)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.NearDupHit], _: Long) =>
+          out.synchronized { out ++= b.collect().map(h => (h.doc_id_1, h.doc_id_2)) }
+          ()
+        }.start()
+      val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+      val near = "alpha bravo charlie delta echo foxtrot golf hotel india kilo"
+      val far = "one two three four five six seven eight nine ten"
+      val q1 = start()
+      in.addData(Doc(1, ts(1), base), Doc(4, ts(1), far))
+      q1.processAllAvailable()
+      q1.stop() // RocksDB state must survive the kill in the checkpoint
+      val q2 = start()
+      in.addData(Doc(2, ts(2), near))
+      q2.processAllAvailable()
+      in.addData(Doc(3, ts(3), near + " extra"))
+      q2.processAllAvailable(); q2.stop()
+      val pairs = out.distinct.sorted.toSeq
+      assert(pairs.contains((1L, 2L)),
+        s"RocksDB state must survive the kill-and-restart: $out")
+      assert(pairs.contains((2L, 3L)), s"cross-batch pair missing on RocksDB: $out")
+      assert(pairs.forall { case (a, b) => a != 4L && b != 4L },
+        s"distinct doc must pair with nothing: $out")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("s_stream_neardup_lsh: bucketCap bounds state — post-cap arrivals compare but are not stored") {
     val in = MemoryStream[Doc](spark)
     val out = mutable.ArrayBuffer[(Long, Long)]()
