@@ -118,8 +118,14 @@ object TextPipeline {
   def dedupClusters(documents: DataFrame, idCol: String, textCol: String,
                     threshold: Double, maxIters: Int = 20,
                     reliable: Boolean = false, checkpointEvery: Int = 1,
-                    precomputedPairs: Option[DataFrame] = None): DataFrame = {
+                    precomputedPairs: Option[DataFrame] = None,
+                    algo: String = "labelprop"): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    if (algo == "star")
+      return starComponents(documents, idCol,
+        precomputedPairs.getOrElse(
+          Similarity.minhashNearDup(documents, idCol, textCol, threshold, ordered = false)),
+        maxIters)
     // one materialization per round: reliable rounds write to the
     // checkpoint dir (fault-tolerant), all others truncate lineage via
     // executor-local blocks (fast; the local[n] default)
@@ -209,6 +215,77 @@ object TextPipeline {
         System.err.println(s"[dedup_clusters] ${if (converged) "converged" else "max-iters"} after $iter rounds")
       labels
     } finally edges.unpersist()
+  }
+
+  /** Alternating large-star/small-star connected components (the
+    * MapReduce-CC formulation) over a canonical `(a < b)` pair list —
+    * the structural alternative to [[dedupClusters]]' label-propagation
+    * loop, kept behind its `algo` flag for measured comparison:
+    *  - large-star: every node's strictly-larger neighbors reconnect to
+    *    `min(N(u) ∪ {u})`;
+    *  - small-star: every node's smaller-or-equal neighbors (plus the
+    *    node) reconnect to the min of that set.
+    * Both phases compose lazily inside ONE materialization per
+    * iteration; convergence = the (count, Σa, Σb) triple repeating,
+    * observed on the same job. At fixpoint every component is a star
+    * rooted at its min id, which is exactly the label-prop answer —
+    * same output contract, same oracle (spec-pinned identical on the
+    * fixture).
+    *
+    * MEASURED AND REJECTED as the default (round 6, sf0.1 DevTime
+    * steady state): star 12.65 s vs label-prop 4.08 s. The fixture
+    * loop is SCHEDULER-bound, and each star iteration re-shuffles the
+    * whole EDGE set through two groupBys, two distincts and two joins
+    * (~6 stages/iteration), where a label-prop round shuffles only the
+    * tiny label table against the once-persisted hash-partitioned edge
+    * list (~3 stages). Star's asymptotic win (O(log n) iterations
+    * independent of diameter, edges shrinking toward stars) needs
+    * per-round DATA cost to dominate — i.e. an edge list too big to
+    * persist partitioned — which is the opposite of this regime. The
+    * flag stays for that regime and for the equivalence spec. */
+  private def starComponents(documents: DataFrame, idCol: String,
+                             pairs: DataFrame, maxIters: Int): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    def largeStar(adj: DataFrame): DataFrame = {
+      val mins = adj.groupBy("a").agg(min("b").as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      adj.filter(col("b") > col("a")).join(mins, "a")
+        .select(col("m").as("a"), col("b").as("b"))
+        .filter(col("a") < col("b")).distinct()
+    }
+    def smallStar(adj: DataFrame): DataFrame = {
+      val le = adj.filter(col("b") < col("a"))
+      val mins = le.groupBy("a").agg(min("b").as("m"))
+      le.join(mins, "a")
+        .select(col("m").as("x"), col("b").as("y"))
+        .unionAll(mins.select(col("m").as("x"), col("a").as("y")))
+        .filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"),
+                greatest(col("x"), col("y")).as("b"))
+        .distinct()
+    }
+    var e = pairs.select(col("doc_id_1").as("a"), col("doc_id_2").as("b")).distinct()
+    var prev = (-1L, -1L, -1L)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val obs = new org.apache.spark.sql.Observation(s"star_i$iter")
+      e = smallStar(sym(largeStar(sym(e))))
+        .observe(obs, count(lit(1)).as("n"), sum("a").as("sa"), sum("b").as("sb"))
+        .localCheckpoint()
+      val cur = (obs.get("n").asInstanceOf[Long],
+        Option(obs.get("sa")).fold(0L)(_.asInstanceOf[Long]),
+        Option(obs.get("sb")).fold(0L)(_.asInstanceOf[Long]))
+      converged = cur == prev
+      prev = cur
+      iter += 1
+    }
+    val labels = e.select(col("b").as("id"), col("a").as("cluster"))
+      .unionAll(e.select(col("a").as("id"), col("a").as("cluster")).distinct())
+    documents.select(col(idCol).as("id"))
+      .join(labels.groupBy("id").agg(min("cluster").as("cluster")), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
   /** Stratified deterministic sampling: per-stratum rates via the same

@@ -196,6 +196,25 @@ class TextSimilaritySpec extends SparkSuite {
     assert(TextPipeline.bpeLearn(single, "doc_id", "text", 5).count() == 0L)
   }
 
+  test("dedupClusters algo=star: large-star/small-star labels equal label propagation exactly") {
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    val lp = TextPipeline.dedupClusters(docs, "doc_id", "text", 0.9)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val star = TextPipeline.dedupClusters(docs, "doc_id", "text", 0.9, algo = "star")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(star == lp, s"star CC diverged from label-prop")
+    assert(lp.exists { case (id, c) => id != c }, "fixture must have non-trivial clusters")
+    // chain graph: the case pointer-jumping needs rounds for and star
+    // collapses differently — both must still agree on min-id roots
+    val chain = Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("doc_id", "text")
+    val chainPairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0)).toDF("doc_id_1", "doc_id_2", "jaccard")
+    val lpc = TextPipeline.dedupClusters(chain, "doc_id", "text", 0.9,
+      precomputedPairs = Some(chainPairs)).as[(Long, Long)].collect().sorted.toSeq
+    val stc = TextPipeline.dedupClusters(chain, "doc_id", "text", 0.9,
+      precomputedPairs = Some(chainPairs), algo = "star").as[(Long, Long)].collect().sorted.toSeq
+    assert(lpc == Seq((1L, 1L), (2L, 1L), (3L, 1L)) && stc == lpc, s"lp=$lpc star=$stc")
+  }
+
   test("packGlobal: bins never exceed the budget; cross-doc fill beats the per-doc tails it consumed") {
     val chunks = TextPipeline.chunkDocuments(
         graft.engine.io.Tables.documents(spark, sfDir), "doc_id", "text", 32, 8)
