@@ -46,7 +46,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => DupNgramBp(children(0), children(1))),
     (FunctionIdentifier("pos_grams"),
       new ExpressionInfo(classOf[PosGrams].getName, "pos_grams"),
-      (children: Seq[Expression]) => PosGrams(children(0), children(1), children(2))))
+      (children: Seq[Expression]) => PosGrams(children(0), children(1), children(2))),
+    (FunctionIdentifier("pq_codes_init"),
+      new ExpressionInfo(classOf[PqCodesInit].getName, "pq_codes_init"),
+      (children: Seq[Expression]) => PqCodesInit(children(0))))
 
   /** Register the engine functions into a session (idempotent). */
   def register(spark: SparkSession): Unit = registry.foreach { case (ident, info, builder) =>

@@ -810,59 +810,26 @@ object Similarity {
   }
 
   // ------------------------------------------------- product quantization
-  private val NSub = 8      // subspaces (Dim / SubDim)
-  private val SubDim = 8    // dims per subspace
-  private val NPqCodes = 16 // codes per subspace codebook
-
-  /** Fixed-seed Gaussian INITIAL sub-codebooks [subspace][code][dim] —
-    * the k-means seed, refined by one Lloyd step in [[pqTrain]] (same
-    * stand-in rationale as the IVF `centroids`: at real scale the seed
-    * comes from a corpus sample; the train/encode/search shape is what
-    * scales and is identical). The 0.125 scale matches the component
-    * stddev of unit-ish 64-dim embeddings (≈ 1/√64) — an unscaled seed
-    * sits far outside the data cloud and collapses the argmin onto a
-    * handful of codes. */
-  private lazy val subCentroids: Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(13)
-    Array.fill(NSub, NPqCodes, SubDim)(rnd.nextGaussian() * 0.125)
-  }
-
-  /** ‖c‖² of each initial sub-centroid, folded left-to-right at plan-build
-    * time — embedded as the SAME shortest-repr double literal in the Spark
-    * plan and the DuckDB oracle, so the expanded distance below is the
-    * identical IEEE expression in both engines. */
-  private lazy val subCentNorm2: Array[Array[Double]] =
-    subCentroids.map(_.map(c => c.foldLeft(0.0)((a, x) => a + x * x)))
-
-  private def subCentCol(m: Int, j: Int): Column =
-    array(subCentroids(m)(j).map(lit(_)): _*)
-
-  /** Squared L2 distance in the EXPANDED form ‖x‖² − 2·⟨x,c⟩ + ‖c‖² —
-    * three fused-loop dots (or two plus a literal) instead of a
-    * subtract-square fold, because the dot is the native kernel both
-    * engines replay bit-identically. The distance is DEFINED as this
-    * expression tree; argmin/LUT consumers only need both engines to
-    * agree, which identical trees guarantee. */
-  private def l2ToInitCent(svv: Column, sv: Column, m: Int, j: Int): Column =
-    svv - lit(2.0) * dot(sv, subCentCol(m, j)) + lit(subCentNorm2(m)(j))
+  // geometry + seed codebook live with the native assignment expression
+  private val NSub = graft.engine.functions.PqCodesInit.NSub
+  private val SubDim = graft.engine.functions.PqCodesInit.SubDim
+  private val NPqCodes = graft.engine.functions.PqCodesInit.NCodes
 
   /** Per-row explode into (vec_id, subspace, sv, code): each embedding
     * splits into NSub contiguous SubDim-slices, each assigned to its
     * nearest INITIAL sub-centroid (first-tie-lowest-code argmin, the
-    * annIvf tie rule). The codebook is plan literals, so this is one
-    * narrow codegen'd projection + generator — no join, no shuffle. */
-  private def pqAssignInit(e: DataFrame): DataFrame = {
-    val branches = (0 until NSub).map { m =>
-      val sv = slice(col("embedding"), m * SubDim + 1, SubDim)
-      val svv = dot(sv, sv)
-      val dists = array((0 until NPqCodes).map(j => l2ToInitCent(svv, sv, m, j)): _*)
-      struct(lit(m.toLong).as("subspace"), sv.as("sv"),
-        array_position(dists, array_min(dists)).as("code"))
-    }
-    e.select(col("vec_id"), explode(array(branches: _*)).as("b"))
-      .select(col("vec_id"), col("b.subspace").as("subspace"),
-        col("b.code").as("code"), col("b.sv").as("sv"))
-  }
+    * annIvf tie rule) by the native
+    * [[graft.engine.functions.PqCodesInit]] kernel — the codebook rides
+    * as a codegen reference object, so the assignment is ONE compact
+    * plan node instead of a ~6k-node literal tree (which cost ~2-3 s of
+    * analysis per submission, data-independent). One narrow projection
+    * + generator — no join, no shuffle. */
+  private def pqAssignInit(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+        posexplode(call_function("pq_codes_init", col("embedding")))
+          .as(Seq("m0", "code")))
+      .select(col("vec_id"), col("m0").cast("long").as("subspace"), col("code"),
+        slice(col("embedding"), col("m0") * SubDim + 1, lit(SubDim)).as("sv"))
 
   /** Unordered per-(subspace, code, dim) Lloyd-update statistics — the
     * [[kmeansStep]] integer discipline (count + floor(x·10⁶) component
@@ -1376,8 +1343,8 @@ object Similarity {
     * (+‖sv‖² fold) → `a0` (first-tie-lowest-code L2 argmin, expanded
     * three-term distance — the identical IEEE tree the Spark plan builds). */
   private def pqAssignCtes: String = {
-    val centsList = subCentroids.flatten.flatten.mkString("[", ", ", "]")
-    val cnList = subCentNorm2.flatten.mkString("[", ", ", "]")
+    val centsList = graft.engine.functions.PqCodesInit.Flat.mkString("[", ", ", "]")
+    val cnList = graft.engine.functions.PqCodesInit.Norm2.mkString("[", ", ", "]")
     val distList = (0 until NPqCodes).map { j =>
       val dxc = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
         s"list_transform(range(1, ${SubDim + 1}), " +
