@@ -944,6 +944,32 @@ object Similarity {
       .orderBy(col("adist").asc, col("vec_id").asc)
   }
 
+  /** PQ-candidates → exact rerank — the composed retrieval path of the
+    * quantized tier (the [[annRerank]] pattern with ADC as the coarse
+    * stage): [[annPq]]'s integer-ADC top-`nCand` prune, then ONE exact
+    * cosine pass over just those candidates, ranked. ADC distance rides
+    * along as provenance. ORACLED end-to-end (integer candidate set +
+    * rounded fold-cosine). The 100 TB read: the expensive exact scorer
+    * touches `nCand` rows instead of the corpus, and the candidates
+    * (tiny) broadcast under one embedding scan. */
+  def annPqRerank(vectors: DataFrame, idCol: String, vecCol: String,
+                  queryId: Long, nCand: Int, k: Int): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
+    val cands = annPq(vectors, idCol, vecCol, queryId, nCand)
+    val qe = e.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(queryId))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    e.join(broadcast(cands), "vec_id")
+      .crossJoin(broadcast(qe))
+      .select(col("vec_id"), col("adist"),
+        round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("rk", "vec_id", "cos_sim", "adist")
+      .orderBy("rk")
+  }
+
   // ------------------------------------------------- fixture bindings
   val queries: Map[String, Q] = Map(
     "q_sim_cosine" -> ((s, d) => knnCosine(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
@@ -971,6 +997,8 @@ object Similarity {
     "q_ann_quantized" -> ((s, d) => annQuantized(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     "q_pq_train" -> ((s, d) => pqTrain(Tables.embeddings(s, d), "vec_id", "embedding")),
     "q_ann_pq" -> ((s, d) => annPq(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
+    "q_ann_pq_rerank" -> ((s, d) =>
+      annPqRerank(Tables.embeddings(s, d), "vec_id", "embedding", 0, 50, 10)),
     // 0.35: the raw corpus is near-orthogonal (max pair cos ~0.5), so a
     // low threshold surfaces the genuinely-related tail within each cell
     "q_semantic_dedup" -> ((s, d) =>
@@ -1374,12 +1402,13 @@ object Similarity {
        |  CAST(floor(CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS mean_x1e6
        |FROM expl GROUP BY subspace, code, dim ORDER BY subspace, code, dim""".stripMargin
 
-  /** Full q_ann_pq replication: train (the q_pq_train CTEs) → trained
-    * centroids (floored means / 10⁶ — exact doubles) → encode every
-    * non-query vector against the TRAINED codebook (row_number ≡ the
-    * struct-min (dist, code) tie rule) → the query's integer ADC lookup
-    * table → order-free integer distance sums. */
-  private def annPqOracleSql: String =
+  /** Full ADC replication through the per-vector integer distance sums
+    * (`adc`): train (the q_pq_train CTEs) → trained centroids (floored
+    * means / 10⁶ — exact doubles) → encode every non-query vector
+    * against the TRAINED codebook (row_number ≡ the struct-min
+    * (dist, code) tie rule) → the query's integer ADC lookup table →
+    * order-free integer sums. Shared by q_ann_pq and q_ann_pq_rerank. */
+  private def pqAdcCtes: String =
     s"""$pqAssignCtes,
        |stats AS (
        |  SELECT subspace, code, dim, CAST(sum(xq) AS BIGINT) AS s, count(*) AS n
@@ -1414,12 +1443,40 @@ object Similarity {
        |    CAST(floor((s.sxx - CAST(2.0 AS DOUBLE) * ${foldDot8("s.sv", "t.centroid")} + t.cnn)
        |               * 1000000.0) AS BIGINT) AS term
        |  FROM sx s JOIN ccn t ON s.m = t.subspace
-       |  WHERE s.vec_id = 0)
-       |SELECT vec_id, CAST(sum(term) AS BIGINT) AS adist
-       |FROM enc JOIN lut USING (subspace, code)
-       |GROUP BY vec_id
+       |  WHERE s.vec_id = 0),
+       |adc AS (
+       |  SELECT vec_id, CAST(sum(term) AS BIGINT) AS adist
+       |  FROM enc JOIN lut USING (subspace, code)
+       |  GROUP BY vec_id)""".stripMargin
+
+  private def annPqOracleSql: String =
+    s"""$pqAdcCtes
+       |SELECT vec_id, adist FROM adc
        |ORDER BY adist ASC, vec_id ASC
        |LIMIT 10""".stripMargin
+
+  /** q_ann_pq_rerank: the ADC top-nCand prune, then one exact
+    * fold-cosine pass over just the candidates, ranked — the annRerank
+    * composition on the quantized tier. */
+  private def annPqRerankOracleSql: String =
+    s"""$pqAdcCtes,
+       |cand AS (
+       |  SELECT vec_id, adist FROM adc
+       |  ORDER BY adist ASC, vec_id ASC
+       |  LIMIT 50),
+       |qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT c.vec_id, c.adist,
+       |    round(${foldDot("v", "qv")} /
+       |          (sqrt(${foldDot("v", "v")}) * sqrt(${foldDot("qv", "qv")})), 4) AS cos_sim
+       |  FROM cand c JOIN (SELECT vec_id, embedding AS v FROM embeddings) e
+       |    ON c.vec_id = e.vec_id
+       |  CROSS JOIN qe)
+       |SELECT rk, vec_id, cos_sim, adist FROM (
+       |  SELECT vec_id, adist, cos_sim,
+       |    CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk
+       |  FROM scored)
+       |WHERE rk <= 10 ORDER BY rk""".stripMargin
 
   private def kmeansStepOracleSql: String =
     s"""$ivfAssignCtes,
@@ -1482,6 +1539,7 @@ object Similarity {
     "q_kmeans_step" -> kmeansStepOracleSql,
     "q_pq_train" -> pqTrainOracleSql,
     "q_ann_pq" -> annPqOracleSql,
+    "q_ann_pq_rerank" -> annPqRerankOracleSql,
     "q_semantic_dedup" -> semanticDedupOracleSql,
     "q_ann_lsh" -> annLshOracleSql,
     "q_hybrid_rerank" -> hybridRerankOracleSql,

@@ -421,6 +421,52 @@ object Streams {
       .select(col("vec_id"), col("dim"),
         graft.engine.ops.Similarity.int8Code(col("x"), col("mn"), col("mx")).as("code"))
 
+  /** s_stream_pq: product-quantization ENCODING in-stream against an
+    * OFFLINE-trained PQ codebook ([[graft.engine.ops.Similarity
+    * .pqCodebook]] — the train-offline/apply-online split shared with
+    * int8 quantize/BM25/BPE/LM): each arriving vector's 8 sub-slices
+    * argmin against the broadcast codebook and emit (vec_id, subspace,
+    * code) rows bit-identical to the batch [[graft.engine.ops
+    * .Similarity.pqEncode]] (pinned in the spec).
+    *
+    * The batch encoder's struct-min AGGREGATION would need unbounded
+    * streaming state; here the codebook collapses to ONE map row
+    * (subspace → code-sorted (code, centroid) entries) broadcast under
+    * the stream, and the argmin is a fold over ≤16 entries per
+    * subspace — same expanded-L2 distance, same first-tie-lowest-code
+    * rule (entries sorted by code + strict `<`), ZERO streaming state.
+    * Per-vector cost is NSub×NCodes interpreted 8-dots — fine at the
+    * firehose; a huge codebook would fuse into a native kernel like
+    * `pq_codes_init`. */
+  def streamingPqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+                        codebook: DataFrame): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(vecs.sparkSession)
+    import graft.engine.functions.PqCodesInit.{NSub, SubDim}
+    def dot(a: Column, b: Column): Column =
+      graft.engine.functions.GraftFunctions.arrayDot(a, b)
+    val cbRow = codebook
+      .groupBy("subspace")
+      .agg(array_sort(collect_list(struct(col("code"), col("centroid")))).as("cs"))
+      .agg(map_from_entries(collect_list(struct(col("subspace"), col("cs")))).as("cb"))
+    val branches = (0 until NSub).map { m =>
+      val sv = slice(col(vecCol), m * SubDim + 1, SubDim)
+      val svv = dot(sv, sv)
+      val best = aggregate(
+        element_at(col("cb"), lit(m.toLong)),
+        struct(lit(Double.PositiveInfinity).as("d"), lit(0L).as("code")),
+        (acc, e) => {
+          val dist = svv - lit(2.0) * dot(sv, e("centroid")) +
+            dot(e("centroid"), e("centroid"))
+          when(dist < acc("d"),
+            struct(dist.as("d"), e("code").as("code"))).otherwise(acc)
+        })
+      struct(lit(m.toLong).as("subspace"), best("code").as("code"))
+    }
+    vecs.crossJoin(broadcast(cbRow))
+      .select(col(idCol).as("vec_id"), explode(array(branches: _*)).as("b"))
+      .select(col("vec_id"), col("b.subspace").as("subspace"), col("b.code").as("code"))
+  }
+
   /** s_stream_bm25: standing-query BM25 scoring at the ingest firehose —
     * route/alert on documents matching a fixed keyword query as they
     * arrive. The query's per-term document frequencies and the corpus

@@ -352,6 +352,20 @@ class TextSimilaritySpec extends SparkSuite {
       s"the near-identical copy of vec 0 must minimize the ADC distance: $top")
   }
 
+  test("annPqRerank: ADC prunes, the exact scorer decides — scores match brute-force cosine") {
+    val exact = run("q_sim_cosine").as[(Long, Double)].collect().toMap
+    val rr = run("q_ann_pq_rerank").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(rr.map(_._1) == (1L to rr.size), s"ranks must be dense from 1: $rr")
+    // every reranked candidate that brute force also saw carries the
+    // identical exact score (the rerank IS the exact scorer)
+    rr.foreach { case (_, id, cos, _) =>
+      exact.get(id).foreach(e => assert(math.abs(e - cos) < 1e-9, s"score drift for $id"))
+    }
+    // recall sanity: the ADC prune at nCand=50 recovers most of the true top-10
+    val recall = exact.keySet.intersect(rr.map(_._2).toSet).size / 10.0
+    assert(recall >= 0.5, s"PQ rerank recall collapsed: $recall")
+  }
+
   test("pqTrain partitions the corpus: per-(subspace,dim) counts sum to |corpus|; codebook spans most cells") {
     val emb = graft.engine.io.Tables.embeddings(spark, sfDir)
     val n = emb.count()

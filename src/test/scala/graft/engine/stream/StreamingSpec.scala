@@ -485,6 +485,37 @@ class StreamingSpec extends SparkSuite {
     assert(out.size == 3 * 8)
   }
 
+  // s_stream_pq: offline-trained PQ codebook applied online
+  test("s_stream_pq: in-stream PQ codes equal the batch encoder code-for-code") {
+    // train on the real fixture embeddings so the codebook is non-trivial
+    val corpus = graft.engine.io.Tables.embeddings(spark, sfDir).limit(64)
+    val cb = graft.engine.ops.Similarity.pqCodebook(corpus, "vec_id", "embedding")
+    val batch = graft.engine.ops.Similarity
+      .pqEncode(corpus, "vec_id", "embedding", cb)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    val rows = corpus.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val out = mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = Streams.streamingPqEncode(in.toDF().toDF("vid", "emb"), "vid", "emb", cb)
+      .writeStream
+      .option("checkpointLocation", tmpDir("streampq"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.select("vec_id", "subspace", "code").as[(Long, Long, Long)].collect()
+        }
+        ()
+      }.start()
+    in.addData(rows.take(32): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(32): _*) // later batch, same codebook
+    q.processAllAvailable(); q.stop()
+    assert(out.toSet == batch,
+      s"online PQ codes must equal offline codes (missing=${batch -- out.toSet} extra=${out.toSet -- batch})")
+    assert(out.size == rows.size * 8)
+  }
+
   // s_stream_split: stateless deterministic split routing
   test("s_stream_split: in-stream split assignment equals the batch bucket on the same ids") {
     val in = MemoryStream[Doc](spark)
