@@ -382,6 +382,59 @@ object Similarity {
       .orderBy("cell", "dim")
   }
 
+  /** Full k-means TRAINING: `iters` Lloyd rounds over the IVF codebook,
+    * the loop [[kmeansStep]] is one iteration of. Round 1 assigns
+    * against the literal seed centroids (exactly the step's rule);
+    * every later round folds the previous round's floored integer
+    * means into trained centroids (`mean_x1e6 / 10⁶` — exact doubles,
+    * the PQ-codebook discipline) and re-assigns via the
+    * [[annIvfBroadcast]] broadcast-argmax shape. Per-round statistics
+    * are `localCheckpoint`ed (≤ cells×dims rows — the MODEL, not data),
+    * so the lineage never stacks assignment joins; cells that lose all
+    * members drop out of the codebook, both engines agreeing. Returns
+    * the FINAL round's update statistics, the [[kmeansStep]] schema —
+    * all-integer, hash-oracled against `iters` chained DuckDB rounds.
+    *
+    * Scale: each round is one corpus-wide broadcast-argmax (map-side
+    * combine collapses the ×cells fan-out) + one keyed agg to ≤1024
+    * rows — the same per-round cost as the single step, ×iters; the
+    * 100 TB form trains on a sample with identical arithmetic. */
+  def kmeansTrain(vectors: DataFrame, idCol: String, vecCol: String,
+                  iters: Int): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
+    def statsOf(assigned: DataFrame): DataFrame =
+      assigned.select(col("cell"), posexplode(col("embedding")).as(Seq("dim0", "v")))
+        .groupBy("cell", "dim0")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("v").cast("double") * lit(1000000.0)).cast("long")).as("sum_x1e6"))
+        .select(col("cell"), (col("dim0") + 1).cast("long").as("dim"),
+          col("n"), col("sum_x1e6"),
+          floor(col("sum_x1e6").cast("double") / col("n")).cast("long").as("mean_x1e6"))
+    val dots0 = array((0 until NCells).map(j => dot(col("embedding"), centroidCol(j))): _*)
+    var stats = statsOf(e.withColumn("dots", dots0)
+        .select(array_position(col("dots"), array_max(col("dots"))).as("cell"),
+          col("embedding")))
+      .localCheckpoint()
+    var r = 1
+    while (r < iters) {
+      val cb = stats
+        .select(col("cell"), col("dim"),
+          (col("mean_x1e6").cast("double") / lit(1000000.0)).as("c"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
+        .select(col("cell"), transform(col("dc"), x => x("c")).as("centroid"))
+      val assigned = e.crossJoin(broadcast(cb))
+        .select(col("vec_id"),
+          struct(dot(col("embedding"), col("centroid")).as("d"),
+            (-col("cell")).as("negc"), col("embedding").as("emb")).as("sc"))
+        .groupBy("vec_id").agg(max("sc").as("m"))
+        .select((-col("m.negc")).as("cell"), col("m.emb").as("embedding"))
+      stats = statsOf(assigned).localCheckpoint()
+      r += 1
+    }
+    stats.orderBy("cell", "dim")
+  }
+
   /** Nearest-centroid assignment as a standalone narrow projection — the
     * streaming face of [[kmeansStep]]: every row maps to its cell with
     * zero state (the codebook is plan literals), so the same expression
@@ -993,6 +1046,7 @@ object Similarity {
     "q_dedup_embedding" -> ((s, d) =>
       embeddingNearDup(withPlantedNearDups(Tables.embeddings(s, d)), "vec_id", "embedding", 0.99)),
     "q_kmeans_step" -> ((s, d) => kmeansStep(Tables.embeddings(s, d), "vec_id", "embedding")),
+    "q_kmeans_train" -> ((s, d) => kmeansTrain(Tables.embeddings(s, d), "vec_id", "embedding", 3)),
     "q_embed_quantize" -> ((s, d) => quantizeEmbeddings(Tables.embeddings(s, d), "vec_id", "embedding")),
     "q_ann_quantized" -> ((s, d) => annQuantized(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     "q_pq_train" -> ((s, d) => pqTrain(Tables.embeddings(s, d), "vec_id", "embedding")),
@@ -1478,6 +1532,42 @@ object Similarity {
        |  FROM scored)
        |WHERE rk <= 10 ORDER BY rk""".stripMargin
 
+  /** DuckDB replication of [[kmeansTrain]]: `iters` chained Lloyd
+    * rounds — round 1 is the literal-centroid `indexed` assignment
+    * (ivfAssignCtes), later rounds fold floored means into centroid
+    * lists and re-assign with the row_number ≡ struct-max tie rule.
+    * Stats and codebook CTEs are MATERIALIZED (each is read twice; the
+    * recursive-CTE gotcha). */
+  private def kmeansTrainOracleSql(iters: Int): String = {
+    def statsCte(name: String, src: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT cell, dim, count(*) AS n, CAST(sum(xq) AS BIGINT) AS s FROM (
+         |    SELECT cell, generate_subscripts(v, 1) AS dim,
+         |      CAST(floor(CAST(unnest(v) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+         |    FROM $src)
+         |  GROUP BY cell, dim)""".stripMargin
+    val rounds = (2 to iters).map { r =>
+      s"""cb${r - 1} AS MATERIALIZED (
+         |  SELECT cell, list(CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS DOUBLE)
+         |                    / CAST(1000000.0 AS DOUBLE) ORDER BY dim) AS centroid
+         |  FROM stats${r - 1} GROUP BY cell),
+         |a$r AS MATERIALIZED (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT i.vec_id, i.v, c.cell,
+         |      row_number() OVER (PARTITION BY i.vec_id
+         |        ORDER BY ${foldDot("i.v", "c.centroid")} DESC, c.cell ASC) AS rn
+         |    FROM indexed i CROSS JOIN cb${r - 1} c)
+         |  WHERE rn = 1),
+         |${statsCte(s"stats$r", s"a$r")}""".stripMargin
+    }
+    s"""$ivfAssignCtes,
+       |${statsCte("stats1", "indexed")},
+       |${rounds.mkString(",\n")}
+       |SELECT cell, CAST(dim AS BIGINT) AS dim, n, s AS sum_x1e6,
+       |  CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS mean_x1e6
+       |FROM stats$iters ORDER BY cell, dim""".stripMargin
+  }
+
   private def kmeansStepOracleSql: String =
     s"""$ivfAssignCtes,
        |expl AS (
@@ -1537,6 +1627,7 @@ object Similarity {
         |LIMIT 10""".stripMargin,
     "q_dedup_embedding" -> embeddingOracleSql,
     "q_kmeans_step" -> kmeansStepOracleSql,
+    "q_kmeans_train" -> kmeansTrainOracleSql(3),
     "q_pq_train" -> pqTrainOracleSql,
     "q_ann_pq" -> annPqOracleSql,
     "q_ann_pq_rerank" -> annPqRerankOracleSql,

@@ -753,15 +753,17 @@ object TextPipeline {
     * explicit class is identical in both engines, which the oracle
     * replay depends on. */
   def tokenize(documents: DataFrame, idCol: String, textCol: String,
-               splitPunct: Boolean = false): DataFrame = {
+               splitPunct: Boolean = false, ordered: Boolean = true): DataFrame = {
     graft.engine.functions.GraftFunctions.register(documents.sparkSession)
     val nfc = call_function("nfc_normalize", col(textCol))
     val punct = if (splitPunct) regexp_replace(nfc, "([\\p{Punct}])", " $1 ") else nfc
     val collapsed = trim(regexp_replace(punct, "[ \\t\\n\\r\\f]+", " "))
-    documents.select(col(idCol).as("doc_id"), collapsed.as("text_tok"),
-        when(length(collapsed) === 0, lit(0L))
-          .otherwise(size(split(collapsed, " ")).cast("long")).as("n_tokens"))
-      .orderBy("doc_id")
+    val out = documents.select(col(idCol).as("doc_id"), collapsed.as("text_tok"),
+      when(length(collapsed) === 0, lit(0L))
+        .otherwise(size(split(collapsed, " ")).cast("long")).as("n_tokens"))
+    // ordered=false is the streaming face: a narrow projection needs no
+    // sort and runs append-mode on an unbounded frame unchanged
+    if (ordered) out.orderBy("doc_id") else out
   }
 
   /** Gopher-style repetition metrics: per document, the fraction of

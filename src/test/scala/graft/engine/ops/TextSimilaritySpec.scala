@@ -352,6 +352,22 @@ class TextSimilaritySpec extends SparkSuite {
       s"the near-identical copy of vec 0 must minimize the ADC distance: $top")
   }
 
+  test("kmeansTrain: three Lloyd rounds keep counts conserved and actually move the codebook") {
+    val emb = graft.engine.io.Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val t3 = Similarity.kmeansTrain(emb, "vec_id", "embedding", 3).cache()
+    try {
+      val perDim = t3.groupBy("dim").agg(sum("n").as("tot")).select("tot").as[Long].collect()
+      assert(perDim.nonEmpty && perDim.forall(_ == n),
+        s"every dim must see every vector exactly once: ${perDim.distinct.toSeq}")
+      // training must differ from the single seed step (the loop does work)
+      val step1 = Similarity.kmeansStep(emb, "vec_id", "embedding")
+        .select("cell", "dim", "n").as[(Long, Long, Long)].collect().toSet
+      val got3 = t3.select("cell", "dim", "n").as[(Long, Long, Long)].collect().toSet
+      assert(got3 != step1, "3 trained rounds must reassign at least one vector")
+    } finally { t3.unpersist() }
+  }
+
   test("annPqRerank: ADC prunes, the exact scorer decides — scores match brute-force cosine") {
     val exact = run("q_sim_cosine").as[(Long, Double)].collect().toMap
     val rr = run("q_ann_pq_rerank").as[(Long, Long, Double, Long)].collect().toSeq

@@ -485,6 +485,34 @@ class StreamingSpec extends SparkSuite {
     assert(out.size == 3 * 8)
   }
 
+  // s_stream_tokenize: the corpus-contract normalizer at the firehose
+  test("s_stream_tokenize: in-stream normalization equals the batch tokenizer") {
+    val messy = Seq(
+      (1L, "  Hello,\tworld!   extra \n spaces "),
+      (2L, "already clean text"))
+    val batch = graft.engine.ops.TextPipeline
+      .tokenize(messy.toDF("doc_id", "text"), "doc_id", "text", splitPunct = true)
+      .as[(Long, String, Long)].collect().toSet
+    val in = MemoryStream[Doc](spark)
+    val out = mutable.ArrayBuffer[(Long, String, Long)]()
+    val q = graft.engine.ops.TextPipeline
+      .tokenize(in.toDF(), "doc_id", "text", splitPunct = true, ordered = false)
+      .writeStream
+      .option("checkpointLocation", tmpDir("streamtok"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.select("doc_id", "text_tok", "n_tokens").as[(Long, String, Long)].collect()
+        }
+        ()
+      }.start()
+    in.addData(Doc(1, ts(1), messy.head._2))
+    q.processAllAvailable()
+    in.addData(Doc(2, ts(2), messy(1)._2))
+    q.processAllAvailable(); q.stop()
+    assert(out.toSet == batch,
+      s"stream and batch must normalize identically: stream=$out batch=$batch")
+  }
+
   // s_stream_pq: offline-trained PQ codebook applied online
   test("s_stream_pq: in-stream PQ codes equal the batch encoder code-for-code") {
     // train on the real fixture embeddings so the codebook is non-trivial
