@@ -979,6 +979,15 @@ object Similarity {
     // ONE codebook threads through encode and LUT (the quantizeCodes
     // shared-stats discipline): trained on the full corpus incl. the query
     val cb = pqCodebook(vectors, idCol, vecCol)
+    adcTopK(e, e.filter(col("vec_id") =!= queryId), cb, queryId, k)
+  }
+
+  /** The shared ADC scoring tail: the query's integer lookup table
+    * against `cb`, the `corpus` side encoded and summed — the
+    * [[annPq]] score over whichever candidate frame the caller pruned
+    * to (full corpus for annPq, probed IVF cells for [[annIvfPq]]). */
+  private def adcTopK(e: DataFrame, corpus: DataFrame, cb: DataFrame,
+                      queryId: Long, k: Int): DataFrame = {
     val qsv = e.filter(col("vec_id") === queryId)
       .select(explode(array((0 until NSub).map { m =>
         struct(lit(m.toLong).as("subspace"),
@@ -989,12 +998,39 @@ object Similarity {
       .select(col("subspace"), col("code"),
         floor(l2ToCentRow(col("sv"), col("centroid")) * lit(1000000.0))
           .cast("long").as("term"))
-    pqEncode(e.filter(col("vec_id") =!= queryId), "vec_id", "embedding", cb)
+    pqEncode(corpus, "vec_id", "embedding", cb)
       .join(broadcast(lut), Seq("subspace", "code"))
       .groupBy("vec_id").agg(sum("term").as("adist"))
       .orderBy(col("adist").asc, col("vec_id").asc)
       .limit(k)
       .orderBy(col("adist").asc, col("vec_id").asc)
+  }
+
+  /** IVF×PQ — the canonical memory-bound ANN index composition (the
+    * FAISS-style IVFPQ shape): the coarse IVF probe prunes the corpus
+    * to NProbe/NCells of its cells, and integer ADC scores ONLY those
+    * candidates over the trained PQ codebook. At 100 TB this is the
+    * architecture that actually serves: cell = partition key (a probe
+    * is a partition-pruned read), codes 32× under float32, scoring
+    * exact integer arithmetic under the hash oracle end-to-end.
+    * ADC(v) is per-vector, so pruning then scoring ≡ scoring then
+    * pruning — the oracle replays it as an adc ⋈ candidate semi-join. */
+  def annIvfPq(vectors: DataFrame, idCol: String, vecCol: String,
+               queryId: Long, k: Int): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
+    val cb = pqCodebook(vectors, idCol, vecCol)
+    val dots = array((0 until NCells).map(j => dot(col("embedding"), centroidCol(j))): _*)
+    val indexed = e.withColumn("dots", dots)
+      .select(col("vec_id"), col("embedding"),
+        array_position(col("dots"), array_max(col("dots"))).as("cell"))
+    val qcells = e.filter(col("vec_id") === queryId)
+      .select(posexplode(dots.as("d")).as(Seq("j", "qdot")))
+      .orderBy(col("qdot").desc, col("j").asc).limit(NProbe)
+      .select((col("j") + 1).cast("long").as("cell"))
+    val cands = indexed.filter(col("vec_id") =!= queryId)
+      .join(broadcast(qcells), "cell")
+      .select(col("vec_id"), col("embedding"))
+    adcTopK(e, cands, cb, queryId, k)
   }
 
   /** PQ-candidates → exact rerank — the composed retrieval path of the
@@ -1053,6 +1089,8 @@ object Similarity {
     "q_ann_pq" -> ((s, d) => annPq(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     "q_ann_pq_rerank" -> ((s, d) =>
       annPqRerank(Tables.embeddings(s, d), "vec_id", "embedding", 0, 50, 10)),
+    "q_ann_ivfpq" -> ((s, d) =>
+      annIvfPq(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     // 0.35: the raw corpus is near-orthogonal (max pair cos ~0.5), so a
     // low threshold surfaces the genuinely-related tail within each cell
     "q_semantic_dedup" -> ((s, d) =>
@@ -1509,6 +1547,25 @@ object Similarity {
        |ORDER BY adist ASC, vec_id ASC
        |LIMIT 10""".stripMargin
 
+  /** q_ann_ivfpq: the PQ-ADC CTEs composed with the IVF coarse probe —
+    * ADC is per-vector, so "probe cells then score" replays as the adc
+    * table semi-joined to the probed-cell candidate set. The IVF CTEs
+    * (cents/dotted/indexed) splice in with their WITH stripped. */
+  private def annIvfPqOracleSql: String =
+    s"""$pqAdcCtes,
+       |${ivfAssignCtes.stripPrefix("WITH RECURSIVE ").stripPrefix("WITH ")},
+       |qcells AS (
+       |  SELECT j AS cell FROM (
+       |    SELECT generate_subscripts(dots, 1) AS j, unnest(dots) AS qd
+       |    FROM dotted WHERE vec_id = 0)
+       |  ORDER BY qd DESC, j ASC LIMIT $NProbe),
+       |ivfcands AS (
+       |  SELECT i.vec_id FROM indexed i JOIN qcells q USING (cell)
+       |  WHERE i.vec_id <> 0)
+       |SELECT a.vec_id, a.adist FROM adc a JOIN ivfcands c ON a.vec_id = c.vec_id
+       |ORDER BY a.adist ASC, a.vec_id ASC
+       |LIMIT 10""".stripMargin
+
   /** q_ann_pq_rerank: the ADC top-nCand prune, then one exact
     * fold-cosine pass over just the candidates, ranked — the annRerank
     * composition on the quantized tier. */
@@ -1631,6 +1688,7 @@ object Similarity {
     "q_pq_train" -> pqTrainOracleSql,
     "q_ann_pq" -> annPqOracleSql,
     "q_ann_pq_rerank" -> annPqRerankOracleSql,
+    "q_ann_ivfpq" -> annIvfPqOracleSql,
     "q_semantic_dedup" -> semanticDedupOracleSql,
     "q_ann_lsh" -> annLshOracleSql,
     "q_hybrid_rerank" -> hybridRerankOracleSql,

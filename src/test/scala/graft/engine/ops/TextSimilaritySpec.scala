@@ -352,6 +352,26 @@ class TextSimilaritySpec extends SparkSuite {
       s"the near-identical copy of vec 0 must minimize the ADC distance: $top")
   }
 
+  test("annIvfPq: cell pruning never changes a survivor's ADC distance; hits live in probed cells") {
+    val emb = graft.engine.io.Tables.embeddings(spark, sfDir)
+    val full = Similarity.annPq(emb, "vec_id", "embedding", 0L, 1000000)
+      .as[(Long, Long)].collect().toMap
+    val ivfpq = Similarity.annIvfPq(emb, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(ivfpq.nonEmpty)
+    // ADC is per-vector: the probe prunes candidates, never rescores them
+    ivfpq.foreach { case (id, adist) =>
+      assert(full(id) == adist, s"probe changed vec $id's ADC distance")
+    }
+    // and the probe genuinely prunes: some full-corpus ADC top-10 ids
+    // may be outside the probed cells, but every ivfpq hit must rank no
+    // better than its full-corpus position (subset ranking sanity)
+    val fullTop = full.toSeq.sortBy { case (id, d) => (d, id) }.map(_._1)
+    val pos = fullTop.zipWithIndex.toMap
+    assert(ivfpq.map(h => pos(h._1)).sorted == ivfpq.map(h => pos(h._1)),
+      "ivfpq must preserve the ADC order")
+  }
+
   test("kmeansTrain: three Lloyd rounds keep counts conserved and actually move the codebook") {
     val emb = graft.engine.io.Tables.embeddings(spark, sfDir)
     val n = emb.count()
