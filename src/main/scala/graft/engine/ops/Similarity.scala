@@ -435,6 +435,21 @@ object Similarity {
     stats.orderBy("cell", "dim")
   }
 
+  /** The [[kmeansTrain]] statistics folded into an
+    * [[annIvfBroadcast]]-shaped codebook `(cell, centroid)` — closes
+    * the loop the literal `centroids` scaladoc promises ("at real
+    * scale these come from a sampled k-means"): train with
+    * [[kmeansTrain]], serve with [[annIvfBroadcast]]. Centroid
+    * components are `mean_x1e6 / 10⁶` — exact doubles, both engines. */
+  def ivfCodebook(vectors: DataFrame, idCol: String, vecCol: String,
+                  iters: Int): DataFrame =
+    kmeansTrain(vectors, idCol, vecCol, iters)
+      .select(col("cell"), col("dim"),
+        (col("mean_x1e6").cast("double") / lit(1000000.0)).as("c"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .select(col("cell"), transform(col("dc"), x => x("c")).as("centroid"))
+
   /** Nearest-centroid assignment as a standalone narrow projection — the
     * streaming face of [[kmeansStep]]: every row maps to its cell with
     * zero state (the codebook is plan literals), so the same expression
@@ -1083,6 +1098,14 @@ object Similarity {
       embeddingNearDup(withPlantedNearDups(Tables.embeddings(s, d)), "vec_id", "embedding", 0.99)),
     "q_kmeans_step" -> ((s, d) => kmeansStep(Tables.embeddings(s, d), "vec_id", "embedding")),
     "q_kmeans_train" -> ((s, d) => kmeansTrain(Tables.embeddings(s, d), "vec_id", "embedding", 3)),
+    // the trained-IVF serve path: kmeansTrain's codebook drives the
+    // broadcast-codebook ANN — train with one operator, serve with the
+    // other, both under the hash oracle
+    "q_ann_ivf_trained" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      annIvfBroadcast(emb, "vec_id", "embedding",
+        ivfCodebook(emb, "vec_id", "embedding", 3), 0, 10)
+    }),
     "q_embed_quantize" -> ((s, d) => quantizeEmbeddings(Tables.embeddings(s, d), "vec_id", "embedding")),
     "q_ann_quantized" -> ((s, d) => annQuantized(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     "q_pq_train" -> ((s, d) => pqTrain(Tables.embeddings(s, d), "vec_id", "embedding")),
@@ -1595,7 +1618,9 @@ object Similarity {
     * lists and re-assign with the row_number ≡ struct-max tie rule.
     * Stats and codebook CTEs are MATERIALIZED (each is read twice; the
     * recursive-CTE gotcha). */
-  private def kmeansTrainOracleSql(iters: Int): String = {
+  /** The shared CTE chain through `stats{iters}` — consumed by both the
+    * q_kmeans_train oracle and the trained-IVF serve-path oracle. */
+  private def kmeansTrainCtes(iters: Int): String = {
     def statsCte(name: String, src: String): String =
       s"""$name AS MATERIALIZED (
          |  SELECT cell, dim, count(*) AS n, CAST(sum(xq) AS BIGINT) AS s FROM (
@@ -1619,11 +1644,43 @@ object Similarity {
     }
     s"""$ivfAssignCtes,
        |${statsCte("stats1", "indexed")},
-       |${rounds.mkString(",\n")}
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private def kmeansTrainOracleSql(iters: Int): String =
+    s"""${kmeansTrainCtes(iters)}
        |SELECT cell, CAST(dim AS BIGINT) AS dim, n, s AS sum_x1e6,
        |  CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS mean_x1e6
        |FROM stats$iters ORDER BY cell, dim""".stripMargin
-  }
+
+  /** q_ann_ivf_trained: the kmeansTrain codebook (means/10⁶) serves the
+    * annIvfBroadcast probe — trained assignment + trained query cells +
+    * exact fold-cosine, the row_number tie ≡ the struct-max (d, −cell). */
+  private def annIvfTrainedOracleSql(iters: Int): String =
+    s"""${kmeansTrainCtes(iters)},
+       |cbT AS MATERIALIZED (
+       |  SELECT cell, list(CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS DOUBLE)
+       |                    / CAST(1000000.0 AS DOUBLE) ORDER BY dim) AS centroid
+       |  FROM stats$iters GROUP BY cell),
+       |assignedT AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT i.vec_id, i.v, c.cell,
+       |      row_number() OVER (PARTITION BY i.vec_id
+       |        ORDER BY ${foldDot("i.v", "c.centroid")} DESC, c.cell ASC) AS rn
+       |    FROM indexed i CROSS JOIN cbT c)
+       |  WHERE rn = 1),
+       |qcellsT AS (
+       |  SELECT cell FROM (
+       |    SELECT c.cell, ${foldDot("q.v", "c.centroid")} AS qdot
+       |    FROM (SELECT v FROM indexed WHERE vec_id = 0) q CROSS JOIN cbT c)
+       |  ORDER BY qdot DESC, cell ASC LIMIT $NProbe),
+       |qeT AS (SELECT v AS qv FROM indexed WHERE vec_id = 0)
+       |SELECT vec_id,
+       |  round(${foldDot("v", "qv")} /
+       |        (sqrt(${foldDot("v", "v")}) * sqrt(${foldDot("qv", "qv")})), 4) AS cos_sim
+       |FROM assignedT JOIN qcellsT USING (cell) CROSS JOIN qeT
+       |WHERE vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
 
   private def kmeansStepOracleSql: String =
     s"""$ivfAssignCtes,
@@ -1685,6 +1742,7 @@ object Similarity {
     "q_dedup_embedding" -> embeddingOracleSql,
     "q_kmeans_step" -> kmeansStepOracleSql,
     "q_kmeans_train" -> kmeansTrainOracleSql(3),
+    "q_ann_ivf_trained" -> annIvfTrainedOracleSql(3),
     "q_pq_train" -> pqTrainOracleSql,
     "q_ann_pq" -> annPqOracleSql,
     "q_ann_pq_rerank" -> annPqRerankOracleSql,
