@@ -238,6 +238,16 @@ class PlanShapeSpec extends SparkSuite {
       s"the (class, shard) window must never collapse to one partition:\n${p.take(2000)}")
   }
 
+  test("q_ann_ivfpq / q_ann_ivf_trained: probes broadcast, nothing cartesians") {
+    for (name <- Seq("q_ann_ivfpq", "q_ann_ivf_trained")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: no cartesian:\n${p.take(1500)}")
+      // cell probe, codebook, and (for ivfpq) the ADC table all broadcast
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$name: probe sides must broadcast:\n${p.take(1500)}")
+    }
+  }
+
   test("q_ann_pq: codebook + ADC table broadcast; scoring never cartesians or sort-merges") {
     val p = plan("q_ann_pq")
     assert(!p.contains("CartesianProduct"), "no cartesian anywhere:\n" + p.take(2000))
