@@ -113,10 +113,11 @@ object Tables {
         val ev = events(spark, sfDir).withColumn("event_date", col("ts").cast("date"))
         ev.write.mode("overwrite").partitionBy("event_date").parquet(factDir)
         // the dim is ~366 distinct dates built once per sfDir; the
-        // constant partition key keeps the single-partition rank
-        // explicit instead of tripping WindowExec's warning
+        // partition key is constant-valued but non-foldable (a literal
+        // is constant-folded away and the WindowExec warning returns)
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(lit(0)).orderBy("event_date")
+          .partitionBy(pmod(hash(col("event_date")), lit(1)))
+          .orderBy("event_date")
         ev.select(col("event_date")).distinct()
           .withColumn("day_no", row_number().over(w).cast("long"))
           .write.mode("overwrite").parquet(dimDir)
