@@ -1076,6 +1076,59 @@ object Similarity {
       .orderBy("rk")
   }
 
+  /** Maximal-Marginal-Relevance diversified top-k — the selection pass
+    * retrieval feeds a context window or a curation sampler with:
+    * greedily pick the candidate maximizing `5·rel − 3·max_sim_to_
+    * selected` (λ = 0.625 pre-scaled into integer weights), so the
+    * result covers the query's neighborhood instead of k near-copies
+    * of the same answer. `rel` and pairwise `sim` are `floor(10⁶·cos)`
+    * integers, so every round's argmax — and therefore the whole
+    * selection — hash-oracles; ties break to the lowest id.
+    *
+    * Loop discipline (the bpeLearn/dedupClusters shape): the bounded
+    * candidate set (top-nCand by exact cosine — at scale an ANN
+    * variant supplies it) and its nCand² sim table are materialized
+    * ONCE; each of the k rounds is one anti-join + one max-agg + a
+    * 1-row argmax, localCheckpointed — no driver-side data transfer,
+    * no collect, k tiny jobs total. */
+  def mmrSelect(vectors: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, nCand: Int, k: Int): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
+    val qe = e.filter(col("vec_id") === queryId).select(col("embedding").as("qemb"))
+    val cands = e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qe))
+      .select(col("vec_id"), col("embedding"),
+        floor(lit(1000000.0) * cosine(col("embedding"), col("qemb")))
+          .cast("long").as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(nCand)
+      .localCheckpoint()
+    val sims = cands.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .join(cands.select(col("vec_id").as("b"), col("embedding").as("eb")),
+        col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        floor(lit(1000000.0) * cosine(col("ea"), col("eb"))).cast("long").as("sim"))
+      .localCheckpoint()
+    val base = cands.select(col("vec_id"), col("rel"))
+    var picks = base.limit(0)
+      .select(lit(0L).as("rk"), col("vec_id"), col("rel"), lit(0L).as("mmr"))
+      .localCheckpoint()
+    var r = 1
+    while (r <= k) {
+      val sel = picks.select(col("vec_id").as("b"))
+      val mx = sims.join(broadcast(sel), "b").groupBy("a").agg(max("sim").as("mx"))
+      val pick = base.join(picks.select("vec_id"), Seq("vec_id"), "left_anti")
+        .join(mx.withColumnRenamed("a", "vec_id"), Seq("vec_id"), "left_outer")
+        .select(lit(r.toLong).as("rk"), col("vec_id"), col("rel"),
+          (lit(5L) * col("rel") - lit(3L) * coalesce(col("mx"), lit(0L))).as("mmr"))
+        .orderBy(col("mmr").desc, col("vec_id").asc)
+        .limit(1)
+      picks = picks.unionAll(pick).localCheckpoint()
+      r += 1
+    }
+    picks.orderBy("rk")
+  }
+
   // ------------------------------------------------- fixture bindings
   val queries: Map[String, Q] = Map(
     "q_sim_cosine" -> ((s, d) => knnCosine(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
@@ -1116,6 +1169,8 @@ object Similarity {
       annPqRerank(Tables.embeddings(s, d), "vec_id", "embedding", 0, 50, 10)),
     "q_ann_ivfpq" -> ((s, d) =>
       annIvfPq(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
+    "q_mmr_diverse" -> ((s, d) =>
+      mmrSelect(Tables.embeddings(s, d), "vec_id", "embedding", 0, 20, 5)),
     // 0.35: the raw corpus is near-orthogonal (max pair cos ~0.5), so a
     // low threshold surfaces the genuinely-related tail within each cell
     "q_semantic_dedup" -> ((s, d) =>
@@ -1684,6 +1739,48 @@ object Similarity {
        |WHERE vec_id <> 0
        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** DuckDB replication of [[mmrSelect]]: candidate + pairwise-sim CTEs
+    * (floored scaled cosines — identical IEEE trees), then k chained
+    * greedy argmax rounds, every CTE MATERIALIZED (each feeds both the
+    * next round's NOT-IN and its max-sim join). */
+  private def mmrOracleSql(nCand: Int, k: Int): String = {
+    def scaledCos(a: String, b: String): String =
+      s"CAST(floor(CAST(1000000.0 AS DOUBLE) * (${foldDot(a, b)} / " +
+        s"(sqrt(${foldDot(a, a)}) * sqrt(${foldDot(b, b)})))) AS BIGINT)"
+    val rounds = (2 to k).map { r =>
+      s"""sel$r AS MATERIALIZED (
+         |  SELECT CAST($r AS BIGINT) AS rk, t.vec_id, t.rel,
+         |    CAST(5*t.rel - 3*coalesce(t.mx, 0) AS BIGINT) AS mmr
+         |  FROM (
+         |    SELECT c.vec_id, c.rel, max(s.sim) AS mx
+         |    FROM cands c
+         |    LEFT JOIN (SELECT si.a, si.sim FROM sims si
+         |               JOIN selu${r - 1} u ON si.b = u.vec_id) s
+         |      ON s.a = c.vec_id
+         |    WHERE c.vec_id NOT IN (SELECT vec_id FROM selu${r - 1})
+         |    GROUP BY c.vec_id, c.rel) t
+         |  ORDER BY mmr DESC, t.vec_id ASC LIMIT 1),
+         |selu$r AS MATERIALIZED (
+         |  SELECT rk, vec_id, rel, mmr FROM selu${r - 1}
+         |  UNION ALL SELECT rk, vec_id, rel, mmr FROM sel$r)""".stripMargin
+    }
+    s"""WITH qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |cands AS MATERIALIZED (
+       |  SELECT vec_id, embedding AS v, ${scaledCos("embedding", "qv")} AS rel
+       |  FROM embeddings CROSS JOIN qe
+       |  WHERE vec_id <> 0
+       |  ORDER BY rel DESC, vec_id ASC LIMIT $nCand),
+       |sims AS MATERIALIZED (
+       |  SELECT x.vec_id AS a, y.vec_id AS b, ${scaledCos("x.v", "y.v")} AS sim
+       |  FROM cands x JOIN cands y ON x.vec_id <> y.vec_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT CAST(1 AS BIGINT) AS rk, vec_id, rel, CAST(5*rel AS BIGINT) AS mmr
+       |  FROM cands ORDER BY 5*rel DESC, vec_id ASC LIMIT 1),
+       |selu1 AS MATERIALIZED (SELECT rk, vec_id, rel, mmr FROM sel1),
+       |${rounds.mkString(",\n")}
+       |SELECT rk, vec_id, rel, mmr FROM selu$k ORDER BY rk""".stripMargin
+  }
+
   private def kmeansStepOracleSql: String =
     s"""$ivfAssignCtes,
        |expl AS (
@@ -1749,6 +1846,7 @@ object Similarity {
     "q_ann_pq" -> annPqOracleSql,
     "q_ann_pq_rerank" -> annPqRerankOracleSql,
     "q_ann_ivfpq" -> annIvfPqOracleSql,
+    "q_mmr_diverse" -> mmrOracleSql(20, 5),
     "q_semantic_dedup" -> semanticDedupOracleSql,
     "q_ann_lsh" -> annLshOracleSql,
     "q_hybrid_rerank" -> hybridRerankOracleSql,

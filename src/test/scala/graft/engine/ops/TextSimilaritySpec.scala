@@ -352,6 +352,26 @@ class TextSimilaritySpec extends SparkSuite {
       s"the near-identical copy of vec 0 must minimize the ADC distance: $top")
   }
 
+  test("mmrSelect: near-duplicate candidates cannot both win; plain top-k would pick both") {
+    val planted = Similarity.withPlantedNearDups(
+      graft.engine.io.Tables.embeddings(spark, sfDir))
+    val plain = Similarity.knnCosine(planted, "vec_id", "embedding", 0L, 5)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val mmr = Similarity.mmrSelect(planted, "vec_id", "embedding", 0L, 20, 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(mmr.map(_._1) == (1L to 5L), s"ranks must be dense: $mmr")
+    val picked = mmr.map(_._2).toSet
+    def dupPairIn(s: Set[Long]) = s.exists(id => s.contains(id + 1000000L))
+    // the planted corpus makes the scenario non-vacuous: cosine top-5
+    // happily keeps an original AND its near-copy
+    assert(dupPairIn(plain), s"fixture must tempt plain top-k with a dup pair: $plain")
+    // the 3x max-sim penalty (sim ~ 1e6 for a planted pair) must beat
+    // any 5x relevance gain left in the near-orthogonal tail
+    assert(!dupPairIn(picked), s"MMR kept a near-dup pair: $picked")
+    // and the most relevant candidate still wins round 1
+    assert(mmr.head._2 == 1000000L, s"rank 1 must be the query's near-copy: $mmr")
+  }
+
   test("annIvfPq: cell pruning never changes a survivor's ADC distance; hits live in probed cells") {
     val emb = graft.engine.io.Tables.embeddings(spark, sfDir)
     val full = Similarity.annPq(emb, "vec_id", "embedding", 0L, 1000000)
