@@ -1316,6 +1316,31 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** Cross-split leakage detection — the eval-hygiene audit
+    * [[contamination]] can't do: CONTENT-level (near-duplicate) overlap
+    * across train/val/test boundaries. A doc whose near-copy sits in a
+    * different split leaks evaluation signal even though no verbatim
+    * substring crosses (paraphrase/boilerplate leakage). Consumes the
+    * shared verified pair graph and the SAME deterministic keyBucket
+    * split rule as [[assignSplits]], so the audit judges exactly the
+    * splits the router would produce. One narrow projection + filter
+    * over the pair graph — free on top of the dedup pipeline. */
+  def splitLeakage(documents: DataFrame, idCol: String, textCol: String,
+                   threshold: Double,
+                   precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    val pairs = precomputedPairs.getOrElse(
+      Similarity.minhashNearDup(documents, idCol, textCol, threshold, ordered = false))
+    def splitOf(c: Column): Column = {
+      val b = keyBucket(c)
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    }
+    pairs.select(col("doc_id_1"), col("doc_id_2"), col("jaccard"),
+        splitOf(col("doc_id_1")).as("split_1"),
+        splitOf(col("doc_id_2")).as("split_2"))
+      .filter(col("split_1") =!= col("split_2"))
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
   /** Near-dup graph degree histogram: how many documents have k verified
     * near-duplicate partners — the corpus-health statistic that decides
     * dedup aggressiveness (a fat tail = boilerplate flood). Consumes the
@@ -1483,6 +1508,11 @@ object TextPipeline {
     "q_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d), "doc_id", "text")),
     "q_ngram_jaccard" -> ((s, d) =>
       ngramJaccard(Tables.documents(s, d), "doc_id", "text", Seq("lang", "n_chars"), 0.5)),
+    // cross-split near-dup leakage over the SAME shared pair graph +
+    // the q_split bucket rule — fully oracled
+    "q_split_leakage" -> ((s, d) =>
+      splitLeakage(Tables.documents(s, d), "doc_id", "text", 0.9,
+        precomputedPairs = Some(sharedPairs(s, d)))),
     // fully oracled: anti-join over the shared pair CTEs replayed in DuckDB
     "q_dedup_survivors" -> ((s, d) =>
       dedupCorpus(Tables.documents(s, d), "doc_id", "text", 0.9,
@@ -1947,6 +1977,25 @@ object TextPipeline {
         |FROM runs GROUP BY doc_id, bench_id
         |HAVING max(run_len) >= 5
         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // Cross-split leakage: the minhash pair CTEs + the q_split bucket
+    // CASE per endpoint, keeping only pairs whose splits differ.
+    "q_split_leakage" -> (Similarity.minhashOracleCtes +
+      s""",
+        |allp AS (
+        |  SELECT doc_id_1, doc_id_2, jaccard FROM cross_pairs
+        |  UNION ALL SELECT doc_id_1, doc_id_2, jaccard FROM within_pairs)
+        |SELECT * FROM (
+        |  SELECT doc_id_1, doc_id_2, jaccard,
+        |    CASE WHEN ${keyBucketSql("doc_id_1")} < 80 THEN 'train'
+        |         WHEN ${keyBucketSql("doc_id_1")} < 90 THEN 'val'
+        |         ELSE 'test' END AS split_1,
+        |    CASE WHEN ${keyBucketSql("doc_id_2")} < 80 THEN 'train'
+        |         WHEN ${keyBucketSql("doc_id_2")} < 90 THEN 'val'
+        |         ELSE 'test' END AS split_2
+        |  FROM allp)
+        |WHERE split_1 <> split_2
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin),
 
     // Survivors = documents minus any doc near-duplicating a smaller-id
     // doc — the pair graph is the (fully oracled) minhash pipeline, so
