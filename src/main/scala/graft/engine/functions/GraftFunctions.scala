@@ -70,6 +70,17 @@ object GraftFunctions {
     * session runs the plan (registered via Tables.load / GraftExtensions). */
   def arrayDot(a: Column, b: Column): Column = call_function("array_dot", a, b)
 
+  /** Constant-VALUED but non-foldable window partition key for
+    * bounded-set ranks: a LITERAL key is constant-folded away and
+    * WindowExec's no-partition warning returns; `pmod(hash(col), 1)`
+    * survives optimization, costs one hash per row, and still routes
+    * every row to one partition — which is the point for a ≤nCand
+    * candidate rank. One helper so the idiom can't drift per call site. */
+  def constWindowKey(c: Column): Column = {
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    pmod(hash(c), lit(1))
+  }
+
   /** k=16 MinHash signature of a hashed-token array — see
     * [[MinHashSignature]]. */
   def minhashSig(spark: SparkSession, a: Column): Column = {

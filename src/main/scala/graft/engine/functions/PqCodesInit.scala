@@ -24,7 +24,10 @@ import org.apache.spark.sql.types._
   * measured: q_pq_train 3.18 s steady at sf0.1 AND 2.34 s at sf0.001).
   * This node replaces it with one fused 1k-flop loop. Vectors shorter
   * than 64 dims treat missing components as absent from the folds
-  * (slice semantics); null → null.
+  * (slice semantics) — NOTE the DuckDB oracle does NOT share this
+  * lenience (an out-of-bounds list index NULL-poisons its folds): the
+  * oracle contract assumes the fixture's fixed 64-dim embeddings.
+  * Null → null.
   */
 case class PqCodesInit(child: Expression) extends UnaryExpression {
 
@@ -93,6 +96,7 @@ case class PqCodesInit(child: Expression) extends UnaryExpression {
       val acc = ctx.freshName("acc"); val dist = ctx.freshName("dist")
       val best = ctx.freshName("best"); val bestJ = ctx.freshName("bestJ")
       val base = ctx.freshName("base"); val ne = ctx.freshName("ne")
+      val vv = ctx.freshName("vv")
       def getV(idx: String) =
         if (isFloat) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
       s"""
@@ -101,8 +105,8 @@ case class PqCodesInit(child: Expression) extends UnaryExpression {
          |for (int $m = 0; $m < $NSub; $m++) {
          |  double $svv = 0.0;
          |  for (int $d = 0; $d < $SubDim && $m * $SubDim + $d < $ne; $d++) {
-         |    final double v = ${getV(s"$m * $SubDim + $d")};
-         |    $svv += v * v;
+         |    final double $vv = ${getV(s"$m * $SubDim + $d")};
+         |    $svv += $vv * $vv;
          |  }
          |  double $best = Double.POSITIVE_INFINITY;
          |  int $bestJ = 0;

@@ -112,11 +112,10 @@ object Tables {
       if (!done.exists()) {
         val ev = events(spark, sfDir).withColumn("event_date", col("ts").cast("date"))
         ev.write.mode("overwrite").partitionBy("event_date").parquet(factDir)
-        // the dim is ~366 distinct dates built once per sfDir; the
-        // partition key is constant-valued but non-foldable (a literal
-        // is constant-folded away and the WindowExec warning returns)
+        // the dim is ~366 distinct dates built once per sfDir;
+        // constWindowKey keeps the single-partition rank warning-free
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(pmod(hash(col("event_date")), lit(1)))
+          .partitionBy(graft.engine.functions.GraftFunctions.constWindowKey(col("event_date")))
           .orderBy("event_date")
         ev.select(col("event_date")).distinct()
           .withColumn("day_no", row_number().over(w).cast("long"))

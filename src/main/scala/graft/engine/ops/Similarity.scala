@@ -246,12 +246,10 @@ object Similarity {
     val qe = e.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qemb"))
     // the rank runs over the ≤ 2·nCand candidate union, never the
-    // corpus; the partition key is a constant-VALUED but non-foldable
-    // expression (a literal gets constant-folded away and WindowExec's
-    // no-partition warning comes back) — the single-partition move is
-    // explicit and silent
+    // corpus — constWindowKey keeps the single-partition move explicit
+    // and silent (a literal key is folded away and WindowExec warns)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(pmod(hash(col("doc_id")), lit(1)))
+      .partitionBy(GraftFunctions.constWindowKey(col("doc_id")))
       .orderBy(col("cos_sim").desc, col("doc_id").asc)
     e.join(broadcast(cands), col("vec_id") === col("cand_id"))
       .crossJoin(broadcast(qe))
@@ -1062,9 +1060,8 @@ object Similarity {
     val e = canonVec(vectors, idCol, vecCol)
     val cands = annPq(vectors, idCol, vecCol, queryId, nCand)
     val qe = e.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
-    // constant-valued non-foldable partition key — see hybridRerank
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(pmod(hash(col("vec_id")), lit(1)))
+      .partitionBy(GraftFunctions.constWindowKey(col("vec_id")))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     e.join(broadcast(cands), "vec_id")
       .crossJoin(broadcast(qe))

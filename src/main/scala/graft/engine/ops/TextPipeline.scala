@@ -121,17 +121,19 @@ object TextPipeline {
                     precomputedPairs: Option[DataFrame] = None,
                     algo: String = "labelprop"): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // one materialization per round: reliable rounds write to the
+    // checkpoint dir (fault-tolerant), all others truncate lineage via
+    // executor-local blocks (fast; the local[n] default). Shared by both
+    // algorithms so reliable/checkpointEvery keep their contract under
+    // algo="star" too.
+    def mat(df: DataFrame, round: Int): DataFrame =
+      if (reliable && round % math.max(1, checkpointEvery) == 0) df.checkpoint()
+      else df.localCheckpoint()
     if (algo == "star")
       return starComponents(documents, idCol,
         precomputedPairs.getOrElse(
           Similarity.minhashNearDup(documents, idCol, textCol, threshold, ordered = false)),
-        maxIters)
-    // one materialization per round: reliable rounds write to the
-    // checkpoint dir (fault-tolerant), all others truncate lineage via
-    // executor-local blocks (fast; the local[n] default)
-    def mat(df: DataFrame, round: Int): DataFrame =
-      if (reliable && round % math.max(1, checkpointEvery) == 0) df.checkpoint()
-      else df.localCheckpoint()
+        maxIters, mat)
     val pairs = precomputedPairs
       .getOrElse(Similarity.minhashNearDup(documents, idCol, textCol, threshold, ordered = false))
       .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
@@ -244,7 +246,8 @@ object TextPipeline {
     * persist partitioned — which is the opposite of this regime. The
     * flag stays for that regime and for the equivalence spec. */
   private def starComponents(documents: DataFrame, idCol: String,
-                             pairs: DataFrame, maxIters: Int): DataFrame = {
+                             pairs: DataFrame, maxIters: Int,
+                             mat: (DataFrame, Int) => DataFrame): DataFrame = {
     def sym(e: DataFrame): DataFrame =
       e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
     def largeStar(adj: DataFrame): DataFrame = {
@@ -271,9 +274,9 @@ object TextPipeline {
     var converged = false
     while (!converged && iter < maxIters) {
       val obs = new org.apache.spark.sql.Observation(s"star_i$iter")
-      e = smallStar(sym(largeStar(sym(e))))
-        .observe(obs, count(lit(1)).as("n"), sum("a").as("sa"), sum("b").as("sb"))
-        .localCheckpoint()
+      e = mat(smallStar(sym(largeStar(sym(e))))
+        .observe(obs, count(lit(1)).as("n"), sum("a").as("sa"), sum("b").as("sb")),
+        iter + 1)
       val cur = (obs.get("n").asInstanceOf[Long],
         Option(obs.get("sa")).fold(0L)(_.asInstanceOf[Long]),
         Option(obs.get("sb")).fold(0L)(_.asInstanceOf[Long]))
@@ -608,14 +611,10 @@ object TextPipeline {
     * out. No single-partition exchange anywhere (plan-pinned). */
   def packGlobal(chunks: DataFrame, docCol: String, idxCol: String,
                  nToksCol: String, budget: Int, nShards: Int = 4): DataFrame = {
-    // the packer's own seq definition (packSequences minus its fixture
-    // sort): per-(doc, seq) token totals
-    val w0 = Window.partitionBy(docCol).orderBy(col(idxCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val perSeq = chunks
-      .withColumn("cum", sum(col(nToksCol)).over(w0))
-      .withColumn("seq_id",
-        floor((col("cum") - col(nToksCol)).cast("double") / budget).cast("long"))
+    // the packer itself defines the sequences (ONE source of truth for
+    // the seq_id rule); its fixture sort is eliminated by the optimizer
+    // under this aggregation
+    val perSeq = packSequences(chunks, docCol, idxCol, nToksCol, budget)
       .groupBy(col(docCol), col("seq_id")).agg(sum(col(nToksCol)).as("t"))
     val tails = perSeq.filter(col("t") < budget)
       .withColumn("pack_class", floor(lit(budget.toDouble) / col("t")).cast("long"))

@@ -685,11 +685,14 @@ class StreamingSpec extends SparkSuite {
   // s_stream_lm_backoff: the back-off-table upgrade of s_stream_lm
   test("s_stream_lm_backoff: in-stream back-off scoring equals the batch scorer score-for-score") {
     // train on a corpus that does NOT contain the scored docs' trigrams
-    // uniformly: "a b c" seen; "a b d" backs off to bigram "b d"? no —
-    // to unigram "d"; "z z z" is fully unseen → 0
+    // uniformly: doc 10 hits level 3 ("a b c") and level 2 ("a b d"
+    // backs off to the SEEN bigram "b d"); doc 11 is fully unseen → 0;
+    // doc 13 hits level 1 ("x y e": trigram and bigram "y e" unseen,
+    // unigram "e" seen) — all four back-off levels stream
     val train = Seq((1L, "a b c a b c"), (2L, "b d e")).toDF("doc_id", "text")
     val lm = graft.engine.ops.TextPipeline.lmTableBackoff(train, "doc_id", "text")
-    val scoreDocs = Seq((10L, "a b c a b d"), (11L, "z z z z")).toDF("doc_id", "text")
+    val scoreDocs = Seq((10L, "a b c a b d"), (11L, "z z z z"), (13L, "x y e"))
+      .toDF("doc_id", "text")
     val batch = graft.engine.ops.TextPipeline
       .lmScoreBackoff(scoreDocs, "doc_id", "text", lm)
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
@@ -708,12 +711,17 @@ class StreamingSpec extends SparkSuite {
       }.start()
     in.addData(Doc(10, ts(1), "a b c a b d"))
     q.processAllAvailable()
-    in.addData(Doc(11, ts(2), "z z z z"), Doc(12, ts(2), "xy"))  // 12: too short
+    in.addData(Doc(11, ts(2), "z z z z"), Doc(12, ts(2), "xy"),  // 12: too short
+      Doc(13, ts(2), "x y e"))
     q.processAllAvailable(); q.stop()
     val got = out.sortBy(_._1).toSeq
-    assert(got.take(2).map(r => r._1 -> (r._2, r._3.get)).toMap == batch,
+    assert(got.filter(_._1 != 12L).map(r => r._1 -> (r._2, r._3.get)).toMap == batch,
       s"streamed back-off scores must equal batch: stream=$got batch=$batch")
-    assert(got(2) == (12L, 0L, None), s"sub-trigram doc surfaces with null score: $got")
+    assert(got.find(_._1 == 12L).contains((12L, 0L, None)),
+      s"sub-trigram doc surfaces with null score: $got")
+    // the unigram level genuinely fired: doc 13's score is floor(1.6e5·c(e)/T)
+    assert(batch(13L)._2 > 0L && batch(13L)._2 < 400000L,
+      s"doc 13 must score strictly at the unigram level: ${batch(13L)}")
   }
 
   // s_stream_curate: the composed curation chain on an unbounded frame
