@@ -190,6 +190,33 @@ class ApiSpec extends SparkSuite {
     assert(pairs.count() > 0)
   }
 
+  test("round-6 operators run on renamed-column frames") {
+    val vecs = (0L until 32L).map(i =>
+      (i, Array.tabulate(64)(j => ((i * 7 + j) % 13).toFloat / 13f)))
+      .toDF("point", "features")
+    // PQ train/search + kmeans training + MMR on (point, features)
+    val trained = Similarity.pqTrain(vecs, "point", "features")
+    assert(trained.groupBy("subspace", "dim").agg(sum("n").as("t"))
+      .filter(col("t") =!= 32L).count() == 0L)
+    assert(Similarity.annPq(vecs, "point", "features", 0L, 5).count() == 5L)
+    assert(Similarity.annIvfPq(vecs, "point", "features", 0L, 3).count() > 0L)
+    assert(Similarity.kmeansTrain(vecs, "point", "features", 2).count() > 0L)
+    assert(Similarity.mmrSelect(vecs, "point", "features", 0L, 8, 3).count() == 3L)
+    // tokenize + packGlobal + back-off LM on renamed text frames
+    val docs = Seq((1L, "A  b\tc"), (2L, "d e f g h")).toDF("k", "body")
+    val tok = TextPipeline.tokenize(docs, "k", "body")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(tok == Map(1L -> (("A b c", 3L)), 2L -> (("d e f g h", 5L))))
+    val chunks = TextPipeline.chunkDocuments(docs, "k", "body", 2, 0)
+      .select("doc_id", "chunk_idx", "n_toks")
+    assert(TextPipeline.packGlobal(chunks, "doc_id", "chunk_idx", "n_toks", 4).count() > 0L)
+    val lm = TextPipeline.lmTableBackoff(docs, "k", "body")
+    // doc 1 has only 2 non-empty tokens → no trigrams → drops (the
+    // lmScore discipline); doc 2 scores
+    assert(TextPipeline.lmScoreBackoff(docs, "k", "body", lm).count() == 1L)
+    assert(TextPipeline.splitLeakage(docs, "k", "body", 0.9).count() == 0L)
+  }
+
   test("mixtureWeights on renamed columns: ppm sums to ~1e6") {
     val df = (1L to 90L).map(i => (i, s"src${i % 3}")).toDF("row", "origin")
     val w = TextPipeline.mixtureWeights(df, "origin", budget = 10)
