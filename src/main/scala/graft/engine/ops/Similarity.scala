@@ -1161,6 +1161,11 @@ object Similarity {
     "q_embed_quantize" -> ((s, d) => quantizeEmbeddings(Tables.embeddings(s, d), "vec_id", "embedding")),
     "q_ann_quantized" -> ((s, d) => annQuantized(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     "q_pq_train" -> ((s, d) => pqTrain(Tables.embeddings(s, d), "vec_id", "embedding")),
+    "q_pq_encode" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      pqEncode(emb, "vec_id", "embedding", pqCodebook(emb, "vec_id", "embedding"))
+        .orderBy("vec_id", "subspace")
+    }),
     "q_ann_pq" -> ((s, d) => annPq(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     "q_ann_pq_rerank" -> ((s, d) =>
       annPqRerank(Tables.embeddings(s, d), "vec_id", "embedding", 0, 50, 10)),
@@ -1577,7 +1582,9 @@ object Similarity {
     * against the TRAINED codebook (row_number ≡ the struct-min
     * (dist, code) tie rule) → the query's integer ADC lookup table →
     * order-free integer sums. Shared by q_ann_pq and q_ann_pq_rerank. */
-  private def pqAdcCtes: String =
+  /** CTE chain through the TRAINED sub-codebook (`ccn`: subspace, code,
+    * centroid, ‖c‖²) — shared by the ADC oracles and q_pq_encode. */
+  private def pqTrainedCbCtes: String =
     s"""$pqAssignCtes,
        |stats AS (
        |  SELECT subspace, code, dim, CAST(sum(xq) AS BIGINT) AS s, count(*) AS n
@@ -1594,7 +1601,10 @@ object Similarity {
        |cb2 AS (SELECT subspace, code, list(cc ORDER BY dim) AS centroid
        |        FROM cbrow GROUP BY subspace, code),
        |ccn AS (SELECT subspace, code, centroid, ${foldDot8("centroid", "centroid")} AS cnn
-       |        FROM cb2),
+       |        FROM cb2)""".stripMargin
+
+  private def pqAdcCtes: String =
+    s"""$pqTrainedCbCtes,
        |enc0 AS (
        |  SELECT s.vec_id, s.m AS subspace, t.code,
        |    s.sxx - CAST(2.0 AS DOUBLE) * ${foldDot8("s.sv", "t.centroid")} + t.cnn AS dist
@@ -1623,6 +1633,23 @@ object Similarity {
        |SELECT vec_id, adist FROM adc
        |ORDER BY adist ASC, vec_id ASC
        |LIMIT 10""".stripMargin
+
+  /** q_pq_encode: the full corpus's code table against the trained
+    * codebook — the artifact a vector store persists. Same trained-cb
+    * CTEs, encode over EVERY vector (no query exclusion), ordered. */
+  private def pqEncodeOracleSql: String =
+    s"""$pqTrainedCbCtes,
+       |encall0 AS (
+       |  SELECT s.vec_id, s.m AS subspace, t.code,
+       |    s.sxx - CAST(2.0 AS DOUBLE) * ${foldDot8("s.sv", "t.centroid")} + t.cnn AS dist
+       |  FROM sx s JOIN ccn t ON s.m = t.subspace)
+       |SELECT vec_id, subspace, code FROM (
+       |  SELECT vec_id, subspace, code,
+       |    row_number() OVER (PARTITION BY vec_id, subspace
+       |                       ORDER BY dist ASC, code ASC) AS rn
+       |  FROM encall0)
+       |WHERE rn = 1
+       |ORDER BY vec_id, subspace""".stripMargin
 
   /** q_ann_ivfpq: the PQ-ADC CTEs composed with the IVF coarse probe —
     * ADC is per-vector, so "probe cells then score" replays as the adc
@@ -1840,6 +1867,7 @@ object Similarity {
     "q_kmeans_train" -> kmeansTrainOracleSql(3),
     "q_ann_ivf_trained" -> annIvfTrainedOracleSql(3),
     "q_pq_train" -> pqTrainOracleSql,
+    "q_pq_encode" -> pqEncodeOracleSql,
     "q_ann_pq" -> annPqOracleSql,
     "q_ann_pq_rerank" -> annPqRerankOracleSql,
     "q_ann_ivfpq" -> annIvfPqOracleSql,
