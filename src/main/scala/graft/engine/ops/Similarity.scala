@@ -929,13 +929,61 @@ object Similarity {
     * (encode argmins over the surviving codes). ≤ 128 rows — broadcast
     * material by construction. */
   def pqCodebook(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
-    pqStats(canonVec(vectors, idCol, vecCol))
+    statsToPqCodebook(pqStats(canonVec(vectors, idCol, vecCol)))
+
+  /** Fold per-(subspace, code, dim) update stats into (subspace, code,
+    * centroid) rows — `mean_x1e6 / 10⁶` exact doubles, dim-sorted. */
+  private def statsToPqCodebook(stats: DataFrame): DataFrame =
+    stats
       .select(col("subspace"), col("code"), col("dim"),
         (col("mean_x1e6").cast("double") / lit(1000000.0)).as("c"))
       .groupBy("subspace", "code")
       .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
       .select(col("subspace"), col("code"),
         transform(col("dc"), x => x("c")).as("centroid"))
+
+  /** Multi-round PQ training — the [[kmeansTrain]] discipline applied
+    * per subspace: round 1 is [[pqTrain]]'s seed assignment, each later
+    * round folds the floored means into trained sub-centroids and
+    * re-assigns every slice against them (broadcast + struct-min — the
+    * [[pqEncode]] rule, sv riding the struct untouched since (dist,
+    * code) is unique per group). Stats are `localCheckpoint`ed per
+    * round (≤1024 rows — the model). Returns the FINAL round's update
+    * statistics in the [[pqTrain]] schema; `iters = 1` degenerates to
+    * [[pqTrain]] exactly (spec-pinned). */
+  def pqTrainIters(vectors: DataFrame, idCol: String, vecCol: String,
+                   iters: Int): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
+    def statsOf(assigned: DataFrame): DataFrame =
+      assigned.select(col("subspace"), col("code"),
+          posexplode(col("sv")).as(Seq("dim0", "xf")))
+        .groupBy("subspace", "code", "dim0")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("xf").cast("double") * lit(1000000.0)).cast("long")).as("sum_x1e6"))
+        .select(col("subspace"), col("code"), (col("dim0") + 1).cast("long").as("dim"),
+          col("n"), col("sum_x1e6"),
+          floor(col("sum_x1e6").cast("double") / col("n")).cast("long").as("mean_x1e6"))
+    val svs = e.select(col("vec_id"), explode(array((0 until NSub).map { m =>
+        struct(lit(m.toLong).as("subspace"),
+          slice(col("embedding"), m * SubDim + 1, SubDim).as("sv"))
+      }: _*)).as("b"))
+      .select(col("vec_id"), col("b.subspace").as("subspace"), col("b.sv").as("sv"))
+    var stats = statsOf(pqAssignInit(e).select("subspace", "code", "sv"))
+      .localCheckpoint()
+    var r = 1
+    while (r < iters) {
+      val cb = statsToPqCodebook(stats)
+      val assigned = svs.join(broadcast(cb), "subspace")
+        .select(col("subspace"), col("vec_id"),
+          struct(l2ToCentRow(col("sv"), col("centroid")).as("dist"),
+            col("code").as("code"), col("sv").as("sv")).as("sc"))
+        .groupBy("vec_id", "subspace").agg(min("sc").as("m"))
+        .select(col("subspace"), col("m.code").as("code"), col("m.sv").as("sv"))
+      stats = statsOf(assigned).localCheckpoint()
+      r += 1
+    }
+    stats.orderBy("subspace", "code", "dim")
+  }
 
   /** Squared L2 against a TRAINED (data, not literal) centroid row —
     * same expanded three-dot tree as [[l2ToInitCent]]. */
@@ -1161,6 +1209,8 @@ object Similarity {
     "q_embed_quantize" -> ((s, d) => quantizeEmbeddings(Tables.embeddings(s, d), "vec_id", "embedding")),
     "q_ann_quantized" -> ((s, d) => annQuantized(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     "q_pq_train" -> ((s, d) => pqTrain(Tables.embeddings(s, d), "vec_id", "embedding")),
+    "q_pq_train_iters" -> ((s, d) =>
+      pqTrainIters(Tables.embeddings(s, d), "vec_id", "embedding", 2)),
     "q_pq_encode" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       pqEncode(emb, "vec_id", "embedding", pqCodebook(emb, "vec_id", "embedding"))
@@ -1634,6 +1684,27 @@ object Similarity {
        |ORDER BY adist ASC, vec_id ASC
        |LIMIT 10""".stripMargin
 
+  /** q_pq_train_iters (2 rounds): the trained-cb CTEs re-assign every
+    * slice (row_number ≡ struct-min) and fold round-2 integer stats. */
+  private def pqTrainItersOracleSql: String =
+    s"""$pqTrainedCbCtes,
+       |a1 AS (
+       |  SELECT subspace, code, sv FROM (
+       |    SELECT s.m AS subspace, t.code, s.sv,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY s.sxx - CAST(2.0 AS DOUBLE) * ${foldDot8("s.sv", "t.centroid")} + t.cnn ASC,
+       |                 t.code ASC) AS rn
+       |    FROM sx s JOIN ccn t ON s.m = t.subspace)
+       |  WHERE rn = 1)
+       |SELECT subspace, code, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+       |  CAST(sum(xq) AS BIGINT) AS sum_x1e6,
+       |  CAST(floor(CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS mean_x1e6
+       |FROM (
+       |  SELECT subspace, code, generate_subscripts(sv, 1) AS dim,
+       |    CAST(floor(CAST(unnest(sv) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+       |  FROM a1)
+       |GROUP BY subspace, code, dim ORDER BY subspace, code, dim""".stripMargin
+
   /** q_pq_encode: the full corpus's code table against the trained
     * codebook — the artifact a vector store persists. Same trained-cb
     * CTEs, encode over EVERY vector (no query exclusion), ordered. */
@@ -1867,6 +1938,7 @@ object Similarity {
     "q_kmeans_train" -> kmeansTrainOracleSql(3),
     "q_ann_ivf_trained" -> annIvfTrainedOracleSql(3),
     "q_pq_train" -> pqTrainOracleSql,
+    "q_pq_train_iters" -> pqTrainItersOracleSql,
     "q_pq_encode" -> pqEncodeOracleSql,
     "q_ann_pq" -> annPqOracleSql,
     "q_ann_pq_rerank" -> annPqRerankOracleSql,

@@ -408,6 +408,19 @@ class TextSimilaritySpec extends SparkSuite {
     } finally { t3.unpersist() }
   }
 
+  test("pqTrainIters: one round IS pqTrain; a second Lloyd round reassigns slices") {
+    val emb = graft.engine.io.Tables.embeddings(spark, sfDir)
+    val one = Similarity.pqTrainIters(emb, "vec_id", "embedding", 1)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val base = Similarity.pqTrain(emb, "vec_id", "embedding")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(one == base, "iters=1 must degenerate to the single seed step")
+    val two = Similarity.pqTrainIters(emb, "vec_id", "embedding", 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(two.map(t => (t._1, t._2, t._4)).toSet != base.map(t => (t._1, t._2, t._4)).toSet,
+      "round 2 must move at least one slice between codes")
+  }
+
   test("annPqRerank: ADC prunes, the exact scorer decides — scores match brute-force cosine") {
     val exact = run("q_sim_cosine").as[(Long, Double)].collect().toMap
     val rr = run("q_ann_pq_rerank").as[(Long, Long, Double, Long)].collect().toSeq
