@@ -467,6 +467,34 @@ object Streams {
       .select(col("vec_id"), col("b.subspace").as("subspace"), col("b.code").as("code"))
   }
 
+  /** s_stream_cluster_assign_trained: nearest-centroid routing of a
+    * vector stream against a TRAINED codebook ([[graft.engine.ops
+    * .Similarity.ivfCodebook]] / [[graft.engine.ops.Similarity
+    * .kmeansTrain]]'s means — the train-offline/route-online split
+    * closing the literal-codebook router's "at real scale these come
+    * from a sampled k-means" caveat in-stream too). The codebook
+    * collapses to ONE broadcast row (cell-sorted entries) and the
+    * argmax is a fold — max dot, first-tie-lowest-cell, exactly the
+    * annIvfBroadcast struct-max rule — so routing is a narrow
+    * projection with ZERO streaming state, and `cell` is the
+    * partition/bucket key a cell-partitioned sink writes by. */
+  def streamingClusterAssignTrained(vecs: DataFrame, idCol: String, vecCol: String,
+                                    codebook: DataFrame): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(vecs.sparkSession)
+    def dot(a: Column, b: Column): Column =
+      graft.engine.functions.GraftFunctions.arrayDot(a, b)
+    val cbRow = codebook
+      .agg(array_sort(collect_list(struct(col("cell"), col("centroid")))).as("cb"))
+    val best = aggregate(col("cb"),
+      struct(lit(Double.NegativeInfinity).as("d"), lit(0L).as("cell")),
+      (acc, e) => {
+        val d = dot(col(vecCol), e("centroid"))
+        when(d > acc("d"), struct(d.as("d"), e("cell").as("cell"))).otherwise(acc)
+      })
+    vecs.crossJoin(broadcast(cbRow))
+      .select(col(idCol).as("vec_id"), best("cell").as("cell"))
+  }
+
   /** s_stream_bm25: standing-query BM25 scoring at the ingest firehose —
     * route/alert on documents matching a fixed keyword query as they
     * arrive. The query's per-term document frequencies and the corpus

@@ -812,6 +812,45 @@ class StreamingSpec extends SparkSuite {
     assert(latest.values.max >= 3, s"identical vectors must co-route: $latest")
   }
 
+  // s_stream_cluster_assign_trained: the trained-codebook router
+  test("s_stream_cluster_assign_trained: in-stream routing equals the batch trained argmax cell-for-cell") {
+    val corpus = graft.engine.io.Tables.embeddings(spark, sfDir).limit(48)
+    val cb = graft.engine.ops.Similarity.ivfCodebook(corpus, "vec_id", "embedding", 2)
+    // batch ground truth: the annIvfBroadcast assignment rule over the
+    // same trained codebook (max dot, first-tie-lowest-cell)
+    val batch = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cb))
+      .select(col("vec_id"),
+        struct(graft.engine.functions.GraftFunctions
+            .arrayDot(col("embedding"), col("centroid")).as("d"),
+          (-col("cell")).as("negc")).as("sc"))
+      .groupBy("vec_id").agg(max("sc").as("m"))
+      .select(col("vec_id"), (-col("m.negc")).as("cell"))
+      .as[(Long, Long)].collect().toMap
+    val rows = corpus.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val out = mutable.Map[Long, Long]()
+    val q = Streams.streamingClusterAssignTrained(
+        in.toDF().toDF("vid", "emb"), "vid", "emb", cb)
+      .writeStream
+      .option("checkpointLocation", tmpDir("streamassigntrained"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          b.select("vec_id", "cell").as[(Long, Long)].collect()
+            .foreach { case (v, c) => out(v) = c }
+        }
+        ()
+      }.start()
+    in.addData(rows.take(24): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(24): _*)
+    q.processAllAvailable(); q.stop()
+    assert(out.toMap == batch,
+      s"online routing must equal the batch trained argmax (diff=${out.toSet -- batch.toSet})")
+    assert(out.values.toSet.size > 1, "fixture must spread across cells")
+  }
+
   // s_stream_static_join
   test("s_stream_static_join: stream enriched against a static dimension") {
     val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("user_id", "tier")
