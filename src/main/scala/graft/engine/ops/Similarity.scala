@@ -1121,6 +1121,31 @@ object Similarity {
       .orderBy("rk")
   }
 
+  /** The full production retrieval stack in one operator: IVF coarse
+    * probe (NProbe/NCells of the corpus) → integer-ADC prune to nCand →
+    * ONE exact cosine pass over just those candidates — [[annIvfPq]]
+    * composed with the [[annPqRerank]] tail. Hash-oracled end-to-end;
+    * at 100 TB each stage touches an order of magnitude less data than
+    * the one before (partition-pruned cells → 4-byte codes → nCand
+    * float rows). */
+  def annIvfPqRerank(vectors: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, nCand: Int, k: Int): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
+    val cands = annIvfPq(vectors, idCol, vecCol, queryId, nCand)
+    val qe = e.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(GraftFunctions.constWindowKey(col("vec_id")))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    e.join(broadcast(cands), "vec_id")
+      .crossJoin(broadcast(qe))
+      .select(col("vec_id"), col("adist"),
+        round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("rk", "vec_id", "cos_sim", "adist")
+      .orderBy("rk")
+  }
+
   /** Maximal-Marginal-Relevance diversified top-k — the selection pass
     * retrieval feeds a context window or a curation sampler with:
     * greedily pick the candidate maximizing `5·rel − 3·max_sim_to_
@@ -1223,6 +1248,8 @@ object Similarity {
       annIvfPq(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     "q_mmr_diverse" -> ((s, d) =>
       mmrSelect(Tables.embeddings(s, d), "vec_id", "embedding", 0, 20, 5)),
+    "q_ann_ivfpq_rerank" -> ((s, d) =>
+      annIvfPqRerank(Tables.embeddings(s, d), "vec_id", "embedding", 0, 30, 10)),
     // 0.35: the raw corpus is near-orthogonal (max pair cos ~0.5), so a
     // low threshold surfaces the genuinely-related tail within each cell
     "q_semantic_dedup" -> ((s, d) =>
@@ -1741,6 +1768,38 @@ object Similarity {
        |ORDER BY a.adist ASC, a.vec_id ASC
        |LIMIT 10""".stripMargin
 
+  /** q_ann_ivfpq_rerank: the ivfpq CTEs pruned to top-nCand by ADC,
+    * then the exact fold-cosine rerank tail — the composed three-stage
+    * production stack, value-oracled end-to-end. */
+  private def annIvfPqRerankOracleSql: String =
+    s"""$pqAdcCtes,
+       |${ivfAssignCtes.stripPrefix("WITH RECURSIVE ").stripPrefix("WITH ")},
+       |qcells AS (
+       |  SELECT j AS cell FROM (
+       |    SELECT generate_subscripts(dots, 1) AS j, unnest(dots) AS qd
+       |    FROM dotted WHERE vec_id = 0)
+       |  ORDER BY qd DESC, j ASC LIMIT $NProbe),
+       |ivfcands AS (
+       |  SELECT i.vec_id FROM indexed i JOIN qcells q USING (cell)
+       |  WHERE i.vec_id <> 0),
+       |pruned AS (
+       |  SELECT a.vec_id, a.adist FROM adc a JOIN ivfcands c ON a.vec_id = c.vec_id
+       |  ORDER BY a.adist ASC, a.vec_id ASC
+       |  LIMIT 30),
+       |qemb AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |rescored AS (
+       |  SELECT p.vec_id, p.adist,
+       |    round(${foldDot("v", "qv")} /
+       |          (sqrt(${foldDot("v", "v")}) * sqrt(${foldDot("qv", "qv")})), 4) AS cos_sim
+       |  FROM pruned p JOIN (SELECT vec_id, embedding AS v FROM embeddings) e
+       |    ON p.vec_id = e.vec_id
+       |  CROSS JOIN qemb)
+       |SELECT rk, vec_id, cos_sim, adist FROM (
+       |  SELECT vec_id, adist, cos_sim,
+       |    CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk
+       |  FROM rescored)
+       |WHERE rk <= 10 ORDER BY rk""".stripMargin
+
   /** q_ann_pq_rerank: the ADC top-nCand prune, then one exact
     * fold-cosine pass over just the candidates, ranked — the annRerank
     * composition on the quantized tier. */
@@ -1943,6 +2002,7 @@ object Similarity {
     "q_ann_pq" -> annPqOracleSql,
     "q_ann_pq_rerank" -> annPqRerankOracleSql,
     "q_ann_ivfpq" -> annIvfPqOracleSql,
+    "q_ann_ivfpq_rerank" -> annIvfPqRerankOracleSql,
     "q_mmr_diverse" -> mmrOracleSql(20, 5),
     "q_semantic_dedup" -> semanticDedupOracleSql,
     "q_ann_lsh" -> annLshOracleSql,
