@@ -24,10 +24,12 @@ import org.apache.spark.sql.types._
   * measured: q_pq_train 3.18 s steady at sf0.1 AND 2.34 s at sf0.001).
   * This node replaces it with one fused 1k-flop loop. Vectors shorter
   * than 64 dims treat missing components as absent from the folds
-  * (slice semantics) — NOTE the DuckDB oracle does NOT share this
-  * lenience (an out-of-bounds list index NULL-poisons its folds): the
-  * oracle contract assumes the fixture's fixed 64-dim embeddings.
-  * Null → null.
+  * (slice semantics), and a NULL ELEMENT is treated the same way
+  * (absent from both folds, deterministically — never an undefined
+  * getFloat read) — NOTE the DuckDB oracle does NOT share either
+  * lenience (an out-of-bounds index or null element NULL-poisons its
+  * folds): the oracle contract assumes the fixture's fixed 64-dim
+  * non-null embeddings. Null array → null.
   */
 case class PqCodesInit(child: Expression) extends UnaryExpression {
 
@@ -58,9 +60,11 @@ case class PqCodesInit(child: Expression) extends UnaryExpression {
       var svv = 0.0
       var d = 0
       while (d < SubDim && m * SubDim + d < arr.numElements()) {
-        val v = if (fl) arr.getFloat(m * SubDim + d).toDouble
-                else arr.getDouble(m * SubDim + d)
-        svv += v * v
+        if (!arr.isNullAt(m * SubDim + d)) {
+          val v = if (fl) arr.getFloat(m * SubDim + d).toDouble
+                  else arr.getDouble(m * SubDim + d)
+          svv += v * v
+        }
         d += 1
       }
       var best = Double.PositiveInfinity
@@ -71,9 +75,11 @@ case class PqCodesInit(child: Expression) extends UnaryExpression {
         var i = 0
         val base = (m * NCodes + j) * SubDim
         while (i < SubDim && m * SubDim + i < arr.numElements()) {
-          val v = if (fl) arr.getFloat(m * SubDim + i).toDouble
-                  else arr.getDouble(m * SubDim + i)
-          acc += v * Flat(base + i)
+          if (!arr.isNullAt(m * SubDim + i)) {
+            val v = if (fl) arr.getFloat(m * SubDim + i).toDouble
+                    else arr.getDouble(m * SubDim + i)
+            acc += v * Flat(base + i)
+          }
           i += 1
         }
         val dist = svv - 2.0 * acc + Norm2(m * NCodes + j)
@@ -105,8 +111,10 @@ case class PqCodesInit(child: Expression) extends UnaryExpression {
          |for (int $m = 0; $m < $NSub; $m++) {
          |  double $svv = 0.0;
          |  for (int $d = 0; $d < $SubDim && $m * $SubDim + $d < $ne; $d++) {
-         |    final double $vv = ${getV(s"$m * $SubDim + $d")};
-         |    $svv += $vv * $vv;
+         |    if (!$arr.isNullAt($m * $SubDim + $d)) {
+         |      final double $vv = ${getV(s"$m * $SubDim + $d")};
+         |      $svv += $vv * $vv;
+         |    }
          |  }
          |  double $best = Double.POSITIVE_INFINITY;
          |  int $bestJ = 0;
@@ -114,7 +122,9 @@ case class PqCodesInit(child: Expression) extends UnaryExpression {
          |    double $acc = 0.0;
          |    final int $base = ($m * $NCodes + $j) * $SubDim;
          |    for (int $i = 0; $i < $SubDim && $m * $SubDim + $i < $ne; $i++) {
-         |      $acc += (${getV(s"$m * $SubDim + $i")}) * $cb[$base + $i];
+         |      if (!$arr.isNullAt($m * $SubDim + $i)) {
+         |        $acc += (${getV(s"$m * $SubDim + $i")}) * $cb[$base + $i];
+         |      }
          |    }
          |    final double $dist = $svv - 2.0 * $acc + $cn[$m * $NCodes + $j];
          |    if ($dist < $best) { $best = $dist; $bestJ = $j + 1; }

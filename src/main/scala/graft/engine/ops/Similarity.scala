@@ -1040,9 +1040,19 @@ object Similarity {
     val e = canonVec(vectors, idCol, vecCol)
     // ONE codebook threads through encode and LUT (the quantizeCodes
     // shared-stats discipline): trained on the full corpus incl. the query
-    val cb = pqCodebook(vectors, idCol, vecCol)
+    val cb = trainedPqCodebook(vectors, idCol, vecCol)
     adcTopK(e, e.filter(col("vec_id") =!= queryId), cb, queryId, k)
   }
+
+  /** [[pqCodebook]] materialized once (`localCheckpoint`, ≤128 rows —
+    * the MODEL, not data): the codebook subtree feeds BOTH the encode
+    * join and the query LUT inside [[annPq]]/[[annIvfPq]], and without
+    * the checkpoint the full-corpus training pipeline executes once per
+    * consumer — the plan-level opposite of the "codes written once,
+    * searched many times" claim. */
+  private def trainedPqCodebook(vectors: DataFrame, idCol: String,
+                                vecCol: String): DataFrame =
+    pqCodebook(vectors, idCol, vecCol).localCheckpoint()
 
   /** The shared ADC scoring tail: the query's integer lookup table
     * against `cb`, the `corpus` side encoded and summed — the
@@ -1080,7 +1090,7 @@ object Similarity {
   def annIvfPq(vectors: DataFrame, idCol: String, vecCol: String,
                queryId: Long, k: Int): DataFrame = {
     val e = canonVec(vectors, idCol, vecCol)
-    val cb = pqCodebook(vectors, idCol, vecCol)
+    val cb = trainedPqCodebook(vectors, idCol, vecCol)
     val dots = array((0 until NCells).map(j => dot(col("embedding"), centroidCol(j))): _*)
     val indexed = e.withColumn("dots", dots)
       .select(col("vec_id"), col("embedding"),
@@ -1106,7 +1116,16 @@ object Similarity {
   def annPqRerank(vectors: DataFrame, idCol: String, vecCol: String,
                   queryId: Long, nCand: Int, k: Int): DataFrame = {
     val e = canonVec(vectors, idCol, vecCol)
-    val cands = annPq(vectors, idCol, vecCol, queryId, nCand)
+    exactRerankTail(e, annPq(vectors, idCol, vecCol, queryId, nCand), queryId, k)
+  }
+
+  /** The shared exact-rerank tail (the ADC-scoring [[adcTopK]] dual):
+    * join the (tiny, broadcast) candidate frame back to the float
+    * corpus, ONE exact rounded-cosine pass against the query embedding,
+    * rank. Consumed by [[annPqRerank]] and [[annIvfPqRerank]], which
+    * differ only in how the candidates were pruned. */
+  private def exactRerankTail(e: DataFrame, cands: DataFrame,
+                              queryId: Long, k: Int): DataFrame = {
     val qe = e.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(GraftFunctions.constWindowKey(col("vec_id")))
@@ -1131,19 +1150,7 @@ object Similarity {
   def annIvfPqRerank(vectors: DataFrame, idCol: String, vecCol: String,
                      queryId: Long, nCand: Int, k: Int): DataFrame = {
     val e = canonVec(vectors, idCol, vecCol)
-    val cands = annIvfPq(vectors, idCol, vecCol, queryId, nCand)
-    val qe = e.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(GraftFunctions.constWindowKey(col("vec_id")))
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    e.join(broadcast(cands), "vec_id")
-      .crossJoin(broadcast(qe))
-      .select(col("vec_id"), col("adist"),
-        round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select("rk", "vec_id", "cos_sim", "adist")
-      .orderBy("rk")
+    exactRerankTail(e, annIvfPq(vectors, idCol, vecCol, queryId, nCand), queryId, k)
   }
 
   /** Maximal-Marginal-Relevance diversified top-k — the selection pass

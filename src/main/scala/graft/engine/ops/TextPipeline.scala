@@ -62,6 +62,21 @@ object TextPipeline {
       s"$k % 65536 * 2654435761) % 4294967296) % 100"
   }
 
+  /** THE split rule (80/10/10 on [[keyBucket]]) — single definition
+    * shared by [[assignSplits]], [[splitLeakage]], [[curationPipeline]]
+    * and the streaming router, so the leakage audit can never silently
+    * judge different splits than the router produces. */
+  private[engine] def splitOf(key: Column): Column = {
+    val b = keyBucket(key)
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+
+  /** DuckDB replay of [[splitOf]] — the oracle-side single definition. */
+  private[ops] def splitCaseSql(key: String): String =
+    s"""CASE WHEN ${keyBucketSql(key)} < 80 THEN 'train'
+       |         WHEN ${keyBucketSql(key)} < 90 THEN 'val'
+       |         ELSE 'test' END""".stripMargin
+
   // -------------------------------------------------------------- dedup
   /** Exact dedup over a text column: deterministic survivor = min(id). */
   def exactDedup(documents: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -269,21 +284,34 @@ object TextPipeline {
         .distinct()
     }
     var e = pairs.select(col("doc_id_1").as("a"), col("doc_id_2").as("b")).distinct()
-    var prev = (-1L, -1L, -1L)
+    var prev = (-1L, -1L)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       val obs = new org.apache.spark.sql.Observation(s"star_i$iter")
+      // convergence = the edge SET repeating. The fingerprint is
+      // (count, XOR of xxhash64(a, b)): the edge list is distinct by
+      // construction, XOR is order-free and overflow-free, and two
+      // different edge sets colliding needs a 64-bit hash collision —
+      // unlike the earlier (count, Σa, Σb) triple, which any swap
+      // moving mass between two edges could collide (e.g.
+      // {(1,4),(2,3)} vs {(1,3),(2,4)}).
       e = mat(smallStar(sym(largeStar(sym(e))))
-        .observe(obs, count(lit(1)).as("n"), sum("a").as("sa"), sum("b").as("sb")),
+        .observe(obs, count(lit(1)).as("n"),
+          bit_xor(xxhash64(col("a"), col("b"))).as("h")),
         iter + 1)
       val cur = (obs.get("n").asInstanceOf[Long],
-        Option(obs.get("sa")).fold(0L)(_.asInstanceOf[Long]),
-        Option(obs.get("sb")).fold(0L)(_.asInstanceOf[Long]))
+        Option(obs.get("h")).fold(0L)(_.asInstanceOf[Long]))
       converged = cur == prev
       prev = cur
       iter += 1
     }
+    // surface the non-fixpoint case exactly like the label-prop loop:
+    // hitting maxIters without the set repeating means labels may be
+    // incomplete, and silence would make that indistinguishable from
+    // success
+    if (documents.sparkSession.conf.getOption("spark.graft.debug").contains("true"))
+      System.err.println(s"[star_components] ${if (converged) "converged" else "max-iters"} after $iter rounds")
     val labels = e.select(col("b").as("id"), col("a").as("cluster"))
       .unionAll(e.select(col("a").as("id"), col("a").as("cluster")).distinct())
     documents.select(col(idCol).as("id"))
@@ -558,12 +586,10 @@ object TextPipeline {
     * per-(split, dims) doc and token counts — the split manifest. */
   def assignSplits(documents: DataFrame, idCol: String, textCol: String,
                    dims: Seq[String]): DataFrame = {
-    val bucket = keyBucket(col(idCol))
     documents
       .select(col(idCol) +: size(toks(col(textCol))).cast("long").as("n_toks") +:
         dims.map(col): _*)
-      .withColumn("split",
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .withColumn("split", splitOf(col(idCol)))
       .groupBy(col("split") +: dims.map(col): _*)
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
       .orderBy(col("split") +: dims.map(col): _*)
@@ -1329,10 +1355,6 @@ object TextPipeline {
                    precomputedPairs: Option[DataFrame] = None): DataFrame = {
     val pairs = precomputedPairs.getOrElse(
       Similarity.minhashNearDup(documents, idCol, textCol, threshold, ordered = false))
-    def splitOf(c: Column): Column = {
-      val b = keyBucket(c)
-      when(b < 80, "train").when(b < 90, "val").otherwise("test")
-    }
     pairs.select(col("doc_id_1"), col("doc_id_2"), col("jaccard"),
         splitOf(col("doc_id_1")).as("split_1"),
         splitOf(col("doc_id_2")).as("split_2"))
@@ -1425,15 +1447,13 @@ object TextPipeline {
     val removed = pairs
       .getOrElse(Similarity.minhashNearDup(corpus, idCol, textCol, threshold, ordered = false))
       .select(col("doc_id_2").as("doc_id")).distinct()
-    val bucket = keyBucket(col("doc_id"))
     corpus
       .select(col(idCol).as("doc_id") +:
         size(toks(col(textCol))).cast("long").as("n_toks") +: dims.map(col): _*)
       .join(keep, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(removed, Seq("doc_id"), "left_anti")
-      .withColumn("split",
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .withColumn("split", splitOf(col("doc_id")))
       .groupBy(col("split") +: dims.map(col): _*)
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
       .orderBy(col("split") +: dims.map(col): _*)
@@ -1757,9 +1777,7 @@ object TextPipeline {
     "q_split" ->
       s"""WITH b AS (
         |  SELECT lang, len(string_split(text, ' ')) AS n_toks,
-        |    CASE WHEN ${keyBucketSql("doc_id")} < 80 THEN 'train'
-        |         WHEN ${keyBucketSql("doc_id")} < 90 THEN 'val'
-        |         ELSE 'test' END AS split
+        |    ${splitCaseSql("doc_id")} AS split
         |  FROM documents)
         |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
         |FROM b GROUP BY split, lang ORDER BY split, lang""".stripMargin,
@@ -1986,12 +2004,8 @@ object TextPipeline {
         |  UNION ALL SELECT doc_id_1, doc_id_2, jaccard FROM within_pairs)
         |SELECT * FROM (
         |  SELECT doc_id_1, doc_id_2, jaccard,
-        |    CASE WHEN ${keyBucketSql("doc_id_1")} < 80 THEN 'train'
-        |         WHEN ${keyBucketSql("doc_id_1")} < 90 THEN 'val'
-        |         ELSE 'test' END AS split_1,
-        |    CASE WHEN ${keyBucketSql("doc_id_2")} < 80 THEN 'train'
-        |         WHEN ${keyBucketSql("doc_id_2")} < 90 THEN 'val'
-        |         ELSE 'test' END AS split_2
+        |    ${splitCaseSql("doc_id_1")} AS split_1,
+        |    ${splitCaseSql("doc_id_2")} AS split_2
         |  FROM allp)
         |WHERE split_1 <> split_2
         |ORDER BY doc_id_1, doc_id_2""".stripMargin),
@@ -2102,9 +2116,7 @@ object TextPipeline {
         |contaminated AS (SELECT DISTINCT doc_id FROM cont0),
         |base AS (
         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks,
-        |    CASE WHEN ${keyBucketSql("doc_id")} < 80 THEN 'train'
-        |         WHEN ${keyBucketSql("doc_id")} < 90 THEN 'val'
-        |         ELSE 'test' END AS split
+        |    ${splitCaseSql("doc_id")} AS split
         |  FROM documents WHERE doc_id >= 10)
         |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
         |FROM base

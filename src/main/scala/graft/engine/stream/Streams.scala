@@ -397,11 +397,8 @@ object Streams {
     * its split at arrival, and the assignment is a pure function of the
     * id (identical across restarts, parallelism, and to the batch
     * manifest over the same ids). */
-  def streamingSplit(docs: DataFrame, idCol: String): DataFrame = {
-    val bucket = graft.engine.ops.TextPipeline.keyBucket(col(idCol))
-    docs.withColumn("split",
-      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
-  }
+  def streamingSplit(docs: DataFrame, idCol: String): DataFrame =
+    docs.withColumn("split", graft.engine.ops.TextPipeline.splitOf(col(idCol)))
 
   /** s_stream_quantize: int8 embedding quantization in-stream against
     * STATIC per-dim stats — the train-offline/apply-online serving
