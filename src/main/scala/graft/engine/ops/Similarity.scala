@@ -1153,6 +1153,69 @@ object Similarity {
     exactRerankTail(e, annIvfPq(vectors, idCol, vecCol, queryId, nCand), queryId, k)
   }
 
+  /** Nearest-cell assignment against a broadcast codebook — the
+    * [[annIvfBroadcast]] struct-max rule (max dot, first-tie-lowest-
+    * cell) factored out so the IVFPQ-with-codebook path and the
+    * streaming index build share one definition. Returns
+    * (vec_id, cell, embedding). */
+  private[engine] def assignWithCb(e: DataFrame, coarseCb: DataFrame): DataFrame =
+    e.crossJoin(broadcast(coarseCb.select(col("cell"), col("centroid"))))
+      .select(col("vec_id"),
+        struct(dot(col("embedding"), col("centroid")).as("d"),
+               (-col("cell")).as("negc"), col("embedding").as("emb")).as("sc"))
+      .groupBy("vec_id").agg(max("sc").as("m"))
+      .select(col("vec_id"), (-col("m.negc")).as("cell"), col("m.emb").as("embedding"))
+
+  /** [[annIvfPq]] with BOTH codebooks caller-supplied — the serve-path
+    * form: the coarse IVF codebook (trained via [[ivfCodebook]] or the
+    * literal [[codebookDf]]) prunes to NProbe probed cells via the
+    * broadcast-argmax assignment, and the supplied PQ codebook scores
+    * only those candidates with integer ADC. Nothing retrains per
+    * query: at 100 TB the codebooks are versioned artifacts trained
+    * offline, and this is the operator every online query runs. */
+  def annIvfPqWith(vectors: DataFrame, idCol: String, vecCol: String,
+                   coarseCb: DataFrame, pqCb: DataFrame,
+                   queryId: Long, nCand: Int): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
+    val cb = broadcast(coarseCb.select(col("cell"), col("centroid")))
+    val assigned = assignWithCb(e, coarseCb)
+    val qcells = e.filter(col("vec_id") === queryId).crossJoin(cb)
+      .select(col("cell"), dot(col("embedding"), col("centroid")).as("qdot"))
+      .orderBy(col("qdot").desc, col("cell").asc).limit(NProbe)
+      .select("cell")
+    val cands = assigned.filter(col("vec_id") =!= queryId)
+      .join(broadcast(qcells), "cell")
+      .select(col("vec_id"), col("embedding"))
+    adcTopK(e, cands, pqCb, queryId, nCand)
+  }
+
+  /** [[annIvfPqRerank]] with caller-supplied codebooks: trained coarse
+    * probe → integer ADC prune → exact rerank. The batch twin of the
+    * streaming standing-query operator (graft.engine.stream.Streams
+    * .streamingAnnTopK), which must match it row-for-row. */
+  def annIvfPqRerankWith(vectors: DataFrame, idCol: String, vecCol: String,
+                         coarseCb: DataFrame, pqCb: DataFrame,
+                         queryId: Long, nCand: Int, k: Int): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
+    exactRerankTail(e,
+      annIvfPqWith(vectors, idCol, vecCol, coarseCb, pqCb, queryId, nCand),
+      queryId, k)
+  }
+
+  /** The FULLY-TRAINED production retrieval stack: k-means-trained
+    * coarse codebook ([[ivfCodebook]], `iters` Lloyd rounds) + Lloyd-
+    * trained PQ sub-codebooks ([[pqCodebook]]) serve the three-stage
+    * query (probe → ADC prune → exact rerank) — [[annIvfPqRerank]]
+    * with its literal coarse stand-in replaced by the trained model,
+    * closing train→serve across BOTH index levels. Hash-oracled end to
+    * end (trained centroids cross engines as floored-mean/10⁶ doubles). */
+  def annIvfPqRerankTrained(vectors: DataFrame, idCol: String, vecCol: String,
+                            iters: Int, queryId: Long, nCand: Int, k: Int): DataFrame =
+    annIvfPqRerankWith(vectors, idCol, vecCol,
+      ivfCodebook(vectors, idCol, vecCol, iters),
+      trainedPqCodebook(vectors, idCol, vecCol),
+      queryId, nCand, k)
+
   /** Maximal-Marginal-Relevance diversified top-k — the selection pass
     * retrieval feeds a context window or a curation sampler with:
     * greedily pick the candidate maximizing `5·rel − 3·max_sim_to_
@@ -1257,6 +1320,11 @@ object Similarity {
       mmrSelect(Tables.embeddings(s, d), "vec_id", "embedding", 0, 20, 5)),
     "q_ann_ivfpq_rerank" -> ((s, d) =>
       annIvfPqRerank(Tables.embeddings(s, d), "vec_id", "embedding", 0, 30, 10)),
+    // the fully-trained stack: kmeans coarse codebook (2 Lloyd rounds —
+    // the oracle's CTE namespace caps it) + trained PQ sub-codebooks
+    // serving probe → ADC → exact rerank
+    "q_ann_ivfpq_trained" -> ((s, d) =>
+      annIvfPqRerankTrained(Tables.embeddings(s, d), "vec_id", "embedding", 2, 0, 30, 10)),
     // 0.35: the raw corpus is near-orthogonal (max pair cos ~0.5), so a
     // low threshold surfaces the genuinely-related tail within each cell
     "q_semantic_dedup" -> ((s, d) =>
@@ -1900,6 +1968,52 @@ object Similarity {
        |WHERE vec_id <> 0
        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** q_ann_ivfpq_trained: the PQ-ADC CTEs composed with the TRAINED
+    * coarse probe (the kmeansTrain CTE chain folded into `cbT`, the
+    * annIvfTrained assignment/probe replay) — the fully-trained
+    * three-stage stack, value-oracled end to end. `iters` must be 2
+    * here: the kmeans round CTEs are named `cb{r-1}` and the PQ chain
+    * already owns `cb2`, so a third Lloyd round would collide. */
+  private def annIvfPqRerankTrainedOracleSql(iters: Int, nCand: Int, k: Int): String = {
+    require(iters == 2, "CTE names collide past iters=2 (cb2 is the PQ sub-codebook)")
+    s"""$pqAdcCtes,
+       |${kmeansTrainCtes(iters).stripPrefix("WITH RECURSIVE ").stripPrefix("WITH ")},
+       |cbT AS MATERIALIZED (
+       |  SELECT cell, list(CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS DOUBLE)
+       |                    / CAST(1000000.0 AS DOUBLE) ORDER BY dim) AS centroid
+       |  FROM stats$iters GROUP BY cell),
+       |assignedT AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT i.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY i.vec_id
+       |        ORDER BY ${foldDot("i.v", "c.centroid")} DESC, c.cell ASC) AS rn
+       |    FROM indexed i CROSS JOIN cbT c)
+       |  WHERE rn = 1),
+       |qcellsT AS (
+       |  SELECT cell FROM (
+       |    SELECT c.cell, ${foldDot("q.v", "c.centroid")} AS qdot
+       |    FROM (SELECT v FROM indexed WHERE vec_id = 0) q CROSS JOIN cbT c)
+       |  ORDER BY qdot DESC, cell ASC LIMIT $NProbe),
+       |candsT AS (
+       |  SELECT vec_id FROM assignedT JOIN qcellsT USING (cell) WHERE vec_id <> 0),
+       |prunedT AS (
+       |  SELECT a.vec_id, a.adist FROM adc a JOIN candsT c ON a.vec_id = c.vec_id
+       |  ORDER BY a.adist ASC, a.vec_id ASC LIMIT $nCand),
+       |qembT AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |rescoredT AS (
+       |  SELECT p.vec_id, p.adist,
+       |    round(${foldDot("v", "qv")} /
+       |          (sqrt(${foldDot("v", "v")}) * sqrt(${foldDot("qv", "qv")})), 4) AS cos_sim
+       |  FROM prunedT p JOIN (SELECT vec_id, embedding AS v FROM embeddings) e
+       |    ON p.vec_id = e.vec_id
+       |  CROSS JOIN qembT)
+       |SELECT rk, vec_id, cos_sim, adist FROM (
+       |  SELECT vec_id, adist, cos_sim,
+       |    CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk
+       |  FROM rescoredT)
+       |WHERE rk <= $k ORDER BY rk""".stripMargin
+  }
+
   /** DuckDB replication of [[mmrSelect]]: candidate + pairwise-sim CTEs
     * (floored scaled cosines — identical IEEE trees), then k chained
     * greedy argmax rounds, every CTE MATERIALIZED (each feeds both the
@@ -2010,6 +2124,7 @@ object Similarity {
     "q_ann_pq_rerank" -> annPqRerankOracleSql,
     "q_ann_ivfpq" -> annIvfPqOracleSql,
     "q_ann_ivfpq_rerank" -> annIvfPqRerankOracleSql,
+    "q_ann_ivfpq_trained" -> annIvfPqRerankTrainedOracleSql(2, 30, 10),
     "q_mmr_diverse" -> mmrOracleSql(20, 5),
     "q_semantic_dedup" -> semanticDedupOracleSql,
     "q_ann_lsh" -> annLshOracleSql,

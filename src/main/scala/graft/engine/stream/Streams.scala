@@ -492,6 +492,119 @@ object Streams {
       .select(col(idCol).as("vec_id"), best("cell").as("cell"))
   }
 
+  /** s_stream_ann: STANDING kNN retrieval in-stream — every arriving
+    * query vector is answered against the TRAINED IVFPQ index (coarse
+    * k-means codebook + PQ sub-codebooks + the encoded corpus),
+    * row-identical to the batch serve path [[graft.engine.ops
+    * .Similarity.annIvfPqRerankWith]] on the same vector (pinned in the
+    * spec). This closes the last train-offline/serve-online
+    * composition: the index trains and encodes in batch, and the
+    * streaming face answers standing queries at arrival.
+    *
+    * Shape: every index artifact is STATIC and collapses to one
+    * broadcast row under the stream — the coarse codebook (≤ cells
+    * entries), the PQ codebook map (subspace → ≤16 (code, centroid)),
+    * and the encoded corpus (vec_id, cell, code word, embedding), each
+    * `localCheckpoint`ed so the index builds once, not once per
+    * micro-batch. Per arriving vector the whole three-stage query is
+    * one NARROW fold chain — the per-vector form of the batch stack:
+    *   1. coarse probe: codebook entries sorted by (−dot, cell), first
+    *      `nProbe` cells (max-dot first-tie-lowest-cell — the
+    *      annIvfBroadcast argmax rule);
+    *   2. integer ADC: the query's (subspace, code) → floor(l2·10⁶)
+    *      lookup table (the adcTopK term tree) summed over each
+    *      probed-cell entry's code word; top-`nCand` by (adist,
+    *      vec_id) via one array_sort;
+    *   3. exact rerank: rounded fold-cosine over the nCand survivors,
+    *      top-`k` by (cos desc, vec_id).
+    * ZERO streaming state. Emits (query_id, rk, vec_id, cos_sim,
+    * adist) per answer row.
+    *
+    * Scale: the broadcast corpus row is the fixture-scale regime (an
+    * index hot tier that fits one broadcast). Past that, stages 2–3
+    * become a cell-partitioned stream-static join (the probe turns
+    * into partition pruning on `cell`); the contract — codebooks
+    * broadcast, corpus codes never reshuffled per query — is
+    * unchanged. */
+  def streamingAnnTopK(queries: DataFrame, idCol: String, vecCol: String,
+                       corpus: DataFrame, corpusIdCol: String, corpusVecCol: String,
+                       coarseCb: DataFrame, pqCb: DataFrame,
+                       nProbe: Int = 4, nCand: Int = 30, k: Int = 10): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(queries.sparkSession)
+    import graft.engine.functions.PqCodesInit.{NSub, SubDim}
+    def dot(a: Column, b: Column): Column =
+      graft.engine.functions.GraftFunctions.arrayDot(a, b)
+    // ---- static index build (batch side; one-time via localCheckpoint)
+    val e = corpus.select(col(corpusIdCol).as("vec_id"),
+                          col(corpusVecCol).as("embedding"))
+    val codes = graft.engine.ops.Similarity
+      .pqEncode(corpus, corpusIdCol, corpusVecCol, pqCb)
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("subspace"), col("code")))).as("sc"))
+      .select(col("vec_id"), transform(col("sc"), x => x("code")).as("codes"))
+    val idxRow = graft.engine.ops.Similarity.assignWithCb(e, coarseCb)
+      .join(codes, "vec_id")
+      .agg(array_sort(collect_list(
+        struct(col("vec_id"), col("cell"), col("codes"), col("embedding")))).as("idx"))
+      .localCheckpoint()
+    val coarseRow = coarseCb
+      .agg(array_sort(collect_list(struct(col("cell"), col("centroid")))).as("ccb"))
+      .localCheckpoint()
+    val pqRow = pqCb
+      .groupBy("subspace")
+      .agg(array_sort(collect_list(struct(col("code"), col("centroid")))).as("cs"))
+      .agg(map_from_entries(collect_list(struct(col("subspace"), col("cs")))).as("pcb"))
+      .localCheckpoint()
+    // ---- per-vector narrow fold chain
+    val qv = col(vecCol)
+    // stage 1: probed cells — sort by (−dot, cell) ≡ max-dot, tie→low cell
+    val probed = transform(
+      slice(array_sort(transform(col("ccb"),
+        c => struct((-dot(qv, c("centroid"))).as("nd"), c("cell").as("cell")))),
+        1, nProbe),
+      x => x("cell"))
+    // stage 2a: the query's integer ADC lookup table, keyed subspace·100+code
+    val lut = map_from_entries(flatten(
+      transform(sequence(lit(0L), lit((NSub - 1).toLong)), m => {
+        val sv = slice(qv, (m * SubDim + 1).cast("int"), lit(SubDim))
+        transform(element_at(col("pcb"), m), ce =>
+          struct((m * lit(100L) + ce("code")).as("key"),
+            floor((dot(sv, sv) - lit(2.0) * dot(sv, ce("centroid")) +
+                   dot(ce("centroid"), ce("centroid"))) * lit(1000000.0))
+              .cast("long").as("term")))
+      })))
+    // stage 2b: ADC-sum each probed-cell entry's code word, top-nCand
+    val pruned = slice(array_sort(transform(
+      filter(col("idx"), ent =>
+        array_contains(col("probed"), ent("cell")) && ent("vec_id") =!= col(idCol)),
+      ent => struct(
+        aggregate(sequence(lit(0L), lit((NSub - 1).toLong)), lit(0L),
+          (acc, m) => acc + element_at(col("lut"),
+            m * lit(100L) + element_at(ent("codes"), (m + lit(1L)).cast("int"))))
+          .as("adist"),
+        ent("vec_id").as("vec_id"),
+        ent("embedding").as("emb")))), 1, nCand)
+    // stage 3: exact rounded-cosine rerank of the survivors, top-k
+    val topk = slice(array_sort(transform(col("pruned"), c =>
+      struct(
+        (-round(dot(qv, c("emb")) /
+          (sqrt(dot(qv, qv)) * sqrt(dot(c("emb"), c("emb")))), 4)).as("ncos"),
+        c("vec_id").as("vec_id"),
+        c("adist").as("adist")))), 1, k)
+    queries
+      .crossJoin(broadcast(idxRow))
+      .crossJoin(broadcast(coarseRow))
+      .crossJoin(broadcast(pqRow))
+      .withColumn("probed", probed)
+      .withColumn("lut", lut)
+      .withColumn("pruned", pruned)
+      .withColumn("topk", topk)
+      .select(col(idCol).as("query_id"), posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+              col("t.vec_id").as("vec_id"), (-col("t.ncos")).as("cos_sim"),
+              col("t.adist").as("adist"))
+  }
+
   /** s_stream_bm25: standing-query BM25 scoring at the ingest firehose —
     * route/alert on documents matching a fixed keyword query as they
     * arrive. The query's per-term document frequencies and the corpus

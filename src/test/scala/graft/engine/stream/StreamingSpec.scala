@@ -851,6 +851,52 @@ class StreamingSpec extends SparkSuite {
     assert(out.values.toSet.size > 1, "fixture must spread across cells")
   }
 
+  // s_stream_ann: the standing-query retrieval face of the trained
+  // IVFPQ index — the full three-stage batch stack (trained coarse
+  // probe -> integer ADC -> exact rerank) replayed per arriving vector,
+  // row-identical to the batch serve path on the same codebooks.
+  test("s_stream_ann: standing kNN answers equal the batch trained IVFPQ stack row-for-row") {
+    val corpus = graft.engine.io.Tables.embeddings(spark, sfDir).limit(64)
+    val coarseCb = graft.engine.ops.Similarity.ivfCodebook(corpus, "vec_id", "embedding", 2)
+    val pqCb = graft.engine.ops.Similarity.pqCodebook(corpus, "vec_id", "embedding")
+    val queryIds = Seq(0L, 5L, 17L)
+    // batch ground truth: the oracled annIvfPqRerankWith composition,
+    // one run per standing query over the SAME codebook frames
+    val batch: Map[Long, Seq[(Long, Long, Double, Long)]] = queryIds.map { qid =>
+      qid -> graft.engine.ops.Similarity
+        .annIvfPqRerankWith(corpus, "vec_id", "embedding", coarseCb, pqCb, qid, 10, 5)
+        .as[(Long, Long, Double, Long)].collect().toSeq
+    }.toMap
+    assert(batch.values.forall(_.size == 5), s"batch stack must fill top-5: $batch")
+    val vecs = corpus.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val out = mutable.ArrayBuffer[(Long, Long, Long, Double, Long)]()
+    val q = Streams.streamingAnnTopK(in.toDF().toDF("qid", "qvec"), "qid", "qvec",
+        corpus, "vec_id", "embedding", coarseCb, pqCb, nProbe = 4, nCand = 10, k = 5)
+      .writeStream
+      .option("checkpointLocation", tmpDir("streamann"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.select("query_id", "rk", "vec_id", "cos_sim", "adist")
+            .as[(Long, Long, Long, Double, Long)].collect()
+        }
+        ()
+      }.start()
+    in.addData((0L, vecs(0L)))                       // first batch: one query
+    q.processAllAvailable()
+    in.addData((5L, vecs(5L)), (17L, vecs(17L)))     // later batch, same index
+    q.processAllAvailable(); q.stop()
+    val streamed = out.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._2, t._3, t._4, t._5)).toSeq).toMap
+    queryIds.foreach { qid =>
+      assert(streamed.get(qid).contains(batch(qid)),
+        s"standing query $qid diverged: stream=${streamed.get(qid)} batch=${batch(qid)}")
+    }
+    // sanity: answers are genuine neighbors, not self-matches
+    assert(out.forall { case (qid, _, vid, _, _) => vid != qid })
+  }
+
   // s_stream_static_join
   test("s_stream_static_join: stream enriched against a static dimension") {
     val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("user_id", "tier")
