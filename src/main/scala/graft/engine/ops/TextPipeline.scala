@@ -1318,7 +1318,7 @@ object TextPipeline {
     * one doc-keyed mean; docs with <3 tokens have no trigrams and drop
     * (the [[lmScore]] discipline). */
   def lmScoreBackoff(documents: DataFrame, idCol: String, textCol: String,
-                     lm: DataFrame): DataFrame = {
+                     lm: DataFrame, ordered: Boolean = true): DataFrame = {
     graft.engine.functions.GraftFunctions.register(documents.sparkSession)
     val tg = documents.select(col(idCol).as("doc_id"),
       explode(call_function("pos_grams", col(textCol), lit(3), lit(true))).as("g"))
@@ -1328,7 +1328,7 @@ object TextPipeline {
     val l3 = lm.filter(col("level") === 3).select(col("ngram").as("g"), col("cond").as("cond3"))
     val l2 = lm.filter(col("level") === 2).select(col("ngram").as("bg"), col("cond").as("cond2"))
     val l1 = lm.filter(col("level") === 1).select(col("ngram").as("w3"), col("cond").as("cond1"))
-    parts
+    val out = parts
       .join(l3, Seq("g"), "left_outer")
       .join(l2, Seq("bg"), "left_outer")
       .join(l1, Seq("w3"), "left_outer")
@@ -1338,7 +1338,9 @@ object TextPipeline {
       .agg(count(lit(1)).as("n_trigrams"), sum("sc").as("s"))
       .select(col("doc_id"), col("n_trigrams"),
         floor(col("s") / col("n_trigrams")).cast("long").as("lm_score"))
-      .orderBy("doc_id")
+    // ordered=false skips the presentation sort — composed consumers
+    // (the curation pipeline's gate semi-join) don't need a total order
+    if (ordered) out.orderBy("doc_id") else out
   }
 
   /** Cross-split leakage detection — the eval-hygiene audit
@@ -1416,27 +1418,56 @@ object TextPipeline {
     * pipeline actually runs, chaining the individually-oracled stages:
     *
     *   1. RULE FILTER: Gopher-style quality verdict (keep = true);
-    *   2. DECONTAMINATION: drop docs sharing ≥ 2 distinct 3-token
+    *   2. REPETITION GATE (optional, `repCaps`): drop docs whose
+    *      duplicate-bigram/trigram basis points exceed the caps — the
+    *      Rae-et-al. repetition thresholds that catch boilerplate loops
+    *      the aggregate Gopher stats miss;
+    *   3. LM-FLUENCY GATE (optional, `lmFloor`): drop docs whose
+    *      back-off LM score ([[lmScoreBackoff]] against a table trained
+    *      on a corpus SAMPLE — default the even-id half) falls below
+    *      the floor — the KenLM-style perplexity filter, run after the
+    *      cheap rule gates and before the expensive cross-doc stages
+    *      (the production C4/Gopher → KenLM order);
+    *   4. DECONTAMINATION: drop docs sharing ≥ 2 distinct 3-token
     *      shingles with any benchmark doc;
-    *   3. NEAR-DUP DEDUP: drop every doc near-duplicating a smaller-id
+    *   5. NEAR-DUP DEDUP: drop every doc near-duplicating a smaller-id
     *      doc (MinHash-LSH pair graph over the SAME corpus slice);
-    *   4. SPLIT MANIFEST: deterministic 80/10/10 assignment, reported
+    *   6. SPLIT MANIFEST: deterministic 80/10/10 assignment, reported
     *      per (split, dims) with doc/token counts.
     *
     * This is the text-side analogue of the annRerank composition: each
     * stage is already a first-class oracled operator; the pipeline query
     * proves they compose — ids flow through semi/anti joins only, no
     * stage rereads the corpus, and the benchmark side stays broadcast.
-    * At 100 TB the three filters are two id-keyed anti-joins and one
-    * semi-join over the doc-id partitioning every stage already uses. */
+    * At 100 TB the filters are id-keyed semi/anti-joins over the doc-id
+    * partitioning every stage already uses; the repetition gate is one
+    * narrow native pass, and the LM gate's tables are Zipf-bounded
+    * (train on a sample, score everything). */
   def curationPipeline(corpus: DataFrame, idCol: String, textCol: String,
                        benchmark: DataFrame, dims: Seq[String],
                        threshold: Double = 0.9,
-                       pairs: Option[DataFrame] = None): DataFrame = {
+                       pairs: Option[DataFrame] = None,
+                       repCaps: Option[(Long, Long)] = None,
+                       lmFloor: Option[Long] = None,
+                       lm: Option[DataFrame] = None): DataFrame = {
     // API contract: the benchmark frame exposes the SAME idCol/textCol
     // names as the corpus (the decon stage addresses both sides by them)
     val keep = gopherRules(corpus, idCol, textCol)
       .filter(col("keep")).select("doc_id")
+    // repetition gate: one narrow native pass (dup_ngram_bp), id-keyed
+    val repKeep = repCaps.map { case (bp2Cap, bp3Cap) =>
+      repetitionMetrics(corpus, idCol, textCol, ordered = false)
+        .filter(col("dup_bigram_bp") <= bp2Cap && col("dup_trigram_bp") <= bp3Cap)
+        .select("doc_id")
+    }
+    // LM gate: docs without trigrams have no score and drop (the
+    // lmScore discipline — moot after Gopher's n_words ≥ 5 rule)
+    val lmKeep = lmFloor.map { floorV =>
+      val table = lm.getOrElse(
+        lmTableBackoff(corpus.filter(col(idCol) % 2 === 0), idCol, textCol))
+      lmScoreBackoff(corpus, idCol, textCol, table, ordered = false)
+        .filter(col("lm_score") >= floorV).select("doc_id")
+    }
     val contaminated = contamination(corpus, idCol, textCol,
         benchmark, idCol, textCol)
       .select("doc_id").distinct()
@@ -1447,10 +1478,13 @@ object TextPipeline {
     val removed = pairs
       .getOrElse(Similarity.minhashNearDup(corpus, idCol, textCol, threshold, ordered = false))
       .select(col("doc_id_2").as("doc_id")).distinct()
-    corpus
+    val base = corpus
       .select(col(idCol).as("doc_id") +:
         size(toks(col(textCol))).cast("long").as("n_toks") +: dims.map(col): _*)
       .join(keep, Seq("doc_id"), "left_semi")
+    val gated = Seq(repKeep, lmKeep).flatten
+      .foldLeft(base)((d, g) => d.join(g, Seq("doc_id"), "left_semi"))
+    gated
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(removed, Seq("doc_id"), "left_anti")
       .withColumn("split", splitOf(col("doc_id")))
@@ -1639,11 +1673,16 @@ object TextPipeline {
       fuzzyMatch(Tables.customer(s, d), "c_custkey", "c_name", Seq("c_nationkey"), 1)),
     // same corpus/benchmark split as q_contamination: docs < 10 are the
     // held-out eval set, the rest is the trainable corpus
+    // full production gate order: Gopher rules -> repetition caps
+    // (10%/5% dup bigram/trigram bp) -> LM-fluency floor (back-off
+    // table trained on the slice's even half) -> decontamination ->
+    // near-dup dedup -> split manifest
     "q_curation_pipeline" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       curationPipeline(docs.filter(col("doc_id") >= 10), "doc_id", "text",
         docs.filter(col("doc_id") < 10), Seq("lang"),
-        pairs = Some(slicePairs(s, d)))
+        pairs = Some(slicePairs(s, d)),
+        repCaps = Some((1000L, 500L)), lmFloor = Some(32000L))
     }),
   )
 
@@ -2075,9 +2114,10 @@ object TextPipeline {
         |ORDER BY id_1, id_2""".stripMargin,
 
     // The composed corpus build: minhash pairs over the corpus slice
-    // (doc_id >= 10), gopher keep, shingle decontamination vs the
-    // benchmark slice, split manifest — each CTE block is the same
-    // replication its standalone oracle uses.
+    // (doc_id >= 10), gopher keep, repetition caps, LM-fluency floor
+    // (back-off table trained on the slice's even half), shingle
+    // decontamination vs the benchmark slice, split manifest — each CTE
+    // block is the same replication its standalone oracle uses.
     "q_curation_pipeline" -> (Similarity.minhashOracleCtesFor("WHERE doc_id >= 10") +
       s""",
         |all_pairs AS (
@@ -2101,6 +2141,64 @@ object TextPipeline {
         |  WHERE n_words BETWEEN 5 AND 1000
         |    AND CAST(floor(100.0 * sum_len / n_words) AS BIGINT) BETWEEN 300 AND 1000
         |    AND CAST(floor(10000.0 * max_tf / n_words) AS BIGINT) < 2000),
+        |repg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 2
+        |         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |         ELSE CAST([] AS VARCHAR[]) END AS g2,
+        |    CASE WHEN len(t) >= 3
+        |         THEN list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |         ELSE CAST([] AS VARCHAR[]) END AS g3
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |        FROM documents WHERE doc_id >= 10)),
+        |repkeep AS (
+        |  SELECT doc_id FROM repg
+        |  WHERE (CASE WHEN len(g2) > 0
+        |         THEN CAST(floor(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+        |                         * 10000.0 / CAST(len(g2) AS DOUBLE)) AS BIGINT)
+        |         ELSE 0 END) <= 1000
+        |    AND (CASE WHEN len(g3) > 0
+        |         THEN CAST(floor(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+        |                         * 10000.0 / CAST(len(g3) AS DOUBLE)) AS BIGINT)
+        |         ELSE 0 END) <= 500),
+        |lmttk AS (
+        |  SELECT list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        |  FROM documents WHERE doc_id >= 10 AND doc_id % 2 = 0),
+        |lmc3 AS (SELECT g, count(*) AS c3 FROM (
+        |        SELECT unnest(list_transform(range(1, len(tk)-1),
+        |                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+        |        FROM lmttk) GROUP BY g),
+        |lmc2 AS MATERIALIZED (SELECT g, count(*) AS c2 FROM (
+        |        SELECT unnest(list_transform(range(1, len(tk)),
+        |                 i -> tk[i] || ' ' || tk[i+1])) AS g
+        |        FROM lmttk) GROUP BY g),
+        |lmc1 AS MATERIALIZED (SELECT g, count(*) AS c1 FROM (
+        |        SELECT unnest(tk) AS g FROM lmttk) GROUP BY g),
+        |lmtot AS (SELECT CAST(sum(c1) AS BIGINT) AS t FROM lmc1),
+        |lml3 AS (SELECT lmc3.g AS g,
+        |         CAST(floor(CAST(1000000.0 AS DOUBLE) * lmc3.c3 / x.c2) AS BIGINT) AS cond3
+        |       FROM lmc3 JOIN lmc2 x
+        |         ON split_part(lmc3.g, ' ', 1) || ' ' || split_part(lmc3.g, ' ', 2) = x.g),
+        |lml2 AS (SELECT lmc2.g AS g,
+        |         CAST(floor(CAST(400000.0 AS DOUBLE) * lmc2.c2 / lmc1.c1) AS BIGINT) AS cond2
+        |       FROM lmc2 JOIN lmc1 ON split_part(lmc2.g, ' ', 1) = lmc1.g),
+        |lml1 AS (SELECT lmc1.g AS g,
+        |         CAST(floor(CAST(160000.0 AS DOUBLE) * lmc1.c1 / lmtot.t) AS BIGINT) AS cond1
+        |       FROM lmc1 CROSS JOIN lmtot),
+        |lmsg AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(tk)-1),
+        |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+        |       FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        |             FROM documents WHERE doc_id >= 10)),
+        |lmscored AS (
+        |  SELECT doc_id, coalesce(lml3.cond3, lml2.cond2, lml1.cond1, CAST(0 AS BIGINT)) AS sc
+        |  FROM lmsg LEFT JOIN lml3 ON lmsg.g = lml3.g
+        |          LEFT JOIN lml2 ON split_part(lmsg.g, ' ', 2) || ' ' || split_part(lmsg.g, ' ', 3) = lml2.g
+        |          LEFT JOIN lml1 ON split_part(lmsg.g, ' ', 3) = lml1.g),
+        |lmkeep AS (
+        |  SELECT doc_id FROM lmscored GROUP BY doc_id
+        |  HAVING CAST(floor(CAST(sum(sc) AS BIGINT) / count(*)) AS BIGINT) >= 32000),
         |sh AS (
         |  SELECT doc_id, unnest(list_distinct(
         |    list_transform(range(1, len(string_split(text, ' ')) - 1),
@@ -2121,6 +2219,8 @@ object TextPipeline {
         |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
         |FROM base
         |WHERE doc_id IN (SELECT doc_id FROM keep)
+        |  AND doc_id IN (SELECT doc_id FROM repkeep)
+        |  AND doc_id IN (SELECT doc_id FROM lmkeep)
         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
         |  AND doc_id NOT IN (SELECT doc_id FROM removed)
         |GROUP BY split, lang ORDER BY split, lang""".stripMargin),

@@ -705,7 +705,18 @@ object Streams {
     * null score (they drop from the batch scorer's grouped output —
     * the stream surfaces them so a router can quarantine instead). */
   def streamingLmScoreBackoff(docs: DataFrame, idCol: String, textCol: String,
-                              lm: DataFrame): DataFrame = {
+                              lm: DataFrame): DataFrame =
+    withLmBackoffScore(docs, textCol, lm)
+      .select(col(idCol).as("doc_id"), col("n_trigrams"), col("lm_score"))
+
+  /** The shared back-off scoring fold: appends `n_trigrams`/`lm_score`
+    * to `docs` (all input columns preserved) against the three
+    * broadcast level maps — consumed by [[streamingLmScoreBackoff]]
+    * (projection form) and [[streamingCurate]]'s LM gate (filter
+    * form). Still zero streaming state: the trained head broadcasts,
+    * the per-doc pass is a narrow HOF. */
+  private def withLmBackoffScore(docs: DataFrame, textCol: String,
+                                 lm: DataFrame): DataFrame = {
     graft.engine.functions.GraftFunctions.register(docs.sparkSession)
     def levelMap(level: Int, as: String): DataFrame =
       lm.filter(col("level") === level).agg(
@@ -720,28 +731,48 @@ object Streams {
     docs.crossJoin(broadcast(levelMap(3, "m3")))
       .crossJoin(broadcast(levelMap(2, "m2")))
       .crossJoin(broadcast(levelMap(1, "m1")))
-      .select(col(idCol).as("doc_id"),
-        size(grams).cast("long").as("n_trigrams"),
-        when(size(grams) > 0, floor(sc / size(grams)).cast("long")).as("lm_score"))
+      .withColumn("n_trigrams", size(grams).cast("long"))
+      .withColumn("lm_score",
+        when(size(grams) > 0, floor(sc / size(grams)).cast("long")))
+      .drop("m3", "m2", "m1")
   }
 
   /** s_stream_curate: the COMPOSED in-stream curation path — the
     * streaming face of the batch `q_curation_pipeline` stage chain,
     * minus the inherently cross-document near-dup stage (that is
     * [[streamingNearDupLsh]]'s job, with state): quality gate (the
-    * batch scorer's band, shared expression) → benchmark shingle
-    * decontamination → PII scrub → split routing, chained as ONE
-    * streaming query. Every stage is a narrow projection or a
-    * 1-row-broadcast stream-static join, so the composition is
-    * zero-state end-to-end — proof the curation operators compose on
-    * an unbounded frame exactly as they do on a batch one (pinned
-    * stage-for-stage against the batch frame in the spec). */
+    * batch scorer's band, shared expression) → repetition gate
+    * (optional `repCaps`, the batch pipeline's dup-n-gram caps as one
+    * narrow native pass) → LM-fluency gate (optional `lmGate` =
+    * (offline-trained back-off table, floor) — the [[
+    * streamingLmScoreBackoff]] fold as a filter; docs without
+    * trigrams score null and drop, the batch semi-join discipline) →
+    * benchmark shingle decontamination → PII scrub → split routing,
+    * chained as ONE streaming query. Every stage is a narrow
+    * projection or a 1-row-broadcast stream-static join, so the
+    * composition is zero-state end-to-end — proof the curation
+    * operators compose on an unbounded frame exactly as they do on a
+    * batch one (pinned stage-for-stage against the batch frame in the
+    * spec). */
   def streamingCurate(docs: DataFrame, idCol: String, textCol: String,
                       benchmark: DataFrame, benchTextCol: String,
-                      scrubPattern: String, mask: String): DataFrame = {
+                      scrubPattern: String, mask: String,
+                      repCaps: Option[(Long, Long)] = None,
+                      lmGate: Option[(DataFrame, Long)] = None): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(docs.sparkSession)
     val gated = docs.filter(
       graft.engine.ops.TextPipeline.qualityBand(col(textCol)) =!= "low")
-    val decon = streamingDecontaminate(gated, textCol, benchmark, benchTextCol)
+    val repGated = repCaps.fold(gated) { case (bp2Cap, bp3Cap) =>
+      gated.filter(
+        call_function("dup_ngram_bp", col(textCol), lit(2)) <= bp2Cap &&
+        call_function("dup_ngram_bp", col(textCol), lit(3)) <= bp3Cap)
+    }
+    val lmGated = lmGate.fold(repGated) { case (table, floorV) =>
+      withLmBackoffScore(repGated, textCol, table)
+        .filter(col("lm_score") >= floorV)
+        .drop("n_trigrams", "lm_score")
+    }
+    val decon = streamingDecontaminate(lmGated, textCol, benchmark, benchTextCol)
     val scrubbed = graft.engine.ops.TextPipeline.regexScrub(
       decon, idCol, textCol, scrubPattern, mask, ordered = false)
     streamingSplit(scrubbed, "doc_id")

@@ -724,13 +724,25 @@ class StreamingSpec extends SparkSuite {
       s"doc 13 must score strictly at the unigram level: ${batch(13L)}")
   }
 
-  // s_stream_curate: the composed curation chain on an unbounded frame
-  test("s_stream_curate: quality gate -> decontaminate -> scrub -> split compose in one streaming query") {
+  // s_stream_curate: the composed curation chain on an unbounded frame —
+  // quality band, repetition caps and the offline-trained LM floor each
+  // gate a doc the earlier gates pass, then decon/scrub/split
+  test("s_stream_curate: quality + repetition + LM gates -> decontaminate -> scrub -> split compose in one streaming query") {
     val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    // offline LM training corpus = the fluent docs' text, so their
+    // trigrams are all level-3 hits and unseen-trigram docs score 0
+    val train = Seq(
+      (1L, "a secret report with distinct diverse words"),
+      (3L, "xx the quick brown fox jumps yy zz"),
+      (4L, "clean and useful later content")).toDF("doc_id", "text")
+    val lmTable = graft.engine.ops.TextPipeline.lmTableBackoff(train, "doc_id", "text")
+    val repText = "alpha beta alpha beta alpha beta gamma delta epsilon zeta"
+    val gibberish = "zulu yankee xray whiskey victor uniform"
     val in = MemoryStream[Doc](spark)
     val out = mutable.ArrayBuffer[(Long, String, String)]()
     val q = Streams.streamingCurate(in.toDF(), "doc_id", "text",
-        bench, "text", "\\bsecret\\b", "<X>")
+        bench, "text", "\\bsecret\\b", "<X>",
+        repCaps = Some((1000L, 500L)), lmGate = Some((lmTable, 1000L)))
       .writeStream
       .option("checkpointLocation", tmpDir("streamcurate"))
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -742,13 +754,26 @@ class StreamingSpec extends SparkSuite {
     in.addData(
       Doc(1, ts(1), "a secret report with distinct diverse words"),   // passes, scrubbed
       Doc(2, ts(1), "spam spam spam spam spam spam spam spam"),       // low band -> gated out
-      Doc(3, ts(1), "xx the quick brown fox jumps yy zz"))            // contaminated -> dropped
+      Doc(3, ts(1), "xx the quick brown fox jumps yy zz"),            // contaminated -> dropped
+      Doc(5, ts(1), repText),                                         // high band, repetition-capped
+      Doc(6, ts(1), gibberish))                                       // rep-clean, LM scores 0 -> dropped
     q.processAllAvailable()
     in.addData(Doc(4, ts(2), "clean and useful later content"))       // later batch passes
     q.processAllAvailable(); q.stop()
     val got = out.sortBy(_._1).toSeq
-    assert(got.map(_._1) == Seq(1L, 4L), s"gate+decon must drop docs 2 and 3: $out")
+    assert(got.map(_._1) == Seq(1L, 4L), s"gates+decon must drop docs 2, 3, 5, 6: $out")
     assert(got.head._2 == "a <X> report with distinct diverse words", s"scrub ran: $out")
+    // each streaming gate decision matches its BATCH operator on the same input
+    val tp = graft.engine.ops.TextPipeline
+    val rep5 = tp.repetitionMetrics(Seq((5L, repText)).toDF("doc_id", "text"),
+      "doc_id", "text").select("dup_bigram_bp").head().getLong(0)
+    assert(rep5 > 1000L, s"doc 5 must exceed the batch repetition cap: $rep5")
+    val lmBatch = tp.lmScoreBackoff(
+      Seq((6L, gibberish), (1L, "a secret report with distinct diverse words"))
+        .toDF("doc_id", "text"), "doc_id", "text", lmTable)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(lmBatch(6L) < 1000L, s"doc 6 must score below the batch LM floor: $lmBatch")
+    assert(lmBatch(1L) >= 1000L, s"kept doc 1 must clear the batch LM floor: $lmBatch")
     // split is the same pure key function the batch manifest uses
     val expectSplits = Seq(1L, 4L).map { id =>
       val b = graft.engine.ops.TextPipeline
