@@ -264,15 +264,56 @@ object Streams {
     * watermark) events, and a timeout computed from only that batch's
     * max would move the eviction EARLIER than horizonMs past the
     * bucket's true newest member. */
-  /** COMPAT NOTE: this is the flatMapGroupsWithState state type — its
-    * shape is part of the streaming-checkpoint contract. Changing it
-    * (round 5 replaced a List[(Long, Seq[Long])] member with this
-    * class) breaks state deserialization for any query restarted from a
-    * PRE-CHANGE checkpoint: fixture/test runs always start fresh, but a
-    * long-lived deployment must either keep the old shape, version the
-    * state (wrap in an evolvable envelope), or restart with a NEW
-    * checkpointLocation after any field change. */
   final case class LshBucketState(maxTs: Long, members: Map[Long, Seq[Long]])
+
+  /** The VERSIONED streaming-state envelope (r7, closing the r6
+    * schema-compat blemish): what the state store actually holds is
+    * always `(version, payload)` — a schema that never changes — so
+    * evolving [[LshBucketState]] no longer breaks live checkpoints.
+    * Field evolution happens inside the PAYLOAD, which [[LshStateCodec]]
+    * reads tolerantly (missing segments default, unknown trailing
+    * segments are ignored), and `version` gates any future
+    * non-additive change: a reader refuses payloads from a NEWER major
+    * version instead of silently misreading them. Round 5's silent
+    * break (a field change in the bare case class) is now impossible —
+    * the encoder schema Spark checkpoints is frozen at (int, string). */
+  final case class LshStateEnvelope(version: Int, payload: String)
+
+  /** Codec for [[LshStateEnvelope]]. Payload v1 is two `;`-separated
+    * segments: `maxTs` and the member map as `id:s1 s2 …` entries
+    * joined by `,`. Decode contract (the evolution rules new fields
+    * must follow): a missing segment takes its default — so an OLDER
+    * writer's payload reads fine — and segments beyond the known ones
+    * are ignored — so a same-major NEWER writer's additive payload
+    * reads fine too. Both directions are spec-pinned. */
+  private[stream] object LshStateCodec {
+    val Version = 1
+    def encode(st: LshBucketState): LshStateEnvelope = {
+      val members = st.members.iterator.map { case (id, sig) =>
+        s"$id:${sig.mkString(" ")}"
+      }.mkString(",")
+      LshStateEnvelope(Version, s"${st.maxTs};$members")
+    }
+    def decode(env: LshStateEnvelope): LshBucketState = {
+      require(env.version <= Version,
+        s"LSH state written by a newer engine (v${env.version} > v$Version); " +
+          "upgrade this reader or restart with a fresh checkpointLocation")
+      val segs = env.payload.split(";", -1)
+      val maxTs = if (segs.length > 0 && segs(0).nonEmpty) segs(0).toLong else 0L
+      val members: Map[Long, Seq[Long]] =
+        if (segs.length > 1 && segs(1).nonEmpty)
+          segs(1).split(",").iterator.map { e =>
+            val i = e.indexOf(':')
+            val sig: Seq[Long] =
+              if (i == e.length - 1) Seq.empty
+              else scala.collection.immutable.ArraySeq.unsafeWrapArray(
+                e.substring(i + 1).split(" ").map(_.toLong))
+            e.substring(0, i).toLong -> sig
+          }.toMap
+        else Map.empty
+      LshBucketState(maxTs, members)
+    }
+  }
 
   /** s_stream_neardup_lsh: cross-batch MinHash-LSH near-duplicate
     * DETECTION at a Jaccard threshold — the operator a 100 TB/day ingest
@@ -306,17 +347,20 @@ object Streams {
     * O(cap) per doc instead of O(rate × horizon); pairs between two
     * post-cap arrivals in such a bucket are the documented loss, the
     * same non-discriminative fan-out the batch salt bounds. */
-  def streamingNearDupLsh(docs: DataFrame, textCol: String,
-                          minEstJaccard: Double = 0.7,
-                          watermark: String = "10 seconds",
-                          horizonMs: Long = 10000L,
-                          bucketCap: Int = 1024): Dataset[NearDupHit] = {
+  /** The shared banding projection: watermarked docs → one row per
+    * (band, band-key) with the full 16-long MinHash signature —
+    * identical arithmetic to the batch path
+    * ([[graft.engine.ops.Similarity.minhashNearDup]]: 2 bands × 8
+    * rows, same fold key), so batch and stream agree on what
+    * "near-dup" means. Consumed by [[streamingNearDupLsh]] (pair
+    * detection) and [[streamingNearDupSurvivors]] (keep-first
+    * filtering). */
+  private def bandedSigs(docs: DataFrame, textCol: String, watermark: String)
+      : Dataset[(Int, Long, Long, Seq[Long], java.sql.Timestamp)] = {
     graft.engine.functions.GraftFunctions.register(docs.sparkSession)
     import docs.sparkSession.implicits._
     val P31 = 2147483647L
-    // token-set hash + native fused signature: identical arithmetic to
-    // the batch path, so batch and stream agree on what "near-dup" means
-    val banded = docs.withWatermark("ts", watermark)
+    docs.withWatermark("ts", watermark)
       .withColumn("sig", call_function("minhash_sig",
         call_function("token_set_hashes62", col(textCol))))
       .select(col("doc_id"), col("ts"), col("sig"),
@@ -329,13 +373,23 @@ object Streams {
       .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
               col("doc_id"), col("sig"), col("ts"))
       .as[(Int, Long, Long, Seq[Long], java.sql.Timestamp)]
-    banded.groupByKey { case (band, bkey, _, _, _) => (band, bkey) }
+  }
+
+  def streamingNearDupLsh(docs: DataFrame, textCol: String,
+                          minEstJaccard: Double = 0.7,
+                          watermark: String = "10 seconds",
+                          horizonMs: Long = 10000L,
+                          bucketCap: Int = 1024): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    bandedSigs(docs, textCol, watermark)
+      .groupByKey { case (band, bkey, _, _, _) => (band, bkey) }
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (_: (Int, Long), rows: Iterator[(Int, Long, Long, Seq[Long], java.sql.Timestamp)],
-         state: GroupState[LshBucketState]) => {
+         state: GroupState[LshStateEnvelope]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val st = state.getOption.getOrElse(LshBucketState(0L, Map.empty))
+            val st = state.getOption.map(LshStateCodec.decode)
+              .getOrElse(LshBucketState(0L, Map.empty))
             var members = st.members
             var maxTs = st.maxTs // running max across batches, not batch-local
             val out = List.newBuilder[NearDupHit]
@@ -355,7 +409,7 @@ object Streams {
                 if (members.size < bucketCap) members = members.updated(id, sig)
               }
             }
-            state.update(LshBucketState(maxTs, members))
+            state.update(LshStateCodec.encode(LshBucketState(maxTs, members)))
             // evict the bucket once the watermark passes its newest-ever
             // member by the horizon (must stay ahead of the current
             // watermark for the timeout to be legal)
@@ -364,6 +418,107 @@ object Streams {
             out.result().iterator
           }
         })
+  }
+
+  /** A per-band keep/suppress verdict emitted by the survivor
+    * operator's state stage, combined across bands downstream. */
+  final case class BandVerdict(doc_id: Long, ts: java.sql.Timestamp, matched: Boolean)
+
+  /** s_stream_neardup_survivors: the KEEP-FIRST filter a real ingest
+    * runs — [[streamingNearDupLsh]] emits the pair graph; this emits
+    * the SURVIVING documents, dropping every arrival that near-dups
+    * any already-stored bucket-mate (the batch `q_dedup_survivors`
+    * policy with arrival order standing in for the id order; identical
+    * when docs arrive in id order). Two stateful stages, both
+    * checkpoint-recoverable:
+    *
+    *   1. the SAME banded signature state as detection (shared
+    *      [[bandedSigs]] projection, same [[LshStateCodec]] envelope,
+    *      same eviction horizon and `bucketCap` guard) — but each NEW
+    *      arrival emits one [[BandVerdict]] per band: did this band's
+    *      bucket hold a member with est-Jaccard ≥ the threshold?
+    *      Suppressed arrivals are STILL STORED (≤ cap): in the batch
+    *      graph a removed doc keeps suppressing later copies of
+    *      itself, and the stream must do the same or a dup-chain
+    *      a~b~c would keep c;
+    *   2. an event-time tumbling-window AND-combine: a doc survives
+    *      iff NO band matched (`bool_or` over its exactly-2 verdict
+    *      rows — both carry the arrival's event time, so they land in
+    *      the same window deterministically). Emits (doc_id) in
+    *      append mode once the watermark closes the window.
+    *
+    * The two-stage shape is forced by the banding itself: a doc's two
+    * band buckets are different state keys on different executors, so
+    * no single state entry can see both verdicts — the window agg is
+    * the bounded-state rendezvous (state = in-flight windows only).
+    * Emission lags the watermark by one window — the price of exactly
+    * combining verdicts; a router that prefers latency can consume
+    * stage 1 directly and dedup downstream. Documented loss under
+    * `bucketCap`: same as detection (post-cap arrivals compare but
+    * are not stored).
+    *
+    * WATERMARK-CHECK NOTE: Spark's static checker refuses ANY
+    * aggregation downstream of flatMapGroupsWithState because the
+    * user function could emit arbitrary (old) event times; this
+    * operator SETS `spark.sql.streaming.statefulOperator
+    * .checkCorrectness.enabled=false` on the session to start. That
+    * is sound HERE by construction: every verdict carries its input
+    * row's event time unchanged, and input rows at or below the
+    * watermark were already dropped upstream — so a verdict's ts is
+    * strictly above the batch watermark and its window is still open
+    * when the agg sees it; nothing is ever late at stage 2. The flag
+    * is session-scoped: callers multiplexing unrelated queries on the
+    * same session should start this one from a dedicated session. */
+  def streamingNearDupSurvivors(docs: DataFrame, textCol: String,
+                                minEstJaccard: Double = 0.7,
+                                watermark: String = "10 seconds",
+                                horizonMs: Long = 10000L,
+                                bucketCap: Int = 1024,
+                                combineWindow: String = "10 seconds"): DataFrame = {
+    import docs.sparkSession.implicits._
+    // sound here by construction — see the WATERMARK-CHECK NOTE above
+    docs.sparkSession.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val verdicts = bandedSigs(docs, textCol, watermark)
+      .groupByKey { case (band, bkey, _, _, _) => (band, bkey) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long, Seq[Long], java.sql.Timestamp)],
+         state: GroupState[LshStateEnvelope]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = state.getOption.map(LshStateCodec.decode)
+              .getOrElse(LshBucketState(0L, Map.empty))
+            var members = st.members
+            var maxTs = st.maxTs
+            val out = List.newBuilder[BandVerdict]
+            // arrival order within a batch = doc_id order (the pair-
+            // detection discipline), so a batch holding an original and
+            // its copy keeps the original and suppresses the copy
+            rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sig, t) =>
+              maxTs = math.max(maxTs, t.getTime)
+              if (!members.contains(id)) {
+                val matched = members.exists { case (_, msig) =>
+                  sig.iterator.zip(msig.iterator).count { case (a, b) => a == b }
+                    .toDouble / sig.length >= minEstJaccard
+                }
+                out += BandVerdict(id, t, matched)
+                // store even when suppressed: a removed doc must keep
+                // suppressing later copies of itself (batch chain rule)
+                if (members.size < bucketCap) members = members.updated(id, sig)
+              }
+            }
+            state.update(LshStateCodec.encode(LshBucketState(maxTs, members)))
+            state.setTimeoutTimestamp(
+              math.max(maxTs + horizonMs, state.getCurrentWatermarkMs() + 1000L))
+            out.result().iterator
+          }
+        })
+    verdicts.toDF()
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), combineWindow), col("doc_id"))
+      .agg(bool_or(col("matched")).as("suppressed"))
+      .filter(!col("suppressed"))
+      .select(col("doc_id"))
   }
 
   /** s_stream_decontaminate: in-stream eval-set decontamination — drop

@@ -335,6 +335,103 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  // The versioned state envelope: the checkpointed schema is frozen at
+  // (version, payload), and the codec's evolution rules — missing
+  // segments default, unknown trailing segments are ignored, newer
+  // MAJOR versions are refused — are the contract future field changes
+  // must follow (r6 VERDICT: field evolution must stop being a silent
+  // checkpoint break).
+  test("LshStateCodec: versioned envelope round-trips, reads older and additive-newer payloads") {
+    import Streams.{LshBucketState, LshStateCodec, LshStateEnvelope}
+    val st = LshBucketState(1234L, Map(7L -> Seq(1L, 2L, 3L), 9L -> Seq(4L, 5L)))
+    assert(LshStateCodec.decode(LshStateCodec.encode(st)) == st, "round trip")
+    assert(LshStateCodec.encode(st).version == LshStateCodec.Version)
+    // an OLDER same-major writer that only knew maxTs: members default empty
+    assert(LshStateCodec.decode(LshStateEnvelope(1, "42")) == LshBucketState(42L, Map.empty))
+    // empty payload: all defaults
+    assert(LshStateCodec.decode(LshStateEnvelope(1, "")) == LshBucketState(0L, Map.empty))
+    // an additive same-major NEWER writer appended a segment: ignored
+    assert(LshStateCodec.decode(LshStateEnvelope(1, "42;7:1 2 3;future-field")) ==
+      LshBucketState(42L, Map(7L -> Seq(1L, 2L, 3L))))
+    // a newer MAJOR version must be refused, not silently misread
+    intercept[IllegalArgumentException] {
+      LshStateCodec.decode(LshStateEnvelope(LshStateCodec.Version + 1, "42"))
+    }
+  }
+
+  // s_stream_neardup_survivors: the keep-first ingest filter — shared
+  // scenario run on both state-store providers (kill-and-restart in the
+  // middle, suppressed set equals the batch survivor complement)
+  private def runSurvivorScenario(ckptName: String): Unit = {
+    // the operator disables the static watermark checker (sound for it
+    // by construction — see its scaladoc); restore after so other
+    // tests keep the guard
+    val ccKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val ccSaved = spark.conf.getOption(ccKey)
+    try runSurvivorScenarioBody(ckptName)
+    finally ccSaved match {
+      case Some(v) => spark.conf.set(ccKey, v)
+      case None => spark.conf.unset(ccKey)
+    }
+  }
+
+  private def runSurvivorScenarioBody(ckptName: String): Unit = {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val near1 = "alpha bravo charlie delta echo foxtrot golf hotel india kilo"  // dup of 1
+    val near2 = "alpha bravo charlie delta echo foxtrot golf hotel lima kilo"   // dup of 2 (and 1)
+    val far1 = "one two three four five six seven eight nine ten"
+    val far2 = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    val docs = Seq((1L, base), (2L, near1), (3L, near2), (4L, far1), (5L, far2))
+    // batch ground truth: survivors = ids minus the pair graph's doc_id_2
+    // side (the q_dedup_survivors policy) at the same threshold
+    val batchDf = docs.toDF("doc_id", "text")
+    val removed = graft.engine.ops.Similarity
+      .minhashNearDup(batchDf, "doc_id", "text", 0.5, ordered = false)
+      .select("doc_id_2").distinct().as[Long].collect().toSet
+    val batchSurvivors = docs.map(_._1).toSet -- removed
+    assert(removed.nonEmpty && batchSurvivors.nonEmpty, s"fixture must split: $removed")
+
+    val in = MemoryStream[Doc](spark)
+    val ckpt = tmpDir(ckptName)
+    val out = mutable.ArrayBuffer[Long]()
+    def start() = Streams.streamingNearDupSurvivors(in.toDF(), "text", minEstJaccard = 0.5)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.select("doc_id").as[Long].collect() }
+        ()
+      }.start()
+    val q1 = start()
+    in.addData(Doc(1, ts(1), base), Doc(2, ts(1), near1), Doc(4, ts(1), far1))
+    q1.processAllAvailable()
+    q1.stop() // kill: both band-bucket state AND in-flight windows must recover
+    val q2 = start()
+    in.addData(Doc(3, ts(2), near2), Doc(5, ts(2), far2)) // 3 dups a SUPPRESSED doc
+    q2.processAllAvailable()
+    in.addData(Doc(99, ts(100), "flush flush flush")) // advance watermark, close [0,10)
+    q2.processAllAvailable(); q2.stop()
+    assert(out.toSet == batchSurvivors,
+      s"streaming keep-first must equal the batch survivor complement: " +
+        s"stream=${out.sorted} batch=${batchSurvivors.toSeq.sorted}")
+  }
+
+  test("s_stream_neardup_survivors: keep-first equals the batch complement across kill-and-restart") {
+    runSurvivorScenario("neardup-surv")
+  }
+
+  test("s_stream_neardup_survivors on RocksDB state store: same survivors, same recovery") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runSurvivorScenario("neardup-surv-rocks")
+    finally saved match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("s_stream_neardup_lsh: bucketCap bounds state — post-cap arrivals compare but are not stored") {
     val in = MemoryStream[Doc](spark)
     val out = mutable.ArrayBuffer[(Long, Long)]()
