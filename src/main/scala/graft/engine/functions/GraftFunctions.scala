@@ -19,7 +19,20 @@ object GraftFunctions {
       (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
-      (children: Seq[Expression]) => MinHashSignature(children(0))),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => MinHashSignature(c)
+        case Seq(c, kExpr) =>
+          require(kExpr.foldable, "minhash_sig k must be a literal")
+          val k = kExpr.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"minhash_sig k must be an integer literal, got $other")
+          }
+          MinHashSignature(c, k)
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig expects (array<bigint>[, k])")
+      }),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children(0))),
@@ -81,11 +94,16 @@ object GraftFunctions {
     pmod(hash(c), lit(1))
   }
 
-  /** k=16 MinHash signature of a hashed-token array — see
-    * [[MinHashSignature]]. */
-  def minhashSig(spark: SparkSession, a: Column): Column = {
+  /** k-component MinHash signature of a hashed-token array (default
+    * k=16; prefix-stable for larger k) — see [[MinHashSignature]]. */
+  def minhashSig(spark: SparkSession, a: Column,
+                 k: Int = MinHashSignature.NumPerms): Column = {
     register(spark)
-    call_function("minhash_sig", a)
+    if (k == MinHashSignature.NumPerms) call_function("minhash_sig", a)
+    else {
+      import org.apache.spark.sql.functions.lit
+      call_function("minhash_sig", a, lit(k))
+    }
   }
 
   /** 64-bit SimHash of a hashed-token multiset — see [[SimHash64]]. */

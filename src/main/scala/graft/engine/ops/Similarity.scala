@@ -539,9 +539,18 @@ object Similarity {
       (col("salt_lo") === col("x.g") && col("salt_hi") === col("x.g"))
 
   // ------------------------------------------------------------- MinHash
-  /** MinHash + LSH banding near-dup over whitespace token sets: k=16
-    * signature → 2 bands × 8 rows → band-bucket join → exact Jaccard
-    * verify at `threshold`. Emits (doc_id_1, doc_id_2, jaccard) pairs.
+  /** MinHash + LSH banding near-dup over whitespace token sets: k-wide
+    * signature → `bands` × `rowsPerBand` banding → band-bucket join →
+    * exact Jaccard verify at `threshold`. Emits (doc_id_1, doc_id_2,
+    * jaccard) pairs. Defaults (k=16, 2×8) are the fixture/oracle
+    * contract; the parameters trade candidate RECALL against signature
+    * and join cost along the standard LSH S-curve
+    * `P(candidate) = 1 − (1 − J^rows)^bands` — more bands catch more
+    * true pairs at a given threshold, fewer rows per band admit more
+    * low-J candidates for the exact verify to discard (precision is
+    * ALWAYS exact: every emitted pair passed the verify). The curve is
+    * spec-pinned against planted exact-Jaccard pairs at three
+    * parameter points in MinHashParamSpec.
     *
     * Identical-content collapse FIRST (the decisive 100 TB move): the
     * MinHash signature is a pure function of the token SET, so documents
@@ -553,7 +562,11 @@ object Similarity {
     * produces, because bucket collisions and jaccard depend only on sets. */
   def minhashNearDup(documents: DataFrame, idCol: String, textCol: String,
                      threshold: Double, ordered: Boolean = true,
-                     saltCap: Option[Int] = None): DataFrame = {
+                     saltCap: Option[Int] = None,
+                     k: Int = graft.engine.functions.MinHashSignature.NumPerms,
+                     bands: Int = 2, rowsPerBand: Int = 8): DataFrame = {
+    require(bands * rowsPerBand == k,
+      s"bands ($bands) x rowsPerBand ($rowsPerBand) must equal k ($k)")
     val spark = documents.sparkSession
     GraftFunctions.register(spark)
     // `hsh`: the token set as a sorted DISTINCT array of poly_hash62
@@ -583,21 +596,23 @@ object Similarity {
       .agg(sort_array(collect_list(col("doc_id"))).as("members"),
            min(col("doc_id")).as("rep"))
       .select(col("rep"), col("members"), col("hsh"))
-    // k=16 signature as ONE native fused pass per rep (no explode, no
+    // k-wide signature as ONE native fused pass per rep (no explode, no
     // second shuffle — the signature is a scalar projection; see
-    // MinHashSignature). Bit-identical to the explode + 16-min-agg
+    // MinHashSignature). Bit-identical to the explode + k-min-agg
     // formulation it replaced (property-tested in FunctionsSpec).
     val sigs = groups.select(col("rep"), size(col("hsh")).as("sz"),
-      GraftFunctions.minhashSig(spark, col("hsh")).as("sig"))
-    // 2 bands of 8 rows; band key = left fold (acc·131 + mᵢ mod p) mod p
-    // over the band's signature components — engine-neutral (the oracle
-    // replicates it with one list_reduce), and collisions only ever ADD
-    // candidates, which exact verification then discards identically on
-    // both engines. Bands come from ONE explode over the sig row (a
-    // unionAll of selects would recompute the whole signature per band).
+      GraftFunctions.minhashSig(spark, col("hsh"), k).as("sig"))
+    // `bands` bands of `rowsPerBand` rows; band key = left fold
+    // (acc·131 + mᵢ mod p) mod p over the band's signature components —
+    // engine-neutral (the oracle replicates it with one list_reduce),
+    // and collisions only ever ADD candidates, which exact verification
+    // then discards identically on both engines. Bands come from ONE
+    // explode over the sig row (a unionAll of selects would recompute
+    // the whole signature per band).
     val P31 = 2147483647L
-    val banded = sigs.select(col("rep"), col("sz"), explode(array((0 until 2).map { bnd =>
-        val cs = (bnd * 8 until bnd * 8 + 8).map(i => element_at(col("sig"), i + 1))
+    val banded = sigs.select(col("rep"), col("sz"), explode(array((0 until bands).map { bnd =>
+        val cs = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+          .map(i => element_at(col("sig"), i + 1))
         val bkey = cs.foldLeft(lit(0L): Column)((acc, m) =>
           pmod(acc * 131L + pmod(m, lit(P31)), lit(P31)))
         struct(lit(bnd).as("band"), bkey.as("bkey"))
@@ -1383,22 +1398,22 @@ object Similarity {
       |  FROM docs GROUP BY hsh),
       |sig AS (
       |  SELECT rep,
-      |    min(((h % 2147483647) * 1718262968 + 2113260563) % 2305843009213693951) AS m0,
-      |    min(((h % 2147483647) * 804122738 + 1987956716) % 2305843009213693951) AS m1,
-      |    min(((h % 2147483647) * 62260124 + 672101282) % 2305843009213693951) AS m2,
-      |    min(((h % 2147483647) * 2122292658 + 444940935) % 2305843009213693951) AS m3,
-      |    min(((h % 2147483647) * 1516669673 + 142572806) % 2305843009213693951) AS m4,
-      |    min(((h % 2147483647) * 432731727 + 809228604) % 2305843009213693951) AS m5,
-      |    min(((h % 2147483647) * 538615714 + 157044814) % 2305843009213693951) AS m6,
-      |    min(((h % 2147483647) * 464598633 + 1672589343) % 2305843009213693951) AS m7,
-      |    min(((h % 2147483647) * 1449455743 + 657603831) % 2305843009213693951) AS m8,
-      |    min(((h % 2147483647) * 2010434989 + 353389187) % 2305843009213693951) AS m9,
-      |    min(((h % 2147483647) * 777315767 + 694219494) % 2305843009213693951) AS m10,
-      |    min(((h % 2147483647) * 1545948471 + 585783330) % 2305843009213693951) AS m11,
-      |    min(((h % 2147483647) * 927132535 + 11900405) % 2305843009213693951) AS m12,
-      |    min(((h % 2147483647) * 249906175 + 2008261607) % 2305843009213693951) AS m13,
-      |    min(((h % 2147483647) * 856329022 + 1492327925) % 2305843009213693951) AS m14,
-      |    min(((h % 2147483647) * 933082142 + 1634481595) % 2305843009213693951) AS m15
+      |    min(((h % 2147483647) * 1718262968 + 2113260563) % 2147483647) AS m0,
+      |    min(((h % 2147483647) * 804122738 + 1987956716) % 2147483647) AS m1,
+      |    min(((h % 2147483647) * 62260124 + 672101282) % 2147483647) AS m2,
+      |    min(((h % 2147483647) * 2122292658 + 444940935) % 2147483647) AS m3,
+      |    min(((h % 2147483647) * 1516669673 + 142572806) % 2147483647) AS m4,
+      |    min(((h % 2147483647) * 432731727 + 809228604) % 2147483647) AS m5,
+      |    min(((h % 2147483647) * 538615714 + 157044814) % 2147483647) AS m6,
+      |    min(((h % 2147483647) * 464598633 + 1672589343) % 2147483647) AS m7,
+      |    min(((h % 2147483647) * 1449455743 + 657603831) % 2147483647) AS m8,
+      |    min(((h % 2147483647) * 2010434989 + 353389187) % 2147483647) AS m9,
+      |    min(((h % 2147483647) * 777315767 + 694219494) % 2147483647) AS m10,
+      |    min(((h % 2147483647) * 1545948471 + 585783330) % 2147483647) AS m11,
+      |    min(((h % 2147483647) * 927132535 + 11900405) % 2147483647) AS m12,
+      |    min(((h % 2147483647) * 249906175 + 2008261607) % 2147483647) AS m13,
+      |    min(((h % 2147483647) * 856329022 + 1492327925) % 2147483647) AS m14,
+      |    min(((h % 2147483647) * 933082142 + 1634481595) % 2147483647) AS m15
       |  FROM (SELECT rep, unnest(hsh) AS h FROM grps) GROUP BY rep),
       |banded AS (
       |  SELECT rep, 0 AS band,

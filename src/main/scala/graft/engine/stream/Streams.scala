@@ -318,10 +318,12 @@ object Streams {
   /** s_stream_neardup_lsh: cross-batch MinHash-LSH near-duplicate
     * DETECTION at a Jaccard threshold — the operator a 100 TB/day ingest
     * actually needs. [[streamingNearDup]] only collapses exact-signature
-    * copies (simhash equality); here each document's k=16 MinHash
+    * copies (simhash equality); here each document's k-wide MinHash
     * signature is banded exactly like the batch pipeline
-    * ([[graft.engine.ops.Similarity.minhashNearDup]]: 2 bands × 8 rows,
-    * same fold key), the stream is keyed by (band, band-key), and
+    * ([[graft.engine.ops.Similarity.minhashNearDup]]: same family and
+    * fold key, same (k, bands, rowsPerBand) knobs, 2×8 defaults — the
+    * LSH S-curve trade is pinned in MinHashParamSpec), the stream is
+    * keyed by (band, band-key), and
     * `flatMapGroupsWithState` holds each band bucket's members so a new
     * document is checked against every bucket-mate seen within the state
     * horizon — across micro-batches and across restarts (the state store
@@ -334,7 +336,7 @@ object Streams {
     * doing it here would stack a second stateful operator for no gain.
     *
     * Scale/state: one state entry per (band, band-key) bucket holding
-    * (id → 16-long signature) per member — signatures, never text.
+    * (id → k-long signature) per member — signatures, never text.
     * Event-time timeout evicts a bucket `horizonMs` past its newest
     * member (the RUNNING max, kept in the state value — see
     * [[LshBucketState]]), so state is bounded by the stream's rate ×
@@ -348,24 +350,33 @@ object Streams {
     * post-cap arrivals in such a bucket are the documented loss, the
     * same non-discriminative fan-out the batch salt bounds. */
   /** The shared banding projection: watermarked docs → one row per
-    * (band, band-key) with the full 16-long MinHash signature —
+    * (band, band-key) with the full k-long MinHash signature —
     * identical arithmetic to the batch path
-    * ([[graft.engine.ops.Similarity.minhashNearDup]]: 2 bands × 8
-    * rows, same fold key), so batch and stream agree on what
-    * "near-dup" means. Consumed by [[streamingNearDupLsh]] (pair
-    * detection) and [[streamingNearDupSurvivors]] (keep-first
-    * filtering). */
-  private def bandedSigs(docs: DataFrame, textCol: String, watermark: String)
+    * ([[graft.engine.ops.Similarity.minhashNearDup]]: same signature
+    * family, same fold key, same (k, bands, rowsPerBand)
+    * parameterization with the same 2×8 defaults), so batch and
+    * stream agree on what "near-dup" means at every parameter point.
+    * Consumed by [[streamingNearDupLsh]] (pair detection) and
+    * [[streamingNearDupSurvivors]] (keep-first filtering). */
+  private def bandedSigs(docs: DataFrame, textCol: String, watermark: String,
+                         k: Int, bands: Int, rowsPerBand: Int)
       : Dataset[(Int, Long, Long, Seq[Long], java.sql.Timestamp)] = {
+    require(bands * rowsPerBand == k,
+      s"bands ($bands) x rowsPerBand ($rowsPerBand) must equal k ($k)")
     graft.engine.functions.GraftFunctions.register(docs.sparkSession)
     import docs.sparkSession.implicits._
     val P31 = 2147483647L
+    val sigCol =
+      if (k == graft.engine.functions.MinHashSignature.NumPerms)
+        call_function("minhash_sig", call_function("token_set_hashes62", col(textCol)))
+      else
+        call_function("minhash_sig", call_function("token_set_hashes62", col(textCol)), lit(k))
     docs.withWatermark("ts", watermark)
-      .withColumn("sig", call_function("minhash_sig",
-        call_function("token_set_hashes62", col(textCol))))
+      .withColumn("sig", sigCol)
       .select(col("doc_id"), col("ts"), col("sig"),
-        explode(array((0 until 2).map { bnd =>
-          val cs = (bnd * 8 until bnd * 8 + 8).map(i => element_at(col("sig"), i + 1))
+        explode(array((0 until bands).map { bnd =>
+          val cs = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+            .map(i => element_at(col("sig"), i + 1))
           val bkey = cs.foldLeft(lit(0L): Column)((acc, m) =>
             pmod(acc * 131L + pmod(m, lit(P31)), lit(P31)))
           struct(lit(bnd).as("band"), bkey.as("bkey"))
@@ -379,9 +390,11 @@ object Streams {
                           minEstJaccard: Double = 0.7,
                           watermark: String = "10 seconds",
                           horizonMs: Long = 10000L,
-                          bucketCap: Int = 1024): Dataset[NearDupHit] = {
+                          bucketCap: Int = 1024,
+                          k: Int = graft.engine.functions.MinHashSignature.NumPerms,
+                          bands: Int = 2, rowsPerBand: Int = 8): Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._
-    bandedSigs(docs, textCol, watermark)
+    bandedSigs(docs, textCol, watermark, k, bands, rowsPerBand)
       .groupByKey { case (band, bkey, _, _, _) => (band, bkey) }
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (_: (Int, Long), rows: Iterator[(Int, Long, Long, Seq[Long], java.sql.Timestamp)],
@@ -442,7 +455,7 @@ object Streams {
     *      itself, and the stream must do the same or a dup-chain
     *      a~b~c would keep c;
     *   2. an event-time tumbling-window AND-combine: a doc survives
-    *      iff NO band matched (`bool_or` over its exactly-2 verdict
+    *      iff NO band matched (`bool_or` over its exactly-`bands` verdict
     *      rows — both carry the arrival's event time, so they land in
     *      the same window deterministically). Emits (doc_id) in
     *      append mode once the watermark closes the window.
@@ -474,12 +487,14 @@ object Streams {
                                 watermark: String = "10 seconds",
                                 horizonMs: Long = 10000L,
                                 bucketCap: Int = 1024,
-                                combineWindow: String = "10 seconds"): DataFrame = {
+                                combineWindow: String = "10 seconds",
+                                k: Int = graft.engine.functions.MinHashSignature.NumPerms,
+                                bands: Int = 2, rowsPerBand: Int = 8): DataFrame = {
     import docs.sparkSession.implicits._
     // sound here by construction — see the WATERMARK-CHECK NOTE above
     docs.sparkSession.conf.set(
       "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
-    val verdicts = bandedSigs(docs, textCol, watermark)
+    val verdicts = bandedSigs(docs, textCol, watermark, k, bands, rowsPerBand)
       .groupByKey { case (band, bkey, _, _, _) => (band, bkey) }
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (_: (Int, Long), rows: Iterator[(Int, Long, Long, Seq[Long], java.sql.Timestamp)],

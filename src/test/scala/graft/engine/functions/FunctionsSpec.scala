@@ -97,7 +97,7 @@ class FunctionsSpec extends SparkSuite {
       hashes.foldLeft(Long.MaxValue) { (m, sh) =>
         val h0 = sh % HashDomain
         val h = if (h0 < 0) h0 + HashDomain else h0
-        math.min(m, (h * permA(i) + permB(i)) % MersennePrime)
+        math.min(m, (h * permA(i) + permB(i)) % HashDomain)
       }
     }
   }

@@ -16,15 +16,26 @@ class PipelineSpec extends SparkSuite {
     val docs = Tables.documents(spark, sfDir)
     val corpus = docs.filter(col("doc_id") >= 10)
     val bench = docs.filter(col("doc_id") < 10)
-    // recompute the three filters from the standalone operators
+    // recompute ALL FIVE gates from the standalone operators, at the
+    // q_curation_pipeline binding's exact settings (this reconciliation
+    // must model every gate the binding applies — the r7 minhash-family
+    // fix exposed that the repetition/LM gates were silently shadowed
+    // here by the old family's over-recalled near-dup removals)
     val keep = TextPipeline.gopherRules(corpus, "doc_id", "text")
       .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    val repKeep = TextPipeline.repetitionMetrics(corpus, "doc_id", "text", ordered = false)
+      .filter(col("dup_bigram_bp") <= 1000L && col("dup_trigram_bp") <= 500L)
+      .select("doc_id").as[Long].collect().toSet
+    val lmTable = TextPipeline.lmTableBackoff(
+      corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val lmKeep = TextPipeline.lmScoreBackoff(corpus, "doc_id", "text", lmTable, ordered = false)
+      .filter(col("lm_score") >= 32000L).select("doc_id").as[Long].collect().toSet
     val contaminated = TextPipeline.contamination(corpus, "doc_id", "text",
         bench, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
     val removed = Similarity.minhashNearDup(corpus, "doc_id", "text", 0.9, ordered = false)
       .select("doc_id_2").as[Long].collect().toSet
-    val expectedIds = keep -- contaminated -- removed
+    val expectedIds = (keep & repKeep & lmKeep) -- contaminated -- removed
     // the manifest's doc total must equal the surviving id set exactly
     val manifest = graft.SparkEntry.queries("q_curation_pipeline")(spark, sfDir)
     val nDocs = manifest.agg(sum("n_docs")).head().getLong(0)

@@ -252,12 +252,17 @@ class StreamingSpec extends SparkSuite {
       s"near-dups must collapse within and across batches: $out")
   }
 
-  // s_stream_neardup_lsh: threshold near-dup detection with banded state
+  // s_stream_neardup_lsh: threshold near-dup detection with banded state.
+  // Fixtures here sit at J ≈ 0.82 where the default 2×8 banding's S-curve
+  // gives only ~0.36 candidate recall — these tests run the operator at
+  // 4×4 (recall ~0.91 at that J; deterministic under the fixed-seed
+  // family) so the scenario exercises state/recovery, not banding luck.
   test("s_stream_neardup_lsh: banded MinHash state detects threshold pairs across batches and restarts") {
     val in = MemoryStream[Doc](spark)
     val ckpt = tmpDir("neardup-lsh")
     val out = mutable.ArrayBuffer[(Long, Long)]()
-    def start() = Streams.streamingNearDupLsh(in.toDF(), "text", minEstJaccard = 0.5)
+    def start() = Streams.streamingNearDupLsh(in.toDF(), "text", minEstJaccard = 0.5,
+        bands = 4, rowsPerBand = 4)
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", ckpt)
@@ -301,7 +306,8 @@ class StreamingSpec extends SparkSuite {
       val in = MemoryStream[Doc](spark)
       val ckpt = tmpDir("neardup-lsh-rocks")
       val out = mutable.ArrayBuffer[(Long, Long)]()
-      def start() = Streams.streamingNearDupLsh(in.toDF(), "text", minEstJaccard = 0.5)
+      def start() = Streams.streamingNearDupLsh(in.toDF(), "text", minEstJaccard = 0.5,
+        bands = 4, rowsPerBand = 4)
         .writeStream
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", ckpt)
@@ -386,7 +392,8 @@ class StreamingSpec extends SparkSuite {
     // side (the q_dedup_survivors policy) at the same threshold
     val batchDf = docs.toDF("doc_id", "text")
     val removed = graft.engine.ops.Similarity
-      .minhashNearDup(batchDf, "doc_id", "text", 0.5, ordered = false)
+      .minhashNearDup(batchDf, "doc_id", "text", 0.5, ordered = false,
+        bands = 4, rowsPerBand = 4)
       .select("doc_id_2").distinct().as[Long].collect().toSet
     val batchSurvivors = docs.map(_._1).toSet -- removed
     assert(removed.nonEmpty && batchSurvivors.nonEmpty, s"fixture must split: $removed")
@@ -394,7 +401,8 @@ class StreamingSpec extends SparkSuite {
     val in = MemoryStream[Doc](spark)
     val ckpt = tmpDir(ckptName)
     val out = mutable.ArrayBuffer[Long]()
-    def start() = Streams.streamingNearDupSurvivors(in.toDF(), "text", minEstJaccard = 0.5)
+    def start() = Streams.streamingNearDupSurvivors(in.toDF(), "text", minEstJaccard = 0.5,
+        bands = 4, rowsPerBand = 4)
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", ckpt)
