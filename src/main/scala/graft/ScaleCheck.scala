@@ -1,0 +1,97 @@
+package graft
+import graft.engine.GraftSession
+
+/** Scale-slope audit (r7): times a curated set of the heaviest /
+  * quadratic-risk operators at TWO scale factors (default sf0.01 and
+  * sf0.1 — a 10× data ladder) and records the empirical slope
+  * `t(large) / t(small)` per query, writing `SCALECHECK.json`.
+  *
+  * Purpose: the 100 TB scale claims are otherwise argued from plan
+  * shapes (PlanShapeSpec pins partial aggs, broadcast sides, absence of
+  * cartesians / single-partition exchanges). This artifact makes them
+  * MEASURED: a blocked/bucketed operator should scale ~linearly in the
+  * data (slope ≲ 10 on a 10× ladder — usually far below, because
+  * fixed per-job scheduling and plan overhead dominates the small
+  * point), while an accidentally quadratic stage shows up as a slope
+  * well past the data growth. Anything past `FlagSlope` lands in the
+  * `flagged` list and owes a writeup or a fix.
+  *
+  * Methodology (see the bench-noise notes in Bench.scala): run1 of a
+  * query in a fresh JVM pays codegen/JIT warmup, so each (query, sf)
+  * point is timed `Runs` times and scored as the MIN of runs 2.. —
+  * steady state, resistant to co-tenant stalls. The small SF runs
+  * first so its page cache is warm before the large point (both read
+  * the same tables the driver bench reads). Evaluation is the same
+  * noop sink Bench uses — full operator execution, no driver collect.
+  *
+  * Not part of the driver contract — a committed audit artifact.
+  * Usage: `runMain graft.ScaleCheck [q_names...]` (default: the
+  * curated set below); env `SPARK_GRAFT_SF_SMALL` / `SPARK_GRAFT_SF_LARGE`
+  * override the ladder.
+  */
+object ScaleCheck {
+  /** Heaviest bench entries + every quadratic-risk family member:
+    * near-dup (band join blowup risk), dedup graph (iterative CC),
+    * ANN/PQ (train loops + rerank joins), retrieval (posting joins),
+    * fuzzy (block self-join), packing (window shapes), plus the
+    * widest pure-relational shapes as linear controls. */
+  val Curated: Seq[String] = Seq(
+    // near-dup / dedup graph
+    "q_dedup_minhash", "q_dedup_minhash_salted", "q_ngram_jaccard",
+    "q_dedup_simhash", "q_dedup_embedding", "q_semantic_dedup",
+    "q_dedup_clusters", "q_dedup_survivors", "q_dedup_substring",
+    // ANN / retrieval
+    "q_ann_ivfpq_rerank", "q_ann_ivf_trained", "q_sim_pairs_topk",
+    "q_bm25_topk", "q_hybrid_rerank",
+    // text / training loops
+    "q_bpe_learn", "q_curation_pipeline", "q_fuzzy_match", "q_pack_global",
+    // linear controls (wide scans, shuffles, windows)
+    "q_agg_group", "q_window_rank", "q_topk_per_group", "q_join_bucketed")
+
+  val Runs = 3
+  /** 10× data; slopes beyond this on the ladder mean the operator did
+    * MORE than proportionally more work — quadratic-risk territory. */
+  val FlagSlope = 12.0
+
+  def main(args: Array[String]): Unit = {
+    val small = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
+    val large = sys.env.getOrElse("SPARK_GRAFT_SF_LARGE", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val names = if (args.nonEmpty) args.toSeq else Curated
+    val spark = GraftSession.local(cpus)
+
+    def steady(name: String, sfDir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val ts = (1 to Runs).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val s = ts.drop(1).min
+      System.err.println(f"SCALE $name $sfDir runs=${ts.map(t => f"$t%.2f").mkString(",")} steady=$s%.2f")
+      s
+    }
+
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    val rows = names.map { n =>
+      val ts = steady(n, small)
+      val tl = steady(n, large)
+      (n, ts, tl, tl / ts)
+    }
+    val flagged = rows.filter(_._4 > FlagSlope).map(_._1)
+    val body = rows.map { case (n, ts, tl, sl) =>
+      s""""$n":{"t_small":${fmt(ts)},"t_large":${fmt(tl)},"slope":${fmt(sl)}}"""
+    }.mkString(",")
+    val json =
+      s"""{"ladder":["$small","$large"],"data_ratio":10.0,"runs":$Runs,""" +
+      s""""score":"min of runs 2..$Runs (steady state)","flag_slope":$FlagSlope,""" +
+      s""""flagged":[${flagged.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""queries":{$body}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("SCALECHECK.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+    println(json)
+  }
+}
