@@ -928,18 +928,44 @@ object TextPipeline {
     * blocked on `blockCols`. n = 1 (token sets) in the fixture binding
     * because its near-dups are token-shuffles — order-sensitive shingles
     * max out at jaccard 0.011 on that corpus; the banded variant of the
-    * same machinery backs Similarity.minhashNearDup. */
+    * same machinery backs Similarity.minhashNearDup.
+    *
+    * BLOCKING CAVEAT (r6 VERDICT): an EXACT-match block column like
+    * `n_chars` is a recall trap — a near-dup differing by one character
+    * lands in a different block and can never pair. Fine for the
+    * token-shuffle fixture regime (shuffles preserve length exactly);
+    * production blocking on a numeric column should BAND it instead:
+    * pass it via `bandCol = Some((name, w))` and the column is blocked
+    * on `floor(col / w)` with candidates admitted across ADJACENT
+    * bands, guaranteeing any pair within `w` of each other meets
+    * (|Δcol| ≤ w ⇒ |Δband| ≤ 1). Shape stays an equi-join: side b
+    * explodes to its 3 neighboring band keys (3× one side, the
+    * standard sorted-neighborhood trade), each qualifying pair meets
+    * on exactly one key (no dedup pass), and the exact-Jaccard verify
+    * is unchanged — banding only ever ADDS candidates. */
   def ngramJaccard(documents: DataFrame, idCol: String, textCol: String,
-                   blockCols: Seq[String], threshold: Double): DataFrame = {
+                   blockCols: Seq[String], threshold: Double,
+                   bandCol: Option[(String, Int)] = None): DataFrame = {
     val base = documents.select(
-      col(idCol).as("doc_id") +: blockCols.map(col) :+
+      col(idCol).as("doc_id") +: (blockCols ++ bandCol.map(_._1)).map(col) :+
         array_distinct(toks(col(textCol))).as("shingles"): _*)
-    val a = base.select(
-      col("doc_id").as("doc_id_1") +: blockCols.map(col) :+ col("shingles").as("sa"): _*)
-    val b = base.select(
-      col("doc_id").as("doc_id_2") +: blockCols.map(col) :+ col("shingles").as("sb"): _*)
+    val (a, b) = bandCol match {
+      case None =>
+        (base.select(col("doc_id").as("doc_id_1") +: blockCols.map(col) :+
+           col("shingles").as("sa"): _*),
+         base.select(col("doc_id").as("doc_id_2") +: blockCols.map(col) :+
+           col("shingles").as("sb"): _*))
+      case Some((bc, w)) =>
+        val blk = floor(col(bc) / w).cast("long")
+        (base.select(col("doc_id").as("doc_id_1") +: blockCols.map(col) :+
+           blk.as("blk") :+ col("shingles").as("sa"): _*),
+         base.select(col("doc_id").as("doc_id_2") +: blockCols.map(col) :+
+           explode(array(blk - 1, blk, blk + 1)).as("blk") :+
+           col("shingles").as("sb"): _*))
+    }
+    val joinCols = blockCols ++ bandCol.map(_ => "blk")
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
-    a.join(b, blockCols)
+    a.join(b, joinCols)
       .filter(col("doc_id_1") < col("doc_id_2"))
       .withColumn("jaccard", round(inter / (size(col("sa")) + size(col("sb")) - inter), 4))
       .filter(col("jaccard") >= threshold)
@@ -1561,6 +1587,16 @@ object TextPipeline {
     "q_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d), "doc_id", "text")),
     "q_ngram_jaccard" -> ((s, d) =>
       ngramJaccard(Tables.documents(s, d), "doc_id", "text", Seq("lang", "n_chars"), 0.5)),
+    // the production blocking shape: n_chars BANDED (width 4, adjacent
+    // bands admitted) instead of exact-matched — see the blocking caveat
+    // on ngramJaccard; a 1-char-off near-dup pair survives here. Width
+    // trades candidate volume against the |Δn| ≤ w meet guarantee; the
+    // in-block verify is exhaustive, so candidate count grows with
+    // block population² — MinHash-LSH stays the unbounded-scale
+    // near-dup operator, this is the exact-verify regime
+    "q_ngram_jaccard_banded" -> ((s, d) =>
+      ngramJaccard(Tables.documents(s, d), "doc_id", "text", Seq("lang"), 0.5,
+        bandCol = Some(("n_chars", 4)))),
     // cross-split near-dup leakage over the SAME shared pair graph +
     // the q_split bucket rule — fully oracled
     "q_split_leakage" -> ((s, d) =>
@@ -2476,6 +2512,23 @@ object TextPipeline {
         |    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
         |          (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
         |  FROM base a JOIN base b ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.5
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+    // banded blocking replayed relationally: |Δband| ≤ 1 is the same
+    // candidate set the Spark side reaches via the 3-key explode (each
+    // qualifying pair meets exactly once there; the abs-join form is
+    // the DuckDB-friendly equivalent)
+    "q_ngram_jaccard_banded" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, CAST(floor(n_chars / 4.0) AS BIGINT) AS blk,
+        |         list_distinct(string_split(text, ' ')) AS shingles
+        |  FROM documents
+        |)
+        |SELECT doc_id_1, doc_id_2, jaccard FROM (
+        |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |          (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+        |  FROM base a JOIN base b ON a.lang = b.lang AND abs(a.blk - b.blk) <= 1 AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5
         |ORDER BY doc_id_1, doc_id_2""".stripMargin,
   )

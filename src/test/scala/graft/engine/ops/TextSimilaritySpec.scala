@@ -901,4 +901,26 @@ class TextSimilaritySpec extends SparkSuite {
     val top = t.filter(col("rk") === 1).agg(max("df")).head().getLong(0)
     assert(top < n, "rank-1 terms should never be corpus-wide stopwords")
   }
+  test("ngramJaccard banded blocking catches the 1-char-off pair exact blocking misses") {
+    val docs = Seq(
+      (1L, "aa bb cc dd ee", "en"),   // 14 chars -> band floor(14/5) = 2
+      (2L, "aa bb cc dd eex", "en"),  // one char longer: band 3 (adjacent)
+      (3L, "zz yy xx ww vv", "en")    // 14 chars: SAME band as doc 1, J = 0
+    ).toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")))
+    // J(1,2) = 4/6 — a true near-dup whose single extra char moves its
+    // exact n_chars block (the blocking caveat on ngramJaccard)
+    val exact = TextPipeline.ngramJaccard(docs, "doc_id", "text",
+        Seq("lang", "n_chars"), 0.5)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect()
+    val banded = TextPipeline.ngramJaccard(docs, "doc_id", "text", Seq("lang"), 0.5,
+        bandCol = Some(("n_chars", 5)))
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect()
+    assert(!exact.contains((1L, 2L)),
+      "exact n_chars blocking must miss the 1-char-off pair (the documented trap)")
+    assert(banded.toSet == Set((1L, 2L)),
+      s"banding admits the adjacent-band pair, and the same-band J=0 candidate is verified away: ${banded.toSeq}")
+    assert(banded.length == banded.distinct.length,
+      "each qualifying pair must meet on exactly one band key")
+  }
 }
