@@ -1295,6 +1295,15 @@ object Similarity {
       annIvfBroadcast(Tables.embeddings(s, d), "vec_id", "embedding", codebookDf(s), 0, 10)),
     "q_ann_rerank" -> ((s, d) => annRerank(Tables.embeddings(s, d), "vec_id", "embedding", Seq(1L, 2L, 3L), 5)),
     "q_dedup_minhash" -> ((s, d) => minhashNearDup(Tables.documents(s, d), "doc_id", "text", 0.9)),
+    // the high-recall parameter point under the SAME hash oracle: k=32
+    // (prefix-stable family extension) in 4 bands × 8 rows lifts the
+    // S-curve knee (P(candidate) at J=0.9 goes 0.68 → 0.89) at 2× the
+    // signature cost — the r7 parameterization exercised END-TO-END,
+    // not just spec-pinned (the oracle generates its 32 sig components
+    // from the same constants the codegen bakes in)
+    "q_dedup_minhash_k32" -> ((s, d) =>
+      minhashNearDup(Tables.documents(s, d), "doc_id", "text", 0.9,
+        k = 32, bands = 4, rowsPerBand = 8)),
     // the hot-band salt fallback under the SAME oracle. Cap 1024 ≈ a
     // real per-task pair budget (cap² ≈ 1M comparisons): the fixture's
     // self-similar corpus has band buckets in the hundreds-to-thousands,
@@ -1381,8 +1390,32 @@ object Similarity {
   /** Same pipeline over a filtered corpus slice (`where` is a complete
     * `WHERE ...` clause on `documents`, or empty for the full table) —
     * lets composed oracles (the curation pipeline) dedup exactly the
-    * corpus they curate. */
-  def minhashOracleCtesFor(where: String): String =
+    * corpus they curate. (k, bands, rows) select the LSH parameter
+    * point, defaulting to the fixture contract (16, 2×8).
+    *
+    * The signature CTE is GENERATED from [[MinHashSignature.permA]] /
+    * `permB` — the same fixed-seed family the native expression bakes
+    * into codegen — so the oracle constants cannot drift from the
+    * engine (the r7 modulus fix had to edit 16 literal lines in
+    * lockstep; generated SQL makes that class of skew impossible, the
+    * embeddingOracleSql discipline applied here too). */
+  def minhashOracleCtesFor(where: String, k: Int = 16,
+                           bands: Int = 2, rows: Int = 8): String = {
+    require(bands * rows == k, s"bands ($bands) x rows ($rows) must equal k ($k)")
+    import graft.engine.functions.MinHashSignature.{permA, permB, MaxK}
+    require(k <= MaxK, s"k ($k) exceeds the generated family length ($MaxK)")
+    val sigMins = (0 until k).map { i =>
+      s"    min(((h % 2147483647) * ${permA(i)} + ${permB(i)}) % 2147483647) AS m$i"
+    }.mkString(",\n")
+    val bandSelects = (0 until bands).map { b =>
+      val ms = (b * rows until (b + 1) * rows)
+        .map(i => s"m$i % 2147483647").mkString("[", ", ", "]")
+      s"""  SELECT rep, $b AS band,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      $ms),
+         |      (a, b) -> (a * 131 + b) % 2147483647) AS bkey
+         |  FROM sig""".stripMargin
+    }.mkString("\n  UNION ALL\n")
     s"""WITH RECURSIVE docs AS (
       |  SELECT doc_id,
       |    list_sort(list_distinct(list_transform(list_distinct(string_split(text, ' ')),
@@ -1398,37 +1431,10 @@ object Similarity {
       |  FROM docs GROUP BY hsh),
       |sig AS (
       |  SELECT rep,
-      |    min(((h % 2147483647) * 1718262968 + 2113260563) % 2147483647) AS m0,
-      |    min(((h % 2147483647) * 804122738 + 1987956716) % 2147483647) AS m1,
-      |    min(((h % 2147483647) * 62260124 + 672101282) % 2147483647) AS m2,
-      |    min(((h % 2147483647) * 2122292658 + 444940935) % 2147483647) AS m3,
-      |    min(((h % 2147483647) * 1516669673 + 142572806) % 2147483647) AS m4,
-      |    min(((h % 2147483647) * 432731727 + 809228604) % 2147483647) AS m5,
-      |    min(((h % 2147483647) * 538615714 + 157044814) % 2147483647) AS m6,
-      |    min(((h % 2147483647) * 464598633 + 1672589343) % 2147483647) AS m7,
-      |    min(((h % 2147483647) * 1449455743 + 657603831) % 2147483647) AS m8,
-      |    min(((h % 2147483647) * 2010434989 + 353389187) % 2147483647) AS m9,
-      |    min(((h % 2147483647) * 777315767 + 694219494) % 2147483647) AS m10,
-      |    min(((h % 2147483647) * 1545948471 + 585783330) % 2147483647) AS m11,
-      |    min(((h % 2147483647) * 927132535 + 11900405) % 2147483647) AS m12,
-      |    min(((h % 2147483647) * 249906175 + 2008261607) % 2147483647) AS m13,
-      |    min(((h % 2147483647) * 856329022 + 1492327925) % 2147483647) AS m14,
-      |    min(((h % 2147483647) * 933082142 + 1634481595) % 2147483647) AS m15
+      |$sigMins
       |  FROM (SELECT rep, unnest(hsh) AS h FROM grps) GROUP BY rep),
       |banded AS (
-      |  SELECT rep, 0 AS band,
-      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |      [m0 % 2147483647, m1 % 2147483647, m2 % 2147483647, m3 % 2147483647,
-      |       m4 % 2147483647, m5 % 2147483647, m6 % 2147483647, m7 % 2147483647]),
-      |      (a, b) -> (a * 131 + b) % 2147483647) AS bkey
-      |  FROM sig
-      |  UNION ALL
-      |  SELECT rep, 1,
-      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |      [m8 % 2147483647, m9 % 2147483647, m10 % 2147483647, m11 % 2147483647,
-      |       m12 % 2147483647, m13 % 2147483647, m14 % 2147483647, m15 % 2147483647]),
-      |      (a, b) -> (a * 131 + b) % 2147483647)
-      |  FROM sig),
+      |$bandSelects),
       |cand AS (
       |  SELECT DISTINCT x.rep AS r1, y.rep AS r2
       |  FROM banded x JOIN banded y
@@ -1447,6 +1453,7 @@ object Similarity {
       |  FROM (SELECT members FROM grps WHERE len(members) > 1) g,
       |       unnest(g.members) AS ta(a), unnest(g.members) AS tb(b)
       |  WHERE ta.a < tb.b)""".stripMargin
+  }
 
   /** DuckDB replication of the embedding near-dup pipeline, built
     * programmatically so the 64×64 hyperplane matrix is embedded from
@@ -2200,6 +2207,14 @@ object Similarity {
     // integer arithmetic, so the verified pair set is bit-identical by
     // construction, not probabilistically.
     "q_dedup_minhash" -> (minhashOracleCtes +
+      """
+        |SELECT doc_id_1, doc_id_2, jaccard FROM cross_pairs
+        |UNION ALL
+        |SELECT doc_id_1, doc_id_2, jaccard FROM within_pairs
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin),
+    // the k=32 / 4×8 point replays the generated-constant pipeline at
+    // its own parameterization — every intermediate still exact integers
+    "q_dedup_minhash_k32" -> (minhashOracleCtesFor("", 32, 4, 8) +
       """
         |SELECT doc_id_1, doc_id_2, jaccard FROM cross_pairs
         |UNION ALL
