@@ -692,6 +692,82 @@ object Similarity {
     if (ordered) pairs.orderBy("doc_id_1", "doc_id_2") else pairs
   }
 
+  // ------------------------------------------ incremental near-dup (delta vs index)
+  /** Incremental MinHash-LSH near-dup: which NEW (delta) documents
+    * near-duplicate an existing REFERENCE corpus — the shape a rolling
+    * corpus build actually runs (today's crawl against the standing
+    * index), where re-deduplicating the whole union per batch would
+    * rescan history every day. Emits (doc_id_ref, doc_id_new, jaccard)
+    * pairs at jaccard ≥ threshold; within-delta and within-reference
+    * duplicates are deliberately out of scope ([[minhashNearDup]]
+    * covers a single corpus, the streaming LSH operators cover
+    * arrival-ordered feeds — this is the batch-vs-index face).
+    *
+    * Scale shape: each side rep-collapses on its token SET and bands
+    * its k-wide signature exactly like [[minhashNearDup]], but the
+    * candidate join is delta-bands ⋈ reference-bands — the reference
+    * side is the precomputable INDEX (production: banded reps persisted
+    * once, re-joined by every delta batch; only the delta tokenizes per
+    * run), and candidate volume is |delta bucket| × |ref bucket| per
+    * key, never reference². A token set present in both slices has
+    * identical signatures and collides in every band by construction,
+    * so jaccard-1.0 cross-slice pairs need no separate identity pass.
+    * Same size-bound prune inside the band join, same native merge-walk
+    * verify, and the DuckDB oracle replays both sides from the same
+    * generated family constants. */
+  def minhashNearDupIncremental(reference: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      ordered: Boolean = true,
+      k: Int = graft.engine.functions.MinHashSignature.NumPerms,
+      bands: Int = 2, rowsPerBand: Int = 8): DataFrame = {
+    require(bands * rowsPerBand == k,
+      s"bands ($bands) x rowsPerBand ($rowsPerBand) must equal k ($k)")
+    val spark = reference.sparkSession
+    GraftFunctions.register(spark)
+    val P31 = 2147483647L
+    def side(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("doc_id"),
+          call_function("token_set_hashes62", col(textCol)).as("hsh"))
+        .groupBy(col("hsh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("members"),
+             min(col("doc_id")).as("rep"))
+        .select(col("rep"), col("members"), col("hsh"))
+    def bandedOf(groups: DataFrame): DataFrame =
+      groups.select(col("rep"), size(col("hsh")).as("sz"),
+          GraftFunctions.minhashSig(spark, col("hsh"), k).as("sig"))
+        .select(col("rep"), col("sz"), explode(array((0 until bands).map { bnd =>
+            val cs = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+              .map(i => element_at(col("sig"), i + 1))
+            val bkey = cs.foldLeft(lit(0L): Column)((acc, m) =>
+              pmod(acc * 131L + pmod(m, lit(P31)), lit(P31)))
+            struct(lit(bnd).as("band"), bkey.as("bkey"))
+          }: _*)).as("bb"))
+        .select(col("rep"), col("sz"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val refGroups = side(reference)
+    val newGroups = side(delta)
+    // same jaccard size bound as minhashNearDup, pruned inside the join
+    val sizeBound =
+      least(col("x.sz"), col("y.sz")).cast("double") >=
+        greatest(col("x.sz"), col("y.sz")) * lit(threshold - 0.001)
+    val cand = bandedOf(refGroups).as("x")
+      .join(bandedOf(newGroups).as("y"), Seq("band", "bkey"))
+      .filter(sizeBound)
+      .select(col("x.rep").as("rep_ref"), col("y.rep").as("rep_new"))
+      .distinct()
+    val sa = refGroups.select(col("rep").as("rep_ref"),
+      col("hsh").as("sa"), col("members").as("ma"))
+    val sb = newGroups.select(col("rep").as("rep_new"),
+      col("hsh").as("sb"), col("members").as("mb"))
+    val inter = GraftFunctions.sortedIntersectSize(spark, col("sa"), col("sb")).cast("double")
+    val pairs = cand.join(sa, "rep_ref").join(sb, "rep_new")
+      .withColumn("jaccard", round(inter / (size(col("sa")) + size(col("sb")) - inter), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(explode(col("ma")).as("doc_id_ref"), col("mb"), col("jaccard"))
+      .select(col("doc_id_ref"), explode(col("mb")).as("doc_id_new"), col("jaccard"))
+      .select("doc_id_ref", "doc_id_new", "jaccard")
+    if (ordered) pairs.orderBy("doc_id_ref", "doc_id_new") else pairs
+  }
+
   // ------------------------------------------------------------- SimHash
   /** Engine-neutral 63-bit token-hash multiset for SimHash: split the
     * poly_hash62 double fold into its independent 31-bit halves and run
@@ -1304,6 +1380,13 @@ object Similarity {
     "q_dedup_minhash_k32" -> ((s, d) =>
       minhashNearDup(Tables.documents(s, d), "doc_id", "text", 0.9,
         k = 32, bands = 4, rowsPerBand = 8)),
+    // delta-vs-index dedup: which "new" docs (id ≥ 250) near-dup the
+    // standing reference corpus (id < 250) — the rolling-build shape
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      minhashNearDupIncremental(docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", 0.9)
+    }),
     // the hot-band salt fallback under the SAME oracle. Cap 1024 ≈ a
     // real per-task pair budget (cap² ≈ 1M comparisons): the fixture's
     // self-similar corpus has band buckets in the hundreds-to-thousands,
@@ -1399,25 +1482,11 @@ object Similarity {
     * engine (the r7 modulus fix had to edit 16 literal lines in
     * lockstep; generated SQL makes that class of skew impossible, the
     * embeddingOracleSql discipline applied here too). */
-  def minhashOracleCtesFor(where: String, k: Int = 16,
-                           bands: Int = 2, rows: Int = 8): String = {
-    require(bands * rows == k, s"bands ($bands) x rows ($rows) must equal k ($k)")
-    import graft.engine.functions.MinHashSignature.{permA, permB, MaxK}
-    require(k <= MaxK, s"k ($k) exceeds the generated family length ($MaxK)")
-    val sigMins = (0 until k).map { i =>
-      s"    min(((h % 2147483647) * ${permA(i)} + ${permB(i)}) % 2147483647) AS m$i"
-    }.mkString(",\n")
-    val bandSelects = (0 until bands).map { b =>
-      val ms = (b * rows until (b + 1) * rows)
-        .map(i => s"m$i % 2147483647").mkString("[", ", ", "]")
-      s"""  SELECT rep, $b AS band,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      $ms),
-         |      (a, b) -> (a * 131 + b) % 2147483647) AS bkey
-         |  FROM sig""".stripMargin
-    }.mkString("\n  UNION ALL\n")
-    s"""WITH RECURSIVE docs AS (
-      |  SELECT doc_id,
+  /** The token-set docs CTE body over a `documents` slice (poly_hash62
+    * replayed as two list_reduce folds — see the hsh scaladoc in
+    * [[minhashNearDup]]). */
+  private def minhashDocsSql(where: String): String =
+    s"""  SELECT doc_id,
       |    list_sort(list_distinct(list_transform(list_distinct(string_split(text, ' ')),
       |      tok -> list_reduce(list_prepend(CAST(0 AS BIGINT),
       |               list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
@@ -1425,16 +1494,43 @@ object Similarity {
       |           + list_reduce(list_prepend(CAST(0 AS BIGINT),
       |               list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
       |             (a, b) -> (a * 37 + b) % 2147483647)))) AS hsh
-      |  FROM documents $where),
+      |  FROM documents $where""".stripMargin
+
+  /** The k signature min() lines, generated from the native family. */
+  private def minhashSigMinsSql(k: Int): String = {
+    import graft.engine.functions.MinHashSignature.{permA, permB, MaxK}
+    require(k >= 1 && k <= MaxK, s"k ($k) outside the generated family length ($MaxK)")
+    (0 until k).map { i =>
+      s"    min(((h % 2147483647) * ${permA(i)} + ${permB(i)}) % 2147483647) AS m$i"
+    }.mkString(",\n")
+  }
+
+  /** The per-band fold-key selects over a signature CTE. */
+  private def minhashBandSelectsSql(bands: Int, rows: Int, sigCte: String): String =
+    (0 until bands).map { b =>
+      val ms = (b * rows until (b + 1) * rows)
+        .map(i => s"m$i % 2147483647").mkString("[", ", ", "]")
+      s"""  SELECT rep, $b AS band,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      $ms),
+         |      (a, b) -> (a * 131 + b) % 2147483647) AS bkey
+         |  FROM $sigCte""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+
+  def minhashOracleCtesFor(where: String, k: Int = 16,
+                           bands: Int = 2, rows: Int = 8): String = {
+    require(bands * rows == k, s"bands ($bands) x rows ($rows) must equal k ($k)")
+    s"""WITH RECURSIVE docs AS (
+      |${minhashDocsSql(where)}),
       |grps AS (
       |  SELECT min(doc_id) AS rep, list_sort(list(doc_id)) AS members, hsh
       |  FROM docs GROUP BY hsh),
       |sig AS (
       |  SELECT rep,
-      |$sigMins
+      |${minhashSigMinsSql(k)}
       |  FROM (SELECT rep, unnest(hsh) AS h FROM grps) GROUP BY rep),
       |banded AS (
-      |$bandSelects),
+      |${minhashBandSelectsSql(bands, rows, "sig")}),
       |cand AS (
       |  SELECT DISTINCT x.rep AS r1, y.rep AS r2
       |  FROM banded x JOIN banded y
@@ -1453,6 +1549,43 @@ object Similarity {
       |  FROM (SELECT members FROM grps WHERE len(members) > 1) g,
       |       unnest(g.members) AS ta(a), unnest(g.members) AS tb(b)
       |  WHERE ta.a < tb.b)""".stripMargin
+  }
+
+  /** Full incremental-near-dup oracle ([[minhashNearDupIncremental]]):
+    * both corpus slices run the generated docs→grps→sig→band chain,
+    * candidates come from the CROSS-side band join, and the verify +
+    * member expansion replay the operator exactly. */
+  def minhashIncrementalOracleSql(refWhere: String, newWhere: String,
+                                  threshold: Double, k: Int = 16,
+                                  bands: Int = 2, rows: Int = 8): String = {
+    require(bands * rows == k, s"bands ($bands) x rows ($rows) must equal k ($k)")
+    def sideCtes(p: String, where: String): String =
+      s"""${p}_docs AS (
+        |${minhashDocsSql(where)}),
+        |${p}_grps AS (
+        |  SELECT min(doc_id) AS rep, list_sort(list(doc_id)) AS members, hsh
+        |  FROM ${p}_docs GROUP BY hsh),
+        |${p}_sig AS (
+        |  SELECT rep,
+        |${minhashSigMinsSql(k)}
+        |  FROM (SELECT rep, unnest(hsh) AS h FROM ${p}_grps) GROUP BY rep),
+        |${p}_band AS (
+        |${minhashBandSelectsSql(bands, rows, s"${p}_sig")})""".stripMargin
+    s"""WITH RECURSIVE ${sideCtes("ref", refWhere)},
+      |${sideCtes("new", newWhere)},
+      |cand AS (
+      |  SELECT DISTINCT x.rep AS r1, y.rep AS r2
+      |  FROM ref_band x JOIN new_band y
+      |    ON x.band = y.band AND x.bkey = y.bkey),
+      |ver AS (
+      |  SELECT r1, r2, a.members AS ma, b.members AS mb,
+      |    round(CAST(len(list_intersect(a.hsh, b.hsh)) AS DOUBLE) /
+      |          (len(a.hsh) + len(b.hsh) - len(list_intersect(a.hsh, b.hsh))), 4) AS jaccard
+      |  FROM cand JOIN ref_grps a ON a.rep = r1 JOIN new_grps b ON b.rep = r2)
+      |SELECT ta.a AS doc_id_ref, tb.b AS doc_id_new, jaccard
+      |FROM ver, unnest(ma) AS ta(a), unnest(mb) AS tb(b)
+      |WHERE jaccard >= $threshold
+      |ORDER BY doc_id_ref, doc_id_new""".stripMargin
   }
 
   /** DuckDB replication of the embedding near-dup pipeline, built
@@ -2220,6 +2353,8 @@ object Similarity {
         |UNION ALL
         |SELECT doc_id_1, doc_id_2, jaccard FROM within_pairs
         |ORDER BY doc_id_1, doc_id_2""".stripMargin),
+    "q_dedup_incremental" -> minhashIncrementalOracleSql(
+      "WHERE doc_id < 250", "WHERE doc_id >= 250", 0.9),
     // salt must not change a single pair — the salted binding replays
     // the identical unsalted oracle
     "q_dedup_minhash_salted" -> (minhashOracleCtes +

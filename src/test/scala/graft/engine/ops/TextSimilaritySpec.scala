@@ -923,4 +923,20 @@ class TextSimilaritySpec extends SparkSuite {
     assert(banded.length == banded.distinct.length,
       "each qualifying pair must meet on exactly one band key")
   }
+  test("minhashNearDupIncremental pairs delta docs against the reference only") {
+    val ref = Seq(
+      (1L, "alpha bravo charlie delta echo"),
+      (2L, "one two three four five")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "alpha bravo charlie delta echo"),  // exact cross-slice dup of ref 1
+      (11L, "alpha bravo charlie delta echo"),  // dup of ref 1 AND of delta 10
+      (12L, "six seven eight nine ten")         // novel content
+    ).toDF("doc_id", "text")
+    val pairs = Similarity.minhashNearDupIncremental(ref, delta, "doc_id", "text", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    // both delta copies pair with the REFERENCE doc; the within-delta
+    // pair (10, 11) is deliberately out of scope for the incremental face
+    assert(pairs == Set((1L, 10L, 1.0), (1L, 11L, 1.0)),
+      s"cross-slice dups only: $pairs")
+  }
 }
