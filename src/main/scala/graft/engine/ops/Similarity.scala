@@ -693,6 +693,43 @@ object Similarity {
   }
 
   // ------------------------------------------ incremental near-dup (delta vs index)
+  /** The standing banded MinHash index over a reference corpus — the
+    * artifact a rolling build computes ONCE (and in production persists)
+    * so every delta batch or stream probes it without re-tokenizing
+    * history. One row per (band, bkey) per rep: the band key plus the
+    * rep's sorted token-hash set, set size and member ids, so a probe
+    * join needs no second lookup into the corpus. Consumed by
+    * [[graft.engine.stream.Streams.streamingNearDupIncremental]] (the
+    * serve face); [[minhashNearDupIncremental]] builds the same shape
+    * in-plan. */
+  def minhashBandedIndex(reference: DataFrame, idCol: String, textCol: String,
+      k: Int = graft.engine.functions.MinHashSignature.NumPerms,
+      bands: Int = 2, rowsPerBand: Int = 8): DataFrame = {
+    require(bands * rowsPerBand == k,
+      s"bands ($bands) x rowsPerBand ($rowsPerBand) must equal k ($k)")
+    val spark = reference.sparkSession
+    GraftFunctions.register(spark)
+    val P31 = 2147483647L
+    reference.select(col(idCol).as("doc_id"),
+        call_function("token_set_hashes62", col(textCol)).as("hsh"))
+      .groupBy(col("hsh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"),
+           min(col("doc_id")).as("rep"))
+      .select(col("rep"), col("members"), col("hsh"),
+        size(col("hsh")).as("sz"),
+        GraftFunctions.minhashSig(spark, col("hsh"), k).as("sig"))
+      .select(col("rep"), col("members"), col("hsh"), col("sz"),
+        explode(array((0 until bands).map { bnd =>
+          val cs = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+            .map(i => element_at(col("sig"), i + 1))
+          val bkey = cs.foldLeft(lit(0L): Column)((acc, m) =>
+            pmod(acc * 131L + pmod(m, lit(P31)), lit(P31)))
+          struct(lit(bnd).as("band"), bkey.as("bkey"))
+        }: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+              col("rep"), col("sz"), col("hsh"), col("members"))
+  }
+
   /** Incremental MinHash-LSH near-dup: which NEW (delta) documents
     * near-duplicate an existing REFERENCE corpus — the shape a rolling
     * corpus build actually runs (today's crawl against the standing

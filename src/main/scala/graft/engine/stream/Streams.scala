@@ -536,6 +536,63 @@ object Streams {
       .select(col("doc_id"))
   }
 
+  /** s_stream_dedup_incremental: in-stream delta-vs-index near-dup —
+    * each arriving document checked against the STANDING reference
+    * index (the streaming face of [[graft.engine.ops.Similarity
+    * .minhashNearDupIncremental]], same train-offline/serve-online
+    * split as s_stream_pq): `index` is [[graft.engine.ops.Similarity
+    * .minhashBandedIndex]] over the reference corpus, built once; the
+    * stream side projects its own k-wide signature and band keys per
+    * doc (narrow, native) and a stream-static equi-join on
+    * (band, bkey) meets the index, then the exact merge-walk Jaccard
+    * verify decides per candidate. ZERO streaming state — no
+    * watermark, no store: within-stream duplicates are
+    * [[streamingNearDupSurvivors]]' job, this is the firehose-vs-index
+    * filter, and restarts are trivially safe because nothing is held.
+    *
+    * Emits (doc_id_ref, doc_id_new, jaccard) — once per COLLIDING
+    * band, like [[streamingNearDupLsh]]: downstream consumers dedup
+    * (a stateless operator cannot, and stacking a stateful distinct
+    * here would forfeit the zero-state property). The (k, bands,
+    * rowsPerBand) point must match the index's — the band keys are
+    * the join keys. */
+  def streamingNearDupIncremental(docs: DataFrame, textCol: String,
+      index: DataFrame, threshold: Double,
+      k: Int = graft.engine.functions.MinHashSignature.NumPerms,
+      bands: Int = 2, rowsPerBand: Int = 8): DataFrame = {
+    require(bands * rowsPerBand == k,
+      s"bands ($bands) x rowsPerBand ($rowsPerBand) must equal k ($k)")
+    val spark = docs.sparkSession
+    graft.engine.functions.GraftFunctions.register(spark)
+    val P31 = 2147483647L
+    val hshCol = call_function("token_set_hashes62", col(textCol))
+    val sigCol =
+      if (k == graft.engine.functions.MinHashSignature.NumPerms)
+        call_function("minhash_sig", col("hsh_new"))
+      else call_function("minhash_sig", col("hsh_new"), lit(k))
+    val probes = docs
+      .withColumn("hsh_new", hshCol)
+      .withColumn("sig", sigCol)
+      .select(col("doc_id"), col("hsh_new"),
+        explode(array((0 until bands).map { bnd =>
+          val cs = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+            .map(i => element_at(col("sig"), i + 1))
+          val bkey = cs.foldLeft(lit(0L): Column)((acc, m) =>
+            pmod(acc * 131L + pmod(m, lit(P31)), lit(P31)))
+          struct(lit(bnd).as("band"), bkey.as("bkey"))
+        }: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+              col("doc_id"), col("hsh_new"))
+    val inter = graft.engine.functions.GraftFunctions
+      .sortedIntersectSize(spark, col("hsh"), col("hsh_new")).cast("double")
+    probes.join(index, Seq("band", "bkey"))
+      .withColumn("jaccard",
+        round(inter / (size(col("hsh")) + size(col("hsh_new")) - inter), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(explode(col("members")).as("doc_id_ref"),
+              col("doc_id").as("doc_id_new"), col("jaccard"))
+  }
+
   /** s_stream_decontaminate: in-stream eval-set decontamination — drop
     * any streamed document sharing ≥ `minShared` distinct 3-token
     * shingles with the (static) benchmark corpus, the streaming face of

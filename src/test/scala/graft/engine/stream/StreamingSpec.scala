@@ -468,6 +468,42 @@ class StreamingSpec extends SparkSuite {
       s"a full bucket must not store post-cap arrivals: $out")
   }
 
+  // s_stream_dedup_incremental: stateless delta-vs-index probe — the
+  // streaming face of minhashNearDupIncremental over the SAME standing
+  // index (parity is exact at any parameter point because both sides
+  // compute identical band keys: they hit or miss candidates together)
+  test("s_stream_dedup_incremental: stream pairs equal the batch incremental op on the same data") {
+    val ref = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val index = graft.engine.ops.Similarity.minhashBandedIndex(ref, "doc_id", "text")
+    val d10 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet" // exact dup of ref 1
+    val d11 = "alpha bravo charlie delta echo foxtrot golf hotel india kilo"   // near ref 1
+    val d12 = "completely novel content with nothing shared here at all"
+    val in = MemoryStream[Doc](spark)
+    val out = mutable.ArrayBuffer[(Long, Long, Double)]()
+    val q = Streams.streamingNearDupIncremental(in.toDF(), "text", index, 0.5)
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("dedup-inc"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.as[(Long, Long, Double)].collect() }
+        ()
+      }.start()
+    in.addData(Doc(10, ts(1), d10), Doc(12, ts(1), d12))
+    q.processAllAvailable()
+    in.addData(Doc(11, ts(2), d11))
+    q.processAllAvailable(); q.stop()
+    val batch = graft.engine.ops.Similarity.minhashNearDupIncremental(
+        ref, Seq((10L, d10), (11L, d11), (12L, d12)).toDF("doc_id", "text"),
+        "doc_id", "text", 0.5, ordered = false)
+      .as[(Long, Long, Double)].collect().toSet
+    // per-band duplicate emissions dedup to exactly the batch pair set
+    assert(out.distinct.toSet == batch, s"stream ${out.distinct.sorted} vs batch $batch")
+    assert(batch.contains((1L, 10L, 1.0)), s"exact cross-slice dup must always pair: $batch")
+    assert(!batch.exists(p => p._1 == 2L || p._2 == 12L),
+      s"novel content must pair with nothing: $batch")
+  }
+
   // s_stream_bm25: standing-query scoring with offline-trained stats
   test("s_stream_bm25: in-stream scores equal the batch BM25 operator score-for-score") {
     val corpus = Seq(
