@@ -476,7 +476,12 @@ class StreamingSpec extends SparkSuite {
     val ref = Seq(
       (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
       (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
-    val index = graft.engine.ops.Similarity.minhashBandedIndex(ref, "doc_id", "text")
+    // the index is the PERSISTED artifact of the rolling build: write it
+    // to parquet and probe the RELOADED copy, as production would
+    val idxPath = tmpDir("dedup-inc-index")
+    graft.engine.ops.Similarity.minhashBandedIndex(ref, "doc_id", "text")
+      .write.mode("overwrite").parquet(idxPath)
+    val index = spark.read.parquet(idxPath)
     val d10 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet" // exact dup of ref 1
     val d11 = "alpha bravo charlie delta echo foxtrot golf hotel india kilo"   // near ref 1
     val d12 = "completely novel content with nothing shared here at all"
