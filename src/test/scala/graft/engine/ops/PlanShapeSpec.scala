@@ -408,4 +408,25 @@ class PlanShapeSpec extends SparkSuite {
       s"stage filters must be id-keyed semi/anti joins:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"))
   }
+  test("q_ngram_jaccard_banded keeps the equi-join shape: banding never degrades to a nested loop") {
+    // the 3-neighbor-band explode exists precisely so adjacent-band
+    // admission stays an equi-join; an abs(blk_a - blk_b) <= 1 predicate
+    // would plan as BroadcastNestedLoop and die at scale
+    val p = plan("q_ngram_jaccard_banded")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "band-adjacency must join on exploded keys, not a non-equi predicate:\n" + p.take(2500))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q_dedup_incremental joins delta bands against reference bands with no cartesian stage") {
+    val p = plan("q_dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the index probe must stay a keyed band join:\n" + p.take(2500))
+    // both slices' scans must prune to the two columns the pipeline reads
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString("; ")
+    assert(schemas.contains("doc_id") && schemas.contains("text") &&
+           !schemas.contains("n_chars"),
+      s"corpus scans must read only (doc_id, text): $schemas")
+  }
 }
