@@ -439,6 +439,14 @@ object TextPipeline {
     * `ordered=false` keeps the projection fully narrow — the form that
     * runs unchanged on a streaming frame (global sort is unsupported
     * there), mirroring chunkDocuments' flag. */
+  /** `round(|token set| / |token list|, 4)` — the quality_band
+    * discriminant, shared by [[qualityScore]]'s banding and the
+    * learned classifier's pseudo-labels so the two can never drift. */
+  private def distinctRatio(c: Column): Column = {
+    val t = toks(c)
+    round(size(array_distinct(t)).cast("double") / size(t).cast("double"), 4)
+  }
+
   def qualityScore(documents: DataFrame, idCol: String, textCol: String,
                    charsCol: String, ordered: Boolean = true): DataFrame = {
     val t = toks(col(textCol))
@@ -447,13 +455,64 @@ object TextPipeline {
     val scored = documents.select(
       col(idCol).as("doc_id"), col(charsCol).as("n_chars"),
       size(t).cast("long").as("n_tokens"),
-      round(size(array_distinct(t)).cast("double") / nTok, 4).as("distinct_ratio"),
+      distinctRatio(col(textCol)).as("distinct_ratio"),
       round((col(charsCol) - (size(t) - lit(1))).cast("double") / nTok, 4).as("avg_token_len"),
       round(size(filter(t, x => x.isin(stop.map(lit(_)): _*))).cast("double") / nTok, 4).as("stopword_ratio"))
       .withColumn("quality_band",
         when(col("distinct_ratio") >= 0.6, "high")
           .when(col("distinct_ratio") >= 0.3, "mid")
           .otherwise("low"))
+    if (ordered) scored.orderBy("doc_id") else scored
+  }
+
+  /** TRAIN the learned quality filter: a linear bag-of-tokens
+    * classifier with closed-form, integer-scaled count-contrast
+    * weights — the SQL-replicable cousin of the fastText-style quality
+    * classifiers production pipelines train to EXTEND a curated signal
+    * (label a slice with the rule-based gate, learn token weights,
+    * score the whole corpus — the CCNet pattern). Each token of the
+    * labeled slice gets the add-one-smoothed scaled frequency contrast
+    *
+    *   w(tok) = floor(S·(c⁺+1)/(t⁺+V)) − floor(S·(c⁻+1)/(t⁻+V))
+    *
+    * with S = 10⁶, V = labeled vocab size, counts WITH multiplicity —
+    * every operand < 2⁵³ and the quotient floored, so the model
+    * crosses engines exactly (the lmScore integer discipline). Output:
+    * (tok, w), Zipf-bounded by the labeled slice's vocabulary — a
+    * broadcastable artifact, trained once and served everywhere (the
+    * BM25/BPE/LM/PQ train-offline split).
+    *
+    * `posCol` is a boolean label column on `labeled`. */
+  def qualityClassifierTrain(labeled: DataFrame, textCol: String,
+                             posCol: String): DataFrame = {
+    val ex = labeled.select(col(posCol).as("pos"), explode(toks(col(textCol))).as("tok"))
+    val counts = ex.groupBy("tok").agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("c1"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("c0"))
+    val tot = counts.agg(sum("c1").as("t1"), sum("c0").as("t0"),
+      count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(tot)).select(col("tok"),
+      (floor(lit(1000000.0) * (col("c1") + 1L) / (col("t1") + col("v"))) -
+       floor(lit(1000000.0) * (col("c0") + 1L) / (col("t0") + col("v"))))
+        .cast("long").as("w"))
+  }
+
+  /** SCORE a corpus against a trained [[qualityClassifierTrain]] model:
+    * doc score = Σ w(tok) over its whitespace tokens (multiplicity
+    * kept; unseen tokens contribute 0 — the smoothing lives in the
+    * weights), keep iff score ≥ 0. Scale shape: the model broadcasts
+    * under the corpus explode (Zipf-bounded vocab), the per-doc sum is
+    * one partial+final doc-keyed aggregate — the corpus shuffles token
+    * rows once, history never re-reads. The streaming face
+    * ([[graft.engine.stream.Streams.streamingQualityClassify]]) folds
+    * the same weights as one broadcast map row with zero state. */
+  def qualityClassifierScore(documents: DataFrame, idCol: String, textCol: String,
+                             model: DataFrame, ordered: Boolean = true): DataFrame = {
+    val ex = documents.select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("tok"))
+    val scored = ex.join(broadcast(model), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(coalesce(sum("w"), lit(0L)).as("score"))
+      .withColumn("pred_keep", col("score") >= 0L)
     if (ordered) scored.orderBy("doc_id") else scored
   }
 
@@ -1583,6 +1642,18 @@ object TextPipeline {
     "q_text_stats" -> ((s, d) => textStats(Tables.documents(s, d), "lang", "text", "n_chars")),
     "q_lang_id" -> ((s, d) => langId(Tables.documents(s, d), "doc_id", "text", "lang")),
     "q_quality_score" -> ((s, d) => qualityScore(Tables.documents(s, d), "doc_id", "text", "n_chars")),
+    // learned quality filter, trained to extend the rule-based signal:
+    // pseudo-label the even-id half with the quality_band discriminant
+    // (not-"low" = distinct_ratio ≥ 0.3), learn token weights, score
+    // EVERY doc — held-out generalization rides the same oracle
+    "q_quality_classifier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labeled = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"),
+          (distinctRatio(col("text")) >= 0.3).as("pos"))
+      qualityClassifierScore(docs, "doc_id", "text",
+        qualityClassifierTrain(labeled, "text", "pos"))
+    }),
     "q_token_count" -> ((s, d) => tokenCounts(Tables.documents(s, d), "doc_id", "text")),
     "q_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d), "doc_id", "text")),
     "q_ngram_jaccard" -> ((s, d) =>
@@ -1820,6 +1891,37 @@ object TextPipeline {
         |    round(CAST(n_chars - (len(t) - 1) AS DOUBLE) / len(t), 4) AS avg_token_len,
         |    round(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is','to'))) AS DOUBLE) / len(t), 4) AS stopword_ratio
         |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    // train/score replayed relationally; HUGEINT sums cast back, the
+    // floored 10^6-scaled quotients are single correctly-rounded IEEE
+    // ops on exact (< 2^53) operands in both engines
+    "q_quality_classifier" ->
+      """WITH labeled AS (
+        |  SELECT doc_id, text,
+        |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |          / len(string_split(text, ' ')), 4) >= 0.3 AS pos
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tok_counts AS (
+        |  SELECT tok,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c0
+        |  FROM (SELECT pos, unnest(string_split(text, ' ')) AS tok FROM labeled)
+        |  GROUP BY tok),
+        |tot AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS t1, CAST(sum(c0) AS BIGINT) AS t0,
+        |         count(*) AS v
+        |  FROM tok_counts),
+        |wt AS (
+        |  SELECT tok,
+        |    CAST(floor(1000000.0 * (c1 + 1) / (t1 + v)) AS BIGINT)
+        |  - CAST(floor(1000000.0 * (c0 + 1) / (t0 + v)) AS BIGINT) AS w
+        |  FROM tok_counts, tot)
+        |SELECT doc_id, CAST(COALESCE(sum(wt.w), 0) AS BIGINT) AS score,
+        |       COALESCE(sum(wt.w), 0) >= 0 AS pred_keep
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) d
+        |LEFT JOIN wt USING (tok)
+        |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "q_token_count" ->

@@ -895,6 +895,28 @@ object Streams {
     docs.withColumn("bpe_text", applied)
   }
 
+  /** s_stream_quality_classifier: the learned quality filter served
+    * in-stream — the OFFLINE-trained token-weight model
+    * ([[graft.engine.ops.TextPipeline.qualityClassifierTrain]], the
+    * same train-offline/apply-online split as quantize/BM25/BPE/LM)
+    * collapses to ONE map row broadcast under the stream, and each
+    * arriving doc folds its tokens' weights in a narrow HOF — score
+    * and verdict bit-identical to the batch
+    * [[graft.engine.ops.TextPipeline.qualityClassifierScore]] (pinned
+    * row-for-row in the spec). ZERO streaming state. */
+  def streamingQualityClassify(docs: DataFrame, idCol: String, textCol: String,
+                               model: DataFrame): DataFrame = {
+    val mRow = model.agg(
+      map_from_entries(collect_list(struct(col("tok"), col("w")))).as("m"))
+    val t = split(col(textCol), " ")
+    val s = aggregate(t, lit(0L), (acc, tok) =>
+      acc + coalesce(element_at(col("m"), tok), lit(0L)))
+    docs.crossJoin(broadcast(mRow))
+      .withColumn("score", s)
+      .select(col(idCol).as("doc_id"), col("score"),
+              (col("score") >= 0L).as("pred_keep"))
+  }
+
   /** s_stream_lm: corpus-LM fluency scoring in-stream against an
     * OFFLINE-trained bigram table ([[graft.engine.ops.TextPipeline
     * .lmTable]] — the same train-offline/apply-online split as

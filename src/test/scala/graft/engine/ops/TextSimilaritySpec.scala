@@ -939,4 +939,26 @@ class TextSimilaritySpec extends SparkSuite {
     assert(pairs == Set((1L, 10L, 1.0), (1L, 11L, 1.0)),
       s"cross-slice dups only: $pairs")
   }
+  test("qualityClassifier: count-contrast weights separate varied from degenerate held-out docs") {
+    val labeled = Seq(
+      (1L, "red green blue yellow", true),
+      (2L, "cat dog bird fish", true),
+      (3L, "spam spam spam spam", false),
+      (4L, "junk junk junk junk", false)).toDF("doc_id", "text", "pos")
+    val model = TextPipeline.qualityClassifierTrain(labeled, "text", "pos")
+    // hand-check one weight: V = 10 distinct tokens, t+ = t- = 8, so
+    // w(red) = floor(1e6*2/18) - floor(1e6*1/18) = 111111 - 55555
+    val wRed = model.filter(col("tok") === "red").select("w").as[Long].head()
+    assert(wRed == 55556L, s"w(red) = $wRed")
+    val heldOut = Seq(
+      (10L, "red cat blue dog"),        // pos-corpus vocabulary -> keep
+      (11L, "spam junk spam junk"),     // neg-corpus vocabulary -> drop
+      (12L, "totally unseen words here") // unseen -> score 0 -> keep default
+    ).toDF("doc_id", "text")
+    val scored = TextPipeline.qualityClassifierScore(heldOut, "doc_id", "text", model)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(scored(10L)._1 > 0 && scored(10L)._2, s"varied held-out doc must keep: $scored")
+    assert(scored(11L)._1 < 0 && !scored(11L)._2, s"degenerate held-out doc must drop: $scored")
+    assert(scored(12L)._1 == 0 && scored(12L)._2, s"unseen vocabulary defaults to keep: $scored")
+  }
 }

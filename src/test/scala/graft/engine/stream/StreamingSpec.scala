@@ -468,6 +468,38 @@ class StreamingSpec extends SparkSuite {
       s"a full bucket must not store post-cap arrivals: $out")
   }
 
+  // s_stream_quality_classifier: offline-trained token weights served
+  // as one broadcast map row, scored per arrival with zero state
+  test("s_stream_quality_classifier: in-stream scores equal the batch classifier row-for-row") {
+    val labeled = Seq(
+      (1L, "red green blue yellow", true),
+      (2L, "cat dog bird fish", true),
+      (3L, "spam spam spam spam", false),
+      (4L, "junk junk junk junk", false)).toDF("doc_id", "text", "pos")
+    val model = graft.engine.ops.TextPipeline.qualityClassifierTrain(labeled, "text", "pos")
+    val d = Map(10L -> "red cat blue dog", 11L -> "spam junk spam junk",
+                12L -> "totally unseen words here")
+    val in = MemoryStream[Doc](spark)
+    val out = mutable.ArrayBuffer[(Long, Long, Boolean)]()
+    val q = Streams.streamingQualityClassify(in.toDF(), "doc_id", "text", model)
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("quality-clf"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.as[(Long, Long, Boolean)].collect() }
+        ()
+      }.start()
+    in.addData(Doc(10, ts(1), d(10L)), Doc(11, ts(1), d(11L)))
+    q.processAllAvailable()
+    in.addData(Doc(12, ts(2), d(12L)))
+    q.processAllAvailable(); q.stop()
+    val batch = graft.engine.ops.TextPipeline.qualityClassifierScore(
+        d.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text"),
+        "doc_id", "text", model, ordered = false)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out.toSet == batch, s"stream ${out.sorted} vs batch $batch")
+    assert(out.size == 3)
+  }
+
   // s_stream_dedup_incremental: stateless delta-vs-index probe — the
   // streaming face of minhashNearDupIncremental over the SAME standing
   // index (parity is exact at any parameter point because both sides
