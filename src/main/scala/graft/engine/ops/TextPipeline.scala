@@ -1513,6 +1513,10 @@ object TextPipeline {
     *      the floor — the KenLM-style perplexity filter, run after the
     *      cheap rule gates and before the expensive cross-doc stages
     *      (the production C4/Gopher → KenLM order);
+    *   3b. LEARNED-CLASSIFIER GATE (optional, `classifier`): drop docs
+    *      an offline-trained [[qualityClassifierTrain]] weight table
+    *      scores negative — the curated-signal-extension layer
+    *      (CCNet-style) in the same slot as the LM gate;
     *   4. DECONTAMINATION: drop docs sharing ≥ 2 distinct 3-token
     *      shingles with any benchmark doc;
     *   5. NEAR-DUP DEDUP: drop every doc near-duplicating a smaller-id
@@ -1534,7 +1538,8 @@ object TextPipeline {
                        pairs: Option[DataFrame] = None,
                        repCaps: Option[(Long, Long)] = None,
                        lmFloor: Option[Long] = None,
-                       lm: Option[DataFrame] = None): DataFrame = {
+                       lm: Option[DataFrame] = None,
+                       classifier: Option[DataFrame] = None): DataFrame = {
     // API contract: the benchmark frame exposes the SAME idCol/textCol
     // names as the corpus (the decon stage addresses both sides by them)
     val keep = gopherRules(corpus, idCol, textCol)
@@ -1553,6 +1558,14 @@ object TextPipeline {
       lmScoreBackoff(corpus, idCol, textCol, table, ordered = false)
         .filter(col("lm_score") >= floorV).select("doc_id")
     }
+    // learned-classifier gate (optional): an OFFLINE-trained
+    // qualityClassifierTrain weight table, keep = score ≥ 0 — slots
+    // after the cheap rule gates with the LM gate, before the
+    // expensive cross-doc stages (the curated-signal-extension layer)
+    val clfKeep = classifier.map { model =>
+      qualityClassifierScore(corpus, idCol, textCol, model, ordered = false)
+        .filter(col("pred_keep")).select("doc_id")
+    }
     val contaminated = contamination(corpus, idCol, textCol,
         benchmark, idCol, textCol)
       .select("doc_id").distinct()
@@ -1567,7 +1580,7 @@ object TextPipeline {
       .select(col(idCol).as("doc_id") +:
         size(toks(col(textCol))).cast("long").as("n_toks") +: dims.map(col): _*)
       .join(keep, Seq("doc_id"), "left_semi")
-    val gated = Seq(repKeep, lmKeep).flatten
+    val gated = Seq(repKeep, lmKeep, clfKeep).flatten
       .foldLeft(base)((d, g) => d.join(g, Seq("doc_id"), "left_semi"))
     gated
       .join(contaminated, Seq("doc_id"), "left_anti")

@@ -996,6 +996,9 @@ object Streams {
     * (offline-trained back-off table, floor) — the [[
     * streamingLmScoreBackoff]] fold as a filter; docs without
     * trigrams score null and drop, the batch semi-join discipline) →
+    * learned-classifier gate (optional `classifier` — an offline
+    * [[graft.engine.ops.TextPipeline.qualityClassifierTrain]] weight
+    * table folded per arrival, keep = score ≥ 0) →
     * benchmark shingle decontamination → PII scrub → split routing,
     * chained as ONE streaming query. Every stage is a narrow
     * projection or a 1-row-broadcast stream-static join, so the
@@ -1007,7 +1010,8 @@ object Streams {
                       benchmark: DataFrame, benchTextCol: String,
                       scrubPattern: String, mask: String,
                       repCaps: Option[(Long, Long)] = None,
-                      lmGate: Option[(DataFrame, Long)] = None): DataFrame = {
+                      lmGate: Option[(DataFrame, Long)] = None,
+                      classifier: Option[DataFrame] = None): DataFrame = {
     graft.engine.functions.GraftFunctions.register(docs.sparkSession)
     val gated = docs.filter(
       graft.engine.ops.TextPipeline.qualityBand(col(textCol)) =!= "low")
@@ -1021,7 +1025,17 @@ object Streams {
         .filter(col("lm_score") >= floorV)
         .drop("n_trigrams", "lm_score")
     }
-    val decon = streamingDecontaminate(lmGated, textCol, benchmark, benchTextCol)
+    // learned-classifier gate (optional): the offline-trained weight
+    // map folded per arrival, keep = score >= 0 — the same slot the
+    // batch pipeline gives qualityClassifierScore; still zero state
+    val clfGated = classifier.fold(lmGated) { model =>
+      val mRow = model.agg(
+        map_from_entries(collect_list(struct(col("tok"), col("w")))).as("m"))
+      val sc = aggregate(split(col(textCol), " "), lit(0L), (acc, tok) =>
+        acc + coalesce(element_at(col("m"), tok), lit(0L)))
+      lmGated.crossJoin(broadcast(mRow)).filter(sc >= 0L).drop("m")
+    }
+    val decon = streamingDecontaminate(clfGated, textCol, benchmark, benchTextCol)
     val scrubbed = graft.engine.ops.TextPipeline.regexScrub(
       decon, idCol, textCol, scrubPattern, mask, ordered = false)
     streamingSplit(scrubbed, "doc_id")

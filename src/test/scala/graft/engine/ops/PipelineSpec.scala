@@ -106,4 +106,31 @@ class PipelineSpec extends SparkSuite {
       .as[(String, Long)].collect().toMap
     assert(perLang == exact)
   }
+  test("curation pipeline classifier gate composes exactly with the standalone scorer") {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") >= 10)
+    val bench = docs.filter(col("doc_id") < 10)
+    // offline model: even-id half pseudo-labeled by the rule-based band
+    val labels = TextPipeline.qualityScore(corpus.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", "n_chars", ordered = false)
+      .select(col("doc_id"), (col("quality_band") =!= "low").as("pos"))
+    val model = TextPipeline.qualityClassifierTrain(corpus.join(labels, "doc_id"), "text", "pos")
+    // minimal pipeline (no rep/LM gates) so the expected id set is
+    // recomputable: (gopher-keep ∩ clf-keep) − contaminated − removed
+    val manifest = TextPipeline.curationPipeline(corpus, "doc_id", "text",
+      bench, Seq("lang"), classifier = Some(model))
+    val keep = TextPipeline.gopherRules(corpus, "doc_id", "text")
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    val clfKeep = TextPipeline.qualityClassifierScore(corpus, "doc_id", "text", model, ordered = false)
+      .filter(col("pred_keep")).select("doc_id").as[Long].collect().toSet
+    val contaminated = TextPipeline.contamination(corpus, "doc_id", "text",
+        bench, "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    val removed = Similarity.minhashNearDup(corpus, "doc_id", "text", 0.9, ordered = false)
+      .select("doc_id_2").as[Long].collect().toSet
+    val expected = (keep & clfKeep) -- contaminated -- removed
+    val nDocs = manifest.agg(sum("n_docs")).head().getLong(0)
+    assert(nDocs == expected.size,
+      s"classifier-gated manifest covers $nDocs docs, recomposition leaves ${expected.size}")
+    assert(clfKeep.size < corpus.count(), "the learned gate must actually drop something")
+  }
 }

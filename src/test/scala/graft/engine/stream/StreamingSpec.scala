@@ -903,24 +903,35 @@ class StreamingSpec extends SparkSuite {
   }
 
   // s_stream_curate: the composed curation chain on an unbounded frame —
-  // quality band, repetition caps and the offline-trained LM floor each
-  // gate a doc the earlier gates pass, then decon/scrub/split
+  // quality band, repetition caps, the offline-trained LM floor and the
+  // offline-trained learned classifier each gate a doc the earlier
+  // gates pass, then decon/scrub/split
   test("s_stream_curate: quality + repetition + LM gates -> decontaminate -> scrub -> split compose in one streaming query") {
     val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
     // offline LM training corpus = the fluent docs' text, so their
-    // trigrams are all level-3 hits and unseen-trigram docs score 0
+    // trigrams are all level-3 hits and unseen-trigram docs score 0;
+    // negText is IN the LM corpus (passes the LM floor) but labeled
+    // negative for the classifier — only the learned gate drops it
+    val negText = "spamlike lowgrade filler chaff dross dreck"
     val train = Seq(
       (1L, "a secret report with distinct diverse words"),
       (3L, "xx the quick brown fox jumps yy zz"),
-      (4L, "clean and useful later content")).toDF("doc_id", "text")
+      (4L, "clean and useful later content"),
+      (7L, negText)).toDF("doc_id", "text")
     val lmTable = graft.engine.ops.TextPipeline.lmTableBackoff(train, "doc_id", "text")
+    val clf = graft.engine.ops.TextPipeline.qualityClassifierTrain(Seq(
+        (1L, "a secret report with distinct diverse words", true),
+        (4L, "clean and useful later content", true),
+        (7L, negText, false)).toDF("doc_id", "text", "pos"),
+      "text", "pos")
     val repText = "alpha beta alpha beta alpha beta gamma delta epsilon zeta"
     val gibberish = "zulu yankee xray whiskey victor uniform"
     val in = MemoryStream[Doc](spark)
     val out = mutable.ArrayBuffer[(Long, String, String)]()
     val q = Streams.streamingCurate(in.toDF(), "doc_id", "text",
         bench, "text", "\\bsecret\\b", "<X>",
-        repCaps = Some((1000L, 500L)), lmGate = Some((lmTable, 1000L)))
+        repCaps = Some((1000L, 500L)), lmGate = Some((lmTable, 1000L)),
+        classifier = Some(clf))
       .writeStream
       .option("checkpointLocation", tmpDir("streamcurate"))
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -934,12 +945,21 @@ class StreamingSpec extends SparkSuite {
       Doc(2, ts(1), "spam spam spam spam spam spam spam spam"),       // low band -> gated out
       Doc(3, ts(1), "xx the quick brown fox jumps yy zz"),            // contaminated -> dropped
       Doc(5, ts(1), repText),                                         // high band, repetition-capped
-      Doc(6, ts(1), gibberish))                                       // rep-clean, LM scores 0 -> dropped
+      Doc(6, ts(1), gibberish),                                       // rep-clean, LM scores 0 -> dropped
+      Doc(7, ts(1), negText))                                         // passes band/rep/LM; classifier drops
     q.processAllAvailable()
     in.addData(Doc(4, ts(2), "clean and useful later content"))       // later batch passes
     q.processAllAvailable(); q.stop()
     val got = out.sortBy(_._1).toSeq
-    assert(got.map(_._1) == Seq(1L, 4L), s"gates+decon must drop docs 2, 3, 5, 6: $out")
+    assert(got.map(_._1) == Seq(1L, 4L), s"gates+decon must drop docs 2, 3, 5, 6, 7: $out")
+    // the classifier gate is the ONLY gate that drops doc 7: it clears
+    // band/rep (varied tokens) and the LM floor (trained trigrams), and
+    // the batch scorer agrees sign-for-sign
+    val clfBatch = graft.engine.ops.TextPipeline.qualityClassifierScore(
+        Seq((1L, "a secret report with distinct diverse words"), (7L, negText))
+          .toDF("doc_id", "text"), "doc_id", "text", clf)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(!clfBatch(7L) && clfBatch(1L), s"batch classifier verdicts: $clfBatch")
     assert(got.head._2 == "a <X> report with distinct diverse words", s"scrub ran: $out")
     // each streaming gate decision matches its BATCH operator on the same input
     val tp = graft.engine.ops.TextPipeline
