@@ -37,7 +37,8 @@ object ScaleCheck {
     * widest pure-relational shapes as linear controls. */
   val Curated: Seq[String] = Seq(
     // near-dup / dedup graph
-    "q_dedup_minhash", "q_dedup_minhash_salted", "q_ngram_jaccard",
+    "q_dedup_minhash", "q_dedup_minhash_salted", "q_dedup_minhash_k32",
+    "q_dedup_incremental", "q_ngram_jaccard", "q_ngram_jaccard_banded",
     "q_dedup_simhash", "q_dedup_embedding", "q_semantic_dedup",
     "q_dedup_clusters", "q_dedup_survivors", "q_dedup_substring",
     // ANN / retrieval
@@ -45,6 +46,7 @@ object ScaleCheck {
     "q_bm25_topk", "q_hybrid_rerank",
     // text / training loops
     "q_bpe_learn", "q_curation_pipeline", "q_fuzzy_match", "q_pack_global",
+    "q_quality_classifier",
     // linear controls (wide scans, shuffles, windows)
     "q_agg_group", "q_window_rank", "q_topk_per_group", "q_join_bucketed")
 
