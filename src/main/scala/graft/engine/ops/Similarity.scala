@@ -756,7 +756,8 @@ object Similarity {
       idCol: String, textCol: String, threshold: Double,
       ordered: Boolean = true,
       k: Int = graft.engine.functions.MinHashSignature.NumPerms,
-      bands: Int = 2, rowsPerBand: Int = 8): DataFrame = {
+      bands: Int = 2, rowsPerBand: Int = 8,
+      saltCap: Option[Int] = None): DataFrame = {
     require(bands * rowsPerBand == k,
       s"bands ($bands) x rowsPerBand ($rowsPerBand) must equal k ($k)")
     val spark = reference.sparkSession
@@ -786,8 +787,33 @@ object Similarity {
     val sizeBound =
       least(col("x.sz"), col("y.sz")).cast("double") >=
         greatest(col("x.sz"), col("y.sz")) * lit(threshold - 0.001)
-    val cand = bandedOf(refGroups).as("x")
-      .join(bandedOf(newGroups).as("y"), Seq("band", "bkey"))
+    // optional hot-bucket salt — the TWO-SIDED skew fix (the self-join
+    // triangle salt doesn't apply here): a reference band bucket past
+    // `cap` members splits into g = ⌈n/cap⌉ salt groups (rep mod g),
+    // and each delta probe of that key replicates to ALL g groups, so
+    // every qualifying (ref, new) pair still meets exactly once while
+    // no task holds more than ~cap reference rows per key. `hot` is
+    // only the over-cap keys — a broadcastable handful by construction
+    // (a key can exceed cap only by being non-discriminative).
+    val cand = (saltCap match {
+      case None =>
+        bandedOf(refGroups).as("x")
+          .join(bandedOf(newGroups).as("y"), Seq("band", "bkey"))
+      case Some(cap) =>
+        // persisted for the same reason the self-join salt persists its
+        // banded table: the hot-count subplan and the join side would
+        // otherwise each recompute the scan→group→signature prefix
+        val refB = bandedOf(refGroups).persist(StorageLevel.MEMORY_AND_DISK)
+        val hot = refB.groupBy("band", "bkey").agg(count(lit(1)).as("n"))
+          .filter(col("n") > cap)
+          .select(col("band"), col("bkey"),
+            ceil(col("n").cast("double") / cap).cast("int").as("g"))
+        val refS = refB.join(broadcast(hot), Seq("band", "bkey"), "left")
+          .withColumn("salt", pmod(col("rep"), coalesce(col("g"), lit(1))).cast("int"))
+        val newS = bandedOf(newGroups).join(broadcast(hot), Seq("band", "bkey"), "left")
+          .withColumn("salt", explode(sequence(lit(0), coalesce(col("g"), lit(1)) - 1)))
+        refS.as("x").join(newS.as("y"), Seq("band", "bkey", "salt"))
+    })
       .filter(sizeBound)
       .select(col("x.rep").as("rep_ref"), col("y.rep").as("rep_new"))
       .distinct()
@@ -1423,6 +1449,15 @@ object Similarity {
       val docs = Tables.documents(s, d)
       minhashNearDupIncremental(docs.filter(col("doc_id") < 250),
         docs.filter(col("doc_id") >= 250), "doc_id", "text", 0.9)
+    }),
+    // the two-sided hot-bucket salt under the SAME oracle: cap 64 forces
+    // real splits on the fixture's self-similar reference buckets and
+    // the pair set must replay the unsalted oracle verbatim
+    "q_dedup_incremental_salted" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      minhashNearDupIncremental(docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", 0.9,
+        saltCap = Some(64))
     }),
     // the hot-band salt fallback under the SAME oracle. Cap 1024 ≈ a
     // real per-task pair budget (cap² ≈ 1M comparisons): the fixture's
@@ -2391,6 +2426,9 @@ object Similarity {
         |SELECT doc_id_1, doc_id_2, jaccard FROM within_pairs
         |ORDER BY doc_id_1, doc_id_2""".stripMargin),
     "q_dedup_incremental" -> minhashIncrementalOracleSql(
+      "WHERE doc_id < 250", "WHERE doc_id >= 250", 0.9),
+    // salt must not change a single pair — identical oracle replay
+    "q_dedup_incremental_salted" -> minhashIncrementalOracleSql(
       "WHERE doc_id < 250", "WHERE doc_id >= 250", 0.9),
     // salt must not change a single pair — the salted binding replays
     // the identical unsalted oracle

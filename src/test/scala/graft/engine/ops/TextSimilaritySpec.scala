@@ -328,6 +328,18 @@ class TextSimilaritySpec extends SparkSuite {
         saltCap = Some(2))
       .as[(Long, Long, Double)].collect().toSet
     assert(eSalted == eBase && eBase.nonEmpty)
+    // the two-sided incremental salt (reference-bucket split + delta
+    // probe replication) must also be pair-for-pair invisible
+    val ref = docs.filter(col("doc_id") < 250)
+    val delta = docs.filter(col("doc_id") >= 250)
+    val iBase = Similarity.minhashNearDupIncremental(ref, delta,
+        "doc_id", "text", 0.9, ordered = false)
+      .as[(Long, Long, Double)].collect().toSet
+    val iSalted = Similarity.minhashNearDupIncremental(ref, delta,
+        "doc_id", "text", 0.9, ordered = false, saltCap = Some(2))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(iSalted == iBase && iBase.nonEmpty,
+      s"incremental salt changed the pair set: +${iSalted -- iBase} -${iBase -- iSalted}")
     // the fallback is strictly opt-in: the default plan carries no salt stage
     val p = Similarity.minhashNearDup(docs, "doc_id", "text", 0.9)
       .queryExecution.executedPlan.toString
