@@ -516,6 +516,147 @@ object TextPipeline {
     if (ordered) scored.orderBy("doc_id") else scored
   }
 
+  /** DSIR feature stream: every unigram AND bigram of the whitespace
+    * token stream (empties skipped, multiplicity kept — the published
+    * DSIR recipe's hashed n-gram features), each mapped to one of
+    * `nBuckets` buckets by `poly_hash31(gram) % nBuckets`. Feature
+    * HASHING is the scale move: the weight table is a fixed `nBuckets`
+    * rows no matter the corpus vocabulary, so it broadcasts at any
+    * corpus size. poly_hash31 (not xxhash) keeps the bucket assignment
+    * replayable in the DuckDB oracle (the MinHash discipline). */
+  private def dsirFeatures(documents: DataFrame, idCol: String, textCol: String,
+                           nBuckets: Int): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
+    val grams = concat(
+      call_function("pos_grams", col(textCol), lit(1), lit(true)),
+      call_function("pos_grams", col(textCol), lit(2), lit(true)))
+    documents
+      .select(col(idCol).as("doc_id"), explode(grams).as("f"))
+      .select(col("doc_id"),
+        pmod(call_function("poly_hash31", col("f")), lit(nBuckets.toLong)).as("bucket"))
+  }
+
+  /** TRAIN the DSIR importance-weight table (Data Selection via
+    * Importance Resampling — hashed n-gram importance weights, public
+    * recipe): per hash bucket, the centered integer-scaled ratio of
+    * add-one-smoothed feature probabilities under the TARGET slice vs
+    * the RAW corpus,
+    *
+    *   w(b) = (S·(c_t+1)·(T_r+B)) div ((c_r+1)·(T_t+B)) − S
+    *
+    * with S = 10⁴ and B = `nBuckets` (the smoothing vocabulary is the
+    * fixed bucket space, not the corpus vocab — hashing bounds it by
+    * construction). `w` is the exact-integer surrogate of DSIR's
+    * per-feature log-ratio: S·(r−1) ≈ S·ln r near r = 1 and floor is
+    * monotone in r, so ranking is preserved while every intermediate
+    * stays a BIGINT product of bounded operands — the engine-exact
+    * discipline qualityClassifierTrain / lmTable use (no
+    * transcendentals, so the table hash-oracles). Numerator bound:
+    * S·(c_t+1)·(T_r+B) < 10⁴·T² — fine to T ≈ 3·10⁷ features; past
+    * that, run the same arithmetic in DECIMAL(38,0) (both engines
+    * have 128-bit decimals) or shard T's scale down.
+    *
+    * `isTarget` is any boolean Column over `documents` naming the
+    * target-domain slice (the fixture binds `lang = 'en'`: "select
+    * raw-crawl docs that look like the English slice"). Output
+    * `(bucket, w)`: ≤ `nBuckets` rows, trained once, broadcast
+    * everywhere (the BM25/BPE/LM/PQ train-offline split). */
+  def dsirTable(documents: DataFrame, idCol: String, textCol: String,
+                isTarget: Column, nBuckets: Int = 1024,
+                scale: Long = 10000L): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
+    val grams = concat(
+      call_function("pos_grams", col(textCol), lit(1), lit(true)),
+      call_function("pos_grams", col(textCol), lit(2), lit(true)))
+    val fb = documents.select(isTarget.as("tgt"), explode(grams).as("f"))
+      .select(col("tgt"),
+        pmod(call_function("poly_hash31", col("f")), lit(nBuckets.toLong)).as("bucket"))
+    val counts = fb.groupBy("bucket").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = counts.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    counts.crossJoin(broadcast(tot)).select(col("bucket"),
+      (expr(s"($scale * (ct + 1) * (tr + $nBuckets)) div ((cr + 1) * (tt + $nBuckets))")
+        - scale).as("w"))
+  }
+
+  /** SCORE a corpus against a trained [[dsirTable]]: doc importance =
+    * Σ count(b)·w(b) over the doc's hashed n-gram buckets — the
+    * sum-of-centered-ratios surrogate of DSIR's log importance weight
+    * (exact under the Taylor correspondence documented on the table).
+    * Buckets the training corpus never saw contribute 0 (left join —
+    * matters for the streaming face scoring unseen text). Scale shape:
+    * the ≤B-row table broadcasts under the feature explode; the only
+    * shuffle is the (doc, bucket) → doc partial+final aggregate pair,
+    * both keyed by doc; history never re-reads. Streaming face:
+    * [[graft.engine.stream.Streams.streamingDsirScore]] folds the same
+    * table as one broadcast map row with zero state. */
+  def dsirScore(documents: DataFrame, idCol: String, textCol: String,
+                table: DataFrame, nBuckets: Int = 1024,
+                ordered: Boolean = true): DataFrame = {
+    val db = dsirFeatures(documents, idCol, textCol, nBuckets)
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+    val scored = db.join(broadcast(table), Seq("bucket"), "left")
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_feats"),
+        coalesce(sum(col("cnt") * col("w")), lit(0L)).as("dsir_score"))
+    if (ordered) scored.orderBy("doc_id") else scored
+  }
+
+  /** Systematic importance RESAMPLING over [[dsirScore]] output — the
+    * "R" of DSIR: draw `n` times proportional to per-doc mass
+    * `score − min(score) + 1` (shifted positive so every doc keeps
+    * nonzero probability) with the systematic (low-variance, stratified)
+    * scheme: draw i hits the doc whose cumulative-mass interval
+    * [lo, hi) contains p_i = ((2i+1)·T) div (2n). Deterministic and
+    * all-integer, so the draw multiset hash-oracles — the published
+    * alternative (Gumbel top-k) needs logs of uniforms, which no two
+    * engines floor identically.
+    *
+    * The global cumulative sum is the classic two-phase prefix scan,
+    * NOT a single-partition window (the q_pack_global discipline):
+    * intra-block cumsum partitioned by `pkey = doc_id div pkeyWidth`
+    * runs parallel per block; the per-block totals (≈ N/pkeyWidth rows,
+    * bounded) take the only ordered window; block offsets broadcast
+    * back. Draw counts then need NO join at all: with cnt(x) = #draws
+    * strictly left of mass-coordinate x,
+    *
+    *   cnt(x) = min(n, (max(0, 2n·x − T) + 2T − 1) div (2T))
+    *
+    * (exact integer ceil of (2n·x − T)/(2T), clamped), and a doc's
+    * draws = cnt(hi) − cnt(lo) — pure per-row arithmetic, verified
+    * against brute-force enumeration in the spec. Output: the sampled
+    * multiset `(doc_id, mass, n_draws)`, n_draws ≥ 1. */
+  def dsirSample(scores: DataFrame, idCol: String, scoreCol: String,
+                 n: Int = 64, pkeyWidth: Long = 1024L): DataFrame = {
+    val mn = scores.agg(min(col(scoreCol)).as("mn"))
+    val m = scores.crossJoin(broadcast(mn)).select(
+      col(idCol).as("doc_id"),
+      (col(scoreCol) - col("mn") + lit(1L)).as("mass"),
+      expr(s"${idCol} div ${pkeyWidth}").as("pkey"))
+    val intra = m.withColumn("intra",
+      sum("mass").over(Window.partitionBy("pkey").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // per-block totals: ≈ N/pkeyWidth rows — the bounded ordered window,
+    // single-partition move kept explicit (constWindowKey idiom)
+    val blocks = m.groupBy("pkey").agg(sum("mass").as("bm"))
+      .withColumn("off",
+        sum("bm").over(Window
+          .partitionBy(graft.engine.functions.GraftFunctions.constWindowKey(col("pkey")))
+          .orderBy("pkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("bm"))
+    val tot = blocks.agg(max(col("off") + col("bm")).as("t"))
+    def cntSql(x: String): String =
+      s"least(${n}L, (greatest(0L, ${2L * n} * ($x) - t) + 2 * t - 1) div (2 * t))"
+    intra.join(broadcast(blocks.select("pkey", "off")), "pkey")
+      .crossJoin(broadcast(tot))
+      .withColumn("hi", col("off") + col("intra"))
+      .withColumn("n_draws", expr(cntSql("hi")) - expr(cntSql("hi - mass")))
+      .select(col("doc_id"), col("mass"), col("n_draws"))
+      .where(col("n_draws") > 0L)
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace split vs a BPE-ish regex tokenizer. */
   def tokenCounts(documents: DataFrame, idCol: String, textCol: String): DataFrame =
     documents.select(
@@ -1667,6 +1808,18 @@ object TextPipeline {
       qualityClassifierScore(docs, "doc_id", "text",
         qualityClassifierTrain(labeled, "text", "pos"))
     }),
+    "q_dsir_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      dsirScore(docs, "doc_id", "text",
+        dsirTable(docs, "doc_id", "text", col("lang") === "en"))
+    }),
+    "q_dsir_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      dsirSample(
+        dsirScore(docs, "doc_id", "text",
+          dsirTable(docs, "doc_id", "text", col("lang") === "en"), ordered = false),
+        "doc_id", "dsir_score")
+    }),
     "q_token_count" -> ((s, d) => tokenCounts(Tables.documents(s, d), "doc_id", "text")),
     "q_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d), "doc_id", "text")),
     "q_ngram_jaccard" -> ((s, d) =>
@@ -1851,6 +2004,46 @@ object TextPipeline {
       "\nORDER BY step"
   }
 
+  /** DuckDB replay of [[dsirTable]]+[[dsirScore]] through the per-doc
+    * scores CTE `sc` — shared by the weights and sample oracles so the
+    * two can never drift. Unigrams + adjacent bigrams over the
+    * empty-filtered token list replay pos_grams(n, skip_empty=true);
+    * the bucket fold is poly_hash31 verbatim. */
+  private def dsirScoresCtes: String =
+    """WITH tkd AS (
+      |  SELECT doc_id, lang = 'en' AS tgt,
+      |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id, tgt, unnest(tk) AS f FROM tkd
+      |  UNION ALL
+      |  SELECT doc_id, tgt, list_extract(tk, i) || ' ' || list_extract(tk, i + 1) AS f
+      |  FROM (SELECT doc_id, tgt, tk, unnest(range(1, len(tk))) AS i FROM tkd)),
+      |fb AS (
+      |  SELECT doc_id, tgt,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(f, ''), c -> CAST(unicode(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 2147483647) % 1024 AS bucket
+      |  FROM feats),
+      |counts AS (
+      |  SELECT bucket,
+      |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |    count(*) AS cr
+      |  FROM fb GROUP BY bucket),
+      |tot AS (
+      |  SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr
+      |  FROM counts),
+      |wt AS (
+      |  SELECT bucket,
+      |    (10000 * (ct + 1) * (tr + 1024)) // ((cr + 1) * (tt + 1024)) - 10000 AS w
+      |  FROM counts, tot),
+      |db AS (SELECT doc_id, bucket, count(*) AS cnt FROM fb GROUP BY doc_id, bucket),
+      |sc AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+      |    CAST(COALESCE(sum(cnt * w), 0) AS BIGINT) AS dsir_score
+      |  FROM db LEFT JOIN wt USING (bucket)
+      |  GROUP BY doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_sample_stratified" ->
       s"""SELECT doc_id, lang, source FROM documents
@@ -1936,6 +2129,29 @@ object TextPipeline {
         |LEFT JOIN wt USING (tok)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // DSIR replayed relationally: same poly_hash31 bucket fold as the
+    // native expression (the MinHash generated-constant discipline), the
+    // centered-ratio weights in pure BIGINT products, the systematic
+    // resample via the closed-form cnt() — every step exact integer.
+    "q_dsir_weights" -> (dsirScoresCtes +
+      "\nSELECT doc_id, n_feats, dsir_score FROM sc ORDER BY doc_id"),
+
+    "q_dsir_sample" -> (dsirScoresCtes +
+      """,
+        |m AS (SELECT doc_id,
+        |        dsir_score - (SELECT min(dsir_score) FROM sc) + 1 AS mass FROM sc),
+        |c AS (SELECT doc_id, mass,
+        |        CAST(sum(mass) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+        |      FROM m),
+        |tt AS (SELECT CAST(sum(mass) AS BIGINT) AS t FROM m),
+        |d AS (
+        |  SELECT doc_id, mass,
+        |    least(64, (greatest(0, 128 * hi - t) + 2 * t - 1) // (2 * t))
+        |    - least(64, (greatest(0, 128 * (hi - mass) - t) + 2 * t - 1) // (2 * t)) AS n_draws
+        |  FROM c, tt)
+        |SELECT doc_id, mass, n_draws FROM d WHERE n_draws > 0 ORDER BY doc_id""".stripMargin),
 
     "q_token_count" ->
       """SELECT doc_id,

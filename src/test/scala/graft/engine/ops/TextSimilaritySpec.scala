@@ -973,4 +973,56 @@ class TextSimilaritySpec extends SparkSuite {
     assert(scored(11L)._1 < 0 && !scored(11L)._2, s"degenerate held-out doc must drop: $scored")
     assert(scored(12L)._1 == 0 && scored(12L)._2, s"unseen vocabulary defaults to keep: $scored")
   }
+
+  test("dsir: importance weights rank target-like docs above off-target docs") {
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma alpha beta"),
+      (2L, "en", "alpha gamma beta gamma alpha"),
+      (3L, "de", "zett neun acht sieben zett"),
+      (4L, "de", "neun zett sieben acht neun"),
+      (5L, "xx", "alpha beta gamma beta"), // target vocabulary, non-target lang
+      (6L, "xx", "zett acht neun neun")    // raw-only vocabulary
+    ).toDF("doc_id", "lang", "text")
+    val table = TextPipeline.dsirTable(docs, "doc_id", "text", col("lang") === "en")
+    assert(table.count() <= 1024, "weight table bounded by the bucket space")
+    val s = TextPipeline.dsirScore(docs, "doc_id", "text", table)
+      .select("doc_id", "dsir_score").as[(Long, Long)].collect().toMap
+    // DSIR selects by RANK (top-k importance), not by sign — with add-one
+    // smoothing over 1024 buckets a tiny corpus skews every weight low,
+    // so the invariant is the strict separation of the two vocabularies
+    val (targetLike, rawOnly) = (Seq(1L, 2L, 5L).map(s), Seq(3L, 4L, 6L).map(s))
+    assert(targetLike.min > rawOnly.max,
+      s"every target-vocabulary doc must outscore every raw-only doc: $s")
+  }
+
+  test("dsirSample: closed-form draw counts equal brute-force systematic resampling") {
+    // irregular ids, negative scores, n odd, pkeyWidth tiny to force the
+    // two-phase prefix sum across several blocks
+    val scores = Seq(
+      (1L, -7L), (3L, 0L), (4L, 25L), (9L, 3L), (12L, -2L),
+      (17L, 11L), (18L, 11L), (25L, 40L), (31L, 1L), (40L, 5L))
+    for ((n, width) <- Seq((7, 4L), (64, 3L), (1, 1024L))) {
+      val got = TextPipeline.dsirSample(
+        scores.toDF("doc_id", "dsir_score"), "doc_id", "dsir_score", n, width)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      // brute force: shift masses positive, enumerate the n stratum
+      // positions, locate each in the cumulative-mass intervals
+      val mnScore = scores.map(_._2).min
+      val masses = scores.sortBy(_._1).map { case (id, sc) => (id, sc - mnScore + 1L) }
+      val t = masses.map(_._2).sum
+      val cums = masses.scanLeft(0L) { case (acc, (_, m)) => acc + m }.tail
+      val iv = masses.zip(cums).map { case ((id, m), hi) => (id, hi - m, hi) }
+      val expect = (0 until n)
+        .map(i => ((2L * i + 1L) * t) / (2L * n))
+        .groupBy(p => iv.find(x => p >= x._2 && p < x._3).get._1)
+        .map { case (id, ps) => id -> ps.size.toLong }
+      assert(got.view.mapValues(_._2).toMap == expect,
+        s"n=$n width=$width: got $got expected $expect")
+      assert(got.values.map(_._2).sum == n.toLong, s"total draws must be exactly n=$n")
+      got.foreach { case (id, (mass, _)) =>
+        assert(mass == masses.toMap.apply(id), s"mass column must be the shifted score ($id)")
+      }
+    }
+  }
 }
