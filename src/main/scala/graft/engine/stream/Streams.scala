@@ -917,6 +917,35 @@ object Streams {
               (col("score") >= 0L).as("pred_keep"))
   }
 
+  /** s_stream_dsir: DSIR importance scoring served in-stream — the
+    * OFFLINE-trained hashed-n-gram weight table
+    * ([[graft.engine.ops.TextPipeline.dsirTable]], ≤ nBuckets rows BY
+    * CONSTRUCTION — feature hashing bounds the artifact no matter the
+    * corpus vocabulary) collapses to ONE map row broadcast under the
+    * stream, and each arriving doc folds its unigram+bigram bucket
+    * weights in a narrow HOF — n_feats and dsir_score bit-identical to
+    * the batch [[graft.engine.ops.TextPipeline.dsirScore]] (pinned
+    * row-for-row in the spec). ZERO streaming state; retraining swaps
+    * one broadcast. Unlike the batch groupBy (which drops featureless
+    * docs), the stream surfaces them as (0, 0) so a router can
+    * quarantine instead. */
+  def streamingDsirScore(docs: DataFrame, idCol: String, textCol: String,
+                         table: DataFrame, nBuckets: Int = 1024): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(docs.sparkSession)
+    val tRow = table.agg(
+      map_from_entries(collect_list(struct(col("bucket"), col("w")))).as("m"))
+    val grams = concat(
+      call_function("pos_grams", col(textCol), lit(1), lit(true)),
+      call_function("pos_grams", col(textCol), lit(2), lit(true)))
+    docs.crossJoin(broadcast(tRow))
+      .withColumn("bs", transform(grams, f =>
+        pmod(call_function("poly_hash31", f), lit(nBuckets.toLong))))
+      .select(col(idCol).as("doc_id"),
+        size(col("bs")).cast("long").as("n_feats"),
+        aggregate(col("bs"), lit(0L), (acc, b) =>
+          acc + coalesce(element_at(col("m"), b), lit(0L))).as("dsir_score"))
+  }
+
   /** s_stream_lm: corpus-LM fluency scoring in-stream against an
     * OFFLINE-trained bigram table ([[graft.engine.ops.TextPipeline
     * .lmTable]] — the same train-offline/apply-online split as

@@ -500,6 +500,43 @@ class StreamingSpec extends SparkSuite {
     assert(out.size == 3)
   }
 
+  // s_stream_dsir: offline-trained hashed-n-gram importance weights
+  // served as one broadcast map row, scored per arrival with zero state
+  test("s_stream_dsir: in-stream importance scores equal the batch scorer row-for-row") {
+    val corpus = Seq(
+      (1L, "en", "alpha beta gamma alpha beta"),
+      (2L, "en", "alpha gamma beta gamma alpha"),
+      (3L, "de", "zett neun acht sieben zett"),
+      (4L, "de", "neun zett sieben acht neun")).toDF("doc_id", "lang", "text")
+    val table = graft.engine.ops.TextPipeline.dsirTable(
+      corpus, "doc_id", "text", col("lang") === "en")
+    val d = Map(10L -> "alpha beta gamma beta", 11L -> "zett acht neun neun",
+                12L -> "totally unseen words here")
+    val in = MemoryStream[Doc](spark)
+    val out = mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = Streams.streamingDsirScore(in.toDF(), "doc_id", "text", table)
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("dsir-stream"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.as[(Long, Long, Long)].collect() }
+        ()
+      }.start()
+    in.addData(Doc(10, ts(1), d(10L)), Doc(11, ts(1), d(11L)))
+    q.processAllAvailable()
+    in.addData(Doc(12, ts(2), d(12L)))
+    q.processAllAvailable(); q.stop()
+    val batch = graft.engine.ops.TextPipeline.dsirScore(
+        d.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text"),
+        "doc_id", "text", table, ordered = false)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out.toSet == batch, s"stream ${out.sorted} vs batch $batch")
+    assert(out.size == 3)
+    // the target-vocabulary arrival must outrank the raw-only arrival —
+    // the selection semantics the broadcastable table exists to serve
+    val scores = out.map(r => r._1 -> r._3).toMap
+    assert(scores(10L) > scores(11L), s"ranking must survive the stream face: $scores")
+  }
+
   // s_stream_dedup_incremental: stateless delta-vs-index probe — the
   // streaming face of minhashNearDupIncremental over the SAME standing
   // index (parity is exact at any parameter point because both sides
