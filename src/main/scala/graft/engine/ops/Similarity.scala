@@ -463,6 +463,39 @@ object Similarity {
               array_position(col("dots"), array_max(col("dots"))).as("cell"))
   }
 
+  /** Cluster-balanced corpus pruning (the prototype-selection family:
+    * equal per-cell quotas, most-prototypical first — the embedding-
+    * space coverage sampler that keeps a corpus's topic balance while
+    * shrinking it): assign every vector to its TRAINED k-means cell by
+    * broadcast-codebook argmax (the annIvfBroadcast assignment, same
+    * tie rule), rank within the cell by the dot against its centroid,
+    * keep the top `m` per cell.
+    *
+    * Scale shape: the codebook (≤ NCells rows) broadcasts; assignment
+    * is a narrow per-row argmax; the only shuffle is the cell-keyed
+    * rank, whose partitions are corpus/NCells sized and BOUNDED by the
+    * per-cell quota's early stop under top-k pushdown (WindowGroupLimit
+    * keeps ≤ m rows per cell per map task before the exchange). The
+    * train→serve loop is the kmeansTrain/ivfCodebook one: train on a
+    * sample, prune everything. */
+  def clusterPrune(vectors: DataFrame, idCol: String, vecCol: String,
+                   codebook: DataFrame, m: Int): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
+    val assigned = e.crossJoin(broadcast(codebook))
+      .select(col("vec_id"),
+        struct(dot(col("embedding"), col("centroid")).as("d"),
+          (-col("cell")).as("negc")).as("sc"))
+      .groupBy("vec_id").agg(max("sc").as("mx"))
+      .select(col("vec_id"), (-col("mx.negc")).as("cell"), col("mx.d").as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(col("d").desc, col("vec_id").asc)
+    assigned.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= m)
+      .select(col("cell"), col("vec_id"),
+        round(col("d"), 4).as("proto_sim"), col("rnk").cast("long").as("rnk"))
+      .orderBy("cell", "rnk")
+  }
+
   /** SemDeDup-style semantic dedup: candidate pairs are blocked by the
     * k-means cell (nearest-centroid assignment — semantically close
     * vectors share a cell), then verified by exact cosine at a LOW
@@ -1480,6 +1513,11 @@ object Similarity {
       annIvfBroadcast(emb, "vec_id", "embedding",
         ivfCodebook(emb, "vec_id", "embedding", 3), 0, 10)
     }),
+    "q_cluster_prune" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      clusterPrune(emb, "vec_id", "embedding",
+        ivfCodebook(emb, "vec_id", "embedding", 3), 16)
+    }),
     "q_embed_quantize" -> ((s, d) => quantizeEmbeddings(Tables.embeddings(s, d), "vec_id", "embedding")),
     "q_ann_quantized" -> ((s, d) => annQuantized(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     "q_pq_train" -> ((s, d) => pqTrain(Tables.embeddings(s, d), "vec_id", "embedding")),
@@ -2195,6 +2233,29 @@ object Similarity {
        |WHERE vec_id <> 0
        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** q_cluster_prune: trained assignment (the annIvfTrained cbT replay
+    * with the winning dot kept) + per-cell prototypicality rank under
+    * the quota. */
+  private def clusterPruneOracleSql(iters: Int, m: Int): String =
+    s"""${kmeansTrainCtes(iters)},
+       |cbT AS MATERIALIZED (
+       |  SELECT cell, list(CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS DOUBLE)
+       |                    / CAST(1000000.0 AS DOUBLE) ORDER BY dim) AS centroid
+       |  FROM stats$iters GROUP BY cell),
+       |aT AS (
+       |  SELECT vec_id, cell, d FROM (
+       |    SELECT i.vec_id, c.cell, ${foldDot("i.v", "c.centroid")} AS d,
+       |      row_number() OVER (PARTITION BY i.vec_id
+       |        ORDER BY ${foldDot("i.v", "c.centroid")} DESC, c.cell ASC) AS rn
+       |    FROM indexed i CROSS JOIN cbT c)
+       |  WHERE rn = 1),
+       |ranked AS (
+       |  SELECT cell, vec_id, round(d, 4) AS proto_sim,
+       |    row_number() OVER (PARTITION BY cell ORDER BY d DESC, vec_id ASC) AS rnk
+       |  FROM aT)
+       |SELECT cell, vec_id, proto_sim, rnk FROM ranked
+       |WHERE rnk <= $m ORDER BY cell, rnk""".stripMargin
+
   /** q_ann_ivfpq_trained: the PQ-ADC CTEs composed with the TRAINED
     * coarse probe (the kmeansTrain CTE chain folded into `cbT`, the
     * annIvfTrained assignment/probe replay) — the fully-trained
@@ -2344,6 +2405,7 @@ object Similarity {
     "q_kmeans_step" -> kmeansStepOracleSql,
     "q_kmeans_train" -> kmeansTrainOracleSql(3),
     "q_ann_ivf_trained" -> annIvfTrainedOracleSql(3),
+    "q_cluster_prune" -> clusterPruneOracleSql(3, 16),
     "q_pq_train" -> pqTrainOracleSql,
     "q_pq_train_iters" -> pqTrainItersOracleSql,
     "q_pq_encode" -> pqEncodeOracleSql,

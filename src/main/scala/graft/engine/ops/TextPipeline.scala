@@ -630,10 +630,16 @@ object TextPipeline {
   def dsirSample(scores: DataFrame, idCol: String, scoreCol: String,
                  n: Int = 64, pkeyWidth: Long = 1024L): DataFrame = {
     val mn = scores.agg(min(col(scoreCol)).as("mn"))
+    // materialize the (doc_id, mass, pkey) projection ONCE: it feeds the
+    // intra-block cumsum, the block totals AND the grand total, and
+    // without a checkpoint Spark re-executes the whole upstream scoring
+    // DAG per consumer (the annPq codebook lesson). 3 longs/doc — the
+    // narrowest frame in the pipeline.
     val m = scores.crossJoin(broadcast(mn)).select(
       col(idCol).as("doc_id"),
       (col(scoreCol) - col("mn") + lit(1L)).as("mass"),
       expr(s"${idCol} div ${pkeyWidth}").as("pkey"))
+      .localCheckpoint()
     val intra = m.withColumn("intra",
       sum("mass").over(Window.partitionBy("pkey").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

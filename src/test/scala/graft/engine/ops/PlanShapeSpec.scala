@@ -419,6 +419,45 @@ class PlanShapeSpec extends SparkSuite {
            p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q_cluster_prune ranks with per-cell group limits and broadcasts the codebook") {
+    val p = plan("q_cluster_prune")
+    // the rnk <= m filter must push into the window as a group limit so
+    // each map task keeps <= m rows per cell BEFORE the cell exchange —
+    // the property that bounds the rank's shuffle at corpus scale
+    assert(p.contains("WindowGroupLimit"),
+      "per-cell quota must plan as a group-limit pushdown:\n" + p.take(2500))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the trained codebook must broadcast under the corpus:\n" + p.take(2500))
+  }
+
+  test("q_dsir_weights broadcasts the bucket table under a doc-keyed aggregate") {
+    val p = plan("q_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      "the <=1024-row weight table must broadcast:\n" + p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // partial+final pair on the doc-keyed score aggregate
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("q_dsir_sample partitions every window; the corpus cumsum shards by pkey") {
+    val p = plan("q_dsir_sample")
+    // the two-phase prefix scan exists precisely so no window runs with
+    // an EMPTY partition spec (`], [], [` in the executed plan = global
+    // ordered window = one task holds the corpus); the intra-block
+    // cumsum must shard by pkey, the bounded block-totals window rides
+    // the constWindowKey hash key
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, p.take(2000))
+    assert(!windows.exists(_.contains("], [], [")),
+      s"no window may run unpartitioned:\n${windows.mkString("\n")}")
+    assert(windows.exists(_.contains("windowspecdefinition(pkey")),
+      s"intra-block cumsum must partition by pkey:\n${windows.mkString("\n")}")
+    // the scores projection is checkpointed: the scoring DAG must appear
+    // ONCE, not once per window consumer (three Scans would show here)
+    assert(p.linesIterator.count(_.contains("poly_hash31")) == 0,
+      "upstream scoring must be materialized, not re-planned per consumer:\n" + p.take(3000))
+  }
+
   test("q_dedup_incremental joins delta bands against reference bands with no cartesian stage") {
     val p = plan("q_dedup_incremental")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
