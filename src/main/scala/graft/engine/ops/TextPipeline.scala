@@ -1411,7 +1411,34 @@ object TextPipeline {
     * merge selection is a frequency argmax, robust to sampling — while
     * application stays full-corpus and streaming. */
   def bpeLearn(documents: DataFrame, idCol: String, textCol: String,
+               nMerges: Int): DataFrame =
+    bpeChain(documents, idCol, textCol, nMerges)._1
+
+  /** APPLY the learned merges corpus-wide — the batch closure of the
+    * BPE train→serve loop (the streaming face,
+    * [[graft.engine.stream.Streams.streamingBpeApply]], folds a GIVEN
+    * merge list statelessly; here learn-then-apply runs as one chained
+    * operator so the whole loop sits under the hash oracle). Output is
+    * the applied corpus with the before/after token counts — the
+    * compression ledger a tokenizer-budget planner reads. Scale: the
+    * rewrite chain is nMerges keyed full-corpus map passes (each one
+    * localCheckpointed, argmax riding `observe`); the final raw-count
+    * join is doc-keyed. */
+  def bpeApply(documents: DataFrame, idCol: String, textCol: String,
                nMerges: Int): DataFrame = {
+    val applied = bpeChain(documents, idCol, textCol, nMerges)._2
+    documents
+      .select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens_raw"))
+      .join(applied, "doc_id")
+      .select(col("doc_id"), col("n_tokens_raw"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens_bpe"),
+        col("text").as("bpe_text"))
+      .orderBy("doc_id")
+  }
+
+  private def bpeChain(documents: DataFrame, idCol: String, textCol: String,
+                       nMerges: Int): (DataFrame, DataFrame) = {
     val spark = documents.sparkSession
     graft.engine.functions.GraftFunctions.register(spark)
     val sp = lit(" ")
@@ -1449,7 +1476,7 @@ object TextPipeline {
       }
     }
     import spark.implicits._
-    merges.toSeq.toDF("step", "pair", "n", "n_merges").orderBy("step")
+    (merges.toSeq.toDF("step", "pair", "n", "n_merges").orderBy("step"), corpus)
   }
 
   /** Corpus-LM fluency score — the exact-arithmetic analogue of the
@@ -1937,6 +1964,7 @@ object TextPipeline {
     }),
     "q_bpe_step" -> ((s, d) => bpeStep(Tables.documents(s, d), "doc_id", "text")),
     "q_bpe_learn" -> ((s, d) => bpeLearn(Tables.documents(s, d), "doc_id", "text", 8)),
+    "q_bpe_apply" -> ((s, d) => bpeApply(Tables.documents(s, d), "doc_id", "text", 8)),
     "q_lm_score" -> ((s, d) => lmScore(Tables.documents(s, d), "doc_id", "text")),
     // train on the even half, score EVERYTHING: odd docs carry unseen
     // trigrams, so every back-off level (3 → 2 → 1 → 0) is exercised
@@ -2008,6 +2036,20 @@ object TextPipeline {
       (1 to n).map(s => s"SELECT step, pair, n, n_merges FROM m$s")
         .mkString("\nUNION ALL\n") +
       "\nORDER BY step"
+  }
+
+  /** DuckDB replication of [[bpeApply]]: the same chained-rewrite CTEs
+    * as the learn oracle (the corpus state after merge `n` IS the
+    * applied corpus), joined back to raw token counts. Generated from
+    * one rewrite definition so learn and apply can never drift. */
+  private def bpeApplyOracleSql(n: Int): String = {
+    val learn = bpeLearnOracleSql(n)
+    val ctes = learn.substring(0, learn.indexOf("\nSELECT step"))
+    s"""$ctes
+       |SELECT s.doc_id, len(string_split(d.text, ' ')) AS n_tokens_raw,
+       |  len(string_split(s.text, ' ')) AS n_tokens_bpe, s.text AS bpe_text
+       |FROM s$n s JOIN documents d USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB replay of [[dsirTable]]+[[dsirScore]] through the per-doc
@@ -2640,6 +2682,7 @@ object TextPipeline {
     // rewrite; inlined, DuckDB would re-run the whole chain per
     // reference, exponential in steps — the recursive-CTE gotcha).
     "q_bpe_learn" -> bpeLearnOracleSql(8),
+    "q_bpe_apply" -> bpeApplyOracleSql(8),
 
     // BPE step: same argmax-pair CTE as the bigram stats, then the
     // doubled-boundary replace trick — replace() is greedy left-to-

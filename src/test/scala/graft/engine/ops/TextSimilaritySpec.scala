@@ -974,6 +974,26 @@ class TextSimilaritySpec extends SparkSuite {
     assert(scored(12L)._1 == 0 && scored(12L)._2, s"unseen vocabulary defaults to keep: $scored")
   }
 
+  test("bpeApply: the applied corpus equals folding the learned merge list (batch = stream arithmetic)") {
+    val docs = Seq(
+      (1L, "a b a b a b c"), (2L, "a b c a b"), (3L, "x y x y z")).toDF("doc_id", "text")
+    val merges = TextPipeline.bpeLearn(docs, "doc_id", "text", 3)
+      .orderBy("step").select("pair").as[String].collect().toSeq
+    val applied = TextPipeline.bpeApply(docs, "doc_id", "text", 3)
+      .select("doc_id", "bpe_text").as[(Long, String)].collect().toMap
+    val folded = graft.engine.stream.Streams.streamingBpeApply(docs, "text", merges)
+      .select(col("doc_id"), col("bpe_text")).as[(Long, String)].collect().toMap
+    assert(applied == folded,
+      s"learn-then-apply must equal serving the merge list: $applied vs $folded")
+    assert(applied(1L).contains("@"), s"top pair must actually merge: $applied")
+    val counts = TextPipeline.bpeApply(docs, "doc_id", "text", 3)
+      .select("doc_id", "n_tokens_raw", "n_tokens_bpe")
+      .as[(Long, Long, Long)].collect()
+    counts.foreach { case (id, raw, bpe) =>
+      assert(bpe <= raw, s"doc $id must not grow under merging") }
+    assert(counts.exists { case (_, raw, bpe) => bpe < raw }, "some doc must compress")
+  }
+
   test("dsir: importance weights rank target-like docs above off-target docs") {
     val docs = Seq(
       (1L, "en", "alpha beta gamma alpha beta"),
