@@ -45,8 +45,11 @@ object ScaleCheck {
     "q_ann_ivfpq_rerank", "q_ann_ivf_trained", "q_sim_pairs_topk",
     "q_bm25_topk", "q_hybrid_rerank",
     // text / training loops
-    "q_bpe_learn", "q_curation_pipeline", "q_fuzzy_match", "q_pack_global",
-    "q_quality_classifier",
+    "q_bpe_learn", "q_bpe_apply", "q_curation_pipeline", "q_fuzzy_match",
+    "q_pack_global", "q_quality_classifier",
+    // r7 additions: DSIR (feature explode + two-phase prefix scan),
+    // cluster-balanced pruning (trained assignment + cell-quota rank)
+    "q_dsir_weights", "q_dsir_sample", "q_cluster_prune",
     // linear controls (wide scans, shuffles, windows)
     "q_agg_group", "q_window_rank", "q_topk_per_group", "q_join_bucketed")
 
