@@ -42,11 +42,20 @@ object TextPipeline {
     * engines, and the result is congruent to the wrapped product for
     * EVERY input (Java's wrap is mod 2⁶⁴, which preserves residues mod
     * 2³²) — so existing fixture hashes are unchanged. */
-  private[engine] def keyBucket(key: Column): Column = {
+  private[engine] def keyBucket(key: Column): Column =
+    pmod(keyMix(key), lit(100))
+
+  /** The full 32-bit multiplicative mix behind [[keyBucket]] — exposed
+    * where an operator needs a deterministic ORDERING key rather than a
+    * percentage bucket (per-domain caps, seeded shard shuffles): the
+    * mix scatters adjacent ids across [0, 2³²) reproducibly at any
+    * parallelism, so "order by mix" is a stable pseudo-random shuffle
+    * with no RNG state to coordinate across executors. */
+  private[engine] def keyMix(key: Column): Column = {
     val k = pmod(key, lit(4294967296L))
     val hi = pmod(shiftright(k, 16) * lit(2654435761L), lit(4294967296L))
     val lo = k.bitwiseAND(lit(65535L)) * lit(2654435761L)
-    pmod(pmod(hi * lit(65536L) + lo, lit(4294967296L)), lit(100))
+    pmod(hi * lit(65536L) + lo, lit(4294967296L))
   }
 
   /** DuckDB replay of [[keyBucket]] — same two-step arithmetic, every
@@ -56,10 +65,16 @@ object TextPipeline {
     * `%` is sign-preserving where pmod is nonnegative, so a negative
     * key would otherwise diverge); every later operand is already
     * nonnegative, where plain `%` equals pmod. */
-  private[ops] def keyBucketSql(key: String): String = {
+  private[ops] def keyBucketSql(key: String): String =
+    s"${keyMixSql(key)} % 100"
+
+  /** DuckDB replay of [[keyMix]] (the pre-`% 100` value of
+    * [[keyBucketSql]] — kept textually identical so existing oracle
+    * hashes are unchanged). */
+  private[ops] def keyMixSql(key: String): String = {
     val k = s"((($key % 4294967296) + 4294967296) % 4294967296)"
     s"(($k // 65536 * 2654435761 % 4294967296 * 65536 + " +
-      s"$k % 65536 * 2654435761) % 4294967296) % 100"
+      s"$k % 65536 * 2654435761) % 4294967296)"
   }
 
   /** THE split rule (80/10/10 on [[keyBucket]]) — single definition
@@ -330,6 +345,50 @@ object TextPipeline {
     }
     df.filter(keyBucket(col(keyCol)) < pct)
   }
+
+  /** Per-domain document cap — the RefinedWeb/C4 anti-boilerplate
+    * measure: no single domain may contribute more than `cap` documents
+    * to the corpus, and WHICH documents survive is decided by the
+    * deterministic [[keyMix]] order (a seeded shuffle), not file order,
+    * so the kept set is reproducible at any parallelism. One window per
+    * domain; the `row_number <= cap` predicate compiles to Spark's
+    * WindowGroupLimit pushdown (pinned in PlanShapeSpec), so each map
+    * task pre-trims its partition to `cap` rows per domain BEFORE the
+    * shuffle — at 100 TB a flooding domain moves ~`cap` rows per input
+    * partition, never its full row count, to the window task. */
+  def domainCap(documents: DataFrame, idCol: String, domainCol: String,
+                cap: Int): DataFrame = {
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(keyMix(col("doc_id")).asc, col("doc_id").asc)
+    documents
+      .select(col(idCol).as("doc_id"), col(domainCol).as("domain"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic seeded global shuffle → shard assignment, manifested:
+    * every document lands in shard `keyMix(id) % nShards`, and within a
+    * shard the training-time read order is "sort by mix" — a
+    * reproducible corpus-wide permutation with NO global sort and no
+    * RNG coordination. The query emits the per-shard manifest a writer
+    * would publish next to the files (doc count, char mass, min mix key,
+    * additive checksum): one narrow projection + one `groupBy(shard)`
+    * partial+final agg, so the plan holds at any scale — the real
+    * writer is `repartition(col("shard_id")).sortWithinPartitions("h")`
+    * on the same columns, one shuffle, zero driver state. */
+  def shuffleShards(documents: DataFrame, idCol: String, charsCol: String,
+                    nShards: Int): DataFrame =
+    documents
+      .select(col(idCol).as("doc_id"), col(charsCol).as("n_chars"),
+        keyMix(col(idCol)).as("h"))
+      .withColumn("shard_id", pmod(col("h"), lit(nShards.toLong)))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_chars").as("sum_chars"),
+           min("h").as("min_h"),
+           sum("h").as("checksum"))
+      .orderBy("shard_id")
 
   // -------------------------------------------------------- text analysis
   /** Per-group doc count, avg chars, total whitespace tokens. */
@@ -1881,6 +1940,12 @@ object TextPipeline {
       stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
         Map("en" -> 30, "zh" -> 20), defaultPct = 5)
         .select("doc_id", "lang", "source").orderBy("doc_id")),
+    // cap 15 of the fixture's 25 docs/source: every domain is over cap,
+    // so the seeded-order keep/drop decision is exercised on all of them
+    "q_domain_cap" -> ((s, d) =>
+      domainCap(Tables.documents(s, d), "doc_id", "source", cap = 15)),
+    "q_shuffle_shards" -> ((s, d) =>
+      shuffleShards(Tables.documents(s, d), "doc_id", "n_chars", nShards = 8)),
     // fully oracled: recursive-CTE reachability over the materialized edge list
     "q_dedup_clusters" -> ((s, d) =>
       dedupClusters(Tables.documents(s, d), "doc_id", "text", 0.9,
@@ -2098,6 +2163,22 @@ object TextPipeline {
         |WHERE ${keyBucketSql("doc_id")} <
         |      CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 20 ELSE 5 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_domain_cap" ->
+      s"""SELECT doc_id, domain, rk FROM (
+        |  SELECT doc_id, source AS domain,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ${keyMixSql("doc_id")} ASC, doc_id ASC) AS rk
+        |  FROM documents)
+        |WHERE rk <= 15 ORDER BY doc_id""".stripMargin,
+
+    "q_shuffle_shards" ->
+      s"""WITH s AS (
+        |  SELECT doc_id, n_chars, ${keyMixSql("doc_id")} AS h FROM documents)
+        |SELECT h % 8 AS shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(h) AS min_h, CAST(sum(h) AS BIGINT) AS checksum
+        |FROM s GROUP BY shard_id ORDER BY shard_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups, text

@@ -458,6 +458,26 @@ class PlanShapeSpec extends SparkSuite {
       "upstream scoring must be materialized, not re-planned per consumer:\n" + p.take(3000))
   }
 
+  test("q_domain_cap plans the per-domain quota as a group-limit pushdown") {
+    val p = plan("q_domain_cap")
+    // rk <= cap must become a WindowGroupLimit so each map task pre-trims
+    // to cap rows per domain BEFORE the domain exchange — the property
+    // that keeps a flooding domain from shipping its full row count
+    assert(p.contains("WindowGroupLimit"),
+      "per-domain cap must plan as a group-limit pushdown:\n" + p.take(2500))
+    // and the scan feeds only the two columns the cap reads
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString("; ")
+    assert(!schemas.contains("text"), s"cap must not scan text: $schemas")
+  }
+
+  test("q_shuffle_shards is one partial+final aggregate with no window or sort before the agg") {
+    val p = plan("q_shuffle_shards")
+    assert(!p.contains("windowspecdefinition"),
+      "shard manifest must not need a window:\n" + p.take(2000))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q_dedup_incremental joins delta bands against reference bands with no cartesian stage") {
     val p = plan("q_dedup_incremental")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -1045,4 +1045,35 @@ class TextSimilaritySpec extends SparkSuite {
       }
     }
   }
+
+  test("domainCap keeps exactly min(cap, |domain|) docs per domain, invariant under input layout") {
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    val got = TextPipeline.domainCap(docs, "doc_id", "source", cap = 15)
+    val perDomain = got.groupBy("domain").count().as[(String, Long)].collect().toMap
+    val sizes = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(perDomain.keySet == sizes.keySet, "every domain must survive the cap")
+    perDomain.foreach { case (d, n) =>
+      assert(n == math.min(15L, sizes(d)), s"domain $d kept $n of ${sizes(d)}")
+    }
+    // the kept SET is a property of (id, domain) alone — re-laying-out the
+    // input (different partitioning, different file order) must not move it
+    val relaid = TextPipeline.domainCap(docs.repartition(7), "doc_id", "source", cap = 15)
+    assert(got.select("doc_id").as[Long].collect().toSet ==
+      relaid.select("doc_id").as[Long].collect().toSet)
+    // and within a domain the ranks are the dense prefix 1..cap
+    val ranks = got.filter(col("domain") === "src0").select("rk").as[Long].collect().sorted
+    assert(ranks.sameElements(1L to 15L))
+  }
+
+  test("shuffleShards covers every doc exactly once and the manifest is layout-invariant") {
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    val m = TextPipeline.shuffleShards(docs, "doc_id", "n_chars", nShards = 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(m.map(_._1).sorted.sameElements(0L until 8L), "all shards populated")
+    assert(m.map(_._2).sum == docs.count(), "shard doc counts partition the corpus")
+    val m2 = TextPipeline.shuffleShards(docs.repartition(11), "doc_id", "n_chars", 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(m.sortBy(_._1).sameElements(m2.sortBy(_._1)),
+      "manifest (counts, mass, min key, checksum) must not depend on input layout")
+  }
 }
