@@ -23,13 +23,24 @@ object Tables {
     // native functions (array_dot, sorted_intersect_size) registered
     graft.engine.functions.GraftFunctions.register(spark)
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 cannot read as a
-    // timestamp; sessions set spark.sql.legacy.parquet.nanosAsLong=true and
-    // we truncate ns→µs here — the same truncation DuckDB applies on read,
-    // so both engines see the identical microsecond timeline.
-    if (name == "events")
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-    else raw
+    // events.ts arrives in one of two fixture layouts:
+    //  - TIMESTAMP(NANOS): Spark 4 cannot read it as a timestamp; sessions
+    //    set spark.sql.legacy.parquet.nanosAsLong=true so it surfaces as a
+    //    BIGINT of nanos, and we truncate ns→µs here — the same truncation
+    //    DuckDB applies on read, so both engines see the identical
+    //    microsecond timeline.
+    //  - TIMESTAMP(MICROS): surfaces as TIMESTAMP_NTZ; cast to the session
+    //    TimestampType (session tz is UTC, so the cast is value-preserving)
+    //    to keep every downstream operator on the same type either way.
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr}
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
+    } else raw
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
