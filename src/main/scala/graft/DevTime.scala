@@ -20,7 +20,8 @@ object DevTime {
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       } else {
         val fn = SparkEntry.queries(name)
-        (1 to 2).foreach { i =>
+        val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+        (1 to runs).foreach { i =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val dt = (System.nanoTime() - t0) / 1e9

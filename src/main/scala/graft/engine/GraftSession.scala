@@ -27,6 +27,13 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE coalesce shuffle partitions INSIDE persisted plans too
+      // (off by default): iterative operators persist small hot tables
+      // (dedup edge lists, label tables) and without this every cached
+      // count-free `repartition(col)` pins the session's full shuffle
+      // partition count onto kilobyte-sized data, so each loop round
+      // schedules near-empty tasks per stage
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
 
   /** Local session with `cores` worker threads (the driver-contract
     * shape: `local[n]` with shuffle partitions = n). */

@@ -170,73 +170,91 @@ object TextPipeline {
     // undirected edge list, materialized once, hash-partitioned on the
     // join key: every propagation round equi-joins edges on `b`, so the
     // cached partitioning is reused and only the (tiny) label table
-    // shuffles per round — the edge list never moves again
+    // shuffles per round — the edge list never moves again.
+    // `repartition(col("b"))` deliberately omits a partition count:
+    // with no user-pinned count AQE sizes the shuffle to the DATA
+    // (few partitions for a few-thousand-row edge list, shuffle-
+    // partition-bounded at 100 TB) — provided the session allows
+    // adaptive output partitioning under `persist` (GraftSession sets
+    // `canChangeCachedPlanOutputPartitioning`; without it a cached
+    // plan pins the full session shuffle count and every loop round
+    // schedules that many near-empty tasks per stage).
     val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
       .repartition(col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val obs0 = new org.apache.spark.sql.Observation("labelsum_init")
-      // seed with min(id, min neighbor id) instead of id: the loop's
-      // cost is per-round job latency, not data volume, and folding the
-      // first hop into the seed materialization (riding the edge list's
-      // existing (b)-partitioning — groupBy("b") reuses it, no extra
-      // shuffle) saves a full round on the fixture graph (6 → 5 at
-      // sf0.1, measured)
+      // The loop iterates over GRAPH NODES ONLY — every node of the
+      // symmetric edge list appears as a `b`, and a node with no
+      // near-dup partner is its own cluster by definition, so the
+      // (corpus − graph) singleton majority never enters a round. At
+      // 100 TB this is the difference between re-materializing the
+      // whole corpus every round and re-materializing just the dup
+      // graph (≪ corpus); the singletons are union'd back once at the
+      // end from one anti-join. Seed = min(id, min neighbor id): the
+      // first hop folds into the seed materialization, riding the edge
+      // list's existing (b)-partitioning (groupBy("b") reuses it, no
+      // extra shuffle).
       val minNbr = edges.groupBy("b").agg(min(col("a")).as("mn"))
         .withColumnRenamed("b", "id")
-      var labels = mat(documents.select(col(idCol).as("id"))
-        .join(minNbr, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("id"), coalesce(col("mn"), col("id"))).as("cluster"))
+      var labels = mat(minNbr
+        .select(col("id"), least(col("id"), col("mn")).as("cluster"))
         .observe(obs0, sum("cluster").as("s")), 0)
-      var prevSum = obs0.get("s").asInstanceOf[Long]
+      // empty graph → empty labels → null sum; treat as 0 so the first
+      // batch's equal-0 sum converges immediately instead of NPE-ing
+      def obsSum(o: org.apache.spark.sql.Observation): Long =
+        Option(o.get("s")).fold(0L)(_.asInstanceOf[Long])
+      var prevSum = obsSum(obs0)
       var iter = 0
       var converged = false
+      // pointer jumping: also adopt the label's own label. Every label
+      // IS a node id, so each jump composes the previous-round lookup
+      // once more — chains shrink geometrically, O(log diameter)
+      // rounds instead of O(diameter). The jump table is the BATCH-
+      // START labels — already materialized — so each batch pays
+      // exactly ONE materialization (r2 checkpointed the hop too, to
+      // feed a self-join, and the double write was ~half the round
+      // cost). Labels are monotone per node (labels_n(c) ≤ c for every
+      // node c), so jumping through the older table is a pure decrease
+      // and the sum fixpoint test is unchanged: an equal sum means no
+      // node moved, i.e. the hop alone is at fixpoint.
       while (!converged && iter < maxIters) {
-        // each node adopts the min of its own and its neighbors' labels
-        val msgs = edges.join(labels.withColumnRenamed("id", "b"), "b")
-          .select(col("a").as("id"), col("cluster"))
-        val hopped = labels.select(col("id"), col("cluster"))
-          .unionAll(msgs)
-          .groupBy("id").agg(min("cluster").as("cluster"))
-        // pointer jumping: also adopt the label's own label. Every label
-        // IS a node id, so this roughly halves the remaining chain length
-        // each round — O(log diameter) rounds instead of O(diameter) (the
-        // sf0.1 pair graph has chains: 8 hop-only rounds vs 4-5 with
-        // jumping). The jump table is the PREVIOUS round's labels — already
-        // materialized — not the fresh hop result, so each round pays
-        // exactly ONE materialization (r2 checkpointed the hop too, to
-        // feed a self-join, and the double full-corpus write was ~half the
-        // round cost). Labels are monotone per node (labels_n(c) ≤ c for
-        // every node c), so jumping through the older table is still a
-        // pure decrease and the sum fixpoint test is unchanged: an equal
-        // sum means no node moved, i.e. the hop alone is at fixpoint.
-        // double jump: compose the pointer lookup twice through the SAME
-        // previous-round table — two extra cheap joins inside one job
-        // shrink chains ~3× per round instead of 2×, i.e. fewer rounds,
-        // and each round's cost is dominated by its fixed job latency,
-        // not by the joins (the label table is tiny relative to the
-        // corpus). Monotonicity is untouched: every jump is a pure
-        // decrease through already-materialized labels, so the sum
-        // fixpoint test is still exact.
+        val base = labels // round-start snapshot
+        // pointer jump through the round-start table: label(u) ←
+        // min(label(u), base(label(u))). Jump-count tuning was measured
+        // flat at sf0.1 (1, 2 or 3 prev-table jumps all converge in 6
+        // rounds — the binding constraint is the graph's hop diameter,
+        // not chain length), and jumping through the FRESH hop result
+        // (textbook path-halving, 5 rounds) costs ~2× wall clock
+        // because the hop subtree gets re-executed on the ptr side —
+        // AQE does not reuse the exchange across the self-join's two
+        // different-keyed sides. One cheap prev-table jump is the
+        // measured optimum.
         def jump(df: DataFrame, tag: String): DataFrame = {
-          val ptr = labels.select(col("id").as(s"pid_$tag"),
-                                  col("cluster").as(s"pcluster_$tag"))
+          val ptr = base.select(col("id").as(s"pid_$tag"),
+                                col("cluster").as(s"pcluster_$tag"))
           df.join(ptr, df("cluster") === ptr(s"pid_$tag"), "left_outer")
             .select(df("id"),
               least(df("cluster"),
                     coalesce(col(s"pcluster_$tag"), df("cluster"))).as("cluster"))
         }
-        // the convergence sum rides the SAME job that materializes the
-        // round (observe → CollectMetrics), not a second agg job — one
-        // driver round-trip per round instead of two; under co-tenant
-        // load the per-job latency is the whole cost of this loop (the
-        // label table itself is tiny)
+        // each node adopts the min of its own and its neighbors' labels
+        val msgs = edges.join(base.withColumnRenamed("id", "b"), "b")
+          .select(col("a").as("id"), col("cluster"))
+        val hopped = base.select(col("id"), col("cluster"))
+          .unionAll(msgs)
+          .groupBy("id").agg(min("cluster").as("cluster"))
+        // The convergence sum rides the SAME job that materializes the
+        // round (observe → CollectMetrics), not a second agg job.
+        // (Batching TWO hop-rounds per materialization was measured
+        // WORSE — 6.2 s vs 5.2 s at sf0.1 — the loop is stage-bound,
+        // not driver-round-trip-bound, and batch granularity wastes a
+        // full extra round at the fixpoint test.)
         val obs = new org.apache.spark.sql.Observation(s"labelsum_i$iter")
-        labels = mat(jump(jump(hopped, "a"), "b")
+        labels = mat(jump(hopped, "a")
           .observe(obs, sum("cluster").as("s")),
           iter + 1) // eager: truncates lineage, stays distributed
-        val nextSum = obs.get("s").asInstanceOf[Long]
+        val nextSum = obsSum(obs)
         converged = nextSum == prevSum // monotone ⇒ equal sum = fixpoint
         prevSum = nextSum
         iter += 1
@@ -245,7 +263,12 @@ object TextPipeline {
       // tests stay silent like the rest of the operator layer
       if (documents.sparkSession.conf.getOption("spark.graft.debug").contains("true"))
         System.err.println(s"[dedup_clusters] ${if (converged) "converged" else "max-iters"} after $iter rounds")
-      labels
+      // singletons re-enter here: cluster = own id for every document
+      // with no verified partner (one anti-join against the graph's
+      // node set — the only stage that touches the full corpus)
+      documents.select(col(idCol).as("id"))
+        .join(labels.withColumnRenamed("cluster", "cl"), Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("cl"), col("id")).as("cluster"))
     } finally edges.unpersist()
   }
 
