@@ -1234,9 +1234,21 @@ object TextPipeline {
   def ngramJaccard(documents: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], threshold: Double,
                    bandCol: Option[(String, Int)] = None): DataFrame = {
+    // token sets are carried as SORTED DISTINCT 62-bit hash arrays, not
+    // string arrays: |hash set| = |token set| and |hash ∩| = |token ∩|
+    // (equal tokens hash equally; the 62-bit space makes a collision
+    // among a corpus vocabulary vanishingly unlikely and deterministic),
+    // so every Jaccard value — and the oracle — is unchanged, while the
+    // candidate join moves 8-byte longs instead of UTF-8 tokens and the
+    // per-pair verify is the zero-allocation native merge walk instead
+    // of a per-row hash set (`array_intersect`). The in-block candidate
+    // volume is still population² — this stays the exact-verify tier
+    // under MinHash-LSH — but the constant per candidate is ~an order
+    // smaller, which is what the 100 TB fan-out pays per pair.
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
     val base = documents.select(
       col(idCol).as("doc_id") +: (blockCols ++ bandCol.map(_._1)).map(col) :+
-        array_distinct(toks(col(textCol))).as("shingles"): _*)
+        call_function("token_set_hashes62", col(textCol)).as("shingles"): _*)
     val (a, b) = bandCol match {
       case None =>
         (base.select(col("doc_id").as("doc_id_1") +: blockCols.map(col) :+
@@ -1252,7 +1264,8 @@ object TextPipeline {
            col("shingles").as("sb"): _*))
     }
     val joinCols = blockCols ++ bandCol.map(_ => "blk")
-    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val inter = call_function("sorted_intersect_size",
+      col("sa"), col("sb")).cast("double")
     a.join(b, joinCols)
       .filter(col("doc_id_1") < col("doc_id_2"))
       .withColumn("jaccard", round(inter / (size(col("sa")) + size(col("sb")) - inter), 4))
