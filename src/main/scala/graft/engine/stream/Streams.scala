@@ -1088,6 +1088,41 @@ object Streams {
   def streamStaticJoin(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left_outer")
 
+  /** Output row of [[streamingDomainCap]]. */
+  final case class DomainAdmit(doc_id: Long, domain: String)
+
+  /** s_stream_domain_cap: per-domain ingest quota — the streaming face
+    * of [[graft.engine.ops.TextPipeline.domainCap]]: no domain ships
+    * more than `cap` documents downstream, decided AT INGEST so an
+    * over-cap domain flood never reaches storage. State (one Long
+    * counter per domain via `flatMapGroupsWithState`) is bounded by
+    * DOMAIN CARDINALITY, not stream length, and survives
+    * kill-and-restart in the checkpoint state store. Within a
+    * micro-batch, arrivals are admitted in the batch operator's seeded
+    * [[graft.engine.ops.TextPipeline.keyMix]] order — deterministic at
+    * any shuffle partitioning, and a corpus ingested as ONE batch
+    * replays the batch keep set exactly (the StreamingSpec parity
+    * test); across batches the quota is first-come, the honest ingest
+    * semantics. The per-(domain, batch) sort buffers one micro-batch's
+    * arrivals for one domain — bounded by the batch, not the stream. */
+  def streamingDomainCap(docs: DataFrame, idCol: String, domainCol: String,
+                         cap: Int): Dataset[DomainAdmit] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(domainCol).as("domain"),
+        graft.engine.ops.TextPipeline.keyMix(col(idCol).cast("long")).as("mix"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (domain: String, rows: Iterator[(Long, String, Long)], state: GroupState[Long]) => {
+          val used = state.getOption.getOrElse(0L)
+          val room = math.max(0L, cap.toLong - used).toInt
+          val admitted = rows.toSeq.sortBy(r => (r._3, r._1)).take(room)
+          state.update(used + admitted.size)
+          admitted.iterator.map(r => DomainAdmit(r._1, domain))
+        })
+  }
+
   /** Output row of [[statefulTypeStats]]. */
   final case class TypeStat(event_type: String, n: Long, total: Double)
 

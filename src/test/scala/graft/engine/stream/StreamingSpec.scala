@@ -468,6 +468,68 @@ class StreamingSpec extends SparkSuite {
       s"a full bucket must not store post-cap arrivals: $out")
   }
 
+  // s_stream_domain_cap: per-domain ingest quota, one counter per domain
+  test("s_stream_domain_cap: one-batch ingest replays the batch domainCap keep set") {
+    val docs = (1L to 20L).map(i =>
+      LDoc(i, ts(i), if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", s"t$i"))
+    val in = MemoryStream[LDoc](spark)
+    val out = mutable.ArrayBuffer[(Long, String)]()
+    val q = Streams.streamingDomainCap(in.toDF(), "doc_id", "lang", cap = 3)
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("domain-cap"))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.DomainAdmit], _: Long) =>
+        out.synchronized { out ++= b.collect().map(a => (a.doc_id, a.domain)) }
+        ()
+      }.start()
+    in.addData(docs: _*) // the whole corpus as ONE batch
+    q.processAllAvailable(); q.stop()
+    val batch = graft.engine.ops.TextPipeline
+      .domainCap(docs.map(d => (d.doc_id, d.lang)).toDF("doc_id", "lang"),
+        "doc_id", "lang", cap = 3)
+      .select("doc_id", "domain").as[(Long, String)].collect().toSet
+    assert(out.toSet == batch,
+      s"single-batch ingest must replay the batch keep set: ${out.sorted} vs $batch")
+    assert(out.size == 9, s"3 domains x cap 3: $out")
+  }
+
+  test("s_stream_domain_cap: quota counters survive kill-and-restart, later arrivals bounced") {
+    val in = MemoryStream[LDoc](spark)
+    val ckpt = tmpDir("domain-cap-restart")
+    val out = mutable.ArrayBuffer[(Long, String)]()
+    def start() = Streams.streamingDomainCap(in.toDF(), "doc_id", "lang", cap = 2)
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.DomainAdmit], _: Long) =>
+        out.synchronized { out ++= b.collect().map(a => (a.doc_id, a.domain)) }
+        ()
+      }.start()
+    val q1 = start()
+    in.addData(LDoc(1, ts(1), "x", "t1"))
+    q1.processAllAvailable()
+    q1.stop() // kill: the domain counter must survive in the checkpoint
+    val q2 = start()
+    in.addData(LDoc(2, ts(2), "x", "t2"), LDoc(3, ts(2), "x", "t3"),
+               LDoc(4, ts(2), "y", "t4"))
+    q2.processAllAvailable()
+    in.addData(LDoc(5, ts(3), "x", "t5"), LDoc(6, ts(3), "y", "t6"))
+    q2.processAllAvailable(); q2.stop()
+    val admitted = out.sorted.toSeq
+    val perDomain = admitted.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(perDomain("x").contains(1L),
+      s"pre-kill admission must stand after restart: $admitted")
+    assert(perDomain("x").size == 2,
+      s"domain x quota is 2 across the restart, not per query run: $admitted")
+    assert(!perDomain("x").contains(5L),
+      s"post-quota arrival must bounce: $admitted")
+    // within the post-restart batch, the seeded keyMix order decides
+    // which of 2/3 takes x's last slot — keyMix(2) = 1013904226 <
+    // keyMix(3) = 3668339987, so doc 2 wins
+    assert(perDomain("x").contains(2L) && !perDomain("x").contains(3L),
+      s"in-batch admission follows keyMix order: $admitted")
+    assert(perDomain("y").sorted == Seq(4L, 6L),
+      s"an under-cap domain admits across batches: $admitted")
+  }
+
   // s_stream_quality_classifier: offline-trained token weights served
   // as one broadcast map row, scored per arrival with zero state
   test("s_stream_quality_classifier: in-stream scores equal the batch classifier row-for-row") {
