@@ -62,7 +62,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => PosGrams(children(0), children(1), children(2))),
     (FunctionIdentifier("pq_codes_init"),
       new ExpressionInfo(classOf[PqCodesInit].getName, "pq_codes_init"),
-      (children: Seq[Expression]) => PqCodesInit(children(0))))
+      (children: Seq[Expression]) => PqCodesInit(children(0))),
+    (FunctionIdentifier("gimg_decode"),
+      new ExpressionInfo(classOf[GimgDecode].getName, "gimg_decode"),
+      (children: Seq[Expression]) => GimgDecode(children(0))))
 
   /** Register the engine functions into a session (idempotent). */
   def register(spark: SparkSession): Unit = registry.foreach { case (ident, info, builder) =>

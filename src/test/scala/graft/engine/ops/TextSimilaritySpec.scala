@@ -550,12 +550,32 @@ class TextSimilaritySpec extends SparkSuite {
     assert(l.count() == 500)
   }
 
-  test("multimodal pipeline: every source aggregated, features bounded") {
+  test("multimodal pipeline: every source aggregated, decode clean, stats in byte range") {
     val m = run("q_multimodal_pipeline")
     assert(m.count() == 20) // src0..src19
-    // per-asset features are in [-1,1], so a group sum is bounded by its count
-    val f = m.filter(abs(col("sum_f0")) > col("n_assets")).count()
-    assert(f == 0, "stub features must stay in [-1,1]")
+    // the fixture's GIMG frames are all well-formed: zero quarantined
+    assert(m.filter(col("n_bad") =!= 0).count() == 0, "no payload may fail decode")
+    // pixel stats come from real byte parsing: ASCII corpus bytes
+    val oob = m.filter(col("min_px") < 32 || col("max_px") > 126).count()
+    assert(oob == 0, "pixel stats must sit in the corpus byte range")
+  }
+
+  test("gimg_decode: malformed payloads quarantine as null, valid ones parse exactly") {
+    graft.engine.functions.GraftFunctions.register(spark)
+    val valid = Array[Byte](0x47, 0x49, 0x4D, 0x47, 0, 2, 0, 2, 1, 10, 20, 30)
+    val badMagic = valid.clone(); badMagic(0) = 0x58
+    val overflow = Array[Byte](0x47, 0x49, 0x4D, 0x47, 0, 1, 0, 1, 1, 10, 20) // 2 px > 1*1
+    val shortHdr = Array[Byte](0x47, 0x49, 0x4D)
+    val wrongChan = valid.clone(); wrongChan(8) = 3
+    val rows = Seq((1L, valid), (2L, badMagic), (3L, overflow), (4L, shortHdr), (5L, wrongChan))
+      .toDF("id", "payload")
+      .withColumn("f", call_function("gimg_decode", col("payload")))
+    val byId = rows.select("id", "f").as[(Long, Option[Seq[Long]])].collect().toMap
+    assert(byId(2L).isEmpty && byId(3L).isEmpty && byId(4L).isEmpty && byId(5L).isEmpty,
+      s"malformed frames must decode to null: $byId")
+    // [w, h, n_px, sum, min, max, hash]: hash = ((0*31+10)*31+20)*31+30
+    assert(byId(1L).contains(Seq(2L, 2L, 3L, 60L, 10L, 30L, (10L * 31 + 20) * 31 + 30)),
+      s"valid frame mis-parsed: ${byId(1L)}")
   }
 
   test("q_ann_ivf results are a subset of brute-force scoring with usable recall") {
@@ -677,20 +697,34 @@ class TextSimilaritySpec extends SparkSuite {
     assert(a == b)
   }
 
-  test("mapPartitions decode: deterministic, partition-count preserving, batch-correct") {
+  test("mapPartitions decode: deterministic, partition-count preserving, quarantines malformed") {
     import graft.engine.ops.Multimodal.{Asset, decodeAssets}
-    val assets = (1L to 200L).map(i =>
-      Asset(i, s"payload-$i-${"x" * (i % 37).toInt}".getBytes("UTF-8"), 640, 480)).toDS()
-      .repartition(7)
+    def frame(px: Array[Byte], w: Int, h: Int): Array[Byte] =
+      Array[Byte](0x47, 0x49, 0x4D, 0x47,
+        (w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte, 1) ++ px
+    val assets = (1L to 200L).map { i =>
+      val px = s"payload-$i-${"x" * (i % 37).toInt}".getBytes("UTF-8")
+      Asset(i, frame(px, 640, 480), 640, 480)
+    }.toDS().repartition(7)
     val out1 = decodeAssets(assets).collect().sortBy(_.asset_id)
     val out2 = decodeAssets(assets).collect().sortBy(_.asset_id)
     assert(out1.length == 200)
     assert(out1.map(_.asset_id).toSeq == out2.map(_.asset_id).toSeq)
-    assert(out1.zip(out2).forall { case (a, b) => a.features.sameElements(b.features) },
-      "stub kernel must be deterministic")
+    assert(out1.zip(out2).forall { case (a, b) =>
+      a.px_sum == b.px_sum && a.px_hash == b.px_hash },
+      "decode kernel must be deterministic")
+    // the stats are REAL content parses: asset 1's payload sums its ASCII bytes
+    val p1 = "payload-1-x".getBytes("UTF-8")
+    assert(out1.head.px_sum == p1.map(_.toLong & 0xFF).sum, "pixel sum must match the bytes")
+    assert(out1.head.px_min == p1.map(_.toLong & 0xFF).min)
     assert(out1.forall(d => d.thumb_w == 160 && d.thumb_h == 120))
     assert(decodeAssets(assets).rdd.getNumPartitions == 7,
       "decode is a narrow per-partition transform")
+    // malformed frames are quarantined (dropped), not partition-fatal
+    val mixed = Seq(
+      Asset(1L, frame("ok".getBytes, 2, 1), 2, 1),
+      Asset(2L, "not a gimg frame".getBytes, 2, 1)).toDS()
+    assert(decodeAssets(mixed).collect().map(_.asset_id).toSeq == Seq(1L))
   }
 
   test("knn join: per-probe results equal the single-probe knnCosine path") {
