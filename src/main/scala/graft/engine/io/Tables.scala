@@ -34,11 +34,25 @@ object Tables {
     //    to keep every downstream operator on the same type either way.
     if (name == "events") {
       import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
+        case LongType =>
           raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-        case _ =>
-          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case TimestampNTZType | TimestampType =>
+          // the NTZ→LTZ cast is value-preserving ONLY under a UTC
+          // session (GraftSession pins it, but load accepts any
+          // session) — fail fast instead of silently shifting the
+          // whole events timeline by a wall-clock offset
+          val tz = spark.conf.get("spark.sql.session.timeZone")
+          if (tz != "UTC") throw new IllegalStateException(
+            s"events.ts NTZ cast requires spark.sql.session.timeZone=UTC, session has '$tz'")
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case other =>
+          // a regenerated fixture with an unexpected ts type must not be
+          // silently coerced (a StringType would cast to mostly-nulls)
+          throw new IllegalStateException(
+            s"unexpected events.ts type ${other.simpleString}: expected nanos-as-long " +
+              "(BIGINT under spark.sql.legacy.parquet.nanosAsLong) or TIMESTAMP(MICROS)")
       }
     } else raw
   }
