@@ -763,6 +763,37 @@ object Similarity {
               col("rep"), col("sz"), col("hsh"), col("members"))
   }
 
+  /** Index MAINTENANCE — merge a delta corpus into a standing
+    * [[minhashBandedIndex]], completing the rolling-build lifecycle
+    * (build once → probe every batch → MERGE the batch in, so tomorrow's
+    * delta probes today's docs too). Contract, and exactly what the
+    * DuckDB oracle checks: `merge(build(ref), delta) == build(ref ∪
+    * delta)` — the maintained index is bit-identical to a from-scratch
+    * rebuild, so probe semantics never drift with index age.
+    *
+    * Only the DELTA tokenizes and signs; the standing index rows pass
+    * through untouched except where a delta document's token SET is
+    * identical to an indexed group's (`hsh` equality ⇒ identical
+    * signature ⇒ identical band keys by construction), in which case the
+    * two groups collapse: members union (doc ids are disjoint across
+    * slices; `array_distinct` keeps the merge idempotent under replay),
+    * rep re-minimized. One shuffle keyed on the (band, bkey, hsh) group
+    * identity — cost ∝ |index| + |delta|, never corpus tokens; in
+    * production both sides arrive bucketed on (band, bkey) and the merge
+    * is shuffle-free. */
+  def minhashIndexMerge(index: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = graft.engine.functions.MinHashSignature.NumPerms,
+      bands: Int = 2, rowsPerBand: Int = 8): DataFrame = {
+    val deltaIdx = minhashBandedIndex(delta, idCol, textCol, k, bands, rowsPerBand)
+    index.unionByName(deltaIdx)
+      .groupBy(col("band"), col("bkey"), col("hsh"))
+      .agg(min(col("rep")).as("rep"),
+           sort_array(array_distinct(flatten(collect_list(col("members"))))).as("members"))
+      .select(col("band"), col("bkey"), col("rep"),
+              size(col("hsh")).as("sz"), col("hsh"), col("members"))
+  }
+
   /** Incremental MinHash-LSH near-dup: which NEW (delta) documents
     * near-duplicate an existing REFERENCE corpus — the shape a rolling
     * corpus build actually runs (today's crawl against the standing
@@ -1483,6 +1514,22 @@ object Similarity {
       minhashNearDupIncremental(docs.filter(col("doc_id") < 250),
         docs.filter(col("doc_id") >= 250), "doc_id", "text", 0.9)
     }),
+    // index maintenance: merge the delta into the standing banded index
+    // and prove merge(build(ref), delta) == build(ref UNION delta) — the
+    // oracle builds the union index from scratch, the engine merges
+    "q_index_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      minhashIndexMerge(
+        minhashBandedIndex(docs.filter(col("doc_id") < 250), "doc_id", "text"),
+        docs.filter(col("doc_id") >= 250), "doc_id", "text")
+        .select(col("band"), col("bkey"), col("rep"), col("sz").cast("long").as("sz"),
+          size(col("members")).cast("long").as("n_members"),
+          aggregate(col("members"), lit(0L),
+            (a, x) => pmod(a * 1000003L + x, lit(1000000007L))).as("members_hash"),
+          aggregate(col("hsh"), lit(0L),
+            (a, x) => pmod(a * 1000003L + x, lit(1000000007L))).as("hsh_hash"))
+        .orderBy("band", "bkey", "rep")
+    }),
     // the two-sided hot-bucket salt under the SAME oracle: cap 64 forces
     // real splits on the fixture's self-similar reference buckets and
     // the pair set must replay the unsalted oracle verbatim
@@ -1696,6 +1743,34 @@ object Similarity {
       |FROM ver, unnest(ma) AS ta(a), unnest(mb) AS tb(b)
       |WHERE jaccard >= $threshold
       |ORDER BY doc_id_ref, doc_id_new""".stripMargin
+  }
+
+  /** The from-scratch UNION-corpus banded index in DuckDB — the oracle
+    * side of [[minhashIndexMerge]]'s maintenance contract. Arrays
+    * project to order-sensitive polynomial hashes (sorted members /
+    * sorted token-hash set), the postings-hash discipline; every fold
+    * operand stays < 2⁶³ (accumulator < 10⁹+7, elements < 2⁶²). */
+  def minhashUnionIndexOracleSql(k: Int = 16, bands: Int = 2, rows: Int = 8): String = {
+    require(bands * rows == k, s"bands ($bands) x rows ($rows) must equal k ($k)")
+    s"""WITH RECURSIVE docs AS (
+      |${minhashDocsSql("")}),
+      |grps AS MATERIALIZED (
+      |  SELECT min(doc_id) AS rep, list_sort(list(doc_id)) AS members, hsh
+      |  FROM docs GROUP BY hsh),
+      |sig AS (
+      |  SELECT rep,
+      |${minhashSigMinsSql(k)}
+      |  FROM (SELECT rep, unnest(hsh) AS h FROM grps) GROUP BY rep),
+      |bnd AS (
+      |${minhashBandSelectsSql(bands, rows, "sig")})
+      |SELECT band, bkey, g.rep AS rep, CAST(len(g.hsh) AS BIGINT) AS sz,
+      |  CAST(len(g.members) AS BIGINT) AS n_members,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), g.members),
+      |    (a, b) -> (a * 1000003 + b) % 1000000007) AS BIGINT) AS members_hash,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), g.hsh),
+      |    (a, b) -> (a * 1000003 + b) % 1000000007) AS BIGINT) AS hsh_hash
+      |FROM bnd JOIN grps g ON g.rep = bnd.rep
+      |ORDER BY band, bkey, rep""".stripMargin
   }
 
   /** DuckDB replication of the embedding near-dup pipeline, built
@@ -2489,6 +2564,9 @@ object Similarity {
         |ORDER BY doc_id_1, doc_id_2""".stripMargin),
     "q_dedup_incremental" -> minhashIncrementalOracleSql(
       "WHERE doc_id < 250", "WHERE doc_id >= 250", 0.9),
+    // the maintenance contract IS the oracle: the merged index must
+    // equal the union corpus's index built from scratch
+    "q_index_merge" -> minhashUnionIndexOracleSql(),
     // salt must not change a single pair — identical oracle replay
     "q_dedup_incremental_salted" -> minhashIncrementalOracleSql(
       "WHERE doc_id < 250", "WHERE doc_id >= 250", 0.9),

@@ -119,4 +119,31 @@ class MinHashParamSpec extends SparkSuite {
         0.5, k = 16, bands = 3, rowsPerBand = 8)
     }
   }
+
+  // index maintenance: the merged index must be indistinguishable from a
+  // from-scratch rebuild over the union corpus, at every boundary case
+  test("index merge contract: merge(build(ref), delta) == build(ref UNION delta); empty delta is identity") {
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("band"), col("bkey"), col("rep"), col("sz"),
+          col("hsh"), col("members"))
+        .collect().map(_.toSeq.map {
+          case a: Seq[_] => a.toVector
+          case x => x
+        }.toVector).toSet
+    val ref = docs.filter(col("doc_id") < 250)
+    val delta = docs.filter(col("doc_id") >= 250)
+    val refIdx = Similarity.minhashBandedIndex(ref, "doc_id", "text")
+    val merged = Similarity.minhashIndexMerge(refIdx, delta, "doc_id", "text")
+    val scratch = Similarity.minhashBandedIndex(docs, "doc_id", "text")
+    assert(canon(merged) == canon(scratch),
+      "merged index must equal the union corpus rebuilt from scratch")
+    // empty delta: maintenance over a quiet day must be the identity
+    val quiet = Similarity.minhashIndexMerge(refIdx, delta.filter(lit(false)),
+      "doc_id", "text")
+    assert(canon(quiet) == canon(refIdx))
+    // replaying the same delta (a retried batch) must not change the index
+    val replay = Similarity.minhashIndexMerge(merged, delta, "doc_id", "text")
+    assert(canon(replay) == canon(scratch), "merge must be idempotent under replay")
+  }
 }
