@@ -65,7 +65,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => PqCodesInit(children(0))),
     (FunctionIdentifier("gimg_decode"),
       new ExpressionInfo(classOf[GimgDecode].getName, "gimg_decode"),
-      (children: Seq[Expression]) => GimgDecode(children(0))))
+      (children: Seq[Expression]) => GimgDecode(children(0))),
+    (FunctionIdentifier("gopher_stats"),
+      new ExpressionInfo(classOf[GopherStats].getName, "gopher_stats"),
+      (children: Seq[Expression]) => GopherStats(children(0))))
 
   /** Register the engine functions into a session (idempotent). */
   def register(spark: SparkSession): Unit = registry.foreach { case (ident, info, builder) =>

@@ -779,34 +779,29 @@ object TextPipeline {
     * single-space-join identity `Σ len(w) = n_chars − (n_words − 1)`
     * silently skewed n_words, mean_len_x100, and rep_x10000 — flipping
     * keep verdicts — on any real-world text violating that contract.
-    * `Σ len(w)` is now summed directly from the surviving tokens (the
-    * same filter tfidfTopTerms applies).
     *
-    * Scale: one token explode feeding one (doc, token) partial+final
-    * count, then a per-doc rollup — the same shuffle key throughout;
-    * the doc-id left join keeps a (keep=false) row for documents whose
-    * text tokenizes to nothing. */
+    * Scale: the statistics are a pure function of one document, so the
+    * whole gate is ONE narrow native pass ([[graft.engine.functions
+    * .GopherStats]] — term frequencies in a per-row hash map over
+    * zero-copy token views) — no exchange at any corpus size. The
+    * earlier composed form (token explode → (doc, token) count → doc
+    * rollup → id-spine join) shuffled the corpus token stream twice to
+    * compute the same three numbers; value identity between the two
+    * forms is pinned in FunctionsSpec, and docs whose text tokenizes
+    * to nothing keep their (n_words = 0, keep = false) row. */
   def gopherRules(documents: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val perTok = documents
-      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
-    val stats = perTok.groupBy("doc_id").agg(
-      sum("c").as("n_words"),
-      sum(col("c") * length(col("token")).cast("long")).as("sum_len"),
-      max("c").as("max_tf"))
-    documents.select(col(idCol).as("doc_id"))
-      .join(stats, Seq("doc_id"), "left_outer")
-      .withColumn("n_words", coalesce(col("n_words"), lit(0L)))
-      .withColumn("mean_len_x100",
-        floor(lit(100.0) * col("sum_len") / col("n_words")).cast("long"))
-      .withColumn("rep_x10000",
-        floor(lit(10000.0) * col("max_tf") / col("n_words")).cast("long"))
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(col(idCol).as("doc_id"),
+        call_function("gopher_stats", col(textCol)).as("gs"))
+      .select(col("doc_id"),
+        coalesce(col("gs.n_words"), lit(0L)).as("n_words"),
+        col("gs.mean_len_x100").as("mean_len_x100"),
+        col("gs.rep_x10000").as("rep_x10000"))
       .withColumn("keep",
         col("n_words").between(5, 1000) &&
         col("mean_len_x100").between(300, 1000) &&
         col("rep_x10000") < 2000)
-      .select("doc_id", "n_words", "mean_len_x100", "rep_x10000", "keep")
       .orderBy("doc_id")
   }
 

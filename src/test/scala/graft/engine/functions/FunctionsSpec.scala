@@ -321,6 +321,56 @@ class FunctionsSpec extends SparkSuite {
     assert(spark.sql("SELECT dup_ngram_bp(CAST(NULL AS STRING), 2)").head().isNullAt(0))
   }
 
+  test("gopher_stats equals the composed explode-aggregate form, incl. edge tokenization") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(37)
+    val random = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(60) + 1)(s"w${rnd.nextInt(12)}x".take(rnd.nextInt(6) + 1))
+        .mkString(" "))
+    // empties everywhere; multi-byte chars pin numChars-not-bytes length
+    val edges = Seq("", " ", "   ", "a", "a a a", "a  b", " a b ",
+      "日本 語 日本 語 語", "é é é  e")
+    val rows = (random ++ edges).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // the pre-r8 composed form: explode → (doc, token) count → rollup →
+    // id-spine left join (nulls for token-less docs)
+    val perTok = rows
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    val stats = perTok.groupBy("doc_id").agg(
+      sum("c").as("n_words"),
+      sum(col("c") * length(col("token")).cast("long")).as("sum_len"),
+      max("c").as("max_tf"))
+    val composed = rows.select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("c_n_words"),
+        floor(lit(100.0) * col("sum_len") / col("n_words")).cast("long").as("c_mean"),
+        floor(lit(10000.0) * col("max_tf") / col("n_words")).cast("long").as("c_rep"))
+    val fused = rows.select(col("doc_id"),
+      call_function("gopher_stats", col("text")).as("gs"))
+      .select(col("doc_id"), col("gs.n_words").as("f_n_words"),
+        col("gs.mean_len_x100").as("f_mean"), col("gs.rep_x10000").as("f_rep"))
+    val bad = fused.join(composed, "doc_id")
+      .filter(col("f_n_words") =!= col("c_n_words") ||
+        !(col("f_mean") <=> col("c_mean")) || !(col("f_rep") <=> col("c_rep")))
+      .count()
+    assert(bad == 0, "gopher_stats diverged from the composed aggregate form")
+    assert(spark.sql("SELECT gopher_stats(CAST(NULL AS STRING))").head().isNullAt(0))
+    // interpreted path agrees
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(fused.join(composed, "doc_id")
+      .filter(col("f_n_words") =!= col("c_n_words") ||
+        !(col("f_mean") <=> col("c_mean")) || !(col("f_rep") <=> col("c_rep")))
+      .count() == 0)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("pos_grams equals the composed zipped-slice form for n=2..5, both skip_empty modes") {
     GraftFunctions.register(spark)
     val rnd = new scala.util.Random(31)
