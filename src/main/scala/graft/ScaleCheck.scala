@@ -50,6 +50,10 @@ object ScaleCheck {
     // r7 additions: DSIR (feature explode + two-phase prefix scan),
     // cluster-balanced pruning (trained assignment + cell-quota rank)
     "q_dsir_weights", "q_dsir_sample", "q_cluster_prune",
+    // r8 additions: index maintenance (delta merge vs standing index),
+    // winnowing pair join (fp-keyed self-join under the freq cap),
+    // CCNet terciles (histogram windows + broadcast-back)
+    "q_index_merge", "q_winnow_pairs", "q_ppl_buckets",
     // linear controls (wide scans, shuffles, windows)
     "q_agg_group", "q_window_rank", "q_topk_per_group", "q_join_bucketed")
 

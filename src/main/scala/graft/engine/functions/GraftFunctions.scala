@@ -68,7 +68,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => GimgDecode(children(0))),
     (FunctionIdentifier("gopher_stats"),
       new ExpressionInfo(classOf[GopherStats].getName, "gopher_stats"),
-      (children: Seq[Expression]) => GopherStats(children(0))))
+      (children: Seq[Expression]) => GopherStats(children(0))),
+    (FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (children: Seq[Expression]) => WinnowFps(children(0), children(1), children(2))))
 
   /** Register the engine functions into a session (idempotent). */
   def register(spark: SparkSession): Unit = registry.foreach { case (ident, info, builder) =>

@@ -1158,6 +1158,76 @@ object TextPipeline {
       .orderBy("doc_id_1", "doc_id_2")
   }
 
+  /** Winnowing fingerprints (Schleimer-Wilkerson-Aiken, the MOSS
+    * algorithm): hash every k-token gram, slide a window of `w`
+    * consecutive gram hashes, and select each window's RIGHTMOST
+    * minimal hash — the selected (position, hash) set is the document
+    * fingerprint. Guarantee: any shared token run of ≥ w + k − 1
+    * tokens yields at least one shared fingerprint, while expected
+    * density is 2/(w+1) — POSITIONAL copy detection that set-based
+    * MinHash (whole-doc similarity) and duplicateSubstrings (exact-run
+    * anchors at full density) don't give at this cost.
+    *
+    * Docs with fewer than w grams get one window over whatever grams
+    * exist (≥ 1 fingerprint for any doc with ≥ k tokens); docs under k
+    * tokens have no grams and emit nothing. Hashes are [[PolyHash31]]
+    * so the whole selection replays in the DuckDB oracle.
+    *
+    * k = 5 for the same reason [[duplicateSubstrings]] anchors on 5:
+    * the DOWNSTREAM pair join's fan-out is Σf² over fingerprint
+    * frequencies, and on a small-vocabulary corpus 3-gram fingerprints
+    * are non-discriminative (measured: the k=3 pair join ran a 7.6×
+    * slope on the 10× ladder; k=5 holds ~1). The guarantee moves to
+    * shared runs of ≥ w + k − 1 = 8 tokens — still far below any
+    * meaningful copied passage.
+    *
+    * Scale: selection is per-document arithmetic over the gram-hash
+    * array — one narrow native pass ([[graft.engine.functions
+    * .WinnowFps]]: PosGrams zero-copy slicing + the shared poly fold +
+    * an O(n) monotonic-deque sliding minimum; the composed lambda form
+    * it replaces ran interpreted at O(n·w) copies — 23 s vs ~1 s at
+    * sf0.1, value identity pinned in FunctionsSpec), explode only at
+    * output, no exchange. */
+  def winnowFingerprints(documents: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, w: Int = 4,
+                         ordered: Boolean = true): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
+    val out = documents
+      .select(col(idCol).as("doc_id"),
+        explode(call_function("winnow_fps", col(textCol), lit(k), lit(w))).as("f"))
+      .select(col("doc_id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
+    if (ordered) out.orderBy("doc_id", "pos") else out
+  }
+
+  /** Copy-detection pairs over [[winnowFingerprints]]: unordered doc
+    * pairs sharing ≥ `minShared` DISTINCT fingerprint hashes, with the
+    * shared count. The winnowing guarantee makes this the bounded-cost
+    * screen for "document B contains a ≥ (w+k−1)-token run copied from
+    * A" — the pair set a plagiarism / license-boilerplate audit reads.
+    *
+    * Scale shape: fingerprint-keyed equi-join (never all-pairs) with
+    * the [[duplicateSubstrings]] frequency-cap discipline — a hash
+    * occurring in more than `freqCap` docs is non-discriminative
+    * boilerplate and is dropped before the self-join, bounding the
+    * worst per-key fan-out at cap²; the cap count rides the same
+    * fp-keyed partitioning the join shuffles on. */
+  def winnowPairs(documents: DataFrame, idCol: String, textCol: String,
+                  k: Int = 5, w: Int = 4, minShared: Long = 2,
+                  freqCap: Int = 64): DataFrame = {
+    val fps = winnowFingerprints(documents, idCol, textCol, k, w, ordered = false)
+      .select("doc_id", "fp").distinct()
+    val capped = fps
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("n") <= freqCap)
+      .drop("n")
+    capped.as("x").join(capped.as("y"), Seq("fp"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
   /** EXACT substring decontamination (the Lee-et-al.-style pass that
     * [[contamination]]'s unordered shingle count approximates): for every
     * (corpus doc, benchmark doc) pair, the length of their longest EXACT
@@ -1692,6 +1762,85 @@ object TextPipeline {
     if (ordered) out.orderBy("doc_id") else out
   }
 
+  /** CCNet-style perplexity bucketing: every document lands in the
+    * head / middle / tail TERCILE of its stratum's (language's) LM
+    * fluency distribution — the published CCNet recipe's quality
+    * partition, whose head+middle slice is the conventional keep set.
+    * Scores come from [[lmScoreBackoff]] against an offline table
+    * (default: trained on the even-id half, the [[curationPipeline]]
+    * sampling discipline); docs without trigrams have no score and
+    * drop (the lmScore discipline).
+    *
+    * Exact-rank thresholds WITHOUT a global sort: lm_score is a
+    * bounded-range integer, so per stratum the score HISTOGRAM is
+    * dimension-sized (distinct score values, not docs). The tercile
+    * cut t_head = the ⌈n/3⌉-th largest score = max score whose
+    * descending cumulative count reaches ⌈n/3⌉ — one windowed prefix
+    * sum over the histogram, then a 2-value-per-stratum broadcast back
+    * under the scored corpus. The corpus itself never sorts and never
+    * re-shuffles beyond the one doc-keyed score aggregate — the shape
+    * that survives a single 100 TB 'en' stratum, where an ntile window
+    * would be a one-reducer cliff. */
+  def perplexityBuckets(documents: DataFrame, idCol: String, textCol: String,
+                        strataCol: String,
+                        lm: Option[DataFrame] = None): DataFrame = {
+    val table = lm.getOrElse(
+      lmTableBackoff(documents.filter(col(idCol) % 2 === 0), idCol, textCol))
+    val scored = lmScoreBackoff(documents, idCol, textCol, table, ordered = false)
+      .select("doc_id", "lm_score")
+    val wl = documents.select(col(idCol).as("doc_id"), col(strataCol).as("stratum"))
+      .join(scored, Seq("doc_id"))
+    val hist = wl.groupBy("stratum", "lm_score").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum("c").over(Window.partitionBy("stratum")
+        .orderBy(col("lm_score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy("stratum")))
+    val thr = cum.groupBy("stratum").agg(
+      max(when(col("cum") >= expr("(n + 2) div 3"), col("lm_score"))).as("t_head"),
+      max(when(col("cum") >= expr("(2 * n + 2) div 3"), col("lm_score"))).as("t_mid"))
+    wl.join(broadcast(thr), Seq("stratum"))
+      .select(col("doc_id"), col("stratum").as(strataCol), col("lm_score"),
+        when(col("lm_score") >= col("t_head"), "head")
+          .when(col("lm_score") >= col("t_mid"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Tokenizer-vocabulary coverage: per-document out-of-vocabulary
+    * rate in floored basis points against a top-`vocabSize` frequency
+    * vocabulary trained on a corpus SAMPLE (default the even-id half —
+    * the train-offline split every model table here uses). The audit a
+    * pipeline runs before committing to a tokenizer: a domain slice
+    * with a fat OOV tail will shatter into bytes/UNKs at training
+    * time. Ties in the vocabulary cut break on the token string, so
+    * the vocab — and every verdict downstream of it — is
+    * deterministic.
+    *
+    * Scale: the vocab is a global top-k (TakeOrdered, no full sort)
+    * over the Zipf-bounded token-frequency table and broadcasts under
+    * the corpus explode; the only corpus-wide shuffle is the one
+    * doc-keyed partial+final aggregate. Docs whose text tokenizes to
+    * nothing have no token rows and drop. */
+  def vocabCoverage(documents: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int = 256,
+                    ordered: Boolean = true): DataFrame = {
+    val tokens = documents
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = tokens.filter(col("doc_id") % 2 === 0)
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    val out = tokens.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_toks"), col("n_oov"),
+        floor(lit(10000.0) * col("n_oov") / col("n_toks")).cast("long").as("oov_bp"))
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
   /** Cross-split leakage detection — the eval-hygiene audit
     * [[contamination]] can't do: CONTENT-level (near-duplicate) overlap
     * across train/val/test boundaries. A doc whose near-copy sits in a
@@ -2087,6 +2236,14 @@ object TextPipeline {
         pairs = Some(slicePairs(s, d)),
         repCaps = Some((1000L, 500L)), lmFloor = Some(32000L))
     }),
+    "q_winnow" -> ((s, d) =>
+      winnowFingerprints(Tables.documents(s, d), "doc_id", "text")),
+    "q_winnow_pairs" -> ((s, d) =>
+      winnowPairs(Tables.documents(s, d), "doc_id", "text")),
+    "q_ppl_buckets" -> ((s, d) =>
+      perplexityBuckets(Tables.documents(s, d), "doc_id", "text", "lang")),
+    "q_vocab_coverage" -> ((s, d) =>
+      vocabCoverage(Tables.documents(s, d), "doc_id", "text")),
   )
 
   private def sigList(sig: Seq[String]): String = sig.map(t => s"'$t'").mkString("(", ",", ")")
@@ -2187,6 +2344,78 @@ object TextPipeline {
       |    CAST(COALESCE(sum(cnt * w), 0) AS BIGINT) AS dsir_score
       |  FROM db LEFT JOIN wt USING (bucket)
       |  GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB replay of [[lmTableBackoff]]+[[lmScoreBackoff]] through the
+    * per-doc scores CTE `lmsc(doc_id, n_trigrams, lm_score)` — shared by
+    * the q_lm_score_backoff and q_ppl_buckets oracles so the score and
+    * its consumers can never drift. Table trains on the even-id half;
+    * coalesce walks trigram → back-off bigram → unigram → 0. */
+  private def lmBackoffLmscCtes: String =
+    """WITH ttk AS (
+      |  SELECT list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |c3 AS (SELECT g, count(*) AS c3 FROM (
+      |        SELECT unnest(list_transform(range(1, len(tk)-1),
+      |                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+      |        FROM ttk) GROUP BY g),
+      |c2 AS (SELECT g, count(*) AS c2 FROM (
+      |        SELECT unnest(list_transform(range(1, len(tk)),
+      |                 i -> tk[i] || ' ' || tk[i+1])) AS g
+      |        FROM ttk) GROUP BY g),
+      |c1 AS (SELECT g, count(*) AS c1 FROM (
+      |        SELECT unnest(tk) AS g FROM ttk) GROUP BY g),
+      |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t FROM c1),
+      |l3 AS (SELECT c3.g AS g,
+      |         CAST(floor(CAST(1000000.0 AS DOUBLE) * c3.c3 / x.c2) AS BIGINT) AS cond3
+      |       FROM c3 JOIN c2 x
+      |         ON split_part(c3.g, ' ', 1) || ' ' || split_part(c3.g, ' ', 2) = x.g),
+      |l2 AS (SELECT c2.g AS g,
+      |         CAST(floor(CAST(400000.0 AS DOUBLE) * c2.c2 / c1.c1) AS BIGINT) AS cond2
+      |       FROM c2 JOIN c1 ON split_part(c2.g, ' ', 1) = c1.g),
+      |l1 AS (SELECT c1.g AS g,
+      |         CAST(floor(CAST(160000.0 AS DOUBLE) * c1.c1 / tot.t) AS BIGINT) AS cond1
+      |       FROM c1 CROSS JOIN tot),
+      |sg AS (SELECT doc_id,
+      |         unnest(list_transform(range(1, len(tk)-1),
+      |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+      |       FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+      |             FROM documents)),
+      |scored AS (
+      |  SELECT doc_id, coalesce(l3.cond3, l2.cond2, l1.cond1, CAST(0 AS BIGINT)) AS sc
+      |  FROM sg LEFT JOIN l3 ON sg.g = l3.g
+      |          LEFT JOIN l2 ON split_part(sg.g, ' ', 2) || ' ' || split_part(sg.g, ' ', 3) = l2.g
+      |          LEFT JOIN l1 ON split_part(sg.g, ' ', 3) = l1.g),
+      |lmsc AS (
+      |  SELECT doc_id, count(*) AS n_trigrams,
+      |    CAST(floor(CAST(sum(sc) AS BIGINT) / count(*)) AS BIGINT) AS lm_score
+      |  FROM scored GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB replay of [[winnowFingerprints]] through the selection CTE
+    * `sel(doc_id, pos, fp)` (pre-dedup) — shared by the q_winnow and
+    * q_winnow_pairs oracles. k = 5 token grams, window w = 4, poly_hash31
+    * gram hashes, rightmost-minimal selection via the reversed window's
+    * first-occurrence position. */
+  private def winnowSelCtes: String =
+    """WITH tkd AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |hs AS (
+      |  SELECT doc_id, list_transform(
+      |    list_transform(range(1, len(tk) - 3),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]),
+      |    g -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(string_split(g, ''), c -> CAST(unicode(c) AS BIGINT))),
+      |           (a, b) -> (a * 31 + b) % 2147483647)) AS h
+      |  FROM tkd),
+      |wins AS (
+      |  SELECT doc_id, h,
+      |    CASE WHEN len(h) >= 4 THEN len(h) - 3 ELSE least(len(h), 1) END AS n_win
+      |  FROM hs),
+      |sel AS (
+      |  SELECT doc_id,
+      |    i + len(h[i:i+3]) - list_position(list_reverse(h[i:i+3]), list_min(h[i:i+3])) AS pos,
+      |    list_min(h[i:i+3]) AS fp
+      |  FROM (SELECT doc_id, h, unnest(range(1, n_win + 1)) AS i FROM wins))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_sample_stratified" ->
@@ -2826,44 +3055,66 @@ object TextPipeline {
     // deepest-seen-level coalesce (10⁶ / 4·10⁵ / 1.6·10⁵ pre-scaled
     // discounts), floored integer mean — the q_lm_score arithmetic
     // with graceful degradation, replayed level for level.
-    "q_lm_score_backoff" ->
-      """WITH ttk AS (
-        |  SELECT list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
-        |  FROM documents WHERE doc_id % 2 = 0),
-        |c3 AS (SELECT g, count(*) AS c3 FROM (
-        |        SELECT unnest(list_transform(range(1, len(tk)-1),
-        |                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
-        |        FROM ttk) GROUP BY g),
-        |c2 AS (SELECT g, count(*) AS c2 FROM (
-        |        SELECT unnest(list_transform(range(1, len(tk)),
-        |                 i -> tk[i] || ' ' || tk[i+1])) AS g
-        |        FROM ttk) GROUP BY g),
-        |c1 AS (SELECT g, count(*) AS c1 FROM (
-        |        SELECT unnest(tk) AS g FROM ttk) GROUP BY g),
-        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t FROM c1),
-        |l3 AS (SELECT c3.g AS g,
-        |         CAST(floor(CAST(1000000.0 AS DOUBLE) * c3.c3 / x.c2) AS BIGINT) AS cond3
-        |       FROM c3 JOIN c2 x
-        |         ON split_part(c3.g, ' ', 1) || ' ' || split_part(c3.g, ' ', 2) = x.g),
-        |l2 AS (SELECT c2.g AS g,
-        |         CAST(floor(CAST(400000.0 AS DOUBLE) * c2.c2 / c1.c1) AS BIGINT) AS cond2
-        |       FROM c2 JOIN c1 ON split_part(c2.g, ' ', 1) = c1.g),
-        |l1 AS (SELECT c1.g AS g,
-        |         CAST(floor(CAST(160000.0 AS DOUBLE) * c1.c1 / tot.t) AS BIGINT) AS cond1
-        |       FROM c1 CROSS JOIN tot),
-        |sg AS (SELECT doc_id,
-        |         unnest(list_transform(range(1, len(tk)-1),
-        |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
-        |       FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
-        |             FROM documents)),
-        |scored AS (
-        |  SELECT doc_id, coalesce(l3.cond3, l2.cond2, l1.cond1, CAST(0 AS BIGINT)) AS sc
-        |  FROM sg LEFT JOIN l3 ON sg.g = l3.g
-        |          LEFT JOIN l2 ON split_part(sg.g, ' ', 2) || ' ' || split_part(sg.g, ' ', 3) = l2.g
-        |          LEFT JOIN l1 ON split_part(sg.g, ' ', 3) = l1.g)
-        |SELECT doc_id, count(*) AS n_trigrams,
-        |  CAST(floor(CAST(sum(sc) AS BIGINT) / count(*)) AS BIGINT) AS lm_score
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_lm_score_backoff" -> (lmBackoffLmscCtes +
+      """
+        |SELECT doc_id, n_trigrams, lm_score FROM lmsc ORDER BY doc_id""".stripMargin),
+
+    // CCNet terciles over the SAME lmsc CTE chain (shared so the score
+    // and the bucketing can never drift): per-lang descending cumulative
+    // histogram -> exact-rank tercile cuts -> threshold comparison
+    "q_ppl_buckets" -> (lmBackoffLmscCtes +
+      """,
+        |wl AS (SELECT l.doc_id, d.lang, l.lm_score
+        |       FROM lmsc l JOIN documents d USING (doc_id)),
+        |hist AS (SELECT lang, lm_score, count(*) AS c
+        |         FROM wl GROUP BY lang, lm_score),
+        |cum AS (SELECT lang, lm_score,
+        |          sum(c) OVER (PARTITION BY lang ORDER BY lm_score DESC) AS cum,
+        |          sum(c) OVER (PARTITION BY lang) AS n
+        |        FROM hist),
+        |thr AS (SELECT lang,
+        |          max(CASE WHEN cum >= (n + 2) // 3 THEN lm_score END) AS t_head,
+        |          max(CASE WHEN cum >= (2 * n + 2) // 3 THEN lm_score END) AS t_mid
+        |        FROM cum GROUP BY lang)
+        |SELECT w.doc_id, w.lang, w.lm_score,
+        |  CASE WHEN w.lm_score >= t.t_head THEN 'head'
+        |       WHEN w.lm_score >= t.t_mid THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM wl w JOIN thr t USING (lang) ORDER BY doc_id""".stripMargin),
+
+    "q_winnow" -> (winnowSelCtes +
+      """
+        |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp
+        |FROM sel ORDER BY doc_id, pos""".stripMargin),
+
+    "q_winnow_pairs" -> (winnowSelCtes +
+      """,
+        |fpd AS (SELECT DISTINCT doc_id, fp FROM sel),
+        |cap AS (SELECT doc_id, fp FROM (
+        |          SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS nf
+        |          FROM fpd)
+        |        WHERE nf <= 64)
+        |SELECT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM cap x JOIN cap y USING (fp)
+        |WHERE x.doc_id < y.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin),
+
+    "q_vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS c FROM tk WHERE doc_id % 2 = 0 GROUP BY tok)
+        |  ORDER BY c DESC, tok ASC LIMIT 256)
+        |SELECT doc_id, count(*) AS n_toks,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(floor(CAST(10000.0 AS DOUBLE) *
+        |    CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) / count(*)) AS BIGINT) AS oov_bp
+        |FROM tk LEFT JOIN vocab v USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Corpus-LM fluency: bigram/unigram count tables, one floored
     // scaled ratio per bigram, integer mean — all-BIGINT except the

@@ -371,6 +371,69 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("winnow_fps equals the composed slice/reverse selection form, incl. edge docs") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(41)
+    // SMALL vocab so gram hashes collide and ties exercise the
+    // rightmost-minimal rule; lengths straddle k, w, and k+w
+    val random = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(30) + 1)(s"w${rnd.nextInt(5)}").mkString(" "))
+    val edges = Seq("", " ", "a", "a b c d", "a b c d e", "a a a a a a a a",
+      "a  b   c d e f", "日本 語 日本 語 日本 語 日本 語")
+    val rows = (random ++ edges).toDF("text")
+    Seq((3, 4), (5, 4), (2, 7)).foreach { case (k, w) =>
+      val hashes = transform(
+        call_function("pos_grams", col("text"), lit(k), lit(true)),
+        g => call_function("poly_hash31", g))
+      val composed = array_distinct(transform(
+        when(size(col("h")) >= 1,
+          sequence(lit(1),
+            when(size(col("h")) >= w, size(col("h")) - (w - 1))
+              .otherwise(lit(1))))
+          .otherwise(array().cast("array<int>")),
+        i => {
+          val win = slice(col("h"), i, lit(w))
+          val m = array_min(win)
+          val pos = i + size(win) - array_position(reverse(win), m)
+          struct(pos.cast("long").as("pos"), m.as("fp"))
+        }))
+      val both = rows.select(col("text"), hashes.as("h"))
+        .select(
+          call_function("winnow_fps", col("text"), lit(k), lit(w)).as("fused"),
+          composed.as("composed"))
+      assert(both.filter(col("fused") =!= col("composed")).count() == 0,
+        s"(k=$k, w=$w) diverged")
+    }
+    assert(spark.sql("SELECT winnow_fps(CAST(NULL AS STRING), 3, 4)").head().isNullAt(0))
+    // interpreted path agrees with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val hashes = transform(
+        call_function("pos_grams", col("text"), lit(5), lit(true)),
+        g => call_function("poly_hash31", g))
+      val composed = array_distinct(transform(
+        when(size(col("h")) >= 1,
+          sequence(lit(1),
+            when(size(col("h")) >= 4, size(col("h")) - 3)
+              .otherwise(lit(1))))
+          .otherwise(array().cast("array<int>")),
+        i => {
+          val win = slice(col("h"), i, lit(4))
+          val m = array_min(win)
+          val pos = i + size(win) - array_position(reverse(win), m)
+          struct(pos.cast("long").as("pos"), m.as("fp"))
+        }))
+      val both = rows.select(col("text"), hashes.as("h"))
+        .select(call_function("winnow_fps", col("text"), lit(5), lit(4)).as("fused"),
+          composed.as("composed"))
+      assert(both.filter(col("fused") =!= col("composed")).count() == 0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("pos_grams equals the composed zipped-slice form for n=2..5, both skip_empty modes") {
     GraftFunctions.register(spark)
     val rnd = new scala.util.Random(31)

@@ -470,6 +470,43 @@ class PlanShapeSpec extends SparkSuite {
     assert(!schemas.contains("text"), s"cap must not scan text: $schemas")
   }
 
+  test("q_winnow_pairs: fingerprint blocking keeps the pair stage an equi-join") {
+    val p = plan("q_winnow_pairs")
+    // the fp-keyed self-join (with the freq cap riding the same
+    // partitioning) is the whole scale story — a nested loop here means
+    // the blocking degenerated to all-pairs
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "fingerprint pairing must stay an equi-join:\n" + p.take(2500))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q_ppl_buckets: thresholds broadcast; windows run over the histogram only") {
+    val p = plan("q_ppl_buckets")
+    // the 2-value-per-stratum threshold table must broadcast back under
+    // the scored corpus — a shuffle join here re-keys the corpus twice
+    assert(p.contains("BroadcastHashJoin"),
+      "tercile thresholds must broadcast:\n" + p.take(2500))
+    // every window partitions by stratum and runs over the
+    // dimension-sized score histogram — never the corpus, never global
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, p.take(2000))
+    assert(!windows.exists(_.contains("], [], [")),
+      s"no window may run unpartitioned:\n${windows.mkString("\n")}")
+    assert(windows.forall(_.contains("windowspecdefinition(stratum")),
+      s"windows must partition by stratum:\n${windows.mkString("\n")}")
+  }
+
+  test("q_vocab_coverage: vocab cut is a global top-k that broadcasts under the explode") {
+    val p = plan("q_vocab_coverage")
+    // LIMIT-after-sort must plan as TakeOrdered (per-partition top-k +
+    // merge), never a full global sort of the token-frequency table
+    assert(p.contains("TakeOrderedAndProject"),
+      "the vocab cut must be a top-k, not a global sort:\n" + p.take(2500))
+    assert(p.contains("BroadcastHashJoin"),
+      "the bounded vocab must broadcast under the corpus explode:\n" + p.take(2500))
+  }
+
   test("q_shuffle_shards is one partial+final aggregate with no window or sort before the agg") {
     val p = plan("q_shuffle_shards")
     assert(!p.contains("windowspecdefinition"),

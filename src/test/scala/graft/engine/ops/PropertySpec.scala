@@ -108,6 +108,27 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("winnowing guarantee: a shared run of >= w+k-1 tokens yields a shared fingerprint") {
+    // k=5, w=4 (the fixture binding's params): any identical token run
+    // of >= 8 tokens spans >= 4 consecutive equal gram hashes, so some
+    // window lies entirely inside the run in BOTH docs and selects the
+    // same rightmost-minimal hash — the SWA winnowing theorem
+    val tokGen = Gen.chooseNum(0, 25).map(i => s"t$i")
+    check("winnow-guarantee", 5)(Prop.forAll(
+        Gen.listOfN(30, tokGen), Gen.listOfN(30, tokGen),
+        Gen.chooseNum(8, 14).flatMap(n => Gen.listOfN(n, tokGen))) {
+      (preA, sufB, shared) =>
+        val a = (preA ++ shared).mkString(" ")
+        val b = (shared ++ sufB).mkString(" ")
+        val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+        val fps = TextPipeline.winnowFingerprints(df, "doc_id", "text")
+          .select("doc_id", "fp").as[(Long, Long)].collect()
+        val s1 = fps.filter(_._1 == 1L).map(_._2).toSet
+        val s2 = fps.filter(_._1 == 2L).map(_._2).toSet
+        (s1 & s2).nonEmpty
+    })
+  }
+
   test("chunking covers every token exactly once per stride window; packing respects the budget") {
     val docGen = Gen.chooseNum(1, 120).map(n => (1 to n).map(i => s"t$i").mkString(" "))
     check("chunk+pack", 5)(Prop.forAll(Gen.listOfN(4, docGen)) { texts =>

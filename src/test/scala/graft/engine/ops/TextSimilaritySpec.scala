@@ -287,6 +287,72 @@ class TextSimilaritySpec extends SparkSuite {
       s"got $got")
   }
 
+  test("perplexityBuckets: tercile verdicts match a per-stratum sort-based recomputation") {
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    val got = TextPipeline.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .as[(Long, String, Long, String)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val scores = rows.map(_._3).sortBy(-_)
+      val n = scores.length
+      val tHead = scores((n + 2) / 3 - 1)
+      val tMid = scores((2 * n + 2) / 3 - 1)
+      rows.foreach { case (id, _, sc, b) =>
+        val expect = if (sc >= tHead) "head" else if (sc >= tMid) "middle" else "tail"
+        assert(b == expect, s"doc $id lang $lang score $sc: got $b, expect $expect")
+      }
+      // head = docs with score >= the ceil(n/3)-th largest, so ties at
+      // the cut can only grow the bucket past n/3, never shrink it
+      assert(rows.count(_._4 == "head") >= (n + 2) / 3, s"$lang head bucket collapsed")
+      assert(rows.count(_._4 != "tail") >= (2 * n + 2) / 3, s"$lang head+middle collapsed")
+    }
+  }
+
+  test("vocabCoverage: OOV verdicts match a collected-vocab recomputation; rates bounded") {
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    val got = TextPipeline.vocabCoverage(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0).as[(Long, String)].collect()
+    val freq = toks.filter(_._1 % 2 == 0).groupBy(_._2).view.mapValues(_.length).toMap
+    val vocab = freq.toSeq.sortBy { case (t, c) => (-c, t) }.take(256).map(_._1).toSet
+    val perDoc = toks.groupBy(_._1)
+    assert(got.length == perDoc.size, "one row per doc with tokens")
+    got.foreach { case (id, nToks, nOov, bp) =>
+      val ts = perDoc(id).map(_._2)
+      assert(nToks == ts.length, s"doc $id token count")
+      assert(nOov == ts.count(t => !vocab(t)), s"doc $id oov count")
+      assert(bp == math.floor(10000.0 * nOov / nToks).toLong && bp >= 0 && bp <= 10000)
+    }
+  }
+
+  test("winnowFingerprints: hand-checked selection; under-k docs emit nothing") {
+    import graft.engine.functions.PolyHash31
+    import org.apache.spark.unsafe.types.UTF8String
+    def h(s: String): Long = PolyHash31.hash(UTF8String.fromString(s))
+    val docs = Seq(
+      (1L, "a b c d"),              // < k tokens: no grams, no fingerprints
+      (2L, "a b c d e"),            // exactly one gram: one window of one
+      (3L, "a b c d e f g h i")     // 5 grams, windows [1..4],[2..5]
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.winnowFingerprints(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(!got.exists(_._1 == 1L))
+    assert(got.filter(_._1 == 2L) == Seq((2L, 1L, h("a b c d e"))))
+    // doc 3: two windows over the 5 gram hashes; each selects its
+    // rightmost-minimal hash
+    val g3 = Seq("a b c d e", "b c d e f", "c d e f g", "d e f g h",
+      "e f g h i").map(h)
+    def rightmostMin(win: Seq[Long], base: Int): (Long, Long) = {
+      val m = win.min
+      val pos = base + win.lastIndexOf(m)
+      (pos.toLong + 1L, m)
+    }
+    val expect3 = Seq(rightmostMin(g3.slice(0, 4), 0), rightmostMin(g3.slice(1, 5), 1))
+      .distinct.map { case (p, f) => (3L, p, f) }
+    assert(got.filter(_._1 == 3L).sortBy(_._2) == expect3.sortBy(_._2), s"got $got")
+  }
+
   test("lmScore: corpus bigram-LM fluency is exact integer arithmetic, hand-computed") {
     val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
     // unigrams a:3 b:2 c:1; bigrams "a b":2 "b a":1 "a c":1
