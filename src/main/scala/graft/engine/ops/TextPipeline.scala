@@ -1228,6 +1228,31 @@ object TextPipeline {
       .orderBy("doc_id_1", "doc_id_2")
   }
 
+  /** The STANDING winnow-fingerprint index a rolling copy-detection
+    * pipeline persists — `(fp, doc_id_ref, fps_ref)`: one row per
+    * (capped) fingerprint occurrence, carrying the owning document's
+    * FULL sorted capped fingerprint set. The set column is what lets
+    * the streaming probe ([[graft.engine.stream.Streams
+    * .streamingWinnowProbe]]) re-derive the exact shared count — and
+    * emit each qualifying pair exactly once — NARROWLY after a
+    * single-fingerprint candidate join, with zero streaming state.
+    * Same corpus-wide frequency cap as [[winnowPairs]] (an over-cap
+    * fingerprint is boilerplate, not evidence). Index size: Σ
+    * fingerprints per doc ≈ 2n/(w+1) rows per n-gram doc. */
+  def winnowIndex(documents: DataFrame, idCol: String, textCol: String,
+                  k: Int = 5, w: Int = 4, freqCap: Int = 64): DataFrame = {
+    val fps = winnowFingerprints(documents, idCol, textCol, k, w, ordered = false)
+      .select("doc_id", "fp").distinct()
+    val capped = fps
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("n") <= freqCap)
+      .drop("n")
+    val sets = capped.groupBy("doc_id")
+      .agg(array_sort(collect_set("fp")).as("fps_ref"))
+    capped.join(sets, Seq("doc_id"))
+      .select(col("fp"), col("doc_id").as("doc_id_ref"), col("fps_ref"))
+  }
+
   /** EXACT substring decontamination (the Lee-et-al.-style pass that
     * [[contamination]]'s unordered shingle count approximates): for every
     * (corpus doc, benchmark doc) pair, the length of their longest EXACT
@@ -1790,21 +1815,45 @@ object TextPipeline {
       .select("doc_id", "lm_score")
     val wl = documents.select(col(idCol).as("doc_id"), col(strataCol).as("stratum"))
       .join(scored, Seq("doc_id"))
+    wl.join(broadcast(pplThresholdsFrom(wl)), Seq("stratum"))
+      .select(col("doc_id"), col("stratum").as(strataCol), col("lm_score"),
+        when(col("lm_score") >= col("t_head"), "head")
+          .when(col("lm_score") >= col("t_mid"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** The tercile cuts over a `(doc_id, stratum, lm_score)` frame —
+    * shared by [[perplexityBuckets]] and [[perplexityThresholds]] so
+    * batch bucketing and the exported artifact can never drift. */
+  private def pplThresholdsFrom(wl: DataFrame): DataFrame = {
     val hist = wl.groupBy("stratum", "lm_score").agg(count(lit(1)).as("c"))
     val cum = hist
       .withColumn("cum", sum("c").over(Window.partitionBy("stratum")
         .orderBy(col("lm_score").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("n", sum("c").over(Window.partitionBy("stratum")))
-    val thr = cum.groupBy("stratum").agg(
+    cum.groupBy("stratum").agg(
       max(when(col("cum") >= expr("(n + 2) div 3"), col("lm_score"))).as("t_head"),
       max(when(col("cum") >= expr("(2 * n + 2) div 3"), col("lm_score"))).as("t_mid"))
-    wl.join(broadcast(thr), Seq("stratum"))
-      .select(col("doc_id"), col("stratum").as(strataCol), col("lm_score"),
-        when(col("lm_score") >= col("t_head"), "head")
-          .when(col("lm_score") >= col("t_mid"), "middle")
-          .otherwise("tail").as("ppl_bucket"))
-      .orderBy("doc_id")
+  }
+
+  /** The OFFLINE threshold artifact for the streaming tercile tagger
+    * ([[graft.engine.stream.Streams.streamingPplBucket]]): per-stratum
+    * `(strataCol, t_head, t_mid)` — 2 integers per stratum, trained
+    * once over a corpus and broadcast at serve time (the BM25/BPE/LM
+    * train-offline split). Same arithmetic as [[perplexityBuckets]]'s
+    * internal cuts by construction. */
+  def perplexityThresholds(documents: DataFrame, idCol: String, textCol: String,
+                           strataCol: String,
+                           lm: Option[DataFrame] = None): DataFrame = {
+    val table = lm.getOrElse(
+      lmTableBackoff(documents.filter(col(idCol) % 2 === 0), idCol, textCol))
+    val scored = lmScoreBackoff(documents, idCol, textCol, table, ordered = false)
+      .select("doc_id", "lm_score")
+    val wl = documents.select(col(idCol).as("doc_id"), col(strataCol).as("stratum"))
+      .join(scored, Seq("doc_id"))
+    pplThresholdsFrom(wl).select(col("stratum").as(strataCol), col("t_head"), col("t_mid"))
   }
 
   /** Tokenizer-vocabulary coverage: per-document out-of-vocabulary

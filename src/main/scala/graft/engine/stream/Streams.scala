@@ -1015,6 +1015,64 @@ object Streams {
       .drop("m3", "m2", "m1")
   }
 
+  /** s_stream_winnow: in-stream positional copy detection — each
+    * arriving document's winnowing fingerprints probe the STANDING
+    * index ([[graft.engine.ops.TextPipeline.winnowIndex]], the
+    * persisted artifact of the reference corpus), emitting
+    * `(doc_id_ref, doc_id_new, n_shared)` for every reference doc
+    * sharing ≥ `minShared` distinct fingerprint hashes — the streaming
+    * face of [[graft.engine.ops.TextPipeline.winnowPairs]]' screen,
+    * pointed at a firehose (license-boilerplate / plagiarism triage at
+    * ingest).
+    *
+    * Zero streaming state: fingerprints are one narrow native pass
+    * (`winnow_fps`), candidates admit through a single-fingerprint
+    * equi-join against the static index, the EXACT shared count
+    * re-derives narrowly from the two full fingerprint sets carried on
+    * the row, and each qualifying pair emits exactly once — on its
+    * SMALLEST shared fingerprint — so no post-join dedup aggregate
+    * (stateful in a stream) is ever needed. */
+  def streamingWinnowProbe(docs: DataFrame, idCol: String, textCol: String,
+                           index: DataFrame, k: Int = 5, w: Int = 4,
+                           minShared: Long = 2): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(docs.sparkSession)
+    val fpsNew = array_sort(array_distinct(transform(
+      call_function("winnow_fps", col(textCol), lit(k), lit(w)), f => f("fp"))))
+    val probes = docs
+      .withColumn("fps_new", fpsNew)
+      .select(col(idCol).as("doc_id_new"), col("fps_new"),
+        explode(col("fps_new")).as("fp"))
+    probes.join(index, Seq("fp"))
+      .withColumn("inter", array_intersect(col("fps_ref"), col("fps_new")))
+      .filter(size(col("inter")) >= minShared &&
+        col("fp") === array_min(col("inter")))
+      .select(col("doc_id_ref"), col("doc_id_new"),
+        size(col("inter")).cast("long").as("n_shared"))
+  }
+
+  /** s_stream_ppl_bucket: CCNet tercile tagging at ingest — every
+    * arriving document scored by the OFFLINE back-off LM (the
+    * [[streamingLmScoreBackoff]] broadcast-map fold) and tagged
+    * head/middle/tail against the OFFLINE per-stratum thresholds
+    * ([[graft.engine.ops.TextPipeline.perplexityThresholds]], 2
+    * integers per stratum) — the streaming face of the batch
+    * [[graft.engine.ops.TextPipeline.perplexityBuckets]]. Both model
+    * tables are versioned offline artifacts; the stream does one
+    * broadcast equi-join + narrow fold per arrival, zero state.
+    * Sub-trigram docs surface with null score AND null bucket (the
+    * s_stream_lm discipline — a router can quarantine them); docs of
+    * a stratum the thresholds never saw get null bucket too. */
+  def streamingPplBucket(docs: DataFrame, idCol: String, textCol: String,
+                         strataCol: String, lm: DataFrame,
+                         thresholds: DataFrame): DataFrame =
+    withLmBackoffScore(docs, textCol, lm)
+      .join(broadcast(thresholds), Seq(strataCol), "left_outer")
+      .select(col(idCol).as("doc_id"), col(strataCol), col("lm_score"),
+        when(col("lm_score").isNotNull && col("t_head").isNotNull,
+          when(col("lm_score") >= col("t_head"), "head")
+            .when(col("lm_score") >= col("t_mid"), "middle")
+            .otherwise("tail")).as("ppl_bucket"))
+
   /** s_stream_curate: the COMPOSED in-stream curation path — the
     * streaming face of the batch `q_curation_pipeline` stage chain,
     * minus the inherently cross-document near-dup stage (that is

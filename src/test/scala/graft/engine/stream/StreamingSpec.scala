@@ -599,6 +599,95 @@ class StreamingSpec extends SparkSuite {
     assert(scores(10L) > scores(11L), s"ranking must survive the stream face: $scores")
   }
 
+  // s_stream_winnow: stateless positional-copy probe of the standing
+  // winnow-fingerprint index; each qualifying (ref, new) pair emits
+  // exactly once (on its smallest shared fingerprint), so parity with
+  // a batch recomputation over the same sets is exact
+  test("s_stream_winnow: probe pairs equal a batch fingerprint-set recomputation") {
+    val sh = (1 to 16).map(i => s"s$i").mkString(" ")
+    val ref = Seq(
+      (1L, s"a1 a2 a3 $sh a4"),
+      (2L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12")).toDF("doc_id", "text")
+    // the index is the persisted artifact: write, reload, probe
+    val idxPath = tmpDir("winnow-index")
+    graft.engine.ops.TextPipeline.winnowIndex(ref, "doc_id", "text")
+      .write.mode("overwrite").parquet(idxPath)
+    val index = spark.read.parquet(idxPath)
+    val d = Map(
+      10L -> s"c1 c2 $sh c3",          // shares the 16-token run with ref 1
+      11L -> "d1 d2 d3 d4 d5 d6 d7 d8 d9", // shares nothing
+      12L -> "too short")              // under k tokens: no fingerprints
+    val in = MemoryStream[Doc](spark)
+    val out = mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = Streams.streamingWinnowProbe(in.toDF(), "doc_id", "text", index, minShared = 1)
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("winnow-stream"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.as[(Long, Long, Long)].collect() }
+        ()
+      }.start()
+    in.addData(Doc(10, ts(1), d(10L)), Doc(11, ts(1), d(11L)))
+    q.processAllAvailable()
+    in.addData(Doc(12, ts(2), d(12L)))
+    q.processAllAvailable(); q.stop()
+    // batch recomputation from the capped fingerprint sets (cap=64 is
+    // vacuous on this corpus): shared count per (ref, new)
+    def fpSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      graft.engine.ops.TextPipeline.winnowFingerprints(df, "doc_id", "text", ordered = false)
+        .select("doc_id", "fp").distinct().as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val refSets = fpSets(ref)
+    val newSets = fpSets(d.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text"))
+    val expected = (for {
+      (rid, rset) <- refSets.toSeq
+      (nid, nset) <- newSets.toSeq
+      inter = rset & nset
+      if inter.nonEmpty
+    } yield (rid, nid, inter.size.toLong)).toSet
+    assert(out.toSet == expected, s"stream ${out.sorted} vs batch $expected")
+    // the run-sharing arrival pairs with its source; the stranger and
+    // the under-k doc never surface
+    assert(out.exists(p => p._1 == 1L && p._2 == 10L && p._3 >= 2L))
+    assert(!out.exists(p => p._2 == 11L || p._2 == 12L))
+  }
+
+  // s_stream_ppl_bucket: offline LM + offline tercile thresholds tag
+  // each arrival; parity with the batch bucketing on the same docs
+  test("s_stream_ppl_bucket: in-stream tercile tags equal the batch buckets doc-for-doc") {
+    val corpus = (0 until 24).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      val base = if (lang == "en") Seq("alpha", "beta", "gamma", "delta")
+                 else Seq("zett", "neun", "acht", "sieben")
+      (i.toLong, lang, (0 to 6).map(j => base((i + j) % (2 + i % 3))).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val lm = graft.engine.ops.TextPipeline.lmTableBackoff(
+      corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val thr = graft.engine.ops.TextPipeline.perplexityThresholds(
+      corpus, "doc_id", "text", "lang", lm = Some(lm))
+    val batch = graft.engine.ops.TextPipeline.perplexityBuckets(
+        corpus, "doc_id", "text", "lang", lm = Some(lm))
+      .as[(Long, String, Long, String)].collect().toSet
+    val rows = corpus.as[(Long, String, String)].collect()
+    val in = MemoryStream[LDoc](spark)
+    val out = mutable.ArrayBuffer[(Long, String, Option[Long], Option[String])]()
+    val q = Streams.streamingPplBucket(in.toDF(), "doc_id", "text", "lang", lm, thr)
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("ppl-stream"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.as[(Long, String, Option[Long], Option[String])].collect() }
+        ()
+      }.start()
+    rows.foreach { case (id, lang, text) => in.addData(LDoc(id, ts(id), lang, text)) }
+    // sub-trigram + unseen-stratum arrivals surface with null bucket
+    in.addData(LDoc(100, ts(100), "en", "tiny doc"), LDoc(101, ts(101), "fr", "quoi que ce soit ici"))
+    q.processAllAvailable(); q.stop()
+    val streamed = out.filter(_._1 < 100)
+      .map { case (id, lang, sc, b) => (id, lang, sc.get, b.get) }.toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(out.exists(r => r._1 == 100L && r._3.isEmpty && r._4.isEmpty))
+    assert(out.exists(r => r._1 == 101L && r._3.isDefined && r._4.isEmpty))
+  }
+
   // s_stream_dedup_incremental: stateless delta-vs-index probe — the
   // streaming face of minhashNearDupIncremental over the SAME standing
   // index (parity is exact at any parameter point because both sides
