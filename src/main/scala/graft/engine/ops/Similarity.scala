@@ -1371,6 +1371,44 @@ object Similarity {
     exactRerankTail(e, annIvfPq(vectors, idCol, vecCol, queryId, nCand), queryId, k)
   }
 
+  /** Matryoshka-tiered ANN (MRL retrieval): coarse top-`nCand` by
+    * cosine over the first `dPrefix` dimensions only, then ONE exact
+    * full-dimension cosine pass over just those candidates — the
+    * two-tier serve pattern Matryoshka-representation embeddings are
+    * trained for (the information-dense prefix IS the cheap index;
+    * unlike PQ there is no codebook to train or version, truncation
+    * is the quantizer). Coarse provenance rides along. ORACLED
+    * end-to-end: both tiers are the same left-to-right fold-cosine
+    * the exact baseline uses, just dimension-sliced.
+    *
+    * The 100 TB read: the coarse tier scans dPrefix/dim of the float
+    * bytes (a physical win when the prefix is stored column-split or
+    * the index tier is materialized separately), candidates broadcast
+    * under one full-width scan — the annRerank discipline with
+    * truncation instead of hashing as the prune. */
+  def annMatryoshka(vectors: DataFrame, idCol: String, vecCol: String,
+                    queryId: Long, dPrefix: Int, nCand: Int, k: Int): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
+    val qe = e.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    val cands = e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qe))
+      .select(col("vec_id"),
+        round(cosine(slice(col("embedding"), 1, dPrefix),
+                     slice(col("qe"), 1, dPrefix)), 4).as("coarse_sim"))
+      .orderBy(col("coarse_sim").desc, col("vec_id").asc).limit(nCand)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(GraftFunctions.constWindowKey(col("vec_id")))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    e.join(broadcast(cands), "vec_id")
+      .crossJoin(broadcast(qe))
+      .select(col("vec_id"), col("coarse_sim"),
+        round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("rk", "vec_id", "cos_sim", "coarse_sim")
+      .orderBy("rk")
+  }
+
   /** Nearest-cell assignment against a broadcast codebook — the
     * [[annIvfBroadcast]] struct-max rule (max dot, first-tie-lowest-
     * cell) factored out so the IVFPQ-with-codebook path and the
@@ -1497,6 +1535,13 @@ object Similarity {
     "q_ann_ivf_bcast" -> ((s, d) =>
       annIvfBroadcast(Tables.embeddings(s, d), "vec_id", "embedding", codebookDf(s), 0, 10)),
     "q_ann_rerank" -> ((s, d) => annRerank(Tables.embeddings(s, d), "vec_id", "embedding", Seq(1L, 2L, 3L), 5)),
+    // Matryoshka tiers: 32-dim prefix prune to 64, full 64-dim rerank.
+    // Half-width, not quarter: the fixture embeddings are isotropic
+    // (not MRL-trained, no information-dense prefix), so a 16-dim tier
+    // measured recall@10 = 0.4; real MRL checkpoints concentrate
+    // signal in the prefix and run 4-8x truncation at this recall
+    "q_ann_matryoshka" -> ((s, d) =>
+      annMatryoshka(Tables.embeddings(s, d), "vec_id", "embedding", 0, 32, 64, 10)),
     "q_dedup_minhash" -> ((s, d) => minhashNearDup(Tables.documents(s, d), "doc_id", "text", 0.9)),
     // the high-recall parameter point under the SAME hash oracle: k=32
     // (prefix-stable family extension) in 4 bands × 8 rows lifts the
@@ -1830,6 +1875,37 @@ object Similarity {
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
       s"(a, b) -> a + b)"
+
+  /** [[foldDot]] over the first `n` dimensions only — the truncated
+    * tier of the Matryoshka oracle (slicing before the fold replays
+    * Spark's `slice(col, 1, n)` exactly). */
+  private def foldDotN(a: String, b: String, n: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, ${n + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      s"(a, b) -> a + b)"
+
+  /** DuckDB replication of [[annMatryoshka]]: 32-dim-prefix fold-cosine
+    * prune to 64 candidates, full-width fold-cosine rerank to 10. */
+  private def annMatryoshkaOracleSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT e.vec_id,
+       |    round(${foldDotN("e.embedding", "q.qe", 32)} /
+       |          (sqrt(${foldDotN("e.embedding", "e.embedding", 32)}) *
+       |           sqrt(${foldDotN("q.qe", "q.qe", 32)})), 4) AS coarse_sim
+       |  FROM embeddings e, q WHERE e.vec_id <> 0
+       |  ORDER BY coarse_sim DESC, vec_id ASC LIMIT 64),
+       |scored AS (
+       |  SELECT c.vec_id, c.coarse_sim,
+       |    round(${foldDot("e.embedding", "q.qe")} /
+       |          (sqrt(${foldDot("e.embedding", "e.embedding")}) *
+       |           sqrt(${foldDot("q.qe", "q.qe")})), 4) AS cos_sim
+       |  FROM cand c JOIN embeddings e USING (vec_id) CROSS JOIN q)
+       |SELECT rk, vec_id, cos_sim, coarse_sim FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk,
+       |    vec_id, cos_sim, coarse_sim
+       |  FROM scored)
+       |WHERE rk <= 10 ORDER BY rk""".stripMargin
 
   /** DuckDB replication of annLsh (16-plane signature, 4×4-bit bands,
     * query-bucket probe, exact rerank) — same programmatic-constants
@@ -2588,6 +2664,8 @@ object Similarity {
         |      FROM p GROUP BY vec_id)
         |SELECT vec_id, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos_sim
         |FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_ann_matryoshka" -> annMatryoshkaOracleSql,
 
     "q_sim_knn" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe

@@ -507,6 +507,17 @@ class PlanShapeSpec extends SparkSuite {
       "the bounded vocab must broadcast under the corpus explode:\n" + p.take(2500))
   }
 
+  test("q_ann_matryoshka: the prefix tier is a top-k, candidates broadcast under one full scan") {
+    val p = plan("q_ann_matryoshka")
+    // the coarse limit must plan as TakeOrdered (per-partition top-k +
+    // merge), never a global sort of the corpus scores
+    assert(p.contains("TakeOrderedAndProject"),
+      "the truncated-tier prune must be a top-k:\n" + p.take(2500))
+    assert(p.contains("BroadcastHashJoin"),
+      "the nCand candidate set must broadcast under the full-width scan:\n" + p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q_shuffle_shards is one partial+final aggregate with no window or sort before the agg") {
     val p = plan("q_shuffle_shards")
     assert(!p.contains("windowspecdefinition"),

@@ -513,6 +513,36 @@ class TextSimilaritySpec extends SparkSuite {
     assert(recall >= 0.5, s"PQ rerank recall collapsed: $recall")
   }
 
+  test("annMatryoshka: prefix tier prunes, full-width scorer decides; recall holds") {
+    val exact = run("q_sim_cosine").as[(Long, Double)].collect().toMap
+    val mk = run("q_ann_matryoshka").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(mk.map(_._1) == (1L to mk.size), s"ranks must be dense from 1: $mk")
+    // the rerank IS the exact scorer: any candidate brute force also
+    // ranked carries the identical full-width score
+    mk.foreach { case (_, id, cos, _) =>
+      exact.get(id).foreach(e => assert(math.abs(e - cos) < 1e-9, s"score drift for $id"))
+    }
+    // the 32-dim prefix at nCand=64 recovers most of the true top-10 —
+    // the property the truncation tier exists to provide
+    val recall = exact.keySet.intersect(mk.map(_._2).toSet).size / 10.0
+    assert(recall >= 0.5, s"matryoshka recall collapsed: $recall")
+    // the coarse provenance really is the truncated cosine (recompute
+    // one candidate's prefix score in Scala from the raw floats)
+    val emb = graft.engine.io.Tables.embeddings(spark, sfDir)
+      .as[(Long, Array[Float], Int)].collect().map(r => r._1 -> r._2).toMap
+    def pcos(a: Array[Float], b: Array[Float], n: Int): Double = {
+      def fold(x: Array[Float], y: Array[Float]) =
+        (0 until n).foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+      fold(a, b) / (math.sqrt(fold(a, a)) * math.sqrt(fold(b, b)))
+    }
+    val q = emb(0L)
+    mk.foreach { case (_, id, _, coarse) =>
+      val expect = BigDecimal(pcos(emb(id), q, 32))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(expect - coarse) < 1e-9, s"coarse provenance drift for $id")
+    }
+  }
+
   test("pqTrain partitions the corpus: per-(subspace,dim) counts sum to |corpus|; codebook spans most cells") {
     val emb = graft.engine.io.Tables.embeddings(spark, sfDir)
     val n = emb.count()
