@@ -93,6 +93,39 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Hard-negative mining for contrastive training: for every query
+    * vector, the top-k most cosine-similar corpus vectors whose LABEL
+    * differs — the negatives that actually move an embedding model
+    * (near the anchor in representation space, wrong by supervision;
+    * random negatives are trivially separable and teach nothing).
+    * Output carries the offending label and the similarity as
+    * curriculum signal.
+    *
+    * Shape: [[knnJoin]] with the label inequality pushed into the
+    * broadcast join condition — the corpus scans once for all probes,
+    * wrong-label filtering happens BEFORE the rank window ever sees a
+    * row, and the per-query top-k trims map-side (WindowGroupLimit).
+    * At 100 TB run it over an ANN candidate set (annIvf/annLsh) rather
+    * than the full corpus — same discipline as the exact-rerank tail. */
+  def hardNegatives(vectors: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queryIds: Seq[Long], k: Int): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    val e = vectors.select(col(idCol).as("vec_id"),
+      col(vecCol).as("embedding"), col(labelCol).as("label"))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("label").as("q_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    e.join(broadcast(q),
+        col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("q_id", "rk")
+  }
+
   /** Exact top-k most-similar pairs over ALL pairs — the O(n²) oracle for
     * what the near-dup sketches approximate. Norms are computed once per
     * vector in the linear pre-pass, so the quadratic stage does a single
@@ -1535,6 +1568,10 @@ object Similarity {
     "q_ann_ivf_bcast" -> ((s, d) =>
       annIvfBroadcast(Tables.embeddings(s, d), "vec_id", "embedding", codebookDf(s), 0, 10)),
     "q_ann_rerank" -> ((s, d) => annRerank(Tables.embeddings(s, d), "vec_id", "embedding", Seq(1L, 2L, 3L), 5)),
+    // hard negatives: per anchor, top-5 nearest wrong-label vectors
+    "q_hard_negatives" -> ((s, d) =>
+      hardNegatives(Tables.embeddings(s, d), "vec_id", "embedding", "label",
+        Seq(1L, 2L, 3L), 5)),
     // Matryoshka tiers: 32-dim prefix prune to 64, full 64-dim rerank.
     // Half-width, not quarter: the fixture embeddings are isotropic
     // (not MRL-trained, no information-dense prefix), so a 16-dim tier
@@ -2666,6 +2703,25 @@ object Similarity {
         |FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
 
     "q_ann_matryoshka" -> annMatryoshkaOracleSql,
+
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+        |           FROM embeddings WHERE vec_id IN (1, 2, 3)),
+        |p AS (SELECT q.q_id, e.vec_id, e.label,
+        |        CAST(unnest(e.embedding) AS DOUBLE) AS x,
+        |        CAST(unnest(q.qe) AS DOUBLE) AS y
+        |      FROM embeddings e, q
+        |      WHERE e.vec_id <> q.q_id AND e.label <> q.q_label),
+        |s AS (SELECT q_id, vec_id, label,
+        |        sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+        |      FROM p GROUP BY q_id, vec_id, label),
+        |r AS (SELECT q_id, vec_id, label,
+        |        round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos_sim FROM s)
+        |SELECT q_id, vec_id, label, cos_sim, rk FROM (
+        |  SELECT q_id, vec_id, label, cos_sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rk
+        |  FROM r)
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
     "q_sim_knn" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe

@@ -543,6 +543,41 @@ class TextSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("hardNegatives: wrong-label-only, k per anchor, similarity-ranked like the knn join") {
+    val hn = run("q_hard_negatives").as[(Long, Long, Int, Double, Long)].collect().toSeq
+    val emb = graft.engine.io.Tables.embeddings(spark, sfDir)
+      .as[(Long, Array[Float], Int)].collect()
+    val labels = emb.map(r => r._1 -> r._3).toMap
+    // every emitted negative carries a label different from its anchor's
+    hn.foreach { case (qId, id, lbl, _, _) =>
+      assert(lbl == labels(id) && lbl != labels(qId),
+        s"negative $id (label $lbl) vs anchor $qId (label ${labels(qId)})")
+    }
+    // exactly k dense-ranked rows per anchor
+    hn.groupBy(_._1).foreach { case (qId, rows) =>
+      assert(rows.map(_._5).sorted == (1L to 5L), s"ranks for anchor $qId: $rows")
+    }
+    // reconciliation: the emitted set IS the top-5 wrong-label slice of
+    // the unrestricted neighbor ranking (recomputed from raw floats)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def fold(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+      fold(a, b) / (math.sqrt(fold(a, a)) * math.sqrt(fold(b, b)))
+    }
+    Seq(1L, 2L, 3L).foreach { qId =>
+      val qv = emb.find(_._1 == qId).get._2
+      val expect = emb.filter(r => r._1 != qId && r._3 != labels(qId))
+        .map { r =>
+          val c = BigDecimal(cos(r._2, qv))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (r._1, c)
+        }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      val got = hn.filter(_._1 == qId).sortBy(_._5).map(_._2)
+      assert(got == expect.toSeq, s"anchor $qId: got $got expect ${expect.toSeq}")
+    }
+  }
+
   test("pqTrain partitions the corpus: per-(subspace,dim) counts sum to |corpus|; codebook spans most cells") {
     val emb = graft.engine.io.Tables.embeddings(spark, sfDir)
     val n = emb.count()
