@@ -272,6 +272,41 @@ object TextPipeline {
     } finally edges.unpersist()
   }
 
+  /** Policy-based canonical selection over the near-dup clusters — the
+    * dedup rewrite MAP a production pipeline persists: every document
+    * tagged with its cluster, the cluster's CANONICAL representative
+    * under a caller-supplied priority, and whether it is that
+    * representative. [[dedupCorpus]]'s smallest-id survivor rule is a
+    * special case; real pipelines keep by provenance instead — highest
+    * source trust, then longest, then smallest id — because which COPY
+    * survives decides what the model trains on (a Wikipedia mirror
+    * beats a spam scrape of the same text).
+    *
+    * `priority` is any integer Column over `documents` (higher wins;
+    * ties break on smaller id). Integer so the argmax replays exactly
+    * in the DuckDB oracle.
+    *
+    * Scale: one id-keyed join to attach priorities, one partial+final
+    * struct-max per cluster, one cluster-keyed join back — every stage
+    * keys on id or cluster (the partitioning the cluster op already
+    * produced); the canonical table is cluster-count-sized (≈ corpus
+    * with singletons), so it joins by key, never broadcasts. */
+  def dedupCanonical(documents: DataFrame, idCol: String, textCol: String,
+                     threshold: Double, priority: Column,
+                     precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    val clusters = dedupClusters(documents, idCol, textCol, threshold,
+      precomputedPairs = precomputedPairs)
+    val pri = clusters.join(
+      documents.select(col(idCol).as("id"), priority.cast("long").as("prio")), "id")
+    val canon = pri.groupBy("cluster")
+      .agg(max(struct(col("prio"), (-col("id")).as("negid"))).as("m"))
+      .select(col("cluster"), (-col("m.negid")).as("canonical_id"))
+    pri.join(canon, "cluster")
+      .select(col("id").as("doc_id"), col("cluster"), col("canonical_id"),
+        (col("id") === col("canonical_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** Alternating large-star/small-star connected components (the
     * MapReduce-CC formulation) over a canonical `(a < b)` pair list —
     * the structural alternative to [[dedupClusters]]' label-propagation
@@ -1877,9 +1912,7 @@ object TextPipeline {
     val tokens = documents
       .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("tok"))
       .filter(length(col("tok")) > 0)
-    val vocab = tokens.filter(col("doc_id") % 2 === 0)
-      .groupBy("tok").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("tok").asc).limit(vocabSize)
+    val vocab = vocabTable(documents, idCol, textCol, vocabSize)
       .select(col("tok"), lit(1L).as("in_vocab"))
     val out = tokens.join(broadcast(vocab), Seq("tok"), "left_outer")
       .groupBy("doc_id")
@@ -1889,6 +1922,20 @@ object TextPipeline {
         floor(lit(10000.0) * col("n_oov") / col("n_toks")).cast("long").as("oov_bp"))
     if (ordered) out.orderBy("doc_id") else out
   }
+
+  /** The OFFLINE vocabulary artifact behind [[vocabCoverage]] and the
+    * streaming audit face ([[graft.engine.stream.Streams
+    * .streamingVocabCoverage]]): the top-`vocabSize` tokens by
+    * frequency over the even-id sample, ties broken on the token
+    * string — one `tok` column, deterministic, TakeOrdered-planned. */
+  def vocabTable(documents: DataFrame, idCol: String, textCol: String,
+                 vocabSize: Int = 256): DataFrame =
+    documents
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0 && col("doc_id") % 2 === 0)
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(vocabSize)
+      .select("tok")
 
   /** Cross-split leakage detection — the eval-hygiene audit
     * [[contamination]] can't do: CONTENT-level (near-duplicate) overlap
@@ -2180,6 +2227,13 @@ object TextPipeline {
       dedupClusters(Tables.documents(s, d), "doc_id", "text", 0.9,
         precomputedPairs = Some(sharedPairs(s, d)))
         .orderBy("id")),
+    // provenance-first canonical rule: source trust class dominates,
+    // then document length, then smallest id — the integer packing
+    // keeps the argmax exact in both engines
+    "q_dedup_canonical" -> ((s, d) =>
+      dedupCanonical(Tables.documents(s, d), "doc_id", "text", 0.9,
+        expr("(CASE WHEN source IN ('src0', 'src1') THEN 2 ELSE 1 END) * 1000000 + n_chars"),
+        precomputedPairs = Some(sharedPairs(s, d)))),
     "q_tfidf" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", 3)),
     "q_gopher_rules" -> ((s, d) => gopherRules(Tables.documents(s, d), "doc_id", "text")),
     "q_repetition" -> ((s, d) => repetitionMetrics(Tables.documents(s, d), "doc_id", "text")),
@@ -2886,6 +2940,38 @@ object TextPipeline {
         |  UNION
         |  SELECT e.a AS id, w.lab FROM edges e JOIN walk w ON w.id = e.b)
         |SELECT id, min(lab) AS cluster FROM walk GROUP BY id ORDER BY id""".stripMargin),
+
+    // the cluster walk again + per-cluster argmax under the
+    // provenance-first priority (source class · 10⁶ + n_chars, ties on
+    // smaller id) — the canonical-selection policy replayed exactly
+    "q_dedup_canonical" -> (Similarity.minhashOracleCtes +
+      """,
+        |all_pairs AS (
+        |  SELECT doc_id_1, doc_id_2 FROM cross_pairs
+        |  UNION ALL SELECT doc_id_1, doc_id_2 FROM within_pairs),
+        |edges AS MATERIALIZED (
+        |  SELECT doc_id_1 AS a, doc_id_2 AS b FROM all_pairs
+        |  UNION SELECT doc_id_2, doc_id_1 FROM all_pairs),
+        |walk AS (
+        |  SELECT doc_id AS id, doc_id AS lab FROM documents
+        |  UNION
+        |  SELECT e.a AS id, w.lab FROM edges e JOIN walk w ON w.id = e.b),
+        |comp AS (SELECT id, min(lab) AS cluster FROM walk GROUP BY id),
+        |pri AS (
+        |  SELECT c.id, c.cluster,
+        |    CAST((CASE WHEN d.source IN ('src0', 'src1') THEN 2 ELSE 1 END) * 1000000
+        |         + d.n_chars AS BIGINT) AS prio
+        |  FROM comp c JOIN documents d ON d.doc_id = c.id),
+        |canon AS (
+        |  SELECT cluster, id AS canonical_id FROM (
+        |    SELECT cluster, id,
+        |      row_number() OVER (PARTITION BY cluster ORDER BY prio DESC, id ASC) AS rn
+        |    FROM pri)
+        |  WHERE rn = 1)
+        |SELECT p.id AS doc_id, p.cluster, c.canonical_id,
+        |  p.id = c.canonical_id AS is_canonical
+        |FROM pri p JOIN canon c USING (cluster)
+        |ORDER BY doc_id""".stripMargin),
 
     "q_inverted_index" ->
       """WITH dt AS (

@@ -1073,6 +1073,28 @@ object Streams {
             .when(col("lm_score") >= col("t_mid"), "middle")
             .otherwise("tail")).as("ppl_bucket"))
 
+  /** s_stream_vocab_oov: tokenizer-vocabulary OOV audit at ingest —
+    * every arriving document's out-of-vocabulary rate against the
+    * OFFLINE top-V vocabulary (the sorted-array artifact of the batch
+    * [[graft.engine.ops.TextPipeline.vocabCoverage]] cut), as one
+    * 1-row broadcast and a narrow per-doc filter+count — the live
+    * feed-health signal for "this source would shatter into UNKs".
+    * Zero state; docs whose text tokenizes to nothing surface with
+    * n_toks = 0 and null rate (the batch op drops them — a stream
+    * audit must surface the empty arrival instead). */
+  def streamingVocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                             vocab: DataFrame): DataFrame = {
+    val vRow = vocab.agg(array_sort(collect_set("tok")).as("v"))
+    val toks = filter(split(col(textCol), " "), t => length(t) > 0)
+    docs.crossJoin(broadcast(vRow))
+      .withColumn("n_toks", size(toks).cast("long"))
+      .withColumn("n_oov",
+        size(filter(toks, t => not(array_contains(col("v"), t)))).cast("long"))
+      .select(col(idCol).as("doc_id"), col("n_toks"), col("n_oov"),
+        when(col("n_toks") > 0,
+          floor(lit(10000.0) * col("n_oov") / col("n_toks")).cast("long")).as("oov_bp"))
+  }
+
   /** s_stream_curate: the COMPOSED in-stream curation path — the
     * streaming face of the batch `q_curation_pipeline` stage chain,
     * minus the inherently cross-document near-dup stage (that is

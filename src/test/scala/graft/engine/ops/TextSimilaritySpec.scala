@@ -543,6 +543,32 @@ class TextSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("dedupCanonical: one representative per cluster, maximal under the priority policy") {
+    val got = run("q_dedup_canonical").as[(Long, Long, Long, Boolean)].collect().toSeq
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id",
+        "(CASE WHEN source IN ('src0', 'src1') THEN 2 ELSE 1 END) * 1000000 + n_chars AS prio")
+      .as[(Long, Long)].collect().toMap
+    // covers every doc exactly once; clusters agree with q_dedup_clusters
+    val clusters = run("q_dedup_clusters").as[(Long, Long)].collect().toMap
+    assert(got.size == clusters.size)
+    got.foreach { case (id, cl, _, _) => assert(cl == clusters(id), s"cluster drift for $id") }
+    // exactly one canonical per cluster, and it maximizes (prio, -id)
+    got.groupBy(_._2).foreach { case (cl, rows) =>
+      val canon = rows.filter(_._4)
+      assert(canon.size == 1, s"cluster $cl has ${canon.size} canonicals")
+      val cid = canon.head._1
+      assert(rows.forall(_._3 == cid), s"cluster $cl disagrees on its canonical")
+      val best = rows.map(_._1).maxBy(id => (docs(id), -id))
+      assert(cid == best, s"cluster $cl canonical $cid but policy argmax is $best")
+    }
+    // the policy must actually matter somewhere: at least one cluster's
+    // canonical is NOT the smallest id (the dedupCorpus rule)
+    assert(got.groupBy(_._2).values.exists(rows =>
+      rows.size > 1 && rows.filter(_._4).head._1 != rows.map(_._1).min),
+      "fixture never exercises a non-min-id canonical — weaken the priority packing?")
+  }
+
   test("hardNegatives: wrong-label-only, k per anchor, similarity-ranked like the knn join") {
     val hn = run("q_hard_negatives").as[(Long, Long, Int, Double, Long)].collect().toSeq
     val emb = graft.engine.io.Tables.embeddings(spark, sfDir)

@@ -688,6 +688,35 @@ class StreamingSpec extends SparkSuite {
     assert(out.exists(r => r._1 == 101L && r._3.isDefined && r._4.isEmpty))
   }
 
+  // s_stream_vocab_oov: the offline top-V vocab as one broadcast row;
+  // arrivals fold their own OOV rate — parity with the batch audit on
+  // the same docs, plus the empty-arrival surfacing the batch op lacks
+  test("s_stream_vocab_oov: in-stream OOV rates equal the batch audit doc-for-doc") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma alpha"), (2L, "alpha beta beta delta"),
+      (4L, "gamma gamma alpha beta"), (1L, "alpha zeta beta"),
+      (3L, "eta theta iota")).toDF("doc_id", "text")
+    val vocab = graft.engine.ops.TextPipeline.vocabTable(corpus, "doc_id", "text", 3)
+    val in = MemoryStream[Doc](spark)
+    val out = mutable.ArrayBuffer[(Long, Long, Long, Option[Long])]()
+    val q = Streams.streamingVocabCoverage(in.toDF(), "doc_id", "text", vocab)
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("vocab-stream"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.as[(Long, Long, Long, Option[Long])].collect() }
+        ()
+      }.start()
+    corpus.as[(Long, String)].collect().foreach { case (id, t) => in.addData(Doc(id, ts(id), t)) }
+    in.addData(Doc(100, ts(100), " ")) // tokenizes to nothing
+    q.processAllAvailable(); q.stop()
+    val batch = graft.engine.ops.TextPipeline.vocabCoverage(corpus, "doc_id", "text", 3, ordered = false)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val streamed = out.filter(_._1 < 100).map { case (id, nt, no, bp) => (id, nt, no, bp.get) }.toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    // the empty arrival surfaces with zero tokens and a null rate
+    assert(out.exists(r => r._1 == 100L && r._2 == 0L && r._4.isEmpty))
+  }
+
   // s_stream_dedup_incremental: stateless delta-vs-index probe — the
   // streaming face of minhashNearDupIncremental over the SAME standing
   // index (parity is exact at any parameter point because both sides
