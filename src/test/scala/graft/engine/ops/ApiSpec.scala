@@ -224,6 +224,48 @@ class ApiSpec extends SparkSuite {
     assert(w.length == 3 && math.abs(w.map(_._2).sum - 1000000L) <= 3)
   }
 
+  test("round-8 operators run on renamed-column frames") {
+    val sh = (1 to 16).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, "en", s"a1 a2 a3 $sh a4"),
+      (2L, "en", s"c1 c2 $sh c3"),
+      (3L, "de", "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10")).toDF("k", "tongue", "body")
+    // winnowing: the run-sharing pair surfaces on (k, body)
+    val wp = TextPipeline.winnowPairs(docs, "k", "body")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(wp.map(p => (p._1, p._2)) == Seq((1L, 2L)), s"got $wp")
+    assert(TextPipeline.winnowFingerprints(docs, "k", "body").count() > 0)
+    assert(TextPipeline.winnowIndex(docs, "k", "body")
+      .columns.toSeq == Seq("fp", "doc_id_ref", "fps_ref"))
+    // perplexity terciles on (k, tongue, body): every scored doc tagged
+    val pb = TextPipeline.perplexityBuckets(docs, "k", "body", "tongue")
+    assert(pb.columns.toSeq == Seq("doc_id", "tongue", "lm_score", "ppl_bucket"))
+    assert(pb.filter(col("ppl_bucket").isin("head", "middle", "tail")).count() == pb.count())
+    assert(TextPipeline.perplexityThresholds(docs, "k", "body", "tongue")
+      .columns.toSeq == Seq("tongue", "t_head", "t_mid"))
+    // vocab coverage: in-vocab-only doc scores 0 bp
+    val vc = TextPipeline.vocabCoverage(docs, "k", "body", vocabSize = 64)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(vc.values.forall(bp => bp >= 0 && bp <= 10000), s"got $vc")
+    // canonical selection on renamed columns with a length-based policy
+    val canon = TextPipeline.dedupCanonical(docs, "k", "body", 0.9, length(col("body")))
+    assert(canon.columns.toSeq == Seq("doc_id", "cluster", "canonical_id", "is_canonical"))
+    assert(canon.filter(col("is_canonical")).count() ==
+      canon.select("cluster").distinct().count())
+    // hard negatives + matryoshka on a renamed vector frame
+    val mk = (s: Double) => Array.tabulate(64)(i => ((i + 1) * s).toFloat)
+    val vecs = Seq((0L, mk(1.0), 7), (1L, mk(1.001), 7), (2L, mk(-1.0), 8), (3L, mk(0.5), 9))
+      .toDF("vid", "emb", "cls")
+    val hn = Similarity.hardNegatives(vecs, "vid", "emb", "cls", Seq(0L), 2)
+      .as[(Long, Long, Int, Double, Long)].collect().toSeq
+    assert(hn.forall(_._3 != 7), s"negatives must be wrong-label: $hn")
+    // the scaled same-label copy is excluded; the best wrong-label wins rank 1
+    assert(hn.find(_._5 == 1L).exists(_._2 == 3L), s"got $hn")
+    val mat = Similarity.annMatryoshka(vecs, "vid", "emb", 0L, 32, 3, 2)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(mat.map(_._2).contains(1L), "the near-copy must rank")
+  }
+
   test("simhash64 and minhash_sig compose on any frame via plain SQL") {
     graft.engine.functions.GraftFunctions.register(spark)
     val df = Seq((1L, "x y z"), (2L, "z y x"), (3L, "p q r")).toDF("id", "t")
