@@ -52,8 +52,9 @@ object ScaleCheck {
     "q_dsir_weights", "q_dsir_sample", "q_cluster_prune",
     // r8 additions: index maintenance (delta merge vs standing index),
     // winnowing pair join (fp-keyed self-join under the freq cap),
-    // CCNet terciles (histogram windows + broadcast-back)
-    "q_index_merge", "q_winnow_pairs", "q_ppl_buckets",
+    // CCNet terciles (histogram windows + broadcast-back), canonical
+    // selection (the full cluster loop + argmax joins)
+    "q_index_merge", "q_winnow_pairs", "q_ppl_buckets", "q_dedup_canonical",
     // linear controls (wide scans, shuffles, windows)
     "q_agg_group", "q_window_rank", "q_topk_per_group", "q_join_bucketed")
 

@@ -307,6 +307,28 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** Upweighted dedup — the "keep one copy, keep the mass" alternative
+    * to dropping duplicates: one survivor per near-dup cluster (the
+    * [[dedupCorpus]] smallest-id rule) carrying `weight` = cluster
+    * size, the sampling multiplicity a mixture planner feeds back in.
+    * Dropping duplicates silently reweights the corpus toward
+    * never-duplicated content; carrying the count preserves the
+    * original distribution while still training on each text once —
+    * both policies are legitimate, this operator makes the second one
+    * available (and auditable: Σ weight = |corpus|, spec-pinned).
+    *
+    * Scale: ONE partial+final aggregate over the cluster table —
+    * strictly cheaper than the survivors anti-join. */
+  def dedupWeights(documents: DataFrame, idCol: String, textCol: String,
+                   threshold: Double,
+                   precomputedPairs: Option[DataFrame] = None): DataFrame =
+    dedupClusters(documents, idCol, textCol, threshold,
+      precomputedPairs = precomputedPairs)
+      .groupBy("cluster")
+      .agg(min("id").as("doc_id"), count(lit(1)).as("weight"))
+      .select("doc_id", "cluster", "weight")
+      .orderBy("doc_id")
+
   /** Alternating large-star/small-star connected components (the
     * MapReduce-CC formulation) over a canonical `(a < b)` pair list —
     * the structural alternative to [[dedupClusters]]' label-propagation
@@ -895,6 +917,41 @@ object TextPipeline {
     // streaming frames (global sort is unsupported there) and for
     // callers that feed another keyed stage anyway
     if (ordered) chunks.orderBy("doc_id", "chunk_idx") else chunks
+  }
+
+  /** Contrastive positive-pair generation (the ICT / Contriever
+    * pretraining recipe): two DISJOINT `spanLen`-token spans per
+    * document — one from each half, offsets a pure [[keyMix]] function
+    * of the doc id — emitted as (anchor, positive) text pairs. Spans
+    * from the same document are the standard self-supervised positive;
+    * the deterministic offsets make the dataset reproducible under any
+    * partitioning or re-run (the assignSplits discipline, vs seeded
+    * random spans that depend on physical layout). Docs under
+    * 2·spanLen tokens emit nothing.
+    *
+    * Scale: one narrow projection — token split, two integer offsets,
+    * two slices; no shuffle, no state. */
+  def spanPairs(documents: DataFrame, idCol: String, textCol: String,
+                spanLen: Int = 8, ordered: Boolean = true): DataFrame = {
+    val t = filter(toks(col(textCol)), x => length(x) > 0)
+    val base = documents
+      .select(col(idCol).as("doc_id"), t.as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") >= 2 * spanLen)
+      .withColumn("half", (col("n") / 2).cast("int"))
+      .withColumn("offa",
+        pmod(keyMix(col("doc_id")), (col("half") - spanLen + 1).cast("long")))
+      .withColumn("offb",
+        pmod(keyMix(col("doc_id") + 1000003L),
+          (col("n") - col("half") - spanLen + 1).cast("long")))
+    val out = base.select(
+      col("doc_id"),
+      col("n").cast("long").as("n_toks"),
+      (col("offa") + 1L).as("a_start"),
+      (col("half") + col("offb") + 1L).as("b_start"),
+      concat_ws(" ", slice(col("t"), (col("offa") + 1).cast("int"), lit(spanLen))).as("span_a"),
+      concat_ws(" ", slice(col("t"), (col("half") + col("offb") + 1).cast("int"), lit(spanLen))).as("span_b"))
+    if (ordered) out.orderBy("doc_id") else out
   }
 
   /** Deterministic train/val/test split by multiplicative key hash
@@ -2234,6 +2291,10 @@ object TextPipeline {
       dedupCanonical(Tables.documents(s, d), "doc_id", "text", 0.9,
         expr("(CASE WHEN source IN ('src0', 'src1') THEN 2 ELSE 1 END) * 1000000 + n_chars"),
         precomputedPairs = Some(sharedPairs(s, d)))),
+    "q_dedup_weights" -> ((s, d) =>
+      dedupWeights(Tables.documents(s, d), "doc_id", "text", 0.9,
+        precomputedPairs = Some(sharedPairs(s, d)))),
+    "q_span_pairs" -> ((s, d) => spanPairs(Tables.documents(s, d), "doc_id", "text")),
     "q_tfidf" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", 3)),
     "q_gopher_rules" -> ((s, d) => gopherRules(Tables.documents(s, d), "doc_id", "text")),
     "q_repetition" -> ((s, d) => repetitionMetrics(Tables.documents(s, d), "doc_id", "text")),
@@ -2940,6 +3001,41 @@ object TextPipeline {
         |  UNION
         |  SELECT e.a AS id, w.lab FROM edges e JOIN walk w ON w.id = e.b)
         |SELECT id, min(lab) AS cluster FROM walk GROUP BY id ORDER BY id""".stripMargin),
+
+    // the cluster walk + one GROUP BY cluster: min-id survivor with
+    // the cluster's multiplicity as weight
+    "q_dedup_weights" -> (Similarity.minhashOracleCtes +
+      """,
+        |all_pairs AS (
+        |  SELECT doc_id_1, doc_id_2 FROM cross_pairs
+        |  UNION ALL SELECT doc_id_1, doc_id_2 FROM within_pairs),
+        |edges AS MATERIALIZED (
+        |  SELECT doc_id_1 AS a, doc_id_2 AS b FROM all_pairs
+        |  UNION SELECT doc_id_2, doc_id_1 FROM all_pairs),
+        |walk AS (
+        |  SELECT doc_id AS id, doc_id AS lab FROM documents
+        |  UNION
+        |  SELECT e.a AS id, w.lab FROM edges e JOIN walk w ON w.id = e.b),
+        |comp AS (SELECT id, min(lab) AS cluster FROM walk GROUP BY id)
+        |SELECT min(id) AS doc_id, cluster, count(*) AS weight
+        |FROM comp GROUP BY cluster ORDER BY doc_id""".stripMargin),
+
+    "q_span_pairs" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |dims AS (SELECT doc_id, t, len(t) AS n, len(t) // 2 AS half FROM tk
+        |         WHERE len(t) >= 16),
+        |offs AS (SELECT doc_id, t, n, half,
+        |          ${keyMixSql("doc_id")} % (half - 7) AS offa,
+        |          ${keyMixSql("(doc_id + 1000003)")} % (n - half - 7) AS offb
+        |         FROM dims)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_toks,
+        |  CAST(offa + 1 AS BIGINT) AS a_start,
+        |  CAST(half + offb + 1 AS BIGINT) AS b_start,
+        |  array_to_string(t[(offa + 1):(offa + 8)], ' ') AS span_a,
+        |  array_to_string(t[(half + offb + 1):(half + offb + 8)], ' ') AS span_b
+        |FROM offs ORDER BY doc_id""".stripMargin,
 
     // the cluster walk again + per-cluster argmax under the
     // provenance-first priority (source class · 10⁶ + n_chars, ties on

@@ -569,6 +569,42 @@ class TextSimilaritySpec extends SparkSuite {
       "fixture never exercises a non-min-id canonical — weaken the priority packing?")
   }
 
+  test("dedupWeights: survivors carry cluster multiplicity; mass is conserved") {
+    val w = run("q_dedup_weights").as[(Long, Long, Long)].collect().toSeq
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    // Σ weight = |corpus| (upweighting preserves the distribution the
+    // hard dedup would silently skew)
+    assert(w.map(_._3).sum == docs.count(), "corpus mass must be conserved")
+    assert(w.forall(_._3 >= 1L))
+    // the survivor set IS the min-id representative set of the clusters
+    val clusters = run("q_dedup_clusters").as[(Long, Long)].collect()
+    val expect = clusters.groupBy(_._2).map { case (cl, rows) => (rows.map(_._1).min, cl) }.toSet
+    assert(w.map(p => (p._1, p._2)).toSet == expect)
+  }
+
+  test("spanPairs: disjoint same-doc spans, deterministic offsets, faithful text") {
+    val got = run("q_span_pairs").as[(Long, Long, Long, Long, String, String)].collect().toSeq
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+      .as[(Long, String, String, String, Long)].collect()
+      .map(r => r._1 -> r._2.split(" ").filter(_.nonEmpty)).toMap
+    // only docs with >= 2*spanLen tokens emit, each exactly once
+    assert(got.map(_._1).distinct.size == got.size)
+    assert(got.map(_._1).toSet == docs.filter(_._2.length >= 16).keySet)
+    got.foreach { case (id, n, aStart, bStart, spanA, spanB) =>
+      val t = docs(id)
+      assert(n == t.length)
+      // spans are 8 tokens each, span A inside the first half, span B
+      // inside the second — disjoint by construction
+      assert(aStart + 7 <= n / 2 && bStart > n / 2 && bStart + 7 <= n,
+        s"doc $id spans out of bounds: a=$aStart b=$bStart n=$n")
+      assert(spanA == t.slice(aStart.toInt - 1, aStart.toInt + 7).mkString(" "))
+      assert(spanB == t.slice(bStart.toInt - 1, bStart.toInt + 7).mkString(" "))
+    }
+    // pure function of the id: a second run is byte-identical
+    val again = run("q_span_pairs").as[(Long, Long, Long, Long, String, String)].collect().toSeq
+    assert(again == got)
+  }
+
   test("hardNegatives: wrong-label-only, k per anchor, similarity-ranked like the knn join") {
     val hn = run("q_hard_negatives").as[(Long, Long, Int, Double, Long)].collect().toSeq
     val emb = graft.engine.io.Tables.embeddings(spark, sfDir)
