@@ -63,6 +63,21 @@ object Sources {
     "q_source_csv" -> roundtrip("part", "csv", "p_partkey"),
     "q_source_json" -> roundtrip("supplier", "json", "s_suppkey"),
     "q_source_orc" -> roundtrip("customer", "orc", "c_custkey"),
+    // Binary asset ingest: the `binaryFile` source over the sfDir's own
+    // parquet files — the object-storage path a multimodal pipeline uses
+    // for image/audio directories (path + length + magic-byte probe; the
+    // content column feeds decode downstream). At 100 TB this source
+    // lists and streams blobs per-partition with no parsing cost.
+    // The DuckDB oracle (read_blob over the same files) is a STATIC SQL
+    // string, so it pins the driver's correctness scale factor (sf0.01);
+    // the binding itself reads whatever sfDir it is handed — bench runs
+    // it at sf0.1, where no oracle compares.
+    "q_source_binary" -> ((s, d) =>
+      s.read.format("binaryFile").load(s"$d/*.parquet")
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("length").as("n_bytes"),
+          upper(hex(expr("substring(content, 1, 4)"))).as("magic_hex"))
+        .orderBy("file_name")),
   )
 
   // The oracle reads the PARQUET original: equality proves the format
@@ -77,5 +92,11 @@ object Sources {
     "q_source_orc" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_source_binary" ->
+      """SELECT parse_filename(filename) AS file_name,
+        |  CAST(size AS BIGINT) AS n_bytes,
+        |  upper(substring(hex(content), 1, 8)) AS magic_hex
+        |FROM read_blob('/root/testdata/sf0.01/*.parquet')
+        |ORDER BY file_name""".stripMargin,
   )
 }

@@ -688,6 +688,30 @@ class StreamingSpec extends SparkSuite {
     assert(out.exists(r => r._1 == 101L && r._3.isDefined && r._4.isEmpty))
   }
 
+  // s_stream_span_pairs: the batch generator IS the streaming face —
+  // fully narrow and a pure function of the id, so the pairs generate
+  // at ingest and match the batch output doc-for-doc
+  test("s_stream_span_pairs: in-stream positive pairs equal the batch generator") {
+    val mk = (id: Long, n: Int) => (id, (1 to n).map(i => s"t${id}_$i").mkString(" "))
+    val corpus = Seq(mk(1, 20), mk(2, 16), mk(3, 10)).toDF("doc_id", "text")
+    val in = MemoryStream[Doc](spark)
+    val out = mutable.ArrayBuffer[(Long, Long, Long, Long, String, String)]()
+    val q = graft.engine.ops.TextPipeline.spanPairs(in.toDF(), "doc_id", "text", ordered = false)
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("span-stream"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.as[(Long, Long, Long, Long, String, String)].collect() }
+        ()
+      }.start()
+    corpus.as[(Long, String)].collect().foreach { case (id, t) => in.addData(Doc(id, ts(id), t)) }
+    q.processAllAvailable(); q.stop()
+    val batch = graft.engine.ops.TextPipeline.spanPairs(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String, String)].collect().toSet
+    assert(out.toSet == batch, s"stream ${out.sorted} vs batch $batch")
+    assert(!out.exists(_._1 == 3L), "under-16-token docs must emit nothing")
+    assert(out.map(_._1).toSet == Set(1L, 2L))
+  }
+
   // s_stream_vocab_oov: the offline top-V vocab as one broadcast row;
   // arrivals fold their own OOV rate — parity with the batch audit on
   // the same docs, plus the empty-arrival surfacing the batch op lacks
