@@ -426,6 +426,26 @@ object TextPipeline {
     df.filter(keyBucket(col(keyCol)) < pct)
   }
 
+  /** Deterministic FIXED-SIZE sample: exactly `n` documents, chosen by
+    * the [[keyMix]] seeded-shuffle order with id tie-break — the
+    * fixed-budget carve ([[stratifiedSample]] and `q_sample_hash` keep
+    * a RATE, so their output grows with the corpus; an eval set or a
+    * labeling batch needs a count). Pure function of the key set:
+    * stable under partitioning, re-runs, and parallelism, and any
+    * corpus superset keeps the same relative order (a grown corpus
+    * only displaces tail members).
+    *
+    * Scale: orderBy+limit compiles to TakeOrdered (per-partition top-n
+    * + driver merge of n-row heaps) — no global sort, no full shuffle;
+    * n rows cross the wire per partition at worst. */
+  def fixedSample(documents: DataFrame, idCol: String, n: Int,
+                  carryCols: Seq[String] = Seq.empty): DataFrame =
+    documents
+      .select(col(idCol).as("doc_id") +: carryCols.map(col): _*)
+      .orderBy(keyMix(col("doc_id")).asc, col("doc_id").asc)
+      .limit(n)
+      .orderBy("doc_id")
+
   /** Per-domain document cap — the RefinedWeb/C4 anti-boilerplate
     * measure: no single domain may contribute more than `cap` documents
     * to the corpus, and WHICH documents survive is decided by the
@@ -2295,6 +2315,8 @@ object TextPipeline {
       dedupWeights(Tables.documents(s, d), "doc_id", "text", 0.9,
         precomputedPairs = Some(sharedPairs(s, d)))),
     "q_span_pairs" -> ((s, d) => spanPairs(Tables.documents(s, d), "doc_id", "text")),
+    "q_sample_fixed" -> ((s, d) =>
+      fixedSample(Tables.documents(s, d), "doc_id", 100, Seq("lang", "source"))),
     "q_tfidf" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", 3)),
     "q_gopher_rules" -> ((s, d) => gopherRules(Tables.documents(s, d), "doc_id", "text")),
     "q_repetition" -> ((s, d) => repetitionMetrics(Tables.documents(s, d), "doc_id", "text")),
@@ -3019,6 +3041,12 @@ object TextPipeline {
         |comp AS (SELECT id, min(lab) AS cluster FROM walk GROUP BY id)
         |SELECT min(id) AS doc_id, cluster, count(*) AS weight
         |FROM comp GROUP BY cluster ORDER BY doc_id""".stripMargin),
+
+    "q_sample_fixed" ->
+      s"""SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source FROM documents
+        |  ORDER BY ${keyMixSql("doc_id")} ASC, doc_id ASC LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_span_pairs" ->
       s"""WITH tk AS (

@@ -507,6 +507,18 @@ class PlanShapeSpec extends SparkSuite {
       "the bounded vocab must broadcast under the corpus explode:\n" + p.take(2500))
   }
 
+  test("q_sample_fixed carves the budget as a top-n, never a global sort") {
+    val p = plan("q_sample_fixed")
+    // orderBy+limit must compile to TakeOrdered (per-partition n-row
+    // heaps + driver merge); a full Exchange+Sort here would shuffle
+    // the corpus to sample 100 rows
+    assert(p.contains("TakeOrderedAndProject"),
+      "the fixed-budget carve must be a top-n:\n" + p.take(2500))
+    // and the scan reads only the projected columns, never text
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString("; ")
+    assert(!schemas.contains("text"), s"sample must not scan text: $schemas")
+  }
+
   test("q_ann_matryoshka: the prefix tier is a top-k, candidates broadcast under one full scan") {
     val p = plan("q_ann_matryoshka")
     // the coarse limit must plan as TakeOrdered (per-partition top-k +

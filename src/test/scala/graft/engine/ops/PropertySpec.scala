@@ -108,6 +108,18 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("fixedSample: exact budget, pure function of the key set, layout-independent") {
+    check("fixed-sample", 5)(Prop.forAll(
+        Gen.listOf(Gen.chooseNum(0L, 100000L)).map(_.distinct)) { ids =>
+      val df = ids.toDF("k")
+      val a = TextPipeline.fixedSample(df, "k", 10).as[Long].collect().toSeq
+      // shuffled layout, same key set -> byte-identical sample
+      val b = TextPipeline.fixedSample(df.repartition(7), "k", 10)
+        .as[Long].collect().toSeq
+      a == b && a.length == math.min(10, ids.length) && a == a.sorted
+    })
+  }
+
   test("winnowing guarantee: a shared run of >= w+k-1 tokens yields a shared fingerprint") {
     // k=5, w=4 (the fixture binding's params): any identical token run
     // of >= 8 tokens spans >= 4 consecutive equal gram hashes, so some
