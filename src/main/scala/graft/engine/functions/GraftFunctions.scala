@@ -71,7 +71,29 @@ object GraftFunctions {
       (children: Seq[Expression]) => GopherStats(children(0))),
     (FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
-      (children: Seq[Expression]) => WinnowFps(children(0), children(1), children(2))))
+      (children: Seq[Expression]) => WinnowFps(children(0), children(1), children(2))),
+    // Spark's own Bloom-filter expression pair (the machinery behind its
+    // runtime row-group filters), surfaced as callable functions: the
+    // aggregate builds the filter DISTRIBUTED (per-partition sketches
+    // merged by TypedImperativeAggregate — no driver-side item loop) and
+    // the probe is a codegen'd bitset test over a broadcast-literal
+    // filter. Used by TextPipeline.bloomDedup as the membership pre-pass
+    // that lets an incremental exact-dedup skip the shuffle for the
+    // non-duplicate majority of a 100 TB delta.
+    (FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1))),
+    (FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_contains"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
 
   /** Register the engine functions into a session (idempotent). */
   def register(spark: SparkSession): Unit = registry.foreach { case (ident, info, builder) =>

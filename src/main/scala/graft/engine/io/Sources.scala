@@ -73,7 +73,7 @@ object Sources {
     // the binding itself reads whatever sfDir it is handed — bench runs
     // it at sf0.1, where no oracle compares.
     "q_source_binary" -> ((s, d) =>
-      s.read.format("binaryFile").load(s"$d/*.parquet")
+      s.read.format("binaryFile").option("pathGlobFilter", "*.parquet").load(d)
         .select(element_at(split(col("path"), "/"), -1).as("file_name"),
           col("length").as("n_bytes"),
           upper(hex(expr("substring(content, 1, 4)"))).as("magic_hex"))

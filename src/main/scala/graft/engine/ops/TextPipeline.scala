@@ -490,6 +490,130 @@ object TextPipeline {
            sum("h").as("checksum"))
       .orderBy("shard_id")
 
+  /** Temperature-scaled domain rebalancing — the multilingual corpus
+    * mixing rule (mT5 / XLM-R, α = 1/2): domain weight ∝ p_d^α, which at
+    * α = 1/2 reduces to `sqrt(n_d) / Σ sqrt(n_d)` (the corpus size
+    * cancels), so head languages are down-sampled and tail languages
+    * up-weighted toward uniform. Per-domain keep rate
+    * `r_d = min(1, targetN · w_d / n_d)` is quantized to parts-per-
+    * million (`rate_ppm`) and a document survives iff
+    * `keyMix(id) · 10⁶ < rate_ppm · 2³²` — the same seeded-hash
+    * thresholding every sampler in this file uses: deterministic at any
+    * parallelism, no RNG state, exactly replayable by the oracle.
+    *
+    * Float determinism: the only non-integer steps are sqrt / division /
+    * the normalizer sum, all IEEE correctly-rounded, and the normalizer
+    * is folded in DOMAIN-NAME ORDER on both engines (sorted array fold
+    * here, ordered `list_reduce` in the oracle) so the addition sequence
+    * — and therefore every last bit — is pinned before the ppm floor.
+    *
+    * Scale shape: one domain-keyed partial+final count agg, a 2-row-ish
+    * rates table broadcast under the corpus, then a narrow filter — the
+    * corpus itself is never shuffled. */
+  def temperatureSample(documents: DataFrame, idCol: String, domainCol: String,
+                        targetN: Long): DataFrame = {
+    val docs = documents.select(col(idCol).as("doc_id"), col(domainCol).as("domain"))
+    val counts = docs.groupBy("domain").agg(count(lit(1)).as("n_d"))
+    // normalizer folded in domain order => identical FP sequence in the oracle
+    val z = counts.agg(
+      aggregate(
+        transform(array_sort(collect_list(struct(col("domain"), col("n_d")))),
+          s => sqrt(s("n_d").cast("double"))),
+        lit(0.0d), (acc, x) => acc + x).as("z"))
+    val rates = counts.crossJoin(broadcast(z))
+      .select(col("domain"),
+        floor(
+          least(lit(1.0d),
+            lit(targetN.toDouble) * (sqrt(col("n_d").cast("double")) / col("z"))
+              / col("n_d").cast("double"))
+          * lit(1000000.0d)).cast("long").as("rate_ppm"))
+    docs.join(broadcast(rates), Seq("domain"))
+      .filter(keyMix(col("doc_id")) * lit(1000000L) < col("rate_ppm") * lit(4294967296L))
+      .select(col("doc_id"), col("domain"), col("rate_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** Bloom-prefiltered incremental exact dedup: is each delta document's
+    * text already in the reference corpus? The EXACT answer, computed
+    * the 100 TB way — a Bloom filter over the reference (built
+    * distributed by Spark's own `BloomFilterAggregate`, per-partition
+    * sketches merged, never an item loop on the driver) is broadcast as
+    * a literal into a codegen'd probe, so the non-duplicate majority of
+    * the delta is eliminated by a NARROW filter without shuffling
+    * either side. Only the surviving candidates (true dups + the
+    * fp-rate sliver) are confirmed against the reference — and because
+    * the candidate set is tiny it broadcasts, so the confirm join is a
+    * single broadcast-hash scan of the reference: zero shuffles end to
+    * end, versus the full text-keyed shuffle of both sides that a naive
+    * anti-join pays. False positives die in the confirm join and false
+    * negatives are impossible, so the result is exact and fully
+    * oracled; the Bloom only ever changes the PLAN, never the answer.
+    *
+    * The filter itself is the one driver-held value (like the k-means /
+    * PQ codebook models): ~1.2 MB per million reference keys at the
+    * default fpp, explicitly sized by `expectedItems` — at larger
+    * reference cardinalities it grows linearly and stays broadcastable
+    * far past 10⁹ keys. */
+  def bloomDedup(reference: DataFrame, delta: DataFrame, idCol: String,
+                 textCol: String, expectedItems: Long = 100000L): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(reference.sparkSession)
+    val ref = reference.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val dlt = delta.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val bloomBytes = ref
+      .agg(call_function("bloom_agg", xxhash64(col("text")), lit(expectedItems)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val confirmed =
+      if (bloomBytes == null) dlt.select("text").limit(0) // empty reference
+      else {
+        val candidates = dlt
+          .filter(call_function("bloom_contains", lit(bloomBytes), xxhash64(col("text"))))
+          .select("text").distinct()
+        ref.join(broadcast(candidates), Seq("text"), "left_semi")
+          .select("text").distinct()
+      }
+    dlt.join(broadcast(confirmed.withColumn("is_dup", lit(true))), Seq("text"), "left_outer")
+      .select(col("doc_id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** Character-diversity gibberish gate — the entropy-filter shape with
+    * an INTEGER-EXACT statistic: Gini–Simpson diversity
+    * `1 − Σ c_i² / n²` over the per-document character distribution
+    * (whitespace excluded) instead of Shannon entropy, because Simpson
+    * needs no transcendentals — `simpson_ppm = ⌊10⁶·(n²−Σc²)/n²⌋` and
+    * `maxfrac_bp = ⌊10⁴·max(c)/n⌋` are pure BIGINT arithmetic, so the
+    * oracle hash can never drift by a ulp the way a log2-based entropy
+    * could (this file bans transcendentals everywhere for that reason).
+    * Low diversity or a single dominating character is the classic
+    * mojibake / key-mash / padding-artifact signature.
+    *
+    * Scale shape: entirely narrow — per-row higher-order array folds
+    * (distinct chars ≲ alphabet size, so the inner filter is O(Σ|c|·σ)
+    * with tiny σ), no explode, no shuffle, stays in whole-stage codegen.
+    * The classic explode(chars)+groupBy formulation (what the oracle
+    * replays relationally) would shuffle n_chars rows per document. */
+  def charDiversity(documents: DataFrame, idCol: String, textCol: String,
+                    minSimpsonPpm: Long, maxMaxfracBp: Long): DataFrame = {
+    // trailing "" from Java's empty-regex split is dropped (DuckDB emits none)
+    val chars = filter(split(regexp_replace(col("text"), " ", ""), ""), c => c =!= "")
+    val cs = array_sort(array_distinct(chars))
+    val cnts = transform(cs, c => size(filter(chars, x => x === c)).cast("long"))
+    documents
+      .select(col(idCol).as("doc_id"), chars.as("chars"), cs.as("cs"), cnts.as("cnts"))
+      .select(col("doc_id"),
+        size(col("chars")).cast("long").as("n_chars_sig"),
+        size(col("cs")).cast("long").as("n_distinct"),
+        aggregate(col("cnts"), lit(0L), (a, x) => a + x * x).as("sum_sq"),
+        aggregate(col("cnts"), lit(0L), (a, x) => greatest(a, x)).as("max_cnt"))
+      .select(col("doc_id"), col("n_chars_sig"), col("n_distinct"),
+        expr("1000000 * (n_chars_sig * n_chars_sig - sum_sq) DIV (n_chars_sig * n_chars_sig)")
+          .as("simpson_ppm"),
+        expr("10000 * max_cnt DIV n_chars_sig").as("maxfrac_bp"))
+      .withColumn("keep",
+        col("simpson_ppm") >= minSimpsonPpm && col("maxfrac_bp") <= maxMaxfracBp)
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------- text analysis
   /** Per-group doc count, avg chars, total whitespace tokens. */
   def textStats(documents: DataFrame, groupCol: String, textCol: String,
@@ -2430,6 +2554,23 @@ object TextPipeline {
       perplexityBuckets(Tables.documents(s, d), "doc_id", "text", "lang")),
     "q_vocab_coverage" -> ((s, d) =>
       vocabCoverage(Tables.documents(s, d), "doc_id", "text")),
+    // targetN 400 at the sf0.01 lang histogram puts fr OVER parity
+    // (rate clamps to 1.0) while en stays down-sampled (~0.56) — both
+    // branches of min(1, ·) are exercised under the hash oracle
+    "q_sample_temperature" -> ((s, d) =>
+      temperatureSample(Tables.documents(s, d), "doc_id", "lang", targetN = 400)),
+    // same reference/delta carve as q_dedup_incremental: history is
+    // doc_id < 250, the new batch is the rest
+    "q_bloom_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      bloomDedup(docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        "doc_id", "text")
+    }),
+    // thresholds bracket the fixture's distribution median (simpson
+    // 897837..942192, maxfrac 890..2000) so keep splits the corpus
+    "q_char_diversity" -> ((s, d) =>
+      charDiversity(Tables.documents(s, d), "doc_id", "text",
+        minSimpsonPpm = 920000L, maxMaxfracBp = 1300L)),
   )
 
   private def sigList(sig: Seq[String]): String = sig.map(t => s"'$t'").mkString("(", ",", ")")
@@ -3533,5 +3674,54 @@ object TextPipeline {
         |  FROM base a JOIN base b ON a.lang = b.lang AND abs(a.blk - b.blk) <= 1 AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5
         |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+
+    // α=1/2 temperature mixing: sqrt/÷/+ are the only float ops, all
+    // IEEE correctly-rounded, and the normalizer folds in domain order
+    // on both engines (ordered list_reduce here, sorted-array fold in
+    // Spark) — so the ppm floor sees the bit-identical double
+    "q_sample_temperature" ->
+      s"""WITH c AS (SELECT lang AS domain, CAST(count(*) AS BIGINT) AS n_d
+        |           FROM documents GROUP BY 1),
+        |z AS (SELECT list_reduce(
+        |        list_transform(list(n_d ORDER BY domain),
+        |                       x -> sqrt(CAST(x AS DOUBLE))),
+        |        (a, b) -> a + b) AS z FROM c),
+        |r AS (SELECT domain,
+        |        CAST(floor(least(1.0,
+        |          400.0 * (sqrt(CAST(n_d AS DOUBLE)) / z)
+        |            / CAST(n_d AS DOUBLE)) * 1000000.0) AS BIGINT) AS rate_ppm
+        |      FROM c, z)
+        |SELECT d.doc_id, d.lang AS domain, r.rate_ppm
+        |FROM documents d JOIN r ON d.lang = r.domain
+        |WHERE ${keyMixSql("d.doc_id")} * 1000000 < r.rate_ppm * 4294967296
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the Bloom filter only changes the PLAN: the answer is the plain
+    // membership anti/left join, which is exactly what replays here
+    "q_bloom_dedup" ->
+      """SELECT d.doc_id, (r.text IS NOT NULL) AS is_dup
+        |FROM (SELECT doc_id, text FROM documents WHERE doc_id >= 250) d
+        |LEFT JOIN (SELECT DISTINCT text FROM documents WHERE doc_id < 250) r
+        |  USING (text)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // relational replay of the narrow higher-order form: explode chars,
+    // group, re-aggregate — every statistic is BIGINT arithmetic so the
+    // two engines cannot diverge
+    "q_char_diversity" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(replace(text, ' ', ''), '')) AS c
+        |            FROM documents),
+        |per AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt FROM ch GROUP BY 1, 2),
+        |st AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+        |              CAST(count(*) AS BIGINT) AS d,
+        |              CAST(sum(cnt * cnt) AS BIGINT) AS s,
+        |              CAST(max(cnt) AS BIGINT) AS m
+        |       FROM per GROUP BY 1)
+        |SELECT doc_id, n AS n_chars_sig, d AS n_distinct,
+        |  1000000 * (n * n - s) // (n * n) AS simpson_ppm,
+        |  10000 * m // n AS maxfrac_bp,
+        |  (1000000 * (n * n - s) // (n * n) >= 920000
+        |    AND 10000 * m // n <= 1300) AS keep
+        |FROM st ORDER BY doc_id""".stripMargin,
   )
 }

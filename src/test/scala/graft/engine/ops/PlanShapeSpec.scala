@@ -548,4 +548,37 @@ class PlanShapeSpec extends SparkSuite {
            !schemas.contains("n_chars"),
       s"corpus scans must read only (doc_id, text): $schemas")
   }
+
+  test("q_bloom_dedup never shuffles the corpus: broadcast joins only, codegen'd probe") {
+    val p = plan("q_bloom_dedup")
+    // the whole point of the Bloom pre-pass: no text-keyed exchange of
+    // either side — the confirm set broadcasts, the delta stays in place
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "bloom dedup must not shuffle-join the corpus:\n" + p.take(2500))
+    assert(p.contains("BroadcastHashJoin"),
+      "the confirmed-dup set must broadcast:\n" + p.take(2500))
+    // the only keyed exchanges allowed are the distincts over the TINY
+    // candidate/confirmed sets (bounded by dup volume + fp sliver, not
+    // corpus size) — the corpus-scan subtrees must join broadcast-side
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      "corpus-sized exchange crept in:\n" + p.take(2500))
+  }
+
+  test("q_sample_temperature broadcasts the rates table; the corpus is never shuffled") {
+    val p = plan("q_sample_temperature")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the per-domain rates must broadcast under the corpus:\n" + p.take(2500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus-side join must not shuffle:\n" + p.take(2500))
+  }
+
+  test("q_char_diversity is narrow: no join, no exchange before the final sort") {
+    val p = plan("q_char_diversity")
+    // the higher-order-fold form exists to avoid the explode+groupBy
+    // shuffle the oracle replays — a Join or aggregate Exchange here
+    // means the narrow kernel regressed to the relational shape
+    assert(!p.contains("Join"), "char diversity must not join:\n" + p.take(2500))
+    assert(!p.contains("HashAggregate"),
+      "char diversity must not aggregate (per-row fold only):\n" + p.take(2500))
+  }
 }

@@ -160,4 +160,73 @@ class PropertySpec extends SparkSuite {
       coverageOk && budgetOk
     })
   }
+
+  test("temperature sampling: clamped domains keep everything, rates honor the α=1/2 law") {
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    // sf0.001 holds 50 docs: targetN=30 leaves the head language
+    // down-sampled while the tails clamp — both branches live
+    val out = TextPipeline.temperatureSample(docs, "doc_id", "lang", targetN = 30)
+      .select("doc_id", "domain", "rate_ppm").as[(Long, String, Long)].collect()
+    val perDomain = out.groupBy(_._2)
+    val srcCounts = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    // a domain at rate_ppm == 1e6 is clamped: EVERY one of its docs survives
+    perDomain.foreach { case (d, rows) =>
+      val rate = rows.head._3
+      assert(rate > 0 && rate <= 1000000L, s"$d rate out of range: $rate")
+      if (rate == 1000000L)
+        assert(rows.length.toLong == srcCounts(d), s"clamped $d must keep all docs")
+      // unclamped: the hash thresholding keeps ~rate of the domain
+      else {
+        val expect = srcCounts(d).toDouble * rate / 1e6
+        assert(math.abs(rows.length - expect) <= math.max(6.0, expect * 0.35),
+          s"$d kept ${rows.length}, expected ~$expect at rate $rate")
+      }
+    }
+    // α=1/2 monotonicity: bigger domains get strictly smaller rates
+    val rates = perDomain.map { case (d, rows) => d -> rows.head._3 }
+    val sortedBySize = srcCounts.toSeq.sortBy(_._2)
+    sortedBySize.sliding(2).foreach { case Seq((d1, n1), (d2, n2)) =>
+      if (n1 < n2 && rates.contains(d1) && rates.contains(d2))
+        assert(rates(d1) >= rates(d2), s"rate($d1)=${rates(d1)} < rate($d2)=${rates(d2)}")
+      case _ => ()
+    }
+  }
+
+  test("bloom dedup equals the plain membership join; empty reference keeps everything") {
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    // sf0.001 ids run 0..49 — split at the median so both sides are live
+    val ref = docs.filter(col("doc_id") < 25)
+    val dlt = docs.filter(col("doc_id") >= 25)
+    val got = TextPipeline.bloomDedup(ref, dlt, "doc_id", "text")
+      .as[(Long, Boolean)].collect().toMap
+    val want = dlt.select(col("doc_id"),
+        col("text").isin(ref.select("text").distinct().as[String].collect().toSeq: _*)
+          .as("is_dup"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got == want, "bloom path must be invisible in the answer")
+    // degenerate reference: the bloom build returns null — nothing is a dup
+    val empty = TextPipeline.bloomDedup(ref.limit(0), dlt.limit(5), "doc_id", "text")
+      .as[(Long, Boolean)].collect()
+    assert(empty.nonEmpty && empty.forall(!_._2))
+  }
+
+  test("char diversity narrow fold equals the explode+groupBy relational form") {
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    val got = TextPipeline.charDiversity(docs, "doc_id", "text", 920000L, 1300L)
+      .select("doc_id", "n_chars_sig", "n_distinct", "simpson_ppm", "maxfrac_bp")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val want = docs
+      .select(col("doc_id"), explode(split(regexp_replace(col("text"), " ", ""), "")).as("c"))
+      .filter(col("c") =!= "")
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n"), count(lit(1)).as("d"),
+        sum(col("cnt") * col("cnt")).as("s"), max("cnt").as("m"))
+      .select(col("doc_id"), col("n"), col("d"),
+        expr("1000000 * (n * n - s) DIV (n * n)"),
+        expr("10000 * m DIV n"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
 }
