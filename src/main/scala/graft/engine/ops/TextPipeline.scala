@@ -513,25 +513,39 @@ object TextPipeline {
   def temperatureSample(documents: DataFrame, idCol: String, domainCol: String,
                         targetN: Long): DataFrame = {
     val docs = documents.select(col(idCol).as("doc_id"), col(domainCol).as("domain"))
-    val counts = docs.groupBy("domain").agg(count(lit(1)).as("n_d"))
+    docs.join(broadcast(temperatureRates(documents, idCol, domainCol, targetN)), Seq("domain"))
+      .filter(temperatureKeep(col("doc_id"), col("rate_ppm")))
+      .select(col("doc_id"), col("domain"), col("rate_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** The offline RATES MODEL behind [[temperatureSample]] — one
+    * `(domain, rate_ppm)` row per domain, domain-cardinality-sized, so a
+    * serving path (the streaming face included) broadcasts it and applies
+    * [[temperatureKeep]] with zero per-query aggregation. */
+  def temperatureRates(documents: DataFrame, idCol: String, domainCol: String,
+                       targetN: Long): DataFrame = {
+    val counts = documents.select(col(domainCol).as("domain"))
+      .groupBy("domain").agg(count(lit(1)).as("n_d"))
     // normalizer folded in domain order => identical FP sequence in the oracle
     val z = counts.agg(
       aggregate(
         transform(array_sort(collect_list(struct(col("domain"), col("n_d")))),
           s => sqrt(s("n_d").cast("double"))),
         lit(0.0d), (acc, x) => acc + x).as("z"))
-    val rates = counts.crossJoin(broadcast(z))
+    counts.crossJoin(broadcast(z))
       .select(col("domain"),
         floor(
           least(lit(1.0d),
             lit(targetN.toDouble) * (sqrt(col("n_d").cast("double")) / col("z"))
               / col("n_d").cast("double"))
           * lit(1000000.0d)).cast("long").as("rate_ppm"))
-    docs.join(broadcast(rates), Seq("domain"))
-      .filter(keyMix(col("doc_id")) * lit(1000000L) < col("rate_ppm") * lit(4294967296L))
-      .select(col("doc_id"), col("domain"), col("rate_ppm"))
-      .orderBy("doc_id")
   }
+
+  /** The single keep rule shared by the batch sampler and its streaming
+    * serve face: survivor iff `keyMix(id)·10⁶ < rate_ppm·2³²`. */
+  private[engine] def temperatureKeep(id: Column, ratePpm: Column): Column =
+    keyMix(id) * lit(1000000L) < ratePpm * lit(4294967296L)
 
   /** Bloom-prefiltered incremental exact dedup: is each delta document's
     * text already in the reference corpus? The EXACT answer, computed

@@ -1203,6 +1203,54 @@ object Streams {
         })
   }
 
+  /** s_stream_temperature: temperature-mixing admission at ingest — the
+    * serving face of [[graft.engine.ops.TextPipeline.temperatureSample]].
+    * The `(domain, rate_ppm)` rates table is an OFFLINE model (computed
+    * by `temperatureRates` over a reference corpus snapshot, domain-
+    * cardinality-sized) broadcast under the stream; each arrival is
+    * admitted by the exact batch keep rule `keyMix(id)·10⁶ <
+    * rate_ppm·2³²`, so a corpus ingested as a stream admits exactly the
+    * batch sampler's keep set (parity-tested). Zero streaming state:
+    * admission is a pure function of (id, model). */
+  def streamingTemperature(docs: DataFrame, idCol: String, domainCol: String,
+                           rates: DataFrame): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"), col(domainCol).as("domain"))
+      .join(broadcast(rates), Seq("domain"))
+      .filter(graft.engine.ops.TextPipeline.temperatureKeep(col("doc_id"), col("rate_ppm")))
+      .select("doc_id", "domain", "rate_ppm")
+
+  /** s_stream_bloom_dedup: Bloom-prefiltered exact dedup at the ingest
+    * firehose — the streaming face of
+    * [[graft.engine.ops.TextPipeline.bloomDedup]]. The reference
+    * corpus's Bloom filter is built ONCE at stream construction
+    * (distributed `bloom_agg`, same offline-model discipline as the
+    * k-means/PQ serve paths) and probes every arrival as a codegen'd
+    * literal, so the non-duplicate majority of the stream resolves to
+    * `is_dup = false` in a NARROW filter — no join, no state. Only
+    * Bloom hits (true dups + the fp sliver) pay the stream-static
+    * confirm join against the reference texts, which removes every
+    * false positive: the emitted verdicts are exact. Zero streaming
+    * state; the per-batch work scales with the batch's hit count, not
+    * with reference size or stream length. */
+  def streamingBloomDedup(docs: DataFrame, reference: DataFrame, idCol: String,
+                          textCol: String, expectedItems: Long = 100000L): DataFrame = {
+    val spark = reference.sparkSession
+    graft.engine.functions.GraftFunctions.register(spark)
+    val refTexts = reference.select(col(textCol).as("text")).distinct()
+    val bloomBytes = refTexts
+      .agg(call_function("bloom_agg", xxhash64(col("text")), lit(expectedItems)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val in = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    if (bloomBytes == null) // empty reference: nothing can be a duplicate
+      return in.select(col("doc_id"), lit(false).as("is_dup"))
+    val hitProbe = call_function("bloom_contains", lit(bloomBytes), xxhash64(col("text")))
+    val misses = in.filter(!hitProbe).select(col("doc_id"), lit(false).as("is_dup"))
+    val hits = in.filter(hitProbe)
+      .join(broadcast(refTexts.withColumn("confirmed", lit(true))), Seq("text"), "left_outer")
+      .select(col("doc_id"), coalesce(col("confirmed"), lit(false)).as("is_dup"))
+    hits.unionByName(misses)
+  }
+
   /** Output row of [[statefulTypeStats]]. */
   final case class TypeStat(event_type: String, n: Long, total: Double)
 
@@ -1223,6 +1271,42 @@ object Streams {
           state.update((n, total))
           Iterator(TypeStat(key, n, total))
         })
+  }
+
+  /** The [[typeStatsTransformWithState]] processor: running (count, sum)
+    * per key in a typed `ValueState` handle. Declared at object scope so
+    * the serialized processor captures no outer test state. */
+  final class TypeStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Double), TypeStat] {
+    @transient private var agg: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      agg = getHandle.getValueState[(Long, Double)]("agg",
+        org.apache.spark.sql.Encoders.product[(Long, Double)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeStat] = {
+      var (n, total) = if (agg.exists()) agg.get() else (0L, 0.0)
+      rows.foreach { r => n += 1; total += r._2 }
+      agg.update((n, total))
+      Iterator.single(TypeStat(key, n, total))
+    }
+  }
+
+  /** s_transform_state: [[statefulTypeStats]] re-expressed on Spark 4's
+    * `transformWithState` — the successor of `flatMapGroupsWithState`
+    * for arbitrary keyed state (named typed state handles, per-state
+    * TTL, timers, RocksDB-provider-backed). Same semantics as the
+    * fMGWS twin (parity-tested row-for-row, plus kill-and-restart), so
+    * the engine's custom-state surface is proven on BOTH state APIs and
+    * a user can migrate per query, not big-bang. */
+  def typeStatsTransformWithState(events: DataFrame): Dataset[TypeStat] = {
+    import events.sparkSession.implicits._
+    events.selectExpr("event_type", "value").as[(String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** s_stream_stream_join: inner join of two streams on user_id where the

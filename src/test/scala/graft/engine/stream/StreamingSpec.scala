@@ -1465,4 +1465,108 @@ class StreamingSpec extends SparkSuite {
     assert(err.getMessage.toLowerCase.contains("kafka"),
       s"expected the kafka data-source lookup, got: ${err.getMessage}")
   }
+
+  // s_stream_temperature: offline rates model broadcast at ingest,
+  // zero state — streamed admission must equal the batch sampler
+  test("s_stream_temperature: streamed admission replays the batch keep set exactly") {
+    val corpus = (1L to 40L).map(i =>
+      LDoc(i, ts(i), if (i % 4 == 0) "de" else "en", s"doc $i"))
+    val corpusDf = corpus.map(d => (d.doc_id, d.lang)).toDF("doc_id", "lang")
+    val rates = graft.engine.ops.TextPipeline
+      .temperatureRates(corpusDf, "doc_id", "lang", targetN = 20)
+    val in = MemoryStream[LDoc](spark)
+    val out = mutable.ArrayBuffer[(Long, String, Long)]()
+    val q = Streams.streamingTemperature(in.toDF(), "doc_id", "lang", rates)
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("temp-mix"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.as[(Long, String, Long)].collect() }
+        ()
+      }.start()
+    // split across two batches: admission is stateless, so batching
+    // boundaries must not change the keep set
+    in.addData(corpus.take(25): _*)
+    q.processAllAvailable()
+    in.addData(corpus.drop(25): _*)
+    q.processAllAvailable(); q.stop()
+    val batch = graft.engine.ops.TextPipeline
+      .temperatureSample(corpusDf, "doc_id", "lang", targetN = 20)
+      .as[(Long, String, Long)].collect().toSet
+    assert(out.toSet == batch, s"stream/batch divergence: ${out.sorted} vs $batch")
+    assert(out.nonEmpty && out.size < corpus.size,
+      s"sampling must be non-trivial: kept ${out.size}/${corpus.size}")
+  }
+
+  // s_stream_bloom_dedup: bloom-literal probe + stream-static confirm
+  // join — exact verdicts, zero state
+  test("s_stream_bloom_dedup: verdicts equal the batch bloom dedup across batches") {
+    val reference = Seq((1L, "alpha bravo"), (2L, "charlie delta"), (3L, "echo foxtrot"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      Doc(10, ts(1), "alpha bravo"),     // true dup
+      Doc(11, ts(1), "golf hotel"),      // fresh
+      Doc(12, ts(2), "charlie delta"),   // true dup, second batch
+      Doc(13, ts(2), "india juliet"))    // fresh
+    val in = MemoryStream[Doc](spark)
+    val out = mutable.ArrayBuffer[(Long, Boolean)]()
+    val q = Streams.streamingBloomDedup(in.toDF(), reference, "doc_id", "text")
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("bloom-dedup"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.as[(Long, Boolean)].collect() }
+        ()
+      }.start()
+    in.addData(arrivals.take(2): _*)
+    q.processAllAvailable()
+    in.addData(arrivals.drop(2): _*)
+    q.processAllAvailable(); q.stop()
+    val batch = graft.engine.ops.TextPipeline.bloomDedup(
+        reference, arrivals.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Boolean)].collect().toSet
+    assert(out.toSet == batch, s"stream/batch divergence: ${out.sorted} vs $batch")
+    assert(out.toMap == Map(10L -> true, 11L -> false, 12L -> true, 13L -> false))
+  }
+
+  // s_transform_state: the transformWithState successor API must agree
+  // with the flatMapGroupsWithState twin and survive kill-and-restart.
+  // transformWithState requires the RocksDB state-store provider.
+  test("s_transform_state: running stats match the fMGWS twin and survive restart") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev](spark)
+      val ckpt = tmpDir("tws")
+      // latest state row per key wins (Update mode emits one row per
+      // touched key per batch)
+      val latest = mutable.Map[String, (Long, Double)]()
+      def start() = Streams.typeStatsTransformWithState(in.toDF())
+        .writeStream.outputMode(OutputMode.Update)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.TypeStat], _: Long) =>
+          latest.synchronized {
+            b.collect().foreach(t => latest(t.event_type) = (t.n, t.total))
+          }
+          ()
+        }.start()
+      val q1 = start()
+      in.addData(Ev(1, ts(1), 1, "click", 2.0), Ev(2, ts(1), 2, "click", 3.0),
+                 Ev(3, ts(1), 1, "view", 5.0))
+      q1.processAllAvailable()
+      q1.stop() // the ValueState must survive in the RocksDB checkpoint
+      val q2 = start()
+      in.addData(Ev(4, ts(2), 2, "click", 4.0), Ev(5, ts(2), 3, "scroll", 1.0))
+      q2.processAllAvailable(); q2.stop()
+      assert(latest("click") == (3L, 9.0),
+        s"restart must resume the running count: $latest")
+      assert(latest("view") == (1L, 5.0) && latest("scroll") == (1L, 1.0), s"$latest")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
 }
