@@ -297,6 +297,65 @@ object Analytics {
       .orderBy("user_id", "session_id")
   }
 
+  /** Ordered conversion funnel over the event stream (view → click →
+    * purchase): a user reaches stage k only via an event strictly after
+    * their stage-k−1 time — the product-analytics staple. Each stage is
+    * one user-keyed min-aggregate plus one user-keyed equi-join of the
+    * NEXT stage's events against the previous stage's reach set, so the
+    * whole funnel is a chain of partial+final aggs partitioned by
+    * user_id: no window over the full event log, no per-user event
+    * collection, and at 100 TB each stage's join input shrinks to the
+    * funnel's surviving population. Lags are exact integer microseconds
+    * (`unix_micros` ≡ DuckDB `epoch_us`), so the oracle hash is
+    * arithmetic-identical. */
+  private val qFunnel: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tus").as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("tus") > col("t1"))
+      .groupBy("user_id").agg(min("tus").as("t2"), min("t1").as("t1"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("tus") > col("t2"))
+      .groupBy("user_id").agg(min("tus").as("t3"), min("t2").as("t2"))
+    v.agg(count(lit(1)).as("n_users"), sum(lit(0L)).as("sum_lag_us"))
+      .select(lit("1_view").as("stage"), col("n_users"), col("sum_lag_us"))
+      .unionByName(c.agg(count(lit(1)).as("n_users"),
+          sum(col("t2") - col("t1")).as("sum_lag_us"))
+        .select(lit("2_click").as("stage"), col("n_users"), col("sum_lag_us")))
+      .unionByName(p.agg(count(lit(1)).as("n_users"),
+          sum(col("t3") - col("t2")).as("sum_lag_us"))
+        .select(lit("3_purchase").as("stage"), col("n_users"), col("sum_lag_us")))
+      .orderBy("stage")
+  }
+
+  /** Weekly retention cohorts: users anchored to the week of their FIRST
+    * event, counted distinctly in each later week-offset they appear —
+    * the (cohort × age) matrix behind every retention curve. Week
+    * arithmetic is pure integer `datediff DIV 7` on both engines (no
+    * engine-specific week truncation rules to diverge on). Two
+    * user-keyed hash aggregates and one user-keyed join; the output is
+    * cohorts × offsets — tiny at any corpus size. */
+  private val qRetention: Q = (s, d) => {
+    // cohort on conversion-grade activity (value > 95): sparse enough
+    // that first occurrences SPREAD across weeks — all-event anchoring
+    // would collapse the fixture to one cohort and leave the cohort
+    // grouping untested
+    val ev = Tables.events(s, d)
+      .filter(col("value") > 95)
+      .select(col("user_id"), col("ts").cast("date").as("eday"))
+    val firstDay = ev.groupBy("user_id").agg(min("eday").as("cohort_day"))
+    ev.join(firstDay, "user_id")
+      .select(col("user_id"),
+        expr("CAST(datediff(cohort_day, DATE '2024-01-01') DIV 7 AS BIGINT)")
+          .as("cohort_week"),
+        expr("CAST(datediff(eday, cohort_day) DIV 7 AS BIGINT)").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   // ------------------------------------------- distribution window funcs
   private val qWindowDist: Q = (s, d) => {
     val w = Window.partitionBy("user_id").orderBy(col("value").asc, col("event_id").asc)
@@ -565,6 +624,7 @@ object Analytics {
     "q_histogram" -> qHistogram, "q_time_window" -> qTimeWindow,
     "q_quantile_band" -> qQuantileBand,
     "q_user_extensions" -> qUserExtensions,
+    "q_funnel" -> qFunnel, "q_retention" -> qRetention,
   )
 
   private def pivotCaseSql: String = prios.map { case (v, a) =>
@@ -800,5 +860,42 @@ object Analytics {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_v_filled
         |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
         |ORDER BY s.user_id, s.day""".stripMargin,
+
+    // stage times chain as strict-after minimums; lags are exact integer
+    // microseconds (epoch_us ≡ Spark unix_micros)
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2, min(v.t1) AS t1
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3, min(c.t2) AS t2
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+        |      GROUP BY e.user_id)
+        |SELECT stage, n_users, sum_lag_us FROM (
+        |  SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users,
+        |         CAST(sum(0) AS BIGINT) AS sum_lag_us FROM v
+        |  UNION ALL
+        |  SELECT '2_click', CAST(count(*) AS BIGINT),
+        |         CAST(sum(t2 - t1) AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT '3_purchase', CAST(count(*) AS BIGINT),
+        |         CAST(sum(t3 - t2) AS BIGINT) FROM p)
+        |ORDER BY stage""".stripMargin,
+
+    // week arithmetic is integer day-diff DIV 7 on both engines — no
+    // engine week-truncation rules involved
+    "q_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS eday FROM events
+        |            WHERE value > 95),
+        |f AS (SELECT user_id, min(eday) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT date_diff('day', DATE '2024-01-01', f.cohort_day) // 7 AS cohort_week,
+        |       date_diff('day', f.cohort_day, ev.eday) // 7 AS week_offset,
+        |       CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+        |FROM ev JOIN f ON ev.user_id = f.user_id
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin,
   )
 }

@@ -628,6 +628,43 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** Length-bucketed inference batch planner — the dynamic-batching
+    * manifest a serving/embedding fleet reads: documents grouped into
+    * token-length buckets (granularity `bucketGranularity`), then packed
+    * into fixed-count batches in the deterministic seeded keyMix order,
+    * with the padding bill quantified per batch
+    * (`pad_waste = n_docs·max_toks − Σ toks` — the tokens a rectangular
+    * batch tensor burns on padding). Batching by similar length is THE
+    * standard trick to cut that waste; this operator both plans the
+    * batches and audits the savings.
+    *
+    * Scale shape: the per-bucket assignment window is sharded by a
+    * keyMix hash (`(bucket, shard)` partition key), so no single task
+    * ever owns a whole popular length-bucket — batch ids only need to
+    * be deterministic WITHIN a shard, not globally contiguous, which is
+    * exactly what an embarrassingly-parallel inference fleet wants. */
+  def lengthBatches(documents: DataFrame, idCol: String, textCol: String,
+                    bucketGranularity: Int, batchSize: Int,
+                    nShards: Int = 4): DataFrame = {
+    val nt = size(filter(toks(col(textCol)), t => t =!= "")).cast("long")
+    val base = documents
+      .select(col(idCol).as("doc_id"), nt.as("n_toks"),
+        keyMix(col(idCol)).as("mix"))
+      .withColumn("bucket", expr(s"n_toks DIV $bucketGranularity"))
+      .withColumn("shard", pmod(col("mix"), lit(nShards.toLong)))
+    val w = Window.partitionBy("bucket", "shard")
+      .orderBy(col("mix").asc, col("doc_id").asc)
+    base
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .withColumn("batch_id", expr(s"pos DIV $batchSize"))
+      .groupBy("bucket", "shard", "batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max("n_toks").as("max_toks"),
+        sum("n_toks").as("sum_toks"))
+      .withColumn("pad_waste", col("n_docs") * col("max_toks") - col("sum_toks"))
+      .orderBy("bucket", "shard", "batch_id")
+  }
+
   // -------------------------------------------------------- text analysis
   /** Per-group doc count, avg chars, total whitespace tokens. */
   def textStats(documents: DataFrame, groupCol: String, textCol: String,
@@ -2585,6 +2622,11 @@ object TextPipeline {
     "q_char_diversity" -> ((s, d) =>
       charDiversity(Tables.documents(s, d), "doc_id", "text",
         minSimpsonPpm = 920000L, maxMaxfracBp = 1300L)),
+    // granularity 16 / batch 8 on the fixture's 20–200-token docs yields
+    // multiple buckets with multi-batch populations AND partial tails
+    "q_length_batches" -> ((s, d) =>
+      lengthBatches(Tables.documents(s, d), "doc_id", "text",
+        bucketGranularity = 16, batchSize = 8)),
   )
 
   private def sigList(sig: Seq[String]): String = sig.map(t => s"'$t'").mkString("(", ",", ")")
@@ -3737,5 +3779,24 @@ object TextPipeline {
         |  (1000000 * (n * n - s) // (n * n) >= 920000
         |    AND 10000 * m // n <= 1300) AS keep
         |FROM st ORDER BY doc_id""".stripMargin,
+
+    // the (bucket, shard)-partitioned row_number replays relationally;
+    // all statistics are BIGINT
+    "q_length_batches" ->
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_toks,
+        |    ${keyMixSql("doc_id")} AS mix
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_toks, mix, n_toks // 16 AS bucket, mix % 4 AS shard FROM base),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY bucket, shard
+        |                                   ORDER BY mix, doc_id) - 1 AS pos FROM b)
+        |SELECT bucket, shard, pos // 8 AS batch_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(n_toks) AS BIGINT) AS max_toks,
+        |  CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+        |  CAST(count(*) * max(n_toks) - sum(n_toks) AS BIGINT) AS pad_waste
+        |FROM r GROUP BY 1, 2, 3
+        |ORDER BY bucket, shard, batch_id""".stripMargin,
   )
 }

@@ -572,6 +572,35 @@ class PlanShapeSpec extends SparkSuite {
       "the corpus-side join must not shuffle:\n" + p.take(2500))
   }
 
+  test("q_funnel: the stage chain is keyed joins + partial+final aggs, no cartesian") {
+    val p = plan("q_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "stage reach-set joins must stay equi-joins:\n" + p.take(2500))
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "stage minimums must aggregate map-side first:\n" + p.take(2500))
+    // the event scans must prune to the three funnel columns
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString("; ")
+    assert(!schemas.contains("props") && !schemas.contains("event_id"),
+      s"funnel must not scan unused event columns: $schemas")
+  }
+
+  test("q_retention pushes the conversion filter into the events scan") {
+    val p = plan("q_retention")
+    assert(p.contains("GreaterThan(value"),
+      "the value>95 anchor filter must reach the parquet scan:\n" + p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q_length_batches: the assignment window is sharded, never global") {
+    val p = plan("q_length_batches")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, p.take(2000))
+    assert(!windows.exists(_.contains("], [], [")),
+      s"no window may run unpartitioned:\n${windows.mkString("\n")}")
+    assert(windows.exists(w => w.contains("bucket") && w.contains("shard")),
+      s"batch assignment must partition by (bucket, shard):\n${windows.mkString("\n")}")
+  }
+
   test("q_char_diversity is narrow: no join, no exchange before the final sort") {
     val p = plan("q_char_diversity")
     // the higher-order-fold form exists to avoid the explode+groupBy
