@@ -232,6 +232,35 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Retrieval-quality audit: recall@k of the ANN candidate path
+    * ([[annRerank]] — LSH band probe + exact rerank) against the exact
+    * kNN ground truth ([[knnJoin]]) for a batch of probes, as an
+    * OPERATOR rather than an offline eval script — the per-probe
+    * recall_bp a pipeline gates an index rebuild on. Both sides are the
+    * already-deterministic retrieval operators (same round(·,4) +
+    * id-tiebreak ranking), so the audit itself hash-oracles as their
+    * composition.
+    *
+    * Scale shape: both legs are the scale-shaped operators they audit;
+    * the hit join and per-probe counts run over |Q|·k rows — nothing
+    * new touches the corpus. Probes with ZERO ANN hits still surface
+    * (left join), which is exactly when the audit matters most. */
+  def annRecall(vectors: DataFrame, idCol: String, vecCol: String,
+                queryIds: Seq[Long], k: Int): DataFrame = {
+    val exact = knnJoin(vectors, idCol, vecCol, queryIds, k)
+      .select("q_id", "vec_id")
+    val approx = annRerank(vectors, idCol, vecCol, queryIds, k)
+      .select("q_id", "vec_id")
+    val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    exact.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left_outer")
+      .select(col("q_id"), lit(k.toLong).as("k"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_bp", expr("10000 * n_hit DIV k"))
+      .orderBy("q_id")
+  }
+
   /** Hybrid retrieval — the full RAG-style stack as one operator:
     * BM25 keyword candidates ([[TextPipeline.bm25TopK]], the query
     * document's own terms as the keyword query) ∪ LSH vector candidates
@@ -1568,6 +1597,8 @@ object Similarity {
     "q_ann_ivf_bcast" -> ((s, d) =>
       annIvfBroadcast(Tables.embeddings(s, d), "vec_id", "embedding", codebookDf(s), 0, 10)),
     "q_ann_rerank" -> ((s, d) => annRerank(Tables.embeddings(s, d), "vec_id", "embedding", Seq(1L, 2L, 3L), 5)),
+    // recall@5 of the LSH+rerank path vs exact kNN over the same probes
+    "q_ann_recall" -> ((s, d) => annRecall(Tables.embeddings(s, d), "vec_id", "embedding", Seq(1L, 2L, 3L), 5)),
     // hard negatives: per anchor, top-5 nearest wrong-label vectors
     "q_hard_negatives" -> ((s, d) =>
       hardNegatives(Tables.embeddings(s, d), "vec_id", "embedding", "label",
@@ -1976,6 +2007,43 @@ object Similarity {
   /** DuckDB replication of annRerank (batch band probe → distinct
     * candidate pairs → exact cosine → per-query top-k window) — the
     * composed retrieval path, value-oracled end-to-end. */
+  /** DuckDB replication of [[knnJoin]] over probes (1,2,3), k=5 — the
+    * q_sim_knn oracle, extracted so [[annRecallOracleSql]] can embed it
+    * as the ground-truth side. */
+  private def simKnnOracleSql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id IN (1, 2, 3)),
+      |p AS (SELECT q.q_id, e.vec_id,
+      |        CAST(unnest(e.embedding) AS DOUBLE) AS x,
+      |        CAST(unnest(q.qe) AS DOUBLE) AS y
+      |      FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+      |s AS (SELECT q_id, vec_id, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+      |      FROM p GROUP BY q_id, vec_id),
+      |r AS (SELECT q_id, vec_id, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos_sim FROM s)
+      |SELECT q_id, vec_id, cos_sim, rk FROM (
+      |  SELECT q_id, vec_id, cos_sim,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rk
+      |  FROM r)
+      |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  /** DuckDB replication of [[annRecall]]: the exact-kNN oracle and the
+    * LSH-rerank oracle embedded verbatim as subqueries (each keeps its
+    * own WITH chain), joined into per-probe hit counts — so the audit's
+    * oracle is BY CONSTRUCTION the composition of the two already-
+    * verified retrieval oracles. */
+  private def annRecallOracleSql: String =
+    s"""WITH exact AS (SELECT q_id, vec_id FROM ($simKnnOracleSql) t_exact),
+       |approx AS (SELECT q_id, vec_id FROM (${annRerankOracleSql}) t_approx),
+       |hits AS (
+       |  SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM exact e JOIN approx a ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+       |  GROUP BY e.q_id)
+       |SELECT q.q_id, CAST(5 AS BIGINT) AS k,
+       |  coalesce(h.n_hit, 0) AS n_hit,
+       |  10000 * coalesce(h.n_hit, 0) // 5 AS recall_bp
+       |FROM (SELECT DISTINCT q_id FROM exact) q LEFT JOIN hits h USING (q_id)
+       |ORDER BY q_id""".stripMargin
+
   private def annRerankOracleSql: String = {
     val planesList = planes.flatten.mkString("[", ", ", "]")
     val sigTerms = (0 until NBits).map { j =>
@@ -2611,6 +2679,7 @@ object Similarity {
     // so it shares the literal path's oracle verbatim
     "q_ann_ivf_bcast" -> annIvfOracleSql,
     "q_ann_rerank" -> annRerankOracleSql,
+    "q_ann_recall" -> annRecallOracleSql,
 
     // Full replication of the SimHash pipeline: same 62-bit double-poly
     // token hashes (poly_hash62) with the same per-half Knuth mixes
@@ -2723,21 +2792,7 @@ object Similarity {
         |  FROM r)
         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
-    "q_sim_knn" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe
-        |           FROM embeddings WHERE vec_id IN (1, 2, 3)),
-        |p AS (SELECT q.q_id, e.vec_id,
-        |        CAST(unnest(e.embedding) AS DOUBLE) AS x,
-        |        CAST(unnest(q.qe) AS DOUBLE) AS y
-        |      FROM embeddings e, q WHERE e.vec_id <> q.q_id),
-        |s AS (SELECT q_id, vec_id, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
-        |      FROM p GROUP BY q_id, vec_id),
-        |r AS (SELECT q_id, vec_id, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos_sim FROM s)
-        |SELECT q_id, vec_id, cos_sim, rk FROM (
-        |  SELECT q_id, vec_id, cos_sim,
-        |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rk
-        |  FROM r)
-        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "q_sim_knn" -> simKnnOracleSql,
 
     "q_sim_pairs_topk" ->
       """WITH p AS (SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
