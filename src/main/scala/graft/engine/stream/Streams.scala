@@ -1309,6 +1309,61 @@ object Streams {
         OutputMode.Update())
   }
 
+  /** A funnel stage unlock emitted by [[streamingFunnel]]. */
+  final case class FunnelHit(user_id: Long, stage: String, tus: Long)
+
+  /** The [[streamingFunnel]] processor: per-user `(t1, t2, t3)` stage
+    * times (−1 = locked) in one ValueState — the funnel as a keyed
+    * state MACHINE rather than the batch operator's join chain. */
+  final class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, String, Long), FunnelHit] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("funnel",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[FunnelHit] = {
+      var (t1, t2, t3) = if (st.exists()) st.get() else (-1L, -1L, -1L)
+      val hits = scala.collection.mutable.ArrayBuffer[FunnelHit]()
+      // within a batch, replay the user's arrivals in event-time order
+      // (bounded by the micro-batch, the domain-cap discipline)
+      rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, tpe, tus) =>
+        if (tpe == "view" && t1 < 0) {
+          t1 = tus; hits += FunnelHit(user, "1_view", tus)
+        } else if (tpe == "click" && t1 >= 0 && t2 < 0 && tus > t1) {
+          t2 = tus; hits += FunnelHit(user, "2_click", tus)
+        } else if (tpe == "purchase" && t2 >= 0 && t3 < 0 && tus > t2) {
+          t3 = tus; hits += FunnelHit(user, "3_purchase", tus)
+        }
+      }
+      st.update((t1, t2, t3))
+      hits.iterator
+    }
+  }
+
+  /** s_stream_funnel: the conversion funnel AT INGEST — each user's
+    * stage unlocks (view → click → purchase, strictly-after ordering)
+    * emitted the moment they happen, instead of recomputed by the batch
+    * operator's join chain. State is ONE 3-long tuple per user
+    * (`transformWithState` ValueState, bounded by user cardinality),
+    * survives kill-and-restart; for a ts-ordered ingest the emitted
+    * stage times equal the batch `q_funnel` stage minimums exactly
+    * (parity-tested). Out-of-order arrivals resolve first-seen within
+    * their micro-batch (in-batch event-time sort) — the honest ingest
+    * semantics, same discipline as the domain-cap quota. */
+  def streamingFunnel(events: DataFrame): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new FunnelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** s_stream_stream_join: inner join of two streams on user_id where the
     * right event lands within 10 s after the left one. Both sides carry
     * watermarks so the join state is bounded (rows older than watermark +

@@ -1528,6 +1528,49 @@ class StreamingSpec extends SparkSuite {
     assert(out.toMap == Map(10L -> true, 11L -> false, 12L -> true, 13L -> false))
   }
 
+  // s_stream_funnel: per-user funnel state machine on transformWithState
+  test("s_stream_funnel: stage unlocks match the batch funnel and survive restart") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev](spark)
+      val ckpt = tmpDir("funnel")
+      val out = mutable.ArrayBuffer[(Long, String, Long)]()
+      def start() = Streams.streamingFunnel(in.toDF())
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.FunnelHit], _: Long) =>
+          out.synchronized { out ++= b.collect().map(h => (h.user_id, h.stage, h.tus)) }
+          ()
+        }.start()
+      val q1 = start()
+      // user 1: full conversion split across a restart; user 2: click
+      // before any view must NOT unlock; pre-t1 clicks ignored
+      in.addData(Ev(1, ts(10), 1, "view", 1.0), Ev(2, ts(11), 1, "click", 1.0),
+                 Ev(3, ts(5), 2, "click", 1.0))
+      q1.processAllAvailable()
+      q1.stop() // funnel state survives in the checkpoint
+      val q2 = start()
+      in.addData(Ev(4, ts(12), 1, "purchase", 1.0), // unlocks only if t2 survived
+                 Ev(5, ts(13), 1, "view", 1.0),     // second view: no re-emit
+                 Ev(6, ts(20), 2, "view", 1.0),
+                 Ev(7, ts(21), 2, "purchase", 1.0)) // no click yet: locked
+      q2.processAllAvailable(); q2.stop()
+      val got = out.sorted.toSeq
+      assert(got == Seq(
+        (1L, "1_view", 10000000L), (1L, "2_click", 11000000L),
+        (1L, "3_purchase", 12000000L), (2L, "1_view", 20000000L)),
+        s"funnel state machine drifted: $got")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   // s_transform_state: the transformWithState successor API must agree
   // with the flatMapGroupsWithState twin and survive kill-and-restart.
   // transformWithState requires the RocksDB state-store provider.
