@@ -55,6 +55,12 @@ object ScaleCheck {
     // CCNet terciles (histogram windows + broadcast-back), canonical
     // selection (the full cluster loop + argmax joins)
     "q_index_merge", "q_winnow_pairs", "q_ppl_buckets", "q_dedup_canonical",
+    // r8 second wave: bloom membership prune (probe + confirm join),
+    // char folds (per-row HOF over distinct chars), batch planner
+    // (sharded windows), funnel chain (shrinking keyed joins), recall
+    // audit (two retrieval stacks composed)
+    "q_bloom_dedup", "q_char_diversity", "q_length_batches",
+    "q_funnel", "q_ann_recall",
     // linear controls (wide scans, shuffles, windows)
     "q_agg_group", "q_window_rank", "q_topk_per_group", "q_join_bucketed")
 

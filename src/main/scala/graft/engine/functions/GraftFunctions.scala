@@ -69,6 +69,9 @@ object GraftFunctions {
     (FunctionIdentifier("gopher_stats"),
       new ExpressionInfo(classOf[GopherStats].getName, "gopher_stats"),
       (children: Seq[Expression]) => GopherStats(children(0))),
+    (FunctionIdentifier("char_diversity_stats"),
+      new ExpressionInfo(classOf[CharDiversityStats].getName, "char_diversity_stats"),
+      (children: Seq[Expression]) => CharDiversityStats(children(0))),
     (FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
       (children: Seq[Expression]) => WinnowFps(children(0), children(1), children(2))),

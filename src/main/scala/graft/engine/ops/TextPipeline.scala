@@ -608,17 +608,19 @@ object TextPipeline {
     * replays relationally) would shuffle n_chars rows per document. */
   def charDiversity(documents: DataFrame, idCol: String, textCol: String,
                     minSimpsonPpm: Long, maxMaxfracBp: Long): DataFrame = {
-    // trailing "" from Java's empty-regex split is dropped (DuckDB emits none)
-    val chars = filter(split(regexp_replace(col("text"), " ", ""), ""), c => c =!= "")
-    val cs = array_sort(array_distinct(chars))
-    val cnts = transform(cs, c => size(filter(chars, x => x === c)).cast("long"))
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
+    // one codegen'd byte walk per row (`char_diversity_stats`): the
+    // higher-order-lambda composition of the same statistics evaluates
+    // INTERPRETED at O(σ·len) per row and measured 7× superlinear on
+    // the scale ladder — it survives as the spec-pinned reference form
+    // in PropertySpec, not in the operator
+    val st = call_function("char_diversity_stats", col(textCol))
     documents
-      .select(col(idCol).as("doc_id"), chars.as("chars"), cs.as("cs"), cnts.as("cnts"))
+      .select(col(idCol).as("doc_id"), st.as("st"))
       .select(col("doc_id"),
-        size(col("chars")).cast("long").as("n_chars_sig"),
-        size(col("cs")).cast("long").as("n_distinct"),
-        aggregate(col("cnts"), lit(0L), (a, x) => a + x * x).as("sum_sq"),
-        aggregate(col("cnts"), lit(0L), (a, x) => greatest(a, x)).as("max_cnt"))
+        col("st.n_chars_sig").as("n_chars_sig"),
+        col("st.n_distinct").as("n_distinct"),
+        col("st.sum_sq").as("sum_sq"), col("st.max_cnt").as("max_cnt"))
       .select(col("doc_id"), col("n_chars_sig"), col("n_distinct"),
         expr("1000000 * (n_chars_sig * n_chars_sig - sum_sq) DIV (n_chars_sig * n_chars_sig)")
           .as("simpson_ppm"),
