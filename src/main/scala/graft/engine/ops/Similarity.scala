@@ -232,6 +232,41 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Dedup-quality audit — the near-dup analogue of [[annRecall]]: the
+    * MinHash-LSH pair set ([[minhashNearDup]]) confusion-counted against
+    * the EXACT all-pairs Jaccard ground truth at the same threshold, as
+    * one operator emitting `(n_truth, n_found, tp, fp, fn, precision_bp,
+    * recall_bp)` — the banding-miss rate a pipeline watches before
+    * trusting an LSH parameterization on a new corpus. Because the LSH
+    * path verifies exact Jaccard on its candidates, fp can only be 0;
+    * the audit still counts it honestly rather than assuming it.
+    *
+    * Scale: the ground-truth side is DECLARED quadratic (the
+    * `q_sim_pairs_topk` discipline — an audit tier you run on a sample,
+    * not a serving path; the single-block ngramJaccard call makes that
+    * explicit). The confusion join runs over pair sets, not the corpus. */
+  def dedupEval(documents: DataFrame, idCol: String, textCol: String,
+                threshold: Double): DataFrame = {
+    val keys = Seq("doc_id_1", "doc_id_2")
+    val truth = TextPipeline.ngramJaccard(
+        documents.withColumn("all_blk", lit(1)), idCol, textCol, Seq("all_blk"), threshold)
+      .select(keys.map(col): _*)
+    val found = minhashNearDup(documents, idCol, textCol, threshold, ordered = false)
+      .select(keys.map(col): _*)
+    truth.withColumn("t", lit(1L))
+      .join(found.withColumn("f", lit(1L)), keys, "full_outer")
+      .agg(
+        sum(when(col("t").isNotNull && col("f").isNotNull, 1L).otherwise(0L)).as("n_tp"),
+        sum(when(col("t").isNull && col("f").isNotNull, 1L).otherwise(0L)).as("n_fp"),
+        sum(when(col("t").isNotNull && col("f").isNull, 1L).otherwise(0L)).as("n_fn"))
+      .select(
+        (col("n_tp") + col("n_fn")).as("n_truth"),
+        (col("n_tp") + col("n_fp")).as("n_found"),
+        col("n_tp"), col("n_fp"), col("n_fn"),
+        expr("10000 * n_tp DIV (n_tp + n_fp)").as("precision_bp"),
+        expr("10000 * n_tp DIV (n_tp + n_fn)").as("recall_bp"))
+  }
+
   /** Retrieval-quality audit: recall@k of the ANN candidate path
     * ([[annRerank]] — LSH band probe + exact rerank) against the exact
     * kNN ground truth ([[knnJoin]]) for a batch of probes, as an
@@ -1611,6 +1646,8 @@ object Similarity {
     "q_ann_matryoshka" -> ((s, d) =>
       annMatryoshka(Tables.embeddings(s, d), "vec_id", "embedding", 0, 32, 64, 10)),
     "q_dedup_minhash" -> ((s, d) => minhashNearDup(Tables.documents(s, d), "doc_id", "text", 0.9)),
+    // LSH banding-miss audit vs the exact all-pairs ground truth
+    "q_dedup_eval" -> ((s, d) => dedupEval(Tables.documents(s, d), "doc_id", "text", 0.9)),
     // the high-recall parameter point under the SAME hash oracle: k=32
     // (prefix-stable family extension) in 4 bands × 8 rows lifts the
     // S-curve knee (P(candidate) at J=0.9 goes 0.68 → 0.89) at 2× the
@@ -2736,6 +2773,30 @@ object Similarity {
         |UNION ALL
         |SELECT doc_id_1, doc_id_2, jaccard FROM within_pairs
         |ORDER BY doc_id_1, doc_id_2""".stripMargin),
+    // the audit oracle extends the SAME minhash CTE chain with the
+    // exact all-pairs truth over the docs CTE's hash sets, then a full
+    // outer confusion count — pure BIGINT aside from the round(·,4)
+    // jaccard both engines already hash-match on
+    "q_dedup_eval" -> (minhashOracleCtes +
+      """,
+        |found AS (
+        |  SELECT doc_id_1, doc_id_2 FROM cross_pairs
+        |  UNION ALL SELECT doc_id_1, doc_id_2 FROM within_pairs),
+        |truth AS (
+        |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.hsh, b.hsh)) AS DOUBLE) /
+        |        (len(a.hsh) + len(b.hsh) - len(list_intersect(a.hsh, b.hsh))), 4) >= 0.9),
+        |conf AS (
+        |  SELECT CAST(count(*) FILTER (t.doc_id_1 IS NOT NULL AND f.doc_id_1 IS NOT NULL) AS BIGINT) AS n_tp,
+        |         CAST(count(*) FILTER (t.doc_id_1 IS NULL) AS BIGINT) AS n_fp,
+        |         CAST(count(*) FILTER (f.doc_id_1 IS NULL) AS BIGINT) AS n_fn
+        |  FROM truth t FULL OUTER JOIN found f
+        |    ON t.doc_id_1 = f.doc_id_1 AND t.doc_id_2 = f.doc_id_2)
+        |SELECT n_tp + n_fn AS n_truth, n_tp + n_fp AS n_found, n_tp, n_fp, n_fn,
+        |  10000 * n_tp // (n_tp + n_fp) AS precision_bp,
+        |  10000 * n_tp // (n_tp + n_fn) AS recall_bp
+        |FROM conf""".stripMargin),
     // the k=32 / 4×8 point replays the generated-constant pipeline at
     // its own parameterization — every intermediate still exact integers
     "q_dedup_minhash_k32" -> (minhashOracleCtesFor("", 32, 4, 8) +
