@@ -151,6 +151,42 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** Robust per-group outlier detection — median/MAD, the length-anomaly
+    * gate of a corpus pipeline (mean/stddev outlier tests are themselves
+    * dragged by the outliers they hunt; median absolute deviation has a
+    * 50% breakdown point). A doc is an outlier in its `lang` stratum
+    * when |n_chars − median| > k·MAD (k = 2 in the fixture binding —
+    * its n_chars are near-uniform within a stratum, so MAD ≈ range/4
+    * and the classic k = 3 selects nothing; on a production corpus with
+    * a heavy tail k = 3–3.5 is the usual gate); the reported
+    * `mad_score` divides
+    * by `greatest(MAD, 0.5)` so a degenerate stratum (MAD = 0: more
+    * than half the docs at the exact median) stays finite and any
+    * deviation from it still surfaces.
+    *
+    * Scale shape: two grouped EXACT percentiles keyed by stratum plus
+    * two joins against stratum-cardinality tables — both broadcast (a
+    * model of one row per lang can never outgrow an executor). Exact
+    * `percentile` shuffles each stratum's values to one reducer; at
+    * 100 TB swap in `approx_percentile` (the q_agg_approx_percentile
+    * tier) and the plan becomes a partial+final sketch merge with the
+    * same downstream join shape. Exact kept here so DuckDB
+    * `quantile_cont` replays it bit-for-bit (interpolated medians of
+    * BIGINT land on .0/.5 — exact in double). */
+  private val qOutlierMad: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+    val med = docs.groupBy("lang").agg(expr("percentile(n_chars, 0.5D)").as("med"))
+    val dev = docs.join(broadcast(med), "lang")
+      .withColumn("dev", abs(col("n_chars") - col("med")))
+    val mad = dev.groupBy("lang").agg(expr("percentile(dev, 0.5D)").as("mad"))
+    dev.join(broadcast(mad), "lang")
+      .filter(col("dev") > lit(2.0) * col("mad"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"),
+        round(col("dev") / greatest(col("mad"), lit(0.5)), 4).as("mad_score"))
+      .orderBy("doc_id")
+  }
+
   /** Non-oracle (sketch is engine-specific): approx_percentile paired
     * with the exact q_agg_percentile baseline — at 100 TB the sketch is
     * what runs; the exact variant defines its error. */
@@ -611,6 +647,7 @@ object Analytics {
     "q_skew_join" -> qSkewJoin, "q_agg_misc" -> qAggMisc,
     "q_pivot" -> qPivot, "q_unpivot" -> qUnpivot,
     "q_sample_hash" -> qSampleHash, "q_agg_percentile" -> qAggPercentile,
+    "q_outlier_mad" -> qOutlierMad,
     "q_topk_per_group" -> qTopkPerGroup, "q_str_agg" -> qStrAgg,
     "q_map_funcs" -> qMapFuncs, "q_generator_seq" -> qGeneratorSeq,
     "q_subquery_corr" -> qSubqueryCorr, "q_subquery_in" -> qSubqueryIn,
@@ -700,6 +737,26 @@ object Analytics {
       s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE ${TextPipeline.keyBucketSql("o_orderkey")} < 10
         |ORDER BY o_orderkey""".stripMargin,
+
+    // median/MAD replay: quantile_cont ≡ Spark's exact `percentile`
+    // (both linear-interpolate), deviations of BIGINT from a .0/.5
+    // median are exact doubles, so filter and score cannot diverge
+    "q_outlier_mad" ->
+      """WITH med AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.5) AS med
+        |  FROM documents GROUP BY lang),
+        |dev AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars, m.med,
+        |         abs(d.n_chars - m.med) AS dev
+        |  FROM documents d JOIN med m USING (lang)),
+        |mad AS (
+        |  SELECT lang, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY lang)
+        |SELECT v.doc_id, v.lang, v.n_chars,
+        |  round(v.med, 4) AS med, round(a.mad, 4) AS mad,
+        |  round(v.dev / greatest(a.mad, 0.5), 4) AS mad_score
+        |FROM dev v JOIN mad a USING (lang)
+        |WHERE v.dev > 2 * a.mad
+        |ORDER BY v.doc_id""".stripMargin,
 
     "q_agg_percentile" ->
       """SELECT l_returnflag,

@@ -506,8 +506,93 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Interleave the low 16 bits of `c` with zeros (Morton spread) using
+    * the classic shift-or-mask ladder — pure BIGINT arithmetic, inside
+    * whole-stage codegen, and replayable verbatim in ANSI SQL. */
+  private def spread16(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(65535L))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(16711935L))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(252645135L))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(858993459L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(1431655765L))
+  }
+
+  /** Morton/Z-order key over two dimension codes: bit-interleaves them
+    * so range-close points in EITHER dimension stay close in the single
+    * sort key — the multi-dimensional clustering layout behind
+    * Delta/Iceberg OPTIMIZE ZORDER. */
+  private[ops] def zOrder2(x: Column, y: Column): Column =
+    shiftleft(spread16(x), 1).bitwiseOR(spread16(y))
+
+  /** Z-order layout audit — the data-skipping story made measurable:
+    * orders keyed on (customer code, order-day code) via [[zOrder2]],
+    * cut into 64 contiguous z-ranges (the "files" a writer laying out
+    * by zkey would produce), and per range the min/max of BOTH source
+    * dimensions — the per-file statistics a reader prunes on. Because
+    * the z-curve alternates bits, every file bounds every dimension at
+    * ~√(file share) of its domain, so a predicate on EITHER column
+    * skips most files; a single-column sort gives this for one
+    * dimension and nothing for the other (its width stays ~full-domain,
+    * which this query exposes in `cust_width`/`day_width`).
+    *
+    * Scale shape: one narrow projection (the bit ladder is pure int
+    * arithmetic in codegen) + one hash aggregate on the 64-value range
+    * id. The real writer path is `repartitionByRange(zkey)` +
+    * `sortWithinPartitions(zkey)` — same key, same stats, shown here as
+    * the audit query so the oracle can replay it. */
+  private val qZorder: Q = (s, d) => {
+    val base = Tables.orders(s, d).select(
+      pmod(col("o_custkey"), lit(1024L)).as("x"),
+      pmod(datediff(to_date(col("o_orderdate")), lit(java.sql.Date.valueOf("1992-01-01"))).cast("long"),
+        lit(1024L)).as("y"))
+    base.withColumn("zrange", shiftright(zOrder2(col("x"), col("y")), 14))
+      .groupBy("zrange")
+      .agg(count(lit(1)).as("n_rows"),
+        min("x").as("min_cust"), max("x").as("max_cust"),
+        min("y").as("min_day"), max("y").as("max_day"),
+        (max("x") - min("x")).as("cust_width"),
+        (max("y") - min("y")).as("day_width"))
+      .orderBy("zrange")
+  }
+
+  /** One-pass table profiling — the data-quality dashboard shape: for
+    * every column, row count, non-null count, exact distinct count and
+    * min/max (rendered as strings so heterogeneous columns share one
+    * schema), computed in a SINGLE aggregate over the table and then
+    * unpivoted driver-free (explode of a literal struct array over the
+    * 1-row aggregate — no stack on a shuffled side, no per-column
+    * re-scan).
+    *
+    * Scale shape: one scan; the multi-column distinct plans as Spark's
+    * Expand (one duplicated stream per distinct column), so the shuffle
+    * carries ~n_cols× the input — the standard exact-profile price. At
+    * 100 TB you swap `countDistinct` for `approx_count_distinct` and
+    * the plan collapses to a plain partial+final aggregate (that tier
+    * is `q_agg_approx_distinct`); kept exact here so DuckDB can replay
+    * it value-for-value. */
+  private val qProfile: Q = (s, d) => {
+    val df = Tables.documents(s, d)
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col("n_rows"),
+        col(s"nn_$c").as("n_nonnull"),
+        col(s"nd_$c").as("n_distinct"),
+        col(s"mn_$c").as("min_repr"),
+        col(s"mx_$c").as("max_repr"))): _*)).as("p"))
+      .select("p.*")
+      .orderBy("col_name")
+  }
+
   // ------------------------------------------------------------------ maps
   val queries: Map[String, Q] = Map(
+    "q_profile" -> qProfile, "q_zorder" -> qZorder,
     "q_merge_upsert" -> qMergeUpsert,
     "q_scan_count" -> qScanCount, "q_scan_prune" -> qScanPrune,
     "q_scan_partitioned" -> qScanPartitioned,
@@ -538,6 +623,34 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // the same shift-or-mask ladder, spelled stepwise in CTE columns;
+    // pmod guards replicated even though both dims are nonnegative on
+    // the fixture (custkey ≥ 1, orderdate ≥ 1992-01-01)
+    "q_zorder" ->
+      """WITH dims AS (
+        |  SELECT (((o_custkey % 1024) + 1024) % 1024) AS x,
+        |         (((date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 1024) + 1024) % 1024) AS y
+        |  FROM orders),
+        |s1 AS (SELECT x, y, (x | (x << 8)) & 16711935 AS a, (y | (y << 8)) & 16711935 AS b FROM dims),
+        |s2 AS (SELECT x, y, (a | (a << 4)) & 252645135 AS a, (b | (b << 4)) & 252645135 AS b FROM s1),
+        |s3 AS (SELECT x, y, (a | (a << 2)) & 858993459 AS a, (b | (b << 2)) & 858993459 AS b FROM s2),
+        |s4 AS (SELECT x, y, (a | (a << 1)) & 1431655765 AS a, (b | (b << 1)) & 1431655765 AS b FROM s3),
+        |z AS (SELECT x, y, ((a << 1) | b) >> 14 AS zrange FROM s4)
+        |SELECT zrange, count(*) AS n_rows,
+        |  min(x) AS min_cust, max(x) AS max_cust,
+        |  min(y) AS min_day, max(y) AS max_day,
+        |  max(x) - min(x) AS cust_width, max(y) - min(y) AS day_width
+        |FROM z GROUP BY zrange ORDER BY zrange""".stripMargin,
+
+    // per-column UNION ALL replay of the one-pass profile; count(DISTINCT)
+    // ignores nulls on both engines, CAST(min/max AS VARCHAR) renders
+    // ints/strings identically (fixture corpus is ASCII)
+    "q_profile" -> Seq("doc_id", "lang", "n_chars", "source", "text").map(c =>
+      s"""SELECT '$c' AS col_name, (SELECT count(*) FROM documents) AS n_rows,
+         |  count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_repr, CAST(max($c) AS VARCHAR) AS max_repr
+         |FROM documents""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     "q_scan_count" -> "SELECT count(*) AS n_rows FROM lineitem",
 
     "q_merge_upsert" ->

@@ -126,6 +126,97 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Margin-based bitext mining (the LASER/CCMatrix shape): for every
+    * source-language document, its nearest target-language neighbor in
+    * embedding space plus the MARGIN to the runner-up — the score that
+    * separates a true translation (one clear winner) from a generic
+    * topical match (many near-equal neighbors). Emits one row per source
+    * doc: (src_id, tgt_id, cos_sim, margin); the consumer thresholds on
+    * margin, which this fixture's random embeddings keep near zero.
+    *
+    * Shape: language sides come from ONE id-equi-join of documents to
+    * embeddings; the candidate stage is the declared exact tier — target
+    * corpus × BROADCAST source slice (bounded: one language's queries),
+    * then a per-src top-2 window that WindowGroupLimit trims map-side
+    * before the src-keyed shuffle. At 100 TB mine over ANN candidates
+    * (annIvf per source vec) and keep this exact scorer as the rerank —
+    * the same discipline as exactRerankTail. Rank and margin both use
+    * the ROUNDED cosine, so cross-engine rank ties and the margin
+    * arithmetic are decided on identical doubles. */
+  def bitextMine(documents: DataFrame, embeddings: DataFrame,
+                 srcLang: String, tgtLang: String): DataFrame = {
+    val e = canonVec(embeddings, "vec_id", "embedding")
+    val withLang = documents
+      .select(col("doc_id").as("vec_id"), col("lang"))
+      .join(e, "vec_id")
+    val src = withLang.filter(col("lang") === srcLang)
+      .select(col("vec_id").as("src_id"), col("embedding").as("se"))
+    val tgt = withLang.filter(col("lang") === tgtLang)
+      .select(col("vec_id").as("tgt_id"), col("embedding").as("te"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_id").orderBy(col("cos_sim").desc, col("tgt_id").asc)
+    tgt.crossJoin(broadcast(src)) // deliberate: exact tier over a bounded broadcast query slice
+      .select(col("src_id"), col("tgt_id"),
+        round(cosine(col("te"), col("se")), 4).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .groupBy("src_id")
+      .agg(
+        max(when(col("rk") === 1, col("tgt_id"))).as("tgt_id"),
+        max(when(col("rk") === 1, col("cos_sim"))).as("cos_sim"),
+        (max(when(col("rk") === 1, col("cos_sim"))) -
+          max(when(col("rk") === 2, col("cos_sim")))).as("margin"))
+      .orderBy("src_id")
+  }
+
+  /** LSH band-health audit — the operational guardrail for every banded
+    * join in this file: per band, the bucket count, the worst bucket
+    * population, how many buckets collide at all, and the candidate-pair
+    * volume Σ pop·(pop−1)/2 the band will emit into the verify stage.
+    * This is the query an operator runs BEFORE a 100 TB dedup to decide
+    * `saltCap` (a bucket whose pairs term dominates the total is exactly
+    * the hot band the salted fallback exists for) and to catch a
+    * degenerate hash family (one giant bucket ⇒ quadratic blow-up)
+    * while it is still one number in a report rather than a hung stage.
+    *
+    * Shape: the shared docs→groups→signature→band prefix (identical
+    * arithmetic to [[minhashNearDup]] — same native signature family,
+    * same fold band key), then two narrow aggregates keyed by
+    * (band, bkey) and band. Nothing quadratic runs: the audit costs one
+    * signature pass even when the join it predicts would explode. */
+  def minhashBandStats(documents: DataFrame, idCol: String, textCol: String,
+                       k: Int = 16, bands: Int = 2): DataFrame = {
+    require(k % bands == 0, s"k ($k) must split evenly into $bands bands")
+    val rowsPerBand = k / bands
+    val spark = documents.sparkSession
+    GraftFunctions.register(spark)
+    val docs = documents.select(
+      col(idCol).as("doc_id"),
+      call_function("token_set_hashes62", col(textCol)).as("hsh"))
+    val groups = docs.groupBy(col("hsh"))
+      .agg(min(col("doc_id")).as("rep"))
+    val sigs = groups.select(col("rep"),
+      GraftFunctions.minhashSig(spark, col("hsh"), k).as("sig"))
+    val P31 = 2147483647L
+    val banded = sigs.select(col("rep"), explode(array((0 until bands).map { bnd =>
+        val cs = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+          .map(i => element_at(col("sig"), i + 1))
+        val bkey = cs.foldLeft(lit(0L): Column)((acc, m) =>
+          pmod(acc * 131L + pmod(m, lit(P31)), lit(P31)))
+        struct(lit(bnd).as("band"), bkey.as("bkey"))
+      }: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    banded.groupBy("band", "bkey").agg(count(lit(1)).as("pop"))
+      .groupBy("band")
+      .agg(
+        sum("pop").as("n_reps"),
+        count(lit(1)).as("n_buckets"),
+        max("pop").as("max_pop"),
+        count(when(col("pop") >= 2, lit(1))).as("hot_buckets"),
+        sum(expr("(pop * (pop - 1)) DIV 2")).as("cand_pairs"))
+      .orderBy("band")
+  }
+
   /** Exact top-k most-similar pairs over ALL pairs — the O(n²) oracle for
     * what the near-dup sketches approximate. Norms are computed once per
     * vector in the linear pre-pass, so the quadratic stage does a single
@@ -1627,6 +1718,10 @@ object Similarity {
     "q_sim_cosine" -> ((s, d) => knnCosine(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     "q_sim_pairs_topk" -> ((s, d) => allPairsTopK(Tables.embeddings(s, d), "vec_id", "embedding", 20)),
     "q_sim_knn" -> ((s, d) => knnJoin(Tables.embeddings(s, d), "vec_id", "embedding", Seq(1L, 2L, 3L), 5)),
+    "q_bitext_mine" -> ((s, d) =>
+      bitextMine(Tables.documents(s, d), Tables.embeddings(s, d), "de", "en")),
+    "q_lsh_band_stats" -> ((s, d) =>
+      minhashBandStats(Tables.documents(s, d), "doc_id", "text")),
     "q_ann_lsh" -> ((s, d) => annLsh(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     "q_ann_ivf" -> ((s, d) => annIvf(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     "q_ann_ivf_bcast" -> ((s, d) =>
@@ -2854,6 +2949,40 @@ object Similarity {
         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
     "q_sim_knn" -> simKnnOracleSql,
+
+    // the knn oracle's unnest-zip cosine with language sides from the
+    // id-equi-join; rank and margin both read the ROUNDED cosine so the
+    // runner-up subtraction happens on identical doubles in both engines
+    "q_bitext_mine" ->
+      """WITH l AS (
+        |  SELECT e.vec_id, d.lang, e.embedding
+        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+        |p AS (SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+        |        CAST(unnest(t.embedding) AS DOUBLE) AS x,
+        |        CAST(unnest(s.embedding) AS DOUBLE) AS y
+        |      FROM l s, l t WHERE s.lang = 'de' AND t.lang = 'en'),
+        |s AS (SELECT src_id, tgt_id, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+        |      FROM p GROUP BY src_id, tgt_id),
+        |r AS (SELECT src_id, tgt_id, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos_sim FROM s),
+        |k AS (SELECT src_id, tgt_id, cos_sim,
+        |        row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, tgt_id ASC) AS rk
+        |      FROM r)
+        |SELECT a.src_id, a.tgt_id, a.cos_sim, a.cos_sim - b.cos_sim AS margin
+        |FROM k a JOIN k b ON a.src_id = b.src_id AND a.rk = 1 AND b.rk = 2
+        |ORDER BY a.src_id""".stripMargin,
+
+    // band-health audit over the SAME generated docs→grps→sig→banded
+    // chain every minhash oracle replays; the unused pair CTEs the
+    // generator appends are never referenced, so DuckDB never runs them
+    "q_lsh_band_stats" -> (minhashOracleCtes +
+      """,
+        |pops AS (SELECT band, bkey, CAST(count(*) AS BIGINT) AS pop
+        |         FROM banded GROUP BY band, bkey)
+        |SELECT band, CAST(sum(pop) AS BIGINT) AS n_reps,
+        |  count(*) AS n_buckets, max(pop) AS max_pop,
+        |  CAST(sum(CASE WHEN pop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS hot_buckets,
+        |  CAST(sum((pop * (pop - 1)) // 2) AS BIGINT) AS cand_pairs
+        |FROM pops GROUP BY band ORDER BY band""".stripMargin),
 
     "q_sim_pairs_topk" ->
       """WITH p AS (SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,

@@ -1653,6 +1653,53 @@ object TextPipeline {
       .orderBy("doc_id_1", "doc_id_2")
   }
 
+  /** Asymmetric CONTAINMENT near-dup: a pair qualifies when the smaller
+    * token set is mostly inside the larger one — |A∩B| / min(|A|,|B|) ≥ t
+    * (max-containment). Jaccard misses exactly this regime: a short doc
+    * fully quoted inside a long one scores |A|/|B| ≈ 0 Jaccard but
+    * containment 1.0, and it is the shape of boilerplate-wrapper pages,
+    * quote-reposts and template expansions in a web corpus. Emitted
+    * directionally: `contained_id` is the doc with the SMALLER set
+    * (lower id on ties), so a consumer can drop the contained copy and
+    * keep the superset document.
+    *
+    * Same machinery and scale tier as [[ngramJaccard]]: token sets ride
+    * as sorted distinct 62-bit hash arrays, the per-pair verify is the
+    * zero-allocation native merge walk, candidates block on `blockCols`
+    * (an equi-join — never all-pairs). NOTE containment candidates must
+    * NOT block on length (the interesting pairs differ in length by
+    * construction), so the fixture binds (lang, source) — bounded
+    * populations that length-agnostic blocking keys give. In-block
+    * volume is population², the exact-verify regime; MinHash-LSH stays
+    * the unbounded-scale screen above it. */
+  def containmentPairs(documents: DataFrame, idCol: String, textCol: String,
+                       blockCols: Seq[String], threshold: Double): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
+    val base = documents.select(
+      col(idCol).as("doc_id") +: blockCols.map(col) :+
+        call_function("token_set_hashes62", col(textCol)).as("shingles"): _*)
+    val a = base.select(col("doc_id").as("doc_id_1") +: blockCols.map(col) :+
+      col("shingles").as("sa"): _*)
+    val b = base.select(col("doc_id").as("doc_id_2") +: blockCols.map(col) :+
+      col("shingles").as("sb"): _*)
+    val inter = call_function("sorted_intersect_size",
+      col("sa"), col("sb")).cast("double")
+    a.join(b, blockCols)
+      .filter(col("doc_id_1") < col("doc_id_2"))
+      .withColumn("containment",
+        round(inter / least(size(col("sa")), size(col("sb"))), 4))
+      .filter(col("containment") >= threshold)
+      .select(
+        when(size(col("sa")) < size(col("sb")), col("doc_id_1"))
+          .when(size(col("sb")) < size(col("sa")), col("doc_id_2"))
+          .otherwise(least(col("doc_id_1"), col("doc_id_2"))).as("contained_id"),
+        when(size(col("sa")) < size(col("sb")), col("doc_id_2"))
+          .when(size(col("sb")) < size(col("sa")), col("doc_id_1"))
+          .otherwise(greatest(col("doc_id_1"), col("doc_id_2"))).as("container_id"),
+        col("containment"))
+      .orderBy("contained_id", "container_id")
+  }
+
   /** Paragraph-level exact dedup (the C4/RefinedWeb boilerplate pass):
     * documents are cut into fixed-size non-overlapping token paragraphs
     * (the [[chunkDocuments]] generator with overlap 0), each distinct
@@ -2225,6 +2272,44 @@ object TextPipeline {
       .orderBy("degree")
   }
 
+  /** PageRank-style centrality over the verified near-dup pair graph —
+    * the canonical-selection signal a degree count can't give: a doc
+    * tied to OTHER well-connected docs (the true center of a template
+    * family) outranks a doc with the same degree hanging off the
+    * cluster's edge, so "keep the highest-scoring member" picks the
+    * most representative copy rather than an arbitrary one.
+    *
+    * All arithmetic is scaled-integer so the oracle replays it exactly:
+    * scores start at 10⁶ per node, each round every node emits
+    * `(score·85) DIV (deg·100)` to each neighbor (integer floor on both
+    * engines) and collects `150000 + Σ contributions` — per-edge floors
+    * then an INTEGER sum, so no float summation order exists anywhere.
+    * Fixed `iters` rounds (power iteration on a dedup cluster's
+    * diameter needs few; convergence-to-ε is [[connectedComponents]]'
+    * observe pattern if wanted).
+    *
+    * Scale shape: nodes/degrees are one aggregate over the edge list;
+    * each round is one doc_id-keyed join + one doc_id-keyed aggregate —
+    * the same partitioning every round, no driver action, plan depth
+    * linear in `iters` (cap it or localCheckpoint between rounds at
+    * 100 TB; at 3 rounds lineage is shallow enough to leave pure). */
+  def pairGraphPagerank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = pairs.select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
+      .unionAll(pairs.select(col("doc_id_2").as("src"), col("doc_id_1").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "src")
+    var scores = deg.select(col("src").as("doc_id"), lit(1000000L).as("score"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(scores, e("src") === scores("doc_id"))
+        .select(col("dst").as("doc_id"), expr("(score * 85) DIV (deg * 100)").as("c"))
+      // every node has deg ≥ 1 (nodes come from edges), so the inner
+      // aggregate covers the whole node set each round
+      scores = contrib.groupBy("doc_id")
+        .agg((lit(150000L) + sum(col("c"))).as("score"))
+    }
+    scores.orderBy("doc_id")
+  }
+
   /** Fuzzy record-linkage: candidate pairs blocked on caller-chosen
     * columns, verified by exact Levenshtein distance ≤ `maxDist` — the
     * typo-tolerant entity-matching primitive (dedup of user-entered
@@ -2456,6 +2541,11 @@ object TextPipeline {
     "q_ngram_jaccard_banded" -> ((s, d) =>
       ngramJaccard(Tables.documents(s, d), "doc_id", "text", Seq("lang"), 0.5,
         bandCol = Some(("n_chars", 4)))),
+    // asymmetric containment — blocked on the length-AGNOSTIC keys
+    // (lang, source): containment's interesting pairs differ in length
+    "q_containment" -> ((s, d) =>
+      containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        Seq("lang", "source"), 0.8)),
     // cross-split near-dup leakage over the SAME shared pair graph +
     // the q_split bucket rule — fully oracled
     "q_split_leakage" -> ((s, d) =>
@@ -2583,6 +2673,7 @@ object TextPipeline {
         lmTableBackoff(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"))
     }),
     "q_dedup_degree" -> ((s, d) => dedupDegreeHistogram(sharedPairs(s, d))),
+    "q_graph_pagerank" -> ((s, d) => pairGraphPagerank(sharedPairs(s, d))),
     // distance ≤ 1 within a nation block: names differing in one digit
     "q_fuzzy_match" -> ((s, d) =>
       fuzzyMatch(Tables.customer(s, d), "c_custkey", "c_name", Seq("c_nationkey"), 1)),
@@ -3317,6 +3408,37 @@ object TextPipeline {
         |deg AS (SELECT doc_id, count(*) AS degree FROM touched GROUP BY doc_id)
         |SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree ORDER BY degree""".stripMargin),
 
+    // scaled-integer power iteration over the same pair-graph CTEs the
+    // degree oracle replays: per-edge floor division then integer sums,
+    // so no float summation order exists on either engine; edge list
+    // MATERIALIZED (consumed once per round), each round's scores too
+    "q_graph_pagerank" -> (Similarity.minhashOracleCtes +
+      """,
+        |all_pairs AS (
+        |  SELECT doc_id_1, doc_id_2 FROM cross_pairs
+        |  UNION ALL SELECT doc_id_1, doc_id_2 FROM within_pairs),
+        |edges AS MATERIALIZED (
+        |  SELECT doc_id_1 AS src, doc_id_2 AS dst FROM all_pairs
+        |  UNION ALL SELECT doc_id_2, doc_id_1 FROM all_pairs),
+        |deg AS MATERIALIZED (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+        |ed AS MATERIALIZED (
+        |  SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+        |s0 AS (SELECT src AS doc_id, CAST(1000000 AS BIGINT) AS score FROM deg),
+        |s1 AS MATERIALIZED (
+        |  SELECT ed.dst AS doc_id,
+        |    150000 + CAST(sum((s.score * 85) // (ed.deg * 100)) AS BIGINT) AS score
+        |  FROM ed JOIN s0 s ON ed.src = s.doc_id GROUP BY ed.dst),
+        |s2 AS MATERIALIZED (
+        |  SELECT ed.dst AS doc_id,
+        |    150000 + CAST(sum((s.score * 85) // (ed.deg * 100)) AS BIGINT) AS score
+        |  FROM ed JOIN s1 s ON ed.src = s.doc_id GROUP BY ed.dst),
+        |s3 AS MATERIALIZED (
+        |  SELECT ed.dst AS doc_id,
+        |    150000 + CAST(sum((s.score * 85) // (ed.deg * 100)) AS BIGINT) AS score
+        |  FROM ed JOIN s2 s ON ed.src = s.doc_id GROUP BY ed.dst)
+        |SELECT doc_id, score FROM s3 ORDER BY doc_id""".stripMargin),
+
     "q_fuzzy_match" ->
       """SELECT id_1, id_2, sa, sb, dist FROM (
         |  SELECT a.c_custkey AS id_1, b.c_custkey AS id_2,
@@ -3732,6 +3854,32 @@ object TextPipeline {
         |  FROM base a JOIN base b ON a.lang = b.lang AND abs(a.blk - b.blk) <= 1 AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5
         |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+
+    // containment replayed relationally: same block join as the jaccard
+    // oracles, min-denominator instead of union, directional emit via
+    // the same smaller-set/tie-on-id rule
+    "q_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS shingles
+        |  FROM documents
+        |)
+        |SELECT
+        |  CASE WHEN len(sa) < len(sb) THEN doc_id_1
+        |       WHEN len(sb) < len(sa) THEN doc_id_2
+        |       ELSE least(doc_id_1, doc_id_2) END AS contained_id,
+        |  CASE WHEN len(sa) < len(sb) THEN doc_id_2
+        |       WHEN len(sb) < len(sa) THEN doc_id_1
+        |       ELSE greatest(doc_id_1, doc_id_2) END AS container_id,
+        |  containment
+        |FROM (
+        |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |    a.shingles AS sa, b.shingles AS sb,
+        |    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |          least(len(a.shingles), len(b.shingles)), 4) AS containment
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE containment >= 0.8
+        |ORDER BY contained_id, container_id""".stripMargin,
 
     // α=1/2 temperature mixing: sqrt/÷/+ are the only float ops, all
     // IEEE correctly-rounded, and the normalizer folds in domain order

@@ -281,4 +281,24 @@ class AnalyticsSpec extends SparkSuite {
       .as[(String, Long)].collect().toMap
     assert(est == flat)
   }
+
+  test("q_outlier_mad: flags exactly the docs beyond 2·MAD of their stratum median") {
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "n_chars")
+    val med = docs.groupBy("lang").agg(expr("percentile(n_chars, 0.5D)").as("med"))
+    val dev = docs.join(med, "lang").withColumn("dev", abs(col("n_chars") - col("med")))
+    val mad = dev.groupBy("lang").agg(expr("percentile(dev, 0.5D)").as("mad"))
+    val expected = dev.join(mad, "lang")
+      .filter(col("dev") > lit(2.0) * col("mad"))
+      .select("doc_id").as[Long].collect().toSet
+    val got = run("q_outlier_mad")
+    val gotIds = got.select("doc_id").as[Long].collect().toSet
+    assert(gotIds == expected)
+    assert(gotIds.nonEmpty, "fixture must exercise the outlier branch")
+    // the guarded score is monotone in the deviation and echoes the gate
+    val rows = got.select("n_chars", "med", "mad", "mad_score")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(rows.forall { case (n, m, a, s) =>
+      math.abs(n - m) > 2.0 * a && s > 0.0 })
+  }
 }

@@ -122,4 +122,36 @@ class RelationalSpec extends SparkSuite {
     val got = df.agg(sum(col("x").cast("decimal(18,6)")).cast("decimal(38,6)")).head().getDecimal(0)
     assert(got.compareTo(new java.math.BigDecimal("0.600000")) == 0)
   }
+
+  test("q_profile: one row per column; id column is unique; totals consistent") {
+    val p = run("q_profile")
+      .select("col_name", "n_rows", "n_nonnull", "n_distinct")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(p.keySet == Set("doc_id", "lang", "n_chars", "source", "text"))
+    val nRows = p("doc_id")._2
+    assert(p.values.forall(_._2 == nRows), "n_rows must be the table count on every row")
+    assert(p.values.forall(r => r._3 <= nRows && r._4 <= r._3),
+      "nonnull <= rows and distinct <= nonnull")
+    // the fixture id column is dense and unique
+    assert(p("doc_id")._4 == nRows)
+  }
+
+  test("zOrder2: bit-exact interleave and the per-range double-bound property") {
+    // hand-computed Morton codes: x bits land on odd positions (<<1 side)
+    val z = Seq((1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L), (1023L, 1023L))
+      .toDF("x", "y")
+      .select(Relational.zOrder2(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    //  (1,0)→10b=2; (0,1)→01b=1; (1,1)→11b=3; (2,3)→(spread2=4)<<1 | spread3=5 → 13
+    assert(z == Seq(2L, 1L, 3L, 13L, (1L << 20) - 1))
+    // q_zorder: zrange keeps the top 3 bits of BOTH 10-bit dims, so every
+    // range bounds both dimensions inside an aligned 128-wide window —
+    // the file-skipping guarantee a single-column sort can't give
+    val stats = run("q_zorder")
+      .select("n_rows", "cust_width", "day_width").as[(Long, Long, Long)].collect()
+    assert(stats.nonEmpty)
+    assert(stats.forall { case (_, cw, dw) => cw <= 127 && dw <= 127 })
+    val total = stats.map(_._1).sum
+    assert(total == graft.engine.io.Tables.orders(spark, sfDir).count())
+  }
 }

@@ -1303,4 +1303,61 @@ class TextSimilaritySpec extends SparkSuite {
     assert(m.sortBy(_._1).sameElements(m2.sortBy(_._1)),
       "manifest (counts, mass, min key, checksum) must not depend on input layout")
   }
+
+  test("containmentPairs: quoted subset scores 1.0 directionally; jaccard would miss it") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en", "s"),                       // ⊂ doc 2
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s"),
+      (3L, "beta alpha gamma", "en", "s"),                       // shuffle of 1 → tie
+      (4L, "iota kappa lambda", "en", "s"),                      // disjoint
+      (5L, "alpha beta gamma", "en", "other")                    // other block — never pairs
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = TextPipeline.containmentPairs(docs, "doc_id", "text",
+      Seq("lang", "source"), 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    // 1⊂2 and 3⊂2 (smaller set is contained side); 1~3 equal sets → tie
+    // rule puts the lower id on the contained side; doc 4 pairs with
+    // nothing; doc 5 is blocked away. Pair (1,2) has jaccard 3/8 — below
+    // any dedup threshold — but containment 1.0: the asymmetric regime.
+    assert(got == Set((1L, 2L, 1.0), (3L, 2L, 1.0), (1L, 3L, 1.0)))
+  }
+
+  test("pairGraphPagerank: hand-computed path graph; the center outranks the leaves") {
+    // path 1–2–3: deg = (1, 2, 1); three scaled-integer rounds by hand
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_id_1", "doc_id_2")
+    val got = TextPipeline.pairGraphPagerank(pairs, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 629187L, 2L -> 1741624L, 3L -> 629187L))
+    // same degree, different neighborhoods: centrality breaks the tie
+    assert(got(2L) > got(1L))
+  }
+
+  test("bitextMine: nearest target neighbor with the margin to the runner-up") {
+    val docs = Seq((1L, "de"), (2L, "en"), (3L, "en"), (4L, "en"))
+      .toDF("doc_id", "lang")
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(2f, 0f)),   // cos(v1,v2) = 1.0
+      (3L, Array(3f, 4f)),                        // cos(v1,v3) = 0.6
+      (4L, Array(0f, 1f))                         // cos(v1,v4) = 0.0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bitextMine(docs, vecs, "de", "en")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1.0, 0.4)))
+  }
+
+  test("q_lsh_band_stats reconciles: reps per band = distinct token-set groups; bounds hold") {
+    val rows = run("q_lsh_band_stats")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L), "exactly the 2 declared bands")
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    graft.engine.functions.GraftFunctions.register(spark)
+    val nGroups = docs.select(call_function("token_set_hashes62", col("text")).as("h"))
+      .distinct().count()
+    rows.foreach { case (_, nReps, nBuckets, maxPop, hot, cand) =>
+      assert(nReps == nGroups, "every band carries one row per identical-set rep")
+      assert(nBuckets <= nReps && maxPop >= 1 && hot <= nBuckets)
+      // a single bucket of pop p contributes p(p-1)/2; max bucket bounds below
+      assert(cand >= maxPop * (maxPop - 1) / 2)
+    }
+  }
 }
