@@ -173,18 +173,36 @@ object Analytics {
     * same downstream join shape. Exact kept here so DuckDB
     * `quantile_cont` replays it bit-for-bit (interpolated medians of
     * BIGINT land on .0/.5 — exact in double). */
-  private val qOutlierMad: Q = (s, d) => {
-    val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
-    val med = docs.groupBy("lang").agg(expr("percentile(n_chars, 0.5D)").as("med"))
-    val dev = docs.join(broadcast(med), "lang")
-      .withColumn("dev", abs(col("n_chars") - col("med")))
-    val mad = dev.groupBy("lang").agg(expr("percentile(dev, 0.5D)").as("mad"))
-    dev.join(broadcast(mad), "lang")
-      .filter(col("dev") > lit(2.0) * col("mad"))
-      .select(col("doc_id"), col("lang"), col("n_chars"),
+  /** The per-stratum (median, MAD) robust-location model behind
+    * [[qOutlierMad]] and the `s_stream_outlier` serve face — one row per
+    * `groupCol` value, so the artifact always broadcasts. */
+  def madModel(documents: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val med = documents.groupBy(groupCol)
+      .agg(expr(s"percentile($valCol, 0.5D)").as("med"))
+    documents.join(broadcast(med), groupCol)
+      .withColumn("dev", abs(col(valCol) - col("med")))
+      .groupBy(col(groupCol), col("med"))
+      .agg(expr("percentile(dev, 0.5D)").as("mad"))
+      .select(col(groupCol), col("med"), col("mad"))
+  }
+
+  /** The gate of the median/MAD outlier test, split from [[madModel]] so
+    * the stream can serve an offline-trained model with the IDENTICAL
+    * arithmetic (parity-pinned in StreamingSpec). */
+  def madOutliers(documents: DataFrame, model: DataFrame, idCol: String,
+                  groupCol: String, valCol: String, k: Double): DataFrame =
+    documents.join(broadcast(model), groupCol)
+      .withColumn("dev", abs(col(valCol) - col("med")))
+      .filter(col("dev") > lit(k) * col("mad"))
+      .select(col(idCol), col(groupCol), col(valCol),
         round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"),
         round(col("dev") / greatest(col("mad"), lit(0.5)), 4).as("mad_score"))
-      .orderBy("doc_id")
+      .orderBy(idCol)
+
+  private val qOutlierMad: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+    madOutliers(docs, madModel(docs, "lang", "n_chars"),
+      "doc_id", "lang", "n_chars", k = 2.0)
   }
 
   /** Non-oracle (sketch is engine-specific): approx_percentile paired

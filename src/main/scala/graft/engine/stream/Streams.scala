@@ -1219,6 +1219,27 @@ object Streams {
       .filter(graft.engine.ops.TextPipeline.temperatureKeep(col("doc_id"), col("rate_ppm")))
       .select("doc_id", "domain", "rate_ppm")
 
+  /** s_stream_outlier: the robust median/MAD length-anomaly gate served
+    * at ingest — the streaming face of `q_outlier_mad`. The per-stratum
+    * (median, MAD) model ([[graft.engine.ops.Analytics.madModel]], one
+    * row per stratum BY CONSTRUCTION) is trained offline and broadcast
+    * under the stream; each arrival pays one broadcast equi-join probe
+    * plus narrow arithmetic that is BIT-IDENTICAL to the batch gate
+    * (parity-pinned in the spec). Unlike the batch query (which filters
+    * to outliers), the stream emits EVERY doc with the verdict + score
+    * so a router can fork keep/quarantine without a second pass. ZERO
+    * streaming state; re-estimating the location model is an offline
+    * concern (swap one broadcast), exactly the train-offline/apply-
+    * online discipline of the classifier/DSIR/LM serves. */
+  def streamingOutlier(docs: DataFrame, idCol: String, groupCol: String,
+                       valCol: String, model: DataFrame,
+                       k: Double = 2.0): DataFrame =
+    docs.join(broadcast(model), Seq(groupCol))
+      .select(col(idCol).as("doc_id"), col(groupCol), col(valCol),
+        (abs(col(valCol) - col("med")) > lit(k) * col("mad")).as("is_outlier"),
+        round(abs(col(valCol) - col("med")) / greatest(col("mad"), lit(0.5)), 4)
+          .as("mad_score"))
+
   /** s_stream_bloom_dedup: Bloom-prefiltered exact dedup at the ingest
     * firehose — the streaming face of
     * [[graft.engine.ops.TextPipeline.bloomDedup]]. The reference

@@ -1497,6 +1497,44 @@ class StreamingSpec extends SparkSuite {
       s"sampling must be non-trivial: kept ${out.size}/${corpus.size}")
   }
 
+  // s_stream_outlier: offline (median, MAD) location model broadcast at
+  // ingest, zero state — verdicts must replay the batch gate exactly
+  test("s_stream_outlier: flagged set and scores equal the batch MAD gate; every doc emitted") {
+    // lang en: lengths cluster at ~10 with one wild doc; de: tight cluster
+    val corpus = Seq(
+      (1L, "en", 10L), (2L, "en", 11L), (3L, "en", 9L), (4L, "en", 10L),
+      (5L, "en", 60L),                                    // the outlier
+      (6L, "de", 20L), (7L, "de", 21L), (8L, "de", 19L), (9L, "de", 20L)
+    ).toDF("doc_id", "lang", "n_chars")
+    val model = graft.engine.ops.Analytics.madModel(corpus, "lang", "n_chars")
+    val in = MemoryStream[LDoc](spark)
+    val out = mutable.ArrayBuffer[(Long, String, Long, Boolean, Double)]()
+    val stream = Streams.streamingOutlier(
+      in.toDF().withColumn("n_chars", length(col("text")).cast("long")),
+      "doc_id", "lang", "n_chars", model)
+    val q = stream.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("outlier-stream"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.as[(Long, String, Long, Boolean, Double)].collect() }
+        ()
+      }.start()
+    // arrivals whose text lengths replay the corpus rows
+    val docs = corpus.as[(Long, String, Long)].collect().map { case (id, lang, n) =>
+      LDoc(id, ts(id), lang, "x" * n.toInt)
+    }
+    in.addData(docs.take(5): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(5): _*)
+    q.processAllAvailable(); q.stop()
+    assert(out.size == corpus.count(), "router shape: every arrival emitted with a verdict")
+    val batch = graft.engine.ops.Analytics
+      .madOutliers(corpus, model, "doc_id", "lang", "n_chars", k = 2.0)
+      .select("doc_id", "mad_score").as[(Long, Double)].collect().toMap
+    val flagged = out.filter(_._4).map(r => r._1 -> r._5).toMap
+    assert(flagged == batch, s"stream verdicts $flagged vs batch gate $batch")
+    assert(flagged.keySet == Set(5L), "exactly the wild doc is flagged")
+  }
+
   // s_stream_bloom_dedup: bloom-literal probe + stream-static confirm
   // join — exact verdicts, zero state
   test("s_stream_bloom_dedup: verdicts equal the batch bloom dedup across batches") {
