@@ -610,4 +610,43 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("HashAggregate"),
       "char diversity must not aggregate (per-row fold only):\n" + p.take(2500))
   }
+
+  test("q_outlier_mad broadcasts the stratum model on both joins") {
+    val p = plan("q_outlier_mad")
+    // a stratum-cardinality model must never shuffle the doc side
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "the (lang, med, mad) model must broadcast, not sort-merge:\n" + p.take(2500))
+  }
+
+  test("q_bitext_mine: broadcast source slice + map-side top-2 trim") {
+    val p = plan("q_bitext_mine")
+    assert(p.contains("BroadcastExchange"),
+      "the source-language query slice must broadcast:\n" + p.take(2500))
+    assert(p.contains("WindowGroupLimit"),
+      "the per-src top-2 must trim before the src-keyed shuffle:\n" + p.take(2500))
+  }
+
+  test("q_zorder reads only the two clustering columns and aggregates on the range id") {
+    val p = plan("q_zorder")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_custkey") && readSchema.contains("o_orderdate"), readSchema)
+    assert(!readSchema.contains("o_totalprice"),
+      s"the bit ladder must not widen the scan: $readSchema")
+    // the interleave is pure projection arithmetic — no join anywhere
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("q_lsh_band_stats never joins: the audit predicts the join without running it") {
+    val p = plan("q_lsh_band_stats")
+    assert(!p.contains("Join"),
+      "band stats must cost one signature pass, no candidate join:\n" + p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q_graph_pagerank: every round joins and aggregates on doc_id, nothing cartesian") {
+    val p = plan("q_graph_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pagerank rounds must stay key-equi-joined:\n" + p.take(2500))
+  }
 }
