@@ -734,6 +734,57 @@ object TextPipeline {
       .orderBy(col("n").desc, col("bigram").asc)
   }
 
+  /** PMI-ranked collocations — the phrase-mining statistic behind
+    * multi-word vocabulary entries and tokenizer merge candidates:
+    * bigrams whose corpus probability exceeds what their parts predict.
+    * Ranked by the PMI RATIO `p(xy)/(p(x)·p(y)) = n_xy·N²/(M·n_x·n_y)`
+    * rather than its log — log is monotone, so the ranking is identical
+    * and the score stays a short, identically-parenthesized IEEE
+    * expression over exactly-representable counts (the cross-engine
+    * float discipline BM25 uses; a transcendental log would diverge in
+    * the last ulp). `minCount` kills the degenerate one-occurrence
+    * bigrams that trivially maximize PMI.
+    *
+    * Scale shape: two narrow generators feeding token-keyed partial+
+    * final counts, a bigram→unigram equi-join ×2 (vocabulary-keyed, the
+    * Zipf head is where the mass is — at 100 TB salt the stop-token
+    * keys like any hot aggregate), scalar totals as a 1-row broadcast,
+    * and a TakeOrderedAndProject for the top-k — never a corpus-wide
+    * sort. Count products stay < 2⁵³ for corpora to ~10⁸ bigram mass
+    * per the doubled-out arithmetic; past that, rescale counts before
+    * the ratio (ranking is scale-invariant). */
+  def pmiCollocations(documents: DataFrame, textCol: String,
+                      minCount: Long, k: Int): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
+    val uni = documents.select(explode(
+        call_function("pos_grams", col(textCol), lit(1), lit(true))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+    val bi = documents.select(explode(
+        call_function("pos_grams", col(textCol), lit(2), lit(true))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_xy"))
+    val totals = documents.agg(
+      sum(size(call_function("pos_grams", col(textCol), lit(1), lit(true))))
+        .cast("long").as("n_total"),
+      sum(size(call_function("pos_grams", col(textCol), lit(2), lit(true))))
+        .cast("long").as("m_total"))
+    val ratio =
+      (col("n_xy").cast("double") * col("n_total").cast("double") *
+        col("n_total").cast("double")) /
+      (col("m_total").cast("double") * col("n_x").cast("double") *
+        col("n_y").cast("double"))
+    bi.filter(col("n_xy") >= minCount)
+      .withColumn("x", split(col("bigram"), " ").getItem(0))
+      .withColumn("y", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("tok").as("x"), col("n_tok").as("n_x")), "x")
+      .join(uni.select(col("tok").as("y"), col("n_tok").as("n_y")), "y")
+      .crossJoin(broadcast(totals)) // deliberate 1-row broadcast
+      .select(col("bigram"), col("n_xy"), col("n_x"), col("n_y"),
+        round(ratio, 4).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("bigram").asc)
+      .limit(k)
+      .orderBy(col("pmi_ratio").desc, col("bigram").asc)
+  }
+
   /** Stopword-signature language ID (n-gram heuristic, SURVEY §2.2-I).
     * Deterministic: score per language = #tokens in that language's
     * signature set; argmax with alphabetical tiebreak. */
@@ -2620,6 +2671,8 @@ object TextPipeline {
     // plus a rare tail, so 78 splits it into real stopwords vs content
     "q_stopword_filter" -> ((s, d) => stopwordFilter(Tables.documents(s, d), "doc_id", "text", 78)),
     "q_ngram_stats" -> ((s, d) => ngramStats(Tables.documents(s, d), "text", 20)),
+    "q_pmi_collocations" -> ((s, d) =>
+      pmiCollocations(Tables.documents(s, d), "text", minCount = 2L, k = 50)),
     "q_mix_report" -> ((s, d) =>
       mixtureReport(Tables.documents(s, d), "doc_id", "text", Seq("source", "lang"))),
     "q_chunk" -> ((s, d) =>
@@ -3738,6 +3791,32 @@ object TextPipeline {
         |SELECT bigram, count(*) AS n
         |FROM grams GROUP BY bigram
         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    // PMI ratio instead of log-PMI (monotone ⇒ same ranking) keeps the
+    // score a short identically-parenthesized IEEE expression over
+    // exact BIGINT counts — the BM25 cross-engine float discipline
+    "q_pmi_collocations" ->
+      """WITH tk AS (
+        |  SELECT list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk FROM documents),
+        |uni AS (SELECT unnest(tk) AS tok FROM tk),
+        |unic AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok FROM uni GROUP BY tok),
+        |bi AS (
+        |  SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        |  FROM tk),
+        |bic AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_xy FROM bi GROUP BY bigram),
+        |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM uni) AS n_total,
+        |               (SELECT CAST(count(*) AS BIGINT) FROM bi) AS m_total)
+        |SELECT bigram, n_xy, n_x, n_y, pmi_ratio FROM (
+        |  SELECT b.bigram, b.n_xy, x.n_tok AS n_x, y.n_tok AS n_y,
+        |    round(CAST(b.n_xy AS DOUBLE) * CAST(t.n_total AS DOUBLE) * CAST(t.n_total AS DOUBLE) /
+        |          (CAST(t.m_total AS DOUBLE) * CAST(x.n_tok AS DOUBLE) * CAST(y.n_tok AS DOUBLE)),
+        |          4) AS pmi_ratio
+        |  FROM bic b
+        |  JOIN unic x ON string_split(b.bigram, ' ')[1] = x.tok
+        |  JOIN unic y ON string_split(b.bigram, ' ')[2] = y.tok
+        |  CROSS JOIN tot t
+        |  WHERE b.n_xy >= 2)
+        |ORDER BY pmi_ratio DESC, bigram ASC LIMIT 50""".stripMargin,
 
     "q_tfidf" ->
       """WITH tokens AS (

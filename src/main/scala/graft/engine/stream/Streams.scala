@@ -1219,6 +1219,43 @@ object Streams {
       .filter(graft.engine.ops.TextPipeline.temperatureKeep(col("doc_id"), col("rate_ppm")))
       .select("doc_id", "domain", "rate_ppm")
 
+  /** s_stream_containment: quote/boilerplate detection at ingest — the
+    * streaming face of the asymmetric containment near-dup
+    * ([[graft.engine.ops.TextPipeline.containmentPairs]]), with the
+    * direction fixed by the stream: for each arrival, how much of ITS
+    * token set already sits inside a reference document
+    * (|A∩R| / |A| ≥ t ⇒ the arrival is mostly a quote/template of R —
+    * the regime Jaccard structurally misses when R is long). Emits one
+    * row per (arrival, reference) hit so a router can both drop the
+    * arrival and attribute WHICH reference doc it duplicates.
+    *
+    * Shape: the reference side carries its sorted 62-bit token-hash
+    * sets precomputed under the stream; each micro-batch pays one
+    * stream-static equi-join on the length-agnostic block keys plus the
+    * native merge-walk per candidate — the same exact-verify tier as
+    * the batch operator, ZERO streaming state (Append-safe: projection
+    * + join, no aggregation). At 100 TB block population bounds
+    * per-arrival work exactly as in the batch op. */
+  def streamingContainment(docs: DataFrame, reference: DataFrame,
+                           idCol: String, textCol: String,
+                           blockCols: Seq[String],
+                           threshold: Double): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(reference.sparkSession)
+    val ref = reference.select(
+      col(idCol).as("ref_id") +: blockCols.map(col) :+
+        call_function("token_set_hashes62", col(textCol)).as("rs"): _*)
+    val arr = docs.select(
+      col(idCol).as("doc_id") +: blockCols.map(col) :+
+        call_function("token_set_hashes62", col(textCol)).as("as"): _*)
+    arr.join(ref, blockCols)
+      .filter(col("doc_id") =!= col("ref_id"))
+      .withColumn("containment", round(
+        call_function("sorted_intersect_size", col("as"), col("rs"))
+          .cast("double") / size(col("as")), 4))
+      .filter(col("containment") >= threshold)
+      .select("doc_id", "ref_id", "containment")
+  }
+
   /** s_stream_outlier: the robust median/MAD length-anomaly gate served
     * at ingest — the streaming face of `q_outlier_mad`. The per-stratum
     * (median, MAD) model ([[graft.engine.ops.Analytics.madModel]], one

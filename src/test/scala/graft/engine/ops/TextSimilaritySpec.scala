@@ -1322,6 +1322,17 @@ class TextSimilaritySpec extends SparkSuite {
     assert(got == Set((1L, 2L, 1.0), (3L, 2L, 1.0), (1L, 3L, 1.0)))
   }
 
+  test("pmiCollocations: hand-computed ratio, min-count gate, bigram tiebreak") {
+    // one doc "x y x y x z": N = 6 tokens, M = 5 bigrams;
+    // n(x y) = n(y x) = 2, n(x z) = 1 (killed by minCount);
+    // ratio(x y) = 2·6² / (5·3·2) = 2.4, same for (y x) → tie on the
+    // rounded score breaks on the bigram string
+    val docs = Seq((1L, "x y x y x z")).toDF("doc_id", "text")
+    val got = TextPipeline.pmiCollocations(docs, "text", minCount = 2L, k = 5)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("x y", 2L, 3L, 2L, 2.4), ("y x", 2L, 2L, 3L, 2.4)))
+  }
+
   test("pairGraphPagerank: hand-computed path graph; the center outranks the leaves") {
     // path 1–2–3: deg = (1, 2, 1); three scaled-integer rounds by hand
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_id_1", "doc_id_2")

@@ -1497,6 +1497,37 @@ class StreamingSpec extends SparkSuite {
       s"sampling must be non-trivial: kept ${out.size}/${corpus.size}")
   }
 
+  // s_stream_containment: reference token-hash sets under the stream,
+  // per-arrival merge-walk verify, zero state — quote detection at ingest
+  test("s_stream_containment: arrivals mostly inside a reference doc are attributed to it") {
+    val reference = Seq(
+      (100L, "en", "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "en", "iota kappa lambda"),
+      (102L, "de", "alpha beta gamma")).toDF("doc_id", "lang", "text")
+    val in = MemoryStream[LDoc](spark)
+    val out = mutable.ArrayBuffer[(Long, Long, Double)]()
+    val q = Streams.streamingContainment(in.toDF(), reference,
+        "doc_id", "text", Seq("lang"), 0.8)
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("containment-stream"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.as[(Long, Long, Double)].collect() }
+        ()
+      }.start()
+    in.addData(
+      LDoc(1, ts(1), "en", "alpha beta gamma"),        // ⊂ ref 100 → 1.0
+      LDoc(2, ts(1), "en", "alpha beta zz"))           // 2/3 → below gate
+    q.processAllAvailable()
+    in.addData(
+      LDoc(3, ts(2), "de", "alpha beta gamma"),        // ⊂ ref 102 (de block)
+      LDoc(4, ts(2), "en", "iota kappa lambda mu"))    // 3/4 → below gate
+    q.processAllAvailable(); q.stop()
+    // the en copy of "alpha beta gamma" never meets the de reference —
+    // blocking is part of the contract, not an optimization detail
+    assert(out.toSet == Set((1L, 100L, 1.0), (3L, 102L, 1.0)),
+      s"got ${out.sorted}")
+  }
+
   // s_stream_outlier: offline (median, MAD) location model broadcast at
   // ingest, zero state — verdicts must replay the batch gate exactly
   test("s_stream_outlier: flagged set and scores equal the batch MAD gate; every doc emitted") {
