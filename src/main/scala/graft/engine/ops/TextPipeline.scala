@@ -2300,6 +2300,42 @@ object TextPipeline {
       .orderBy(col("c").desc, col("tok").asc).limit(vocabSize)
       .select("tok")
 
+  /** Frequency-ranked vocabulary builder with its coverage curve — the
+    * artifact [[vocabTable]] consumes, surfaced as an operator: top-k
+    * tokens by corpus count with rank, cumulative mass and corpus
+    * coverage in ppm, so the vocab-size decision ("how many entries
+    * until 95% of running text is in-vocabulary") reads off one table.
+    * Complementary to [[vocabCoverage]], which audits documents against
+    * a FIXED vocab; this builds the vocab and prices each size.
+    *
+    * Scale shape: one token-keyed partial+final count, a
+    * TakeOrderedAndProject for the top-k, and ONLY THEN the ordered
+    * cumulative window — over k rows by construction, so the
+    * single-partition move is bounded (the constWindowKey idiom keeps
+    * the planner from folding the literal partition key away). The
+    * corpus-wide total rides a 1-row broadcast. Nothing unbounded ever
+    * sorts globally. */
+  def vocabBuild(documents: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
+    val counts = documents.select(explode(
+        call_function("pos_grams", col(textCol), lit(1), lit(true))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("n_total"))
+    val top = counts.orderBy(col("n").desc, col("tok").asc).limit(vocabSize)
+    val spec = Window
+      .partitionBy(graft.engine.functions.GraftFunctions.constWindowKey(col("tok")))
+      .orderBy(col("n").desc, col("tok").asc)
+    top
+      .withColumn("rank", row_number().over(spec).cast("long"))
+      .withColumn("cum_n", sum("n").over(
+        spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total)) // deliberate 1-row broadcast
+      .select(col("rank"), col("tok"), col("n"), col("cum_n"),
+        floor(lit(1000000.0) * col("cum_n") / col("n_total")).cast("long")
+          .as("coverage_ppm"))
+      .orderBy("rank")
+  }
+
   /** Cross-split leakage detection — the eval-hygiene audit
     * [[contamination]] can't do: CONTENT-level (near-duplicate) overlap
     * across train/val/test boundaries. A doc whose near-copy sits in a
@@ -2673,6 +2709,8 @@ object TextPipeline {
     "q_ngram_stats" -> ((s, d) => ngramStats(Tables.documents(s, d), "text", 20)),
     "q_pmi_collocations" -> ((s, d) =>
       pmiCollocations(Tables.documents(s, d), "text", minCount = 2L, k = 50)),
+    "q_vocab_build" -> ((s, d) =>
+      vocabBuild(Tables.documents(s, d), "text", vocabSize = 300)),
     "q_mix_report" -> ((s, d) =>
       mixtureReport(Tables.documents(s, d), "doc_id", "text", Seq("source", "lang"))),
     "q_chunk" -> ((s, d) =>
@@ -3817,6 +3855,24 @@ object TextPipeline {
         |  CROSS JOIN tot t
         |  WHERE b.n_xy >= 2)
         |ORDER BY pmi_ratio DESC, bigram ASC LIMIT 50""".stripMargin,
+
+    // cumsum over the LIMITed top-k only (both engines window over the
+    // same bounded set); 1e6 literal is a DOUBLE in both dialects
+    "q_vocab_build" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY tok),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+        |top AS (SELECT tok, n FROM c ORDER BY n DESC, tok ASC LIMIT 300),
+        |r AS (SELECT tok, n,
+        |        row_number() OVER (ORDER BY n DESC, tok ASC) AS rank,
+        |        CAST(sum(n) OVER (ORDER BY n DESC, tok ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+        |      FROM top)
+        |SELECT r.rank, r.tok, r.n, r.cum_n,
+        |  CAST(floor(1e6 * r.cum_n / t.n_total) AS BIGINT) AS coverage_ppm
+        |FROM r CROSS JOIN t ORDER BY r.rank""".stripMargin,
 
     "q_tfidf" ->
       """WITH tokens AS (

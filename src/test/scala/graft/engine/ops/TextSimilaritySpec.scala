@@ -1322,6 +1322,21 @@ class TextSimilaritySpec extends SparkSuite {
     assert(got == Set((1L, 2L, 1.0), (3L, 2L, 1.0), (1L, 3L, 1.0)))
   }
 
+  test("vocabBuild: dense ranks, monotone coverage reaching 100% when the vocab fits") {
+    val rows = run("q_vocab_build")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq, "ranks dense and ordered")
+    val ns = rows.map(_._3)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "counts non-increasing")
+    val cov = rows.map(_._5)
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b }, "coverage monotone")
+    assert(rows.map(_._3).sum == rows.last._4, "cum_n is the running sum of n")
+    // the fixture vocabulary is smaller than the requested size, so the
+    // curve must close at exactly 100%
+    assert(cov.last == 1000000L)
+  }
+
   test("pmiCollocations: hand-computed ratio, min-count gate, bigram tiebreak") {
     // one doc "x y x y x z": N = 6 tokens, M = 5 bigrams;
     // n(x y) = n(y x) = 2, n(x z) = 1 (killed by minCount);
