@@ -61,8 +61,17 @@ object ScaleCheck {
     // audit (two retrieval stacks composed)
     "q_bloom_dedup", "q_char_diversity", "q_length_batches",
     "q_funnel", "q_ann_recall",
+    // r8 third wave: containment (block self-join, length-agnostic
+    // keys), the all-pairs dedup audit (declared quadratic tier, now
+    // size-bound pruned), bitext mining (target × broadcast src slice),
+    // pagerank (iterative keyed joins), band audit (signature pass,
+    // nothing quadratic), PMI (vocab-keyed joins)
+    "q_containment", "q_dedup_eval", "q_bitext_mine",
+    "q_graph_pagerank", "q_lsh_band_stats", "q_pmi_collocations",
+    "q_query_expansion",
     // linear controls (wide scans, shuffles, windows)
-    "q_agg_group", "q_window_rank", "q_topk_per_group", "q_join_bucketed")
+    "q_agg_group", "q_window_rank", "q_topk_per_group", "q_join_bucketed",
+    "q_profile", "q_zorder", "q_outlier_mad", "q_vocab_build")
 
   val Runs = 3
   /** 10× data; slopes beyond this on the ladder mean the operator did

@@ -1896,15 +1896,26 @@ object TextPipeline {
   def bm25TopK(documents: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qIdCol: String, qTextCol: String,
                k: Int): DataFrame = {
+    val qterms = queries
+      .select(col(qIdCol).as("query_id"), explode(toks(col(qTextCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+    bm25ScoreTerms(documents, idCol, textCol, qterms, k)
+  }
+
+  /** The BM25 scoring core behind [[bm25TopK]] and [[queryExpansion]]:
+    * takes an already-materialized DISTINCT `(query_id, token)` term
+    * table instead of query text, so a caller can score a term set it
+    * BUILT (e.g. originals ∪ feedback expansions) under the identical
+    * arithmetic. Split, not changed: [[bm25TopK]] composes exactly the
+    * old body, and the oracle hash pins that. */
+  private def bm25ScoreTerms(documents: DataFrame, idCol: String, textCol: String,
+                             qterms: DataFrame, k: Int): DataFrame = {
     val tokens = documents
       .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
     val dl = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
-    val qterms = queries
-      .select(col(qIdCol).as("query_id"), explode(toks(col(qTextCol))).as("token"))
-      .filter(length(col("token")) > 0)
-      .distinct()
     val qtok = tokens.join(broadcast(qterms.select("token").distinct()), "token")
     val tf = qtok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfq = qtok.groupBy("token").agg(countDistinct("doc_id").as("df"))
@@ -1926,6 +1937,59 @@ object TextPipeline {
       .filter(col("rk") <= k)
       .select("query_id", "rk", "doc_id", "score", "n_terms")
       .orderBy("query_id", "rk")
+  }
+
+  /** Pseudo-relevance-feedback query expansion (the RM1-style retrieval
+    * loop as ONE operator): (1) retrieve `nFeedback` docs per query with
+    * BM25; (2) mine expansion terms from that feedback set — per query,
+    * the top `mExpand` non-query tokens by `tf_in_feedback × idf` (the
+    * q_tfidf integer idf rule, so a term frequent in the feedback docs
+    * but rare corpus-wide expands the query, and a stopword doesn't);
+    * (3) re-retrieve with originals ∪ expansions under the IDENTICAL
+    * BM25 arithmetic ([[bm25ScoreTerms]] — shared core, zero drift).
+    * Recovers relevant docs that share no literal term with the query
+    * (vocabulary-mismatch recall, the thing plain keyword search can't
+    * do without embeddings).
+    *
+    * Scale shape: three passes of already-scale-shaped pieces. Stage 1
+    * is [[bm25TopK]] (query-term-filtered posting join + per-query
+    * WindowGroupLimit). Stage 2 touches only feedback-doc tokens
+    * (|fb| ≤ queries × nFeedback — a broadcastable id set), the df
+    * lookup is token-keyed over the candidate term set, and the
+    * expansion cut is a per-query window over that bounded set. Stage 3
+    * is stage 1 with a slightly wider term list. Nothing re-shuffles
+    * the corpus outside the two posting joins. */
+  def queryExpansion(documents: DataFrame, idCol: String, textCol: String,
+                     queries: DataFrame, qIdCol: String, qTextCol: String,
+                     nFeedback: Int, mExpand: Int, k: Int): DataFrame = {
+    val tokens = documents
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val qterms = queries
+      .select(col(qIdCol).as("query_id"), explode(toks(col(qTextCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+    val fb = bm25ScoreTerms(documents, idCol, textCol, qterms, nFeedback)
+      .select("query_id", "doc_id")
+    val fbTf = tokens.join(broadcast(fb), "doc_id")
+      .groupBy("query_id", "token").agg(count(lit(1)).as("n_fb"))
+    val nDocs = tokens.agg(countDistinct("doc_id").as("n_docs"))
+    val dfAll = tokens
+      .join(broadcast(fbTf.select("token").distinct()), "token")
+      .groupBy("token").agg(countDistinct("doc_id").as("df"))
+    val we = Window.partitionBy("query_id")
+      .orderBy(col("exp_score").desc, col("token").asc)
+    val expansions = fbTf
+      .join(qterms, Seq("query_id", "token"), "left_anti")
+      .join(dfAll, "token")
+      .crossJoin(broadcast(nDocs)) // deliberate 1-row broadcast
+      .withColumn("exp_score",
+        col("n_fb") * floor(lit(1000000.0) * col("n_docs") / col("df")).cast("long"))
+      .withColumn("rk", row_number().over(we))
+      .filter(col("rk") <= mExpand)
+      .select("query_id", "token")
+    bm25ScoreTerms(documents, idCol, textCol,
+      qterms.union(expansions).distinct(), k)
   }
 
   /** One BPE-style pair-merge iteration over whitespace token streams —
@@ -2762,6 +2826,14 @@ object TextPipeline {
       bm25TopK(Tables.documents(s, d), "doc_id", "text",
         bm25FixtureQueries.toDF("query_id", "qtext"), "query_id", "qtext", 10)
     }),
+    // PRF loop over the same fixture queries: 5 feedback docs, 3
+    // expansion terms per query, final top-10
+    "q_query_expansion" -> ((s, d) => {
+      import s.implicits._
+      queryExpansion(Tables.documents(s, d), "doc_id", "text",
+        bm25FixtureQueries.toDF("query_id", "qtext"), "query_id", "qtext",
+        nFeedback = 5, mExpand = 3, k = 10)
+    }),
     "q_bpe_step" -> ((s, d) => bpeStep(Tables.documents(s, d), "doc_id", "text")),
     "q_bpe_learn" -> ((s, d) => bpeLearn(Tables.documents(s, d), "doc_id", "text", 8)),
     "q_bpe_apply" -> ((s, d) => bpeApply(Tables.documents(s, d), "doc_id", "text", 8)),
@@ -2835,6 +2907,36 @@ object TextPipeline {
 
   private def bm25QueryValues: String =
     bm25FixtureQueries.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+
+  /** One BM25 scoring stage as CTEs, parametrized by a name suffix and
+    * the term-table CTE it reads — generated so the q_bm25_topk oracle
+    * and BOTH stages of the q_query_expansion oracle are the same
+    * arithmetic by construction. Expects `tok`, `dl`, `tot` CTEs in
+    * scope; emits `ranked$p` with (query_id, doc_id, score, n_terms, rk). */
+  private def bm25StageSql(p: String, qtCte: String): String =
+    s"""qtok$p AS (SELECT doc_id, token FROM tok
+       |         WHERE token IN (SELECT DISTINCT token FROM $qtCte)),
+       |tf$p AS (SELECT doc_id, token, count(*) AS tf FROM qtok$p GROUP BY doc_id, token),
+       |dfq$p AS (SELECT token, count(DISTINCT doc_id) AS df FROM qtok$p GROUP BY token),
+       |scored$p AS (
+       |  SELECT qq.query_id, tf$p.doc_id,
+       |    CAST(floor(CAST(1000000.0 AS DOUBLE) * (tot.n_docs - dfq$p.df + CAST(0.5 AS DOUBLE))
+       |               / (dfq$p.df + CAST(0.5 AS DOUBLE))) AS BIGINT) AS idf,
+       |    (tf$p.tf * CAST(2.2 AS DOUBLE)) /
+       |      (tf$p.tf + CAST(0.3 AS DOUBLE) +
+       |       CAST(0.9 AS DOUBLE) * dl.dl * tot.n_docs / tot.total_dl) AS sat
+       |  FROM tf$p JOIN dfq$p USING (token) JOIN $qtCte qq USING (token)
+       |       JOIN dl ON tf$p.doc_id = dl.doc_id CROSS JOIN tot),
+       |agg$p AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(sum(CAST(floor(idf * sat) AS BIGINT)) AS BIGINT) AS score,
+       |    count(*) AS n_terms
+       |  FROM scored$p GROUP BY query_id, doc_id),
+       |ranked$p AS (
+       |  SELECT query_id, doc_id, score, n_terms,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+       |  FROM agg$p)""".stripMargin
 
   /** DuckDB replication of [[bpeLearn]]: `n` chained argmax+rewrite
     * steps. Each step's corpus AND argmax CTEs are MATERIALIZED — each
@@ -3908,29 +4010,47 @@ object TextPipeline {
         |        WHERE len(token) > 0),
         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
         |tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
-        |qtok AS (SELECT doc_id, token FROM tok
-        |         WHERE token IN (SELECT DISTINCT token FROM qt)),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM qtok GROUP BY doc_id, token),
-        |dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM qtok GROUP BY token),
-        |scored AS (
-        |  SELECT qt.query_id, tf.doc_id,
-        |    CAST(floor(CAST(1000000.0 AS DOUBLE) * (tot.n_docs - dfq.df + CAST(0.5 AS DOUBLE))
-        |               / (dfq.df + CAST(0.5 AS DOUBLE))) AS BIGINT) AS idf,
-        |    (tf.tf * CAST(2.2 AS DOUBLE)) /
-        |      (tf.tf + CAST(0.3 AS DOUBLE) +
-        |       CAST(0.9 AS DOUBLE) * dl.dl * tot.n_docs / tot.total_dl) AS sat
-        |  FROM tf JOIN dfq USING (token) JOIN qt USING (token)
-        |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot),
-        |agg AS (
-        |  SELECT query_id, doc_id,
-        |    CAST(sum(CAST(floor(idf * sat) AS BIGINT)) AS BIGINT) AS score,
-        |    count(*) AS n_terms
-        |  FROM scored GROUP BY query_id, doc_id)
-        |SELECT query_id, rk, doc_id, score, n_terms FROM (
-        |  SELECT query_id, doc_id, score, n_terms,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
-        |  FROM agg)
+        |${bm25StageSql("1", "qt")}
+        |SELECT query_id, rk, doc_id, score, n_terms FROM ranked1
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    // both retrieval stages come from the SAME generated BM25 CTE block
+    // as q_bm25_topk, so the three oracles cannot drift; the expansion
+    // cut replays the tfidf integer idf rule over feedback-doc tokens
+    "q_query_expansion" ->
+      s"""WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext
+        |           FROM (VALUES $bm25QueryValues) AS v(query_id, qtext)),
+        |qt AS (SELECT DISTINCT query_id, token FROM (
+        |         SELECT query_id, unnest(string_split(qtext, ' ')) AS token FROM q)
+        |       WHERE len(token) > 0),
+        |tok AS (SELECT doc_id, token FROM (
+        |          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |        WHERE len(token) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+        |${bm25StageSql("1", "qt")},
+        |fb AS (SELECT query_id, doc_id FROM ranked1 WHERE rk <= 5),
+        |fbtf AS (SELECT f.query_id, t.token, CAST(count(*) AS BIGINT) AS n_fb
+        |         FROM fb f JOIN tok t USING (doc_id) GROUP BY f.query_id, t.token),
+        |ndocs AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+        |dfall AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+        |          WHERE token IN (SELECT DISTINCT token FROM fbtf) GROUP BY token),
+        |expsc AS (
+        |  SELECT f.query_id, f.token,
+        |    f.n_fb * CAST(floor(1e6 * n.n_docs / d.df) AS BIGINT) AS exp_score
+        |  FROM fbtf f JOIN dfall d USING (token) CROSS JOIN ndocs n
+        |  WHERE NOT EXISTS (SELECT 1 FROM qt
+        |                    WHERE qt.query_id = f.query_id AND qt.token = f.token)),
+        |exp AS (SELECT query_id, token FROM (
+        |          SELECT query_id, token,
+        |            row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY exp_score DESC, token ASC) AS rk
+        |          FROM expsc)
+        |        WHERE rk <= 3),
+        |qt2 AS (SELECT query_id, token FROM qt
+        |        UNION SELECT query_id, token FROM exp),
+        |${bm25StageSql("2", "qt2")}
+        |SELECT query_id, rk, doc_id, score, n_terms FROM ranked2
         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
 
     "q_dedup_paragraph" ->

@@ -1322,6 +1322,26 @@ class TextSimilaritySpec extends SparkSuite {
     assert(got == Set((1L, 2L, 1.0), (3L, 2L, 1.0), (1L, 3L, 1.0)))
   }
 
+  test("queryExpansion recovers the vocabulary-mismatch doc plain BM25 cannot reach") {
+    val corpus = Seq(
+      (1L, "aa bb cc cc"),   // matches the query, carries the bridge term
+      (2L, "aa cc dd"),      // matches, carries bridge terms
+      (3L, "cc cc cc ee"),   // NO query term — only reachable via expansion
+      (4L, "ff gg hh"),      // unrelated noise
+      (5L, "aa bb")          // pure query-term doc
+    ).toDF("doc_id", "text")
+    val qs = Seq((1L, "aa bb")).toDF("query_id", "qtext")
+    val plain = TextPipeline.bm25TopK(corpus, "doc_id", "text", qs, "query_id", "qtext", 5)
+      .select("doc_id").as[Long].collect().toSet
+    val expanded = TextPipeline.queryExpansion(corpus, "doc_id", "text",
+        qs, "query_id", "qtext", nFeedback = 3, mExpand = 2, k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!plain.contains(3L), "doc 3 shares no literal query term")
+    assert(expanded.contains(3L), "feedback terms must bridge the vocabulary gap")
+    assert(!expanded.contains(4L), "expansion must not drag in unrelated docs")
+    assert(plain.subsetOf(expanded + 4L) && expanded.contains(1L))
+  }
+
   test("vocabBuild: dense ranks, monotone coverage reaching 100% when the vocab fits") {
     val rows = run("q_vocab_build")
       .as[(Long, String, Long, Long, Long)].collect()
