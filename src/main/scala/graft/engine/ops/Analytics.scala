@@ -330,6 +330,29 @@ object Analytics {
               col("n"), col("min_v"), col("max_v"))
       .orderBy("win_start_s", "event_type")
 
+  /** Temporal anomaly detection — the rate-spike monitor: hourly event
+    * counts per type, gated by the SAME per-stratum median/MAD location
+    * model as [[qOutlierMad]] (stratum = event_type, value = the
+    * window's count). A traffic spike or outage hour surfaces as
+    * |n − median| > 2·MAD of that type's hourly history — robust to the
+    * spikes themselves, which drag a mean/stddev gate. Composes the
+    * q_time_window aggregation with [[madModel]]; nothing new touches
+    * the event stream beyond the one (type, hour) count.
+    *
+    * Scale: one keyed count over events (partial+final), percentiles
+    * over the (type, hour) table — VASTLY smaller than events (bounded
+    * by types × hours) — and a broadcast model join back. */
+  private val qAnomalyWindows: Q = (s, d) => {
+    val wc = Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("win_start_s"),
+        col("event_type"), col("n"))
+    madOutliers(wc, madModel(wc, "event_type", "n"),
+      "win_start_s", "event_type", "n", k = 2.0)
+      .orderBy("event_type", "win_start_s")
+  }
+
   // -------------------------------------------------------- sessionization
   /** Batch sessionization (gaps-and-islands): events more than 30 min
     * apart per user open a new session; session id is the running count
@@ -677,6 +700,7 @@ object Analytics {
     "q_gap_fill" -> qGapFill, "q_agg_approx_percentile" -> qAggApproxPercentile,
     "q_agg_approx_topk" -> qAggApproxTopK,
     "q_histogram" -> qHistogram, "q_time_window" -> qTimeWindow,
+    "q_anomaly_windows" -> qAnomalyWindows,
     "q_quantile_band" -> qQuantileBand,
     "q_user_extensions" -> qUserExtensions,
     "q_funnel" -> qFunnel, "q_retention" -> qRetention,
@@ -890,6 +914,25 @@ object Analytics {
       """SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS win_start_s,
         |  event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY 1, 2 ORDER BY win_start_s, event_type""".stripMargin,
+
+    // hourly counts through the same quantile_cont median/MAD replay as
+    // q_outlier_mad; counts are BIGINT so the gate cannot diverge
+    "q_anomaly_windows" ->
+      """WITH wc AS (
+        |  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start_s,
+        |         event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, quantile_cont(n, 0.5) AS med FROM wc GROUP BY 1),
+        |dev AS (SELECT w.win_start_s, w.event_type, w.n, m.med,
+        |               abs(w.n - m.med) AS dev
+        |        FROM wc w JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT v.win_start_s, v.event_type, v.n,
+        |  round(v.med, 4) AS med, round(a.mad, 4) AS mad,
+        |  round(v.dev / greatest(a.mad, 0.5), 4) AS mad_score
+        |FROM dev v JOIN mad a USING (event_type)
+        |WHERE v.dev > 2 * a.mad
+        |ORDER BY v.event_type, v.win_start_s""".stripMargin,
 
     "q_lateral_join" ->
       """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice

@@ -282,6 +282,23 @@ class AnalyticsSpec extends SparkSuite {
     assert(est == flat)
   }
 
+  test("q_anomaly_windows: flagged hours satisfy the gate and reconcile with the window counts") {
+    val got = run("q_anomaly_windows")
+      .as[(Long, String, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty, "fixture must exercise the anomaly branch")
+    got.foreach { case (_, _, n, med, mad, score) =>
+      assert(math.abs(n - med) > 2.0 * mad && score > 0.0)
+    }
+    // every flagged (type, hour) must carry the true hourly count
+    val wc = graft.engine.io.Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("h"), col("event_type"), col("n"))
+      .as[(Long, String, Long)].collect()
+      .map { case (h, t, n) => (h, t) -> n }.toMap
+    got.foreach { case (h, t, n, _, _, _) => assert(wc((h, t)) == n) }
+  }
+
   test("q_outlier_mad: flags exactly the docs beyond 2·MAD of their stratum median") {
     val docs = graft.engine.io.Tables.documents(spark, sfDir)
       .select("doc_id", "lang", "n_chars")
