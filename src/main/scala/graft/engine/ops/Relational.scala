@@ -521,7 +521,7 @@ object Relational {
     * so range-close points in EITHER dimension stay close in the single
     * sort key — the multi-dimensional clustering layout behind
     * Delta/Iceberg OPTIMIZE ZORDER. */
-  private[ops] def zOrder2(x: Column, y: Column): Column =
+  private[engine] def zOrder2(x: Column, y: Column): Column =
     shiftleft(spread16(x), 1).bitwiseOR(spread16(y))
 
   /** Z-order layout audit — the data-skipping story made measurable:

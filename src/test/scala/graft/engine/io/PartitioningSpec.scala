@@ -57,4 +57,37 @@ class PartitioningSpec extends SparkSuite {
         s"expected a dynamic pruning subquery on the fact scan:\n${plan.take(2000)}")
     } finally spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
   }
+
+  test("z-order writer layout bounds BOTH dimensions per file; a 1-D sort bounds only its own") {
+    // the writer path the q_zorder audit documents:
+    // repartitionByRange(zkey) + sortWithinPartitions(zkey)
+    import org.apache.spark.sql.DataFrame
+    val dims = Tables.orders(spark, sfDir).select(
+      pmod(col("o_custkey"), lit(1024L)).as("x"),
+      pmod(datediff(to_date(col("o_orderdate")),
+        lit(java.sql.Date.valueOf("1992-01-01"))).cast("long"), lit(1024L)).as("y"))
+    def fileWidths(df: DataFrame, sortCol: String): Seq[(Long, Long)] = {
+      val dir = Files.createTempDirectory(s"graft-z-$sortCol").toString
+      df.repartitionByRange(8, col(sortCol)).sortWithinPartitions(sortCol)
+        .write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("x") - min("x")).as("wx"), (max("y") - min("y")).as("wy"))
+        .select("wx", "wy").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val zed = fileWidths(
+      dims.withColumn("zkey",
+        graft.engine.ops.Relational.zOrder2(col("x"), col("y"))), "zkey")
+    val oneD = fileWidths(dims, "x")
+    def mean(s: Seq[Long]): Double = s.sum.toDouble / s.size
+    // z-order: EVERY file bounds both dims well under the 1024 domain
+    // (√-share law; range boundaries may straddle two aligned blocks)
+    assert(mean(zed.map(_._1)) < 450 && mean(zed.map(_._2)) < 450,
+      s"z-layout must bound both dims: $zed")
+    // the 1-D sort bounds its own key tightly but leaves y near-full-width
+    assert(mean(oneD.map(_._1)) < 200, s"x-sort must bound x: $oneD")
+    assert(mean(oneD.map(_._2)) > 800,
+      s"x-sort cannot bound the other dimension — that asymmetry is the point: $oneD")
+  }
 }
