@@ -1219,6 +1219,44 @@ object Streams {
       .filter(graft.engine.ops.TextPipeline.temperatureKeep(col("doc_id"), col("rate_ppm")))
       .select("doc_id", "domain", "rate_ppm")
 
+  /** s_stream_anomaly: the hourly rate-spike monitor live — the
+    * streaming face of `q_anomaly_windows`. Event-time tumbling counts
+    * per type (watermarked, so state is bounded by types × in-flight
+    * windows), gated by the OFFLINE-trained per-type (median, MAD)
+    * location model. The model folds into codegen'd CASE literals at
+    * stream construction (the bloom-literal discipline: a bounded
+    * offline artifact — one row per event type — read once when the
+    * query is built, zero per-batch joins, retraining swaps the
+    * stream). Emits every finalized window with its verdict + score so
+    * the pager and the dashboard read the same row.
+    *
+    * The arithmetic is bit-identical to the batch gate (parity-pinned
+    * in the spec); windows with NO model row (a type never seen
+    * offline) emit a null verdict rather than silently passing —
+    * unknown types are exactly what an on-call wants surfaced. */
+  def streamingAnomaly(events: DataFrame, model: DataFrame,
+                       k: Double = 2.0): DataFrame = {
+    // offline artifact → literal: bounded by event-type cardinality
+    val rows = model.select(
+      col(model.columns(0)), col("med"), col("mad")).collect()
+    def lookup(field: Int): Column =
+      rows.foldLeft(lit(null).cast("double")) { (acc, r) =>
+        when(col("event_type") === r.getString(0),
+          lit(r.getDouble(field))).otherwise(acc)
+      }
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("win_start_s"),
+        col("event_type"), col("n"),
+        lookup(1).as("med"), lookup(2).as("mad"))
+      .withColumn("is_anomaly",
+        abs(col("n") - col("med")) > lit(k) * col("mad"))
+      .withColumn("mad_score", round(
+        abs(col("n") - col("med")) / greatest(col("mad"), lit(0.5)), 4))
+  }
+
   /** s_stream_containment: quote/boilerplate detection at ingest — the
     * streaming face of the asymmetric containment near-dup
     * ([[graft.engine.ops.TextPipeline.containmentPairs]]), with the

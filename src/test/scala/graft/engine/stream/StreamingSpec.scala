@@ -1497,6 +1497,34 @@ class StreamingSpec extends SparkSuite {
       s"sampling must be non-trivial: kept ${out.size}/${corpus.size}")
   }
 
+  // s_stream_anomaly: offline (median, MAD) per-type model folded into
+  // CASE literals; watermarked tumbling counts gated live
+  test("s_stream_anomaly: the spike hour is flagged with the batch gate's exact score") {
+    var id = 0L
+    def evs(hour: Long, typ: String, n: Int): Seq[Ev] =
+      (1 to n).map { i => id += 1; Ev(id, ts(hour * 3600 + i), 1L, typ, 1.0) }
+    val all = evs(0, "click", 3) ++ evs(1, "click", 3) ++ evs(2, "click", 30) ++
+      evs(0, "view", 2) ++ evs(1, "view", 2) ++ evs(2, "view", 2)
+    // offline model: the SAME hourly-count table the batch query gates on
+    val wc = all.map(e => (e.ts, e.event_type)).toDF("ts", "event_type")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"))
+    val model = graft.engine.ops.Analytics.madModel(wc, "event_type", "n")
+    val in = MemoryStream[Ev](spark)
+    val q = Streams.streamingAnomaly(in.toDF(), model).writeStream
+      .format("memory").queryName("anomaly").outputMode(OutputMode.Complete).start()
+    in.addData(all: _*)
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("anomaly")
+      .select("win_start_s", "event_type", "n", "is_anomaly", "mad_score")
+      .as[(Long, String, Long, Boolean, Double)].collect()
+    assert(rows.length == 6, "every (window, type) emitted with a verdict")
+    val flagged = rows.filter(_._4)
+    // click [3,3,30]: med 3, MAD 0 → only the spike deviates; score 27/0.5
+    assert(flagged.toSeq == Seq((7200L, "click", 30L, true, 54.0)), rows.mkString(", "))
+  }
+
   // s_stream_containment: reference token-hash sets under the stream,
   // per-arrival merge-walk verify, zero state — quote detection at ingest
   test("s_stream_containment: arrivals mostly inside a reference doc are attributed to it") {
