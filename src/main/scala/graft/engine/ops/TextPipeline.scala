@@ -1910,10 +1910,15 @@ object TextPipeline {
     * arithmetic. Split, not changed: [[bm25TopK]] composes exactly the
     * old body, and the oracle hash pins that. */
   private def bm25ScoreTerms(documents: DataFrame, idCol: String, textCol: String,
-                             qterms: DataFrame, k: Int): DataFrame = {
-    val tokens = documents
+                             qterms: DataFrame, k: Int,
+                             preTokens: Option[DataFrame] = None): DataFrame = {
+    // preTokens: an already-materialized (doc_id, token) stream — the
+    // PRF loop passes one checkpointed tokenization shared by both
+    // retrieval stages and the expansion miner (3 corpus re-tokenizes
+    // otherwise; the dsirSample materialize-once lesson)
+    val tokens = preTokens.getOrElse(documents
       .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
-      .filter(length(col("token")) > 0)
+      .filter(length(col("token")) > 0))
     val dl = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
     val qtok = tokens.join(broadcast(qterms.select("token").distinct()), "token")
@@ -1962,14 +1967,19 @@ object TextPipeline {
   def queryExpansion(documents: DataFrame, idCol: String, textCol: String,
                      queries: DataFrame, qIdCol: String, qTextCol: String,
                      nFeedback: Int, mExpand: Int, k: Int): DataFrame = {
+    // ONE tokenization pass feeds both retrieval stages, the feedback
+    // tf and the corpus df — 2 narrow columns per token, the hottest
+    // shared frame in the loop
     val tokens = documents
       .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
+      .localCheckpoint()
     val qterms = queries
       .select(col(qIdCol).as("query_id"), explode(toks(col(qTextCol))).as("token"))
       .filter(length(col("token")) > 0)
       .distinct()
-    val fb = bm25ScoreTerms(documents, idCol, textCol, qterms, nFeedback)
+    val fb = bm25ScoreTerms(documents, idCol, textCol, qterms, nFeedback,
+        preTokens = Some(tokens))
       .select("query_id", "doc_id")
     val fbTf = tokens.join(broadcast(fb), "doc_id")
       .groupBy("query_id", "token").agg(count(lit(1)).as("n_fb"))
@@ -1989,7 +1999,7 @@ object TextPipeline {
       .filter(col("rk") <= mExpand)
       .select("query_id", "token")
     bm25ScoreTerms(documents, idCol, textCol,
-      qterms.union(expansions).distinct(), k)
+      qterms.union(expansions).distinct(), k, preTokens = Some(tokens))
   }
 
   /** One BPE-style pair-merge iteration over whitespace token streams —
