@@ -622,6 +622,49 @@ object Similarity {
     stats.orderBy("cell", "dim")
   }
 
+  /** Nearest-class-mean evaluation — the cheapest supervised probe of an
+    * embedding space (the "NCM classifier" baseline): per label, an
+    * exact integer-quantized prototype (the [[kmeansStep]] floored-mean
+    * rule, so both engines hold bit-identical class means), then every
+    * vector is assigned to its max-inner-product prototype and the
+    * per-label accuracy is reported. Reads as "how linearly separable
+    * are the classes in this space" — the go/no-go a pipeline runs
+    * before paying for a probe-training job.
+    *
+    * Scale shape: prototype table = labels × dims rows (always
+    * broadcastable); assignment is one broadcast cross join + ordered
+    * fold dot per (vector, label) — narrow, no corpus shuffle; the
+    * accuracy roll-up is one label-keyed aggregate. */
+  def ncmEval(vectors: DataFrame, idCol: String, vecCol: String,
+              labelCol: String): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    val e = vectors.select(col(idCol).as("vec_id"),
+      col(vecCol).as("embedding"), col(labelCol).cast("long").as("label"))
+    val protos = e
+      .select(col("label").as("proto_label"),
+        posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .groupBy("proto_label", "dim0")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v").cast("double") * lit(1000000.0)).cast("long")).as("s"))
+      .select(col("proto_label"), col("dim0"),
+        (floor(col("s").cast("double") / col("n")).cast("long").cast("double") /
+          lit(1000000.0)).as("c"))
+      .groupBy("proto_label")
+      .agg(array_sort(collect_list(struct(col("dim0"), col("c")))).as("dc"))
+      .select(col("proto_label"), transform(col("dc"), x => x("c")).as("proto"))
+    val assigned = e.crossJoin(broadcast(protos)) // deliberate: labels × dims model
+      .select(col("vec_id"), col("label"),
+        struct(dot(col("embedding"), col("proto")).as("d"),
+          (-col("proto_label")).as("negl")).as("sc"))
+      .groupBy("vec_id", "label").agg(max("sc").as("m"))
+      .select(col("label"), (-col("m.negl")).as("pred"))
+    assigned.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("pred") === col("label"), lit(1))).as("n_correct"))
+      .withColumn("accuracy_bp", expr("10000 * n_correct DIV n"))
+      .orderBy("label")
+  }
+
   /** The [[kmeansTrain]] statistics folded into an
     * [[annIvfBroadcast]]-shaped codebook `(cell, centroid)` — closes
     * the loop the literal `centroids` scaladoc promises ("at real
@@ -1720,6 +1763,8 @@ object Similarity {
     "q_sim_knn" -> ((s, d) => knnJoin(Tables.embeddings(s, d), "vec_id", "embedding", Seq(1L, 2L, 3L), 5)),
     "q_bitext_mine" -> ((s, d) =>
       bitextMine(Tables.documents(s, d), Tables.embeddings(s, d), "de", "en")),
+    "q_ncm_eval" -> ((s, d) =>
+      ncmEval(Tables.embeddings(s, d), "vec_id", "embedding", "label")),
     "q_lsh_band_stats" -> ((s, d) =>
       minhashBandStats(Tables.documents(s, d), "doc_id", "text")),
     "q_ann_lsh" -> ((s, d) => annLsh(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
@@ -2970,6 +3015,32 @@ object Similarity {
         |SELECT a.src_id, a.tgt_id, a.cos_sim, a.cos_sim - b.cos_sim AS margin
         |FROM k a JOIN k b ON a.src_id = b.src_id AND a.rk = 1 AND b.rk = 2
         |ORDER BY a.src_id""".stripMargin,
+
+    // NCM: quantized class means (the kmeansTrain floored-mean rule),
+    // ordered-fold dots, row_number tie ≡ the struct-max (d, −label)
+    "q_ncm_eval" ->
+      s"""WITH e AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS label FROM embeddings),
+        |st AS MATERIALIZED (
+        |  SELECT label, dim, count(*) AS n, CAST(sum(xq) AS BIGINT) AS s FROM (
+        |    SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |      CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+        |    FROM e) GROUP BY label, dim),
+        |pr AS MATERIALIZED (
+        |  SELECT label AS proto_label,
+        |    list(CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS DOUBLE)
+        |         / CAST(1000000.0 AS DOUBLE) ORDER BY dim) AS proto
+        |  FROM st GROUP BY label),
+        |asg AS (
+        |  SELECT label, pred FROM (
+        |    SELECT e.label, p.proto_label AS pred,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${foldDot("e.embedding", "p.proto")} DESC, p.proto_label ASC) AS rn
+        |    FROM e CROSS JOIN pr p)
+        |  WHERE rn = 1)
+        |SELECT label, count(*) AS n,
+        |  count(CASE WHEN pred = label THEN 1 END) AS n_correct,
+        |  10000 * count(CASE WHEN pred = label THEN 1 END) // count(*) AS accuracy_bp
+        |FROM asg GROUP BY label ORDER BY label""".stripMargin,
 
     // band-health audit over the SAME generated docs→grps→sig→banded
     // chain every minhash oracle replays; the unused pair CTEs the

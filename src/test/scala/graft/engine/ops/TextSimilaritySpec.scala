@@ -1322,6 +1322,21 @@ class TextSimilaritySpec extends SparkSuite {
     assert(got == Set((1L, 2L, 1.0), (3L, 2L, 1.0), (1L, 3L, 1.0)))
   }
 
+  test("ncmEval: separable classes score 100%; fixture roll-up partitions the corpus") {
+    // two orthogonal clusters → class means point at their own cluster
+    val vecs = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0f, 1f), 1), (4L, Array(0.1f, 0.9f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val sep = Similarity.ncmEval(vecs, "vec_id", "embedding", "label")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(sep.toSeq == Seq((0L, 2L, 2L, 10000L), (1L, 2L, 2L, 10000L)))
+    val fix = run("q_ncm_eval").as[(Long, Long, Long, Long)].collect()
+    assert(fix.map(_._2).sum == graft.engine.io.Tables.embeddings(spark, sfDir).count())
+    assert(fix.forall { case (_, n, c, bp) =>
+      c <= n && bp == 10000 * c / n })
+  }
+
   test("queryExpansion recovers the vocabulary-mismatch doc plain BM25 cannot reach") {
     val corpus = Seq(
       (1L, "aa bb cc cc"),   // matches the query, carries the bridge term
