@@ -41,4 +41,42 @@ class AdaptiveSpec extends SparkSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("runtime bloom filter from a selective dim side prunes the fact scan") {
+    // the 100 TB move DPP can't make: when the join key is NOT the
+    // partition column, Catalyst can still build a bloom filter from the
+    // filtered creation side and push a might-contain probe into the
+    // application side's scan — rows that can't match die before the
+    // shuffle. Thresholds lowered so fixture-scale sides qualify.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      // no broadcast: force the shuffle join the filter exists to thin
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def q = graft.engine.io.Tables.lineitem(spark, sfDir)
+        .join(graft.engine.io.Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      val withFilter = q
+      val got = withFilter.collect()
+      val plan = withFilter.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter") ||
+             plan.contains("might_contain"),
+        s"runtime bloom filter expected in the plan:\n${plan.take(2500)}")
+      // semantics unchanged: same aggregate with the optimizer rule off
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val base = q.collect()
+      assert(got.map(_.toString).sorted.sameElements(base.map(_.toString).sorted))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -229,4 +229,29 @@ class PropertySpec extends SparkSuite {
       .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
     assert(got.toSeq == want.toSeq)
   }
+
+  private val randomEdges: Gen[List[(Long, Long)]] =
+    Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 11L), Gen.chooseNum(0L, 11L)))
+      .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
+        .distinct)
+      .suchThat(_.nonEmpty)
+
+  test("pairGraphPagerank conserves scaled mass up to floor loss on random graphs") {
+    // each round redistributes 85% of mass (floors lose < 1 unit per
+    // edge-direction per round) and injects 15% flat, so total mass can
+    // only leak downward from n·10⁶ and never exceeds it; scores are
+    // strictly positive and the node set is exactly the graph's
+    check("pagerank", 5)(Prop.forAll(randomEdges) { edges =>
+      val pairs = edges.toDF("doc_id_1", "doc_id_2")
+      val scores = TextPipeline.pairGraphPagerank(pairs, iters = 3)
+        .as[(Long, Long)].collect()
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val total = scores.map(_._2).sum
+      val maxLoss = 3L * 2 * edges.length // rounds × directed edges
+      scores.forall(_._2 > 0) &&
+        scores.map(_._1).toSet == nodes &&
+        total <= nodes.size * 1000000L &&
+        total >= nodes.size * 1000000L - maxLoss
+    })
+  }
 }
