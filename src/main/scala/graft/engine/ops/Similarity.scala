@@ -622,6 +622,50 @@ object Similarity {
     stats.orderBy("cell", "dim")
   }
 
+  /** Reciprocal-rank fusion (RRF) — the scoreless hybrid-search
+    * combinator: BM25 keyword ranks and LSH vector ranks fused as
+    * Σ 1/(60 + rank), the fusion that needs NO score calibration
+    * between legs (BM25's floored integers and cosine's doubles never
+    * meet — only their ranks do), which is why it is the default in
+    * production hybrid search next to [[hybridRerank]]'s exact-rescore
+    * composition. Candidates found by only one leg keep a null rank on
+    * the other and still fuse.
+    *
+    * Scale shape: each leg is its own scale-shaped operator; ranks are
+    * windows over the ≤ nCand leg results (constWindowKey — bounded by
+    * construction), and the fusion is a full outer join of two
+    * ≤ nCand-row frames. Nothing touches the corpus beyond the legs. */
+  def rankFusion(documents: DataFrame, docIdCol: String, textCol: String,
+                 vectors: DataFrame, vecIdCol: String, vecCol: String,
+                 queryId: Long, nCand: Int, k: Int): DataFrame = {
+    val qdoc = documents.filter(col(docIdCol) === queryId)
+      .select(col(docIdCol).as("query_id"),
+        concat_ws(" ", slice(split(col(textCol), " "), 1, 16)).as("qtext"))
+    val wBm = org.apache.spark.sql.expressions.Window
+      .partitionBy(GraftFunctions.constWindowKey(col("cand_id"))).orderBy(col("rk"))
+    val bm = TextPipeline.bm25TopK(documents, docIdCol, textCol,
+        qdoc, "query_id", "qtext", nCand + 1)
+      .filter(col("doc_id") =!= queryId)
+      .select(col("doc_id").as("cand_id"), col("rk"))
+      .withColumn("bm_rank", row_number().over(wBm).cast("long"))
+      .select("cand_id", "bm_rank")
+    val wAnn = org.apache.spark.sql.expressions.Window
+      .partitionBy(GraftFunctions.constWindowKey(col("cand_id")))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    val ann = annLsh(vectors, vecIdCol, vecCol, queryId, nCand)
+      .select(col("vec_id").as("cand_id"), col("cos_sim"))
+      .withColumn("ann_rank", row_number().over(wAnn).cast("long"))
+      .select("cand_id", "ann_rank")
+    bm.join(ann, Seq("cand_id"), "full_outer")
+      .select(col("cand_id"), col("bm_rank"), col("ann_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(60L) + col("bm_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60L) + col("ann_rank")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("cand_id").asc)
+      .limit(k)
+      .orderBy(col("rrf").desc, col("cand_id").asc)
+  }
+
   /** Nearest-class-mean evaluation — the cheapest supervised probe of an
     * embedding space (the "NCM classifier" baseline): per label, an
     * exact integer-quantized prototype (the [[kmeansStep]] floored-mean
@@ -1765,6 +1809,9 @@ object Similarity {
       bitextMine(Tables.documents(s, d), Tables.embeddings(s, d), "de", "en")),
     "q_ncm_eval" -> ((s, d) =>
       ncmEval(Tables.embeddings(s, d), "vec_id", "embedding", "label")),
+    "q_rank_fusion" -> ((s, d) =>
+      rankFusion(Tables.documents(s, d), "doc_id", "text",
+        Tables.embeddings(s, d), "vec_id", "embedding", 0, 20, 10)),
     "q_lsh_band_stats" -> ((s, d) =>
       minhashBandStats(Tables.documents(s, d), "doc_id", "text")),
     "q_ann_lsh" -> ((s, d) => annLsh(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
@@ -2257,7 +2304,10 @@ object Similarity {
     * q_bm25_topk oracle, query = doc 0's own text), the annLsh leg
     * (same plane-literal replay as q_ann_lsh, top-20), a FULL OUTER
     * union with provenance flags, and one exact fold-dot cosine rerank. */
-  private def hybridRerankOracleSql: String = {
+  /** The shared retrieval-leg CTE chain (16-token query → BM25 scores;
+    * hyperplane sigs → LSH band candidates) — consumed by BOTH the
+    * hybrid-rerank and rank-fusion oracles so the legs cannot drift. */
+  private def hybridLegsCtes: String = {
     val planesList = planes.flatten.mkString("[", ", ", "]")
     val sigTerms = (0 until NBits).map { j =>
       val acc = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
@@ -2292,11 +2342,6 @@ object Similarity {
        |bmagg AS (
        |  SELECT doc_id, CAST(sum(CAST(floor(idf * sat) AS BIGINT)) AS BIGINT) AS score
        |  FROM bmscored GROUP BY query_id, doc_id),
-       |bmtop AS (
-       |  SELECT doc_id AS cand_id FROM (
-       |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
-       |    FROM bmagg)
-       |  WHERE rk <= 21 AND doc_id <> 0),
        |sigs AS (
        |  SELECT vec_id, embedding AS v, CAST($sigTerms AS BIGINT) AS sig
        |  FROM embeddings CROSS JOIN planes),
@@ -2307,7 +2352,16 @@ object Similarity {
        |lshcand AS (
        |  SELECT DISTINCT b.vec_id, b.v, q0.qe
        |  FROM bands b JOIN q0 USING (band, band_key)
-       |  WHERE b.vec_id <> 0),
+       |  WHERE b.vec_id <> 0)""".stripMargin
+  }
+
+  private def hybridRerankOracleSql: String = {
+    s"""$hybridLegsCtes,
+       |bmtop AS (
+       |  SELECT doc_id AS cand_id FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+       |    FROM bmagg)
+       |  WHERE rk <= 21 AND doc_id <> 0),
        |anntop AS (
        |  SELECT vec_id AS cand_id FROM (
        |    SELECT vec_id,
@@ -2332,6 +2386,35 @@ object Similarity {
        |  FROM rerank)
        |WHERE rk <= 10 ORDER BY rk""".stripMargin
   }
+
+  /** DuckDB replication of [[rankFusion]]: the SAME leg CTEs as the
+    * hybrid oracle, each cut to a post-filter dense rank, fused by
+    * reciprocal rank. The RRF terms are identically-parenthesized
+    * doubles over integer ranks, so the fused score is bit-identical. */
+  private def rankFusionOracleSql: String =
+    s"""$hybridLegsCtes,
+       |bmr AS (
+       |  SELECT cand_id, CAST(row_number() OVER (ORDER BY rk) AS BIGINT) AS bm_rank
+       |  FROM (
+       |    SELECT doc_id AS cand_id, rk FROM (
+       |      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+       |      FROM bmagg)
+       |    WHERE rk <= 21 AND doc_id <> 0)),
+       |annr AS (
+       |  SELECT cand_id,
+       |    CAST(row_number() OVER (ORDER BY cos_sim DESC, cand_id ASC) AS BIGINT) AS ann_rank
+       |  FROM (
+       |    SELECT vec_id AS cand_id,
+       |      round(${foldDot("v", "qe")} /
+       |            (sqrt(${foldDot("v", "v")}) * sqrt(${foldDot("qe", "qe")})), 4) AS cos_sim
+       |    FROM lshcand
+       |    ORDER BY cos_sim DESC, vec_id ASC LIMIT 20))
+       |SELECT cand_id, bm_rank, ann_rank, rrf FROM (
+       |  SELECT coalesce(b.cand_id, a.cand_id) AS cand_id, b.bm_rank, a.ann_rank,
+       |    round(coalesce(CAST(1.0 AS DOUBLE) / (60 + b.bm_rank), CAST(0 AS DOUBLE)) +
+       |          coalesce(CAST(1.0 AS DOUBLE) / (60 + a.ann_rank), CAST(0 AS DOUBLE)), 6) AS rrf
+       |  FROM bmr b FULL OUTER JOIN annr a ON b.cand_id = a.cand_id)
+       |ORDER BY rrf DESC, cand_id ASC LIMIT 10""".stripMargin
 
   /** DuckDB replication of annIvf (nearest-centroid inverted file, 4-cell
     * probe, exact rerank). `list_position(l, list_aggregate(l, 'max'))`
@@ -2851,6 +2934,7 @@ object Similarity {
     "q_semantic_dedup" -> semanticDedupOracleSql,
     "q_ann_lsh" -> annLshOracleSql,
     "q_hybrid_rerank" -> hybridRerankOracleSql,
+    "q_rank_fusion" -> rankFusionOracleSql,
     "q_ann_ivf" -> annIvfOracleSql,
     // the broadcast-codebook variant is output-identical by construction,
     // so it shares the literal path's oracle verbatim

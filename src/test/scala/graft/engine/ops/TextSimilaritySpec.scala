@@ -1322,6 +1322,26 @@ class TextSimilaritySpec extends SparkSuite {
     assert(got == Set((1L, 2L, 1.0), (3L, 2L, 1.0), (1L, 3L, 1.0)))
   }
 
+  test("rankFusion: rrf recomputes from the leg ranks; both-leg docs beat single-leg peers") {
+    val rows = run("q_rank_fusion").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val bm = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val ann = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(bm.isDefined || ann.isDefined, "a candidate must come from some leg")
+      val want = bm.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        ann.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - want) < 1e-6)
+    }
+    // an rrf with two contributing legs strictly beats any single-leg
+    // score at comparable depth: 2/(60+20) > 1/61
+    val both = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2)).map(_.getDouble(3))
+    val single = rows.filter(r => r.isNullAt(1) ^ r.isNullAt(2)).map(_.getDouble(3))
+    if (both.nonEmpty && single.nonEmpty)
+      assert(both.min > single.max,
+        s"dual-leg candidates must dominate: $both vs $single")
+  }
+
   test("ncmEval: separable classes score 100%; fixture roll-up partitions the corpus") {
     // two orthogonal clusters → class means point at their own cluster
     val vecs = Seq(
