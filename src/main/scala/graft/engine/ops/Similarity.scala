@@ -1812,6 +1812,16 @@ object Similarity {
     "q_rank_fusion" -> ((s, d) =>
       rankFusion(Tables.documents(s, d), "doc_id", "text",
         Tables.embeddings(s, d), "vec_id", "embedding", 0, 20, 10)),
+    // SemDeDup closed to clusters: the cell-blocked cosine pair graph
+    // through the SAME label-prop CC the text dedup uses (textCol is
+    // dead weight with precomputed pairs — only the id universe reads)
+    "q_semantic_clusters" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pairs = semanticDedup(emb, "vec_id", "embedding", 0.35)
+        .select(col("vec_id_1").as("doc_id_1"), col("vec_id_2").as("doc_id_2"))
+      TextPipeline.dedupClusters(emb, "vec_id", "embedding", 0.35,
+        precomputedPairs = Some(pairs)).orderBy("id")
+    }),
     "q_lsh_band_stats" -> ((s, d) =>
       minhashBandStats(Tables.documents(s, d), "doc_id", "text")),
     "q_ann_lsh" -> ((s, d) => annLsh(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
@@ -2932,6 +2942,24 @@ object Similarity {
     "q_ann_ivfpq_trained" -> annIvfPqRerankTrainedOracleSql(2, 30, 10),
     "q_mmr_diverse" -> mmrOracleSql(20, 5),
     "q_semantic_dedup" -> semanticDedupOracleSql,
+    // the semantic pair CTEs + the same recursive min-label walk the
+    // text-dedup cluster oracle runs; MATERIALIZED is load-bearing on
+    // edges (an inlined list re-runs the pair join per iteration)
+    "q_semantic_clusters" ->
+      s"""WITH RECURSIVE ${ivfAssignCtes.stripPrefix("WITH ")},
+         |withnorm AS (
+         |  SELECT vec_id, v, cell, sqrt(${foldDot("v", "v")}) AS nrm FROM indexed),
+         |sem_pairs AS MATERIALIZED (
+         |  SELECT x.vec_id AS a, y.vec_id AS b
+         |  FROM withnorm x JOIN withnorm y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE round(${foldDot("x.v", "y.v")} / (x.nrm * y.nrm), 4) >= 0.35),
+         |edges AS MATERIALIZED (
+         |  SELECT a, b FROM sem_pairs UNION SELECT b, a FROM sem_pairs),
+         |walk AS (
+         |  SELECT vec_id AS id, vec_id AS lab FROM embeddings
+         |  UNION
+         |  SELECT e.a AS id, w.lab FROM edges e JOIN walk w ON w.id = e.b)
+         |SELECT id, min(lab) AS cluster FROM walk GROUP BY id ORDER BY id""".stripMargin,
     "q_ann_lsh" -> annLshOracleSql,
     "q_hybrid_rerank" -> hybridRerankOracleSql,
     "q_rank_fusion" -> rankFusionOracleSql,

@@ -1322,6 +1322,21 @@ class TextSimilaritySpec extends SparkSuite {
     assert(got == Set((1L, 2L, 1.0), (3L, 2L, 1.0), (1L, 3L, 1.0)))
   }
 
+  test("q_semantic_clusters: pairs share clusters, singletons own theirs, labels are minima") {
+    val clusters = run("q_semantic_clusters").as[(Long, Long)].collect().toMap
+    val pairs = run("q_semantic_dedup")
+      .select("vec_id_1", "vec_id_2").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters") }
+    val touched = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    clusters.foreach { case (id, c) =>
+      if (!touched.contains(id)) assert(c == id, s"singleton $id must self-label")
+      assert(c <= id, "cluster label is the component minimum")
+    }
+    assert(clusters.size == graft.engine.io.Tables.embeddings(spark, sfDir).count())
+  }
+
   test("rankFusion: rrf recomputes from the leg ranks; both-leg docs beat single-leg peers") {
     val rows = run("q_rank_fusion").collect()
     assert(rows.length == 10)
