@@ -69,6 +69,7 @@ object ScaleCheck {
     "q_containment", "q_dedup_eval", "q_bitext_mine",
     "q_graph_pagerank", "q_lsh_band_stats", "q_pmi_collocations",
     "q_query_expansion", "q_rank_fusion", "q_ncm_eval", "q_anomaly_windows",
+    "q_semantic_clusters", "q_dedup_eval_sweep",
     // linear controls (wide scans, shuffles, windows)
     "q_agg_group", "q_window_rank", "q_topk_per_group", "q_join_bucketed",
     "q_profile", "q_zorder", "q_outlier_mad", "q_vocab_build")

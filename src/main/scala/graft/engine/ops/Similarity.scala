@@ -358,6 +358,51 @@ object Similarity {
         expr("10000 * n_tp DIV (n_tp + n_fn)").as("recall_bp"))
   }
 
+  /** The [[dedupEval]] confusion counted at a LADDER of thresholds from
+    * one pair computation — the curve an operator reads to SET the dedup
+    * threshold instead of auditing a single point: both the exact
+    * all-pairs truth and the LSH candidate set are scored ONCE at the
+    * ladder's minimum (banding is threshold-independent; the size-bound
+    * prune at min(t)−0.001 is provably inert for every rung), the scored
+    * full-outer pair table is checkpointed, and each rung re-gates it
+    * with pure column predicates. Recall falling away below the banding
+    * design point is exactly the S-curve the parameterization chose —
+    * this query makes that trade measurable.
+    *
+    * Scale: one quadratic truth pass (the declared audit tier) + one
+    * near-dup run; the per-rung aggregates run over the materialized
+    * pair table, never re-scoring. */
+  def dedupEvalSweep(documents: DataFrame, idCol: String, textCol: String,
+                     thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty)
+    val tMin = thresholds.min
+    val truth = TextPipeline.ngramJaccard(
+        documents.withColumn("all_blk", lit(1)), idCol, textCol, Seq("all_blk"), tMin)
+      .select(col("doc_id_1"), col("doc_id_2"), col("jaccard").as("tj"))
+    val found = minhashNearDup(documents, idCol, textCol, tMin, ordered = false)
+      .select(col("doc_id_1"), col("doc_id_2"), col("jaccard").as("fj"))
+    val joined = truth.join(found, Seq("doc_id_1", "doc_id_2"), "full_outer")
+      .select("tj", "fj")
+      .localCheckpoint()
+    thresholds.sorted.map { t =>
+      joined.agg(
+          sum(when(col("tj") >= t && col("fj") >= t, 1L).otherwise(0L)).as("n_tp"),
+          sum(when((col("tj").isNull || col("tj") < t) && col("fj") >= t, 1L)
+            .otherwise(0L)).as("n_fp"),
+          sum(when(col("tj") >= t && (col("fj").isNull || col("fj") < t), 1L)
+            .otherwise(0L)).as("n_fn"))
+        .select(
+          lit(math.round(t * 100)).cast("long").as("threshold_pct"),
+          (col("n_tp") + col("n_fn")).as("n_truth"),
+          (col("n_tp") + col("n_fp")).as("n_found"),
+          col("n_tp"), col("n_fp"), col("n_fn"),
+          expr("CASE WHEN n_tp + n_fp = 0 THEN NULL ELSE 10000 * n_tp DIV (n_tp + n_fp) END")
+            .as("precision_bp"),
+          expr("CASE WHEN n_tp + n_fn = 0 THEN NULL ELSE 10000 * n_tp DIV (n_tp + n_fn) END")
+            .as("recall_bp"))
+    }.reduce(_ unionAll _).orderBy("threshold_pct")
+  }
+
   /** Retrieval-quality audit: recall@k of the ANN candidate path
     * ([[annRerank]] — LSH band probe + exact rerank) against the exact
     * kNN ground truth ([[knnJoin]]) for a batch of probes, as an
@@ -1845,6 +1890,9 @@ object Similarity {
     "q_dedup_minhash" -> ((s, d) => minhashNearDup(Tables.documents(s, d), "doc_id", "text", 0.9)),
     // LSH banding-miss audit vs the exact all-pairs ground truth
     "q_dedup_eval" -> ((s, d) => dedupEval(Tables.documents(s, d), "doc_id", "text", 0.9)),
+    "q_dedup_eval_sweep" -> ((s, d) =>
+      dedupEvalSweep(Tables.documents(s, d), "doc_id", "text",
+        Seq(0.8, 0.85, 0.9, 0.95))),
     // the high-recall parameter point under the SAME hash oracle: k=32
     // (prefix-stable family extension) in 4 bands × 8 rows lifts the
     // S-curve knee (P(candidate) at J=0.9 goes 0.68 → 0.89) at 2× the
@@ -3049,6 +3097,47 @@ object Similarity {
         |  10000 * n_tp // (n_tp + n_fp) AS precision_bp,
         |  10000 * n_tp // (n_tp + n_fn) AS recall_bp
         |FROM conf""".stripMargin),
+    // one scored pair table (candidates un-gated down to the ladder
+    // minimum), four re-gates — the same sweep the operator runs
+    "q_dedup_eval_sweep" -> (minhashOracleCtesFor("") + {
+      def rung(pct: Int): String = {
+        val t = pct / 100.0
+        s"""SELECT CAST($pct AS BIGINT) AS threshold_pct,
+           |  n_tp + n_fn AS n_truth, n_tp + n_fp AS n_found, n_tp, n_fp, n_fn,
+           |  CASE WHEN n_tp + n_fp = 0 THEN NULL
+           |       ELSE 10000 * n_tp // (n_tp + n_fp) END AS precision_bp,
+           |  CASE WHEN n_tp + n_fn = 0 THEN NULL
+           |       ELSE 10000 * n_tp // (n_tp + n_fn) END AS recall_bp
+           |FROM (
+           |  SELECT CAST(count(*) FILTER (tj >= $t AND fj >= $t) AS BIGINT) AS n_tp,
+           |         CAST(count(*) FILTER ((tj IS NULL OR tj < $t) AND fj >= $t) AS BIGINT) AS n_fp,
+           |         CAST(count(*) FILTER (tj >= $t AND (fj IS NULL OR fj < $t)) AS BIGINT) AS n_fn
+           |  FROM jj)""".stripMargin
+      }
+      s""",
+         |found_scored AS MATERIALIZED (
+         |  SELECT least(ta.a, tb.b) AS doc_id_1, greatest(ta.a, tb.b) AS doc_id_2, jaccard
+         |  FROM ver, unnest(ma) AS ta(a), unnest(mb) AS tb(b)
+         |  WHERE jaccard >= 0.8
+         |  UNION ALL
+         |  SELECT ta.a, tb.b, CAST(1.0 AS DOUBLE)
+         |  FROM (SELECT members FROM grps WHERE len(members) > 1) g,
+         |       unnest(g.members) AS ta(a), unnest(g.members) AS tb(b)
+         |  WHERE ta.a < tb.b),
+         |truth_scored AS MATERIALIZED (
+         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |    round(CAST(len(list_intersect(a.hsh, b.hsh)) AS DOUBLE) /
+         |          (len(a.hsh) + len(b.hsh) - len(list_intersect(a.hsh, b.hsh))), 4) AS jaccard
+         |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+         |  WHERE round(CAST(len(list_intersect(a.hsh, b.hsh)) AS DOUBLE) /
+         |        (len(a.hsh) + len(b.hsh) - len(list_intersect(a.hsh, b.hsh))), 4) >= 0.8),
+         |jj AS MATERIALIZED (
+         |  SELECT t.jaccard AS tj, f.jaccard AS fj
+         |  FROM truth_scored t FULL OUTER JOIN found_scored f
+         |    ON t.doc_id_1 = f.doc_id_1 AND t.doc_id_2 = f.doc_id_2)
+         |${Seq(80, 85, 90, 95).map(rung).mkString("\nUNION ALL\n")}
+         |ORDER BY threshold_pct""".stripMargin
+    }),
     // the k=32 / 4×8 point replays the generated-constant pipeline at
     // its own parameterization — every intermediate still exact integers
     "q_dedup_minhash_k32" -> (minhashOracleCtesFor("", 32, 4, 8) +

@@ -1322,6 +1322,24 @@ class TextSimilaritySpec extends SparkSuite {
     assert(got == Set((1L, 2L, 1.0), (3L, 2L, 1.0), (1L, 3L, 1.0)))
   }
 
+  test("q_dedup_eval_sweep: recall climbs toward the banding design point; verified pipeline has no FPs") {
+    val rows = run("q_dedup_eval_sweep")
+      .select("threshold_pct", "n_truth", "n_fp", "recall_bp")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(80L, 85L, 90L, 95L))
+    // exact verification makes false positives structurally impossible:
+    // every emitted pair carries its true jaccard, so found ⊆ truth
+    assert(rows.forall(_._3 == 0L))
+    // banding was parameterized for t=0.9: recall must climb monotonically
+    // toward (and past) the design point as the gate tightens
+    val recalls = rows.map(_._4)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a < b }, recalls.mkString(","))
+    assert(recalls.last > 9000L, "near-total recall above the design point")
+    // a tighter gate can only shrink the truth set
+    val truths = rows.map(_._2)
+    assert(truths.zip(truths.tail).forall { case (a, b) => a > b })
+  }
+
   test("q_semantic_clusters: pairs share clusters, singletons own theirs, labels are minima") {
     val clusters = run("q_semantic_clusters").as[(Long, Long)].collect().toMap
     val pairs = run("q_semantic_dedup")
