@@ -1525,6 +1525,50 @@ class StreamingSpec extends SparkSuite {
     assert(flagged.toSeq == Seq((7200L, "click", 30L, true, 54.0)), rows.mkString(", "))
   }
 
+  // s_stream_anomaly in Append: watermarked window state must survive a
+  // kill-and-restart, each finalized window emitted exactly once
+  test("s_stream_anomaly: windows finalize exactly once across a kill-and-restart") {
+    var id = 1000L
+    def evs(hour: Long, typ: String, n: Int): Seq[Ev] =
+      (1 to n).map { i => id += 1; Ev(id, ts(hour * 3600 + i), 1L, typ, 1.0) }
+    val hist = evs(0, "click", 3) ++ evs(0, "view", 2) ++
+      evs(1, "click", 3) ++ evs(1, "view", 2) ++
+      evs(2, "click", 30) ++ evs(2, "view", 2)
+    val wc = hist.map(e => (e.ts, e.event_type)).toDF("ts", "event_type")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"))
+    val model = graft.engine.ops.Analytics.madModel(wc, "event_type", "n")
+    val in = MemoryStream[Ev](spark)
+    val ckpt = tmpDir("anomaly-restart")
+    val out = mutable.ArrayBuffer[(Long, String, Long, Boolean)]()
+    def start() = Streams.streamingAnomaly(in.toDF(), model).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.select("win_start_s", "event_type", "n", "is_anomaly")
+            .as[(Long, String, Long, Boolean)].collect()
+        }
+        ()
+      }.start()
+    val q1 = start()
+    in.addData(hist.filter(_.ts.getTime < 3600 * 1000L): _*)
+    q1.processAllAvailable()
+    q1.stop() // kill: in-flight hour-0 window state lives in the checkpoint
+    val q2 = start()
+    in.addData(hist.filter(_.ts.getTime >= 3600 * 1000L): _*)
+    q2.processAllAvailable()
+    // watermark tick far past hour 2 finalizes the remaining windows;
+    // its own (unfinalized) window never emits
+    in.addData(Ev(1L, ts(5 * 3600), 1L, "tick", 1.0))
+    q2.processAllAvailable(); q2.stop()
+    assert(out.size == 6, s"each (hour, type) window exactly once: $out")
+    val flagged = out.filter(_._4)
+    assert(flagged.toSeq == Seq((7200L, "click", 30L, true)),
+      s"only the spike window is anomalous: $out")
+  }
+
   // s_stream_containment: reference token-hash sets under the stream,
   // per-arrival merge-walk verify, zero state — quote detection at ingest
   test("s_stream_containment: arrivals mostly inside a reference doc are attributed to it") {
