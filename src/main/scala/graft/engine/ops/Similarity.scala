@@ -373,17 +373,11 @@ object Similarity {
     * near-dup run; the per-rung aggregates run over the materialized
     * pair table, never re-scoring. */
   def dedupEvalSweep(documents: DataFrame, idCol: String, textCol: String,
-                     thresholds: Seq[Double]): DataFrame = {
+                     thresholds: Seq[Double],
+                     precomputedScores: Option[DataFrame] = None): DataFrame = {
     require(thresholds.nonEmpty)
-    val tMin = thresholds.min
-    val truth = TextPipeline.ngramJaccard(
-        documents.withColumn("all_blk", lit(1)), idCol, textCol, Seq("all_blk"), tMin)
-      .select(col("doc_id_1"), col("doc_id_2"), col("jaccard").as("tj"))
-    val found = minhashNearDup(documents, idCol, textCol, tMin, ordered = false)
-      .select(col("doc_id_1"), col("doc_id_2"), col("jaccard").as("fj"))
-    val joined = truth.join(found, Seq("doc_id_1", "doc_id_2"), "full_outer")
-      .select("tj", "fj")
-      .localCheckpoint()
+    val joined = precomputedScores.getOrElse(
+      scoredEvalTable(documents, idCol, textCol, thresholds.min))
     thresholds.sorted.map { t =>
       joined.agg(
           sum(when(col("tj") >= t && col("fj") >= t, 1L).otherwise(0L)).as("n_tp"),
@@ -402,6 +396,51 @@ object Similarity {
             .as("recall_bp"))
     }.reduce(_ unionAll _).orderBy("threshold_pct")
   }
+
+  /** The (tj, fj) scored pair table both dedup audits re-gate: exact
+    * all-pairs truth and verified LSH candidates, each carrying its
+    * jaccard, full-outer joined on the pair key and truncated via
+    * localCheckpoint. A gate at any t ≥ `tMin` is a pure filter of
+    * this table (banding is threshold-independent; the size-bound
+    * prune at tMin−0.001 is inert for every higher gate). */
+  private def scoredEvalTable(documents: DataFrame, idCol: String,
+                              textCol: String, tMin: Double): DataFrame = {
+    val truth = TextPipeline.ngramJaccard(
+        documents.withColumn("all_blk", lit(1)), idCol, textCol, Seq("all_blk"), tMin)
+      .select(col("doc_id_1"), col("doc_id_2"), col("jaccard").as("tj"))
+    val found = minhashNearDup(documents, idCol, textCol, tMin, ordered = false)
+      .select(col("doc_id_1"), col("doc_id_2"), col("jaccard").as("fj"))
+    truth.join(found, Seq("doc_id_1", "doc_id_2"), "full_outer")
+      .select("tj", "fj")
+      .localCheckpoint()
+  }
+
+  /** Session-memoized [[scoredEvalTable]] at the audit ladder's minimum:
+    * `q_dedup_eval` (the 0.9 point) and `q_dedup_eval_sweep` (the
+    * ladder) re-gate ONE materialization — the quadratic truth pass
+    * runs once per session, the shared-artifact discipline the pair
+    * graph and cluster table already follow. */
+  private[ops] def sharedEvalScores(s: SparkSession, d: String): DataFrame =
+    TextPipeline.memoizedPairs(s, d + "|evalscored") {
+      scoredEvalTable(Tables.documents(s, d), "doc_id", "text", 0.8)
+    }
+
+  /** One [[dedupEval]] confusion row derived from a scored pair table —
+    * identical output contract to [[dedupEval]] at the same threshold
+    * (spec-pinned equal), the form the memoized bindings use. */
+  def dedupEvalAt(scored: DataFrame, t: Double): DataFrame =
+    scored.agg(
+        sum(when(col("tj") >= t && col("fj") >= t, 1L).otherwise(0L)).as("n_tp"),
+        sum(when((col("tj").isNull || col("tj") < t) && col("fj") >= t, 1L)
+          .otherwise(0L)).as("n_fp"),
+        sum(when(col("tj") >= t && (col("fj").isNull || col("fj") < t), 1L)
+          .otherwise(0L)).as("n_fn"))
+      .select(
+        (col("n_tp") + col("n_fn")).as("n_truth"),
+        (col("n_tp") + col("n_fp")).as("n_found"),
+        col("n_tp"), col("n_fp"), col("n_fn"),
+        expr("10000 * n_tp DIV (n_tp + n_fp)").as("precision_bp"),
+        expr("10000 * n_tp DIV (n_tp + n_fn)").as("recall_bp"))
 
   /** Retrieval-quality audit: recall@k of the ANN candidate path
     * ([[annRerank]] — LSH band probe + exact rerank) against the exact
@@ -1889,10 +1928,13 @@ object Similarity {
       annMatryoshka(Tables.embeddings(s, d), "vec_id", "embedding", 0, 32, 64, 10)),
     "q_dedup_minhash" -> ((s, d) => minhashNearDup(Tables.documents(s, d), "doc_id", "text", 0.9)),
     // LSH banding-miss audit vs the exact all-pairs ground truth
-    "q_dedup_eval" -> ((s, d) => dedupEval(Tables.documents(s, d), "doc_id", "text", 0.9)),
+    // both audits re-gate the ONE memoized scored pair table; outputs
+    // are spec-pinned equal to the standalone dedupEval composition
+    "q_dedup_eval" -> ((s, d) => dedupEvalAt(sharedEvalScores(s, d), 0.9)),
     "q_dedup_eval_sweep" -> ((s, d) =>
       dedupEvalSweep(Tables.documents(s, d), "doc_id", "text",
-        Seq(0.8, 0.85, 0.9, 0.95))),
+        Seq(0.8, 0.85, 0.9, 0.95),
+        precomputedScores = Some(sharedEvalScores(s, d)))),
     // the high-recall parameter point under the SAME hash oracle: k=32
     // (prefix-stable family extension) in 4 bands × 8 rows lifts the
     // S-curve knee (P(candidate) at J=0.9 goes 0.68 → 0.89) at 2× the

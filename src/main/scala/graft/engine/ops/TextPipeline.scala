@@ -2642,7 +2642,7 @@ object TextPipeline {
     if (id == null) { id = java.util.UUID.randomUUID().toString; sessionIds.put(s, id) }
     id
   }
-  private def memoizedPairs(s: SparkSession, scope: String)
+  private[ops] def memoizedPairs(s: SparkSession, scope: String)
                            (build: => DataFrame): DataFrame = {
     val it = pairMemo.entrySet().iterator()
     while (it.hasNext) {

@@ -1322,6 +1322,13 @@ class TextSimilaritySpec extends SparkSuite {
     assert(got == Set((1L, 2L, 1.0), (3L, 2L, 1.0), (1L, 3L, 1.0)))
   }
 
+  test("memoized eval gate equals the standalone dedupEval composition at 0.9") {
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    val direct = Similarity.dedupEval(docs, "doc_id", "text", 0.9).collect()
+    val gated = run("q_dedup_eval").collect()
+    assert(direct.map(_.toString).toSeq == gated.map(_.toString).toSeq)
+  }
+
   test("q_dedup_eval_sweep: recall climbs toward the banding design point; verified pipeline has no FPs") {
     val rows = run("q_dedup_eval_sweep")
       .select("threshold_pct", "n_truth", "n_fp", "recall_bp")
