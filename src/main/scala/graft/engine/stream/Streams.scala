@@ -54,6 +54,30 @@ object Streams {
         if (!batch.isEmpty) handler(batch, id) // O6 emptiness probe
       }
 
+  /** s_stream_file_sink: the exactly-once parquet landing path — the
+    * sink that upgrades the reference's at-least-once replay to
+    * exactly-once delivery on storage, which is the engine's core
+    * claim (README). Spark's FileStreamSink writes each batch's files
+    * then commits them ATOMICALLY into the `_spark_metadata` manifest;
+    * a batch replayed after a crash re-commits the SAME batch id, so
+    * the manifest never lists a row twice, and metadata-aware readers
+    * (any `spark.read.parquet` on the directory) see ONLY committed
+    * files — an orphaned data file from a torn write is invisible.
+    * `partitionCols` gives the landing layout (e.g. the date-partition
+    * scheme q_scan_partitioned prunes on) in the same call.
+    *
+    * At 100 TB this is the ingest boundary: downstream batch jobs read
+    * the directory with no coordination beyond the manifest, and the
+    * kill-and-restart test pins the no-duplicate/no-loss contract. */
+  def parquetSink(df: DataFrame, path: String, checkpoint: String,
+                  partitionCols: Seq[String] = Nil): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+    if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+  }
+
   /** One observed batch from the offset mirror (O3/O4 parity). */
   final case class OffsetRecord(batchId: Long, source: String,
                                 startOffset: String, endOffset: String)

@@ -1525,6 +1525,39 @@ class StreamingSpec extends SparkSuite {
     assert(flagged.toSeq == Seq((7200L, "click", 30L, true, 54.0)), rows.mkString(", "))
   }
 
+  // s_stream_file_sink: exactly-once parquet landing via the
+  // _spark_metadata manifest — no dupes across restart, orphans invisible
+  test("s_stream_file_sink: manifest-committed rows exactly once; orphan files invisible") {
+    val in = MemoryStream[Doc](spark)
+    val dir = tmpDir("filesink-out")
+    val ckpt = tmpDir("filesink-ckpt")
+    def start() = Streams.parquetSink(
+      in.toDF().select(col("doc_id"), col("text")), dir, ckpt).start()
+    val q1 = start()
+    in.addData(Doc(1, ts(1), "alpha"), Doc(2, ts(2), "bravo"))
+    q1.processAllAvailable()
+    q1.stop() // kill between batches
+    val q2 = start()
+    in.addData(Doc(3, ts(3), "charlie"))
+    q2.processAllAvailable(); q2.stop()
+    assert(new java.io.File(dir, "_spark_metadata").exists(),
+      "the atomic commit manifest must exist")
+    val got = spark.read.parquet(dir).select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L),
+      s"each row exactly once across the restart: ${got.toSeq}")
+    // a torn write leaves an uncommitted data file: metadata-aware reads
+    // must not see it — that invisibility IS the exactly-once guarantee
+    Seq((99L, "orphan")).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir + "_stage")
+    val orphan = new java.io.File(dir + "_stage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(orphan.toPath,
+      new java.io.File(dir, "part-99999-orphan.snappy.parquet").toPath)
+    val after = spark.read.parquet(dir).select("doc_id").as[Long].collect().sorted
+    assert(after.toSeq == Seq(1L, 2L, 3L),
+      s"uncommitted files must be invisible to manifest-aware readers: ${after.toSeq}")
+  }
+
   // s_stream_anomaly in Append: watermarked window state must survive a
   // kill-and-restart, each finalized window emitted exactly once
   test("s_stream_anomaly: windows finalize exactly once across a kill-and-restart") {
