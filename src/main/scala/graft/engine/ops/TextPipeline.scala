@@ -2653,9 +2653,24 @@ object TextPipeline {
         it.remove()
       }
     }
-    pairMemo.computeIfAbsent(sessionKey(s) + "|" + scope, _ =>
-      PairEntry(new java.lang.ref.WeakReference(s),
-        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))).df
+    // NEVER computeIfAbsent here: memoized builders nest (sharedClusters
+    // builds from sharedPairs, both in this map), and a nested mutation
+    // inside computeIfAbsent's mapping function throws CHM's "Recursive
+    // update". Build OUTSIDE the map; a racing duplicate build loses the
+    // putIfAbsent and unpersists its copy — correctness is unaffected
+    // (both frames are identical), only the race pays twice.
+    val key = sessionKey(s) + "|" + scope
+    val existing = pairMemo.get(key)
+    if (existing != null) existing.df
+    else {
+      val built = PairEntry(new java.lang.ref.WeakReference(s),
+        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val prev = pairMemo.putIfAbsent(key, built)
+      if (prev != null) {
+        try built.df.unpersist(false) catch { case _: Throwable => () }
+        prev.df
+      } else built.df
+    }
   }
   private def sharedPairs(s: SparkSession, d: String): DataFrame =
     memoizedPairs(s, d + "|full") {
