@@ -1558,6 +1558,29 @@ class StreamingSpec extends SparkSuite {
       s"uncommitted files must be invisible to manifest-aware readers: ${after.toSeq}")
   }
 
+  // file sink + partitionBy: the landing layout downstream scans prune
+  // on, written by the same exactly-once manifest path
+  test("s_stream_file_sink lands a partitioned layout that a filtered read prunes") {
+    val in = MemoryStream[LDoc](spark)
+    val dir = tmpDir("filesink-part")
+    val q = Streams.parquetSink(
+      in.toDF().select(col("doc_id"), col("lang"), col("text")),
+      dir, tmpDir("filesink-part-ckpt"), partitionCols = Seq("lang")).start()
+    in.addData(LDoc(1, ts(1), "en", "alpha"), LDoc(2, ts(2), "de", "beta"),
+      LDoc(3, ts(3), "en", "gamma"))
+    q.processAllAvailable(); q.stop()
+    // hive-style lang=... directories exist — the layout partition pruning eats
+    val langDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("lang=")).map(_.getName).sorted
+    assert(langDirs.toSeq == Seq("lang=de", "lang=en"))
+    val en = spark.read.parquet(dir).filter(col("lang") === "en")
+    val scan = en.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang") ||
+           scan.contains("PartitionFilters: [(lang"),
+      s"the landing layout must prune on the partition column:\n${scan.take(1200)}")
+    assert(en.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   // s_stream_anomaly in Append: watermarked window state must survive a
   // kill-and-restart, each finalized window emitted exactly once
   test("s_stream_anomaly: windows finalize exactly once across a kill-and-restart") {
