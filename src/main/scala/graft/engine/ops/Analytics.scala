@@ -602,6 +602,31 @@ object Analytics {
       .orderBy("o_orderkey")
   }
 
+  /** FORWARD as-of join — "the next event at-or-after": the label-join
+    * shape of a training pipeline (features at time t join the first
+    * OUTCOME observed ≥ t; a backward as-of would leak the past into
+    * the label). Same union + keyed-window formulation as [[qAsofJoin]]
+    * with the scan direction reversed: descending event-time order
+    * makes the running `last(value)` carry the NEAREST later event, and
+    * the side tiebreak (event before order at equal t) keeps the match
+    * inclusive. One shuffle per side, no range probe — the shape that
+    * survives 100 TB unchanged. */
+  private val qAsofJoinForward: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(
+      col("user_id").as("u"), col("ts").as("t"), lit(0).as("side"),
+      lit(null).cast("long").as("o_orderkey"), col("value"))
+    val od = Tables.orders(s, d).select(
+      pmod(col("o_custkey"), lit(150)).as("u"), col("o_orderdate").as("t"), lit(1).as("side"),
+      col("o_orderkey"), lit(null).cast("double").as("value"))
+    val w = Window.partitionBy("u").orderBy(col("t").desc, col("side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionAll(od)
+      .withColumn("ev_value", last("value", ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("o_orderkey"), col("u"), col("ev_value"))
+      .orderBy("o_orderkey")
+  }
+
   // ---------------------------------------------------------- skew salting
   /** Salted join — the skew-mitigation pattern for joining a large fact
     * to a hot-keyed table when BOTH sides are too big to broadcast: the
@@ -693,6 +718,7 @@ object Analytics {
     "q_map_funcs" -> qMapFuncs, "q_generator_seq" -> qGeneratorSeq,
     "q_subquery_corr" -> qSubqueryCorr, "q_subquery_in" -> qSubqueryIn,
     "q_null_funcs" -> qNullFuncs, "q_asof_join" -> qAsofJoin,
+    "q_asof_join_forward" -> qAsofJoinForward,
     "q_sessionize" -> qSessionize, "q_window_dist" -> qWindowDist,
     "q_window_range" -> qWindowRange, "q_agg_minmax_by" -> qAggMinmaxBy,
     "q_lateral_join" -> qLateralJoin, "q_corr_covar" -> qCorrCovar,
@@ -859,6 +885,13 @@ object Analytics {
       """SELECT o.o_orderkey, o.o_custkey % 150 AS u, e.value AS ev_value
         |FROM orders o ASOF LEFT JOIN events e
         |  ON o.o_custkey % 150 = e.user_id AND e.ts <= o.o_orderdate
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the >= direction: DuckDB ASOF picks the NEAREST event at-or-after
+    "q_asof_join_forward" ->
+      """SELECT o.o_orderkey, o.o_custkey % 150 AS u, e.value AS ev_value
+        |FROM orders o ASOF LEFT JOIN events e
+        |  ON o.o_custkey % 150 = e.user_id AND e.ts >= o.o_orderdate
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_sessionize" ->

@@ -282,6 +282,29 @@ class AnalyticsSpec extends SparkSuite {
     assert(est == flat)
   }
 
+  test("q_asof_join_forward matches each order to its user's earliest at-or-after event") {
+    val got = run("q_asof_join_forward")
+      .select("o_orderkey", "u", "ev_value")
+      .as[(Long, Long, Option[Double])].collect()
+    val orders = graft.engine.io.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), pmod(col("o_custkey"), lit(150)).as("u"), col("o_orderdate"))
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+    val evByUser = graft.engine.io.Tables.events(spark, sfDir)
+      .select("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)].collect()
+      .groupBy(_._1)
+    val odate = orders.map(o => o._1 -> (o._2, o._3)).toMap
+    assert(got.length == orders.length)
+    got.foreach { case (ok, u, v) =>
+      val (uu, t) = odate(ok)
+      assert(u == uu)
+      val expect = evByUser.get(u).toSeq.flatten
+        .filter(e => !e._2.before(t)) // ts >= order date (inclusive)
+        .sortBy(_._2.getTime).headOption.map(_._3)
+      assert(v == expect, s"order $ok user $u: got $v want $expect")
+    }
+  }
+
   test("q_anomaly_windows: flagged hours satisfy the gate and reconcile with the window counts") {
     val got = run("q_anomaly_windows")
       .as[(Long, String, Long, Double, Double, Double)].collect()
