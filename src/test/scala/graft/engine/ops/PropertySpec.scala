@@ -230,6 +230,20 @@ class PropertySpec extends SparkSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("zOrder2 is a bijection on 16-bit pairs: deinterleaving recovers both inputs") {
+    // reference inverse, written independently of the shift-or-mask
+    // ladder: collect every second bit
+    def unspread(z: Long): Long =
+      (0 until 16).map(i => ((z >> (2 * i)) & 1L) << i).foldLeft(0L)(_ | _)
+    val coord: Gen[Long] = Gen.chooseNum(0L, 65535L)
+    check("zorder", 30)(Prop.forAll(coord, coord) { (x, y) =>
+      val z = Seq((x, y)).toDF("x", "y")
+        .select(Relational.zOrder2(col("x"), col("y")).as("z"))
+        .as[Long].head()
+      unspread(z >> 1) == x && unspread(z) == y
+    })
+  }
+
   private val randomEdges: Gen[List[(Long, Long)]] =
     Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 11L), Gen.chooseNum(0L, 11L)))
       .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
