@@ -54,6 +54,22 @@ object Bench {
         catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
+    // Shared-artifact attribution (r8 verdict #2): the memoized pair
+    // graph / cluster table / eval-score table are built once per
+    // session and read by several queries — whichever consumer sorted
+    // first used to pay the whole build, making its per-query time
+    // incomparable round-over-round. Force each build HERE, timed under
+    // its own name; consumer queries then measure pure read-plus-own-work.
+    // Build time still counts toward the reported total (it is real work
+    // the round does), just under an honest label.
+    val artifactTimes: Seq[(String, Double)] =
+      graft.engine.ops.TextPipeline.sharedArtifactBuilders(spark, sfDir).map {
+        case (scope, build) =>
+          val t0 = System.nanoTime()
+          try build().write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+          scope -> (System.nanoTime() - t0) / 1e9
+      }
     val measured = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // A measurement far above steady state is almost always an external
       // stall (GC pause, page-cache eviction, co-tenant I/O) mis-attributed
@@ -108,14 +124,20 @@ object Bench {
     // 45 queries — a bounded-size headline set no matter how large the
     // inventory grows — and the exact total over ALL queries.
     val headline = results.toSeq.sortBy(-_._2).take(45).sortBy(_._1)
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // total = per-query sum + the shared-artifact builds: the same work
+    // the r8 total contained (builds were inside consumer queries then),
+    // so round-over-round totals stay comparable while per-query times
+    // become build-free.
+    val total = (if (results.nonEmpty) results.values.sum else 0.0) +
+      artifactTimes.map(_._2).sum
     // "suspect" lists queries whose reported time is STILL >1.5× their
     // own sidecar yardstick after min-of-3 — load-window artifacts, not
     // code. Normally empty, so the stdout tail budget is untouched; the
     // queries map stays a flat name→seconds object for existing parsers.
     val suspectJson = suspect.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val artifactJson = toJson(artifactTimes)
     def jsonLine(qs: String) =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"errors":${failed.size},"suspect":$suspectJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"errors":${failed.size},"suspect":$suspectJson,"artifact_build":$artifactJson,"queries":$qs,"sf":"$sfDir"}"""
     // Sidecar: the FULL per-query map (no stdout size constraint applies to
     // a file) — both the next run's noise yardstick and the round-over-round
     // comparison record for every query, not just the 45 slowest.

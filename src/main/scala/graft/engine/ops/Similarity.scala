@@ -442,6 +442,31 @@ object Similarity {
         expr("10000 * n_tp DIV (n_tp + n_fp)").as("precision_bp"),
         expr("10000 * n_tp DIV (n_tp + n_fn)").as("recall_bp"))
 
+  /** The sample-tier form of [[dedupEval]] — the discipline the docs
+    * promise for the quadratic ground-truth audits, DEMONSTRATED as an
+    * operator instead of argued: the exact all-pairs truth runs on a
+    * deterministic keyMix sample (`keyBucket(id) < samplePct`, the
+    * q_sample_hash rule — reproducible at any parallelism, no RNG
+    * state), so the audit cost is `(pct/100)²` of the full-corpus
+    * confusion (1/16 at 25%) while recall/precision remain unbiased
+    * estimates: banding is exchangeable over documents, so a uniform
+    * id-hash sample of docs induces a uniform sample of pairs within
+    * it. `n_docs_sample` rides along so the reader can see the tier.
+    *
+    * Scale: at 100 TB the FULL [[dedupEval]] truth pass is off the
+    * table (it is declared audit-tier); THIS is the form a pipeline
+    * actually schedules — the quadratic block shrinks with pct² while
+    * the LSH candidate side stays corpus-shaped. */
+  def dedupEvalSampled(documents: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, samplePct: Int): DataFrame = {
+    val sample = documents.filter(TextPipeline.keyBucket(col(idCol)) < samplePct)
+    val n = sample.agg(count(lit(1)).as("n_docs_sample"))
+    dedupEval(sample, idCol, textCol, threshold)
+      .crossJoin(broadcast(n)) // deliberate 1-row broadcast
+      .select("n_docs_sample", "n_truth", "n_found", "n_tp", "n_fp", "n_fn",
+        "precision_bp", "recall_bp")
+  }
+
   /** Retrieval-quality audit: recall@k of the ANN candidate path
     * ([[annRerank]] — LSH band probe + exact rerank) against the exact
     * kNN ground truth ([[knnJoin]]) for a batch of probes, as an
@@ -1931,6 +1956,10 @@ object Similarity {
     // both audits re-gate the ONE memoized scored pair table; outputs
     // are spec-pinned equal to the standalone dedupEval composition
     "q_dedup_eval" -> ((s, d) => dedupEvalAt(sharedEvalScores(s, d), 0.9)),
+    // the sample-tier audit the 100 TB plan actually runs: exact truth
+    // on the deterministic 25% keyMix sample — quadratic cost /16
+    "q_dedup_eval_sampled" -> ((s, d) =>
+      dedupEvalSampled(Tables.documents(s, d), "doc_id", "text", 0.9, 25)),
     "q_dedup_eval_sweep" -> ((s, d) =>
       dedupEvalSweep(Tables.documents(s, d), "doc_id", "text",
         Seq(0.8, 0.85, 0.9, 0.95),
@@ -3139,6 +3168,32 @@ object Similarity {
         |  10000 * n_tp // (n_tp + n_fp) AS precision_bp,
         |  10000 * n_tp // (n_tp + n_fn) AS recall_bp
         |FROM conf""".stripMargin),
+    // the SAME confusion tail as q_dedup_eval over the deterministic
+    // keyMix 25% sample (the exact keyBucket arithmetic q_sample_hash
+    // oracles) — the quadratic truth shrinks by pct², nothing else moves
+    "q_dedup_eval_sampled" -> (minhashOracleCtesFor(
+      s"WHERE ${TextPipeline.keyBucketSql("doc_id")} < 25") +
+      """,
+        |found AS (
+        |  SELECT doc_id_1, doc_id_2 FROM cross_pairs
+        |  UNION ALL SELECT doc_id_1, doc_id_2 FROM within_pairs),
+        |truth AS (
+        |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.hsh, b.hsh)) AS DOUBLE) /
+        |        (len(a.hsh) + len(b.hsh) - len(list_intersect(a.hsh, b.hsh))), 4) >= 0.9),
+        |conf AS (
+        |  SELECT CAST(count(*) FILTER (t.doc_id_1 IS NOT NULL AND f.doc_id_1 IS NOT NULL) AS BIGINT) AS n_tp,
+        |         CAST(count(*) FILTER (t.doc_id_1 IS NULL) AS BIGINT) AS n_fp,
+        |         CAST(count(*) FILTER (f.doc_id_1 IS NULL) AS BIGINT) AS n_fn
+        |  FROM truth t FULL OUTER JOIN found f
+        |    ON t.doc_id_1 = f.doc_id_1 AND t.doc_id_2 = f.doc_id_2),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_sample FROM docs)
+        |SELECT n_docs_sample, n_tp + n_fn AS n_truth, n_tp + n_fp AS n_found,
+        |  n_tp, n_fp, n_fn,
+        |  10000 * n_tp // (n_tp + n_fp) AS precision_bp,
+        |  10000 * n_tp // (n_tp + n_fn) AS recall_bp
+        |FROM conf, n""".stripMargin),
     // one scored pair table (candidates un-gated down to the ladder
     // minimum), four re-gates — the same sweep the operator runs
     "q_dedup_eval_sweep" -> (minhashOracleCtesFor("") + {

@@ -1915,7 +1915,10 @@ object TextPipeline {
     * old body, and the oracle hash pins that. */
   private def bm25ScoreTerms(documents: DataFrame, idCol: String, textCol: String,
                              qterms: DataFrame, k: Int,
-                             preTokens: Option[DataFrame] = None): DataFrame = {
+                             preTokens: Option[DataFrame] = None,
+                             preDl: Option[DataFrame] = None,
+                             preTotals: Option[DataFrame] = None,
+                             ordered: Boolean = true): DataFrame = {
     // preTokens: an already-materialized (doc_id, token) stream — the
     // PRF loop passes one checkpointed tokenization shared by both
     // retrieval stages and the expansion miner (3 corpus re-tokenizes
@@ -1923,12 +1926,24 @@ object TextPipeline {
     val tokens = preTokens.getOrElse(documents
       .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
       .filter(length(col("token")) > 0))
-    val dl = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+    // preDl: the (doc_id, dl) length table — a full token-stream groupBy,
+    // the heaviest shuffle in the scorer after the posting join itself.
+    // The PRF loop calls this scorer TWICE over one corpus; hoisting dl
+    // beside the shared tokenization halves that cost (r8 verdict #3).
+    val dl = preDl.getOrElse(tokens.groupBy("doc_id").agg(count(lit(1)).as("dl")))
+    val totals = preTotals.getOrElse(
+      dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl")))
     val qtok = tokens.join(broadcast(qterms.select("token").distinct()), "token")
     val tf = qtok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfq = qtok.groupBy("token").agg(countDistinct("doc_id").as("df"))
-    val scored = tf.join(dfq, "token")
+    // df per term = #docs containing it = tf's row count per token,
+    // attached as a WINDOW over the tf aggregate rather than a
+    // groupBy+self-join: the tf rows are one-per-(doc,term) already, so
+    // a per-token count window is countDistinct(doc) by definition, the
+    // plan stays LINEAR (the posting join runs once — a joined df
+    // lookup made Catalyst re-derive a second posting subtree), and the
+    // window runs over the candidate rows, never the corpus
+    val dfw = Window.partitionBy("token")
+    val scored = tf.withColumn("df", count(lit(1)).over(dfw))
       .join(broadcast(qterms), "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(totals))
@@ -1942,10 +1957,12 @@ object TextPipeline {
     val agg = scored.groupBy("query_id", "doc_id")
       .agg(sum("term_score").as("score"), count(lit(1)).as("n_terms"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
-    agg.withColumn("rk", row_number().over(w).cast("long"))
+    val out = agg.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select("query_id", "rk", "doc_id", "score", "n_terms")
-      .orderBy("query_id", "rk")
+    // ordered=false skips the global range-sort (an extra sampling pass
+    // + shuffle) — the PRF feedback stage consumes the set, not an order
+    if (ordered) out.orderBy("query_id", "rk") else out
   }
 
   /** Pseudo-relevance-feedback query expansion (the RM1-style retrieval
@@ -1978,16 +1995,28 @@ object TextPipeline {
       .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
       .localCheckpoint()
+    // ONE doc-length aggregate serves both BM25 passes (it is doc-keyed
+    // — one row per doc, tiny — but BUILDING it is a full token-stream
+    // shuffle, so computing it twice was the loop's top waste)
+    val dl = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl")).localCheckpoint()
     val qterms = queries
       .select(col(qIdCol).as("query_id"), explode(toks(col(qTextCol))).as("token"))
       .filter(length(col("token")) > 0)
       .distinct()
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+      .localCheckpoint() // 1 row; both passes broadcast it
     val fb = bm25ScoreTerms(documents, idCol, textCol, qterms, nFeedback,
-        preTokens = Some(tokens))
+        preTokens = Some(tokens), preDl = Some(dl), preTotals = Some(totals),
+        ordered = false)
       .select("query_id", "doc_id")
+    // materialized (it is ≤ |queries|·|vocab-of-feedback-docs| rows):
+    // consumed twice below (term mining + its distinct-token df lookup),
+    // and its subtree contains the ENTIRE stage-1 retrieval — without
+    // the checkpoint that window pass executes once per reference
     val fbTf = tokens.join(broadcast(fb), "doc_id")
       .groupBy("query_id", "token").agg(count(lit(1)).as("n_fb"))
-    val nDocs = tokens.agg(countDistinct("doc_id").as("n_docs"))
+      .localCheckpoint()
+    val nDocs = dl.agg(count(lit(1)).as("n_docs"))
     val dfAll = tokens
       .join(broadcast(fbTf.select("token").distinct()), "token")
       .groupBy("token").agg(countDistinct("doc_id").as("df"))
@@ -2002,8 +2031,14 @@ object TextPipeline {
       .withColumn("rk", row_number().over(we))
       .filter(col("rk") <= mExpand)
       .select("query_id", "token")
-    bm25ScoreTerms(documents, idCol, textCol,
-      qterms.union(expansions).distinct(), k, preTokens = Some(tokens))
+    // materialize the expanded term set (|queries|·(|terms|+mExpand)
+    // rows — trivially small) before the re-retrieve: the scorer
+    // references its term table TWICE (posting filter + per-term join),
+    // so an unmaterialized expansion subtree would splice the whole
+    // stage-1 retrieval + mining DAG into the final plan 4× over
+    val allTerms = qterms.union(expansions).distinct().localCheckpoint()
+    bm25ScoreTerms(documents, idCol, textCol, allTerms, k,
+      preTokens = Some(tokens), preDl = Some(dl), preTotals = Some(totals))
   }
 
   /** One BPE-style pair-merge iteration over whitespace token streams —
@@ -2694,6 +2729,19 @@ object TextPipeline {
       Similarity.minhashNearDup(Tables.documents(s, d).filter(col("doc_id") >= 10),
         "doc_id", "text", 0.9, ordered = false)
     }
+
+  /** The session-scoped shared artifacts by name, in dependency order
+    * (`clusters` builds FROM `pairs_full`, so forcing them in this order
+    * charges each build only its own incremental cost). Exposed for
+    * `graft.Bench`: whichever consumer query ran first used to pay the
+    * whole build silently (the r8 verdict's attribution finding), so the
+    * bench now pre-forces these and reports an explicit `artifact_build`
+    * timing per scope — per-query times are pure consumer cost again. */
+  def sharedArtifactBuilders(s: SparkSession, d: String): Seq[(String, () => DataFrame)] = Seq(
+    "pairs_full" -> (() => sharedPairs(s, d)),
+    "clusters" -> (() => sharedClusters(s, d)),
+    "pairs_ge10" -> (() => slicePairs(s, d)),
+    "eval_scored" -> (() => Similarity.sharedEvalScores(s, d)))
 
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, d) => exactDedup(Tables.documents(s, d), "doc_id", "text")),
