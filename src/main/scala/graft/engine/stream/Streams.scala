@@ -1498,4 +1498,29 @@ object Streams {
               col("l.event_id").as("left_id"), col("r.event_id").as("right_id"),
               col("l.ts").as("l_ts"), col("r.ts").as("r_ts"))
   }
+
+  /** s_stream_stream_join_outer: the LEFT-OUTER variant of
+    * [[streamStreamJoin]] — the first join a real attribution pipeline
+    * needs beyond inner (click-through with a missing right side must
+    * still produce the left row, null-padded). Semantics are the subtle
+    * part and exactly what this operator pins: a left row CANNOT be
+    * emitted unmatched the moment it arrives (its match may still come),
+    * so the engine holds it in join state and emits the null-padded row
+    * only once the watermark proves no matching right row can ever
+    * arrive (left ts + join range < right-side watermark). Matched rows
+    * emit immediately, exactly like the inner join; each left row is
+    * emitted exactly once either way, stable across kill-and-restart
+    * because the eviction is driven by the checkpointed watermark, not
+    * wall-clock. State stays bounded by the same watermark + range
+    * eviction as the inner join — the 100 TB/day requirement. */
+  def streamStreamJoinOuter(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.withWatermark("ts", "10 seconds").alias("l")
+    val r = right.withWatermark("ts", "10 seconds").alias("r")
+    l.join(r, expr(
+      "l.user_id = r.user_id AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 SECONDS"),
+      "left_outer")
+      .select(col("l.user_id").as("user_id"),
+              col("l.event_id").as("left_id"), col("r.event_id").as("right_id"),
+              col("l.ts").as("l_ts"), col("r.ts").as("r_ts"))
+  }
 }

@@ -1407,6 +1407,54 @@ class StreamingSpec extends SparkSuite {
     assert(rows == Set((10L, 20L)), s"exactly the in-range same-user pair joins: $rows")
   }
 
+  // s_stream_stream_join_outer: the left-outer variant — null-padded left
+  // rows fire exactly once, and only after the watermark proves no match
+  // can still arrive; stable across a kill-and-restart because eviction
+  // rides the checkpointed watermark, not wall-clock.
+  test("s_stream_stream_join_outer: unmatched left emits null-padded once, after watermark expiry, across restart") {
+    val lin = MemoryStream[Ev](spark)
+    val rin = MemoryStream[Ev](spark)
+    val ckpt = tmpDir("ssjoin-outer")
+    val out = mutable.ArrayBuffer[(Long, Option[Long])]()
+    def start() = Streams.streamStreamJoinOuter(lin.toDF(), rin.toDF())
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select("left_id", "right_id")
+          .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        out.synchronized { out ++= rows }
+        ()
+      }.start()
+    val q1 = start()
+    lin.addData(Ev(10, ts(100), 1, "click", 1.0),  // will match
+                Ev(11, ts(100), 2, "click", 1.0))  // never matches
+    rin.addData(Ev(20, ts(105), 1, "view", 1.0))
+    q1.processAllAvailable()
+    // the match emits immediately; the unmatched left must NOT leak a
+    // premature null row — its match could still arrive
+    assert(out.synchronized(out.toSet) == Set((10L, Some(20L))),
+      s"only the matched pair before expiry: $out")
+    q1.stop() // kill between batches; held left row lives in join state
+    val q2 = start()
+    // advance BOTH watermarks well past 100 + 10 s range + 10 s delay; the
+    // watermark Spark applies to a batch comes from the PREVIOUS batch's
+    // max event time, so nudge until eviction lands (bounded attempts)
+    var nudge = 0
+    while (nudge < 5 && !out.synchronized(out.exists(r => r._1 == 11L && r._2.isEmpty))) {
+      nudge += 1
+      val t = 200L + nudge
+      lin.addData(Ev(100L + nudge, ts(t), 100L + nudge, "click", 1.0))
+      rin.addData(Ev(200L + nudge, ts(t), 200L + nudge, "view", 1.0))
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    val forEleven = out.synchronized(out.filter(_._1 == 11L))
+    assert(forEleven == Seq((11L, None)),
+      s"the unmatched left row emits null-padded EXACTLY once after expiry: $forEleven")
+    assert(out.synchronized(out.count(_ == (10L, Some(20L)))) == 1,
+      s"the matched pair is not re-emitted across the restart: $out")
+  }
+
   // Catch-up drain (reference restart pattern R:160-176, generalized)
   test("drainAvailable processes the backlog then self-terminates; restart sees only new data") {
     val ckpt = tmpDir("drain")
