@@ -79,9 +79,27 @@ object ScaleCheck {
     * MORE than proportionally more work — quadratic-risk territory. */
   val FlagSlope = 12.0
 
+  /** Ground-truth audit tiers that are O(n²) BY DECLARATION (SURVEY
+    * §2.2-I: run-on-sample discipline). Their fitted exponent ≈ 2 is the
+    * declared design, not a finding — excluded from the superlinear
+    * flag list, carried verbatim in the artifact for the record. */
+  val DeclaredQuadratic: Set[String] =
+    Set("q_sim_pairs_topk", "q_dedup_eval", "q_dedup_eval_sweep")
+
+  /** Exponent past this on the log-log fit = superlinear growth worth a
+    * writeup (1.0 = linear; blocked/bucketed operators should sit below
+    * ~1.2 once fixed overhead is amortized). */
+  val FlagExponent = 1.5
+
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
     val large = sys.env.getOrElse("SPARK_GRAFT_SF_LARGE", "/root/testdata/sf0.1")
+    // third rung (r8 verdict #7): the 3× replica built by MakeScale —
+    // two points cannot distinguish linear-with-overhead from
+    // soft-quadratic; the fitted exponent needs curvature. Optional:
+    // absent dir degrades to the 2-point ladder.
+    val xl = sys.env.getOrElse("SPARK_GRAFT_SF_XL", "target/testdata/sf0.3")
+    val haveXl = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(xl))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val names = if (args.nonEmpty) args.toSeq else Curated
     val spark = GraftSession.local(cpus)
@@ -101,19 +119,40 @@ object ScaleCheck {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+    /** Least-squares slope of log t over log relative-data-size. */
+    def fitExponent(points: Seq[(Double, Double)]): Double = {
+      val xs = points.map(p => math.log(p._1)); val ys = points.map(p => math.log(p._2))
+      val xb = xs.sum / xs.size; val yb = ys.sum / ys.size
+      val num = xs.zip(ys).map { case (x, y) => (x - xb) * (y - yb) }.sum
+      val den = xs.map(x => (x - xb) * (x - xb)).sum
+      num / den
+    }
+
+    // relative data sizes: sf0.01 = 1, sf0.1 = 10, sf0.3 = 30
     val rows = names.map { n =>
       val ts = steady(n, small)
       val tl = steady(n, large)
-      (n, ts, tl, tl / ts)
+      val txl = if (haveXl) Some(steady(n, xl)) else None
+      val pts = Seq((1.0, ts), (10.0, tl)) ++ txl.map(t => (30.0, t))
+      (n, ts, tl, txl, tl / ts, fitExponent(pts))
     }
-    val flagged = rows.filter(_._4 > FlagSlope).map(_._1)
-    val body = rows.map { case (n, ts, tl, sl) =>
-      s""""$n":{"t_small":${fmt(ts)},"t_large":${fmt(tl)},"slope":${fmt(sl)}}"""
+    val flagged = rows.filter(_._5 > FlagSlope).map(_._1)
+    val superlinear = rows
+      .filter(r => haveXl && r._6 > FlagExponent && !DeclaredQuadratic(r._1))
+      .map(_._1)
+    val body = rows.map { case (n, ts, tl, txl, sl, ex) =>
+      val xlPart = txl.map(t => s""","t_xl":${fmt(t)},"slope_xl":${fmt(t / tl)}""").getOrElse("")
+      s""""$n":{"t_small":${fmt(ts)},"t_large":${fmt(tl)}$xlPart,"slope":${fmt(sl)},"exponent":${fmt(ex)}}"""
     }.mkString(",")
+    val ladder = (Seq(small, large) ++ (if (haveXl) Seq(xl) else Nil))
+      .map("\"" + _ + "\"").mkString(",")
     val json =
-      s"""{"ladder":["$small","$large"],"data_ratio":10.0,"runs":$Runs,""" +
+      s"""{"ladder":[$ladder],"data_sizes":[1,10${if (haveXl) ",30" else ""}],"runs":$Runs,""" +
       s""""score":"min of runs 2..$Runs (steady state)","flag_slope":$FlagSlope,""" +
+      s""""flag_exponent":$FlagExponent,""" +
+      s""""declared_quadratic":[${DeclaredQuadratic.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""flagged":[${flagged.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""superlinear":[${superlinear.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""queries":{$body}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALECHECK.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

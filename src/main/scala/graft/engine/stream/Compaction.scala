@@ -1,0 +1,217 @@
+package graft.engine.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** s_sink_compact: OPTIMIZE-style bin-packing compaction for a streaming
+  * parquet landing ([[Streams.parquetSink]]).
+  *
+  * At production cadence the exactly-once file sink writes a few files
+  * per micro-batch — thousands of tiny files per day, the classic
+  * small-files problem (reference `K:41`'s 5 s cadence would land 17k
+  * files/day): scan parallelism collapses into per-file open overhead and
+  * the NameNode/listing cost grows without bound. This operator rewrites
+  * the landed small files into target-size files WITHOUT breaking the
+  * landing's exactly-once story:
+  *
+  *  - The sink's own `_spark_metadata` manifest stays untouched and keeps
+  *    committing new batches while compaction runs.
+  *  - Compaction reads a snapshot of the committed file list, greedily
+  *    bin-packs files into ≤ `targetBytes` bins (first-fit over a
+  *    size-descending order — the Delta OPTIMIZE shape), and rewrites
+  *    each multi-file bin as ONE file under `_graft_compaction/`. Each
+  *    bin is an independent Spark job (at cluster scale they run
+  *    concurrently; no shuffle — a coalesced read-write per bin).
+  *  - Visibility flips via an OVERLAY manifest: `MANIFEST-<gen>.json`
+  *    records which sink files are `replaced` and which `compacted`
+  *    files stand in for them; a `CURRENT` pointer file is swapped by
+  *    ATOMIC RENAME as the very last step. [[read]] resolves
+  *    `CURRENT → manifest → (sink-committed ∖ replaced) ∪ compacted`,
+  *    so a reader resolves either the old generation or the new one —
+  *    never a half-compacted mix. Replaced files are NOT deleted by
+  *    [[compact]] (a reader holding the old file list keeps working);
+  *    [[vacuum]] reclaims them later, after which the directory is
+  *    readable through [[read]] only.
+  *  - Batches the sink lands DURING compaction are invisible to the
+  *    snapshot, land in `_spark_metadata` as usual, and are picked up by
+  *    [[read]] immediately (they are committed and not in `replaced`).
+  *
+  * Deterministic: bins depend only on the (path-sorted) snapshot and
+  * sizes, so a re-run plans the same bins.
+  */
+object Compaction {
+  private val MetaDir = "_graft_compaction"
+
+  /** One planned rewrite: the small files a bin replaces. */
+  final case class Bin(files: Seq[String], bytes: Long)
+
+  final case class Result(gen: Long, binsRewritten: Int,
+                          filesBefore: Int, filesAfter: Int)
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def currentPath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/$MetaDir/CURRENT")
+
+  /** The sink's committed data files (manifest-aware — orphans from torn
+    * writes are excluded, exactly as a metadata-aware read would). With a
+    * schema hint, resolution touches ONLY the `_spark_metadata` log (no
+    * data-file footer read) — required after [[vacuum]] has deleted
+    * replaced files the sink log still lists. */
+  private def sinkFiles(spark: SparkSession, dir: String,
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None): Seq[String] =
+    (schemaHint match {
+      case Some(sc) => spark.read.schema(sc).parquet(dir)
+      case None     => spark.read.parquet(dir)
+    }).inputFiles.toSeq.sorted
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** Overlay manifest: generation + replaced sink files + their stand-ins. */
+  final case class Manifest(gen: Long, replaced: Set[String], compacted: Seq[String])
+
+  private def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
+    val f = fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$MetaDir/MANIFEST-${m.gen}.json")
+    val body =
+      s"""{"gen":${m.gen},""" +
+      s""""replaced":[${m.replaced.toSeq.sorted.map("\"" + esc(_) + "\"").mkString(",")}],""" +
+      s""""compacted":[${m.compacted.sorted.map("\"" + esc(_) + "\"").mkString(",")}]}"""
+    val out = f.create(p, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // the swap is the commit point: write the pointer beside CURRENT,
+    // then atomic-rename over it — a concurrent reader of CURRENT sees
+    // the old pointer or the new one, never a torn write
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/$MetaDir/CURRENT.tmp")
+    val t = f.create(tmp, true)
+    try t.write(s"MANIFEST-${m.gen}.json".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally t.close()
+    if (!f.rename(tmp, currentPath(dir))) {
+      f.delete(currentPath(dir), false)
+      require(f.rename(tmp, currentPath(dir)), s"manifest swap failed for gen ${m.gen}")
+    }
+  }
+
+  private def readSmallJson(f: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): String = {
+    val in = f.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val b = new Array[Byte](8192)
+      var n = in.read(b)
+      while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** The live overlay manifest, if a compaction has committed. */
+  def currentManifest(spark: SparkSession, dir: String): Option[Manifest] = {
+    val f = fs(spark, dir)
+    if (!f.exists(currentPath(dir))) None
+    else {
+      val name = readSmallJson(f, currentPath(dir)).trim
+      val json = org.json4s.jackson.JsonMethods.parse(
+        readSmallJson(f, new org.apache.hadoop.fs.Path(s"$dir/$MetaDir/$name")))
+      import org.json4s._
+      implicit val fmts: Formats = DefaultFormats
+      val gen = (json \ "gen").extract[Long]
+      val repl = (json \ "replaced").extract[Seq[String]].toSet
+      val comp = (json \ "compacted").extract[Seq[String]]
+      Some(Manifest(gen, repl, comp))
+    }
+  }
+
+  /** The committed file list a reader resolves RIGHT NOW: sink-committed
+    * minus replaced, plus compacted stand-ins. One generation,
+    * atomically — the list is derived from a single CURRENT read. */
+  def committedFiles(spark: SparkSession, dir: String): Seq[String] =
+    currentManifest(spark, dir) match {
+      case None => sinkFiles(spark, dir)
+      case Some(m) =>
+        val hint = m.compacted.headOption.map(p => spark.read.parquet(p).schema)
+        (sinkFiles(spark, dir, hint).filterNot(m.replaced) ++ m.compacted).sorted
+    }
+
+  /** Manifest-aware read of the landing — the reader every downstream
+    * batch job should use once compaction is in play. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val files = committedFiles(spark, dir)
+    require(files.nonEmpty, s"empty landing at $dir")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Greedy first-fit-decreasing bin-packing; only bins that merge ≥2
+    * files are worth a rewrite. Pure — unit-testable without I/O. */
+  def plan(files: Seq[(String, Long)], targetBytes: Long): Seq[Bin] = {
+    val bins = scala.collection.mutable.ArrayBuffer[(scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]()
+    files.sortBy { case (p, sz) => (-sz, p) }.foreach { case (p, sz) =>
+      bins.indexWhere(_._2 + sz <= targetBytes) match {
+        case -1 => bins += ((scala.collection.mutable.ArrayBuffer((p, sz)), sz))
+        case i  => bins(i)._1 += ((p, sz)); bins(i) = (bins(i)._1, bins(i)._2 + sz)
+      }
+    }
+    bins.filter(_._1.size >= 2)
+      .map { case (fs0, tot) => Bin(fs0.map(_._1).sortBy(identity).toSeq, tot) }.toSeq
+  }
+
+  /** Rewrite the current generation's small files into target-size files
+    * and commit the new generation. Readers are never blocked and never
+    * see a mix; the operation is idempotent on a layout that is already
+    * compact (zero bins → no new generation). */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long): Result = {
+    val f = fs(spark, dir)
+    val prior = currentManifest(spark, dir)
+    val view = committedFiles(spark, dir)
+    val sized = view.map { p =>
+      p -> f.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen
+    }
+    val bins = plan(sized, targetBytes)
+    val gen = prior.map(_.gen + 1).getOrElse(1L)
+    if (bins.isEmpty) return Result(prior.map(_.gen).getOrElse(0L), 0, view.size, view.size)
+    val rewrittenInputs = bins.flatMap(_.files).toSet
+    // each bin: one coalesced read→write job, no shuffle; the output
+    // lands under a generation dir so an aborted compaction leaves only
+    // unreferenced files (the manifest swap below is the commit point)
+    val outputs = bins.zipWithIndex.map { case (bin, i) =>
+      val outDir = s"$dir/$MetaDir/gen=$gen/bin=$i"
+      spark.read.parquet(bin.files: _*).coalesce(1)
+        .write.mode("overwrite").parquet(outDir)
+      val part = f.listStatus(new org.apache.hadoop.fs.Path(outDir))
+        .map(_.getPath).filter(_.getName.startsWith("part-"))
+      require(part.length == 1, s"expected one part file in $outDir")
+      part.head.toString
+    }
+    // replaced accumulates across generations (a sink file once replaced
+    // stays replaced); compacted = prior stand-ins that survived this
+    // round + the new outputs
+    val priorReplaced = prior.map(_.replaced).getOrElse(Set.empty)
+    val priorCompacted = prior.map(_.compacted).getOrElse(Seq.empty)
+    val m = Manifest(
+      gen,
+      priorReplaced ++ rewrittenInputs.filterNot(priorCompacted.contains),
+      priorCompacted.filterNot(rewrittenInputs) ++ outputs)
+    writeManifest(spark, dir, m)
+    Result(gen, bins.size, view.size, committedFiles(spark, dir).size)
+  }
+
+  /** Delete data files no generation references anymore: replaced sink
+    * files and orphaned older-generation outputs. AFTER vacuum the
+    * directory is readable only through [[read]] (the sink's
+    * `_spark_metadata` still lists the deleted originals), so run it
+    * once downstream consumers are manifest-aware. Returns #deleted. */
+  def vacuum(spark: SparkSession, dir: String): Int =
+    currentManifest(spark, dir) match {
+      case None => 0
+      case Some(m) =>
+        val f = fs(spark, dir)
+        val live = m.compacted.toSet
+        val genOrphans = Option(f.globStatus(
+            new org.apache.hadoop.fs.Path(s"$dir/$MetaDir/gen=*/bin=*/part-*")))
+          .getOrElse(Array.empty).map(_.getPath.toString).filterNot(live)
+        val victims = m.replaced.toSeq ++ genOrphans
+        victims.count(p => f.delete(new org.apache.hadoop.fs.Path(p), false))
+    }
+}

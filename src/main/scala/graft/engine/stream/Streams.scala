@@ -1484,6 +1484,126 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** The [[streamingFunnelTtl]] processor: [[FunnelProcessor]]'s stage
+    * machine plus an EVENT-TIME inactivity timer. Every arrival re-arms
+    * the user's timer at (latest event time + gapMs); when the watermark
+    * passes the armed deadline with no further arrivals, Spark calls
+    * `handleExpiredTimer` — state eviction WITHOUT data arrival, the
+    * capability that distinguishes `transformWithState` timers from
+    * fMGWS timeouts (which only fire when some batch runs for the key's
+    * partition; true here too, but the timer registry is keyed and
+    * checkpointed, so expiry is deterministic in the watermark, not in
+    * arrival luck). An incomplete funnel emits one `0_expired` sentinel
+    * and clears; a completed one clears silently. Either way the key's
+    * state is GONE — the bounded-state requirement for a 100 TB/day
+    * keyspace where most users go quiet forever. */
+  final class FunnelTtlProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, String, Long), FunnelHit] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+    @transient private var armed: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      st = getHandle.getValueState[(Long, Long, Long)]("funnel",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("deadline",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[FunnelHit] = {
+      var (t1, t2, t3) = if (st.exists()) st.get() else (-1L, -1L, -1L)
+      val hits = scala.collection.mutable.ArrayBuffer[FunnelHit]()
+      val batch = rows.toSeq
+      batch.sortBy(r => (r._3, r._2)).foreach { case (_, tpe, tus) =>
+        if (tpe == "view" && t1 < 0) {
+          t1 = tus; hits += FunnelHit(user, "1_view", tus)
+        } else if (tpe == "click" && t1 >= 0 && t2 < 0 && tus > t1) {
+          t2 = tus; hits += FunnelHit(user, "2_click", tus)
+        } else if (tpe == "purchase" && t2 >= 0 && t3 < 0 && tus > t2) {
+          t3 = tus; hits += FunnelHit(user, "3_purchase", tus)
+        }
+      }
+      st.update((t1, t2, t3))
+      // re-arm inactivity: one live timer per key (timers are a set, so
+      // the stale deadline must be deleted explicitly or both fire)
+      val deadlineMs = batch.map(_._3).max / 1000L + gapMs
+      if (armed.exists()) getHandle.deleteTimer(armed.get())
+      getHandle.registerTimer(deadlineMs)
+      armed.update(deadlineMs)
+      hits.iterator
+    }
+    override def handleExpiredTimer(user: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[FunnelHit] = {
+      // the sentinel means ABANDONMENT: the user entered the funnel and
+      // went quiet mid-way. Never-started users (events that unlock no
+      // stage) and completed users both evict silently.
+      val (t1, _, t3) = if (st.exists()) st.get() else (-1L, -1L, -1L)
+      st.clear(); armed.clear()
+      if (t1 >= 0 && t3 < 0)
+        Iterator.single(FunnelHit(user, "0_expired", info.getExpiryTimeInMs * 1000L))
+      else Iterator.empty
+    }
+  }
+
+  /** s_stream_funnel_ttl: [[streamingFunnel]] whose stale users EXPIRE —
+    * each user's state lives only until `gap` of event-time inactivity,
+    * enforced by a registered per-key timer that fires off the watermark
+    * (no arriving data needed). Incomplete funnels emit a `0_expired`
+    * sentinel (the abandonment signal an attribution pipeline wants);
+    * completed ones evict silently. After expiry the user starts clean —
+    * a new `view` re-opens stage 1. Timers and state are checkpointed,
+    * so expiry lands exactly once across kill-and-restart. */
+  def streamingFunnelTtl(events: DataFrame, watermark: String = "10 seconds",
+                         gapMs: Long = 30000L): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new FunnelTtlProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** The [[typeStatsWithTtl]] processor: [[TypeStatsProcessor]] whose
+    * `agg` ValueState carries a NAMED-STATE TTL — the declarative
+    * eviction tier below timers (no code runs at expiry; the state
+    * store GCs the entry and the next read sees absent). */
+  final class TypeStatsTtlProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Double), TypeStat] {
+    @transient private var agg: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      agg = getHandle.getValueState[(Long, Double)]("agg",
+        org.apache.spark.sql.Encoders.product[(Long, Double)],
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+    override def handleInputRows(key: String, rows: Iterator[(String, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeStat] = {
+      var (n, total) = if (agg.exists()) agg.get() else (0L, 0.0)
+      rows.foreach { r => n += 1; total += r._2 }
+      agg.update((n, total))
+      Iterator.single(TypeStat(key, n, total))
+    }
+  }
+
+  /** s_transform_state_ttl: [[statefulTypeStats]]' running per-type
+    * aggregate where the state itself has a TTL — a key idle past the
+    * TTL restarts from zero instead of accumulating forever. This is
+    * the zero-code state-bounding knob for high-cardinality keyspaces
+    * (the per-entry TTL is enforced by the state store, processing-time
+    * based, so it needs no watermark and no timer bookkeeping). */
+  def typeStatsWithTtl(events: DataFrame, ttl: java.time.Duration): Dataset[TypeStat] = {
+    import events.sparkSession.implicits._
+    events.selectExpr("event_type", "value").as[(String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeStatsTtlProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Update())
+  }
+
   /** s_stream_stream_join: inner join of two streams on user_id where the
     * right event lands within 10 s after the left one. Both sides carry
     * watermarks so the join state is bounded (rows older than watermark +

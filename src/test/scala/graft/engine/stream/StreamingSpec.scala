@@ -1606,6 +1606,65 @@ class StreamingSpec extends SparkSuite {
       s"uncommitted files must be invisible to manifest-aware readers: ${after.toSeq}")
   }
 
+  // s_sink_compact: OPTIMIZE-style bin-packing of the landing's small
+  // per-batch files — fewer/larger files, identical row set, and the
+  // atomic manifest swap means a reader sees old or new layout, never a
+  // mix; the stream keeps landing batches afterwards.
+  test("s_sink_compact: landing compaction preserves rows, swaps atomically, survives further batches") {
+    val in = MemoryStream[Doc](spark)
+    val dir = tmpDir("compact-out")
+    val ckpt = tmpDir("compact-ckpt")
+    val q = Streams.parquetSink(
+      in.toDF().select(col("doc_id"), col("text")), dir, ckpt).start()
+    (1 to 6).foreach { i => // 6 micro-batches → ≥6 small files
+      in.addData(Doc(i * 2L, ts(i), s"doc-${i * 2}"), Doc(i * 2L + 1, ts(i), s"doc-${i * 2 + 1}"))
+      q.processAllAvailable()
+    }
+    val before = Compaction.committedFiles(spark, dir)
+    assert(before.size >= 6, s"fixture must be fragmented: ${before.size} files")
+    val rowsBefore = Compaction.read(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect().sorted.toSeq
+    // a concurrent reader resolves its file list BEFORE the swap…
+    val oldView = before
+    val res = Compaction.compact(spark, dir, targetBytes = 1L << 30)
+    assert(res.binsRewritten >= 1 && res.filesAfter < res.filesBefore,
+      s"compaction must shrink the file count: $res")
+    val after = Compaction.committedFiles(spark, dir)
+    assert(after.size == 1, s"one giant bin → one file: ${after.size}")
+    val fs0 = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val avgBefore = before.map(p => fs0.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen).sum / before.size
+    val avgAfter = after.map(p => fs0.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen).sum / after.size
+    assert(avgAfter > avgBefore, s"files must get LARGER: $avgBefore → $avgAfter")
+    // (b) row-set identity
+    val rowsAfter = Compaction.read(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect().sorted.toSeq
+    assert(rowsAfter == rowsBefore, "compaction must not add/drop/dupe a single row")
+    // (c) …and the old resolved layout still reads the same rows (compact
+    // deletes nothing), so pre-swap and post-swap readers both see one
+    // complete consistent generation — never a mix
+    val oldRead = spark.read.parquet(oldView: _*)
+      .select("doc_id", "text").as[(Long, String)].collect().sorted.toSeq
+    assert(oldRead == rowsBefore, "a reader holding the old file list must be unaffected")
+    // the stream keeps landing: new batches surface through the manifest-
+    // aware read without recompaction
+    in.addData(Doc(100L, ts(100), "doc-100"))
+    q.processAllAvailable()
+    val withNew = Compaction.read(spark, dir).select("doc_id").as[Long].collect().sorted
+    assert(withNew.toSeq == rowsBefore.map(_._1) :+ 100L,
+      s"post-compaction batches must be visible immediately: ${withNew.toSeq}")
+    // a second compaction folds the new small file into the stand-in…
+    val res2 = Compaction.compact(spark, dir, targetBytes = 1L << 30)
+    assert(res2.gen == res.gen + 1 && Compaction.committedFiles(spark, dir).size == 1, s"$res2")
+    // …and vacuum reclaims every unreferenced file; the manifest-aware
+    // read still serves the full row set
+    q.stop()
+    assert(Compaction.vacuum(spark, dir) > 0, "vacuum must delete the replaced small files")
+    val postVacuum = Compaction.read(spark, dir).select("doc_id").as[Long].collect().sorted
+    assert(postVacuum.toSeq == rowsBefore.map(_._1) :+ 100L,
+      s"vacuum must not disturb the live generation: ${postVacuum.toSeq}")
+  }
+
   // file sink + partitionBy: the landing layout downstream scans prune
   // on, written by the same exactly-once manifest path
   test("s_stream_file_sink lands a partitioned layout that a filtered read prunes") {
@@ -1808,6 +1867,118 @@ class StreamingSpec extends SparkSuite {
         (1L, "1_view", 10000000L), (1L, "2_click", 11000000L),
         (1L, "3_purchase", 12000000L), (2L, "1_view", 20000000L)),
         s"funnel state machine drifted: $got")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
+  // s_stream_funnel_ttl: registered event-time timers — stale users
+  // expire off the watermark with NO arriving data for their key, emit
+  // one abandonment sentinel, and restart clean afterwards. RocksDB
+  // provider, kill-and-restart in the middle (timers are checkpointed).
+  test("s_stream_funnel_ttl: idle incomplete users expire exactly once via timers, across restart") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev](spark)
+      val ckpt = tmpDir("funnel-ttl")
+      val out = mutable.ArrayBuffer[(Long, String, Long)]()
+      def start() = Streams.streamingFunnelTtl(in.toDF(), "10 seconds", gapMs = 30000L)
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.FunnelHit], _: Long) =>
+          out.synchronized { out ++= b.collect().map(h => (h.user_id, h.stage, h.tus)) }
+          ()
+        }.start()
+      val q1 = start()
+      // user 1 stalls after click (deadline = 105 s + 30 s); user 2
+      // completes (must evict silently, never emit the sentinel)
+      in.addData(Ev(1, ts(100), 1, "view", 1.0), Ev(2, ts(105), 1, "click", 1.0),
+                 Ev(3, ts(100), 2, "view", 1.0), Ev(4, ts(103), 2, "click", 1.0),
+                 Ev(5, ts(106), 2, "purchase", 1.0))
+      q1.processAllAvailable()
+      assert(out.synchronized(out.count(_._2 == "0_expired")) == 0,
+        s"nothing expires before the watermark reaches a deadline: $out")
+      q1.stop() // kill: armed timers live only in the checkpoint now
+      val q2 = start()
+      // push the watermark past 135 s (deadline) + 10 s delay; watermark
+      // applies from the NEXT batch, so nudge until the timer fires
+      var nudge = 0
+      while (nudge < 5 && !out.synchronized(out.exists(_._2 == "0_expired"))) {
+        nudge += 1
+        in.addData(Ev(100L + nudge, ts(200L + nudge), 100L + nudge, "scroll", 1.0))
+        q2.processAllAvailable()
+      }
+      // after expiry the user's state is GONE: a fresh view re-opens stage 1
+      in.addData(Ev(50, ts(250), 1, "view", 1.0))
+      q2.processAllAvailable(); q2.stop()
+      val expired = out.synchronized(out.filter(_._2 == "0_expired"))
+      assert(expired == Seq((1L, "0_expired", 135000000L)),
+        s"exactly the stalled user expires, exactly once, at its armed deadline: $expired")
+      val u1Views = out.synchronized(out.filter(r => r._1 == 1L && r._2 == "1_view"))
+      assert(u1Views.map(_._3) == Seq(100000000L, 250000000L),
+        s"post-expiry arrival must restart the funnel from stage 1: $u1Views")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
+  // s_transform_state_ttl: named-state TTL — the declarative eviction
+  // tier (state store GCs idle entries; no timer code). Within-TTL
+  // arrivals accumulate; an idle gap past the TTL restarts from zero.
+  // Driven as Trigger.Once runs: a ProcessingTime-mode operator
+  // schedules batches CONTINUOUSLY to advance its clock (verified: both
+  // the default trigger and AvailableNow loop thousands of empty
+  // batches), so neither `processAllAvailable` nor an AvailableNow
+  // drain ever returns. One-batch runs are the deterministic harness —
+  // and double as the kill-and-restart proof: the TTL'd entry, with its
+  // expiry, lives in the checkpoint between runs.
+  test("s_transform_state_ttl: state accumulates inside the TTL and resets after it") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev](spark)
+      val ckpt = tmpDir("tws-ttl")
+      val latest = mutable.Map[String, (Long, Double)]()
+      // Trigger.Once is deprecated in favor of AvailableNow, but
+      // AvailableNow never terminates under a ProcessingTime-mode
+      // stateful operator (see above) — Once's exactly-one-batch
+      // contract is the point here
+      @annotation.nowarn("cat=deprecation")
+      def drain(): Unit = {
+        val q = Streams.typeStatsWithTtl(in.toDF(), java.time.Duration.ofSeconds(15))
+          .writeStream.outputMode(OutputMode.Update)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.TypeStat], _: Long) =>
+            latest.synchronized {
+              b.collect().foreach(t => latest(t.event_type) = (t.n, t.total))
+            }
+            ()
+          }.start()
+        q.awaitTermination()
+      }
+      in.addData(Ev(1, ts(1), 1, "click", 2.0))
+      drain()
+      in.addData(Ev(2, ts(2), 1, "click", 3.0)) // well inside the 15 s TTL
+      drain()
+      assert(latest.synchronized(latest("click")) == (2L, 5.0),
+        s"within-TTL arrivals must accumulate: $latest")
+      Thread.sleep(16000) // idle past the TTL — the entry is GC-fodder
+      in.addData(Ev(3, ts(3), 1, "click", 7.0))
+      drain()
+      assert(latest.synchronized(latest("click")) == (1L, 7.0),
+        s"an expired entry must read as absent (count restarts): $latest")
     } finally {
       saved match {
         case Some(v) => spark.conf.set(provKey, v)
