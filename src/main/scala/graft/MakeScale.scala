@@ -49,11 +49,25 @@ object MakeScale {
     }
   }
 
-  /** Suffix every token: a bijection on the token alphabet, so all
-    * within-replica set/shingle structure is preserved verbatim. */
+  /** Per-replica character rotation cipher: a LENGTH-PRESERVING
+    * bijection on the token alphabet (the fixture text is plain
+    * lowercase ASCII), so all within-replica set/shingle structure is
+    * preserved verbatim AND the replica costs exactly the same bytes.
+    * (A token-suffix disguise was measurably worse: +2 bytes on ~4-byte
+    * tokens inflated string-heavy operators ~45% beyond the 3× data,
+    * which a scale audit must not conflate with the operator's slope.)
+    * Rotation has no fixed points, so no token maps to itself;
+    * incidental cross-replica coincidences (a ciphered token equalling
+    * some other real token) are ordinary shared-vocabulary noise, far
+    * below shingle-level overlap. */
+  private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
   private def disguiseText(df: DataFrame, r: Int): DataFrame =
     if (r == 0) df
-    else df.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1q$r"))
+    else {
+      val shift = (r * 7) % 26
+      val rotated = Alphabet.drop(shift) + Alphabet.take(shift)
+      df.withColumn("text", translate(col("text"), Alphabet, rotated))
+    }
 
   private def disguiseVec(df: DataFrame, r: Int): DataFrame = r match {
     case 0 => df

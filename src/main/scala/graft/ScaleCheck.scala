@@ -70,6 +70,12 @@ object ScaleCheck {
     "q_graph_pagerank", "q_lsh_band_stats", "q_pmi_collocations",
     "q_query_expansion", "q_rank_fusion", "q_ncm_eval", "q_anomaly_windows",
     "q_semantic_clusters", "q_dedup_eval_sweep",
+    // r9 additions: the r8 suspect-flagged three-level LM join (pin its
+    // steady slope), the gram-keyed novelty two-pass, the χ² divergence
+    // vocab join, the Rényi diversity aggregate, the double-window
+    // nearest as-of, the top-n log-log regression
+    "q_lm_score_backoff", "q_ngram_novelty", "q_domain_divergence",
+    "q_token_diversity", "q_asof_join_nearest", "q_zipf_fit",
     // linear controls (wide scans, shuffles, windows)
     "q_agg_group", "q_window_rank", "q_topk_per_group", "q_join_bucketed",
     "q_profile", "q_zorder", "q_outlier_mad", "q_vocab_build")

@@ -627,6 +627,46 @@ object Analytics {
       .orderBy("o_orderkey")
   }
 
+  /** NEAREST as-of join — completes the as-of family (backward =
+    * latest-before, forward = first-after, nearest = whichever is
+    * closer in time; ties go backward). The sensor-alignment shape:
+    * attach to each order the reading closest to its date when
+    * staleness is symmetric. One union pass, one shuffle on the key,
+    * and TWO in-partition sorts over the same Exchange (Catalyst reuses
+    * the shuffle for both window orderings): the ascending window
+    * carries the latest event at-or-before as a (t, value) struct, the
+    * descending one the first at-or-after, and a row-local comparison
+    * picks the closer. `least()` skips nulls in both engines, so the
+    * one-sided cases fall out of the same expression. No range probe,
+    * no per-row subquery — the 100 TB shape of its siblings. */
+  private val qAsofNearest: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(
+      col("user_id").as("u"), col("ts").as("t"), lit(0).as("side"),
+      lit(null).cast("long").as("o_orderkey"), col("value"))
+    val od = Tables.orders(s, d).select(
+      pmod(col("o_custkey"), lit(150)).as("u"), col("o_orderdate").as("t"), lit(1).as("side"),
+      col("o_orderkey"), lit(null).cast("double").as("value"))
+    val wb = Window.partitionBy("u").orderBy(col("t").asc, col("side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("u").orderBy(col("t").desc, col("side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val evrec = when(col("side") === 0, struct(col("t").as("et"), col("value").as("v")))
+    ev.unionAll(od)
+      .withColumn("back", last(evrec, ignoreNulls = true).over(wb))
+      .withColumn("fwd", last(evrec, ignoreNulls = true).over(wf))
+      .filter(col("side") === 1)
+      .withColumn("bd", unix_micros(col("t")) - unix_micros(col("back.et")))
+      .withColumn("fd", unix_micros(col("fwd.et")) - unix_micros(col("t")))
+      .withColumn("ev_value",
+        when(col("bd").isNull, col("fwd.v"))
+          .when(col("fd").isNull, col("back.v"))
+          .when(col("fd") < col("bd"), col("fwd.v"))
+          .otherwise(col("back.v")))
+      .withColumn("diff_us", least(col("bd"), col("fd")))
+      .select(col("o_orderkey"), col("u"), col("ev_value"), col("diff_us"))
+      .orderBy("o_orderkey")
+  }
+
   // ---------------------------------------------------------- skew salting
   /** Salted join — the skew-mitigation pattern for joining a large fact
     * to a hot-keyed table when BOTH sides are too big to broadcast: the
@@ -719,6 +759,7 @@ object Analytics {
     "q_subquery_corr" -> qSubqueryCorr, "q_subquery_in" -> qSubqueryIn,
     "q_null_funcs" -> qNullFuncs, "q_asof_join" -> qAsofJoin,
     "q_asof_join_forward" -> qAsofJoinForward,
+    "q_asof_join_nearest" -> qAsofNearest,
     "q_sessionize" -> qSessionize, "q_window_dist" -> qWindowDist,
     "q_window_range" -> qWindowRange, "q_agg_minmax_by" -> qAggMinmaxBy,
     "q_lateral_join" -> qLateralJoin, "q_corr_covar" -> qCorrCovar,
@@ -893,6 +934,29 @@ object Analytics {
         |FROM orders o ASOF LEFT JOIN events e
         |  ON o.o_custkey % 150 = e.user_id AND e.ts >= o.o_orderdate
         |ORDER BY o_orderkey""".stripMargin,
+
+    // nearest = the closer of the two ASOF directions; least() skips
+    // NULLs in both engines, covering the one-sided cases
+    "q_asof_join_nearest" ->
+      """WITH b AS (
+        |  SELECT o.o_orderkey, o.o_custkey % 150 AS u, o.o_orderdate,
+        |         e.ts AS bt, e.value AS bv
+        |  FROM orders o ASOF LEFT JOIN events e
+        |    ON o.o_custkey % 150 = e.user_id AND e.ts <= o.o_orderdate),
+        |f AS (
+        |  SELECT o.o_orderkey, e.ts AS ft, e.value AS fv
+        |  FROM orders o ASOF LEFT JOIN events e
+        |    ON o.o_custkey % 150 = e.user_id AND e.ts >= o.o_orderdate)
+        |SELECT b.o_orderkey, b.u,
+        |  CASE WHEN bt IS NULL THEN fv
+        |       WHEN ft IS NULL THEN bv
+        |       WHEN epoch_us(ft) - epoch_us(o_orderdate)
+        |            < epoch_us(o_orderdate) - epoch_us(bt) THEN fv
+        |       ELSE bv END AS ev_value,
+        |  least(epoch_us(o_orderdate) - epoch_us(bt),
+        |        epoch_us(ft) - epoch_us(o_orderdate)) AS diff_us
+        |FROM b JOIN f ON b.o_orderkey = f.o_orderkey
+        |ORDER BY b.o_orderkey""".stripMargin,
 
     "q_sessionize" ->
       """SELECT user_id, session_id, count(*) AS n_events,

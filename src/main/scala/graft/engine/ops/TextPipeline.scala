@@ -718,6 +718,146 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** Per-document token DIVERSITY via Rényi-2 (collision) entropy — the
+    * information-density quality signal (low diversity ⇒ repetitive /
+    * templated text; keyword stuffing scores far below natural prose).
+    * Reported as the EFFECTIVE VOCABULARY `dl² / Σtf²` (the exponential
+    * of Rényi-2 entropy −ln Σp²): "this document uses the equivalent of
+    * N equally-likely tokens". Monotone-equivalent to the entropy
+    * itself, but EXACT — counts, their squares, and one final floored
+    * division, no transcendental anywhere. Shannon entropy would need a
+    * per-term `ln` whose cross-engine libm divergence this codebase's
+    * oracle discipline forbids (see [[tfidfTopTerms]]); Rényi-2 carries
+    * the same signal in rational arithmetic.
+    *
+    * Scale shape: one (doc, token) count shuffle + one doc-keyed sum —
+    * both partial-aggregated map-side. Nothing joins, nothing sorts
+    * but the bounded output. */
+  def tokenDiversity(documents: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = documents
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"), count(lit(1)).as("n_distinct"),
+           sum(col("tf") * col("tf")).as("sum_tf2"))
+      .withColumn("eff_vocab_x100",
+        floor(lit(100.0) * col("n_tokens") * col("n_tokens") / col("sum_tf2"))
+          .cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source divergence of the source's unigram distribution from
+    * the corpus distribution — the domain-drift statistic behind
+    * mixture design: a source whose language diverges hard from the
+    * corpus is a candidate for its own mixture bucket or a quality
+    * look; divergence ≈ 0 means the source adds volume, not variety.
+    * The measure is Pearson χ² divergence `Σ (p−q)²/q` — an
+    * f-divergence like KL (same zero, same ordering on nearby
+    * distributions) whose per-term contribution is pure +,−,×,÷ on
+    * doubles: every op is a single correctly-rounded IEEE operation on
+    * identical operands in any engine, where KL's per-term `ln(p/q)`
+    * would hit cross-engine libm divergence. Contributions are floored
+    * to 10⁹-scaled BIGINTs before the per-source sum (order-free).
+    * q > 0 always: every source term is a corpus term by construction.
+    *
+    * Scale shape: two token-keyed count shuffles off one tokenization
+    * (per-(source,term) and per-term), a vocabulary-keyed equi-join to
+    * attach q under each source term, per-source totals as a tiny
+    * window — the corpus shuffles on the token key only, exactly like
+    * tf-idf. */
+  def domainDivergence(documents: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val tokens = documents
+      .select(col(srcCol).as("source"), explode(toks(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val perSrc = tokens.groupBy("source", "token").agg(count(lit(1)).as("cs"))
+    val corpus = tokens.groupBy("token").agg(count(lit(1)).as("c"))
+    val total = corpus.agg(sum("c").as("n")) // 1 row
+    val ws = Window.partitionBy("source")
+    perSrc.join(corpus, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("ns", sum("cs").over(ws))
+      .withColumn("p", col("cs").cast("double") / col("ns"))
+      .withColumn("q", col("c").cast("double") / col("n"))
+      .withColumn("contrib",
+        floor(lit(1000000000.0) *
+          (((col("p") - col("q")) * (col("p") - col("q"))) / col("q"))).cast("long"))
+      .groupBy("source")
+      .agg(max("ns").as("n_tokens"), count(lit(1)).as("n_terms"),
+           sum("contrib").as("chi2_nano"))
+      .orderBy("source")
+  }
+
+  /** Zipf-fit audit: the least-squares slope of log-frequency over
+    * log-rank across the top `n` vocabulary — natural text sits near
+    * slope −1 (Zipf's law); a corpus that bends far off it is
+    * machine-generated, deduplicated into distortion, or template-heavy.
+    * The regression runs over integer MILLI-scaled logs (⌊10³·ln x⌋) so
+    * every sum in the closed-form slope is an exact order-free BIGINT
+    * (max |Σ n·ΣXY| ≈ 5·10¹³ at n=1000 — far under 2⁶³); only the final
+    * slope division is floating point, one exact IEEE op on identical
+    * operands in any engine. Output is ONE row: the fitted slope plus
+    * the integer sums that define it (self-auditing — any consumer can
+    * recompute the division).
+    *
+    * Scale shape: a token-keyed count, a TakeOrderedAndProject for the
+    * top-n, and a single-row aggregate over n rows. The corpus never
+    * sorts. */
+  def zipfFit(documents: DataFrame, textCol: String, n: Int): DataFrame = {
+    val freq = documents
+      .select(explode(toks(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("token").asc)
+      .limit(n)
+    // constant-valued but non-foldable partition key: the window ranks
+    // the BOUNDED top-n only (a literal key would fold away and re-raise
+    // the no-partition WindowExec warning — the q_vocab_build idiom)
+    val ranked = freq
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(pmod(hash(col("token")), lit(1)))
+          .orderBy(col("f").desc, col("token").asc)))
+    val pts = ranked.select(
+      floor(lit(1000.0) * log(col("rank").cast("double"))).cast("long").as("x"),
+      floor(lit(1000.0) * log(col("f").cast("double"))).cast("long").as("y"))
+    pts.agg(count(lit(1)).as("n_points"),
+            sum("x").as("sum_x"), sum("y").as("sum_y"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope",
+        (col("n_points") * col("sxy") - col("sum_x") * col("sum_y")).cast("double") /
+        (col("n_points") * col("sxx") - col("sum_x") * col("sum_x")).cast("double"))
+  }
+
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    * trigrams whose corpus-wide FIRST occurrence (min doc_id) is this
+    * doc — the marginal-contribution metric behind data valuation and
+    * dedup-aware sampling (a doc whose every trigram already exists
+    * earlier adds nothing a dedup pass wouldn't drop; high-novelty docs
+    * carry the corpus's new content). The ratio is a floored
+    * basis-point integer (exact cross-engine).
+    *
+    * Scale shape: distinct (doc, gram) pairs → a gram-keyed min
+    * aggregate (partial map-side; the gram key is the shuffle), join
+    * back on the gram — the same two-pass shape as exact dedup, over
+    * grams instead of docs. No self-join, nothing quadratic. */
+  def ngramNovelty(documents: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
+    val docGrams = documents
+      .select(col(idCol).as("doc_id"),
+        explode(call_function("pos_grams", col(textCol), lit(n), lit(true))).as("gram"))
+      .distinct()
+    val owner = docGrams.groupBy("gram").agg(min("doc_id").as("first_doc"))
+    docGrams.join(owner, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_bp",
+        floor(lit(10000.0) * col("n_novel") / col("n_grams")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus n-gram collocation stats: top-k bigrams by occurrence count
     * (ties broken on the bigram), the LM-style corpus statistic behind
     * vocabulary building and boilerplate detection. One narrow
@@ -1933,6 +2073,18 @@ object TextPipeline {
     val dl = preDl.getOrElse(tokens.groupBy("doc_id").agg(count(lit(1)).as("dl")))
     val totals = preTotals.getOrElse(
       dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl")))
+    bm25RankPairs(bm25ScoredPairs(tokens, dl, totals, qterms), k, ordered)
+  }
+
+  /** Per-(query, doc, term) BM25 partial scores — the ADDITIVE half of
+    * the scorer. BM25 is a sum of independent per-term contributions
+    * (each term's idf and saturation depend only on that term's df and
+    * the doc length), so scored pairs for DISJOINT term sets compose by
+    * plain union — the property [[queryExpansion]] exploits to score
+    * its expansion terms without re-joining the original terms'
+    * postings a second time. */
+  private def bm25ScoredPairs(tokens: DataFrame, dl: DataFrame,
+                              totals: DataFrame, qterms: DataFrame): DataFrame = {
     val qtok = tokens.join(broadcast(qterms.select("token").distinct()), "token")
     val tf = qtok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     // df per term = #docs containing it = tf's row count per token,
@@ -1943,7 +2095,7 @@ object TextPipeline {
     // lookup made Catalyst re-derive a second posting subtree), and the
     // window runs over the candidate rows, never the corpus
     val dfw = Window.partitionBy("token")
-    val scored = tf.withColumn("df", count(lit(1)).over(dfw))
+    tf.withColumn("df", count(lit(1)).over(dfw))
       .join(broadcast(qterms), "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(totals))
@@ -1954,6 +2106,11 @@ object TextPipeline {
         (col("tf") * lit(2.2)) /
           (col("tf") + lit(0.3) + lit(0.9) * col("dl") * col("n_docs") / col("total_dl")))
       .withColumn("term_score", floor(col("idf") * col("sat")).cast("long"))
+  }
+
+  /** The rank half: sum term scores per (query, doc), per-query top-k
+    * (a WindowGroupLimit), optional global order. */
+  private def bm25RankPairs(scored: DataFrame, k: Int, ordered: Boolean): DataFrame = {
     val agg = scored.groupBy("query_id", "doc_id")
       .agg(sum("term_score").as("score"), count(lit(1)).as("n_terms"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
@@ -2005,9 +2162,13 @@ object TextPipeline {
       .distinct()
     val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
       .localCheckpoint() // 1 row; both passes broadcast it
-    val fb = bm25ScoreTerms(documents, idCol, textCol, qterms, nFeedback,
-        preTokens = Some(tokens), preDl = Some(dl), preTotals = Some(totals),
-        ordered = false)
+    // stage-1 scored pairs materialize ONCE and serve twice: the
+    // feedback top-k here, and — because BM25 is additive per term and
+    // the mined expansions are disjoint from the originals (left_anti
+    // below) — the final retrieve, which then joins postings only for
+    // the NEW terms instead of re-scoring the originals' posting lists
+    val scored1 = bm25ScoredPairs(tokens, dl, totals, qterms).localCheckpoint()
+    val fb = bm25RankPairs(scored1, nFeedback, ordered = false)
       .select("query_id", "doc_id")
     // materialized (it is ≤ |queries|·|vocab-of-feedback-docs| rows):
     // consumed twice below (term mining + its distinct-token df lookup),
@@ -2031,14 +2192,17 @@ object TextPipeline {
       .withColumn("rk", row_number().over(we))
       .filter(col("rk") <= mExpand)
       .select("query_id", "token")
-    // materialize the expanded term set (|queries|·(|terms|+mExpand)
-    // rows — trivially small) before the re-retrieve: the scorer
-    // references its term table TWICE (posting filter + per-term join),
-    // so an unmaterialized expansion subtree would splice the whole
-    // stage-1 retrieval + mining DAG into the final plan 4× over
-    val allTerms = qterms.union(expansions).distinct().localCheckpoint()
-    bm25ScoreTerms(documents, idCol, textCol, allTerms, k,
-      preTokens = Some(tokens), preDl = Some(dl), preTotals = Some(totals))
+    // materialize the expansion term set (|queries|·mExpand rows —
+    // trivially small) before the re-retrieve: the scorer references
+    // its term table TWICE (posting filter + per-term join), so an
+    // unmaterialized expansion subtree would splice the whole stage-1
+    // retrieval + mining DAG into the final plan 4× over. Expansions
+    // are distinct-per-query by construction (fbTf is grouped on
+    // (query_id, token)), and disjoint from qterms (left_anti), so the
+    // scored-pair union below is duplicate-free.
+    val expTerms = expansions.localCheckpoint()
+    val scored2 = bm25ScoredPairs(tokens, dl, totals, expTerms)
+    bm25RankPairs(scored1.unionByName(scored2), k, ordered = true)
   }
 
   /** One BPE-style pair-merge iteration over whitespace token streams —
@@ -2855,6 +3019,10 @@ object TextPipeline {
     // plus a rare tail, so 78 splits it into real stopwords vs content
     "q_stopword_filter" -> ((s, d) => stopwordFilter(Tables.documents(s, d), "doc_id", "text", 78)),
     "q_ngram_stats" -> ((s, d) => ngramStats(Tables.documents(s, d), "text", 20)),
+    "q_token_diversity" -> ((s, d) => tokenDiversity(Tables.documents(s, d), "doc_id", "text")),
+    "q_domain_divergence" -> ((s, d) => domainDivergence(Tables.documents(s, d), "source", "text")),
+    "q_zipf_fit" -> ((s, d) => zipfFit(Tables.documents(s, d), "text", 1000)),
+    "q_ngram_novelty" -> ((s, d) => ngramNovelty(Tables.documents(s, d), "doc_id", "text", 3)),
     "q_pmi_collocations" -> ((s, d) =>
       pmiCollocations(Tables.documents(s, d), "text", minCount = 2L, k = 50)),
     "q_vocab_build" -> ((s, d) =>
@@ -4015,6 +4183,91 @@ object TextPipeline {
         |SELECT bigram, count(*) AS n
         |FROM grams GROUP BY bigram
         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    // Rényi-2 diversity: counts, squares, one floored division — the
+    // exact-arithmetic entropy surrogate (no per-term ln; see scaladoc)
+    "q_token_diversity" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tokens GROUP BY doc_id, token)
+        |SELECT doc_id, n_tokens, n_distinct, sum_tf2,
+        |  CAST(floor(100.0 * n_tokens * n_tokens / sum_tf2) AS BIGINT) AS eff_vocab_x100
+        |FROM (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum(tf * tf) AS BIGINT) AS sum_tf2
+        |  FROM tf GROUP BY doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // χ² divergence: per-term ((p-q)^2)/q floored to 1e9-scaled BIGINT
+    // before the sum — every op one correctly-rounded IEEE operation,
+    // identically parenthesized in both engines
+    "q_domain_divergence" ->
+      """WITH tokens AS (
+        |  SELECT source, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |per_src AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cs
+        |            FROM tokens GROUP BY source, token),
+        |corpus AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tokens GROUP BY token),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM corpus),
+        |src_tot AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM per_src GROUP BY source),
+        |scored AS (
+        |  SELECT s.source,
+        |    CAST(floor(1000000000.0 *
+        |      (((CAST(s.cs AS DOUBLE) / st.ns - CAST(co.c AS DOUBLE) / t.n) *
+        |        (CAST(s.cs AS DOUBLE) / st.ns - CAST(co.c AS DOUBLE) / t.n)) /
+        |       (CAST(co.c AS DOUBLE) / t.n))) AS BIGINT) AS contrib
+        |  FROM per_src s
+        |  JOIN corpus co ON s.token = co.token
+        |  JOIN src_tot st ON s.source = st.source
+        |  CROSS JOIN tot t)
+        |SELECT sc.source, st.ns AS n_tokens, count(*) AS n_terms,
+        |  CAST(sum(sc.contrib) AS BIGINT) AS chi2_nano
+        |FROM scored sc JOIN src_tot st ON sc.source = st.source
+        |GROUP BY sc.source, st.ns ORDER BY sc.source""".stripMargin,
+
+    // milli-scaled integer logs make every regression sum an exact
+    // order-free BIGINT; a 2-ulp ln divergence flips a floor only
+    // within ~1.5e-12 of an integer boundary (≈3e-9 over 2000 points)
+    "q_zipf_fit" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, CAST(count(*) AS BIGINT) AS f FROM tk GROUP BY token
+        |         ORDER BY f DESC, token ASC LIMIT 1000),
+        |pts AS (
+        |  SELECT CAST(floor(1000.0 * ln(CAST(rank AS DOUBLE))) AS BIGINT) AS x,
+        |         CAST(floor(1000.0 * ln(CAST(f AS DOUBLE))) AS BIGINT) AS y
+        |  FROM (SELECT f, row_number() OVER (ORDER BY f DESC, token ASC) AS rank FROM freq)),
+        |sums AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |    CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM pts)
+        |SELECT n_points, sum_x, sum_y, sxy, sxx,
+        |  CAST(n_points * sxy - sum_x * sum_y AS DOUBLE) /
+        |  CAST(n_points * sxx - sum_x * sum_x AS DOUBLE) AS slope
+        |FROM sums""".stripMargin,
+
+    // pure integer two-pass: distinct (doc, gram) → gram-keyed min → join
+    "q_ngram_novelty" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |dg AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+        |  FROM tk),
+        |owner AS (SELECT gram, min(doc_id) AS first_doc FROM dg GROUP BY gram)
+        |SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN o.first_doc = dg.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(floor(10000.0 * sum(CASE WHEN o.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+        |             / count(*)) AS BIGINT) AS novelty_bp
+        |FROM dg JOIN owner o ON dg.gram = o.gram
+        |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin,
 
     // PMI ratio instead of log-PMI (monotone ⇒ same ranking) keeps the
     // score a short identically-parenthesized IEEE expression over

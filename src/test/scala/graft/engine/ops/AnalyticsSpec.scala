@@ -305,6 +305,38 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("q_asof_join_nearest picks the temporally closer event; ties go backward") {
+    val got = run("q_asof_join_nearest")
+      .select("o_orderkey", "u", "ev_value", "diff_us")
+      .as[(Long, Long, Option[Double], Option[Long])].collect()
+    val orders = graft.engine.io.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), pmod(col("o_custkey"), lit(150)).as("u"), col("o_orderdate"))
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+    val evByUser = graft.engine.io.Tables.events(spark, sfDir)
+      .select("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)].collect()
+      .groupBy(_._1)
+    val odate = orders.map(o => o._1 -> (o._2, o._3)).toMap
+    assert(got.length == orders.length)
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    got.foreach { case (ok, u, v, d) =>
+      val (uu, t) = odate(ok)
+      assert(u == uu)
+      val evs = evByUser.get(u).toSeq.flatten
+      val back = evs.filter(e => !e._2.after(t)).sortBy(e => -us(e._2)).headOption
+      val fwd = evs.filter(e => !e._2.before(t)).sortBy(e => us(e._2)).headOption
+      val expect = (back, fwd) match {
+        case (None, f) => f
+        case (b, None) => b
+        case (Some(b), Some(f)) =>
+          if (us(f._2) - us(t) < us(t) - us(b._2)) Some(f) else Some(b) // tie → backward
+      }
+      assert(v == expect.map(_._3), s"order $ok user $u: got $v want $expect")
+      assert(d == expect.map(e => math.abs(us(e._2) - us(t))),
+        s"order $ok: diff mismatch $d vs $expect")
+    }
+  }
+
   test("q_anomaly_windows: flagged hours satisfy the gate and reconcile with the window counts") {
     val got = run("q_anomaly_windows")
       .as[(Long, String, Long, Double, Double, Double)].collect()

@@ -1466,6 +1466,59 @@ class TextSimilaritySpec extends SparkSuite {
     assert(got.toSeq == Seq((1L, 2L, 1.0, 0.4)))
   }
 
+  test("tokenDiversity: effective vocabulary is exact Rényi-2 on hand-computable cases") {
+    val docs = Seq(
+      (1L, "a a a a"),  // 1 effective token: 100·16/16 = 100
+      (2L, "a b c d"),  // 4 effective tokens: 100·16/4 = 400
+      (3L, "a a b b"),  // 2 effective: 100·16/8 = 200
+      (4L, "a a a b")   // 16/10 = 1.6 eff: floor(160.0) = 160
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.tokenDiversity(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "n_distinct", "eff_vocab_x100")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 1L, 100L), (2L, 4L, 4L, 400L),
+                      (3L, 4L, 2L, 200L), (4L, 4L, 2L, 160L)))
+  }
+
+  test("domainDivergence: a source matching the corpus mix scores zero; a skewed one doesn't") {
+    val docs = Seq(
+      (1L, "s1", "a b a b"), (2L, "s2", "a b a b"), // identical mixes
+      (3L, "s3", "c c c c c c c c")                 // c only appears here
+    ).toDF("doc_id", "source", "text")
+    val got = TextPipeline.domainDivergence(docs, "source", "text")
+      .select("source", "n_tokens", "n_terms", "chi2_nano")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // every operand is binary-exact here, so the floors are EXACT pins:
+    // s1/s2: per term p=1/2 vs q=1/4 → (1/4)²/(1/4) = 1/4 → 2.5e8, ×2 terms;
+    // s3: p=1 vs q=1/2 → (1/2)²/(1/2) = 1/2 → 5e8. (χ² weights drift by
+    // 1/q, so the two shapes tie on this fixture — deliberately: the pin
+    // catches any parenthesization drift on either engine's side.)
+    assert(got == Seq(("s1", 4L, 2L, 500000000L), ("s2", 4L, 2L, 500000000L),
+                      ("s3", 8L, 1L, 500000000L)))
+  }
+
+  test("zipfFit recovers slope -1 on an exact 1/r frequency ladder") {
+    // token r repeated floor(1000/r) times, r = 1..20 → ln f ≈ ln 1000 − ln r
+    val text = (1 to 20).flatMap(r => Seq.fill(1000 / r)(f"t$r%02d")).mkString(" ")
+    val got = TextPipeline.zipfFit(Seq((1L, text)).toDF("doc_id", "text"), "text", 1000)
+      .select("n_points", "slope").as[(Long, Double)].head()
+    assert(got._1 == 20L)
+    assert(math.abs(got._2 + 1.0) < 0.01, s"slope ${got._2} must sit at -1")
+  }
+
+  test("ngramNovelty: first occurrence owns the gram; repeats score zero") {
+    val docs = Seq(
+      (1L, "a b c d"),  // "a b c", "b c d" both novel → 10000 bp
+      (2L, "a b c x"),  // "a b c" seen, "b c x" novel → 5000 bp
+      (3L, "a b c d"),  // both seen → 0 bp
+      (4L, "a b")       // no trigram → absent from output
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.ngramNovelty(docs, "doc_id", "text", 3)
+      .select("doc_id", "n_grams", "n_novel", "novelty_bp")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L, 10000L), (2L, 2L, 1L, 5000L), (3L, 2L, 0L, 0L)))
+  }
+
   test("q_lsh_band_stats reconciles: reps per band = distinct token-set groups; bounds hold") {
     val rows = run("q_lsh_band_stats")
       .as[(Long, Long, Long, Long, Long, Long)].collect()
