@@ -114,6 +114,20 @@ class PlanShapeSpec extends SparkSuite {
     assert(keyShuffles <= 1, s"one key shuffle expected, saw $keyShuffles:\n" + p.take(2000))
   }
 
+  test("q_asof_join_nearest: both direction windows ride ONE key shuffle") {
+    val p = plan("q_asof_join_nearest")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "nearest as-of must not degrade to a product join:\n" + p.take(1500))
+    // two Window nodes (ascending + descending scan)…
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    // …but the u-key Exchange appears once: Catalyst re-sorts the SAME
+    // shuffle output for the second direction instead of re-shuffling
+    val keyShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(u#"))
+    assert(windows >= 2, s"expected both direction windows:\n" + p.take(2000))
+    assert(keyShuffles <= 1, s"one key shuffle expected, saw $keyShuffles:\n" + p.take(2000))
+  }
+
   test("q_dedup_minhash verification runs on the native merge-walk expression") {
     assert(plan("q_dedup_minhash").contains("sorted_intersect_size"))
   }

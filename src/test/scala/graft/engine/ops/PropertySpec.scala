@@ -250,6 +250,32 @@ class PropertySpec extends SparkSuite {
         .distinct)
       .suchThat(_.nonEmpty)
 
+  private val fileInventory: Gen[List[(String, Long)]] =
+    Gen.chooseNum(0, 60).flatMap { n =>
+      Gen.listOfN(n, Gen.chooseNum(1L, 1000L)).map(_.zipWithIndex.map {
+        case (sz, i) => (f"part-$i%05d", sz)
+      })
+    }
+
+  test("Compaction.plan: bins respect the target, never split-brain a file, and are deterministic") {
+    check("binpack", 200)(Prop.forAll(fileInventory, Gen.chooseNum(100L, 2000L)) {
+      (files, target) =>
+        val bins = graft.engine.stream.Compaction.plan(files, target)
+        val assigned = bins.flatMap(_.files)
+        val sizes = files.toMap
+        // every bin merges ≥2 files (a singleton rewrite is wasted I/O),
+        // fits the target, reports its true byte sum, and no file lands
+        // in two bins; a repeat plan is byte-identical (determinism is
+        // what makes a crashed compaction safely re-runnable)
+        bins.forall(b => b.files.size >= 2 &&
+            b.bytes == b.files.map(sizes).sum &&
+            (b.bytes <= target || b.files.size == 1)) &&
+          assigned.distinct.size == assigned.size &&
+          assigned.forall(sizes.contains) &&
+          bins == graft.engine.stream.Compaction.plan(files, target)
+    })
+  }
+
   test("pairGraphPagerank conserves scaled mass up to floor loss on random graphs") {
     // each round redistributes 85% of mass (floors lose < 1 unit per
     // edge-direction per round) and injects 15% flat, so total mass can
