@@ -640,18 +640,23 @@ object Analytics {
     * one-sided cases fall out of the same expression. No range probe,
     * no per-row subquery — the 100 TB shape of its siblings. */
   private val qAsofNearest: Q = (s, d) => {
-    val ev = Tables.events(s, d).select(
+    // events ← events (purchases against same-user clicks): both
+    // directions carry real matches in the fixture, unlike the
+    // orders↔events anchor whose date ranges are disjoint (every
+    // backward probe there is null — one branch never exercised)
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click").select(
       col("user_id").as("u"), col("ts").as("t"), lit(0).as("side"),
-      lit(null).cast("long").as("o_orderkey"), col("value"))
-    val od = Tables.orders(s, d).select(
-      pmod(col("o_custkey"), lit(150)).as("u"), col("o_orderdate").as("t"), lit(1).as("side"),
-      col("o_orderkey"), lit(null).cast("double").as("value"))
+      lit(null).cast("long").as("purchase_id"), col("value"))
+    val buys = ev.filter(col("event_type") === "purchase").select(
+      col("user_id").as("u"), col("ts").as("t"), lit(1).as("side"),
+      col("event_id").as("purchase_id"), lit(null).cast("double").as("value"))
     val wb = Window.partitionBy("u").orderBy(col("t").asc, col("side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = Window.partitionBy("u").orderBy(col("t").desc, col("side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val evrec = when(col("side") === 0, struct(col("t").as("et"), col("value").as("v")))
-    ev.unionAll(od)
+    clicks.unionAll(buys)
       .withColumn("back", last(evrec, ignoreNulls = true).over(wb))
       .withColumn("fwd", last(evrec, ignoreNulls = true).over(wf))
       .filter(col("side") === 1)
@@ -663,8 +668,46 @@ object Analytics {
           .when(col("fd") < col("bd"), col("fwd.v"))
           .otherwise(col("back.v")))
       .withColumn("diff_us", least(col("bd"), col("fd")))
-      .select(col("o_orderkey"), col("u"), col("ev_value"), col("diff_us"))
-      .orderBy("o_orderkey")
+      .select(col("purchase_id"), col("u").as("user_id"),
+              col("ev_value"), col("diff_us"))
+      .orderBy("purchase_id")
+  }
+
+  /** TOLERANCE as-of join — backward as-of with a max-staleness bound,
+    * the variant every feature store ships (pandas `merge_asof
+    * tolerance=`, QuestDB/kdb equivalents): attach to each purchase the
+    * user's latest prior `view`, but only admit it as a feature when it
+    * is at most `TolUs` old — a reading staler than the bound is worse
+    * than no reading (the model must learn the no-signal case, not
+    * stale-signal leakage). Emits all three truths: the value (nulled
+    * when stale), the raw staleness, and the freshness verdict, so a
+    * pipeline can route fresh/stale/missing differently. Joins events
+    * to events (purchases ← views), where the fixture has real matches
+    * on every branch. Same union + keyed-window shape as its siblings:
+    * one shuffle, no range probe. */
+  private val TolUs = 6L * 3600 * 1000000 // 6 hours
+  private val qAsofTolerance: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val views = ev.filter(col("event_type") === "view").select(
+      col("user_id").as("u"), col("ts").as("t"), lit(0).as("side"),
+      lit(null).cast("long").as("purchase_id"), col("value"))
+    val buys = ev.filter(col("event_type") === "purchase").select(
+      col("user_id").as("u"), col("ts").as("t"), lit(1).as("side"),
+      col("event_id").as("purchase_id"), lit(null).cast("double").as("value"))
+    val w = Window.partitionBy("u").orderBy(col("t").asc, col("side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val viewrec = when(col("side") === 0, struct(col("t").as("vt"), col("value").as("v")))
+    views.unionAll(buys)
+      .withColumn("lastv", last(viewrec, ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .withColumn("stale_us", unix_micros(col("t")) - unix_micros(col("lastv.vt")))
+      .withColumn("fresh",
+        when(col("stale_us").isNull, lit(null).cast("boolean"))
+          .otherwise(col("stale_us") <= TolUs))
+      .withColumn("ev_value", when(col("fresh"), col("lastv.v")))
+      .select(col("purchase_id"), col("u").as("user_id"),
+              col("ev_value"), col("stale_us"), col("fresh"))
+      .orderBy("purchase_id")
   }
 
   // ---------------------------------------------------------- skew salting
@@ -760,6 +803,7 @@ object Analytics {
     "q_null_funcs" -> qNullFuncs, "q_asof_join" -> qAsofJoin,
     "q_asof_join_forward" -> qAsofJoinForward,
     "q_asof_join_nearest" -> qAsofNearest,
+    "q_asof_join_tolerance" -> qAsofTolerance,
     "q_sessionize" -> qSessionize, "q_window_dist" -> qWindowDist,
     "q_window_range" -> qWindowRange, "q_agg_minmax_by" -> qAggMinmaxBy,
     "q_lateral_join" -> qLateralJoin, "q_corr_covar" -> qCorrCovar,
@@ -935,28 +979,43 @@ object Analytics {
         |  ON o.o_custkey % 150 = e.user_id AND e.ts >= o.o_orderdate
         |ORDER BY o_orderkey""".stripMargin,
 
+    // staleness bound: ASOF backward + CASE on the 6 h tolerance; the
+    // fixture populates all three branches (fresh / stale / no view)
+    "q_asof_join_tolerance" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 21600000000 THEN v.value END AS ev_value,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS stale_us,
+        |  CASE WHEN v.ts IS NULL THEN NULL
+        |       ELSE epoch_us(p.ts) - epoch_us(v.ts) <= 21600000000 END AS fresh
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY purchase_id""".stripMargin,
+
     // nearest = the closer of the two ASOF directions; least() skips
     // NULLs in both engines, covering the one-sided cases
     "q_asof_join_nearest" ->
-      """WITH b AS (
-        |  SELECT o.o_orderkey, o.o_custkey % 150 AS u, o.o_orderdate,
-        |         e.ts AS bt, e.value AS bv
-        |  FROM orders o ASOF LEFT JOIN events e
-        |    ON o.o_custkey % 150 = e.user_id AND e.ts <= o.o_orderdate),
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT p.event_id, p.user_id, p.ts AS pt, c.ts AS bt, c.value AS bv
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts),
         |f AS (
-        |  SELECT o.o_orderkey, e.ts AS ft, e.value AS fv
-        |  FROM orders o ASOF LEFT JOIN events e
-        |    ON o.o_custkey % 150 = e.user_id AND e.ts >= o.o_orderdate)
-        |SELECT b.o_orderkey, b.u,
+        |  SELECT p.event_id, c.ts AS ft, c.value AS fv
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.user_id AND c.ts >= p.ts)
+        |SELECT b.event_id AS purchase_id, b.user_id,
         |  CASE WHEN bt IS NULL THEN fv
         |       WHEN ft IS NULL THEN bv
-        |       WHEN epoch_us(ft) - epoch_us(o_orderdate)
-        |            < epoch_us(o_orderdate) - epoch_us(bt) THEN fv
+        |       WHEN epoch_us(ft) - epoch_us(pt)
+        |            < epoch_us(pt) - epoch_us(bt) THEN fv
         |       ELSE bv END AS ev_value,
-        |  least(epoch_us(o_orderdate) - epoch_us(bt),
-        |        epoch_us(ft) - epoch_us(o_orderdate)) AS diff_us
-        |FROM b JOIN f ON b.o_orderkey = f.o_orderkey
-        |ORDER BY b.o_orderkey""".stripMargin,
+        |  least(epoch_us(pt) - epoch_us(bt),
+        |        epoch_us(ft) - epoch_us(pt)) AS diff_us
+        |FROM b JOIN f ON b.event_id = f.event_id
+        |ORDER BY purchase_id""".stripMargin,
 
     "q_sessionize" ->
       """SELECT user_id, session_id, count(*) AS n_events,

@@ -305,36 +305,60 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
-  test("q_asof_join_nearest picks the temporally closer event; ties go backward") {
+  test("q_asof_join_nearest picks the temporally closer click; ties go backward; both directions fire") {
     val got = run("q_asof_join_nearest")
-      .select("o_orderkey", "u", "ev_value", "diff_us")
+      .select("purchase_id", "user_id", "ev_value", "diff_us")
       .as[(Long, Long, Option[Double], Option[Long])].collect()
-    val orders = graft.engine.io.Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), pmod(col("o_custkey"), lit(150)).as("u"), col("o_orderdate"))
-      .as[(Long, Long, java.sql.Timestamp)].collect()
-    val evByUser = graft.engine.io.Tables.events(spark, sfDir)
-      .select("user_id", "ts", "value")
-      .as[(Long, java.sql.Timestamp, Double)].collect()
-      .groupBy(_._1)
-    val odate = orders.map(o => o._1 -> (o._2, o._3)).toMap
-    assert(got.length == orders.length)
+    val all = graft.engine.io.Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "ts", "value", "event_type")
+      .as[(Long, Long, java.sql.Timestamp, Double, String)].collect()
+    val buys = all.filter(_._5 == "purchase")
+    val clicksByUser = all.filter(_._5 == "click").groupBy(_._2)
+    val byId = buys.map(b => b._1 -> (b._2, b._3)).toMap
+    assert(got.length == buys.length)
     def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
-    got.foreach { case (ok, u, v, d) =>
-      val (uu, t) = odate(ok)
+    var nBack = 0; var nFwd = 0
+    got.foreach { case (pid, u, v, d) =>
+      val (uu, t) = byId(pid)
       assert(u == uu)
-      val evs = evByUser.get(u).toSeq.flatten
-      val back = evs.filter(e => !e._2.after(t)).sortBy(e => -us(e._2)).headOption
-      val fwd = evs.filter(e => !e._2.before(t)).sortBy(e => us(e._2)).headOption
+      val cs = clicksByUser.get(u).toSeq.flatten
+      val back = cs.filter(e => !e._3.after(t)).sortBy(e => -us(e._3)).headOption
+      val fwd = cs.filter(e => !e._3.before(t)).sortBy(e => us(e._3)).headOption
       val expect = (back, fwd) match {
         case (None, f) => f
         case (b, None) => b
         case (Some(b), Some(f)) =>
-          if (us(f._2) - us(t) < us(t) - us(b._2)) Some(f) else Some(b) // tie → backward
+          if (us(f._3) - us(t) < us(t) - us(b._3)) Some(f) else Some(b) // tie → backward
       }
-      assert(v == expect.map(_._3), s"order $ok user $u: got $v want $expect")
-      assert(d == expect.map(e => math.abs(us(e._2) - us(t))),
-        s"order $ok: diff mismatch $d vs $expect")
+      if (expect == back && back.isDefined) nBack += 1
+      if (expect == fwd && expect != back) nFwd += 1
+      assert(v == expect.map(_._4), s"purchase $pid user $u: got $v want $expect")
+      assert(d == expect.map(e => math.abs(us(e._3) - us(t))),
+        s"purchase $pid: diff mismatch $d vs $expect")
     }
+    // the binding exists because BOTH scan directions win somewhere —
+    // a fixture where one branch never fires proves half the operator
+    assert(nBack > 0 && nFwd > 0, s"degenerate fixture: back=$nBack fwd=$nFwd")
+  }
+
+  test("q_asof_join_tolerance: fresh values pass, stale values null out, staleness reported raw") {
+    val got = run("q_asof_join_tolerance")
+      .select("purchase_id", "user_id", "ev_value", "stale_us", "fresh")
+      .as[(Long, Long, Option[Double], Option[Long], Option[Boolean])].collect()
+    val tol = 6L * 3600 * 1000000
+    var fresh = 0; var stale = 0; var missing = 0
+    got.foreach { case (pid, _, v, d, f) =>
+      (d, f) match {
+        case (None, None)        => assert(v.isEmpty); missing += 1
+        case (Some(du), Some(fr)) =>
+          assert(fr == (du <= tol), s"purchase $pid: verdict disagrees with staleness")
+          if (fr) { assert(v.isDefined); fresh += 1 }
+          else    { assert(v.isEmpty, s"stale value must NOT leak: $pid"); stale += 1 }
+        case other => fail(s"purchase $pid: inconsistent nullity $other")
+      }
+    }
+    assert(fresh > 0 && stale > 0 && missing > 0,
+      s"all three branches must exercise: fresh=$fresh stale=$stale missing=$missing")
   }
 
   test("q_anomaly_windows: flagged hours satisfy the gate and reconcile with the window counts") {
