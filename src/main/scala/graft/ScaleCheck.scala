@@ -142,14 +142,54 @@ object ScaleCheck {
       val pts = Seq((1.0, ts), (10.0, tl)) ++ txl.map(t => (30.0, t))
       (n, ts, tl, txl, tl / ts, fitExponent(pts))
     }
-    val flagged = rows.filter(_._5 > FlagSlope).map(_._1)
-    val superlinear = rows
-      .filter(r => haveXl && r._6 > FlagExponent && !DeclaredQuadratic(r._1))
-      .map(_._1)
-    val body = rows.map { case (n, ts, tl, txl, sl, ex) =>
+    // Named-query reruns MERGE into the existing artifact instead of
+    // truncating it to the named set: a single entry caught inside a
+    // co-tenant load window (r9: q_agg_group's sf0.3 point read 32 s in
+    // a 183-run JVM vs 1.3 s steady in a fresh one) gets re-measured
+    // without paying the full hour-scale ladder again.
+    val priorBody: Map[String, String] =
+      if (args.isEmpty) Map.empty
+      else try {
+        val p = java.nio.file.Paths.get("SCALECHECK.json")
+        if (!java.nio.file.Files.exists(p)) Map.empty
+        else {
+          import org.json4s._
+          org.json4s.jackson.JsonMethods.parse(new String(
+            java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)) \ "queries" match {
+            case JObject(fields) => fields.map { case (k, v) =>
+              k -> org.json4s.jackson.JsonMethods.compact(v)
+            }.toMap
+            case _ => Map.empty
+          }
+        }
+      } catch { case _: Throwable => Map.empty }
+    val freshBody = rows.map { case (n, ts, tl, txl, sl, ex) =>
       val xlPart = txl.map(t => s""","t_xl":${fmt(t)},"slope_xl":${fmt(t / tl)}""").getOrElse("")
-      s""""$n":{"t_small":${fmt(ts)},"t_large":${fmt(tl)}$xlPart,"slope":${fmt(sl)},"exponent":${fmt(ex)}}"""
-    }.mkString(",")
+      n -> s"""{"t_small":${fmt(ts)},"t_large":${fmt(tl)}$xlPart,"slope":${fmt(sl)},"exponent":${fmt(ex)}}"""
+    }.toMap
+    val merged = priorBody ++ freshBody
+    val body = merged.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString(",")
+    // flags recompute over the MERGED map (a rerun that clears a flag
+    // must clear it in the artifact, and stale flags must not vanish
+    // just because their query wasn't in the rerun set)
+    def field(json: String, name: String): Option[Double] = {
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(json) \ name match {
+        case JDouble(v) => Some(v)
+        case JInt(v) => Some(v.toDouble)
+        case JDecimal(v) => Some(v.toDouble)
+        case _ => None
+      }
+    }
+    val flagged = merged.toSeq.sortBy(_._1).collect {
+      case (k, v) if field(v, "slope").exists(_ > FlagSlope) => k
+    }
+    val superlinear = merged.toSeq.sortBy(_._1).collect {
+      case (k, v) if field(v, "exponent").exists(_ > FlagExponent) &&
+        !DeclaredQuadratic(k) => k
+    }
     val ladder = (Seq(small, large) ++ (if (haveXl) Seq(xl) else Nil))
       .map("\"" + _ + "\"").mkString(",")
     val json =
