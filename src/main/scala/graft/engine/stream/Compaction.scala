@@ -160,8 +160,16 @@ object Compaction {
   /** Rewrite the current generation's small files into target-size files
     * and commit the new generation. Readers are never blocked and never
     * see a mix; the operation is idempotent on a layout that is already
-    * compact (zero bins → no new generation). */
-  def compact(spark: SparkSession, dir: String, targetBytes: Long): Result = {
+    * compact (zero bins → no new generation).
+    *
+    * `sortCols` (the OPTIMIZE … ORDER BY shape): each bin's rewrite
+    * sorts within its single output partition, so the compacted file
+    * carries tight per-column min/max footer stats — a downstream
+    * filtered read prunes whole compacted files instead of scanning the
+    * micro-batch interleaving the stream landed. No extra shuffle: the
+    * sort rides the same one-task coalesced write. */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long,
+              sortCols: Seq[String] = Nil): Result = {
     val f = fs(spark, dir)
     val prior = currentManifest(spark, dir)
     val view = committedFiles(spark, dir)
@@ -177,8 +185,11 @@ object Compaction {
     // unreferenced files (the manifest swap below is the commit point)
     val outputs = bins.zipWithIndex.map { case (bin, i) =>
       val outDir = s"$dir/$MetaDir/gen=$gen/bin=$i"
-      spark.read.parquet(bin.files: _*).coalesce(1)
-        .write.mode("overwrite").parquet(outDir)
+      val one = spark.read.parquet(bin.files: _*).coalesce(1)
+      val clustered =
+        if (sortCols.isEmpty) one
+        else one.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      clustered.write.mode("overwrite").parquet(outDir)
       val part = f.listStatus(new org.apache.hadoop.fs.Path(outDir))
         .map(_.getPath).filter(_.getName.startsWith("part-"))
       require(part.length == 1, s"expected one part file in $outDir")

@@ -1653,9 +1653,16 @@ class StreamingSpec extends SparkSuite {
     val withNew = Compaction.read(spark, dir).select("doc_id").as[Long].collect().sorted
     assert(withNew.toSeq == rowsBefore.map(_._1) :+ 100L,
       s"post-compaction batches must be visible immediately: ${withNew.toSeq}")
-    // a second compaction folds the new small file into the stand-in…
-    val res2 = Compaction.compact(spark, dir, targetBytes = 1L << 30)
+    // a second compaction folds the new small file into the stand-in —
+    // this one clustered (OPTIMIZE … ORDER BY): the rewritten file must
+    // read back in key order, the layout min-max pruning feeds on
+    val res2 = Compaction.compact(spark, dir, targetBytes = 1L << 30,
+      sortCols = Seq("doc_id"))
     assert(res2.gen == res.gen + 1 && Compaction.committedFiles(spark, dir).size == 1, s"$res2")
+    val compactedIds = spark.read.parquet(Compaction.committedFiles(spark, dir).head)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(compactedIds == compactedIds.sorted,
+      s"clustered compaction must land rows in key order: $compactedIds")
     // …and vacuum reclaims every unreferenced file; the manifest-aware
     // read still serves the full row set
     q.stop()
