@@ -78,7 +78,43 @@ object Sources {
           col("length").as("n_bytes"),
           upper(hex(expr("substring(content, 1, 4)"))).as("magic_hex"))
         .orderBy("file_name")),
+    // Schema EVOLUTION read: a landing whose later files carry a column
+    // the earlier ones lack (the inevitable fate of any long-lived
+    // ingest directory — reference K:43's value schema would have grown
+    // the same way). `mergeSchema` unions the FOOTERS (no data pass —
+    // the one place schema "inference" is the feature, not the 2×-I/O
+    // trap the explicit-schema house rule guards against), and rows
+    // from pre-evolution files surface the new column as null. At
+    // 100 TB this is what lets a reader span a schema change without
+    // rewriting history.
+    "q_source_evolved" -> ((s, d) => {
+      val dir = ensureEvolved(s, d)
+      s.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
   )
+
+  /** Two-generation landing: v1 = even docs WITHOUT `source` (the old
+    * writer), v2 = odd docs with it (the evolved writer). Materialized
+    * once per sfDir fingerprint like the format copies above. */
+  private def ensureEvolved(spark: SparkSession, sfDir: String): String = {
+    val srcFile = new java.io.File(sfDir, "documents.parquet")
+    val stamp = java.lang.Long.toHexString(
+      java.util.Objects.hash(sfDir, srcFile.lastModified(), srcFile.length()).toLong & 0xFFFFFFFFL)
+    val tag = new java.io.File(sfDir).getName + "_" + stamp
+    val dir = new java.io.File(s"target/formats/$tag/documents_evolved").getAbsolutePath
+    this.synchronized {
+      if (!new java.io.File(s"$dir/v2", "_SUCCESS").exists()) {
+        val docs = Tables.load(spark, sfDir, "documents")
+        docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+          .write.mode("overwrite").parquet(s"$dir/v1")
+        docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "source")
+          .write.mode("overwrite").parquet(s"$dir/v2")
+      }
+    }
+    dir
+  }
 
   // The oracle reads the PARQUET original: equality proves the format
   // roundtrip lossless for every cell.
@@ -98,5 +134,10 @@ object Sources {
         |  upper(substring(hex(content), 1, 8)) AS magic_hex
         |FROM read_blob('/root/testdata/sf0.01/*.parquet')
         |ORDER BY file_name""".stripMargin,
+    // pre-evolution rows surface the new column as NULL
+    "q_source_evolved" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 2 = 1 THEN source END AS source
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
