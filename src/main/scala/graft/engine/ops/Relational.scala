@@ -461,6 +461,31 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"), round(avg("k"), 4).as("avg_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** Malformed-payload ingestion accounting — the PERMISSIVE-mode
+    * contract a 100 TB event firehose needs: a deterministic 1-in-97
+    * slice of payloads arrives TRUNCATED (mid-object cut, the classic
+    * producer-crash artifact), extraction yields null instead of
+    * failing the job, and the per-type report carries the
+    * valid/corrupt split plus the salvaged aggregate — the corruption-
+    * rate dashboard that pages someone BEFORE the bad producer pollutes
+    * a day of landing. One narrow projection + one hash agg; the
+    * corrupt branch costs nothing extra (get_json_object already
+    * null-rejects invalid input in a codegen'd pass). */
+  private val qJsonMalformed: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("payload",
+        when(pmod(col("event_id"), lit(97)) === 0,
+          expr("substring(props, 1, length(props) - 2)"))
+          .otherwise(col("props")))
+      .select(col("event_type"),
+        get_json_object(col("payload"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("k")).as("n_valid"),
+           (count(lit(1)) - count(col("k"))).as("n_corrupt"),
+           sum("k").as("sum_k"))
+      .orderBy("event_type")
+
   private val qExplodeTokens: Q = (s, d) =>
     Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("token"))
@@ -618,7 +643,8 @@ object Relational {
     "q_str_funcs" -> qStrFuncs, "q_regexp" -> qRegexp,
     "q_date_funcs" -> qDateFuncs, "q_math_funcs" -> qMathFuncs,
     "q_case_cast" -> qCaseCast, "q_array_funcs" -> qArrayFuncs,
-    "q_json_funcs" -> qJsonFuncs, "q_explode_tokens" -> qExplodeTokens,
+    "q_json_funcs" -> qJsonFuncs, "q_json_malformed" -> qJsonMalformed,
+    "q_explode_tokens" -> qExplodeTokens,
     "q_subquery_scalar" -> qSubqueryScalar,
   )
 
@@ -983,6 +1009,23 @@ object Relational {
       """SELECT event_type, count(*) AS n_rows,
         |  round(avg(k), 4) AS avg_k, max(k) AS max_k
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // json_valid CASE-guard: DuckDB's extraction ERRORS on malformed
+    // input where Spark's get_json_object null-rejects
+    "q_json_malformed" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |  count(k) AS n_valid, count(*) - count(k) AS n_corrupt,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM (
+        |  SELECT event_type,
+        |    CASE WHEN json_valid(payload)
+        |         THEN CAST(json_extract_string(payload, '$.k') AS BIGINT) END AS k
+        |  FROM (
+        |    SELECT event_type,
+        |      CASE WHEN event_id % 97 = 0 THEN substr(props, 1, length(props) - 2)
+        |           ELSE props END AS payload
+        |    FROM events))
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_explode_tokens" ->
