@@ -577,29 +577,37 @@ object Analytics {
   }
 
   // ------------------------------------------------------------ as-of join
-  /** As-of join: for each order, the value of the latest event (user_id =
-    * o_custkey mod 150) with ts <= o_orderdate.
+  /** As-of join: for each purchase event, the value of the same user's
+    * latest `view` at or before it — the feature-attachment shape
+    * (state known as of decision time).
     *
     * Implementation is the union + keyed-window formulation: tag both
-    * sides, union, and take last non-null event value over (key, time)
+    * sides, union, and take last non-null view value over (key, time)
     * order. One shuffle on the key, one in-partition sort — the 100 TB
-    * shape (see object scaladoc). Events sort before orders at equal
+    * shape (see object scaladoc). Views sort before purchases at equal
     * timestamps (side 0 < 1), giving inclusive <= semantics; (user_id,
-    * ts) is unique in the fixture so the match is deterministic. */
+    * ts) is unique in the fixture so the match is deterministic.
+    *
+    * Anchored events←events since r9: the original orders←events anchor
+    * is time-disjoint in the fixture (orders end 2001, events start
+    * 2024), so every backward probe was null — an oracle that passed
+    * without ever exercising a match. Here both the matched and the
+    * no-prior-view branch carry real rows (spec-asserted). */
   private val qAsofJoin: Q = (s, d) => {
-    val ev = Tables.events(s, d).select(
+    val ev = Tables.events(s, d)
+    val views = ev.filter(col("event_type") === "view").select(
       col("user_id").as("u"), col("ts").as("t"), lit(0).as("side"),
-      lit(null).cast("long").as("o_orderkey"), col("value"))
-    val od = Tables.orders(s, d).select(
-      pmod(col("o_custkey"), lit(150)).as("u"), col("o_orderdate").as("t"), lit(1).as("side"),
-      col("o_orderkey"), lit(null).cast("double").as("value"))
+      lit(null).cast("long").as("purchase_id"), col("value"))
+    val buys = ev.filter(col("event_type") === "purchase").select(
+      col("user_id").as("u"), col("ts").as("t"), lit(1).as("side"),
+      col("event_id").as("purchase_id"), lit(null).cast("double").as("value"))
     val w = Window.partitionBy("u").orderBy(col("t").asc, col("side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.unionAll(od)
+    views.unionAll(buys)
       .withColumn("ev_value", last("value", ignoreNulls = true).over(w))
       .filter(col("side") === 1)
-      .select(col("o_orderkey"), col("u"), col("ev_value"))
-      .orderBy("o_orderkey")
+      .select(col("purchase_id"), col("u").as("user_id"), col("ev_value"))
+      .orderBy("purchase_id")
   }
 
   /** FORWARD as-of join — "the next event at-or-after": the label-join
@@ -608,23 +616,26 @@ object Analytics {
     * the label). Same union + keyed-window formulation as [[qAsofJoin]]
     * with the scan direction reversed: descending event-time order
     * makes the running `last(value)` carry the NEAREST later event, and
-    * the side tiebreak (event before order at equal t) keeps the match
-    * inclusive. One shuffle per side, no range probe — the shape that
-    * survives 100 TB unchanged. */
+    * the side tiebreak (event before the probe at equal t) keeps the
+    * match inclusive. One shuffle per side, no range probe — the shape
+    * that survives 100 TB unchanged. Anchored purchases←signups (r9):
+    * purchases both before and after a user's signups exist, so the
+    * matched AND exhausted-future branches carry real rows. */
   private val qAsofJoinForward: Q = (s, d) => {
-    val ev = Tables.events(s, d).select(
+    val ev = Tables.events(s, d)
+    val signups = ev.filter(col("event_type") === "signup").select(
       col("user_id").as("u"), col("ts").as("t"), lit(0).as("side"),
-      lit(null).cast("long").as("o_orderkey"), col("value"))
-    val od = Tables.orders(s, d).select(
-      pmod(col("o_custkey"), lit(150)).as("u"), col("o_orderdate").as("t"), lit(1).as("side"),
-      col("o_orderkey"), lit(null).cast("double").as("value"))
+      lit(null).cast("long").as("purchase_id"), col("value"))
+    val buys = ev.filter(col("event_type") === "purchase").select(
+      col("user_id").as("u"), col("ts").as("t"), lit(1).as("side"),
+      col("event_id").as("purchase_id"), lit(null).cast("double").as("value"))
     val w = Window.partitionBy("u").orderBy(col("t").desc, col("side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.unionAll(od)
+    signups.unionAll(buys)
       .withColumn("ev_value", last("value", ignoreNulls = true).over(w))
       .filter(col("side") === 1)
-      .select(col("o_orderkey"), col("u"), col("ev_value"))
-      .orderBy("o_orderkey")
+      .select(col("purchase_id"), col("u").as("user_id"), col("ev_value"))
+      .orderBy("purchase_id")
   }
 
   /** NEAREST as-of join — completes the as-of family (backward =
@@ -967,17 +978,21 @@ object Analytics {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_asof_join" ->
-      """SELECT o.o_orderkey, o.o_custkey % 150 AS u, e.value AS ev_value
-        |FROM orders o ASOF LEFT JOIN events e
-        |  ON o.o_custkey % 150 = e.user_id AND e.ts <= o.o_orderdate
-        |ORDER BY o_orderkey""".stripMargin,
+      """SELECT p.event_id AS purchase_id, p.user_id, v.value AS ev_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY purchase_id""".stripMargin,
 
     // the >= direction: DuckDB ASOF picks the NEAREST event at-or-after
     "q_asof_join_forward" ->
-      """SELECT o.o_orderkey, o.o_custkey % 150 AS u, e.value AS ev_value
-        |FROM orders o ASOF LEFT JOIN events e
-        |  ON o.o_custkey % 150 = e.user_id AND e.ts >= o.o_orderdate
-        |ORDER BY o_orderkey""".stripMargin,
+      """SELECT p.event_id AS purchase_id, p.user_id, s.value AS ev_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND s.ts >= p.ts
+        |ORDER BY purchase_id""".stripMargin,
 
     // staleness bound: ASOF backward + CASE on the 6 h tolerance; the
     // fixture populates all three branches (fresh / stale / no view)

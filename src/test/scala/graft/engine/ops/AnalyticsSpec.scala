@@ -193,22 +193,30 @@ class AnalyticsSpec extends SparkSuite {
       Tables.orders(spark, sfDir).filter(col("o_totalprice") < 1000).count())
   }
 
-  test("as-of join: every matched value comes from an event at or before the order date") {
-    val a = run("q_asof_join")
-    val ev = Tables.events(spark, sfDir)
-      .select(col("user_id").as("u"), col("ts"), col("value").as("ev_value"))
-    // joining back on (u, ev_value): the matched event's ts must be <= o_orderdate
-    val od = Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_orderdate"))
-    val bad = a.filter(col("ev_value").isNotNull)
-      .join(ev, Seq("u", "ev_value"))
-      .join(od, "o_orderkey")
-      .groupBy("o_orderkey")
-      // at least one event instance with that value is at or before the date
-      .agg(min(when(col("ts") <= col("o_orderdate"), 0).otherwise(1)).as("viol"))
-      .filter(col("viol") === 1)
-    assert(bad.count() == 0)
-    assert(a.count() == Tables.orders(spark, sfDir).count())
+  test("as-of join: each purchase gets its user's LATEST prior view; both branches live") {
+    val got = run("q_asof_join")
+      .select("purchase_id", "user_id", "ev_value")
+      .as[(Long, Long, Option[Double])].collect()
+    val all = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "ts", "value", "event_type")
+      .as[(Long, Long, java.sql.Timestamp, Double, String)].collect()
+    val buys = all.filter(_._5 == "purchase")
+    val viewsByUser = all.filter(_._5 == "view").groupBy(_._2)
+    val byId = buys.map(b => b._1 -> (b._2, b._3)).toMap
+    assert(got.length == buys.length)
+    var matched = 0; var missing = 0
+    got.foreach { case (pid, u, v) =>
+      val (uu, t) = byId(pid)
+      assert(u == uu)
+      val expect = viewsByUser.get(u).toSeq.flatten
+        .filter(e => !e._3.after(t)).sortBy(_._3.getTime).lastOption.map(_._4)
+      assert(v == expect, s"purchase $pid user $u: got $v want $expect")
+      if (v.isDefined) matched += 1 else missing += 1
+    }
+    // the r9 rebind exists because the old orders anchor matched NOTHING
+    // (time-disjoint ranges) — the oracle passed without ever exercising
+    // a hit; both branches must now carry real rows
+    assert(matched > 0 && missing > 0, s"degenerate fixture: matched=$matched missing=$missing")
   }
 
   test("bitmap distinct rollup equals countDistinct exactly") {
@@ -282,27 +290,29 @@ class AnalyticsSpec extends SparkSuite {
     assert(est == flat)
   }
 
-  test("q_asof_join_forward matches each order to its user's earliest at-or-after event") {
+  test("q_asof_join_forward matches each purchase to its user's earliest at-or-after signup; both branches live") {
     val got = run("q_asof_join_forward")
-      .select("o_orderkey", "u", "ev_value")
+      .select("purchase_id", "user_id", "ev_value")
       .as[(Long, Long, Option[Double])].collect()
-    val orders = graft.engine.io.Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), pmod(col("o_custkey"), lit(150)).as("u"), col("o_orderdate"))
-      .as[(Long, Long, java.sql.Timestamp)].collect()
-    val evByUser = graft.engine.io.Tables.events(spark, sfDir)
-      .select("user_id", "ts", "value")
-      .as[(Long, java.sql.Timestamp, Double)].collect()
-      .groupBy(_._1)
-    val odate = orders.map(o => o._1 -> (o._2, o._3)).toMap
-    assert(got.length == orders.length)
-    got.foreach { case (ok, u, v) =>
-      val (uu, t) = odate(ok)
+    val all = graft.engine.io.Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "ts", "value", "event_type")
+      .as[(Long, Long, java.sql.Timestamp, Double, String)].collect()
+    val buys = all.filter(_._5 == "purchase")
+    val signupsByUser = all.filter(_._5 == "signup").groupBy(_._2)
+    val byId = buys.map(b => b._1 -> (b._2, b._3)).toMap
+    assert(got.length == buys.length)
+    var matched = 0; var exhausted = 0
+    got.foreach { case (pid, u, v) =>
+      val (uu, t) = byId(pid)
       assert(u == uu)
-      val expect = evByUser.get(u).toSeq.flatten
-        .filter(e => !e._2.before(t)) // ts >= order date (inclusive)
-        .sortBy(_._2.getTime).headOption.map(_._3)
-      assert(v == expect, s"order $ok user $u: got $v want $expect")
+      val expect = signupsByUser.get(u).toSeq.flatten
+        .filter(e => !e._3.before(t)) // ts >= purchase time (inclusive)
+        .sortBy(_._3.getTime).headOption.map(_._4)
+      assert(v == expect, s"purchase $pid user $u: got $v want $expect")
+      if (v.isDefined) matched += 1 else exhausted += 1
     }
+    assert(matched > 0 && exhausted > 0,
+      s"degenerate fixture: matched=$matched exhausted=$exhausted")
   }
 
   test("q_asof_join_nearest picks the temporally closer click; ties go backward; both directions fire") {
