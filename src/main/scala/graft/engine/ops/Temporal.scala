@@ -41,34 +41,42 @@ object Temporal {
               col("n_events"), col("first_event"))
       .orderBy("user_id", "start_s")
 
-  /** Banded range join: per order, how many events its user (custkey mod
-    * 150) produced in the 3 days strictly before the order date, plus the
-    * exact decimal sum of their values. Implemented as the 2-bucket
-    * equi-join described in the object scaladoc; orders with no events in
-    * range are kept (zero-filled) via a final left join. */
+  /** Banded range join: per purchase event, how many OTHER events its
+    * user produced in the 3 days strictly before it, plus the exact
+    * decimal sum of their values — the pre-decision activity feature.
+    * Implemented as the 2-bucket equi-join described in the object
+    * scaladoc; purchases with no prior-window events are kept
+    * (zero-filled) via a final left join.
+    *
+    * Anchored events←events since r9: the original orders←events probe
+    * was time-disjoint in the fixture (orders end 2001, events start
+    * 2024), so the band matched NOTHING — n_ev was 0 and sum_v null on
+    * every row, an oracle that passed without ever exercising a match.
+    * Both branches now carry real rows (spec-asserted). */
   private val qRangeJoin: Q = (s, d) => {
     val W = 259200L // band = bucket width = 3 days, so 2 buckets cover any probe
     val ev = Tables.events(s, d).select(
       col("user_id").as("u"), col("ts"),
       (col("ts").cast("long") - pmod(col("ts").cast("long"), lit(W))).as("bucket"),
       col("value"))
-    val od = Tables.orders(s, d).select(
-      col("o_orderkey"), pmod(col("o_custkey"), lit(150)).as("u"),
-      col("o_orderdate").cast("timestamp").as("t0"))
-    val probes = od.select(col("o_orderkey"), col("u"), col("t0"),
+    val probes0 = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("u"),
+              col("ts").as("t0"))
+    val probes = probes0.select(col("purchase_id"), col("u"), col("t0"),
       explode(array(
         (col("t0").cast("long") - pmod(col("t0").cast("long"), lit(W))) - W,
         col("t0").cast("long") - pmod(col("t0").cast("long"), lit(W)))).as("bucket"))
     val matched = probes.join(ev, Seq("u", "bucket"))
       .filter(col("ts") >= col("t0") - expr("INTERVAL 3 DAYS") && col("ts") < col("t0"))
-      .groupBy("o_orderkey")
+      .groupBy("purchase_id")
       .agg(count(lit(1)).as("n_ev"),
            sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
              .cast("double").as("sum_v"))
-    od.select("o_orderkey").join(matched, Seq("o_orderkey"), "left_outer")
-      .select(col("o_orderkey"),
+    probes0.select("purchase_id").join(matched, Seq("purchase_id"), "left_outer")
+      .select(col("purchase_id"),
               coalesce(col("n_ev"), lit(0L)).as("n_ev"), col("sum_v"))
-      .orderBy("o_orderkey")
+      .orderBy("purchase_id")
   }
 
   /** Batch sliding windows: 12 h width sliding by 6 h, so every event
@@ -139,15 +147,16 @@ object Temporal {
         |ORDER BY user_id, start_s""".stripMargin,
 
     "q_range_join" ->
-      """SELECT o.o_orderkey,
+      """SELECT p.event_id AS purchase_id,
         |  count(e.ts) AS n_ev,
         |  CAST(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_v
-        |FROM orders o LEFT JOIN events e
-        |  ON o.o_custkey % 150 = e.user_id
-        | AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP) - INTERVAL 3 DAY
-        | AND e.ts <  CAST(o.o_orderdate AS TIMESTAMP)
-        |GROUP BY o.o_orderkey
-        |ORDER BY o.o_orderkey""".stripMargin,
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN events e
+        |  ON p.user_id = e.user_id
+        | AND e.ts >= p.ts - INTERVAL 3 DAY
+        | AND e.ts <  p.ts
+        |GROUP BY p.event_id
+        |ORDER BY p.event_id""".stripMargin,
 
     "q_scd2_intervals" ->
       """SELECT user_id, version, event_id, event_type,

@@ -49,23 +49,30 @@ class TemporalSpec extends SparkSuite {
     assert(total == events, s"session windows lost events: $total != $events")
   }
 
-  test("range join matches the naive theta-join formulation exactly") {
+  test("range join matches the naive theta-join formulation exactly, and both branches live") {
     val banded = run("q_range_join")
     val ev = graft.engine.io.Tables.events(spark, sfDir)
       .select(col("user_id").as("u"), col("ts"), col("value"))
-    val od = graft.engine.io.Tables.orders(spark, sfDir).select(
-      col("o_orderkey"), pmod(col("o_custkey"), lit(150)).as("u"),
-      col("o_orderdate").cast("timestamp").as("t0"))
-    val naive = od.join(ev,
-        od("u") === ev("u") &&
+    val probes = graft.engine.io.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("u2"),
+              col("ts").as("t0"))
+    val naive = probes.join(ev,
+        col("u2") === ev("u") &&
           col("ts") >= col("t0") - expr("INTERVAL 3 DAYS") && col("ts") < col("t0"),
         "left_outer")
-      .groupBy("o_orderkey")
+      .groupBy("purchase_id")
       .agg(count(col("ts")).as("n_ev"),
            sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
              .cast("double").as("sum_v"))
-      .orderBy("o_orderkey")
-    assert(banded.collect().toSeq == naive.collect().toSeq)
+      .orderBy("purchase_id")
+    val got = banded.collect().toSeq
+    assert(got == naive.collect().toSeq)
+    // the r9 rebind exists because the old orders anchor matched NOTHING
+    // in its band (time-disjoint ranges): both branches must carry rows
+    val nEvs = got.map(_.getLong(1))
+    assert(nEvs.exists(_ > 0) && nEvs.contains(0L),
+      s"degenerate fixture: matched=${nEvs.count(_ > 0)} empty=${nEvs.count(_ == 0)}")
   }
 
   test("sliding windows: every event lands in exactly width/slide windows") {

@@ -59,6 +59,16 @@ def main(sf_dir, out_dir):
             gt = {f.name: str(f.type) for f in got.schema}
             tdiff = {k: (et[k], gt[k]) for k in et if et[k] != gt.get(k)}
             flag = f"  [type-diff {tdiff}]" if tdiff else ""
+            # vacuity audit (r9): a column that is NULL on EVERY row means
+            # the fixture never exercises that output branch — the oracle
+            # passes while proving nothing about the values (this is how
+            # the time-disjoint orders anchor hid all-null as-of and
+            # range joins for seven rounds). Warn, don't fail: some ops
+            # legitimately emit an all-null column at one SF.
+            vac = [c for c in gcols
+                   if got.num_rows > 0 and got.column(c).null_count == got.num_rows]
+            if vac:
+                flag += f"  [WARN all-null: {vac}]"
             print(f"PASS {name} ({exp.num_rows} rows){flag}")
             n_pass += 1
         except Exception as e:
