@@ -69,8 +69,12 @@ object Compaction {
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
-  /** Overlay manifest: generation + replaced sink files + their stand-ins. */
-  final case class Manifest(gen: Long, replaced: Set[String], compacted: Seq[String])
+  /** Overlay manifest: generation + replaced sink files + their
+    * stand-ins + the full resolved file SNAPSHOT as of commit time (what
+    * makes a generation a pinnable point-in-time view — without it, a
+    * "past" read would leak every sink batch landed since). */
+  final case class Manifest(gen: Long, replaced: Set[String],
+                            compacted: Seq[String], snapshot: Seq[String])
 
   private def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
     val f = fs(spark, dir)
@@ -78,7 +82,8 @@ object Compaction {
     val body =
       s"""{"gen":${m.gen},""" +
       s""""replaced":[${m.replaced.toSeq.sorted.map("\"" + esc(_) + "\"").mkString(",")}],""" +
-      s""""compacted":[${m.compacted.sorted.map("\"" + esc(_) + "\"").mkString(",")}]}"""
+      s""""compacted":[${m.compacted.sorted.map("\"" + esc(_) + "\"").mkString(",")}],""" +
+      s""""snapshot":[${m.snapshot.sorted.map("\"" + esc(_) + "\"").mkString(",")}]}"""
     val out = f.create(p, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -107,21 +112,34 @@ object Compaction {
     } finally in.close()
   }
 
+  private def parseManifest(f: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): Manifest = {
+    val json = org.json4s.jackson.JsonMethods.parse(readSmallJson(f, p))
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    Manifest((json \ "gen").extract[Long],
+      (json \ "replaced").extract[Seq[String]].toSet,
+      (json \ "compacted").extract[Seq[String]],
+      (json \ "snapshot").extract[Seq[String]])
+  }
+
   /** The live overlay manifest, if a compaction has committed. */
   def currentManifest(spark: SparkSession, dir: String): Option[Manifest] = {
     val f = fs(spark, dir)
     if (!f.exists(currentPath(dir))) None
     else {
       val name = readSmallJson(f, currentPath(dir)).trim
-      val json = org.json4s.jackson.JsonMethods.parse(
-        readSmallJson(f, new org.apache.hadoop.fs.Path(s"$dir/$MetaDir/$name")))
-      import org.json4s._
-      implicit val fmts: Formats = DefaultFormats
-      val gen = (json \ "gen").extract[Long]
-      val repl = (json \ "replaced").extract[Seq[String]].toSet
-      val comp = (json \ "compacted").extract[Seq[String]]
-      Some(Manifest(gen, repl, comp))
+      Some(parseManifest(f, new org.apache.hadoop.fs.Path(s"$dir/$MetaDir/$name")))
     }
+  }
+
+  /** A specific PAST generation's manifest, if its file still exists —
+    * every compaction leaves its predecessor manifests in place, so
+    * generations form a cheap time-travel log. */
+  def manifestAt(spark: SparkSession, dir: String, gen: Long): Option[Manifest] = {
+    val f = fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$MetaDir/MANIFEST-$gen.json")
+    if (f.exists(p)) Some(parseManifest(f, p)) else None
   }
 
   /** The committed file list a reader resolves RIGHT NOW: sink-committed
@@ -203,9 +221,40 @@ object Compaction {
     val m = Manifest(
       gen,
       priorReplaced ++ rewrittenInputs.filterNot(priorCompacted.contains),
-      priorCompacted.filterNot(rewrittenInputs) ++ outputs)
+      priorCompacted.filterNot(rewrittenInputs) ++ outputs,
+      (view.filterNot(rewrittenInputs) ++ outputs).sorted)
     writeManifest(spark, dir, m)
     Result(gen, bins.size, view.size, committedFiles(spark, dir).size)
+  }
+
+  /** Read the landing AS OF a past compaction generation — the
+    * time-travel face of the overlay log: every compaction leaves its
+    * predecessor manifests in place, and each manifest pins the full
+    * resolved file snapshot it committed, so generation N stays
+    * byte-for-byte reproducible (audits, debugging a downstream
+    * regression against "what the reader saw yesterday") until
+    * [[vacuum]] reclaims files newer generations replaced. Batches the
+    * sink landed AFTER the generation committed are NOT visible — that
+    * is the point of a snapshot. */
+  def readAt(spark: SparkSession, dir: String, gen: Long): DataFrame = {
+    val m = manifestAt(spark, dir, gen).getOrElse(
+      throw new IllegalArgumentException(s"no generation $gen at $dir"))
+    spark.read.parquet(m.snapshot: _*)
+  }
+
+  /** Threshold policy: compact only when the resolved view carries at
+    * least `minSmallFiles` files under `targetBytes` — the knob that
+    * lets a scheduler call this after every batch without paying a
+    * rewrite for a landing that is already healthy. Returns None when
+    * below threshold (no new generation, no I/O beyond the listing). */
+  def maybeCompact(spark: SparkSession, dir: String, targetBytes: Long,
+                   minSmallFiles: Int, sortCols: Seq[String] = Nil): Option[Result] = {
+    val f = fs(spark, dir)
+    val small = committedFiles(spark, dir).count { p =>
+      f.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen < targetBytes
+    }
+    if (small >= minSmallFiles) Some(compact(spark, dir, targetBytes, sortCols))
+    else None
   }
 
   /** Delete data files no generation references anymore: replaced sink

@@ -1653,6 +1653,16 @@ class StreamingSpec extends SparkSuite {
     val withNew = Compaction.read(spark, dir).select("doc_id").as[Long].collect().sorted
     assert(withNew.toSeq == rowsBefore.map(_._1) :+ 100L,
       s"post-compaction batches must be visible immediately: ${withNew.toSeq}")
+    // …but a TIME-TRAVEL read of generation 1 pins the snapshot as of its
+    // commit: the later batch is invisible, the row set byte-reproducible
+    val atGen1 = Compaction.readAt(spark, dir, res.gen)
+      .select("doc_id").as[Long].collect().sorted
+    assert(atGen1.toSeq == rowsBefore.map(_._1),
+      s"generation ${res.gen} must pin its committed snapshot: ${atGen1.toSeq}")
+    // threshold policy: one small straggler file is below a 3-file
+    // trigger — no new generation, no rewrite
+    assert(Compaction.maybeCompact(spark, dir, 1L << 30, minSmallFiles = 3).isEmpty,
+      "a healthy landing must not pay a rewrite")
     // a second compaction folds the new small file into the stand-in —
     // this one clustered (OPTIMIZE … ORDER BY): the rewritten file must
     // read back in key order, the layout min-max pruning feeds on
