@@ -2060,10 +2060,14 @@ object Similarity {
     "q_semantic_dedup" -> ((s, d) =>
       semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding", 0.35)),
     // doc/vec id spaces coincide in the fixture: doc 0's text is the
-    // keyword query, vec 0 the vector query; 20 candidates/leg, top-10
+    // keyword query, vec 0 the vector query; 20 candidates/leg. k=25
+    // EXCEEDS the ANN leg's 20, so keyword-only candidates must surface
+    // in the tail and both provenance flags carry both truth values —
+    // at k=10 the cosine-ranked head was entirely ANN rows and the
+    // in_bm25 column was constant-false (r9 all-constant-column audit)
     "q_hybrid_rerank" -> ((s, d) =>
       hybridRerank(Tables.documents(s, d), "doc_id", "text",
-        Tables.embeddings(s, d), "vec_id", "embedding", 0, 20, 10)),
+        Tables.embeddings(s, d), "vec_id", "embedding", 0, 20, 25)),
   )
 
   /** The synthetic embeddings are near-orthogonal (max pair cosine ~0.5 at
@@ -2513,7 +2517,7 @@ object Similarity {
        |  SELECT doc_id, cos_sim, in_bm25, in_ann,
        |    CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT) AS rk
        |  FROM rerank)
-       |WHERE rk <= 10 ORDER BY rk""".stripMargin
+       |WHERE rk <= 25 ORDER BY rk""".stripMargin
   }
 
   /** DuckDB replication of [[rankFusion]]: the SAME leg CTEs as the

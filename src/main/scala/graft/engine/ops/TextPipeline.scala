@@ -2908,7 +2908,18 @@ object TextPipeline {
     "eval_scored" -> (() => Similarity.sharedEvalScores(s, d)))
 
   val queries: Map[String, Q] = Map(
-    "q_dedup_exact" -> ((s, d) => exactDedup(Tables.documents(s, d), "doc_id", "text")),
+    // the fixture has ZERO exact-duplicate texts (every doc unique even
+    // where near-dups abound), so the raw binding never removed a row —
+    // found by the r9 all-constant-column audit (n_dups was 1 on every
+    // row for eight rounds). A deterministic RE-CRAWL slice (every 10th
+    // doc again under a shifted id — the commonest real source of exact
+    // dups) makes the collapse branch fire for real.
+    "q_dedup_exact" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val recrawl = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      exactDedup(base.unionAll(recrawl), "doc_id", "text")
+    }),
     "q_dedup_key" -> ((s, d) =>
       latestPerKey(Tables.events(s, d), "user_id", "ts", "event_id")
         .select("user_id", "event_id", "event_type", "value")
@@ -2997,7 +3008,16 @@ object TextPipeline {
     "q_tfidf" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", 3)),
     "q_gopher_rules" -> ((s, d) => gopherRules(Tables.documents(s, d), "doc_id", "text")),
     "q_repetition" -> ((s, d) => repetitionMetrics(Tables.documents(s, d), "doc_id", "text")),
-    "q_normalize_text" -> ((s, d) => normalizeText(Tables.documents(s, d), "doc_id", "text")),
+    // every 10th doc gets a DECOMPOSED e+U+0301 suffix, so composition
+    // actually recomposes something and `changed` fires on a real slice
+    // (the pure-ASCII fixture left it false on every row — the
+    // r9 all-constant-column audit finding)
+    "q_normalize_text" -> ((s, d) =>
+      normalizeText(Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" e\u0301"))) // decomposed
+            .otherwise(col("text")).as("text")),
+        "doc_id", "text")),
     // deterministically messify the fixture (triple spaces, leading run,
     // trailing tab) so the collapse path is exercised UNDER the oracle,
     // not just in the property test
@@ -3007,11 +3027,21 @@ object TextPipeline {
       "doc_id", "text", splitPunct = true)),
     // the normalize→dedup composition: exact dedup over NFC text — what
     // a real pipeline runs so composition-form variants can't split
-    // identical documents (vacuously equal to q_dedup_exact on the
-    // ASCII fixture, but the CHAIN is what this binding oracles)
+    // NFC-then-dedup over a corpus carrying TRUE normalization twins:
+    // every 10th doc re-appears twice, once suffixed with precomposed
+    // U+00E9 and once with the decomposed e+U+0301 — byte-different,
+    // canonically identical. Raw exact dedup keeps them apart; the
+    // normalized chain collapses them (the operator's whole reason to
+    // exist, previously vacuous on the pure-ASCII fixture).
     "q_dedup_exact_normalized" -> ((s, d) => {
       graft.engine.functions.GraftFunctions.register(s)
-      exactDedup(Tables.documents(s, d)
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val slice = base.filter(col("doc_id") % 10 === 0)
+      val pre = slice.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" \u00e9")).as("text")) // precomposed e-acute
+      val dec = slice.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" e\u0301")).as("text")) // e + combining acute
+      exactDedup(base.unionAll(pre).unionAll(dec)
         .select(col("doc_id"), call_function("nfc_normalize", col("text")).as("text")),
         "doc_id", "text")
     }),
@@ -3122,18 +3152,30 @@ object TextPipeline {
       winnowPairs(Tables.documents(s, d), "doc_id", "text")),
     "q_ppl_buckets" -> ((s, d) =>
       perplexityBuckets(Tables.documents(s, d), "doc_id", "text", "lang")),
+    // vocabSize 16 < the fixture's 31-token vocabulary: the rare tail
+    // is genuinely out-of-vocabulary, so the OOV branch carries real
+    // rows (at the 256 default every token was in-vocab and n_oov was 0
+    // everywhere — the r9 all-constant-column audit finding)
     "q_vocab_coverage" -> ((s, d) =>
-      vocabCoverage(Tables.documents(s, d), "doc_id", "text")),
+      vocabCoverage(Tables.documents(s, d), "doc_id", "text", vocabSize = 16)),
     // targetN 400 at the sf0.01 lang histogram puts fr OVER parity
     // (rate clamps to 1.0) while en stays down-sampled (~0.56) — both
     // branches of min(1, ·) are exercised under the hash oracle
     "q_sample_temperature" -> ((s, d) =>
       temperatureSample(Tables.documents(s, d), "doc_id", "lang", targetN = 400)),
     // same reference/delta carve as q_dedup_incremental: history is
-    // doc_id < 250, the new batch is the rest
+    // doc_id < 250, the new batch is the rest — PLUS a re-crawl slice of
+    // the history itself (every 10th reference doc re-arrives under a
+    // shifted id), because the carve sides share no exact text in the
+    // fixture and is_dup was false on every row (the r9 all-constant-
+    // column audit finding); now confirm-join hits carry real rows
     "q_bloom_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      bloomDedup(docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+      val ref = docs.filter(col("doc_id") < 250)
+      val recrawl = ref.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+      bloomDedup(ref, docs.filter(col("doc_id") >= 250).unionByName(recrawl),
         "doc_id", "text")
     }),
     // thresholds bracket the fixture's distribution median (simpson
@@ -3373,8 +3415,12 @@ object TextPipeline {
         |FROM s GROUP BY shard_id ORDER BY shard_id""".stripMargin,
 
     "q_dedup_exact" ->
-      """SELECT min(doc_id) AS doc_id, count(*) AS n_dups, text
-        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT min(doc_id) AS doc_id, count(*) AS n_dups, text
+        |FROM corpus GROUP BY text ORDER BY doc_id""".stripMargin,
 
     "q_dedup_key" ->
       """SELECT user_id, event_id, event_type, value FROM (
@@ -3614,9 +3660,13 @@ object TextPipeline {
 
     // NFC is NFC on both engines (Unicode stability policy)
     "q_normalize_text" ->
-      """SELECT doc_id, nfc_normalize(text) AS text_nfc,
+      """WITH injected AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' e' || chr(769) ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(text) AS text_nfc,
         |  (nfc_normalize(text) <> text) AS changed
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM injected ORDER BY doc_id""".stripMargin,
 
     // Tokenizer normalization over the deterministically-messified
     // fixture: NFC → punct isolation ([[:punct:]] ≡ Java \p{Punct},
@@ -3637,9 +3687,16 @@ object TextPipeline {
         |       ELSE CAST(len(string_split(text_tok, ' ')) AS BIGINT) END AS n_tokens
         |FROM norm ORDER BY doc_id""".stripMargin,
 
+    // chr(233) = precomposed U+00E9; 'e' || chr(769) = its decomposition
     "q_dedup_exact_normalized" ->
-      """SELECT min(doc_id) AS doc_id, count(*) AS n_dups, nfc_normalize(text) AS text
-        |FROM documents GROUP BY nfc_normalize(text) ORDER BY doc_id""".stripMargin,
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' ' || chr(233) FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' e' || chr(769) FROM documents WHERE doc_id % 10 = 0)
+        |SELECT min(doc_id) AS doc_id, count(*) AS n_dups, nfc_normalize(text) AS text
+        |FROM corpus GROUP BY nfc_normalize(text) ORDER BY doc_id""".stripMargin,
 
     // Repetition metrics: same zipped n-gram construction, same floored
     // basis-point arithmetic (len/list_distinct are exact on both sides)
@@ -4144,7 +4201,7 @@ object TextPipeline {
         |vocab AS (
         |  SELECT tok FROM (
         |    SELECT tok, count(*) AS c FROM tk WHERE doc_id % 2 = 0 GROUP BY tok)
-        |  ORDER BY c DESC, tok ASC LIMIT 256)
+        |  ORDER BY c DESC, tok ASC LIMIT 16)
         |SELECT doc_id, count(*) AS n_toks,
         |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |  CAST(floor(CAST(10000.0 AS DOUBLE) *
@@ -4509,7 +4566,10 @@ object TextPipeline {
     // membership anti/left join, which is exactly what replays here
     "q_bloom_dedup" ->
       """SELECT d.doc_id, (r.text IS NOT NULL) AS is_dup
-        |FROM (SELECT doc_id, text FROM documents WHERE doc_id >= 250) d
+        |FROM (SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |      UNION ALL
+        |      SELECT doc_id + 1000000, text FROM documents
+        |      WHERE doc_id < 250 AND doc_id % 10 = 0) d
         |LEFT JOIN (SELECT DISTINCT text FROM documents WHERE doc_id < 250) r
         |  USING (text)
         |ORDER BY d.doc_id""".stripMargin,

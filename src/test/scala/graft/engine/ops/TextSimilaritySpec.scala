@@ -743,6 +743,25 @@ class TextSimilaritySpec extends SparkSuite {
     assert(l.count() == 500)
   }
 
+  // The fixture's 31-token vocabulary is shared by ALL five langs (the
+  // generator draws one pool), so q_lang_id can never detect non-English
+  // there — detection itself is proven HERE, on real per-language text.
+  test("langId detects every signature language on real text; no-signal → und; ties alphabetical") {
+    val docs = Seq(
+      (1L, "de", "der hund und die katze nicht"),
+      (2L, "en", "the cat of the house and a dog"),
+      (3L, "es", "el gato de la casa que duerme"),
+      (4L, "fr", "le chat et les chiens la nuit"),
+      (5L, "zh", "de5 shi4 le5 bu4 hao3"),
+      (6L, "xx", "zzz qqq www"),  // zero signature hits → und
+      (7L, "??", "la la")         // 'la' is in BOTH es and fr signatures → es (alphabetical)
+    ).toDF("doc_id", "lang", "text")
+    val got = TextPipeline.langId(docs, "doc_id", "text", "lang")
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "de", 2L -> "en", 3L -> "es", 4L -> "fr",
+                      5L -> "zh", 6L -> "und", 7L -> "es"), s"$got")
+  }
+
   test("multimodal pipeline: every source aggregated, decode clean, stats in byte range") {
     val m = run("q_multimodal_pipeline")
     assert(m.count() == 20) // src0..src19
