@@ -734,6 +734,39 @@ object Analytics {
     * fact row still meets exactly one dim copy — so the oracle is the
     * plain join. AQE's skewedJoin handles moderate skew adaptively; the
     * explicit salt is for the pathological hot key it cannot split. */
+  /** Join-key SKEW AUDIT — the measurement you run BEFORE deciding to
+    * salt (`q_skew_join`) or trust AQE: per candidate join key, the
+    * top-10 heavy hitters with their row share in basis points, plus
+    * the skew factor ⌊100·max/avg⌋ (how many average keys' worth of
+    * rows the hottest key carries — >3-4× is where one reducer starts
+    * pacing the stage; pathological hot keys need the explicit salt
+    * AQE cannot split). One hash count per key column + a top-k —
+    * the audit costs one scan however big the fact table. */
+  private val qSkewAudit: Q = (s, d) => {
+    def audit(df: DataFrame, keyCol: String): DataFrame = {
+      val counts = df.groupBy(col(keyCol).cast("long").as("key"))
+        .agg(count(lit(1)).as("n"))
+      val stats = counts.agg(count(lit(1)).as("n_keys"), sum("n").as("n_rows"),
+        max("n").as("max_n"))
+      // TakeOrdered top-10 FIRST (never a full sort of the key table),
+      // then the rank window runs over 10 rows (constWindowKey keeps
+      // the bounded single-partition move from folding into a warning)
+      val top = counts.orderBy(col("n").desc, col("key").asc).limit(10)
+      top.crossJoin(broadcast(stats))
+        .withColumn("share_bp", floor(lit(10000.0) * col("n") / col("n_rows")).cast("long"))
+        .withColumn("skew_x100",
+          floor(lit(100.0) * col("max_n") * col("n_keys") / col("n_rows")).cast("long"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(graft.engine.functions.GraftFunctions.constWindowKey(col("key")))
+            .orderBy(col("n").desc, col("key").asc)).cast("long"))
+        .select(lit(keyCol).as("key_col"), col("rk"), col("key"), col("n"),
+          col("share_bp"), col("n_keys"), col("skew_x100"))
+    }
+    audit(Tables.lineitem(s, d), "l_suppkey")
+      .unionAll(audit(Tables.events(s, d), "user_id"))
+      .orderBy("key_col", "rk")
+  }
+
   private val NSalt = 16
   private val qSkewJoin: Q = (s, d) => {
     val fact = Tables.lineitem(s, d).select(
@@ -804,7 +837,8 @@ object Analytics {
   val queries: Map[String, Q] = Map(
     "q_bitmap_distinct" -> qBitmapDistinct, "q_agg_hll_sketch" -> qAggHllSketch,
     "q_bit_agg" -> qBitAgg,
-    "q_skew_join" -> qSkewJoin, "q_agg_misc" -> qAggMisc,
+    "q_skew_join" -> qSkewJoin, "q_skew_audit" -> qSkewAudit,
+    "q_agg_misc" -> qAggMisc,
     "q_pivot" -> qPivot, "q_unpivot" -> qUnpivot,
     "q_sample_hash" -> qSampleHash, "q_agg_percentile" -> qAggPercentile,
     "q_outlier_mad" -> qOutlierMad,
@@ -877,6 +911,32 @@ object Analytics {
          |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    // per key-column: top-10 heavy hitters with basis-point share and
+    // the floored max/avg skew factor — all-integer except two floored
+    // single IEEE divisions
+    "q_skew_audit" ->
+      """WITH audit AS (
+        |  SELECT 'l_suppkey' AS key_col, CAST(l_suppkey AS BIGINT) AS key,
+        |    CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY l_suppkey
+        |  UNION ALL
+        |  SELECT 'user_id', CAST(user_id AS BIGINT), CAST(count(*) AS BIGINT)
+        |  FROM events GROUP BY user_id),
+        |stats AS (
+        |  SELECT key_col, CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(n) AS BIGINT) AS n_rows, CAST(max(n) AS BIGINT) AS max_n
+        |  FROM audit GROUP BY key_col),
+        |ranked AS (
+        |  SELECT a.key_col, a.key, a.n,
+        |    CAST(row_number() OVER (PARTITION BY a.key_col
+        |      ORDER BY a.n DESC, a.key ASC) AS BIGINT) AS rk,
+        |    s.n_keys, s.n_rows, s.max_n
+        |  FROM audit a JOIN stats s ON a.key_col = s.key_col)
+        |SELECT key_col, rk, key, n,
+        |  CAST(floor(10000.0 * n / n_rows) AS BIGINT) AS share_bp,
+        |  n_keys,
+        |  CAST(floor(100.0 * max_n * n_keys / n_rows) AS BIGINT) AS skew_x100
+        |FROM ranked WHERE rk <= 10 ORDER BY key_col, rk""".stripMargin,
 
     "q_agg_misc" ->
       """SELECT l_linestatus,
