@@ -98,8 +98,9 @@ object MakeScale {
     }
 
     rep("documents") { (d, r) =>
-      // n_chars == length(text) in the fixture; keep that invariant true
-      // after the disguise lengthens replica tokens
+      // n_chars == length(text) in the fixture; the rotation cipher is
+      // length-preserving, so this recompute is a defensive invariant
+      // check, not a correction
       disguiseText(keyShift(d, r, Seq("doc_id")), r)
         .withColumn("n_chars", length(col("text")).cast("long"))
     }

@@ -23,14 +23,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    concurrently; no shuffle — a coalesced read-write per bin).
   *  - Visibility flips via an OVERLAY manifest: `MANIFEST-<gen>.json`
   *    records which sink files are `replaced` and which `compacted`
-  *    files stand in for them; a `CURRENT` pointer file is swapped by
-  *    ATOMIC RENAME as the very last step. [[read]] resolves
-  *    `CURRENT → manifest → (sink-committed ∖ replaced) ∪ compacted`,
-  *    so a reader resolves either the old generation or the new one —
-  *    never a half-compacted mix. Replaced files are NOT deleted by
-  *    [[compact]] (a reader holding the old file list keeps working);
-  *    [[vacuum]] reclaims them later, after which the directory is
-  *    readable through [[read]] only.
+  *    files stand in for them. The commit point is an ATOMIC RENAME of
+  *    the manifest itself, `MANIFEST-<gen>.json.tmp → MANIFEST-<gen>
+  *    .json` — a FRESH destination every generation, so the rename
+  *    never needs to overwrite (rename-over-existing is exactly what
+  *    the HDFS contract forbids and S3A degrades to copy+delete; a
+  *    mutable CURRENT pointer swapped by rename would break on the
+  *    storage this feature targets). Readers resolve the HIGHEST
+  *    committed manifest — `max(gen) → (sink-committed ∖ replaced) ∪
+  *    compacted` — so a reader sees either the old generation or the
+  *    new one, never a half-compacted mix, and a crash at any point
+  *    leaves either no new manifest (old generation stays current) or
+  *    a complete one (new generation is current). Replaced files are
+  *    NOT deleted by [[compact]] (a reader holding the old file list
+  *    keeps working); [[vacuum]] reclaims them later, after which the
+  *    directory is readable through [[read]] only.
   *  - Batches the sink lands DURING compaction are invisible to the
   *    snapshot, land in `_spark_metadata` as usual, and are picked up by
   *    [[read]] immediately (they are committed and not in `replaced`).
@@ -51,8 +58,19 @@ object Compaction {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def currentPath(dir: String) =
-    new org.apache.hadoop.fs.Path(s"$dir/$MetaDir/CURRENT")
+  private val ManifestName = """MANIFEST-(\d+)\.json""".r
+
+  /** Generations committed so far, ascending — each `MANIFEST-<gen>.json`
+    * is immutable once renamed into place, so the listing IS the log. */
+  private def committedGens(f: org.apache.hadoop.fs.FileSystem,
+                            dir: String): Seq[Long] = {
+    val meta = new org.apache.hadoop.fs.Path(s"$dir/$MetaDir")
+    if (!f.exists(meta)) Seq.empty
+    else f.listStatus(meta).toSeq.flatMap(_.getPath.getName match {
+      case ManifestName(g) => Some(g.toLong)
+      case _               => None
+    }).sorted
+  }
 
   /** The sink's committed data files (manifest-aware — orphans from torn
     * writes are excluded, exactly as a metadata-aware read would). With a
@@ -84,20 +102,16 @@ object Compaction {
       s""""replaced":[${m.replaced.toSeq.sorted.map("\"" + esc(_) + "\"").mkString(",")}],""" +
       s""""compacted":[${m.compacted.sorted.map("\"" + esc(_) + "\"").mkString(",")}],""" +
       s""""snapshot":[${m.snapshot.sorted.map("\"" + esc(_) + "\"").mkString(",")}]}"""
-    val out = f.create(p, true)
+    // commit point: the manifest rename itself. The destination is a
+    // fresh, monotonically named file, so the rename never overwrites —
+    // safe on HDFS (rename-to-existing fails) and S3A (copy+delete)
+    // alike. A crash before the rename leaves only the .tmp, which
+    // readers ignore; after it, the generation is fully committed.
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/$MetaDir/MANIFEST-${m.gen}.json.tmp")
+    val out = f.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // the swap is the commit point: write the pointer beside CURRENT,
-    // then atomic-rename over it — a concurrent reader of CURRENT sees
-    // the old pointer or the new one, never a torn write
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/$MetaDir/CURRENT.tmp")
-    val t = f.create(tmp, true)
-    try t.write(s"MANIFEST-${m.gen}.json".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally t.close()
-    if (!f.rename(tmp, currentPath(dir))) {
-      f.delete(currentPath(dir), false)
-      require(f.rename(tmp, currentPath(dir)), s"manifest swap failed for gen ${m.gen}")
-    }
+    require(f.rename(tmp, p), s"manifest commit failed for gen ${m.gen} (already exists?)")
   }
 
   private def readSmallJson(f: org.apache.hadoop.fs.FileSystem,
@@ -123,13 +137,15 @@ object Compaction {
       (json \ "snapshot").extract[Seq[String]])
   }
 
-  /** The live overlay manifest, if a compaction has committed. */
+  /** The live overlay manifest, if a compaction has committed: the
+    * HIGHEST `MANIFEST-<gen>.json` in the metadata dir. No pointer file
+    * to fall out of sync — the listing is the source of truth, so a
+    * directory with manifests can never silently resolve to the raw
+    * sink list. */
   def currentManifest(spark: SparkSession, dir: String): Option[Manifest] = {
     val f = fs(spark, dir)
-    if (!f.exists(currentPath(dir))) None
-    else {
-      val name = readSmallJson(f, currentPath(dir)).trim
-      Some(parseManifest(f, new org.apache.hadoop.fs.Path(s"$dir/$MetaDir/$name")))
+    committedGens(f, dir).lastOption.map { g =>
+      parseManifest(f, new org.apache.hadoop.fs.Path(s"$dir/$MetaDir/MANIFEST-$g.json"))
     }
   }
 
@@ -257,21 +273,48 @@ object Compaction {
     else None
   }
 
-  /** Delete data files no generation references anymore: replaced sink
-    * files and orphaned older-generation outputs. AFTER vacuum the
-    * directory is readable only through [[read]] (the sink's
-    * `_spark_metadata` still lists the deleted originals), so run it
-    * once downstream consumers are manifest-aware. Returns #deleted. */
-  def vacuum(spark: SparkSession, dir: String): Int =
+  /** Delete data files the retained generations no longer reference:
+    * replaced sink files and superseded older-generation outputs.
+    *
+    * Two guards make this safe to run while readers and a compactor are
+    * active:
+    *  - `retainGenerations` (≥ 1): every file in the snapshot of the
+    *    newest `retainGenerations` manifests survives, so a reader
+    *    pinned to [[readAt]] within the retention window can never have
+    *    its snapshot deleted out from under it. Files referenced ONLY
+    *    by older generations are reclaimed (their [[readAt]] then
+    *    fails on missing files — the documented end of time travel).
+    *  - In-flight protection: generation output dirs NEWER than the
+    *    current manifest (`gen=N+1/…` written by a concurrently running
+    *    [[compact]] whose manifest has not yet committed) are never
+    *    touched — they are the next generation's commit in progress,
+    *    not orphans.
+    *
+    * AFTER vacuum the directory is readable only through [[read]] (the
+    * sink's `_spark_metadata` still lists the deleted originals), so
+    * run it once downstream consumers are manifest-aware. Returns
+    * #deleted. */
+  def vacuum(spark: SparkSession, dir: String, retainGenerations: Int = 1): Int = {
+    require(retainGenerations >= 1, "retainGenerations must be >= 1")
     currentManifest(spark, dir) match {
       case None => 0
       case Some(m) =>
         val f = fs(spark, dir)
-        val live = m.compacted.toSet
+        val retainedGens = committedGens(f, dir).takeRight(retainGenerations)
+        val live: Set[String] = retainedGens.flatMap { g =>
+          manifestAt(spark, dir, g).toSeq.flatMap(mm => mm.snapshot ++ mm.compacted)
+        }.toSet
+        val GenDir = """gen=(\d+)""".r.unanchored
         val genOrphans = Option(f.globStatus(
             new org.apache.hadoop.fs.Path(s"$dir/$MetaDir/gen=*/bin=*/part-*")))
-          .getOrElse(Array.empty).map(_.getPath.toString).filterNot(live)
-        val victims = m.replaced.toSeq ++ genOrphans
+          .getOrElse(Array.empty).map(_.getPath.toString)
+          .filter {
+            case GenDir(g) => g.toLong <= m.gen // never touch in-flight gens
+            case _         => false
+          }
+          .filterNot(live)
+        val victims = m.replaced.toSeq.filterNot(live) ++ genOrphans
         victims.count(p => f.delete(new org.apache.hadoop.fs.Path(p), false))
     }
+  }
 }

@@ -158,6 +158,25 @@ object Streams {
     }
   }
 
+  /** Second [[OffsetStore]] implementation — the proof that the seam is
+    * genuinely pluggable (the reference's ZK store, K:77–109, is the
+    * third shape: one znode per batch, same contract). A keyed table
+    * with atomic per-(batchId, sourceIdx) upsert — the local stand-in
+    * for a JDBC/ZK/object-store-backed table on a real cluster. The
+    * same [[DurableOffsetMirror]] listener and the same durable-mirror
+    * contract tests drive both stores unchanged: write is atomic (the
+    * map's put) and idempotent on batch replay (last write per key
+    * wins), readBack is (batchId, sourceIdx)-ordered. */
+  final class InMemoryOffsetStore extends OffsetStore {
+    private val table =
+      new java.util.concurrent.ConcurrentHashMap[(Long, Int), OffsetRecord]()
+    override def write(rec: OffsetRecord, sourceIdx: Int): Unit = {
+      table.put((rec.batchId, sourceIdx), rec); ()
+    }
+    override def readBack(): Seq[OffsetRecord] =
+      table.asScala.toSeq.sortBy(_._1).map(_._2)
+  }
+
   /** O3/O4 as a durable operational artifact, not just an in-memory
     * observability hook: every completed batch's per-source offset range
     * goes through the [[OffsetStore]] — the Structured-Streaming analogue
@@ -1525,12 +1544,22 @@ object Streams {
         }
       }
       st.update((t1, t2, t3))
-      // re-arm inactivity: one live timer per key (timers are a set, so
-      // the stale deadline must be deleted explicitly or both fire)
-      val deadlineMs = batch.map(_._3).max / 1000L + gapMs
-      if (armed.exists()) getHandle.deleteTimer(armed.get())
-      getHandle.registerTimer(deadlineMs)
-      armed.update(deadlineMs)
+      // re-arm inactivity off the MAX event time seen so far, never this
+      // batch alone: a late-but-within-watermark batch whose events all
+      // predate earlier arrivals must not move the deadline BACKWARD
+      // (that would expire the user before a true event-time gap). The
+      // armed deadline is monotone in max event time, so max(stored,
+      // batch) is exactly "latest event time + gapMs". One live timer
+      // per key: timers are a set, so a superseded deadline must be
+      // deleted explicitly or both fire.
+      val batchDeadline = batch.map(_._3).max / 1000L + gapMs
+      val prior = if (armed.exists()) armed.get() else Long.MinValue
+      val deadlineMs = math.max(prior, batchDeadline)
+      if (deadlineMs != prior) {
+        if (prior != Long.MinValue) getHandle.deleteTimer(prior)
+        getHandle.registerTimer(deadlineMs)
+        armed.update(deadlineMs)
+      }
       hits.iterator
     }
     override def handleExpiredTimer(user: Long,

@@ -78,11 +78,15 @@ class StreamingSpec extends SparkSuite {
   }
 
   // s_offset_mirror_durable (O3/O4 as a durable artifact: the analogue of
-  // the reference's per-batch atomic ZK offset write, K:98-109)
-  test("s_offset_mirror_durable: killed-and-restarted query leaves contiguous, gapless offset files") {
-    val dir = tmpDir("mirror")
-    val ckpt = tmpDir("mirror-ckpt")
-    val mirror = new Streams.DurableOffsetMirror(dir)
+  // the reference's per-batch atomic ZK offset write, K:98-109). The
+  // contract suite is parameterized over OffsetStore PROVIDERS — the
+  // file store and the in-memory table store must both satisfy it,
+  // proving the seam a ZK/JDBC store would plug into is real.
+  private def mirrorContract(storeName: String,
+                             store: Streams.OffsetStore,
+                             reopen: () => Streams.OffsetStore): Unit = {
+    val ckpt = tmpDir(s"mirror-ckpt-$storeName")
+    val mirror = new Streams.DurableOffsetMirror(store)
     spark.streams.addListener(mirror)
     try {
       val in = MemoryStream[(String, String)](spark)
@@ -100,27 +104,42 @@ class StreamingSpec extends SparkSuite {
       val deadline = System.nanoTime() + 10e9.toLong
       while (mirror.readBack().size < 3 && System.nanoTime() < deadline) Thread.sleep(50)
       val recs = mirror.readBack()
-      assert(recs.size >= 3, s"expected ≥3 durable batch records, got $recs")
+      assert(recs.size >= 3, s"[$storeName] expected ≥3 durable batch records, got $recs")
       val ids = recs.map(_.batchId)
       assert(ids == ids.sorted && ids.distinct == ids,
-        s"batch ids strictly increasing, replays overwritten in place: $ids")
+        s"[$storeName] batch ids strictly increasing, replays overwritten in place: $ids")
       assert(ids.zip(ids.tail).forall { case (a, b) => b == a + 1 },
-        s"batch ids gapless across the restart: $ids")
+        s"[$storeName] batch ids gapless across the restart: $ids")
       // ranges chain across the kill: end of batch n is start of batch n+1
       recs.zip(recs.tail).foreach { case (prev, next) =>
         assert(next.startOffset == prev.endOffset,
-          s"offset chain broken between batches ${prev.batchId} and ${next.batchId}: $recs")
+          s"[$storeName] offset chain broken between batches ${prev.batchId} and ${next.batchId}: $recs")
       }
-      assert(recs.forall(_.endOffset != "none"), "every committed batch records an end offset")
+      assert(recs.forall(_.endOffset != "none"),
+        s"[$storeName] every committed batch records an end offset")
       // the checkpoint-loss resume path (K:66-68 re-expressed): the
       // store's last end offset is exactly where a fresh-checkpoint run
       // would seed startingOffsets
-      assert(Streams.resumeOffsets(new Streams.AtomicFileOffsetStore(dir))
-        .contains(recs.last.endOffset))
-      assert(Streams.resumeOffsets(
-        new Streams.AtomicFileOffsetStore(tmpDir("empty-store"))).isEmpty,
-        "no records → no resume point (caller falls back to latest/earliest)")
+      assert(Streams.resumeOffsets(reopen()).contains(recs.last.endOffset),
+        s"[$storeName] resume point must be the last recorded end offset")
     } finally spark.streams.removeListener(mirror)
+  }
+
+  test("s_offset_mirror_durable: killed-and-restarted query leaves contiguous, gapless offset files") {
+    val dir = tmpDir("mirror")
+    mirrorContract("file", new Streams.AtomicFileOffsetStore(dir),
+      // the file store is reopened COLD — durability across process death
+      () => new Streams.AtomicFileOffsetStore(dir))
+    assert(Streams.resumeOffsets(
+      new Streams.AtomicFileOffsetStore(tmpDir("empty-store"))).isEmpty,
+      "no records → no resume point (caller falls back to latest/earliest)")
+  }
+
+  test("s_offset_mirror_durable: the in-memory table store satisfies the same contract (pluggable seam)") {
+    val store = new Streams.InMemoryOffsetStore
+    mirrorContract("memtable", store, () => store)
+    assert(Streams.resumeOffsets(new Streams.InMemoryOffsetStore).isEmpty,
+      "an empty table store yields no resume point")
   }
 
   // s_resume_from_offsets (O2: replay-not-gap across restart, R:93-95)
@@ -1682,6 +1701,55 @@ class StreamingSpec extends SparkSuite {
       s"vacuum must not disturb the live generation: ${postVacuum.toSeq}")
   }
 
+  // r10: vacuum's two concurrency/retention guards, plus commit-crash
+  // safety of the monotonic-manifest protocol. (a) retainGenerations
+  // keeps a pinned readAt snapshot alive through vacuum; (b) outputs of
+  // an IN-FLIGHT generation (> current manifest) are never reclaimed —
+  // the compact()-vs-vacuum() race; (c) a torn manifest write (crash
+  // before the commit rename) is invisible: the prior generation stays
+  // current.
+  test("s_sink_compact: vacuum retention pins snapshots; in-flight gens and torn commits are safe") {
+    val in = MemoryStream[Doc](spark)
+    val dir = tmpDir("compact-ret-out")
+    val q = Streams.parquetSink(
+      in.toDF().select(col("doc_id"), col("text")), dir, tmpDir("compact-ret-ckpt")).start()
+    (1 to 4).foreach { i =>
+      in.addData(Doc(i.toLong, ts(i), s"doc-$i")); q.processAllAvailable()
+    }
+    val res1 = Compaction.compact(spark, dir, targetBytes = 1L << 30)
+    in.addData(Doc(100L, ts(100), "doc-100")); q.processAllAvailable(); q.stop()
+    val res2 = Compaction.compact(spark, dir, targetBytes = 1L << 30)
+    assert(res1.gen == 1 && res2.gen == 2, s"$res1 / $res2")
+    val fs0 = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // (c) torn commit: a crashed compactor left MANIFEST-3.json.tmp —
+    // readers must keep resolving gen 2
+    val torn = new org.apache.hadoop.fs.Path(s"$dir/_graft_compaction/MANIFEST-3.json.tmp")
+    val o = fs0.create(torn, true); o.write("{torn".getBytes); o.close()
+    assert(Compaction.currentManifest(spark, dir).map(_.gen).contains(2L),
+      "a torn .tmp manifest must not become current")
+    // (b) an in-flight gen-3 output (its manifest not yet committed)
+    val inflight = new org.apache.hadoop.fs.Path(
+      s"$dir/_graft_compaction/gen=3/bin=0/part-00000-inflight.snappy.parquet")
+    val o2 = fs0.create(inflight, true); o2.write("parquet-bytes-pending".getBytes); o2.close()
+    // (a) retain 2 generations: gen-1's pinned snapshot survives vacuum
+    val del2 = Compaction.vacuum(spark, dir, retainGenerations = 2)
+    assert(del2 > 0, "vacuum must reclaim the replaced per-batch sink files")
+    val atGen1 = Compaction.readAt(spark, dir, 1L).select("doc_id").as[Long].collect().sorted
+    assert(atGen1.toSeq == Seq(1L, 2L, 3L, 4L),
+      s"a snapshot inside the retention window must stay readable: ${atGen1.toSeq}")
+    assert(fs0.exists(inflight), "vacuum must never touch a generation newer than current")
+    // tighten retention to 1: gen-1's superseded stand-in is reclaimed,
+    // the live read is untouched, the in-flight gen still survives
+    assert(Compaction.vacuum(spark, dir, retainGenerations = 1) > 0,
+      "dropping retention must reclaim the now-unreferenced gen-1 output")
+    assert(fs0.exists(inflight), "in-flight outputs survive every vacuum")
+    val live = Compaction.read(spark, dir).select("doc_id").as[Long].collect().sorted
+    assert(live.toSeq == Seq(1L, 2L, 3L, 4L, 100L),
+      s"the current generation must be untouched: ${live.toSeq}")
+    intercept[Exception](Compaction.readAt(spark, dir, 1L).collect()) // time travel ends at retention
+  }
+
   // file sink + partitionBy: the landing layout downstream scans prune
   // on, written by the same exactly-once manifest path
   test("s_stream_file_sink lands a partitioned layout that a filtered read prunes") {
@@ -1940,6 +2008,56 @@ class StreamingSpec extends SparkSuite {
       val u1Views = out.synchronized(out.filter(r => r._1 == 1L && r._2 == "1_view"))
       assert(u1Views.map(_._3) == Seq(100000000L, 250000000L),
         s"post-expiry arrival must restart the funnel from stage 1: $u1Views")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
+  // r10 regression: the inactivity deadline is monotone in the MAX event
+  // time seen — a late-but-within-watermark batch whose events predate
+  // earlier arrivals must not move the deadline backward and expire the
+  // user early.
+  test("s_stream_funnel_ttl: a late in-watermark batch never moves the deadline backward") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val in = MemoryStream[Ev](spark)
+    val out = mutable.ArrayBuffer[(Long, String, Long)]()
+    val q = Streams.streamingFunnelTtl(in.toDF(), "100 seconds", gapMs = 30000L)
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("funnel-ttl-late"))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.FunnelHit], _: Long) =>
+        out.synchronized { out ++= b.collect().map(h => (h.user_id, h.stage, h.tus)) }
+        ()
+      }.start()
+    in.addData(Ev(1, ts(100), 1, "view", 1.0)) // true deadline: 100 s + 30 s
+    q.processAllAvailable()
+    // late arrival at 50 s (inside the 100 s allowance): a regressed
+    // re-arm would move the deadline back to 80 s
+    in.addData(Ev(2, ts(50), 1, "scroll", 1.0))
+    q.processAllAvailable()
+    // advance the watermark to ~86 s — past the WRONG deadline (80 s),
+    // before the true one (130 s): nothing may expire
+    in.addData(Ev(3, ts(185), 99, "scroll", 1.0)); q.processAllAvailable()
+    in.addData(Ev(4, ts(186), 98, "scroll", 1.0)); q.processAllAvailable()
+    assert(out.synchronized(out.count(_._2 == "0_expired")) == 0,
+      s"the late batch must not drag the deadline backward: ${out.synchronized(out.toSeq)}")
+    // …and past the true deadline the user expires exactly there
+    var nudge = 0
+    while (nudge < 5 && !out.synchronized(out.exists(_._2 == "0_expired"))) {
+      nudge += 1
+      in.addData(Ev(100L + nudge, ts(300L + nudge), 100L + nudge, "scroll", 1.0))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val expired = out.synchronized(out.filter(_._2 == "0_expired"))
+    assert(expired == Seq((1L, "0_expired", 130000000L)),
+      s"expiry must land at max-seen event time + gap: $expired")
     } finally {
       saved match {
         case Some(v) => spark.conf.set(provKey, v)
