@@ -233,6 +233,26 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id_1").asc, col("vec_id_2").asc)
   }
 
+  /** Sample-tier twin of [[allPairsTopK]] — the same discipline
+    * [[dedupEvalSampled]] applies to the dedup ground truth, applied to
+    * the similarity ground truth: the exact all-pairs audit runs only
+    * within a deterministic keyMix carve (`keyBucket(id) < samplePct`,
+    * the q_sample_hash rule — reproducible at any parallelism, no RNG
+    * state), so the quadratic block shrinks with pct² (1/16 of the
+    * full-corpus pairs at 25%) while the pair sample stays unbiased:
+    * vectors are exchangeable under the id hash, so a uniform vector
+    * sample induces a uniform sample of pairs within it.
+    *
+    * Scale: at 100 TB the full [[allPairsTopK]] is audit-tier only
+    * (declared quadratic); THIS is the form a pipeline schedules to
+    * spot-check an ANN index — the corpus never joins against itself
+    * outside the carve. */
+  def allPairsTopKSampled(vectors: DataFrame, idCol: String, vecCol: String,
+                          k: Int, samplePct: Int): DataFrame =
+    allPairsTopK(
+      vectors.filter(TextPipeline.keyBucket(col(idCol)) < samplePct),
+      idCol, vecCol, k)
+
   // ------------------------------------------------------- LSH-bucketed ANN
   private val Dim = 64
   private val NBits = 16
@@ -1913,6 +1933,10 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "q_sim_cosine" -> ((s, d) => knnCosine(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     "q_sim_pairs_topk" -> ((s, d) => allPairsTopK(Tables.embeddings(s, d), "vec_id", "embedding", 20)),
+    // the sample-tier audit the 100 TB plan actually runs: exact pair
+    // truth within the deterministic 25% keyMix carve — quadratic /16
+    "q_sim_pairs_topk_sampled" -> ((s, d) =>
+      allPairsTopKSampled(Tables.embeddings(s, d), "vec_id", "embedding", 20, 25)),
     "q_sim_knn" -> ((s, d) => knnJoin(Tables.embeddings(s, d), "vec_id", "embedding", Seq(1L, 2L, 3L), 5)),
     "q_bitext_mine" -> ((s, d) =>
       bitextMine(Tables.documents(s, d), Tables.embeddings(s, d), "de", "en")),
@@ -3362,6 +3386,20 @@ object Similarity {
         |        CAST(unnest(a.embedding) AS DOUBLE) AS x,
         |        CAST(unnest(b.embedding) AS DOUBLE) AS y
         |      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |s AS (SELECT vec_id_1, vec_id_2, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+        |      FROM p GROUP BY vec_id_1, vec_id_2)
+        |SELECT vec_id_1, vec_id_2, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos_sim
+        |FROM s ORDER BY cos_sim DESC, vec_id_1 ASC, vec_id_2 ASC LIMIT 20""".stripMargin,
+
+    // the q_sim_pairs_topk truth restricted to the deterministic keyMix
+    // 25% carve (same two-step 16-bit-halves arithmetic as q_sample_hash)
+    "q_sim_pairs_topk_sampled" ->
+      s"""WITH sv AS (SELECT vec_id, embedding FROM embeddings
+        |      WHERE ${TextPipeline.keyBucketSql("vec_id")} < 25),
+        |p AS (SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+        |        CAST(unnest(a.embedding) AS DOUBLE) AS x,
+        |        CAST(unnest(b.embedding) AS DOUBLE) AS y
+        |      FROM sv a JOIN sv b ON a.vec_id < b.vec_id),
         |s AS (SELECT vec_id_1, vec_id_2, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
         |      FROM p GROUP BY vec_id_1, vec_id_2)
         |SELECT vec_id_1, vec_id_2, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos_sim

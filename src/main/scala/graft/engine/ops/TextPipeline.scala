@@ -2688,13 +2688,71 @@ object TextPipeline {
   /** Fuzzy record-linkage: candidate pairs blocked on caller-chosen
     * columns, verified by exact Levenshtein distance ≤ `maxDist` — the
     * typo-tolerant entity-matching primitive (dedup of user-entered
-    * names, near-identical titles). Blocking keeps the quadratic stage
-    * block-local exactly like [[ngramJaccard]]; the distance is the
-    * codegen'd built-in, and at scale a cheaper guard (length band,
-    * shared prefix) composes into `blockCols` without touching the
-    * verify. */
+    * names, near-identical titles). Output is identical under either
+    * internal strategy (property-tested):
+    *
+    *  - `maxDist == 1` (the common linkage setting): DELETION-
+    *    NEIGHBORHOOD blocking (the FastSS/SymSpell family). Each string
+    *    emits `len+1` variants — itself plus every one-char deletion —
+    *    and candidates are pairs sharing (block, variant). This is a
+    *    PROVABLE superset of the answer: dist(a,b) ≤ 1 means a = b
+    *    (share the identity variant), a = b minus one char (a is a
+    *    deletion variant of b), or a substitution at position i
+    *    (deleting i from both yields the same string). The in-block
+    *    all-pairs stage disappears — candidate volume tracks true-pair
+    *    volume plus rare variant collisions, not block population², so
+    *    the operator stays near-linear as blocks grow with the corpus
+    *    (the r9 SCALECHECK finding: the blocked join bent superlinear
+    *    at 4.99×/3× data; this path removes the quadratic stage rather
+    *    than capping it). Cost: ~(len+1)× row inflation through one
+    *    shuffle — meant for short attribute strings, not documents.
+    *  - `maxDist ≥ 2`: the blocked self-join with length-band guard
+    *    (deletion neighborhoods grow combinatorially in d, so the
+    *    block-local quadratic verify is the honest fallback; compose a
+    *    tighter key into `blockCols` to bound blocks).
+    */
   def fuzzyMatch(records: DataFrame, idCol: String, strCol: String,
-                 blockCols: Seq[String], maxDist: Int): DataFrame = {
+                 blockCols: Seq[String], maxDist: Int): DataFrame =
+    if (maxDist == 1) fuzzyMatchDel1(records, idCol, strCol, blockCols)
+    else fuzzyMatchBlockJoin(records, idCol, strCol, blockCols, maxDist)
+
+  /** [[fuzzyMatch]]'s deletion-neighborhood strategy (maxDist = 1). */
+  private def fuzzyMatchDel1(records: DataFrame, idCol: String, strCol: String,
+                             blockCols: Seq[String]): DataFrame = {
+    val base = records.select(
+      col(idCol).as("id") +: col(strCol).as("s") +: blockCols.map(col): _*)
+    // i = 0 → the string itself; i ≥ 1 → the string with char i deleted.
+    // Join on the variant's 64-bit hash, not the variant text: same
+    // bucketing, ~8-byte shuffle key; a hash collision only adds a
+    // false CANDIDATE, which the exact verify below discards.
+    val variants = base
+      .select((col("id") +: col("s") +: blockCols.map(col)) :+
+        explode(sequence(lit(0), length(col("s")))).as("i"): _*)
+      .withColumn("vk", xxhash64(
+        when(col("i") === 0, col("s")).otherwise(concat(
+          col("s").substr(lit(1), col("i") - 1),
+          col("s").substr(col("i") + 1, length(col("s")))))))
+      .drop("i")
+    val a = variants.select(
+      col("id").as("id_1") +: col("s").as("sa") +: col("vk") +: blockCols.map(col): _*)
+    val b = variants.select(
+      col("id").as("id_2") +: col("s").as("sb") +: col("vk") +: blockCols.map(col): _*)
+    a.join(b, blockCols :+ "vk")
+      .filter(col("id_1") < col("id_2"))
+      // a pair can share several variants (equal strings share all of
+      // them) — collapse before the verify so the distance runs once
+      .select("id_1", "id_2", "sa", "sb").distinct()
+      .withColumn("dist", levenshtein(col("sa"), col("sb"), 1).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= 1)
+      .select("id_1", "id_2", "sa", "sb", "dist")
+      .orderBy("id_1", "id_2")
+  }
+
+  /** [[fuzzyMatch]]'s blocked-self-join strategy (general maxDist) —
+    * also the reference implementation the deletion path is
+    * property-tested against. */
+  private[engine] def fuzzyMatchBlockJoin(records: DataFrame, idCol: String,
+      strCol: String, blockCols: Seq[String], maxDist: Int): DataFrame = {
     val base = records.select(
       col(idCol).as("id") +: col(strCol).as("s") +: blockCols.map(col): _*)
     // The quadratic work (|block|² distance calls) happens per PROBE row,

@@ -1041,6 +1041,23 @@ class TextSimilaritySpec extends SparkSuite {
     pairs.foreach { case (a, b, _, _, _) => assert(nation(a) == nation(b)) }
   }
 
+  // r10: the near-linear deletion-neighborhood strategy must produce the
+  // EXACT pair set of the quadratic blocked self-join it replaces — the
+  // property that makes the scale fix result-identical, not a recall
+  // trade.
+  test("fuzzy match: deletion-neighborhood blocking equals the quadratic block join exactly") {
+    val cust = graft.engine.io.Tables.customer(spark, sfDir)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, String, String, Long)].collect().toSet
+    val fast = pairSet(graft.engine.ops.TextPipeline
+      .fuzzyMatch(cust, "c_custkey", "c_name", Seq("c_nationkey"), 1))
+    val slow = pairSet(graft.engine.ops.TextPipeline
+      .fuzzyMatchBlockJoin(cust, "c_custkey", "c_name", Seq("c_nationkey"), 1))
+    assert(fast.nonEmpty, "fixture must contain distance-1 pairs")
+    assert(fast == slow,
+      s"strategies diverge: only-fast=${(fast -- slow).take(3)} only-slow=${(slow -- fast).take(3)}")
+  }
+
   test("regex scrub: counts and masking agree, clean text carries no denylist hits") {
     val docs = Seq(
       (1L, "customer key value keychain customer"),
