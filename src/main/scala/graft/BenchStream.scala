@@ -1,0 +1,42 @@
+package graft
+
+import graft.engine.GraftSession
+import graft.engine.stream.StreamBench
+
+/** Streaming-overhead bench main: measures the per-trigger offset+commit
+  * bookkeeping of the production landing path against BASELINE.md's one
+  * hard reference figure (~18 ms/batch ZK offset write, R:149–152) and
+  * writes the committed artifact `BENCH_STREAM.json`. Prints ONE JSON
+  * line as the final stdout line (same contract as [[Bench]]). */
+object BenchStream {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val measured = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "40").toInt
+    val spark = GraftSession.local(cpus)
+    def tmp(tag: String): String =
+      java.nio.file.Files.createTempDirectory(s"graft-sbench-$tag").toString
+    val s = StreamBench.measure(spark, measured, warmup = 5,
+      sinkDir = tmp("sink"), ckptDir = tmp("ckpt"), mirrorDir = tmp("mirror"))
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def stats(xs: Seq[Double]): String =
+      s"""{"p50":${fmt(StreamBench.pct(xs, 50))},"p95":${fmt(StreamBench.pct(xs, 95))},"max":${fmt(if (xs.isEmpty) Double.NaN else xs.max)}}"""
+    val budgetMs = 18.0
+    val line =
+      s"""{"metric":"stream_trigger_overhead","unit":"ms","n_batches":${s.nBatches},""" +
+      s""""budget_ms":${fmt(budgetMs)},""" +
+      s""""mirror_write":${stats(s.mirrorWrite)},""" +
+      s""""offset_wal":${stats(s.offsetWal)},""" +
+      s""""commit_log":${stats(s.commitLog)},""" +
+      s""""bookkeeping":${stats(s.bookkeeping)},""" +
+      s""""add_batch":${stats(s.addBatch)},""" +
+      s""""trigger":${stats(s.trigger)},""" +
+      s""""mirror_within_budget":${StreamBench.pct(s.mirrorWrite, 50) <= budgetMs},""" +
+      s""""bookkeeping_within_2x_budget":${StreamBench.pct(s.bookkeeping, 50) <= 2 * budgetMs}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_STREAM.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+    println(line)
+    System.out.flush()
+  }
+}

@@ -48,6 +48,20 @@ object GraftSession {
     val scratch = new java.io.File("target/sparklocal").getAbsolutePath
     val spark = builder(s"local[$cores]", cores)
       .config("spark.local.dir", scratch)
+      // Streaming checkpoint writes (offset WAL + commit log, 2/trigger)
+      // default to the FileContext-based manager, whose createAtomic
+      // measures a flat ~35 ms/write on this host's local fs — 4× the
+      // FileSystem-based manager's ~9 ms (probed directly; raw
+      // fsync+rename is 0.3 ms, so this is manager overhead, not disk).
+      // On a POSIX local fs rename is atomic either way, so the cheap
+      // manager is semantics-identical HERE. Cluster deployments on
+      // HDFS/S3 should leave Spark's default: FileContext is what makes
+      // rename-over-existing atomic on HDFS, and that property is load-
+      // bearing for checkpoint correctness there. local() is the
+      // local-mode face of the engine, so the override lives here, not
+      // in builder().
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

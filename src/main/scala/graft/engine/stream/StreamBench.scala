@@ -1,0 +1,104 @@
+package graft.engine.stream
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** Per-trigger overhead measurement for the engine's streaming
+  * bookkeeping path — the counterpart to the ONE hard performance
+  * number the reference publishes: its steady-state ZooKeeper offset
+  * write costs ~18 ms per batch (README R:149–152; write path
+  * K:104–107, one znode per batch). BASELINE.md turns that into the
+  * engine budget "per-trigger offset+commit bookkeeping ≤ ~18 ms".
+  *
+  * What the engine pays per trigger, measured here from
+  * `StreamingQueryProgress.durationMs` over a multi-batch MemoryStream
+  * run through the REAL production path (exactly-once parquet landing +
+  * [[Streams.DurableOffsetMirror]] over the atomic-rename file store):
+  *
+  *  - `mirror_write`: wall-clock of the external [[Streams.OffsetStore]]
+  *    write itself — the literal analogue of the reference's ZK write
+  *    (one small atomic-rename file per batch vs one znode per batch).
+  *  - `offset_wal` (`walCommit`): the checkpoint offset-WAL commit —
+  *    the engine-internal half of offset durability.
+  *  - `commit_log` (`commitOffsets`): the batch commit-log write that
+  *    marks the batch complete.
+  *  - `bookkeeping`: walCommit + commitOffsets per trigger — the
+  *    apples-to-apples "offset+commit bookkeeping" figure BASELINE.md
+  *    budgets at ≤ ~18 ms.
+  *  - `add_batch` / `trigger`: batch execution and whole-trigger time,
+  *    for context (sink work, not bookkeeping).
+  *
+  * Local-mode numbers UNDERSTATE nothing structural: all four paths are
+  * driver-side small-file/metadata writes whose cost is independent of
+  * executor count, so the figure transfers to a 1000-executor cluster
+  * as long as the checkpoint filesystem has comparable latency (on
+  * object storage, rename-latency dominates all four equally). */
+object StreamBench {
+
+  /** Decorator recording the wall-clock of every store write. */
+  final class TimedStore(inner: Streams.OffsetStore) extends Streams.OffsetStore {
+    private val times = new ConcurrentLinkedQueue[Double]()
+    def writeMs: Seq[Double] = times.asScala.toSeq
+    override def write(rec: Streams.OffsetRecord, sourceIdx: Int): Unit = {
+      val t0 = System.nanoTime()
+      inner.write(rec, sourceIdx)
+      times.add((System.nanoTime() - t0) / 1e6); ()
+    }
+    override def readBack(): Seq[Streams.OffsetRecord] = inner.readBack()
+  }
+
+  final case class Series(mirrorWrite: Seq[Double], offsetWal: Seq[Double],
+                          commitLog: Seq[Double], bookkeeping: Seq[Double],
+                          addBatch: Seq[Double], trigger: Seq[Double],
+                          nBatches: Int)
+
+  def pct(xs: Seq[Double], p: Double): Double =
+    if (xs.isEmpty) Double.NaN
+    else {
+      val s = xs.sorted
+      s(math.min(s.size - 1, math.ceil(p / 100.0 * s.size).toInt - 1).max(0))
+    }
+
+  /** Run `warmup + measured` single-batch triggers of the production
+    * landing path and return the per-trigger duration series (warmup
+    * triggers excluded — JIT, first-file-creation and checkpoint
+    * bootstrap all land there). */
+  def measure(spark: SparkSession, measured: Int, warmup: Int,
+              sinkDir: String, ckptDir: String, mirrorDir: String): Series = {
+    import spark.implicits._
+    val timed = new TimedStore(new Streams.AtomicFileOffsetStore(mirrorDir))
+    val mirror = new Streams.DurableOffsetMirror(timed)
+    spark.streams.addListener(mirror)
+    try {
+      val in = MemoryStream[(Long, String)](spark)
+      val q = Streams.parquetSink(
+        in.toDF().toDF("doc_id", "text"), sinkDir, ckptDir).start()
+      val total = warmup + measured
+      (1 to total).foreach { i =>
+        in.addData((i.toLong, s"payload-$i"))
+        q.processAllAvailable()
+      }
+      q.stop(); q.awaitTermination()
+      // listener events are async — drain before reading the series
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (timed.writeMs.size < total && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      val prog = q.recentProgress.toSeq
+        .filter(p => p.numInputRows > 0 && p.batchId >= warmup)
+      def d(key: String): Seq[Double] =
+        prog.map(_.durationMs.getOrDefault(key, 0L).toDouble)
+      Series(
+        mirrorWrite = timed.writeMs.drop(warmup),
+        offsetWal = d("walCommit"),
+        commitLog = d("commitOffsets"),
+        bookkeeping = prog.map(p =>
+          p.durationMs.getOrDefault("walCommit", 0L).toDouble +
+          p.durationMs.getOrDefault("commitOffsets", 0L).toDouble),
+        addBatch = d("addBatch"),
+        trigger = d("triggerExecution"),
+        nBatches = prog.size)
+    } finally spark.streams.removeListener(mirror)
+  }
+}

@@ -142,6 +142,21 @@ class StreamingSpec extends SparkSuite {
       "an empty table store yields no resume point")
   }
 
+  // r10: BASELINE.md's one hard reference perf figure is the ~18 ms/batch
+  // steady-state ZK offset write (R:149-152). The engine's counterpart —
+  // the external offset-mirror write on the durable landing path — must
+  // stay within 2x of it (p50 over a multi-batch run; the committed
+  // BENCH_STREAM.json artifact carries the full distribution).
+  test("stream bookkeeping: durable offset-mirror write p50 within 2x the 18 ms reference budget") {
+    val s = StreamBench.measure(spark, measured = 10, warmup = 3,
+      tmpDir("sbench-sink"), tmpDir("sbench-ckpt"), tmpDir("sbench-mirror"))
+    assert(s.nBatches >= 8, s"expected >=8 measured batches, got ${s.nBatches}")
+    val p50 = StreamBench.pct(s.mirrorWrite, 50)
+    assert(p50 <= 36.0, s"mirror write p50 $p50 ms exceeds 2x the 18 ms reference budget")
+    // the series is real: every measured trigger produced a mirror write
+    assert(s.mirrorWrite.size >= 10, s"mirror writes recorded: ${s.mirrorWrite.size}")
+  }
+
   // s_resume_from_offsets (O2: replay-not-gap across restart, R:93-95)
   test("s_resume_from_offsets: restart from checkpoint loses nothing, duplicates nothing") {
     val ckpt = tmpDir("resume")
