@@ -108,7 +108,19 @@ object MakeScale {
     rep("events") { (d, r) => keyShift(d, r, Seq("event_id"), userKeys = Seq("user_id")) }
     rep("lineitem") { (d, r) => keyShift(d, r, Seq("l_orderkey", "l_partkey", "l_suppkey")) }
     rep("orders") { (d, r) => keyShift(d, r, Seq("o_orderkey", "o_custkey")) }
-    rep("customer") { (d, r) => keyShift(d, r, Seq("c_custkey")) }
+    // c_name must follow the shifted key (the fixture's `Customer#%09d`
+    // pattern): naive replication would put 3 EXACT copies of every name
+    // in the same nation, quadratically inflating fuzzy-match blocks —
+    // the same fabricated-near-duplicate trap the documents disguise
+    // exists to avoid. Rebuilding the name from the shifted key keeps
+    // names unique, the pattern (and its distance-1 pair density)
+    // intact, and the length unchanged (replica offsets stay within 9
+    // digits).
+    rep("customer") { (d, r) =>
+      keyShift(d, r, Seq("c_custkey"))
+        .withColumn("c_name",
+          concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))
+    }
     rep("part") { (d, r) => keyShift(d, r, Seq("p_partkey")) }
     rep("supplier") { (d, r) => keyShift(d, r, Seq("s_suppkey")) }
     copy("nation"); copy("region")

@@ -76,6 +76,9 @@ object ScaleCheck {
     // nearest as-of, the top-n log-log regression
     "q_lm_score_backoff", "q_ngram_novelty", "q_domain_divergence",
     "q_token_diversity", "q_asof_join_nearest", "q_zipf_fit",
+    // r10: the sample-tier pair truth (declared-quadratic at 1/16 the
+    // constant — carried for the record next to its full-fat twin)
+    "q_sim_pairs_topk_sampled",
     // linear controls (wide scans, shuffles, windows)
     "q_agg_group", "q_window_rank", "q_topk_per_group", "q_join_bucketed",
     "q_profile", "q_zorder", "q_outlier_mad", "q_vocab_build")
@@ -88,14 +91,41 @@ object ScaleCheck {
   /** Ground-truth audit tiers that are O(n²) BY DECLARATION (SURVEY
     * §2.2-I: run-on-sample discipline). Their fitted exponent ≈ 2 is the
     * declared design, not a finding — excluded from the superlinear
-    * flag list, carried verbatim in the artifact for the record. */
+    * flag list, carried verbatim in the artifact for the record.
+    * The `_sampled` twins belong here too: a FIXED-FRACTION carve keeps
+    * the quadratic shape (at 1/16 the constant) — at production scale
+    * the carve pct is chosen to bound the sample absolutely. */
   val DeclaredQuadratic: Set[String] =
-    Set("q_sim_pairs_topk", "q_dedup_eval", "q_dedup_eval_sweep")
+    Set("q_sim_pairs_topk", "q_dedup_eval", "q_dedup_eval_sweep",
+      "q_sim_pairs_topk_sampled")
 
   /** Exponent past this on the log-log fit = superlinear growth worth a
     * writeup (1.0 = linear; blocked/bucketed operators should sit below
     * ~1.2 once fixed overhead is amortized). */
   val FlagExponent = 1.5
+
+  /** Last-rung slope flag (r9 verdict #4): the sf0.1→sf0.3 rung is 3×
+    * data with fixed overhead already amortized, so a steady-state
+    * operator should grow ≤ ~3×; past 2.5 WITH the first rung already
+    * sublinear-looking is the soft-quadratic signature the old flat
+    * `flag_slope: 12` could never see (r9's q_fuzzy_match measured a
+    * 4.99× rung while passing every old flag). Exceptions must be
+    * DECLARED, not tolerated: [[DeclaredQuadratic]] (audit tiers) plus
+    * [[DeclaredXlExempt]] (fixture-shaped trends with a documented
+    * production path). */
+  val FlagSlopeXl = 2.5
+
+  /** Per-entry declared exemptions from [[FlagSlopeXl]] beyond the
+    * audit tiers — each with the reason the measured trend is the
+    * fixture's, not the operator's:
+    *  - `q_semantic_dedup`: the fixture binds the FIXED 8-cell literal
+    *    codebook, so cell population grows with the corpus and the
+    *    within-cell verify grows with its square. The production path
+    *    (the trained-codebook overload, tested in SimilaritySpec) grows
+    *    k with the corpus so cell population stays bounded — the
+    *    operator is linear in (n · cell_size); only the 8-cell fixture
+    *    pin is quadratic. */
+  val DeclaredXlExempt: Set[String] = Set("q_semantic_dedup")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
@@ -190,15 +220,21 @@ object ScaleCheck {
       case (k, v) if field(v, "exponent").exists(_ > FlagExponent) &&
         !DeclaredQuadratic(k) => k
     }
+    val flaggedXl = merged.toSeq.sortBy(_._1).collect {
+      case (k, v) if field(v, "slope_xl").exists(_ > FlagSlopeXl) &&
+        !DeclaredQuadratic(k) && !DeclaredXlExempt(k) => k
+    }
     val ladder = (Seq(small, large) ++ (if (haveXl) Seq(xl) else Nil))
       .map("\"" + _ + "\"").mkString(",")
     val json =
       s"""{"ladder":[$ladder],"data_sizes":[1,10${if (haveXl) ",30" else ""}],"runs":$Runs,""" +
       s""""score":"min of runs 2..$Runs (steady state)","flag_slope":$FlagSlope,""" +
-      s""""flag_exponent":$FlagExponent,""" +
+      s""""flag_exponent":$FlagExponent,"flag_slope_xl":$FlagSlopeXl,""" +
       s""""declared_quadratic":[${DeclaredQuadratic.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""declared_xl_exempt":[${DeclaredXlExempt.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""flagged":[${flagged.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""superlinear":[${superlinear.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""flagged_xl":[${flaggedXl.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""queries":{$body}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALECHECK.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

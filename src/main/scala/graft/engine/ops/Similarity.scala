@@ -917,6 +917,36 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
               array_position(col("dots"), array_max(col("dots"))).as("cell"),
               norm(col("embedding")).as("nrm"))
+    verifyWithinCells(cells, minCosine)
+  }
+
+  /** [[semanticDedup]] with a TRAINED, caller-sized codebook — the
+    * production form of the operator and the reason the fixture
+    * binding's quadratic ladder trend is declared rather than fixed
+    * (SCALECHECK `declared_xl_exempt`): SemDeDup's scale story is that
+    * k grows with the corpus so cell population stays bounded (k ≈
+    * n / target_cell_size), making the within-cell verify linear in
+    * n · cell_size. The literal-codebook overload above pins k = 8 for
+    * the hash oracle; this one takes the [[kmeansTrain]] /
+    * [[ivfCodebook]] output (broadcast-sized by construction) and
+    * assigns by broadcast argmax, same tie rule as [[clusterPrune]]. */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+                    minCosine: Double, codebook: DataFrame): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
+    val assigned = e.crossJoin(broadcast(codebook))
+      .select(col("vec_id"), col("embedding"),
+        struct(dot(col("embedding"), col("centroid")).as("d"),
+          (-col("cell")).as("negc")).as("sc"))
+      .groupBy("vec_id", "embedding").agg(max("sc").as("mx"))
+      .select(col("vec_id"), col("embedding"),
+        (-col("mx.negc")).as("cell"), norm(col("embedding")).as("nrm"))
+    verifyWithinCells(assigned, minCosine)
+  }
+
+  /** The shared within-cell exact-cosine verify stage: cell is the join
+    * (and at scale the partition) key, so each block's self-join is
+    * partition-local. */
+  private def verifyWithinCells(cells: DataFrame, minCosine: Double): DataFrame =
     cells.as("x").join(cells.as("y"), Seq("cell"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("cell"), col("x.vec_id").as("vec_id_1"), col("y.vec_id").as("vec_id_2"),
@@ -924,7 +954,6 @@ object Similarity {
               (col("x.nrm") * col("y.nrm")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= minCosine)
       .orderBy("cell", "vec_id_1", "vec_id_2")
-  }
 
   // ------------------------------------------------- hot-band salt fallback
   /** Triangle-salt a banded table for a self-join with bounded per-task

@@ -486,6 +486,41 @@ class TextSimilaritySpec extends SparkSuite {
     } finally { t3.unpersist() }
   }
 
+  // r10: the production form of SemDeDup — trained, caller-sized
+  // codebook (k grows with the corpus so cell population stays bounded;
+  // the fixture's 8-cell literal binding is why q_semantic_dedup sits on
+  // SCALECHECK's declared_xl_exempt list). Verified against a full
+  // driver-side replication: same argmax tie rule, same per-element
+  // float->double left-to-right dot, same HALF_UP rounding.
+  test("semanticDedup(trained codebook): exactly the same-cell exact-cosine hits") {
+    val emb = graft.engine.io.Tables.embeddings(spark, sfDir)
+    val cb = Similarity.ivfCodebook(emb, "vec_id", "embedding", 2)
+    val got = Similarity.semanticDedup(emb, "vec_id", "embedding", 0.35, cb)
+      .select("vec_id_1", "vec_id_2", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    val cbl = cb.as[(Long, Seq[Double])].collect().toSeq
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+      .map { case (id, v) => id -> v.map(_.toDouble) }
+    def dotp(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.size) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val cell = vecs.map { case (id, v) =>
+      id -> -cbl.map { case (c, ctr) => (dotp(v, ctr), -c) }.max._2
+    }.toMap
+    val want = (for {
+      (i, vi) <- vecs; (j, vj) <- vecs
+      if i < j && cell(i) == cell(j)
+      cs = BigDecimal(dotp(vi, vj) / (math.sqrt(dotp(vi, vi)) * math.sqrt(dotp(vj, vj))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cs >= 0.35
+    } yield (i, j, cs)).toSet
+    assert(got.nonEmpty, "trained-cell blocking must find topic-level pairs")
+    assert(got == want,
+      s"only-engine=${(got -- want).take(3)} only-ref=${(want -- got).take(3)}")
+  }
+
   test("pqTrainIters: one round IS pqTrain; a second Lloyd round reassigns slices") {
     val emb = graft.engine.io.Tables.embeddings(spark, sfDir)
     val one = Similarity.pqTrainIters(emb, "vec_id", "embedding", 1)
