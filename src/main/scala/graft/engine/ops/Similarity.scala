@@ -2112,6 +2112,14 @@ object Similarity {
     // low threshold surfaces the genuinely-related tail within each cell
     "q_semantic_dedup" -> ((s, d) =>
       semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding", 0.35)),
+    // the production SemDeDup loop: trained (corpus-sized) codebook
+    // assigns cells by broadcast argmax, then the same within-cell
+    // verify — the scale path whose cell population stays bounded
+    "q_semantic_dedup_trained" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      semanticDedup(emb, "vec_id", "embedding", 0.35,
+        ivfCodebook(emb, "vec_id", "embedding", 3))
+    }),
     // doc/vec id spaces coincide in the fixture: doc 0's text is the
     // keyword query, vec 0 the vector query; 20 candidates/leg. k=25
     // EXCEEDS the ANN leg's 20, so keyword-only candidates must surface
@@ -3068,6 +3076,32 @@ object Similarity {
        |WHERE cos_sim >= 0.35
        |ORDER BY cell, vec_id_1, vec_id_2""".stripMargin
 
+  /** q_semantic_dedup_trained: the kmeansTrain codebook (the annIvfTrained
+    * cbT replay) assigns cells, then the same within-cell verify as the
+    * literal-codebook oracle — the production SemDeDup loop, value-oracled
+    * end to end. */
+  private def semanticDedupTrainedOracleSql(iters: Int): String =
+    s"""${kmeansTrainCtes(iters)},
+       |cbT AS MATERIALIZED (
+       |  SELECT cell, list(CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS DOUBLE)
+       |                    / CAST(1000000.0 AS DOUBLE) ORDER BY dim) AS centroid
+       |  FROM stats$iters GROUP BY cell),
+       |assignedT AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT i.vec_id, i.v, c.cell,
+       |      row_number() OVER (PARTITION BY i.vec_id
+       |        ORDER BY ${foldDot("i.v", "c.centroid")} DESC, c.cell ASC) AS rn
+       |    FROM indexed i CROSS JOIN cbT c)
+       |  WHERE rn = 1),
+       |wnT AS (
+       |  SELECT vec_id, v, cell, sqrt(${foldDot("v", "v")}) AS nrm FROM assignedT)
+       |SELECT cell, vec_id_1, vec_id_2, cos_sim FROM (
+       |  SELECT x.cell AS cell, x.vec_id AS vec_id_1, y.vec_id AS vec_id_2,
+       |    round(${foldDot("x.v", "y.v")} / (x.nrm * y.nrm), 4) AS cos_sim
+       |  FROM wnT x JOIN wnT y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+       |WHERE cos_sim >= 0.35
+       |ORDER BY cell, vec_id_1, vec_id_2""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // int8 scalar quantization: identical IEEE double sequence — cast,
     // per-dim min/max, (x−mn)/(mx−mn)·255, floor — so codes hash-match
@@ -3107,6 +3141,7 @@ object Similarity {
     "q_kmeans_step" -> kmeansStepOracleSql,
     "q_kmeans_train" -> kmeansTrainOracleSql(3),
     "q_ann_ivf_trained" -> annIvfTrainedOracleSql(3),
+    "q_semantic_dedup_trained" -> semanticDedupTrainedOracleSql(3),
     "q_cluster_prune" -> clusterPruneOracleSql(3, 16),
     "q_pq_train" -> pqTrainOracleSql,
     "q_pq_train_iters" -> pqTrainItersOracleSql,

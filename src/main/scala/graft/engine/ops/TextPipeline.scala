@@ -3189,8 +3189,13 @@ object TextPipeline {
     "q_dedup_degree" -> ((s, d) => dedupDegreeHistogram(sharedPairs(s, d))),
     "q_graph_pagerank" -> ((s, d) => pairGraphPagerank(sharedPairs(s, d))),
     // distance ≤ 1 within a nation block: names differing in one digit
+    // (the r10 deletion-neighborhood path)
     "q_fuzzy_match" -> ((s, d) =>
       fuzzyMatch(Tables.customer(s, d), "c_custkey", "c_name", Seq("c_nationkey"), 1)),
+    // distance ≤ 2: the general-maxDist blocked-join fallback as its own
+    // oracled key, so BOTH internal strategies sit in the correctness gate
+    "q_fuzzy_match2" -> ((s, d) =>
+      fuzzyMatch(Tables.customer(s, d), "c_custkey", "c_name", Seq("c_nationkey"), 2)),
     // same corpus/benchmark split as q_contamination: docs < 10 are the
     // held-out eval set, the rest is the trainable corpus
     // full production gate order: Gopher rules -> repetition caps
@@ -4018,6 +4023,18 @@ object TextPipeline {
         |  FROM customer a JOIN customer b
         |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey)
         |WHERE dist <= 1
+        |ORDER BY id_1, id_2""".stripMargin,
+
+    // same truth at distance 2 — the engine serves this via the blocked
+    // self-join fallback; the oracle does not care which strategy ran
+    "q_fuzzy_match2" ->
+      """SELECT id_1, id_2, sa, sb, dist FROM (
+        |  SELECT a.c_custkey AS id_1, b.c_custkey AS id_2,
+        |    a.c_name AS sa, b.c_name AS sb,
+        |    CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey)
+        |WHERE dist <= 2
         |ORDER BY id_1, id_2""".stripMargin,
 
     // The composed corpus build: minhash pairs over the corpus slice

@@ -663,4 +663,25 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "pagerank rounds must stay key-equi-joined:\n" + p.take(2500))
   }
+
+  // r10: the deletion-neighborhood rewrite must stay a pure equi-join on
+  // (block, variant-hash) — the whole point was removing the in-block
+  // quadratic stage, so any nested-loop/cartesian would be a regression
+  // the value oracle cannot see at sf0.01
+  test("q_fuzzy_match: deletion-variant candidates meet in an equi-join, never a cartesian") {
+    val p = plan("q_fuzzy_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must be (block, vk)-keyed:\n" + p.take(2500))
+  }
+
+  // r10: the trained SemDeDup's ONLY nested-loop is the deliberate
+  // broadcast-codebook argmax (rows x k model, k broadcast-sized); the
+  // pair stage itself must stay a cell-keyed equi self-join
+  test("q_semantic_dedup_trained: codebook broadcasts for the argmax; pairs stay cell-equi-joined") {
+    val p = plan("q_semantic_dedup_trained")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the trained codebook must broadcast under the assignment:\n" + p.take(2500))
+    assert(!p.contains("CartesianProduct"),
+      "nothing may cartesian — the verify is cell-blocked:\n" + p.take(2500))
+  }
 }
