@@ -135,6 +135,39 @@ object Multimodal {
       .orderBy("w_band")
   }
 
+  /** Byte-content dedup over DECODED assets — the multimodal analogue of
+    * `q_dedup_exact`: two assets are duplicates when their decoded
+    * content fingerprints agree (frame dims, pixel count, pixel sum and
+    * the rolling pixel poly-hash), regardless of which row/origin they
+    * arrived under — the same-image-crawled-twice case container-level
+    * byte equality also catches, PLUS re-encodes that preserve pixels
+    * under different wrapper metadata. The fixture itself has no
+    * duplicate assets, so the binding ingests a deterministic re-crawl
+    * slice (every 10th asset again under a shifted id) — the collapse
+    * branch fires on real groups, not vacuously (the r9 audit rule).
+    *
+    * Scale shape: decode is the same narrow per-row native pass every
+    * other multimodal query uses; the dedup is one fingerprint-keyed
+    * partial+final aggregate — no pairwise comparison anywhere. */
+  private val qMultimodalDedup: Q = (s, d) => {
+    GraftFunctions.register(s)
+    val base = assets(s, d)
+    val again = base.filter(col("asset_id") % 10 === 0)
+      .withColumn("asset_id", col("asset_id") + lit(1000000L))
+    base.unionByName(again)
+      .withColumn("f", call_function("gimg_decode", col("payload")))
+      .select(col("asset_id"),
+        element_at(col("f"), 1).as("w"),
+        element_at(col("f"), 2).as("h"),
+        element_at(col("f"), 3).as("n_px"),
+        element_at(col("f"), 4).as("px_sum"),
+        element_at(col("f"), 7).as("px_hash"))
+      .groupBy("w", "h", "n_px", "px_sum", "px_hash")
+      .agg(min("asset_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select("canonical_id", "n_copies", "px_hash")
+      .orderBy("canonical_id")
+  }
+
   /** Frame sampling: treat each payload as a pseudo-video whose frame
     * count derives from the metadata, emit every `stride`-th frame index
     * with a per-frame signature. Pure generator arithmetic (`sequence` +
@@ -162,6 +195,7 @@ object Multimodal {
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_multimodal_frames" -> qMultimodalFrames,
+    "q_multimodal_dedup" -> qMultimodalDedup,
   )
 
   // The decode replay: the corpus is ASCII (fixture contract, so UTF-8
@@ -224,6 +258,22 @@ object Multimodal {
         |    ((n_chars % 640 + 1) * ((n_chars * 7) % 480 + 1)) % 240 + 1 AS n_frames
         |  FROM documents)
         |ORDER BY asset_id""".stripMargin,
+
+    // re-ingest union (every 10th asset under a shifted id) → group by
+    // the decoded content fingerprint; n_px replays as n_bytes - 9 (the
+    // GIMG header)
+    "q_multimodal_dedup" -> (decodeCte +
+      """, all_assets AS (
+        |  SELECT doc_id AS asset_id, w, h, n_bytes - 9 AS n_px, px_sum, px_hash FROM stats
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, w, h, n_bytes - 9, px_sum, px_hash
+        |  FROM stats WHERE doc_id % 10 = 0)
+        |SELECT CAST(min(asset_id) AS BIGINT) AS canonical_id,
+        |  count(*) AS n_copies,
+        |  CAST(px_hash AS BIGINT) AS px_hash
+        |FROM all_assets
+        |GROUP BY w, h, n_px, px_sum, px_hash
+        |ORDER BY canonical_id""".stripMargin),
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS asset_id,

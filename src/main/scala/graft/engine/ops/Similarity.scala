@@ -343,6 +343,34 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Mean-Reciprocal-Rank audit — the POSITION-sensitive complement to
+    * [[annRecall]]: recall@k says WHETHER the exact neighbors surfaced
+    * in the ANN candidates; MRR says WHERE. For each probe, the exact
+    * top-1 neighbor ([[knnJoin]] at k=1) is looked up in the ANN
+    * ranking ([[annRerank]]); `rr_bp = 10000 DIV rank` (0 on a miss —
+    * exactly when a reranking stage can no longer save the query). All
+    * integer arithmetic, so the audit hash-oracles cross-engine — the
+    * reason MRR is used here instead of nDCG, whose transcendental
+    * log2 weights do not replay bit-identically.
+    *
+    * Scale shape: both legs are the scale-shaped retrieval operators
+    * they audit; the lookup join runs over |Q| truth rows × |Q|·k
+    * candidate rows — nothing new touches the corpus. */
+  def retrievalMrr(vectors: DataFrame, idCol: String, vecCol: String,
+                   queryIds: Seq[Long], k: Int): DataFrame = {
+    val truth = knnJoin(vectors, idCol, vecCol, queryIds, 1)
+      .select(col("q_id"), col("vec_id").as("truth_id"))
+    val approx = annRerank(vectors, idCol, vecCol, queryIds, k)
+      .select(col("q_id").as("a_qid"), col("vec_id"), col("rk"))
+    truth.join(approx,
+        col("q_id") === col("a_qid") && col("truth_id") === col("vec_id"),
+        "left_outer")
+      .select(col("q_id"), col("truth_id"),
+        coalesce(col("rk"), lit(0L)).as("rank_found"),
+        coalesce(expr("10000 DIV rk"), lit(0L)).as("rr_bp"))
+      .orderBy("q_id")
+  }
+
   /** Dedup-quality audit — the near-dup analogue of [[annRecall]]: the
     * MinHash-LSH pair set ([[minhashNearDup]]) confusion-counted against
     * the EXACT all-pairs Jaccard ground truth at the same threshold, as
@@ -1993,6 +2021,10 @@ object Similarity {
     "q_ann_rerank" -> ((s, d) => annRerank(Tables.embeddings(s, d), "vec_id", "embedding", Seq(1L, 2L, 3L), 5)),
     // recall@5 of the LSH+rerank path vs exact kNN over the same probes
     "q_ann_recall" -> ((s, d) => annRecall(Tables.embeddings(s, d), "vec_id", "embedding", Seq(1L, 2L, 3L), 5)),
+    // the position-sensitive twin: where does the exact top-1 land in
+    // the ANN ranking (integer reciprocal-rank bp; 0 = unrecoverable miss)
+    "q_retrieval_mrr" -> ((s, d) =>
+      retrievalMrr(Tables.embeddings(s, d), "vec_id", "embedding", Seq(1L, 2L, 3L), 5)),
     // hard negatives: per anchor, top-5 nearest wrong-label vectors
     "q_hard_negatives" -> ((s, d) =>
       hardNegatives(Tables.embeddings(s, d), "vec_id", "embedding", "label",
@@ -2461,6 +2493,20 @@ object Similarity {
        |  10000 * coalesce(h.n_hit, 0) // 5 AS recall_bp
        |FROM (SELECT DISTINCT q_id FROM exact) q LEFT JOIN hits h USING (q_id)
        |ORDER BY q_id""".stripMargin
+
+  /** q_retrieval_mrr: exact top-1 truth (the simKnn replay at rk=1) left-
+    * joined into the ANN ranking replay; reciprocal rank as integer bp. */
+  private def retrievalMrrOracleSql: String =
+    s"""WITH truth AS (
+       |  SELECT q_id, vec_id AS truth_id
+       |  FROM ($simKnnOracleSql) t_exact WHERE rk = 1),
+       |approx AS (SELECT q_id, vec_id, rk FROM (${annRerankOracleSql}) t_approx)
+       |SELECT t.q_id, t.truth_id,
+       |  coalesce(a.rk, 0) AS rank_found,
+       |  coalesce(10000 // a.rk, 0) AS rr_bp
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.q_id = a.q_id AND t.truth_id = a.vec_id
+       |ORDER BY t.q_id""".stripMargin
 
   private def annRerankOracleSql: String = {
     val planesList = planes.flatten.mkString("[", ", ", "]")
@@ -3180,6 +3226,7 @@ object Similarity {
     "q_ann_ivf_bcast" -> annIvfOracleSql,
     "q_ann_rerank" -> annRerankOracleSql,
     "q_ann_recall" -> annRecallOracleSql,
+    "q_retrieval_mrr" -> retrievalMrrOracleSql,
 
     // Full replication of the SimHash pipeline: same 62-bit double-poly
     // token hashes (poly_hash62) with the same per-half Knuth mixes

@@ -521,6 +521,31 @@ class TextSimilaritySpec extends SparkSuite {
       s"only-engine=${(got -- want).take(3)} only-ref=${(want -- got).take(3)}")
   }
 
+  // r10: MRR must cohere with the retrieval operators it audits — a
+  // reciprocal rank of 10000 bp means the ANN ranking's top row IS the
+  // exact top-1; rank_found = 0 means the truth id appears nowhere in
+  // the ANN candidates.
+  test("retrievalMrr: ranks agree with the ANN ranking and the exact truth") {
+    val mrr = run("q_retrieval_mrr")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(mrr.map(_._1) == Seq(1L, 2L, 3L), s"one row per probe: $mrr")
+    val ann = run("q_ann_rerank")
+      .select("q_id", "vec_id", "rk").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._3) -> r._2).toMap
+    mrr.foreach { case (q, truth, rank, bp) =>
+      if (rank == 0) {
+        assert(bp == 0, s"miss must score 0: $q")
+        assert(!ann.exists { case ((aq, _), v) => aq == q && v == truth },
+          s"rank 0 must mean truly absent from the ANN list: $q")
+      } else {
+        assert(ann((q, rank)) == truth, s"rank must point at the truth id: $q")
+        assert(bp == 10000 / rank, s"bp must be the integer reciprocal: $q")
+      }
+    }
+    // the fixture signal is real: at least one hit and one miss
+    assert(mrr.exists(_._3 == 0) && mrr.exists(_._3 > 0), s"non-vacuous: $mrr")
+  }
+
   test("pqTrainIters: one round IS pqTrain; a second Lloyd round reassigns slices") {
     val emb = graft.engine.io.Tables.embeddings(spark, sfDir)
     val one = Similarity.pqTrainIters(emb, "vec_id", "embedding", 1)
