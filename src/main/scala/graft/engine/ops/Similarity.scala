@@ -928,6 +928,34 @@ object Similarity {
       .orderBy("cell", "rnk")
   }
 
+  /** Cell-population balance audit for a trained codebook — the health
+    * check to run BEFORE committing an IVF index, cluster-pruned corpus
+    * or trained SemDeDup pass: per cell, member count and corpus share
+    * in bp. A skewed codebook (dead cells, one cell holding half the
+    * corpus) predicts straggler partitions in every cell-keyed stage
+    * exactly as [[minhashBandStats]] predicts hot LSH buckets — and the
+    * fix (retrain with a better sample / more cells) is cheap before
+    * the index ships and expensive after. Integer shares, hash-oracled.
+    *
+    * Scale shape: broadcast-codebook argmax (narrow) + one cell-keyed
+    * partial+final count; the 1-row total broadcasts back. */
+  def clusterBalance(vectors: DataFrame, idCol: String, vecCol: String,
+                     codebook: DataFrame): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
+    val assigned = e.crossJoin(broadcast(codebook))
+      .select(col("vec_id"),
+        struct(dot(col("embedding"), col("centroid")).as("d"),
+          (-col("cell")).as("negc")).as("sc"))
+      .groupBy("vec_id").agg(max("sc").as("mx"))
+      .select(col("vec_id"), (-col("mx.negc")).as("cell"))
+    val tot = assigned.agg(count(lit(1)).as("tot"))
+    assigned.groupBy("cell").agg(count(lit(1)).as("n_members"))
+      .crossJoin(broadcast(tot)) // deliberate 1-row broadcast
+      .select(col("cell"), col("n_members"),
+        expr("10000 * n_members DIV tot").as("share_bp"))
+      .orderBy("cell")
+  }
+
   /** SemDeDup-style semantic dedup: candidate pairs are blocked by the
     * k-means cell (nearest-centroid assignment — semantically close
     * vectors share a cell), then verified by exact cosine at a LOW
@@ -2152,6 +2180,13 @@ object Similarity {
       semanticDedup(emb, "vec_id", "embedding", 0.35,
         ivfCodebook(emb, "vec_id", "embedding", 3))
     }),
+    // codebook-health audit: per-cell population + corpus share bp —
+    // run before committing an IVF/SemDeDup index (skew = stragglers)
+    "q_cluster_balance" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      clusterBalance(emb, "vec_id", "embedding",
+        ivfCodebook(emb, "vec_id", "embedding", 3))
+    }),
     // doc/vec id spaces coincide in the fixture: doc 0's text is the
     // keyword query, vec 0 the vector query; 20 candidates/leg. k=25
     // EXCEEDS the ANN leg's 20, so keyword-only candidates must surface
@@ -3148,6 +3183,25 @@ object Similarity {
        |WHERE cos_sim >= 0.35
        |ORDER BY cell, vec_id_1, vec_id_2""".stripMargin
 
+  /** q_cluster_balance: the trained assignment replay + per-cell counts
+    * against the scalar total. */
+  private def clusterBalanceOracleSql(iters: Int): String =
+    s"""${kmeansTrainCtes(iters)},
+       |cbT AS MATERIALIZED (
+       |  SELECT cell, list(CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS DOUBLE)
+       |                    / CAST(1000000.0 AS DOUBLE) ORDER BY dim) AS centroid
+       |  FROM stats$iters GROUP BY cell),
+       |assignedT AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT i.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY i.vec_id
+       |        ORDER BY ${foldDot("i.v", "c.centroid")} DESC, c.cell ASC) AS rn
+       |    FROM indexed i CROSS JOIN cbT c)
+       |  WHERE rn = 1)
+       |SELECT cell, count(*) AS n_members,
+       |  10000 * count(*) // (SELECT count(*) FROM assignedT) AS share_bp
+       |FROM assignedT GROUP BY cell ORDER BY cell""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // int8 scalar quantization: identical IEEE double sequence — cast,
     // per-dim min/max, (x−mn)/(mx−mn)·255, floor — so codes hash-match
@@ -3188,6 +3242,7 @@ object Similarity {
     "q_kmeans_train" -> kmeansTrainOracleSql(3),
     "q_ann_ivf_trained" -> annIvfTrainedOracleSql(3),
     "q_semantic_dedup_trained" -> semanticDedupTrainedOracleSql(3),
+    "q_cluster_balance" -> clusterBalanceOracleSql(3),
     "q_cluster_prune" -> clusterPruneOracleSql(3, 16),
     "q_pq_train" -> pqTrainOracleSql,
     "q_pq_train_iters" -> pqTrainItersOracleSql,

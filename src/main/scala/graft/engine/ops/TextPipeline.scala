@@ -2685,6 +2685,71 @@ object TextPipeline {
     scores.orderBy("doc_id")
   }
 
+  /** Exact set-similarity self-join via PREFIX FILTERING (the
+    * AllPairs/PPJoin family) — the exact near-dup discipline that needs
+    * NO blocking key and nothing probabilistic. Every distinct token
+    * set (identical sets collapse to a min-id representative first —
+    * the house discipline every minhash operator shares) is ordered by
+    * ascending global document frequency, rarest token first (ties on
+    * the hash), and only its PREFIX — the first `n − ⌈t·n⌉ + 1` tokens —
+    * is indexed. Completeness theorem: under ANY common total order,
+    * two sets with `J(a,b) ≥ t` overlap in `≥ ⌈t·max(na,nb)⌉` tokens,
+    * so a set disjoint from another's prefix can share at most
+    * `n − p = ⌈t·n⌉ − 1` of its tokens — below the required overlap —
+    * hence every qualifying pair MEETS on some prefix token
+    * (property-tested against a driver-side all-pairs truth).
+    *
+    * Frequency ordering is what makes the filter sharp: prefixes hold
+    * each set's RAREST tokens, so candidate volume tracks Σ df² over
+    * rare tokens ≈ true-pair volume, not block population². The prefix
+    * length is computed in INTEGER arithmetic (`⌈t·n⌉` as
+    * `(tNum·n + tDen−1) DIV tDen`) so the oracle replays it exactly —
+    * a float `ceil(0.9·n)` diverges between engines at n = 10.
+    *
+    * Scale shape: the df table is vocab-sized (Zipf-bounded) and
+    * broadcast; the prefix explode inflates each set by ~(1−t)·n rows;
+    * candidates meet on an 8-byte token-hash equi-join; the verify is
+    * the native sorted merge walk under the same size-ratio prune
+    * [[ngramJaccard]] uses. At 100 TB this is the exact tier that
+    * stays correct with no lang/n_chars blocking assumption;
+    * MinHash-LSH remains the probabilistic fast path. */
+  def jaccardPrefixJoin(documents: DataFrame, idCol: String, textCol: String,
+                        tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, s"threshold $tNum/$tDen outside (0,1]")
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
+    val threshold = tNum.toDouble / tDen
+    val base = documents.select(col(idCol).as("doc_id"),
+      call_function("token_set_hashes62", col(textCol)).as("hsh"))
+    val grps = base.groupBy("hsh").agg(min("doc_id").as("rep"))
+    val toks = grps.select(col("rep"), explode(col("hsh")).as("h"))
+    val dfTab = toks.groupBy("h").agg(count(lit(1)).as("df"))
+    val ordered = toks.join(broadcast(dfTab), "h")
+      .groupBy("rep")
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ohs"),
+           count(lit(1)).as("n"))
+      .select(col("rep"), expr("transform(ohs, x -> x.h)").as("oh"),
+        expr(s"n - (($tNum * n + ${tDen - 1}) DIV $tDen) + 1").as("p"))
+    val pref = ordered.select(col("rep"),
+      explode(slice(col("oh"), lit(1), col("p"))).as("h"))
+    val cand = pref.as("x").join(pref.as("y"), Seq("h"))
+      .filter(col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("r1"), col("y.rep").as("r2")).distinct()
+    val sets = grps.select(col("rep"), col("hsh"))
+    val inter = call_function("sorted_intersect_size",
+      col("sa"), col("sb")).cast("double")
+    val sizeBound = least(size(col("sa")), size(col("sb"))).cast("double") >=
+      greatest(size(col("sa")), size(col("sb"))) * lit(threshold - 0.001)
+    cand
+      .join(sets.select(col("rep").as("r1"), col("hsh").as("sa")), "r1")
+      .join(sets.select(col("rep").as("r2"), col("hsh").as("sb")), "r2")
+      .filter(sizeBound)
+      .withColumn("jaccard",
+        round(inter / (size(col("sa")) + size(col("sb")) - inter), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("r1").as("doc_id_1"), col("r2").as("doc_id_2"), col("jaccard"))
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
   /** Fuzzy record-linkage: candidate pairs blocked on caller-chosen
     * columns, verified by exact Levenshtein distance ≤ `maxDist` — the
     * typo-tolerant entity-matching primitive (dedup of user-entered
@@ -3188,6 +3253,10 @@ object TextPipeline {
     }),
     "q_dedup_degree" -> ((s, d) => dedupDegreeHistogram(sharedPairs(s, d))),
     "q_graph_pagerank" -> ((s, d) => pairGraphPagerank(sharedPairs(s, d))),
+    // exact Jaccard ≥ 0.9 pairs with NO blocking key: prefix-filtered
+    // rare-token candidates, native merge-walk verify
+    "q_jaccard_prefix" -> ((s, d) =>
+      jaccardPrefixJoin(Tables.documents(s, d), "doc_id", "text", 9, 10)),
     // distance ≤ 1 within a nation block: names differing in one digit
     // (the r10 deletion-neighborhood path)
     "q_fuzzy_match" -> ((s, d) =>
@@ -3196,6 +3265,19 @@ object TextPipeline {
     // oracled key, so BOTH internal strategies sit in the correctness gate
     "q_fuzzy_match2" -> ((s, d) =>
       fuzzyMatch(Tables.customer(s, d), "c_custkey", "c_name", Seq("c_nationkey"), 2)),
+    // entity resolution closed to CLUSTERS: connected components over
+    // the distance-1 link graph through the same label-prop CC the text
+    // dedup uses (one shared implementation); every record resolves to
+    // a canonical entity id, singletons to themselves — the step a
+    // record-linkage pipeline actually ships (pairs are evidence,
+    // entities are the product)
+    "q_fuzzy_clusters" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val pairs = fuzzyMatch(cust, "c_custkey", "c_name", Seq("c_nationkey"), 1)
+        .select(col("id_1").as("doc_id_1"), col("id_2").as("doc_id_2"))
+      dedupClusters(cust, "c_custkey", "c_name", 0.9,
+        precomputedPairs = Some(pairs)).orderBy("id")
+    }),
     // same corpus/benchmark split as q_contamination: docs < 10 are the
     // held-out eval set, the rest is the trainable corpus
     // full production gate order: Gopher rules -> repetition caps
@@ -4015,6 +4097,30 @@ object TextPipeline {
         |  FROM ed JOIN s2 s ON ed.src = s.doc_id GROUP BY ed.dst)
         |SELECT doc_id, score FROM s3 ORDER BY doc_id""".stripMargin),
 
+    // prefix-filter replay over the SAME docs→grps token-set CTEs every
+    // minhash oracle uses: rarest-first ordering (df, h), INTEGER
+    // prefix length, candidate meet on a prefix token, exact verify
+    "q_jaccard_prefix" -> (Similarity.minhashOracleCtes +
+      """,
+        |toksP AS (SELECT rep, unnest(hsh) AS h FROM grps),
+        |dftP AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM toksP GROUP BY h),
+        |ordP AS (
+        |  SELECT rep, list(h ORDER BY df, h) AS oh, CAST(count(*) AS BIGINT) AS n
+        |  FROM toksP JOIN dftP USING (h) GROUP BY rep),
+        |prefP AS (
+        |  SELECT rep, unnest(oh[1:CAST(n - ((9 * n + 9) // 10) + 1 AS BIGINT)]) AS h
+        |  FROM ordP),
+        |candP AS (
+        |  SELECT DISTINCT x.rep AS r1, y.rep AS r2
+        |  FROM prefP x JOIN prefP y ON x.h = y.h AND x.rep < y.rep)
+        |SELECT doc_id_1, doc_id_2, jaccard FROM (
+        |  SELECT c.r1 AS doc_id_1, c.r2 AS doc_id_2,
+        |    round(CAST(len(list_intersect(a.hsh, b.hsh)) AS DOUBLE) /
+        |          (len(a.hsh) + len(b.hsh) - len(list_intersect(a.hsh, b.hsh))), 4) AS jaccard
+        |  FROM candP c JOIN grps a ON a.rep = c.r1 JOIN grps b ON b.rep = c.r2)
+        |WHERE jaccard >= 0.9
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin),
+
     "q_fuzzy_match" ->
       """SELECT id_1, id_2, sa, sb, dist FROM (
         |  SELECT a.c_custkey AS id_1, b.c_custkey AS id_2,
@@ -4024,6 +4130,24 @@ object TextPipeline {
         |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey)
         |WHERE dist <= 1
         |ORDER BY id_1, id_2""".stripMargin,
+
+    // the fuzzy pair edges + the same recursive min-label walk the
+    // dedup-cluster oracles run; id universe = every customer
+    "q_fuzzy_clusters" ->
+      """WITH RECURSIVE fp AS MATERIALIZED (
+        |  SELECT id_1, id_2 FROM (
+        |    SELECT a.c_custkey AS id_1, b.c_custkey AS id_2,
+        |      levenshtein(a.c_name, b.c_name) AS dist
+        |    FROM customer a JOIN customer b
+        |      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey)
+        |  WHERE dist <= 1),
+        |edges AS MATERIALIZED (
+        |  SELECT id_1 AS a, id_2 AS b FROM fp UNION SELECT id_2, id_1 FROM fp),
+        |walk AS (
+        |  SELECT c_custkey AS id, c_custkey AS lab FROM customer
+        |  UNION
+        |  SELECT e.a AS id, w.lab FROM edges e JOIN walk w ON w.id = e.b)
+        |SELECT id, min(lab) AS cluster FROM walk GROUP BY id ORDER BY id""".stripMargin,
 
     // same truth at distance 2 — the engine serves this via the blocked
     // self-join fallback; the oracle does not care which strategy ran

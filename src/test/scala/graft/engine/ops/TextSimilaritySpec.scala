@@ -1101,6 +1101,31 @@ class TextSimilaritySpec extends SparkSuite {
     pairs.foreach { case (a, b, _, _, _) => assert(nation(a) == nation(b)) }
   }
 
+  // r10: prefix-filter completeness — the rare-token candidate equi-join
+  // must not lose a single qualifying pair vs the brute-force all-pairs
+  // truth over the same set representatives (the theorem made a test).
+  test("jaccardPrefixJoin: equals the all-pairs exact-jaccard truth over set representatives") {
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    val got = graft.engine.ops.TextPipeline
+      .jaccardPrefixJoin(docs, "doc_id", "text", 9, 10)
+      .as[(Long, Long, Double)].collect().toSet
+    graft.engine.functions.GraftFunctions.register(spark)
+    val sets = docs.selectExpr("doc_id", "token_set_hashes62(text) AS hsh")
+      .as[(Long, Seq[Long])].collect().toSeq
+    val reps = sets.groupBy(_._2).map { case (h, g) => (g.map(_._1).min, h.toSet) }.toSeq
+    val want = (for {
+      (i, si) <- reps; (j, sj) <- reps
+      if i < j
+      inter = (si & sj).size.toDouble
+      jac = BigDecimal(inter / (si.size + sj.size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jac >= 0.9
+    } yield (i, j, jac)).toSet
+    assert(got.nonEmpty, "the fixture's planted near-dups must surface")
+    assert(got == want,
+      s"only-got=${(got -- want).take(3)} only-want=${(want -- got).take(3)}")
+  }
+
   // r10: the near-linear deletion-neighborhood strategy must produce the
   // EXACT pair set of the quadratic blocked self-join it replaces — the
   // property that makes the scale fix result-identical, not a recall

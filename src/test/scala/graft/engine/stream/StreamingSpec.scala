@@ -135,7 +135,7 @@ class StreamingSpec extends SparkSuite {
       "no records → no resume point (caller falls back to latest/earliest)")
   }
 
-  test("s_offset_mirror_durable: the in-memory table store satisfies the same contract (pluggable seam)") {
+  test("s_offset_store_pluggable: the in-memory table store passes the same durable-mirror contract") {
     val store = new Streams.InMemoryOffsetStore
     mirrorContract("memtable", store, () => store)
     assert(Streams.resumeOffsets(new Streams.InMemoryOffsetStore).isEmpty,
@@ -147,7 +147,7 @@ class StreamingSpec extends SparkSuite {
   // the external offset-mirror write on the durable landing path — must
   // stay within 2x of it (p50 over a multi-batch run; the committed
   // BENCH_STREAM.json artifact carries the full distribution).
-  test("stream bookkeeping: durable offset-mirror write p50 within 2x the 18 ms reference budget") {
+  test("s_stream_overhead_budget: durable offset-mirror write p50 within 2x the 18 ms reference budget") {
     val s = StreamBench.measure(spark, measured = 10, warmup = 3,
       tmpDir("sbench-sink"), tmpDir("sbench-ckpt"), tmpDir("sbench-mirror"))
     assert(s.nBatches >= 8, s"expected >=8 measured batches, got ${s.nBatches}")
@@ -1723,7 +1723,7 @@ class StreamingSpec extends SparkSuite {
   // the compact()-vs-vacuum() race; (c) a torn manifest write (crash
   // before the commit rename) is invisible: the prior generation stays
   // current.
-  test("s_sink_compact: vacuum retention pins snapshots; in-flight gens and torn commits are safe") {
+  test("s_sink_vacuum_retention: pinned snapshots, in-flight gens and torn commits are all safe") {
     val in = MemoryStream[Doc](spark)
     val dir = tmpDir("compact-ret-out")
     val q = Streams.parquetSink(
