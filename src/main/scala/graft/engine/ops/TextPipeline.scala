@@ -2685,6 +2685,99 @@ object TextPipeline {
     scores.orderBy("doc_id")
   }
 
+  /** Interpolated Kneser-Ney bigram LM table — the standard n-gram
+    * smoothing next to [[lmTableBackoff]]'s Stupid Backoff: instead of
+    * falling through to raw unigram frequency, the lower-order model is
+    * the CONTINUATION probability (in how many distinct contexts does
+    * w2 appear), which is what makes KN the default for fluency
+    * filtering ("francisco" is frequent but only ever follows "san" —
+    * backoff overrates it, continuation does not).
+    *
+    *   p(w2|w1) = max(c12 − D, 0)/c1 + D·N1+(w1,·)/c1 · N1+(·,w2)/T
+    *
+    * with discount D = 3/4. Every probability is the exact rational
+    *   [(4·c12 − 3)·T + 3·n1p·ncont] / (4·c1·T)
+    * and ships as `floor(10⁶·p)` computed in INTEGER arithmetic
+    * (`(10⁶·num) DIV den`) — zero floats anywhere, so the oracle
+    * replays bit-exactly. (Magnitude bound: 10⁶·4·c12·T stays under
+    * 2⁶³ while c12·T < 2.3e12 — the fixture ladder is ~5 orders below;
+    * at real corpus scale promote the arithmetic to DECIMAL or
+    * rescale T out of the numerator.)
+    *
+    * Table rows (uniform integer schema `(ngram, level, a, b)`):
+    *  - level 2: seen bigram "w1 w2", a = floor(10⁶·p_kn), b = 0
+    *  - level 1: context w1, a = c1 (context count), b = n1p (distinct
+    *    followers) — the backoff-weight ingredients
+    *  - level 0: word w2, a = ncont (distinct predecessors), b = T
+    *    (bigram types) — the continuation ingredients
+    * [[lmScoreKn]] composes unseen-pair probabilities from levels 1+0
+    * at score time, so no product-of-floors error ever enters.
+    *
+    * Scale shape: one bigram count pass + three Zipf-bounded aggregates;
+    * the table is vocab-sized and broadcasts at score time (the
+    * train-on-sample / score-everything discipline the backoff LM and
+    * classifier already follow). */
+  def lmTableKn(documents: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
+    val big = documents.select(
+        explode(call_function("pos_grams", col(textCol), lit(2), lit(true))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", element_at(split(col("g"), " "), 1))
+      .withColumn("w2", element_at(split(col("g"), " "), 2))
+    val ctx = big.groupBy("w1").agg(sum("c12").as("c1"), count(lit(1)).as("n1p"))
+    val cont = big.groupBy("w2").agg(count(lit(1)).as("ncont"))
+    val tot = big.agg(count(lit(1)).as("t"))
+    val seen = big.join(ctx, "w1").join(cont, "w2").crossJoin(broadcast(tot))
+      .select(col("g").as("ngram"), lit(2L).as("level"),
+        expr("(1000000 * ((4 * c12 - 3) * t + 3 * n1p * ncont)) DIV (4 * c1 * t)").as("a"),
+        lit(0L).as("b"))
+    val lvl1 = ctx.select(col("w1").as("ngram"), lit(1L).as("level"),
+      col("c1").as("a"), col("n1p").as("b"))
+    val lvl0 = cont.crossJoin(broadcast(tot))
+      .select(col("w2").as("ngram"), lit(0L).as("level"),
+        col("ncont").as("a"), col("t").as("b"))
+    seen.unionAll(lvl1).unionAll(lvl0)
+  }
+
+  /** Score documents against a [[lmTableKn]] table: per-bigram
+    * `floor(10⁶·p_kn)` — seen bigrams read the precomputed level-2
+    * entry; unseen bigrams compose the discount-weight (level 1) and
+    * continuation (level 0) ingredients into the exact rational at
+    * score time; an unseen context degrades to the continuation
+    * probability alone; a wholly unknown word scores 0. Doc score =
+    * floored mean, the [[lmScoreBackoff]] contract. */
+  def lmScoreKn(documents: DataFrame, idCol: String, textCol: String,
+                lm: DataFrame, ordered: Boolean = true): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
+    val parts = documents.select(col(idCol).as("doc_id"),
+        explode(call_function("pos_grams", col(textCol), lit(2), lit(true))).as("bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+    val l2 = lm.filter(col("level") === 2).select(col("ngram").as("bg"), col("a").as("cond2"))
+    val l1 = lm.filter(col("level") === 1)
+      .select(col("ngram").as("w1"), col("a").as("c1"), col("b").as("n1p"))
+    val l0 = lm.filter(col("level") === 0)
+      .select(col("ngram").as("w2"), col("a").as("ncont"), col("b").as("t"))
+    val out = parts
+      .join(l2, Seq("bg"), "left_outer")
+      .join(l1, Seq("w1"), "left_outer")
+      .join(l0, Seq("w2"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cond2"), expr(
+          """CASE
+            |  WHEN c1 IS NOT NULL AND ncont IS NOT NULL
+            |    THEN (1000000 * 3 * n1p * ncont) DIV (4 * c1 * t)
+            |  WHEN c1 IS NOT NULL THEN 0L
+            |  WHEN ncont IS NOT NULL THEN (1000000 * ncont) DIV t
+            |  ELSE 0L
+            |END""".stripMargin)).as("sc"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("sc").as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("s DIV n_bigrams").as("lm_score"))
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
   /** Exact set-similarity self-join via PREFIX FILTERING (the
     * AllPairs/PPJoin family) — the exact near-dup discipline that needs
     * NO blocking key and nothing probabilistic. Every distinct token
@@ -3253,6 +3346,16 @@ object TextPipeline {
     }),
     "q_dedup_degree" -> ((s, d) => dedupDegreeHistogram(sharedPairs(s, d))),
     "q_graph_pagerank" -> ((s, d) => pairGraphPagerank(sharedPairs(s, d))),
+    // Kneser-Ney: table trained on the even-id half (the backoff-LM
+    // split), scores over the whole corpus; all-integer fixed point
+    "q_lm_table_kn" -> ((s, d) =>
+      lmTableKn(Tables.documents(s, d).filter(col("doc_id") % 2 === 0),
+        "doc_id", "text").orderBy("level", "ngram")),
+    "q_lm_score_kn" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      lmScoreKn(docs, "doc_id", "text",
+        lmTableKn(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"))
+    }),
     // exact Jaccard ≥ 0.9 pairs with NO blocking key: prefix-filtered
     // rare-token candidates, native merge-walk verify
     "q_jaccard_prefix" -> ((s, d) =>
@@ -3508,6 +3611,33 @@ object TextPipeline {
       |  SELECT doc_id, count(*) AS n_trigrams,
       |    CAST(floor(CAST(sum(sc) AS BIGINT) / count(*)) AS BIGINT) AS lm_score
       |  FROM scored GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB replay of the Kneser-Ney count chain (train slice = even-id
+    * docs), shared by the table and score oracles. Pure integer
+    * arithmetic end to end — the `//` floor divisions mirror the
+    * engine's `DIV` exactly. */
+  private def lmKnCtes: String =
+    """WITH ttk AS (
+      |  SELECT list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |cb AS (SELECT g, CAST(count(*) AS BIGINT) AS c12 FROM (
+      |        SELECT unnest(list_transform(range(1, len(tk)),
+      |                 i -> tk[i] || ' ' || tk[i+1])) AS g
+      |        FROM ttk) GROUP BY g),
+      |ctxk AS (SELECT split_part(g, ' ', 1) AS w1,
+      |           CAST(sum(c12) AS BIGINT) AS c1,
+      |           CAST(count(*) AS BIGINT) AS n1p
+      |         FROM cb GROUP BY 1),
+      |contk AS (SELECT split_part(g, ' ', 2) AS w2,
+      |            CAST(count(*) AS BIGINT) AS ncont
+      |          FROM cb GROUP BY 1),
+      |ttot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM cb),
+      |l2k AS (SELECT cb.g AS g,
+      |          (1000000 * ((4 * cb.c12 - 3) * ttot.t + 3 * ctxk.n1p * contk.ncont))
+      |            // (4 * ctxk.c1 * ttot.t) AS cond2
+      |        FROM cb JOIN ctxk ON split_part(cb.g, ' ', 1) = ctxk.w1
+      |                JOIN contk ON split_part(cb.g, ' ', 2) = contk.w2
+      |                CROSS JOIN ttot)""".stripMargin
 
   /** DuckDB replay of [[winnowFingerprints]] through the selection CTE
     * `sel(doc_id, pos, fp)` (pre-dedup) — shared by the q_winnow and
@@ -4350,6 +4480,47 @@ object TextPipeline {
     "q_lm_score_backoff" -> (lmBackoffLmscCtes +
       """
         |SELECT doc_id, n_trigrams, lm_score FROM lmsc ORDER BY doc_id""".stripMargin),
+
+    // Kneser-Ney table: three uniform-schema levels off the shared
+    // count chain
+    "q_lm_table_kn" -> (lmKnCtes +
+      """
+        |SELECT ngram, level, a, b FROM (
+        |  SELECT g AS ngram, CAST(2 AS BIGINT) AS level, cond2 AS a,
+        |    CAST(0 AS BIGINT) AS b FROM l2k
+        |  UNION ALL
+        |  SELECT w1, CAST(1 AS BIGINT), c1, n1p FROM ctxk
+        |  UNION ALL
+        |  SELECT w2, CAST(0 AS BIGINT), ncont, (SELECT t FROM ttot) FROM contk)
+        |ORDER BY level, ngram""".stripMargin),
+
+    // Kneser-Ney score: seen bigrams read l2k; unseen compose the
+    // discount-weight and continuation ingredients at score time —
+    // the same no-product-of-floors rule as the engine
+    "q_lm_score_kn" -> (lmKnCtes +
+      """,
+        |sgk AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |           i -> tk[i] || ' ' || tk[i+1])) AS g
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        |        FROM documents)),
+        |sck AS (
+        |  SELECT doc_id,
+        |    coalesce(l2k.cond2,
+        |      CASE
+        |        WHEN ctxk.c1 IS NOT NULL AND contk.ncont IS NOT NULL
+        |          THEN (1000000 * 3 * ctxk.n1p * contk.ncont) // (4 * ctxk.c1 * ttot.t)
+        |        WHEN ctxk.c1 IS NOT NULL THEN 0
+        |        WHEN contk.ncont IS NOT NULL THEN (1000000 * contk.ncont) // ttot.t
+        |        ELSE 0 END,
+        |      0) AS sc
+        |  FROM sgk LEFT JOIN l2k ON sgk.g = l2k.g
+        |           LEFT JOIN ctxk ON split_part(sgk.g, ' ', 1) = ctxk.w1
+        |           LEFT JOIN contk ON split_part(sgk.g, ' ', 2) = contk.w2
+        |           CROSS JOIN ttot)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(CAST(sum(sc) AS BIGINT) // count(*) AS BIGINT) AS lm_score
+        |FROM sck GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     // CCNet terciles over the SAME lmsc CTE chain (shared so the score
     // and the bucketing can never drift): per-lang descending cumulative

@@ -1101,6 +1101,36 @@ class TextSimilaritySpec extends SparkSuite {
     pairs.foreach { case (a, b, _, _, _) => assert(nation(a) == nation(b)) }
   }
 
+  // r10: Kneser-Ney is a PROPER probability model — for every observed
+  // context, the seen-bigram entries plus the composed unseen-pair
+  // probabilities over the whole continuation vocabulary must sum to
+  // 10^6 up to the floor slack (each of the ≤|V| floored terms loses
+  // < 1). This is the normalization Stupid Backoff deliberately gives
+  // up, and the property that certifies the integer fixed-point
+  // arithmetic implements the real KN equations.
+  test("lmTableKn: per-context probability mass is 1e6 within floor slack") {
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 0)
+    val rows = graft.engine.ops.TextPipeline.lmTableKn(docs, "doc_id", "text")
+      .as[(String, Long, Long, Long)].collect()
+    val seen = rows.filter(_._2 == 2L).map { case (g, _, a, _) =>
+      val Array(w1, w2) = g.split(" ", 2); (w1, w2) -> a
+    }.toMap
+    val ctx = rows.filter(_._2 == 1L).map { case (w, _, c1, n1p) => w -> (c1, n1p) }.toMap
+    val cont = rows.filter(_._2 == 0L).map { case (w, _, nc, _) => w -> nc }.toMap
+    val t = rows.filter(_._2 == 0L).head._4
+    assert(ctx.nonEmpty && cont.nonEmpty && t > 0)
+    ctx.foreach { case (w1, (c1, n1p)) =>
+      val seenW2 = seen.keys.filter(_._1 == w1).map(_._2).toSet
+      val seenMass = seenW2.toSeq.map(w2 => seen((w1, w2))).sum
+      val unseenMass = (cont.keySet -- seenW2).toSeq
+        .map(w2 => (1000000L * 3 * n1p * cont(w2)) / (4 * c1 * t)).sum
+      val mass = seenMass + unseenMass
+      assert(mass <= 1000000L && mass >= 1000000L - (cont.size + 1),
+        s"context '$w1': mass $mass outside [1e6 - ${cont.size + 1}, 1e6]")
+    }
+  }
+
   // r10: prefix-filter completeness — the rare-token candidate equi-join
   // must not lose a single qualifying pair vs the brute-force all-pairs
   // truth over the same set representatives (the theorem made a test).
