@@ -79,6 +79,13 @@ object ScaleCheck {
     // r10: the sample-tier pair truth (declared-quadratic at 1/16 the
     // constant — carried for the record next to its full-fat twin)
     "q_sim_pairs_topk_sampled",
+    // r10 second wave: the prefix-filtered exact join (the new exact
+    // tier — its whole claim is candidate volume ~ true pairs), the
+    // declared blocked-join fuzzy fallback, the entity-cluster CC loop,
+    // the KN score join chain, the trained SemDeDup (bounded cells —
+    // should ride the ladder flatter than its literal-codebook twin)
+    "q_jaccard_prefix", "q_fuzzy_match2", "q_fuzzy_clusters",
+    "q_lm_score_kn", "q_semantic_dedup_trained",
     // linear controls (wide scans, shuffles, windows)
     "q_agg_group", "q_window_rank", "q_topk_per_group", "q_join_bucketed",
     "q_profile", "q_zorder", "q_outlier_mad", "q_vocab_build")

@@ -343,6 +343,66 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** MinHash estimator-quality audit: for every verified near-dup rep
+    * pair, the SIGNATURE-estimated Jaccard (fraction of agreeing
+    * signature coordinates — the textbook unbiased MinHash estimator)
+    * against the exact value, both as integer bp, plus the per-pair
+    * absolute error. This is the audit that justifies (or refutes)
+    * tuning LSH parameters from signature agreement alone: at k=16 the
+    * estimator's granularity is 625 bp, and the measured error column
+    * shows exactly what that buys on THIS corpus — before anyone
+    * trusts a k that looked fine on another one.
+    *
+    * All-integer output (`(10⁴·inter) DIV union`, `10⁴·matches DIV k`),
+    * so the audit hash-oracles through the same generated signature
+    * CTEs the dedup oracles replay. Scale shape: identical to
+    * [[minhashNearDup]]'s banded chain (this IS that chain, stopping at
+    * rep level) — the audit costs one extra k-wide coordinate compare
+    * per verified pair. */
+  def minhashEstimate(documents: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, k: Int = 16,
+                      bands: Int = 2, rowsPerBand: Int = 8): DataFrame = {
+    val spark = documents.sparkSession
+    GraftFunctions.register(spark)
+    val docs = documents.select(col(idCol).as("doc_id"),
+      call_function("token_set_hashes62", col(textCol)).as("hsh"))
+    val groups = docs.groupBy("hsh").agg(min("doc_id").as("rep"))
+    val sigs = groups.select(col("rep"), size(col("hsh")).as("sz"),
+      GraftFunctions.minhashSig(spark, col("hsh"), k).as("sig"))
+    val P31 = 2147483647L
+    val banded = sigs.select(col("rep"), col("sz"), explode(array((0 until bands).map { bnd =>
+        val cs = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+          .map(i => element_at(col("sig"), i + 1))
+        val bkey = cs.foldLeft(lit(0L): Column)((acc, m) =>
+          pmod(acc * 131L + pmod(m, lit(P31)), lit(P31)))
+        struct(lit(bnd).as("band"), bkey.as("bkey"))
+      }: _*)).as("bb"))
+      .select(col("rep"), col("sz"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val sizeBound = least(col("x.sz"), col("y.sz")).cast("double") >=
+      greatest(col("x.sz"), col("y.sz")) * lit(threshold - 0.001)
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
+      .filter(col("x.rep") < col("y.rep") && sizeBound)
+      .select(col("x.rep").as("rep_1"), col("y.rep").as("rep_2")).distinct()
+    val sa = groups.join(sigs.select(col("rep"), col("sig")), "rep")
+      .select(col("rep").as("rep_1"), col("hsh").as("ha"), col("sig").as("siga"))
+    val sb = groups.join(sigs.select(col("rep"), col("sig")), "rep")
+      .select(col("rep").as("rep_2"), col("hsh").as("hb"), col("sig").as("sigb"))
+    val inter = GraftFunctions.sortedIntersectSize(spark, col("ha"), col("hb"))
+    val matches = (0 until k).map(i =>
+      when(element_at(col("siga"), i + 1) === element_at(col("sigb"), i + 1), lit(1L))
+        .otherwise(lit(0L))).reduce(_ + _)
+    cand.join(sa, "rep_1").join(sb, "rep_2")
+      .withColumn("inter", inter.cast("long"))
+      .withColumn("nmatch", matches)
+      .filter(round(col("inter").cast("double") /
+        (size(col("ha")) + size(col("hb")) - col("inter")), 4) >= threshold)
+      .select(col("rep_1"), col("rep_2"),
+        expr("(10000 * inter) DIV (size(ha) + size(hb) - inter)").as("exact_bp"),
+        expr(s"(10000 * nmatch) DIV $k").as("est_bp"))
+      .withColumn("err_bp", abs(col("exact_bp") - col("est_bp")))
+      .orderBy("rep_1", "rep_2")
+  }
+
   /** Mean-Reciprocal-Rank audit — the POSITION-sensitive complement to
     * [[annRecall]]: recall@k says WHETHER the exact neighbors surfaced
     * in the ANN candidates; MRR says WHERE. For each probe, the exact
@@ -2065,6 +2125,10 @@ object Similarity {
     "q_ann_matryoshka" -> ((s, d) =>
       annMatryoshka(Tables.embeddings(s, d), "vec_id", "embedding", 0, 32, 64, 10)),
     "q_dedup_minhash" -> ((s, d) => minhashNearDup(Tables.documents(s, d), "doc_id", "text", 0.9)),
+    // estimator-quality audit: signature-agreement Jaccard vs exact,
+    // per verified pair — what k=16 granularity (625 bp) buys HERE
+    "q_minhash_estimate" -> ((s, d) =>
+      minhashEstimate(Tables.documents(s, d), "doc_id", "text", 0.9)),
     // LSH banding-miss audit vs the exact all-pairs ground truth
     // both audits re-gate the ONE memoized scored pair table; outputs
     // are spec-pinned equal to the standalone dedupEval composition
@@ -3332,6 +3396,27 @@ object Similarity {
     // expansion (the shared minhashOracleCtes above). Every intermediate is exact
     // integer arithmetic, so the verified pair set is bit-identical by
     // construction, not probabilistically.
+    // estimator audit over the SAME generated chain: signature
+    // coordinate agreement (m0..m15 equality) vs the exact overlap,
+    // integer bp both sides
+    "q_minhash_estimate" -> (minhashOracleCtes + s""",
+        |estp AS (
+        |  SELECT c.r1, c.r2,
+        |    CAST(len(list_intersect(a.hsh, b.hsh)) AS BIGINT) AS inter,
+        |    CAST(len(a.hsh) AS BIGINT) AS na, CAST(len(b.hsh) AS BIGINT) AS nb,
+        |    CAST(${(0 until 16).map(i => s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END").mkString(" + ")} AS BIGINT) AS nmatch
+        |  FROM cand c
+        |    JOIN grps a ON a.rep = c.r1 JOIN grps b ON b.rep = c.r2
+        |    JOIN sig x ON x.rep = c.r1 JOIN sig y ON y.rep = c.r2)
+        |SELECT rep_1, rep_2, exact_bp, est_bp, abs(exact_bp - est_bp) AS err_bp FROM (
+        |  SELECT r1 AS rep_1, r2 AS rep_2,
+        |    (10000 * inter) // (na + nb - inter) AS exact_bp,
+        |    (10000 * nmatch) // 16 AS est_bp,
+        |    round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jac
+        |  FROM estp)
+        |WHERE jac >= 0.9
+        |ORDER BY rep_1, rep_2""".stripMargin),
+
     "q_dedup_minhash" -> (minhashOracleCtes +
       """
         |SELECT doc_id_1, doc_id_2, jaccard FROM cross_pairs

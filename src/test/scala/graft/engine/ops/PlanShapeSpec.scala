@@ -674,6 +674,29 @@ class PlanShapeSpec extends SparkSuite {
       "candidates must be (block, vk)-keyed:\n" + p.take(2500))
   }
 
+  // r10: the prefix-filter join's whole claim is that candidates meet
+  // on a token-hash equi-join (broadcast df table under the ordering);
+  // a cartesian anywhere would reintroduce exactly the blowup the
+  // prefix filter exists to avoid
+  test("q_jaccard_prefix: candidates meet on the token-hash equi-join, df table broadcasts") {
+    val p = plan("q_jaccard_prefix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no cartesian/nested-loop anywhere:\n" + p.take(2500))
+    assert(p.contains("BroadcastExchange"),
+      "the vocab-df table must broadcast under the ordering:\n" + p.take(2500))
+  }
+
+  // r10: the KN score joins are against a vocab-bounded (Zipf) table —
+  // all three levels must broadcast so the corpus gram stream never
+  // shuffles for the lookup
+  test("q_lm_score_kn: all three LM table levels broadcast under the gram stream") {
+    val p = plan("q_lm_score_kn")
+    assert(p.contains("BroadcastHashJoin"),
+      "LM lookups must be broadcast hash joins:\n" + p.take(2500))
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-side shuffle for a vocab-sized lookup:\n" + p.take(2500))
+  }
+
   // r10: the trained SemDeDup's ONLY nested-loop is the deliberate
   // broadcast-codebook argmax (rows x k model, k broadcast-sized); the
   // pair stage itself must stay a cell-keyed equi self-join

@@ -1140,7 +1140,8 @@ class TextSimilaritySpec extends SparkSuite {
       .jaccardPrefixJoin(docs, "doc_id", "text", 9, 10)
       .as[(Long, Long, Double)].collect().toSet
     graft.engine.functions.GraftFunctions.register(spark)
-    val sets = docs.selectExpr("doc_id", "token_set_hashes62(text) AS hsh")
+    val sets = docs.selectExpr("doc_id",
+      "array_sort(array_distinct(transform(pos_grams(text, 3, true), g -> poly_hash62(g)))) AS hsh")
       .as[(Long, Seq[Long])].collect().toSeq
     val reps = sets.groupBy(_._2).map { case (h, g) => (g.map(_._1).min, h.toSet) }.toSeq
     val want = (for {
