@@ -374,6 +374,52 @@ object Analytics {
       .orderBy("user_id", "session_id")
   }
 
+  /** Concurrency curve over session intervals (the sweep line): at every
+    * boundary instant, how many sessions are open — max concurrent
+    * users, capacity planning, overlap auditing. Sessions are the
+    * [[qSessionize]] 30-min-gap intervals, closed on both ends
+    * (`[start, end+1)` as half-open seconds), so single-event sessions
+    * still contribute one second of presence.
+    *
+    * The running sum is a DISTRIBUTED PREFIX SUM, not a global-order
+    * window (which plans a single-partition WindowExec — the one-reducer
+    * cliff q_ppl_buckets' histogram discipline exists to avoid): the
+    * boundary stream buckets by DAY; per-bucket delta totals form a
+    * dimension-sized table whose exclusive running sum (the bucket's
+    * starting offset) computes on the one tiny table and broadcasts
+    * back; each bucket's interior then runs its own partition-local
+    * window. At 100 TB the day count — not the boundary count — bounds
+    * the only non-partitioned stage. */
+  private val qIntervalCoverage: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, d)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+             col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_s").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).cast("long").as("start_s"),
+           max(col("ts")).cast("long").as("end_s"))
+    val deltas = sess.select(col("start_s").as("t_s"), lit(1L).as("dd"))
+      .unionAll(sess.select((col("end_s") + 1L).as("t_s"), lit(-1L).as("dd")))
+      .groupBy("t_s").agg(sum("dd").as("delta"))
+      .withColumn("bkt", expr("t_s DIV 86400"))
+    val wB = Window
+      .partitionBy(graft.engine.functions.GraftFunctions.constWindowKey(col("bkt")))
+      .orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = deltas.groupBy("bkt").agg(sum("delta").as("btot"))
+      .withColumn("offset", coalesce(sum("btot").over(wB), lit(0L)))
+      .select("bkt", "offset")
+    val wT = Window.partitionBy("bkt").orderBy("t_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.join(broadcast(offsets), "bkt")
+      .select(col("t_s"), col("delta"),
+        (col("offset") + sum("delta").over(wT)).as("n_open"))
+      .orderBy("t_s")
+  }
+
   /** Ordered conversion funnel over the event stream (view → click →
     * purchase): a user reaches stage k only via an event strictly after
     * their stage-k−1 time — the product-analytics staple. Each stage is
@@ -850,6 +896,7 @@ object Analytics {
     "q_asof_join_nearest" -> qAsofNearest,
     "q_asof_join_tolerance" -> qAsofTolerance,
     "q_sessionize" -> qSessionize, "q_window_dist" -> qWindowDist,
+    "q_interval_coverage" -> qIntervalCoverage,
     "q_window_range" -> qWindowRange, "q_agg_minmax_by" -> qAggMinmaxBy,
     "q_lateral_join" -> qLateralJoin, "q_corr_covar" -> qCorrCovar,
     "q_bool_agg" -> qBoolAgg, "q_union_by_name" -> qUnionByName,
@@ -1110,6 +1157,37 @@ object Analytics {
         |          FROM events)))
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    // the sweep line replayed flat: the distributed prefix sum's bucket
+    // decomposition is arithmetic-neutral, so one global running sum is
+    // the exact oracle
+    "q_interval_coverage" ->
+      """WITH sess AS (
+        |  SELECT user_id, session_id,
+        |    CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+        |    CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |    FROM (
+        |      SELECT user_id, event_id, ts,
+        |        CASE WHEN prev_ts IS NULL
+        |               OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM (SELECT user_id, event_id, ts,
+        |              lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |            FROM events)))
+        |  GROUP BY user_id, session_id),
+        |sdeltas AS (
+        |  SELECT t_s, CAST(sum(dd) AS BIGINT) AS delta FROM (
+        |    SELECT start_s AS t_s, 1 AS dd FROM sess
+        |    UNION ALL SELECT end_s + 1, -1 FROM sess)
+        |  GROUP BY t_s)
+        |SELECT t_s, delta,
+        |  CAST(sum(delta) OVER (ORDER BY t_s ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_open
+        |FROM sdeltas ORDER BY t_s""".stripMargin,
 
     "q_window_dist" ->
       """SELECT user_id, event_id, value,

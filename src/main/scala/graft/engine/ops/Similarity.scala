@@ -343,6 +343,46 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** The LSH design S-curve: candidate probability
+    * `P(collide | J) = 1 − (1 − J^r)^b` over a Jaccard grid for a set
+    * of (bands, rows) design points — the table one READS before
+    * committing a parameterization; [[minhashBandStats]] then audits
+    * the chosen point on real data, [[minhashEstimate]] the estimator,
+    * [[dedupEval]] the realized recall: the complete LSH tuning kit.
+    * Powers evaluate as an explicit SQUARING CHAIN (j² → j⁴ → j⁸ → …;
+    * r and b restricted to powers of two) so both engines walk the
+    * identical IEEE multiplication tree, and the probability ships
+    * floored to ppm — hash-oracled with no transcendental anywhere.
+    * Cost: |grid|·|designs| rows of pure projection arithmetic. */
+  def lshSCurve(spark: SparkSession, designs: Seq[(Int, Int)]): DataFrame = {
+    def powChain(x: Column, e: Int): Column = {
+      require(e >= 1 && (e & (e - 1)) == 0, s"power $e must be a power of two")
+      if (e == 1) x else { val h = powChain(x, e / 2); h * h }
+    }
+    val grid = spark.range(1, 20)
+      .select(col("id").as("k"), (col("id").cast("double") / lit(20.0)).as("j"))
+    designs.map { case (b, r) =>
+      val p = lit(1.0) - powChain(lit(1.0) - powChain(col("j"), r), b)
+      grid.select(lit(b.toLong).as("bands"), lit(r.toLong).as("rws"),
+        (col("k") * 5).as("j_pct"),
+        floor(lit(1000000.0) * p).cast("long").as("collide_ppm"))
+    }.reduce(_ unionAll _).orderBy("bands", "rws", "j_pct")
+  }
+
+  /** DuckDB replay of [[lshSCurve]] — the same squaring-chain text. */
+  private def lshSCurveOracleSql(designs: Seq[(Int, Int)]): String = {
+    def powTxt(x: String, e: Int): String =
+      if (e == 1) x else { val h = powTxt(x, e / 2); s"($h * $h)" }
+    designs.map { case (b, r) =>
+      val p = s"(CAST(1.0 AS DOUBLE) - ${powTxt(s"(CAST(1.0 AS DOUBLE) - ${powTxt("j", r)})", b)})"
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rws,
+         |  k * 5 AS j_pct,
+         |  CAST(floor(CAST(1000000.0 AS DOUBLE) * $p) AS BIGINT) AS collide_ppm
+         |FROM (SELECT k, CAST(k AS DOUBLE) / CAST(20.0 AS DOUBLE) AS j
+         |      FROM (SELECT CAST(unnest(range(1, 20)) AS BIGINT) AS k))""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY bands, rws, j_pct"
+  }
+
   /** MinHash estimator-quality audit: for every verified near-dup rep
     * pair, the SIGNATURE-estimated Jaccard (fraction of agreeing
     * signature coordinates — the textbook unbiased MinHash estimator)
@@ -2102,6 +2142,11 @@ object Similarity {
     }),
     "q_lsh_band_stats" -> ((s, d) =>
       minhashBandStats(Tables.documents(s, d), "doc_id", "text")),
+    // the analytic S-curve for the engine's design points (2x8 = the
+    // fixture contract, 2x16 = the k32 recall point, 4x8 = a k32
+    // higher-recall banding) — data-free, pure projection
+    "q_lsh_scurve" -> ((s, _) =>
+      lshSCurve(s, Seq((2, 8), (2, 16), (4, 8)))),
     "q_ann_lsh" -> ((s, d) => annLsh(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     "q_ann_ivf" -> ((s, d) => annIvf(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     "q_ann_ivf_bcast" -> ((s, d) =>
@@ -3399,6 +3444,8 @@ object Similarity {
     // estimator audit over the SAME generated chain: signature
     // coordinate agreement (m0..m15 equality) vs the exact overlap,
     // integer bp both sides
+    "q_lsh_scurve" -> lshSCurveOracleSql(Seq((2, 8), (2, 16), (4, 8))),
+
     "q_minhash_estimate" -> (minhashOracleCtes + s""",
         |estp AS (
         |  SELECT c.r1, c.r2,

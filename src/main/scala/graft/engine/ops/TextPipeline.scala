@@ -2685,6 +2685,38 @@ object TextPipeline {
     scores.orderBy("doc_id")
   }
 
+  /** Per-node triangle counts over the verified near-dup pair graph —
+    * the third graph-structure audit next to degree ([[dedupDegreeHistogram]])
+    * and centrality ([[pairGraphPagerank]]): triangles separate TEMPLATE
+    * FAMILIES (cliquish — every copy near-dups every other, triangle
+    * count ~ degree²) from DRIFT CHAINS (A~B~C but A≁C — zero
+    * triangles), and the two need different canonicalization (families:
+    * keep one representative; chains: re-verify endpoints before
+    * collapsing a whole component through transitivity).
+    *
+    * Each triangle is enumerated exactly once via the oriented edge
+    * list (a < b): wedge join on the middle node + closing-edge
+    * equi-join. Scale shape: wedge fan-out is Σ deg² over ordered
+    * edges, bounded by the pair-stage frequency caps that already
+    * bound the dup graph's degrees; both joins are node-keyed
+    * equi-joins, nothing cartesian. */
+  def pairGraphTriangles(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(least(col("doc_id_1"), col("doc_id_2")).as("a"),
+                         greatest(col("doc_id_1"), col("doc_id_2")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val perNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+    val nodes = pairs.select(col("doc_id_1").as("doc_id"))
+      .unionAll(pairs.select(col("doc_id_2").as("doc_id"))).distinct()
+    nodes.join(perNode, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
   /** Interpolated Kneser-Ney bigram LM table — the standard n-gram
     * smoothing next to [[lmTableBackoff]]'s Stupid Backoff: instead of
     * falling through to raw unigram frequency, the lower-order model is
@@ -3369,6 +3401,9 @@ object TextPipeline {
     }),
     "q_dedup_degree" -> ((s, d) => dedupDegreeHistogram(sharedPairs(s, d))),
     "q_graph_pagerank" -> ((s, d) => pairGraphPagerank(sharedPairs(s, d))),
+    // triangles per node over the same memoized pair graph: template
+    // families (cliquish) vs drift chains (triangle-free)
+    "q_graph_triangles" -> ((s, d) => pairGraphTriangles(sharedPairs(s, d))),
     // Kneser-Ney: table trained on the even-id half (the backoff-LM
     // split), scores over the whole corpus; all-integer fixed point
     "q_lm_table_kn" -> ((s, d) =>
@@ -4226,6 +4261,32 @@ object TextPipeline {
         |  UNION ALL SELECT doc_id_2 FROM all_pairs),
         |deg AS (SELECT doc_id, count(*) AS degree FROM touched GROUP BY doc_id)
         |SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree ORDER BY degree""".stripMargin),
+
+    // oriented-edge triangle enumeration over the same pair-graph CTEs:
+    // wedge join + closing edge, each triangle counted once, zero-
+    // triangle graph nodes surfaced via the left join
+    "q_graph_triangles" -> (Similarity.minhashOracleCtes +
+      """,
+        |all_pairs AS (
+        |  SELECT doc_id_1, doc_id_2 FROM cross_pairs
+        |  UNION ALL SELECT doc_id_1, doc_id_2 FROM within_pairs),
+        |te AS MATERIALIZED (
+        |  SELECT DISTINCT least(doc_id_1, doc_id_2) AS a,
+        |    greatest(doc_id_1, doc_id_2) AS b
+        |  FROM all_pairs WHERE doc_id_1 <> doc_id_2),
+        |tri AS MATERIALIZED (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM te e1 JOIN te e2 ON e1.b = e2.a
+        |             JOIN te e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pern AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |  SELECT x AS doc_id FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri) GROUP BY doc_id),
+        |tnodes AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_id_1 AS doc_id FROM all_pairs
+        |  UNION ALL SELECT doc_id_2 FROM all_pairs))
+        |SELECT n.doc_id, coalesce(p.n_triangles, 0) AS n_triangles
+        |FROM tnodes n LEFT JOIN pern p USING (doc_id) ORDER BY doc_id""".stripMargin),
 
     // scaled-integer power iteration over the same pair-graph CTEs the
     // degree oracle replays: per-edge floor division then integer sums,
