@@ -407,4 +407,33 @@ class AnalyticsSpec extends SparkSuite {
     assert(rows.forall { case (n, m, a, s) =>
       math.abs(n - m) > 2.0 * a && s > 0.0 })
   }
+
+  // r10: sweep-line invariants — the curve must genuinely overlap (the
+  // vacuity rule: a coverage op whose max is 1 never exercised
+  // concurrency), never go negative, and CLOSE (every +1 has its −1, so
+  // the final boundary's running sum is exactly 0). The distributed
+  // prefix sum reconciles against a driver-side flat scan.
+  test("q_interval_coverage: overlaps exist, curve never negative, closes at zero") {
+    val rows = run("q_interval_coverage")
+      .as[(Long, Long, Long)].collect()   // (t_s, delta, n_open) ordered by t_s
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).max >= 2, "fixture must contain CONCURRENT sessions")
+    assert(rows.forall(_._3 >= 0), "open-session count can never be negative")
+    assert(rows.last._3 == 0, s"every session must close: final n_open=${rows.last._3}")
+    // flat replication of the bucketed prefix sum
+    var acc = 0L
+    rows.foreach { case (_, d, n) => acc += d; assert(acc == n, s"prefix sum diverges at $n") }
+  }
+
+  // r10: both triangle regimes must be real — cliquish template
+  // families AND triangle-free drift chains — or the canonicalization
+  // signal the operator exists for is vacuous. Triangle count identity:
+  // the per-node sum is 3x the number of triangles.
+  test("q_graph_triangles: cliques and chains both present; per-node sum = 3 * triangles") {
+    val rows = run("q_graph_triangles").as[(Long, Long)].collect()
+    assert(rows.exists(_._2 == 0), "a triangle-free (chain) node must exist")
+    assert(rows.exists(_._2 > 0), "a triangle-rich (family) node must exist")
+    assert(rows.map(_._2).sum % 3 == 0,
+      "each triangle contributes exactly once to each of its three nodes")
+  }
 }
