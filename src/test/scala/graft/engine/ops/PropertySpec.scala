@@ -294,4 +294,58 @@ class PropertySpec extends SparkSuite {
         total >= nodes.size * 1000000L - maxLoss
     })
   }
+
+  // r10: the deletion-neighborhood strategy is result-identical to the
+  // quadratic block join on RANDOM short strings — the adversarial
+  // cases (equal strings, pure inserts/deletes at every position,
+  // same-block collisions) that a fixture can't systematically cover.
+  private val fuzzyRecords: Gen[List[(Long, String, Int)]] = {
+    val word = Gen.chooseNum(2, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("abc".toSeq)).map(_.mkString))
+    Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 10000L), word, Gen.chooseNum(0, 2)))
+      .map(_.groupBy(_._1).map(_._2.head).toList) // unique ids
+  }
+
+  test("fuzzyMatch deletion path equals the block join on random strings (5 iters)") {
+    check("fuzzy-del1", 5)(Prop.forAll(fuzzyRecords) { recs =>
+      val df = recs.toDF("id", "s", "blk")
+      def pairs(d: org.apache.spark.sql.DataFrame) =
+        d.as[(Long, Long, String, String, Long)].collect().toSet
+      pairs(TextPipeline.fuzzyMatch(df, "id", "s", Seq("blk"), 1)) ==
+        pairs(TextPipeline.fuzzyMatchBlockJoin(df, "id", "s", Seq("blk"), 1))
+    })
+  }
+
+  // r10: prefix-filter completeness on RANDOM token sets (shingleK=1 —
+  // the token-set form, so the law covers the regime the fixture
+  // binding does not): the candidate equi-join must reproduce the
+  // brute-force J >= 0.8 pair set over set representatives exactly.
+  private val tokenDocs: Gen[List[(Long, String)]] = {
+    val tok = Gen.chooseNum(0, 25).map(i => s"t$i")
+    val doc = Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, tok).map(_.distinct.mkString(" ")))
+    Gen.listOfN(30, doc).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+  }
+
+  test("jaccardPrefixJoin(shingleK=1) equals brute force on random token sets (5 iters)") {
+    check("prefix-join", 5)(Prop.forAll(tokenDocs) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val got = TextPipeline.jaccardPrefixJoin(df, "doc_id", "text", 8, 10, shingleK = 1)
+        .as[(Long, Long, Double)].collect().toSet
+      val sets = docs.map { case (i, t) =>
+        (i, t.split(" ").filter(_.nonEmpty).toSet)
+      }
+      val reps = sets.groupBy(_._2).map { case (s, g) => (g.map(_._1).min, s) }.toList
+      val want = (for {
+        (i, si) <- reps; (j, sj) <- reps
+        if i < j
+        inter = (si & sj).size.toDouble
+        union = si.size + sj.size - inter
+        if union > 0
+        jac = BigDecimal(inter / union)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if jac >= 0.8
+      } yield (i, j, jac)).toSet
+      got == want
+    })
+  }
 }
