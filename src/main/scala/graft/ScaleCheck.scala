@@ -85,7 +85,10 @@ object ScaleCheck {
     // the KN score join chain, the trained SemDeDup (bounded cells —
     // should ride the ladder flatter than its literal-codebook twin)
     "q_jaccard_prefix", "q_fuzzy_match2", "q_fuzzy_clusters",
-    "q_lm_score_kn", "q_semantic_dedup_trained",
+    "q_lm_score_kn", "q_semantic_dedup_trained", "q_minhash_estimate",
+    // r10 third wave: the wedge join (quadratic-risk in degree), the
+    // distributed prefix sum (linear control for the sweep line)
+    "q_graph_triangles", "q_interval_coverage",
     // linear controls (wide scans, shuffles, windows)
     "q_agg_group", "q_window_rank", "q_topk_per_group", "q_join_bucketed",
     "q_profile", "q_zorder", "q_outlier_mad", "q_vocab_build")

@@ -295,6 +295,21 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  // r10: the true-twin collapse must be invisible in the answer — the
+  // closed-form per-node triangle counts equal the naive wedge
+  // enumeration on random graphs (dense patches, chains, twins and
+  // singleton classes all occur at 12 nodes / 25 edge draws).
+  test("pairGraphTriangles: twin-collapse closed form equals naive enumeration (8 iters)") {
+    check("triangles", 8)(Prop.forAll(randomEdges) { edges =>
+      val pairs = edges.toDF("doc_id_1", "doc_id_2")
+      val fast = TextPipeline.pairGraphTriangles(pairs)
+        .as[(Long, Long)].collect().toSet
+      val slow = TextPipeline.pairGraphTrianglesNaive(pairs)
+        .as[(Long, Long)].collect().toSet
+      fast == slow
+    })
+  }
+
   // r10: the deletion-neighborhood strategy is result-identical to the
   // quadratic block join on RANDOM short strings — the adversarial
   // cases (equal strings, pure inserts/deletes at every position,
