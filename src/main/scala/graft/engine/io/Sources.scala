@@ -78,6 +78,19 @@ object Sources {
           col("length").as("n_bytes"),
           upper(hex(expr("substring(content, 1, 4)"))).as("magic_hex"))
         .orderBy("file_name")),
+    // Line-oriented text ingest: the rawest corpus shape (one doc per
+    // line, "id<TAB>text") — no footer, no schema, file splits land at
+    // line boundaries, parsing is one narrow executor-side projection.
+    // The Common-Crawl-style ingestion path a text pipeline starts from;
+    // roundtrip proven lossless against the parquet original.
+    "q_source_text" -> ((s, d) => {
+      val dir = ensureText(s, d)
+      s.read.text(dir)
+        .select(
+          split(col("value"), "\t", 2).getItem(0).cast("long").as("doc_id"),
+          split(col("value"), "\t", 2).getItem(1).as("text"))
+        .orderBy("doc_id")
+    }),
     // Schema EVOLUTION read: a landing whose later files carry a column
     // the earlier ones lack (the inevitable fate of any long-lived
     // ingest directory — reference K:43's value schema would have grown
@@ -98,6 +111,25 @@ object Sources {
   /** Two-generation landing: v1 = even docs WITHOUT `source` (the old
     * writer), v2 = odd docs with it (the evolved writer). Materialized
     * once per sfDir fingerprint like the format copies above. */
+  /** One-doc-per-line landing ("id<TAB>text"), materialized once per
+    * sfDir fingerprint like the format copies above. The fixture text is
+    * single-line and tab-free by contract, so the framing is lossless. */
+  private def ensureText(spark: SparkSession, sfDir: String): String = {
+    val srcFile = new java.io.File(sfDir, "documents.parquet")
+    val stamp = java.lang.Long.toHexString(
+      java.util.Objects.hash(sfDir, srcFile.lastModified(), srcFile.length()).toLong & 0xFFFFFFFFL)
+    val tag = new java.io.File(sfDir).getName + "_" + stamp
+    val dir = new java.io.File(s"target/formats/$tag/documents_txt").getAbsolutePath
+    this.synchronized {
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        Tables.load(spark, sfDir, "documents")
+          .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+          .write.mode("overwrite").text(dir)
+      }
+    }
+    dir
+  }
+
   private def ensureEvolved(spark: SparkSession, sfDir: String): String = {
     val srcFile = new java.io.File(sfDir, "documents.parquet")
     val stamp = java.lang.Long.toHexString(
@@ -122,6 +154,8 @@ object Sources {
     "q_source_csv" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_source_text" ->
+      """SELECT doc_id, text FROM documents ORDER BY doc_id""".stripMargin,
     "q_source_json" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
