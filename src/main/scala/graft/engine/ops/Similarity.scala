@@ -343,6 +343,38 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Multi-probe LSH ANN (Lv et al.): probe the query's bucket AND every
+    * bucket at Hamming distance 1 within each band (the 4 single-bit
+    * flips of the 4-bit band key) — the recall of many more hash tables
+    * for ~5× PROBES against the SAME index: no index growth, no extra
+    * corpus pass, and the flip enumeration is query-side only (a
+    * 20-row broadcast). Near vectors' signature disagreements
+    * concentrate on few bits, so the distance-1 buckets hold most of
+    * what the exact bucket misses; candidates are a strict superset of
+    * [[annLsh]]'s, so the top-k can only improve (spec-pinned). */
+  def annLshMultiprobe(vectors: DataFrame, idCol: String, vecCol: String,
+                       queryId: Long, k: Int): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol).withColumn("sig", lshSig(col("embedding")))
+    val bands = e.select(col("vec_id"), col("embedding"), col("sig"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * 4).bitwiseAND(0xF).as("band_key"))): _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"),
+              col("bb.band").as("band"), col("bb.band_key").as("band_key"))
+    val q0 = bands.filter(col("vec_id") === queryId)
+      .select(col("band"), col("band_key"), col("embedding").as("qe"))
+    val probes = q0.select(col("band"),
+      explode(array((Seq(lit(0)) ++ (0 until 4).map(b => lit(1 << b))).map(m =>
+        col("band_key").bitwiseXOR(m)): _*)).as("band_key"), col("qe"))
+    val cands = bands.join(broadcast(probes), Seq("band", "band_key"))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("embedding"), col("qe")).dropDuplicates("vec_id")
+    cands.select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+  }
+
   /** The LSH design S-curve: candidate probability
     * `P(collide | J) = 1 − (1 − J^r)^b` over a Jaccard grid for a set
     * of (bands, rows) design points — the table one READS before
@@ -2148,6 +2180,9 @@ object Similarity {
     "q_lsh_scurve" -> ((s, _) =>
       lshSCurve(s, Seq((2, 8), (2, 16), (4, 8)))),
     "q_ann_lsh" -> ((s, d) => annLsh(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
+    // distance-1 bucket probing: more recall from the SAME index
+    "q_ann_multiprobe" -> ((s, d) =>
+      annLshMultiprobe(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     "q_ann_ivf" -> ((s, d) => annIvf(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     "q_ann_ivf_bcast" -> ((s, d) =>
       annIvfBroadcast(Tables.embeddings(s, d), "vec_id", "embedding", codebookDf(s), 0, 10)),
@@ -2637,6 +2672,36 @@ object Similarity {
        |  10000 * coalesce(h.n_hit, 0) // 5 AS recall_bp
        |FROM (SELECT DISTINCT q_id FROM exact) q LEFT JOIN hits h USING (q_id)
        |ORDER BY q_id""".stripMargin
+
+  /** q_ann_multiprobe: the annLsh replay with the query's probe set
+    * expanded by the four single-bit band-key flips. */
+  private def annLshMultiprobeOracleSql: String = {
+    val planesList = planes.flatten.mkString("[", ", ", "]")
+    val sigTerms = (0 until NBits).map { j =>
+      val acc = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, 65), i -> CAST(v[i] AS DOUBLE) * p[${j * 64} + i])), (a, b) -> a + b)"
+      s"CASE WHEN $acc > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END"
+    }.mkString("\n      + ")
+    s"""WITH planes AS (SELECT $planesList AS p),
+       |sigs AS (
+       |  SELECT vec_id, embedding AS v, CAST($sigTerms AS BIGINT) AS sig
+       |  FROM embeddings CROSS JOIN planes),
+       |bands AS (
+       |  SELECT vec_id, v, k AS band, (sig >> CAST(k * 4 AS INT)) & 15 AS band_key
+       |  FROM sigs, range(4) t(k)),
+       |q0 AS (SELECT band, band_key, v AS qe FROM bands WHERE vec_id = 0),
+       |qp AS (SELECT band, xor(band_key, CAST(m AS BIGINT)) AS band_key, qe
+       |       FROM q0, unnest([0, 1, 2, 4, 8]) t(m)),
+       |cand AS (
+       |  SELECT DISTINCT b.vec_id, b.v, q.qe
+       |  FROM bands b JOIN qp q USING (band, band_key)
+       |  WHERE b.vec_id <> 0)
+       |SELECT vec_id,
+       |  round(${foldDot("v", "qe")} /
+       |        (sqrt(${foldDot("v", "v")}) * sqrt(${foldDot("qe", "qe")})), 4) AS cos_sim
+       |FROM cand
+       |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+  }
 
   /** q_retrieval_mrr: exact top-1 truth (the simKnn replay at rk=1) left-
     * joined into the ANN ranking replay; reciprocal rank as integer bp. */
@@ -3382,6 +3447,7 @@ object Similarity {
          |  SELECT e.a AS id, w.lab FROM edges e JOIN walk w ON w.id = e.b)
          |SELECT id, min(lab) AS cluster FROM walk GROUP BY id ORDER BY id""".stripMargin,
     "q_ann_lsh" -> annLshOracleSql,
+    "q_ann_multiprobe" -> annLshMultiprobeOracleSql,
     "q_hybrid_rerank" -> hybridRerankOracleSql,
     "q_rank_fusion" -> rankFusionOracleSql,
     "q_ann_ivf" -> annIvfOracleSql,

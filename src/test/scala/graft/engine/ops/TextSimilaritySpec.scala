@@ -521,6 +521,29 @@ class TextSimilaritySpec extends SparkSuite {
       s"only-engine=${(got -- want).take(3)} only-ref=${(want -- got).take(3)}")
   }
 
+  // r10: multi-probe candidates are a strict SUPERSET of the exact-
+  // bucket candidates (probe set contains the exact key), so at every
+  // rank the multi-probe result dominates — and on this fixture the
+  // extra probes genuinely surface neighbors the single bucket misses.
+  test("annLshMultiprobe: dominates annLsh rank-for-rank and finds strictly more") {
+    val emb = graft.engine.io.Tables.embeddings(spark, sfDir)
+    val lsh = Similarity.annLsh(emb, "vec_id", "embedding", 0, 10)
+      .as[(Long, Double)].collect().toSeq
+    val mp = Similarity.annLshMultiprobe(emb, "vec_id", "embedding", 0, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(mp.nonEmpty)
+    lsh.map(_._2).zip(mp.map(_._2)).foreach { case (l, m) =>
+      assert(m >= l, s"multi-probe must dominate at every rank: $m < $l")
+    }
+    // recall vs the exact top-10 must not regress — and the fixture's
+    // probes genuinely add at least one candidate the bucket missed
+    val exact = run("q_sim_cosine").select("vec_id").as[Long].collect().toSet
+    val rLsh = lsh.map(_._1).count(exact) ; val rMp = mp.map(_._1).count(exact)
+    assert(rMp >= rLsh, s"recall must not regress: $rMp < $rLsh")
+    assert(mp.map(_._1).toSet != lsh.map(_._1).toSet || mp.map(_._2).sum > lsh.map(_._2).sum,
+      "the flipped buckets must change the candidate pool on the fixture")
+  }
+
   // r10: MRR must cohere with the retrieval operators it audits — a
   // reciprocal rank of 10000 bp means the ANN ranking's top row IS the
   // exact top-1; rank_found = 0 means the truth id appears nowhere in
