@@ -2108,6 +2108,53 @@ object TextPipeline {
       .withColumn("term_score", floor(col("idf") * col("sat")).cast("long"))
   }
 
+  /** BM25 with a PHRASE-PROXIMITY boost — the first-order fix for BM25's
+    * term-independence blindness: a doc containing the query's words
+    * ADJACENTLY ("join hash" as a phrase) outranks one scattering them,
+    * via a flat integer bonus per occurrence of a query BIGRAM in the
+    * doc. The base score is [[bm25TopK]]'s exact arithmetic (same
+    * helpers, same integer-floored term scores); the bonus is integer,
+    * so the combined ranking still hash-oracles.
+    *
+    * Scale shape: the bigram postings prune under the broadcast
+    * query-bigram set exactly like the unigram postings under the term
+    * set — proximity costs one more narrow gram pass over the corpus,
+    * not a positional index. */
+  def bm25Proximity(documents: DataFrame, idCol: String, textCol: String,
+                    queries: DataFrame, qIdCol: String, qTextCol: String,
+                    k: Int, phraseBonus: Long = 500000L): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
+    val qterms = queries
+      .select(col(qIdCol).as("query_id"), explode(toks(col(qTextCol))).as("token"))
+      .filter(length(col("token")) > 0).distinct()
+    val tokens = documents
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val dl = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+    val base = bm25ScoredPairs(tokens, dl, totals, qterms)
+      .groupBy("query_id", "doc_id")
+      .agg(sum("term_score").as("base_score"), count(lit(1)).as("n_terms"))
+    val qgrams = queries.select(col(qIdCol).as("query_id"),
+        explode(call_function("pos_grams", col(qTextCol), lit(2), lit(true))).as("g"))
+      .distinct()
+    val dgrams = documents.select(col(idCol).as("doc_id"),
+        explode(call_function("pos_grams", col(textCol), lit(2), lit(true))).as("g"))
+      .join(broadcast(qgrams.select("g").distinct()), "g")
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("n_occ"))
+    val bonus = dgrams.join(broadcast(qgrams), "g")
+      .groupBy("query_id", "doc_id")
+      .agg(sum("n_occ").as("ph"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
+    base.join(bonus, Seq("query_id", "doc_id"), "left_outer")
+      .withColumn("phrase_hits", coalesce(col("ph"), lit(0L)))
+      .withColumn("score", col("base_score") + lit(phraseBonus) * col("phrase_hits"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "doc_id", "score", "phrase_hits", "n_terms")
+      .orderBy("query_id", "rk")
+  }
+
   /** The rank half: sum term scores per (query, doc), per-query top-k
     * (a WindowGroupLimit), optional global order. */
   private def bm25RankPairs(scored: DataFrame, k: Int, ordered: Boolean): DataFrame = {
@@ -3458,6 +3505,12 @@ object TextPipeline {
     "q_bm25_topk" -> ((s, d) => {
       import s.implicits._
       bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        bm25FixtureQueries.toDF("query_id", "qtext"), "query_id", "qtext", 10)
+    }),
+    // the phrase-boosted ranking over the same fixture queries
+    "q_bm25_proximity" -> ((s, d) => {
+      import s.implicits._
+      bm25Proximity(Tables.documents(s, d), "doc_id", "text",
         bm25FixtureQueries.toDF("query_id", "qtext"), "query_id", "qtext", 10)
     }),
     // PRF loop over the same fixture queries: 5 feedback docs, 3
@@ -4963,6 +5016,46 @@ object TextPipeline {
         |tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
         |${bm25StageSql("1", "qt")}
         |SELECT query_id, rk, doc_id, score, n_terms FROM ranked1
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    // phrase boost over the SAME generated BM25 stage: ranked1's base
+    // scores + 500000 per query-bigram occurrence, re-ranked
+    "q_bm25_proximity" ->
+      s"""WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext
+        |           FROM (VALUES $bm25QueryValues) AS v(query_id, qtext)),
+        |qt AS (SELECT DISTINCT query_id, token FROM (
+        |         SELECT query_id, unnest(string_split(qtext, ' ')) AS token FROM q)
+        |       WHERE len(token) > 0),
+        |tok AS (SELECT doc_id, token FROM (
+        |          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |        WHERE len(token) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+        |${bm25StageSql("1", "qt")},
+        |qg AS (SELECT DISTINCT query_id, g FROM (
+        |         SELECT query_id, unnest(list_transform(range(1, len(tk)),
+        |                  i -> tk[i] || ' ' || tk[i+1])) AS g
+        |         FROM (SELECT query_id,
+        |                 list_filter(string_split(qtext, ' '), t -> len(t) > 0) AS tk
+        |               FROM q))),
+        |dgo AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS n_occ FROM (
+        |          SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |                   i -> tk[i] || ' ' || tk[i+1])) AS g
+        |          FROM (SELECT doc_id,
+        |                  list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        |                FROM documents))
+        |        GROUP BY doc_id, g),
+        |bon AS (SELECT qg.query_id, dgo.doc_id, CAST(sum(n_occ) AS BIGINT) AS phrase_hits
+        |        FROM dgo JOIN qg USING (g) GROUP BY qg.query_id, dgo.doc_id)
+        |SELECT query_id, rk, doc_id, score, phrase_hits, n_terms FROM (
+        |  SELECT r.query_id, r.doc_id,
+        |    r.score + 500000 * coalesce(b.phrase_hits, 0) AS score,
+        |    coalesce(b.phrase_hits, 0) AS phrase_hits, r.n_terms,
+        |    row_number() OVER (PARTITION BY r.query_id
+        |      ORDER BY r.score + 500000 * coalesce(b.phrase_hits, 0) DESC,
+        |               r.doc_id ASC) AS rk
+        |  FROM ranked1 r LEFT JOIN bon b
+        |    ON r.query_id = b.query_id AND r.doc_id = b.doc_id)
         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
 
     // both retrieval stages come from the SAME generated BM25 CTE block
