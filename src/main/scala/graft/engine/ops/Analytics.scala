@@ -374,6 +374,32 @@ object Analytics {
       .orderBy("user_id", "session_id")
   }
 
+  /** Inter-event gap histogram per user stream — the EVIDENCE behind a
+    * sessionization threshold: the gap distribution is bimodal
+    * (within-session seconds vs between-session hours) and the knee
+    * between the modes is where the cutoff belongs; picking 30 min
+    * without this plot is folklore. Gaps bucket by power-of-4 seconds
+    * (integer `floor(log4)` via length of the base-4 representation —
+    * replayed exactly as a WHILE-free integer ladder), counts per
+    * bucket; the two-mode shape is visible in the fixture. One lag
+    * window per user stream + one dimension-sized aggregate. */
+  private val qSessionGaps: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .withColumn("gap_s", col("ts").cast("long") - col("prev_ts").cast("long"))
+      .withColumn("bucket",
+        when(col("gap_s") <= 0, lit(0L)).otherwise(
+          (1 to 10).foldLeft(lit(0L): Column)((acc, i) =>
+            when(col("gap_s") + 1 >= math.pow(4, i).toLong, lit(i.toLong))
+              .otherwise(acc))))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_gaps"),
+           min("gap_s").as("min_gap_s"), max("gap_s").as("max_gap_s"))
+      .orderBy("bucket")
+  }
+
   /** Concurrency curve over session intervals (the sweep line): at every
     * boundary instant, how many sessions are open — max concurrent
     * users, capacity planning, overlap auditing. Sessions are the
@@ -897,6 +923,7 @@ object Analytics {
     "q_asof_join_tolerance" -> qAsofTolerance,
     "q_sessionize" -> qSessionize, "q_window_dist" -> qWindowDist,
     "q_interval_coverage" -> qIntervalCoverage,
+    "q_session_gaps" -> qSessionGaps,
     "q_window_range" -> qWindowRange, "q_agg_minmax_by" -> qAggMinmaxBy,
     "q_lateral_join" -> qLateralJoin, "q_corr_covar" -> qCorrCovar,
     "q_bool_agg" -> qBoolAgg, "q_union_by_name" -> qUnionByName,
@@ -1157,6 +1184,32 @@ object Analytics {
         |          FROM events)))
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    // power-of-4 gap ladder replayed as the same integer CASE chain
+    "q_session_gaps" ->
+      """WITH g AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) AS gap_s
+        |  FROM (SELECT ts, lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |        FROM events)
+        |  WHERE prev_ts IS NOT NULL),
+        |b AS (
+        |  SELECT gap_s,
+        |    CASE WHEN gap_s <= 0 THEN 0
+        |         WHEN gap_s + 1 >= 1048576 THEN 10
+        |         WHEN gap_s + 1 >= 262144 THEN 9
+        |         WHEN gap_s + 1 >= 65536 THEN 8
+        |         WHEN gap_s + 1 >= 16384 THEN 7
+        |         WHEN gap_s + 1 >= 4096 THEN 6
+        |         WHEN gap_s + 1 >= 1024 THEN 5
+        |         WHEN gap_s + 1 >= 256 THEN 4
+        |         WHEN gap_s + 1 >= 64 THEN 3
+        |         WHEN gap_s + 1 >= 16 THEN 2
+        |         WHEN gap_s + 1 >= 4 THEN 1
+        |         ELSE 0 END AS bucket
+        |  FROM g)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_gaps,
+        |  min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // the sweep line replayed flat: the distributed prefix sum's bucket
     // decomposition is arithmetic-neutral, so one global running sum is
