@@ -169,13 +169,42 @@ object Compaction {
         (sinkFiles(spark, dir, hint).filterNot(m.replaced) ++ m.compacted).sorted
     }
 
+  /** The partition subpath of a file relative to the landing root —
+    * `"lang=en"` for a hive-partitioned sink file, `""` for a root file.
+    * Compacted files encode the subpath in their own path
+    * (`gen=N/<subpath>/bin=i/part-…`), so both kinds resolve. */
+  private[stream] def partSubpath(dir: String, file: String): String = {
+    val root = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+    val p = new org.apache.hadoop.fs.Path(file).toUri.getPath
+    val rel = p.stripPrefix(root).stripPrefix("/")
+    val comps = rel.split("/").dropRight(1).toSeq // drop the filename
+    if (comps.headOption.contains(MetaDir))
+      // _graft_compaction / gen=N [ / partition dirs … ] / bin=i
+      comps.drop(2).takeWhile(!_.startsWith("bin=")).mkString("/")
+    else comps.mkString("/")
+  }
+
+  /** Read an explicit committed-file list with partition columns intact:
+    * SINK files read with `basePath` (their partition values are
+    * directory-encoded), compacted files read plain (their partition
+    * values were materialized INTO the data at rewrite time — reading
+    * them under basePath would misparse `gen=N` as a partition). The
+    * two sides union by name; on an unpartitioned landing both reads
+    * are the trivial identical one. */
+  private def readFiles(spark: SparkSession, dir: String,
+                        files: Seq[String]): DataFrame = {
+    val (meta, sink) = files.partition(_.contains(s"/$MetaDir/"))
+    val parts = Seq(
+      if (sink.nonEmpty) Some(spark.read.option("basePath", dir).parquet(sink: _*)) else None,
+      if (meta.nonEmpty) Some(spark.read.parquet(meta: _*)) else None).flatten
+    require(parts.nonEmpty, s"empty landing at $dir")
+    parts.reduce(_.unionByName(_))
+  }
+
   /** Manifest-aware read of the landing — the reader every downstream
     * batch job should use once compaction is in play. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val files = committedFiles(spark, dir)
-    require(files.nonEmpty, s"empty landing at $dir")
-    spark.read.parquet(files: _*)
-  }
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readFiles(spark, dir, committedFiles(spark, dir))
 
   /** Greedy first-fit-decreasing bin-packing; only bins that merge ≥2
     * files are worth a rewrite. Pure — unit-testable without I/O. */
@@ -210,16 +239,27 @@ object Compaction {
     val sized = view.map { p =>
       p -> f.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen
     }
-    val bins = plan(sized, targetBytes)
+    // PARTITION-AWARE planning: bins never cross a hive partition dir —
+    // a bin mixing lang=en with lang=de would destroy the layout's
+    // pruning story AND lose the directory-encoded partition values.
+    // Each bin's rewrite reads its inputs partition-correctly
+    // ([[readFiles]]) so the partition columns are materialized INTO
+    // the compacted file (constant per file → tight min/max footer
+    // stats, whole-file pruning preserved), and the output lands under
+    // `gen=N/<subpath>/bin=i` so a later generation can re-group it.
+    val bins = sized.groupBy { case (p, _) => partSubpath(dir, p) }
+      .toSeq.sortBy(_._1)
+      .flatMap { case (sub, fsz) => plan(fsz, targetBytes).map(b => (sub, b)) }
     val gen = prior.map(_.gen + 1).getOrElse(1L)
     if (bins.isEmpty) return Result(prior.map(_.gen).getOrElse(0L), 0, view.size, view.size)
-    val rewrittenInputs = bins.flatMap(_.files).toSet
+    val rewrittenInputs = bins.flatMap(_._2.files).toSet
     // each bin: one coalesced read→write job, no shuffle; the output
     // lands under a generation dir so an aborted compaction leaves only
     // unreferenced files (the manifest swap below is the commit point)
-    val outputs = bins.zipWithIndex.map { case (bin, i) =>
-      val outDir = s"$dir/$MetaDir/gen=$gen/bin=$i"
-      val one = spark.read.parquet(bin.files: _*).coalesce(1)
+    val outputs = bins.zipWithIndex.map { case ((sub, bin), i) =>
+      val subSeg = if (sub.isEmpty) "" else s"$sub/"
+      val outDir = s"$dir/$MetaDir/gen=$gen/${subSeg}bin=$i"
+      val one = readFiles(spark, dir, bin.files).coalesce(1)
       val clustered =
         if (sortCols.isEmpty) one
         else one.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
@@ -255,7 +295,7 @@ object Compaction {
   def readAt(spark: SparkSession, dir: String, gen: Long): DataFrame = {
     val m = manifestAt(spark, dir, gen).getOrElse(
       throw new IllegalArgumentException(s"no generation $gen at $dir"))
-    spark.read.parquet(m.snapshot: _*)
+    readFiles(spark, dir, m.snapshot)
   }
 
   /** Threshold policy: compact only when the resolved view carries at
@@ -304,10 +344,23 @@ object Compaction {
         val live: Set[String] = retainedGens.flatMap { g =>
           manifestAt(spark, dir, g).toSeq.flatMap(mm => mm.snapshot ++ mm.compacted)
         }.toSet
-        val GenDir = """gen=(\d+)""".r.unanchored
-        val genOrphans = Option(f.globStatus(
-            new org.apache.hadoop.fs.Path(s"$dir/$MetaDir/gen=*/bin=*/part-*")))
-          .getOrElse(Array.empty).map(_.getPath.toString)
+        val GenDir = """/gen=(\d+)/""".r.unanchored
+        // recursive listing (not a fixed-depth glob): partitioned
+        // landings nest partition dirs between gen=N and bin=i
+        val allGenParts = {
+          val buf = scala.collection.mutable.ArrayBuffer[String]()
+          val meta = new org.apache.hadoop.fs.Path(s"$dir/$MetaDir")
+          if (f.exists(meta)) {
+            val it = f.listFiles(meta, true)
+            while (it.hasNext) {
+              val st = it.next()
+              val p = st.getPath.toString
+              if (st.getPath.getName.startsWith("part-") && p.contains("/gen=")) buf += p
+            }
+          }
+          buf.toSeq
+        }
+        val genOrphans = allGenParts
           .filter {
             case GenDir(g) => g.toLong <= m.gen // never touch in-flight gens
             case _         => false

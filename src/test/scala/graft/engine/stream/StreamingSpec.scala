@@ -1765,6 +1765,41 @@ class StreamingSpec extends SparkSuite {
     intercept[Exception](Compaction.readAt(spark, dir, 1L).collect()) // time travel ends at retention
   }
 
+  // r10: compaction on a PARTITIONED landing — bins never cross a
+  // partition dir, the directory-encoded partition values ride into the
+  // compacted files, and no compacted file mixes partitions (the
+  // pruning story survives the rewrite).
+  test("s_sink_compact: partitioned landing compacts within partitions, values and layout intact") {
+    val in = MemoryStream[LDoc](spark)
+    val dir = tmpDir("compact-part-out")
+    val q = Streams.parquetSink(
+      in.toDF().select(col("doc_id"), col("lang"), col("text")),
+      dir, tmpDir("compact-part-ckpt"), partitionCols = Seq("lang")).start()
+    (1 to 4).foreach { i =>
+      in.addData(LDoc(i * 2L, ts(i), "en", s"en-${i * 2}"),
+                 LDoc(i * 2L + 1, ts(i), "de", s"de-${i * 2 + 1}"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val before = Compaction.read(spark, dir)
+      .select("doc_id", "lang", "text").as[(Long, String, String)].collect().sorted.toSeq
+    val res = Compaction.compact(spark, dir, targetBytes = 1L << 30)
+    assert(res.binsRewritten == 2, s"one bin per partition: $res")
+    val after = Compaction.committedFiles(spark, dir)
+    assert(after.size == 2, s"two partitions -> two files: ${after.size}")
+    val rows = Compaction.read(spark, dir)
+      .select("doc_id", "lang", "text").as[(Long, String, String)].collect().sorted.toSeq
+    assert(rows == before, "partition values must ride into the compacted files")
+    after.foreach { p =>
+      val langs = spark.read.parquet(p).select("lang").distinct().as[String].collect()
+      assert(langs.length == 1, s"a compacted file must not mix partitions: $p -> ${langs.toSeq}")
+    }
+    assert(Compaction.vacuum(spark, dir) > 0, "vacuum must reclaim the per-batch files")
+    val postVac = Compaction.read(spark, dir)
+      .select("doc_id", "lang", "text").as[(Long, String, String)].collect().sorted.toSeq
+    assert(postVac == before, "post-vacuum read must serve the identical row set")
+  }
+
   // file sink + partitionBy: the landing layout downstream scans prune
   // on, written by the same exactly-once manifest path
   test("s_stream_file_sink lands a partitioned layout that a filtered read prunes") {
