@@ -86,9 +86,11 @@ object ScaleCheck {
     // should ride the ladder flatter than its literal-codebook twin)
     "q_jaccard_prefix", "q_fuzzy_match2", "q_fuzzy_clusters",
     "q_lm_score_kn", "q_semantic_dedup_trained", "q_minhash_estimate",
-    // r10 third wave: the wedge join (quadratic-risk in degree), the
-    // distributed prefix sum (linear control for the sweep line)
-    "q_graph_triangles", "q_interval_coverage",
+    // r10 third wave: the twin-collapse triangle count, the distributed
+    // prefix sum (linear control for the sweep line), the double-pass
+    // phrase-boosted retrieval, the multi-probe ANN
+    "q_graph_triangles", "q_interval_coverage", "q_bm25_proximity",
+    "q_ann_multiprobe",
     // linear controls (wide scans, shuffles, windows)
     "q_agg_group", "q_window_rank", "q_topk_per_group", "q_join_bucketed",
     "q_profile", "q_zorder", "q_outlier_mad", "q_vocab_build")
