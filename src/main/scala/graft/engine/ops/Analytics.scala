@@ -353,6 +353,46 @@ object Analytics {
       .orderBy("event_type", "win_start_s")
   }
 
+  /** Sequential changepoint detection — one-sided CUSUM over the hourly
+    * per-type event rate, the monitor that catches a SUSTAINED rate
+    * shift the [[qAnomalyWindows]] point gate cannot (each post-shift
+    * hour may sit inside 2·MAD while their cumulative drift is
+    * unmistakable). The clamped recurrence
+    * `S_t = max(0, S_{t−1} + (n_t − mean))` is NOT a window sum — but
+    * it has the exact closed form `S_t = P_t − min(0, min_{j≤t} P_j)`
+    * over the UNCLAMPED deviation prefix P, so it compiles to two
+    * cumulative windows per type (running sum + running min) instead
+    * of a row-at-a-time recursion. Mean is the integer floor of the
+    * type's total over its hours; everything stays integer, so the
+    * oracle replays exactly.
+    *
+    * Scale: the (type, hour) table is bounded by types × hours — tiny
+    * next to events — and the windows partition by type. */
+  private val qRateCusum: Q = (s, d) => {
+    val wc = Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("win_start_s"),
+        col("event_type"), col("n"))
+    // deviation scaled by the type's hour count so the mean is EXACT
+    // (dev = n·nh − total ⇒ Σdev = 0): an integer-floored mean would
+    // otherwise leak a systematic drift of up to 1 event/hour into the
+    // statistic — at 677 fixture hours that pseudo-drift (~650) was the
+    // same magnitude as a real shift. The readable cusum divides the
+    // scale back out (floor), keeping everything integer-exact.
+    val mean = wc.groupBy("event_type")
+      .agg(sum("n").as("tot"), count(lit(1)).as("nh"))
+    val wOrd = Window.partitionBy("event_type").orderBy("win_start_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wc.join(broadcast(mean), "event_type")
+      .withColumn("dev", col("n") * col("nh") - col("tot"))
+      .withColumn("p", sum("dev").over(wOrd))
+      .withColumn("minp", min("p").over(wOrd))
+      .withColumn("cusum", expr("(p - least(0L, minp)) DIV nh"))
+      .select("event_type", "win_start_s", "n", "cusum")
+      .orderBy("event_type", "win_start_s")
+  }
+
   // -------------------------------------------------------- sessionization
   /** Batch sessionization (gaps-and-islands): events more than 30 min
     * apart per user open a new session; session id is the running count
@@ -931,6 +971,7 @@ object Analytics {
     "q_agg_approx_topk" -> qAggApproxTopK,
     "q_histogram" -> qHistogram, "q_time_window" -> qTimeWindow,
     "q_anomaly_windows" -> qAnomalyWindows,
+    "q_rate_cusum" -> qRateCusum,
     "q_quantile_band" -> qQuantileBand,
     "q_user_extensions" -> qUserExtensions,
     "q_funnel" -> qFunnel, "q_retention" -> qRetention,
@@ -1279,6 +1320,31 @@ object Analytics {
 
     // hourly counts through the same quantile_cont median/MAD replay as
     // q_outlier_mad; counts are BIGINT so the gate cannot diverge
+    // the clamped CUSUM recurrence replayed via its closed form:
+    // running sum minus running min of the unclamped deviation prefix
+    "q_rate_cusum" ->
+      """WITH wc AS (
+        |  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start_s,
+        |         event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |mu AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot,
+        |              CAST(count(*) AS BIGINT) AS nh FROM wc GROUP BY 1),
+        |dv AS (SELECT w.event_type, w.win_start_s, w.n, w.n * m.nh - m.tot AS dev, m.nh
+        |       FROM wc w JOIN mu m USING (event_type)),
+        |pref AS (
+        |  SELECT event_type, win_start_s, n, nh,
+        |    CAST(sum(dev) OVER (PARTITION BY event_type ORDER BY win_start_s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+        |  FROM dv),
+        |pp AS (
+        |  SELECT event_type, win_start_s, n, nh, p,
+        |    CAST(min(p) OVER (PARTITION BY event_type ORDER BY win_start_s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS minp
+        |  FROM pref)
+        |SELECT event_type, win_start_s, n,
+        |  (p - least(CAST(0 AS BIGINT), minp)) // nh AS cusum
+        |FROM pp ORDER BY event_type, win_start_s""".stripMargin,
+
     "q_anomaly_windows" ->
       """WITH wc AS (
         |  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start_s,
