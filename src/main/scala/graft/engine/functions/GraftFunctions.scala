@@ -54,6 +54,9 @@ object GraftFunctions {
     (FunctionIdentifier("token_set_hashes62"),
       new ExpressionInfo(classOf[TokenSetHashes62].getName, "token_set_hashes62"),
       (children: Seq[Expression]) => TokenSetHashes62(children(0))),
+    (FunctionIdentifier("gram_set_hashes62"),
+      new ExpressionInfo(classOf[GramSetHashes62].getName, "gram_set_hashes62"),
+      (children: Seq[Expression]) => GramSetHashes62(children(0), children(1))),
     (FunctionIdentifier("dup_ngram_bp"),
       new ExpressionInfo(classOf[DupNgramBp].getName, "dup_ngram_bp"),
       (children: Seq[Expression]) => DupNgramBp(children(0), children(1))),

@@ -2984,10 +2984,9 @@ object TextPipeline {
     val base = documents.select(col(idCol).as("doc_id"),
       (if (shingleK <= 1)
         call_function("token_set_hashes62", col(textCol))
-      else
-        array_sort(array_distinct(transform(
-          call_function("pos_grams", col(textCol), lit(shingleK), lit(true)),
-          g => call_function("poly_hash62", g))))).as("hsh"))
+      else // native fused pass (value-identical to the interpreted
+           // transform∘pos_grams∘poly_hash62 chain, pinned in FunctionsSpec)
+        call_function("gram_set_hashes62", col(textCol), lit(shingleK))).as("hsh"))
     val grps = base.groupBy("hsh").agg(min("doc_id").as("rep"))
     val toks = grps.select(col("rep"), explode(col("hsh")).as("h"))
     val dfTab = toks.groupBy("h").agg(count(lit(1)).as("df"))

@@ -271,6 +271,33 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("gram_set_hashes62 equals the composed sort∘distinct∘transform∘pos_grams form") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(31)
+    val random = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(40) + 1)(rnd.alphanumeric.take(rnd.nextInt(6) + 1).mkString)
+        .mkString(" "))
+    val edges = Seq("", " ", "a", "a b", "a b c", "a  b  c", " a b c ",
+      "日本 語 日本 語 x", "a b a b a b")
+    val rows = (random ++ edges).toDF("text")
+    for (k <- Seq(2, 3, 5)) {
+      val both = rows.select(
+        call_function("gram_set_hashes62", col("text"), lit(k)).as("fused"),
+        array_sort(array_distinct(transform(
+          call_function("pos_grams", col("text"), lit(k), lit(true)),
+          g => call_function("poly_hash62", g)))).as("composed"))
+      assert(both.filter(col("fused") =!= col("composed")).count() == 0, s"k=$k")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try assert(both.filter(col("fused") =!= col("composed")).count() == 0, s"k=$k interp")
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    assert(spark.sql("SELECT gram_set_hashes62(CAST(NULL AS STRING), 3)").head().isNullAt(0))
+  }
+
   test("token_set_hashes62 equals the composed sort∘distinct∘hash form, incl. edge tokenization") {
     GraftFunctions.register(spark)
     val rnd = new scala.util.Random(23)
