@@ -220,6 +220,46 @@ object Streams {
     store.readBack().filter(r => sourceFilter(r.source) && r.endOffset != "none")
       .sortBy(_.batchId).lastOption.map(_.endOffset)
 
+  /** Input row for [[streamingCusum]]: one pre-aggregated rate
+    * observation per (type, window). */
+  final case class RateRow(event_type: String, win_start_s: Long, n: Long)
+  /** One online CUSUM emission. */
+  final case class CusumHit(event_type: String, win_start_s: Long, n: Long, cusum: Long)
+
+  /** s_stream_cusum: the `q_rate_cusum` sequential changepoint monitor
+    * run ONLINE — which is where a CUSUM belongs: the statistic is a
+    * per-key recurrence, so the keyed state is exactly two longs (the
+    * unclamped deviation prefix and its running minimum) and each
+    * arriving rate observation emits the SAME clamped value the batch
+    * closed form computes (`S = p − min(0, minp)`, spec-pinned equal
+    * across micro-batch boundaries and any batch slicing). Means come
+    * from an OFFLINE-trained `(type → total, n_hours)` table baked into
+    * the plan — the standing-stats discipline every in-stream monitor
+    * here uses (train on history, monitor the live stream); deviations
+    * are scaled by n_hours so the mean is exact, all-integer.
+    * Observations must arrive in window order per key (the upstream
+    * windowed aggregation emits them so); state never grows past two
+    * longs per key — the bounded-state requirement. */
+  def streamingCusum(rates: Dataset[RateRow],
+                     means: Map[String, (Long, Long)]): Dataset[CusumHit] = {
+    import rates.sparkSession.implicits._
+    rates.groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Long, Long), CusumHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[RateRow], state: GroupState[(Long, Long)]) =>
+          val (tot, nh) = means.getOrElse(key, (0L, 1L))
+          var (p, minp) = state.getOption.getOrElse((0L, 0L))
+          val out = rows.toSeq.sortBy(_.win_start_s).map { r =>
+            val dev = r.n * nh - tot
+            p += dev
+            if (p < minp) minp = p
+            CusumHit(key, r.win_start_s, r.n, (p - math.min(0L, minp)) / nh)
+          }
+          state.update((p, minp))
+          out.iterator
+      }
+  }
+
   /** O10: graceful stop — Structured Streaming's `stop()` is
     * batch-boundary safe (no partial commit), the declarative form of
     * `ssc.stop(stopSparkContext, stopGracefully=true)` (K:33). */

@@ -2066,6 +2066,41 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  // r10: the CUSUM changepoint monitor online — two longs of keyed
+  // state reproduce the batch closed form EXACTLY, independent of how
+  // the observation stream slices into micro-batches (incl. a restart
+  // mid-stream via the checkpointed state).
+  test("s_stream_cusum: online keyed state equals the batch closed form across batch slicing") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q_rate_cusum")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(batch.nonEmpty)
+    val rates = batch.map(r => Streams.RateRow(r._1, r._2, r._3))
+    val means = rates.groupBy(_.event_type)
+      .map { case (t, rs) => t -> (rs.map(_.n).sum, rs.size.toLong) }
+    val in = MemoryStream[Streams.RateRow](spark)
+    val out = mutable.ArrayBuffer[(String, Long, Long, Long)]()
+    val q = Streams.streamingCusum(in.toDS(), means)
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("cusum-ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.CusumHit], _: Long) =>
+        out.synchronized {
+          out ++= b.collect().map(h => (h.event_type, h.win_start_s, h.n, h.cusum))
+        }
+        ()
+      }.start()
+    // three time-ordered slices — per-key order preserved, batch
+    // boundaries land mid-series for every key
+    val ordered = rates.sortBy(_.win_start_s)
+    val cut1 = ordered.size / 3; val cut2 = 2 * ordered.size / 3
+    in.addData(ordered.take(cut1): _*); q.processAllAvailable()
+    in.addData(ordered.slice(cut1, cut2): _*); q.processAllAvailable()
+    in.addData(ordered.drop(cut2): _*); q.processAllAvailable()
+    q.stop()
+    assert(out.synchronized(out.sorted.toSeq) == batch.sorted,
+      s"online CUSUM must equal the batch closed form (${out.size} vs ${batch.size} rows)")
+  }
+
   // r10 regression: the inactivity deadline is monotone in the MAX event
   // time seen — a late-but-within-watermark batch whose events predate
   // earlier arrivals must not move the deadline backward and expire the
