@@ -2732,6 +2732,51 @@ object TextPipeline {
     scores.orderBy("doc_id")
   }
 
+  /** Snapshot diff — the dataset-versioning primitive behind every
+    * reproducibility audit ("what changed between the corpus we trained
+    * on and today's?"): a full-outer compare of two corpus versions on
+    * the id, classifying every id as `added` / `removed` / `changed`
+    * (content hash differs) / `kept`. Content identity is the
+    * engine-neutral poly62 hash of the text, so the diff — unlike a
+    * bytes-compare — replays in the oracle and never moves document
+    * BODIES through the join: both sides reduce to (id, hash) first,
+    * and at 100 TB the compare shuffles 16 bytes per row. */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(v1.sparkSession)
+    def keyed(df: DataFrame, tag: String): DataFrame =
+      df.select(col(idCol).as("doc_id"),
+        call_function("poly_hash62", col(textCol)).as(s"h_$tag"))
+    keyed(v1, "a").join(keyed(v2, "b"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_a").isNull, lit("added"))
+          .when(col("h_b").isNull, lit("removed"))
+          .when(col("h_a") =!= col("h_b"), lit("changed"))
+          .otherwise(lit("kept")).as("status"))
+      .orderBy("doc_id")
+  }
+
+  /** Order-free corpus fingerprint — the reproducibility STAMP a
+    * pipeline logs beside every artifact: `(n_docs, xor of per-row
+    * content hashes, sum of hashes mod 2³¹−1)`. XOR and the reduced sum
+    * are commutative/associative, so the stamp is identical at any
+    * parallelism and any row order, and two corpora agreeing on all
+    * three fields differ only by (at least) a simultaneous collision in
+    * two independent folds — the cheap equality check before anyone
+    * runs a full [[snapshotDiff]]. One partial+final aggregate; nothing
+    * shuffles but 24 bytes per partition. (The 31-bit summand keeps the
+    * long sum exact to ~4×10¹² rows; past that, promote the sum leg to
+    * DECIMAL — the xor leg never overflows.) */
+  def corpusFingerprint(documents: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(call_function("poly_hash62",
+        concat_ws("|", col(idCol), col(textCol))).as("h"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(bit_xor(h) AS BIGINT)").as("xor_hash"),
+        expr("pmod(CAST(sum(pmod(h, 2147483647L)) AS BIGINT), 2147483647L)").as("sum_hash"))
+  }
+
   /** Per-node triangle counts over the verified near-dup pair graph —
     * the third graph-structure audit next to degree ([[dedupDegreeHistogram]])
     * and centrality ([[pairGraphPagerank]]): triangles separate TEMPLATE
@@ -3537,6 +3582,19 @@ object TextPipeline {
     // triangles per node over the same memoized pair graph: template
     // families (cliquish) vs drift chains (triangle-free)
     "q_graph_triangles" -> ((s, d) => pairGraphTriangles(sharedPairs(s, d))),
+    // corpus-version diff: v1 lacks every 13th doc (added later), v2
+    // lacks every 7th (removed) and rewrites every 11th (changed) —
+    // all four statuses fire on real rows
+    "q_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.filter(col("doc_id") % 13 =!= 0)
+      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          reverse(col("text"))).otherwise(col("text")))
+      snapshotDiff(v1, v2, "doc_id", "text")
+    }),
+    "q_corpus_fingerprint" -> ((s, d) =>
+      corpusFingerprint(Tables.documents(s, d), "doc_id", "text")),
     // Kneser-Ney: table trained on the even-id half (the backoff-LM
     // split), scores over the whole corpus; all-integer fixed point
     "q_lm_table_kn" -> ((s, d) =>
@@ -3810,6 +3868,17 @@ object TextPipeline {
       |  SELECT doc_id, count(*) AS n_trigrams,
       |    CAST(floor(CAST(sum(sc) AS BIGINT) / count(*)) AS BIGINT) AS lm_score
       |  FROM scored GROUP BY doc_id)""".stripMargin
+
+  /** The poly_hash62 fold over an arbitrary string SQL expression —
+    * the whole-string form of the per-token replay in
+    * `Similarity.minhashDocsSql`. */
+  private def poly62Sql(e: String): String =
+    s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |   list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |  (a, b) -> (a * 31 + b) % 2147483647) * 2147483648
+       | + list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |   list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |  (a, b) -> (a * 37 + b) % 2147483647))""".stripMargin
 
   /** DuckDB replay of the Kneser-Ney count chain (train slice = even-id
     * docs), shared by the table and score oracles. Pure integer
@@ -4719,6 +4788,30 @@ object TextPipeline {
     "q_lm_score_backoff" -> (lmBackoffLmscCtes +
       """
         |SELECT doc_id, n_trigrams, lm_score FROM lmsc ORDER BY doc_id""".stripMargin),
+
+    // the version diff replayed: same slices, same per-side poly62
+    // content hashes, same full-outer classification
+    "q_snapshot_diff" ->
+      s"""WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
+        |v2 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 11 = 0 THEN reverse(text) ELSE text END AS text
+        |       FROM documents WHERE doc_id % 7 <> 0),
+        |k1 AS (SELECT doc_id, ${poly62Sql("text")} AS ha FROM v1),
+        |k2 AS (SELECT doc_id, ${poly62Sql("text")} AS hb FROM v2)
+        |SELECT doc_id,
+        |  CASE WHEN ha IS NULL THEN 'added'
+        |       WHEN hb IS NULL THEN 'removed'
+        |       WHEN ha <> hb THEN 'changed'
+        |       ELSE 'kept' END AS status
+        |FROM k1 FULL OUTER JOIN k2 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_fingerprint" ->
+      s"""WITH hh AS (SELECT ${poly62Sql("(doc_id || '|' || text)")} AS h FROM documents)
+        |SELECT count(*) AS n_docs,
+        |  CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+        |  CAST(CAST(sum(h % 2147483647) AS BIGINT) % 2147483647 AS BIGINT) AS sum_hash
+        |FROM hh""".stripMargin,
 
     // Kneser-Ney table: three uniform-schema levels off the shared
     // count chain
