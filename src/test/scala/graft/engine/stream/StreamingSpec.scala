@@ -2080,9 +2080,10 @@ class StreamingSpec extends SparkSuite {
       .map { case (t, rs) => t -> (rs.map(_.n).sum, rs.size.toLong) }
     val in = MemoryStream[Streams.RateRow](spark)
     val out = mutable.ArrayBuffer[(String, Long, Long, Long)]()
-    val q = Streams.streamingCusum(in.toDS(), means)
+    val ckpt = tmpDir("cusum-ckpt")
+    def start() = Streams.streamingCusum(in.toDS(), means)
       .writeStream.outputMode(OutputMode.Append)
-      .option("checkpointLocation", tmpDir("cusum-ckpt"))
+      .option("checkpointLocation", ckpt)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.CusumHit], _: Long) =>
         out.synchronized {
           out ++= b.collect().map(h => (h.event_type, h.win_start_s, h.n, h.cusum))
@@ -2090,15 +2091,19 @@ class StreamingSpec extends SparkSuite {
         ()
       }.start()
     // three time-ordered slices — per-key order preserved, batch
-    // boundaries land mid-series for every key
+    // boundaries land mid-series for every key — with a KILL between
+    // slice 1 and 2: the (p, minp) state must ride the checkpoint
     val ordered = rates.sortBy(_.win_start_s)
     val cut1 = ordered.size / 3; val cut2 = 2 * ordered.size / 3
-    in.addData(ordered.take(cut1): _*); q.processAllAvailable()
-    in.addData(ordered.slice(cut1, cut2): _*); q.processAllAvailable()
-    in.addData(ordered.drop(cut2): _*); q.processAllAvailable()
-    q.stop()
+    val q1 = start()
+    in.addData(ordered.take(cut1): _*); q1.processAllAvailable()
+    q1.stop(); q1.awaitTermination()
+    val q2 = start()
+    in.addData(ordered.slice(cut1, cut2): _*); q2.processAllAvailable()
+    in.addData(ordered.drop(cut2): _*); q2.processAllAvailable()
+    q2.stop()
     assert(out.synchronized(out.sorted.toSeq) == batch.sorted,
-      s"online CUSUM must equal the batch closed form (${out.size} vs ${batch.size} rows)")
+      s"online CUSUM must equal the batch closed form across a restart (${out.size} vs ${batch.size} rows)")
   }
 
   // r10 regression: the inactivity deadline is monotone in the MAX event
