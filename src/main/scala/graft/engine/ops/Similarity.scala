@@ -1060,6 +1060,35 @@ object Similarity {
       .orderBy("cell", "rnk")
   }
 
+  /** Embedding-space drift audit between two vector cohorts (an old and
+    * a re-embedded corpus, two model versions, two crawl epochs) — the
+    * check to run BEFORE reusing an IVF/PQ index or a trained SemDeDup
+    * codebook against vectors a different process produced: per
+    * dimension, both cohort means (exact integer micro-units, the
+    * kmeansTrain discipline: sum of floored scaled components, floored
+    * mean) and their absolute drift. A shifted dimension means the old
+    * centroids/codebooks no longer tile the new space and every
+    * cell-blocked operator silently loses recall — cheaper to catch in
+    * 64 rows than in a recall audit after the fact.
+    *
+    * Scale: one posexplode + a dim-keyed partial+final aggregate per
+    * cohort; output is dimension-sized. */
+  def embeddingDrift(v1: DataFrame, v2: DataFrame,
+                     idCol: String, vecCol: String): DataFrame = {
+    def dimMeans(df: DataFrame, tag: String): DataFrame =
+      canonVec(df, idCol, vecCol)
+        .select(posexplode(col("embedding")).as(Seq("dim0", "x")))
+        .select((col("dim0") + 1).cast("long").as("dim"), col("x")) // 1-based, oracle convention
+        .groupBy("dim")
+        .agg(expr("sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("s"),
+             count(lit(1)).as("n"))
+        .select(col("dim"),
+          expr("CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)").as(s"mean_$tag"))
+    dimMeans(v1, "a").join(dimMeans(v2, "b"), "dim")
+      .withColumn("drift_x1e6", abs(col("mean_a") - col("mean_b")))
+      .orderBy("dim")
+  }
+
   /** Cell-population balance audit for a trained codebook — the health
     * check to run BEFORE committing an IVF index, cluster-pruned corpus
     * or trained SemDeDup pass: per cell, member count and corpus share
@@ -2324,6 +2353,12 @@ object Similarity {
       semanticDedup(emb, "vec_id", "embedding", 0.35,
         ivfCodebook(emb, "vec_id", "embedding", 3))
     }),
+    // drift between the even- and odd-id cohorts (the two-epoch stand-in)
+    "q_embedding_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      embeddingDrift(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    }),
     // codebook-health audit: per-cell population + corpus share bp —
     // run before committing an IVF/SemDeDup index (skew = stragglers)
     "q_cluster_balance" -> ((s, d) => {
@@ -3417,6 +3452,23 @@ object Similarity {
     "q_ann_ivf_trained" -> annIvfTrainedOracleSql(3),
     "q_semantic_dedup_trained" -> semanticDedupTrainedOracleSql(3),
     "q_cluster_balance" -> clusterBalanceOracleSql(3),
+    // per-dim floored scaled sums then floored means — the kmeansTrain
+    // integer discipline, per cohort
+    "q_embedding_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |ma AS (SELECT CAST(dim AS BIGINT) AS dim,
+        |         CAST(floor(CAST(CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |              / count(*)) AS BIGINT) AS mean_a
+        |       FROM e WHERE vec_id % 2 = 0 GROUP BY dim),
+        |mb AS (SELECT CAST(dim AS BIGINT) AS dim,
+        |         CAST(floor(CAST(CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |              / count(*)) AS BIGINT) AS mean_b
+        |       FROM e WHERE vec_id % 2 = 1 GROUP BY dim)
+        |SELECT dim, mean_a, mean_b, abs(mean_a - mean_b) AS drift_x1e6
+        |FROM ma JOIN mb USING (dim) ORDER BY dim""".stripMargin,
     "q_cluster_prune" -> clusterPruneOracleSql(3, 16),
     "q_pq_train" -> pqTrainOracleSql,
     "q_pq_train_iters" -> pqTrainItersOracleSql,

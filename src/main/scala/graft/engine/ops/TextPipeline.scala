@@ -3070,6 +3070,63 @@ object TextPipeline {
       .orderBy("doc_id_1", "doc_id_2")
   }
 
+  /** The INCREMENTAL face of [[jaccardPrefixJoin]] — the AllPairs R-S
+    * join: an arriving batch checks against the STANDING corpus without
+    * the corpus ever joining itself (the `q_dedup_incremental`
+    * discipline applied to the exact tier). The standing side keeps its
+    * identical-set collapse and its rare-first prefix index built from
+    * ITS OWN shingle dfs; batch docs order their shingles under the
+    * SAME df table (unseen shingles rank rarest at df = 0 — any common
+    * total order preserves the completeness theorem, and the standing
+    * index's statistics are exactly what a deployed index has).
+    * Candidates = batch-prefix × corpus-prefix equi-join under the
+    * length filter; verify exact. Output: every (new doc, standing rep)
+    * pair with J ≥ t — the admission gate's evidence rows.
+    *
+    * Scale: the batch side is small by definition; the corpus-side
+    * prefix index is the standing artifact, rebuilt only by
+    * [[minhashIndexMerge]]-style maintenance, never per batch. */
+  def jaccardPrefixIncremental(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, tNum: Int, tDen: Int,
+      shingleK: Int = 3): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, s"threshold $tNum/$tDen outside (0,1]")
+    graft.engine.functions.GraftFunctions.register(corpus.sparkSession)
+    val threshold = tNum.toDouble / tDen
+    def sets(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      call_function("gram_set_hashes62", col(textCol), lit(shingleK)).as("hsh"))
+    val refGrps = sets(corpus).groupBy("hsh").agg(min("doc_id").as("rep"))
+    val refToks = refGrps.select(col("rep"), explode(col("hsh")).as("h"))
+    val dfTab = refToks.groupBy("h").agg(count(lit(1)).as("df"))
+    def orderedPref(toks: DataFrame, keyCol: String): DataFrame =
+      toks.join(broadcast(dfTab), Seq("h"), "left_outer")
+        .withColumn("dfx", coalesce(col("df"), lit(0L)))
+        .groupBy(keyCol)
+        .agg(array_sort(collect_list(struct(col("dfx"), col("h")))).as("ohs"),
+             count(lit(1)).as("n"))
+        .select(col(keyCol), col("n"),
+          explode(slice(expr("transform(ohs, x -> x.h)"), lit(1),
+            expr(s"n - (($tNum * n + ${tDen - 1}) DIV $tDen) + 1"))).as("h"))
+    val refPref = orderedPref(refToks, "rep")
+    val newSets = sets(batch)
+    val newPref = orderedPref(
+      newSets.select(col("doc_id"), explode(col("hsh")).as("h")), "doc_id")
+    val lenOk = least(col("x.n"), col("y.n")).cast("double") >=
+      greatest(col("x.n"), col("y.n")) * lit(threshold - 0.001)
+    val cand = newPref.as("x").join(refPref.as("y"), Seq("h"))
+      .filter(lenOk)
+      .select(col("x.doc_id").as("doc_id_new"), col("y.rep").as("doc_id_ref"))
+      .distinct()
+    val inter = call_function("sorted_intersect_size", col("sa"), col("sb")).cast("double")
+    cand
+      .join(newSets.select(col("doc_id").as("doc_id_new"), col("hsh").as("sa")), "doc_id_new")
+      .join(refGrps.select(col("rep").as("doc_id_ref"), col("hsh").as("sb")), "doc_id_ref")
+      .withColumn("jaccard",
+        round(inter / (size(col("sa")) + size(col("sb")) - inter), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_new", "doc_id_ref", "jaccard")
+      .orderBy("doc_id_new", "doc_id_ref")
+  }
+
   /** Fuzzy record-linkage: candidate pairs blocked on caller-chosen
     * columns, verified by exact Levenshtein distance ≤ `maxDist` — the
     * typo-tolerant entity-matching primitive (dedup of user-entered
@@ -3609,6 +3666,13 @@ object TextPipeline {
     // rare-token candidates, native merge-walk verify
     "q_jaccard_prefix" -> ((s, d) =>
       jaccardPrefixJoin(Tables.documents(s, d), "doc_id", "text", 9, 10)),
+    // the incremental (R-S) form: arriving batch (>= 250) vs standing
+    // corpus (< 250) at J >= 0.8 — the corpus never self-joins
+    "q_jaccard_prefix_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      jaccardPrefixIncremental(docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", 8, 10)
+    }),
     // distance ≤ 1 within a nation block: names differing in one digit
     // (the r10 deletion-neighborhood path)
     "q_fuzzy_match" -> ((s, d) =>
@@ -3868,6 +3932,22 @@ object TextPipeline {
       |  SELECT doc_id, count(*) AS n_trigrams,
       |    CAST(floor(CAST(sum(sc) AS BIGINT) / count(*)) AS BIGINT) AS lm_score
       |  FROM scored GROUP BY doc_id)""".stripMargin
+
+  /** The sorted distinct 3-shingle poly62 hash sets of a `documents`
+    * slice — the gram_set_hashes62 replay shared by the prefix-join
+    * oracles. `where` is a complete WHERE clause or empty. */
+  private def shingleDocsSql(where: String): String =
+    s"""  SELECT doc_id, list_sort(list_distinct(list_transform(
+       |    list_transform(range(1, len(tk) - 1),
+       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+       |    g -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(g, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |         (a, b) -> (a * 31 + b) % 2147483647) * 2147483648
+       |       + list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(g, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |         (a, b) -> (a * 37 + b) % 2147483647)))) AS hsh
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+       |        FROM documents $where)""".stripMargin
 
   /** The poly_hash62 fold over an arbitrary string SQL expression —
     * the whole-string form of the per-token replay in
@@ -4788,6 +4868,38 @@ object TextPipeline {
     "q_lm_score_backoff" -> (lmBackoffLmscCtes +
       """
         |SELECT doc_id, n_trigrams, lm_score FROM lmsc ORDER BY doc_id""".stripMargin),
+
+    // the R-S prefix join replayed: standing-side reps + dfs, batch
+    // ordered under the same df table (unseen -> 0), cross-side
+    // candidates under the length filter, exact verify
+    "q_jaccard_prefix_incremental" ->
+      s"""WITH s1 AS (
+        |${shingleDocsSql("WHERE doc_id < 250")}),
+        |s2 AS (
+        |${shingleDocsSql("WHERE doc_id >= 250")}),
+        |rg AS (SELECT min(doc_id) AS rep, hsh FROM s1 GROUP BY hsh),
+        |rt AS (SELECT rep, unnest(hsh) AS h FROM rg),
+        |dfi AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM rt GROUP BY h),
+        |rp0 AS (SELECT rep, list(h ORDER BY df, h) AS oh, CAST(count(*) AS BIGINT) AS n
+        |        FROM rt JOIN dfi USING (h) GROUP BY rep),
+        |rp AS (SELECT rep, n,
+        |         unnest(oh[1:CAST(n - ((8 * n + 9) // 10) + 1 AS BIGINT)]) AS h FROM rp0),
+        |nt AS (SELECT doc_id, unnest(hsh) AS h FROM s2),
+        |np0 AS (SELECT doc_id, list(h ORDER BY coalesce(df, 0), h) AS oh,
+        |               CAST(count(*) AS BIGINT) AS n
+        |        FROM nt LEFT JOIN dfi USING (h) GROUP BY doc_id),
+        |np AS (SELECT doc_id, n,
+        |         unnest(oh[1:CAST(n - ((8 * n + 9) // 10) + 1 AS BIGINT)]) AS h FROM np0),
+        |candI AS (SELECT DISTINCT np.doc_id AS dn, rp.rep AS dr
+        |          FROM np JOIN rp USING (h)
+        |          WHERE least(np.n, rp.n) >= greatest(np.n, rp.n) * 0.799)
+        |SELECT doc_id_new, doc_id_ref, jaccard FROM (
+        |  SELECT c.dn AS doc_id_new, c.dr AS doc_id_ref,
+        |    round(CAST(len(list_intersect(a.hsh, b.hsh)) AS DOUBLE) /
+        |          (len(a.hsh) + len(b.hsh) - len(list_intersect(a.hsh, b.hsh))), 4) AS jaccard
+        |  FROM candI c JOIN s2 a ON a.doc_id = c.dn JOIN rg b ON b.rep = c.dr)
+        |WHERE jaccard >= 0.8
+        |ORDER BY doc_id_new, doc_id_ref""".stripMargin,
 
     // the version diff replayed: same slices, same per-side poly62
     // content hashes, same full-outer classification
