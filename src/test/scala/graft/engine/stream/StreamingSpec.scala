@@ -2066,6 +2066,44 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  // r10: the corpus fingerprint IS a streaming operator as written —
+  // xor and the reduced sum are commutative/associative, so the same
+  // declarative aggregate runs over the landing stream in Complete
+  // mode and, at every batch boundary, equals the batch stamp of
+  // everything landed so far (pinned at two checkpoints).
+  test("s_stream_fingerprint: the running stamp equals the batch stamp at every boundary") {
+    val docs = graft.engine.io.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)](spark)
+    val seen = mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = graft.engine.ops.TextPipeline
+      .corpusFingerprint(in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.outputMode(OutputMode.Complete)
+      .option("checkpointLocation", tmpDir("fingerprint-ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= b.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        }
+        ()
+      }.start()
+    def batchStamp(rows: Seq[(Long, String)]): (Long, Long, Long) = {
+      val df = rows.toDF("doc_id", "text")
+      val r = graft.engine.ops.TextPipeline
+        .corpusFingerprint(df, "doc_id", "text").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val cut = docs.size / 2
+    in.addData(docs.take(cut): _*); q.processAllAvailable()
+    in.addData(docs.drop(cut): _*); q.processAllAvailable()
+    q.stop()
+    val stamps = seen.synchronized(seen.toSeq)
+    assert(stamps.size == 2, s"one stamp per batch: $stamps")
+    assert(stamps(0) == batchStamp(docs.take(cut)),
+      "mid-stream stamp must equal the batch stamp of what landed")
+    assert(stamps(1) == batchStamp(docs),
+      "final stamp must equal the whole-corpus batch stamp")
+  }
+
   // r10: the CUSUM changepoint monitor online — two longs of keyed
   // state reproduce the batch closed form EXACTLY, independent of how
   // the observation stream slices into micro-batches (incl. a restart
