@@ -353,6 +353,38 @@ object Analytics {
       .orderBy("event_type", "win_start_s")
   }
 
+  /** Market-basket co-occurrence mining — the association-rules
+    * support/lift primitive over order baskets: part pairs co-ordered
+    * in the same order, kept at minimum support, scored by
+    * `lift = P(p1,p2) / (P(p1)·P(p2))` in exact integer micro-units
+    * (`(10⁶·c12·N) DIV (c1·c2)` — above 10⁶ genuinely associated,
+    * below it anti-associated). The recommendation/substitution signal
+    * a catalog team reads.
+    *
+    * Scale shape: the pair stage is a per-basket self-join BOUNDED by
+    * basket size (TPC-H ≤ 7 items/order; a pathological basket takes
+    * the familiar cap discipline), then partial+final pair counts;
+    * minsup prunes BEFORE the lift join; the item-frequency table is
+    * catalog-sized and broadcasts; N is one scalar broadcast back. */
+  private val qMarketBasket: Q = (s, d) => {
+    val b = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = b.agg(countDistinct("l_orderkey").as("n_orders"))
+    val items = b.groupBy("l_partkey").agg(count(lit(1)).as("c1"))
+    val pairs = b.as("x").join(b.as("y"), "l_orderkey")
+      .filter(col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("p1"), col("y.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 3)
+    pairs
+      .join(broadcast(items.select(col("l_partkey").as("p1"), col("c1").as("n1"))), "p1")
+      .join(broadcast(items.select(col("l_partkey").as("p2"), col("c1").as("n2"))), "p2")
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("c12"),
+        expr("(1000000 * c12 * n_orders) DIV (n1 * n2)").as("lift_x1e6"))
+      .orderBy(col("lift_x1e6").desc, col("p1").asc, col("p2").asc)
+  }
+
   /** Sequential changepoint detection — one-sided CUSUM over the hourly
     * per-type event rate, the monitor that catches a SUSTAINED rate
     * shift the [[qAnomalyWindows]] point gate cannot (each post-shift
@@ -972,6 +1004,7 @@ object Analytics {
     "q_histogram" -> qHistogram, "q_time_window" -> qTimeWindow,
     "q_anomaly_windows" -> qAnomalyWindows,
     "q_rate_cusum" -> qRateCusum,
+    "q_market_basket" -> qMarketBasket,
     "q_quantile_band" -> qQuantileBand,
     "q_user_extensions" -> qUserExtensions,
     "q_funnel" -> qFunnel, "q_retention" -> qRetention,
@@ -1320,6 +1353,22 @@ object Analytics {
 
     // hourly counts through the same quantile_cont median/MAD replay as
     // q_outlier_mad; counts are BIGINT so the gate cannot diverge
+    // basket pairs, minsup prune, integer lift — identical chain
+    "q_market_basket" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |no AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b),
+        |it AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c1 FROM b GROUP BY 1),
+        |pr AS (SELECT x.l_partkey AS p1, y.l_partkey AS p2, CAST(count(*) AS BIGINT) AS c12
+        |       FROM b x JOIN b y USING (l_orderkey)
+        |       WHERE x.l_partkey < y.l_partkey
+        |       GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT p1, p2, c12,
+        |  (1000000 * c12 * no.n_orders) // (i1.c1 * i2.c1) AS lift_x1e6
+        |FROM pr JOIN it i1 ON i1.l_partkey = pr.p1
+        |        JOIN it i2 ON i2.l_partkey = pr.p2
+        |        CROSS JOIN no
+        |ORDER BY lift_x1e6 DESC, p1 ASC, p2 ASC""".stripMargin,
+
     // the clamped CUSUM recurrence replayed via its closed form:
     // running sum minus running min of the unclamped deviation prefix
     "q_rate_cusum" ->
