@@ -353,6 +353,41 @@ object Analytics {
       .orderBy("event_type", "win_start_s")
   }
 
+  /** RFM customer-value segmentation — the mart staple: per customer,
+    * Recency (days since last order against the corpus's latest date),
+    * Frequency (order count) and Monetary value (integer cents —
+    * per-order floor then integer sum, the dsum discipline, so the
+    * aggregate is order-free), each banded 3/2/1 by FIXED business
+    * thresholds into a segment label ("R3F2M1"). Fixed bands are the
+    * honest mart semantics (thresholds are business decisions);
+    * data-driven cuts would reuse the q_ppl_buckets exact-rank
+    * histogram discipline — not a global sort either way.
+    *
+    * Scale: one customer-keyed partial+final aggregate + a 1-row
+    * broadcast of the global max date; banding is pure projection. */
+  private val qRfm: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val cust = o.groupBy("o_custkey")
+      .agg(expr("max(unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 1000000)").as("last_s"),
+           count(lit(1)).as("f_orders"),
+           sum(expr("CAST(floor(o_totalprice * 100.0) AS BIGINT)")).as("m_cents"))
+    val gmax = o.agg(
+      expr("max(unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 1000000)").as("gmax_s"))
+    cust.crossJoin(broadcast(gmax))
+      .withColumn("r_days", expr("(gmax_s - last_s) DIV 86400"))
+      .withColumn("r_band",
+        when(col("r_days") <= 95, 3L).when(col("r_days") <= 258, 2L).otherwise(1L))
+      .withColumn("f_band",
+        when(col("f_orders") >= 11, 3L).when(col("f_orders") >= 8, 2L).otherwise(1L))
+      .withColumn("m_band",
+        when(col("m_cents") >= 281000000L, 3L)
+          .when(col("m_cents") >= 205000000L, 2L).otherwise(1L))
+      .withColumn("segment",
+        concat(lit("R"), col("r_band"), lit("F"), col("f_band"), lit("M"), col("m_band")))
+      .select("o_custkey", "r_days", "f_orders", "m_cents", "segment")
+      .orderBy("o_custkey")
+  }
+
   /** Market-basket co-occurrence mining — the association-rules
     * support/lift primitive over order baskets: part pairs co-ordered
     * in the same order, kept at minimum support, scored by
@@ -1005,6 +1040,7 @@ object Analytics {
     "q_anomaly_windows" -> qAnomalyWindows,
     "q_rate_cusum" -> qRateCusum,
     "q_market_basket" -> qMarketBasket,
+    "q_rfm" -> qRfm,
     "q_quantile_band" -> qQuantileBand,
     "q_user_extensions" -> qUserExtensions,
     "q_funnel" -> qFunnel, "q_retention" -> qRetention,
@@ -1353,6 +1389,27 @@ object Analytics {
 
     // hourly counts through the same quantile_cont median/MAD replay as
     // q_outlier_mad; counts are BIGINT so the gate cannot diverge
+    // same epoch-second recency, per-order floored cents, fixed bands
+    "q_rfm" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |    CAST(max(floor(epoch(o_orderdate))) AS BIGINT) AS last_s,
+        |    count(*) AS f_orders,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS m_cents
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT CAST(max(floor(epoch(o_orderdate))) AS BIGINT) AS gmax_s FROM orders)
+        |SELECT o_custkey, r_days, f_orders, m_cents,
+        |  'R' || r_band || 'F' || f_band || 'M' || m_band AS segment
+        |FROM (
+        |  SELECT o_custkey, (gmax_s - last_s) // 86400 AS r_days, f_orders, m_cents,
+        |    CASE WHEN (gmax_s - last_s) // 86400 <= 95 THEN 3
+        |         WHEN (gmax_s - last_s) // 86400 <= 258 THEN 2 ELSE 1 END AS r_band,
+        |    CASE WHEN f_orders >= 11 THEN 3 WHEN f_orders >= 8 THEN 2 ELSE 1 END AS f_band,
+        |    CASE WHEN m_cents >= 281000000 THEN 3
+        |         WHEN m_cents >= 205000000 THEN 2 ELSE 1 END AS m_band
+        |  FROM c CROSS JOIN g)
+        |ORDER BY o_custkey""".stripMargin,
+
     // basket pairs, minsup prune, integer lift — identical chain
     "q_market_basket" ->
       """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
