@@ -90,7 +90,7 @@ object ScaleCheck {
     // prefix sum (linear control for the sweep line), the double-pass
     // phrase-boosted retrieval, the multi-probe ANN
     "q_graph_triangles", "q_interval_coverage", "q_bm25_proximity",
-    "q_ann_multiprobe",
+    "q_ann_multiprobe", "q_market_basket", "q_jaccard_prefix_incremental",
     // linear controls (wide scans, shuffles, windows)
     "q_agg_group", "q_window_rank", "q_topk_per_group", "q_join_bucketed",
     "q_profile", "q_zorder", "q_outlier_mad", "q_vocab_build")

@@ -295,6 +295,40 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  // r10: versioning-primitive algebra. diff(X, X) is all-kept;
+  // diff(∅ → X) all-added; statuses partition exactly by construction
+  // slices. The fingerprint is row-order and partitioning INVARIANT —
+  // the property that makes it a reproducibility stamp at all.
+  private val randomDocs: Gen[List[(Long, String)]] =
+    Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 60L), Gen.alphaStr.map(_.take(12))))
+      .map(_.groupBy(_._1).map(_._2.head).toList)
+      .suchThat(_.nonEmpty)
+
+  test("snapshotDiff: identity is all-kept; empty-to-X is all-added (5 iters)") {
+    check("diff", 5)(Prop.forAll(randomDocs) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val empty = spark.emptyDataFrame
+        .selectExpr("CAST(0 AS BIGINT) AS doc_id", "'' AS text").limit(0)
+      val self = TextPipeline.snapshotDiff(df, df, "doc_id", "text")
+        .select("status").distinct().as[String].collect().toSeq
+      val grow = TextPipeline.snapshotDiff(empty, df, "doc_id", "text")
+        .select("status").distinct().as[String].collect().toSeq
+      self == Seq("kept") && grow == Seq("added")
+    })
+  }
+
+  test("corpusFingerprint is invariant to row order and partitioning (5 iters)") {
+    check("fingerprint", 5)(Prop.forAll(randomDocs) { docs =>
+      def stamp(df: org.apache.spark.sql.DataFrame) = {
+        val r = TextPipeline.corpusFingerprint(df, "doc_id", "text").head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val df = docs.toDF("doc_id", "text")
+      stamp(df) == stamp(df.orderBy(col("text"))) &&
+        stamp(df) == stamp(df.repartition(7))
+    })
+  }
+
   // r10: the true-twin collapse must be invisible in the answer — the
   // closed-form per-node triangle counts equal the naive wedge
   // enumeration on random graphs (dense patches, chains, twins and
