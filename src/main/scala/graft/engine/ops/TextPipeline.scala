@@ -2777,6 +2777,38 @@ object TextPipeline {
         expr("pmod(CAST(sum(pmod(h, 2147483647L)) AS BIGINT), 2147483647L)").as("sum_hash"))
   }
 
+  /** The TRUE-TWIN decomposition of a pair graph — shared by
+    * [[pairGraphTriangles]] and [[missingLinks]]: nodes with equal
+    * closed neighborhoods collapse into classes (each internally a
+    * clique, members interchangeable); returns `(member(u → cls),
+    * csz(cls → size), cedges(x < y))`, each materialized once (every
+    * table feeds 3–4 consumers, and re-execution would redo the
+    * collect_set neighborhood aggregation — measured 3× the cost). */
+  private def twinDecomposition(pairs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val und = pairs.select(col("doc_id_1").as("u"), col("doc_id_2").as("v"))
+      .filter(col("u") =!= col("v"))
+    val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v"))).distinct()
+    val nbhd = sym.groupBy("u")
+      .agg(array_sort(collect_set(col("v"))).as("nb"))
+      .select(col("u"), array_sort(array_union(col("nb"), array(col("u")))).as("cnb"))
+      .localCheckpoint()
+    val classes = nbhd.groupBy("cnb")
+      .agg(min("u").as("cls"), count(lit(1)).as("csize"))
+    val member = nbhd.join(classes, "cnb").select(col("u"), col("cls"))
+      .localCheckpoint()
+    val csz = classes.select(col("cls"), col("csize")).localCheckpoint()
+    val cedges = sym
+      .join(member.withColumnRenamed("u", "uu").withColumnRenamed("cls", "ca"),
+        col("u") === col("uu"))
+      .join(member.withColumnRenamed("u", "vv").withColumnRenamed("cls", "cb"),
+        col("v") === col("vv"))
+      .filter(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("x"), greatest(col("ca"), col("cb")).as("y"))
+      .distinct()
+      .localCheckpoint()
+    (member, csz, cedges)
+  }
+
   /** Per-node triangle counts over the verified near-dup pair graph —
     * the third graph-structure audit next to degree ([[dedupDegreeHistogram]])
     * and centrality ([[pairGraphPagerank]]): triangles separate TEMPLATE
@@ -2808,33 +2840,7 @@ object TextPipeline {
     * enumerates naively (fixture scale), so the closed form is
     * value-verified end to end. */
   def pairGraphTriangles(pairs: DataFrame): DataFrame = {
-    val und = pairs.select(col("doc_id_1").as("u"), col("doc_id_2").as("v"))
-      .filter(col("u") =!= col("v"))
-    val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v"))).distinct()
-    // closed-neighborhood fingerprint → twin classes (cls = min member).
-    // The decomposition tables are materialized ONCE: member feeds three
-    // consumers and classes four, and each re-execution would redo the
-    // collect_set neighborhood aggregation (measured 5.7 s → 1.9 s at
-    // sf0.01 from these three localCheckpoints alone).
-    val nbhd = sym.groupBy("u")
-      .agg(array_sort(collect_set(col("v"))).as("nb"))
-      .select(col("u"), array_sort(array_union(col("nb"), array(col("u")))).as("cnb"))
-      .localCheckpoint()
-    val classes = nbhd.groupBy("cnb")
-      .agg(min("u").as("cls"), count(lit(1)).as("csize"))
-    val member = nbhd.join(classes, "cnb").select(col("u"), col("cls"))
-      .localCheckpoint()
-    val csz = classes.select(col("cls"), col("csize")).localCheckpoint()
-    // quotient-graph edges (distinct, oriented)
-    val cedges = sym
-      .join(member.withColumnRenamed("u", "uu").withColumnRenamed("cls", "ca"),
-        col("u") === col("uu"))
-      .join(member.withColumnRenamed("u", "vv").withColumnRenamed("cls", "cb"),
-        col("v") === col("vv"))
-      .filter(col("ca") =!= col("cb"))
-      .select(least(col("ca"), col("cb")).as("x"), greatest(col("ca"), col("cb")).as("y"))
-      .distinct()
-      .localCheckpoint() // 3 wedge-join consumers + the neighbor aggregate
+    val (member, csz, cedges) = twinDecomposition(pairs)
     val csym = cedges.unionAll(cedges.select(col("y").as("x"), col("x").as("y")))
     // per-class neighbor aggregates: S1 = Σ b, S2 = Σ C(b,2)
     val nbAgg = csym.join(csz.withColumnRenamed("cls", "y"), "y")
@@ -2867,6 +2873,40 @@ object TextPipeline {
     member.join(perClass, "cls")
       .select(col("u").as("doc_id"), col("n_triangles"))
       .orderBy("doc_id")
+  }
+
+  /** Missing-link audit over the near-dup graph — the RE-VERIFY QUEUE
+    * transitivity suggests: two FAMILIES (twin classes) that are both
+    * similar to the same third family but carry NO edge between them
+    * are exactly where LSH banding most plausibly missed a true pair
+    * (B drifted from A and from C in different bands). Emitted at
+    * family level on the twin-collapsed quotient — (class pair, how
+    * many distinct common neighbor classes, how many doc pairs a
+    * verification pass would cost) — because that is the unit a
+    * re-verify scheduler budgets by; doc-level expansion is the
+    * consumer's explode. Ranked by evidence (common neighbors) first.
+    *
+    * Scale shape: wedges enumerate on the QUOTIENT graph only (the
+    * twin collapse shrinks it to ~#families); the closing-edge
+    * anti-join is class-keyed; nothing touches documents. */
+  def missingLinks(pairs: DataFrame, minCommon: Int = 2): DataFrame = {
+    val (_, csz, cedges) = twinDecomposition(pairs)
+    val csym = cedges.unionAll(cedges.select(col("y").as("x"), col("x").as("y")))
+    // open wedges x–m–z (x < z), closing edge absent
+    val wedges = csym.as("e1")
+      .join(csym.as("e2"),
+        col("e1.y") === col("e2.x") && col("e1.x") < col("e2.y"))
+      .select(col("e1.x").as("a"), col("e2.y").as("c"), col("e1.y").as("m"))
+    val open = wedges.join(cedges,
+        wedges("a") === cedges("x") && wedges("c") === cedges("y"), "left_anti")
+      .groupBy("a", "c").agg(countDistinct("m").as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    open
+      .join(csz.select(col("cls").as("a"), col("csize").as("sa")), "a")
+      .join(csz.select(col("cls").as("c"), col("csize").as("sc")), "c")
+      .select(col("a").as("cls_1"), col("c").as("cls_2"), col("n_common"),
+        (col("sa") * col("sc")).as("verify_pairs"))
+      .orderBy(col("n_common").desc, col("cls_1").asc, col("cls_2").asc)
   }
 
   /** The naive oriented wedge enumeration — retained as the reference
@@ -3639,6 +3679,9 @@ object TextPipeline {
     // triangles per node over the same memoized pair graph: template
     // families (cliquish) vs drift chains (triangle-free)
     "q_graph_triangles" -> ((s, d) => pairGraphTriangles(sharedPairs(s, d))),
+    // the transitivity re-verify queue: family pairs with common
+    // neighbors but no edge — where banding most plausibly missed
+    "q_missing_links" -> ((s, d) => missingLinks(sharedPairs(s, d))),
     // corpus-version diff: v1 lacks every 13th doc (added later), v2
     // lacks every 7th (removed) and rewrites every 11th (changed) —
     // all four statuses fire on real rows
@@ -4543,6 +4586,35 @@ object TextPipeline {
         |  UNION ALL SELECT doc_id_2 FROM all_pairs),
         |deg AS (SELECT doc_id, count(*) AS degree FROM touched GROUP BY doc_id)
         |SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree ORDER BY degree""".stripMargin),
+
+    // the twin decomposition replayed flat (closed-neighborhood lists as
+    // group keys), quotient wedges, anti-joined closing edge
+    "q_missing_links" -> (Similarity.minhashOracleCtes +
+      """,
+        |all_pairs AS (
+        |  SELECT doc_id_1, doc_id_2 FROM cross_pairs
+        |  UNION ALL SELECT doc_id_1, doc_id_2 FROM within_pairs),
+        |se AS (SELECT doc_id_1 AS u, doc_id_2 AS v FROM all_pairs WHERE doc_id_1 <> doc_id_2
+        |       UNION SELECT doc_id_2, doc_id_1 FROM all_pairs WHERE doc_id_1 <> doc_id_2),
+        |nbq AS (SELECT u, list_sort(list_distinct(list_append(list(v), u))) AS cnb
+        |        FROM se GROUP BY u),
+        |cg AS (SELECT cnb, CAST(min(u) AS BIGINT) AS cls, CAST(count(*) AS BIGINT) AS csize
+        |       FROM nbq GROUP BY cnb),
+        |mem AS (SELECT nbq.u, cg.cls FROM nbq JOIN cg USING (cnb)),
+        |ce AS (SELECT DISTINCT least(m1.cls, m2.cls) AS x, greatest(m1.cls, m2.cls) AS y
+        |       FROM se JOIN mem m1 ON se.u = m1.u JOIN mem m2 ON se.v = m2.u
+        |       WHERE m1.cls <> m2.cls),
+        |csm AS (SELECT x, y FROM ce UNION ALL SELECT y, x FROM ce),
+        |wg AS (SELECT e1.x AS a, e2.y AS c, e1.y AS m
+        |       FROM csm e1 JOIN csm e2 ON e1.y = e2.x AND e1.x < e2.y),
+        |op AS (SELECT a, c, CAST(count(DISTINCT m) AS BIGINT) AS n_common
+        |       FROM wg ANTI JOIN ce ON wg.a = ce.x AND wg.c = ce.y
+        |       GROUP BY a, c HAVING count(DISTINCT m) >= 2)
+        |SELECT op.a AS cls_1, op.c AS cls_2, n_common,
+        |  CAST(g1.csize * g2.csize AS BIGINT) AS verify_pairs
+        |FROM op JOIN cg g1 ON g1.cls = op.a
+        |        JOIN cg g2 ON g2.cls = op.c
+        |ORDER BY n_common DESC, cls_1 ASC, cls_2 ASC""".stripMargin),
 
     // oriented-edge triangle enumeration over the same pair-graph CTEs:
     // wedge join + closing edge, each triangle counted once, zero-
