@@ -2839,8 +2839,9 @@ object TextPipeline {
     * enumeration on random graphs, and the DuckDB oracle still
     * enumerates naively (fixture scale), so the closed form is
     * value-verified end to end. */
-  def pairGraphTriangles(pairs: DataFrame): DataFrame = {
-    val (member, csz, cedges) = twinDecomposition(pairs)
+  def pairGraphTriangles(pairs: DataFrame,
+      preTwins: Option[(DataFrame, DataFrame, DataFrame)] = None): DataFrame = {
+    val (member, csz, cedges) = preTwins.getOrElse(twinDecomposition(pairs))
     val csym = cedges.unionAll(cedges.select(col("y").as("x"), col("x").as("y")))
     // per-class neighbor aggregates: S1 = Σ b, S2 = Σ C(b,2)
     val nbAgg = csym.join(csz.withColumnRenamed("cls", "y"), "y")
@@ -2889,8 +2890,9 @@ object TextPipeline {
     * Scale shape: wedges enumerate on the QUOTIENT graph only (the
     * twin collapse shrinks it to ~#families); the closing-edge
     * anti-join is class-keyed; nothing touches documents. */
-  def missingLinks(pairs: DataFrame, minCommon: Int = 2): DataFrame = {
-    val (_, csz, cedges) = twinDecomposition(pairs)
+  def missingLinks(pairs: DataFrame, minCommon: Int = 2,
+      preTwins: Option[(DataFrame, DataFrame, DataFrame)] = None): DataFrame = {
+    val (_, csz, cedges) = preTwins.getOrElse(twinDecomposition(pairs))
     val csym = cedges.unionAll(cedges.select(col("y").as("x"), col("x").as("y")))
     // open wedges x–m–z (x < z), closing edge absent
     val wedges = csym.as("e1")
@@ -3415,6 +3417,32 @@ object TextPipeline {
     memoizedPairs(s, d + "|full") {
       Similarity.minhashNearDup(Tables.documents(s, d), "doc_id", "text", 0.9, ordered = false)
     }
+  /** The twin decomposition of [[sharedPairs]], memoized like the graph
+    * it derives from: triangles and the missing-link queue both consume
+    * the identical (member, csz, cedges) tables, and the decomposition's
+    * collect_set neighborhood pass is the expensive part of either —
+    * one build per session (the frames are already localCheckpoint-
+    * materialized by construction, so the memo stores handles, not
+    * lineage). Stopped-session entries purge on the next call. */
+  private val twinMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (java.lang.ref.WeakReference[SparkSession], (DataFrame, DataFrame, DataFrame))]()
+  private def sharedTwins(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val it = twinMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val owner = it.next().getValue._1.get()
+      if (owner == null || owner.sparkContext.isStopped) it.remove()
+    }
+    val key = sessionKey(s) + "|" + d + "|twins"
+    val existing = twinMemo.get(key)
+    if (existing != null) existing._2
+    else {
+      val built = twinDecomposition(sharedPairs(s, d))
+      val prev = twinMemo.putIfAbsent(key,
+        (new java.lang.ref.WeakReference(s), built))
+      if (prev != null) prev._2 else built
+    }
+  }
   /** The CC cluster table over [[sharedPairs]], memoized like the pair
     * graph it derives from: three queries (clusters / canonical /
     * weights) consume the identical fixpoint, so the iterative loop
@@ -3445,6 +3473,7 @@ object TextPipeline {
     "pairs_full" -> (() => sharedPairs(s, d)),
     "clusters" -> (() => sharedClusters(s, d)),
     "pairs_ge10" -> (() => slicePairs(s, d)),
+    "twins" -> (() => { val (_, _, cedges) = sharedTwins(s, d); cedges }),
     "eval_scored" -> (() => Similarity.sharedEvalScores(s, d)))
 
   val queries: Map[String, Q] = Map(
@@ -3678,10 +3707,12 @@ object TextPipeline {
     "q_graph_pagerank" -> ((s, d) => pairGraphPagerank(sharedPairs(s, d))),
     // triangles per node over the same memoized pair graph: template
     // families (cliquish) vs drift chains (triangle-free)
-    "q_graph_triangles" -> ((s, d) => pairGraphTriangles(sharedPairs(s, d))),
+    "q_graph_triangles" -> ((s, d) =>
+      pairGraphTriangles(sharedPairs(s, d), preTwins = Some(sharedTwins(s, d)))),
     // the transitivity re-verify queue: family pairs with common
     // neighbors but no edge — where banding most plausibly missed
-    "q_missing_links" -> ((s, d) => missingLinks(sharedPairs(s, d))),
+    "q_missing_links" -> ((s, d) =>
+      missingLinks(sharedPairs(s, d), preTwins = Some(sharedTwins(s, d)))),
     // corpus-version diff: v1 lacks every 13th doc (added later), v2
     // lacks every 7th (removed) and rewrites every 11th (changed) —
     // all four statuses fire on real rows
