@@ -46,23 +46,38 @@ object GraftSession {
     // Keep scratch under the project workdir instead; SPARK_LOCAL_DIRS,
     // when set by an operator, still takes precedence inside Spark.
     val scratch = new java.io.File("target/sparklocal").getAbsolutePath
-    val spark = builder(s"local[$cores]", cores)
+    val base = builder(s"local[$cores]", cores)
       .config("spark.local.dir", scratch)
-      // Streaming checkpoint writes (offset WAL + commit log, 2/trigger)
-      // default to the FileContext-based manager, whose createAtomic
-      // measures a flat ~35 ms/write on this host's local fs — 4× the
-      // FileSystem-based manager's ~9 ms (probed directly; raw
-      // fsync+rename is 0.3 ms, so this is manager overhead, not disk).
-      // On a POSIX local fs rename is atomic either way, so the cheap
-      // manager is semantics-identical HERE. Cluster deployments on
-      // HDFS/S3 should leave Spark's default: FileContext is what makes
-      // rename-over-existing atomic on HDFS, and that property is load-
-      // bearing for checkpoint correctness there. local() is the
-      // local-mode face of the engine, so the override lives here, not
-      // in builder().
-      .config("spark.sql.streaming.checkpointFileManagerClass",
-        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
-      .getOrCreate()
+    // Streaming checkpoint writes (offset WAL + commit log, 2/trigger)
+    // default to the FileContext-based manager, whose createAtomic
+    // measures a flat ~35 ms/write on this host's local fs — 4× the
+    // FileSystem-based manager's ~9 ms (probed directly; raw
+    // fsync+rename is 0.3 ms, so this is manager overhead, not disk).
+    // On a POSIX local fs rename is atomic either way, so the cheap
+    // manager is semantics-identical HERE — but ONLY here: FileContext
+    // is what makes rename-over-existing atomic on HDFS, and that
+    // property is load-bearing for checkpoint correctness there. So the
+    // override is GATED on the Hadoop default filesystem actually being
+    // the local one (a local() session whose environment points
+    // fs.defaultFS at HDFS/S3 — e.g. a dev box with a live
+    // HADOOP_CONF_DIR — keeps Spark's safe default, because a relative
+    // checkpointLocation would resolve onto that remote fs). Env
+    // override SPARK_GRAFT_CKPT_FM=fast|default forces either way for
+    // operators who know their checkpoint scheme better than the gate.
+    val defaultFsIsLocal =
+      new org.apache.hadoop.conf.Configuration()
+        .get("fs.defaultFS", "file:///").startsWith("file:")
+    val useFastCkptFm = sys.env.get("SPARK_GRAFT_CKPT_FM") match {
+      case Some("fast") => true
+      case Some("default") => false
+      case _ => defaultFsIsLocal
+    }
+    val withCkpt =
+      if (useFastCkptFm)
+        base.config("spark.sql.streaming.checkpointFileManagerClass",
+          "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
+      else base
+    val spark = withCkpt.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -2944,12 +2944,17 @@ object TextPipeline {
     *
     * with discount D = 3/4. Every probability is the exact rational
     *   [(4·c12 − 3)·T + 3·n1p·ncont] / (4·c1·T)
-    * and ships as `floor(10⁶·p)` computed in INTEGER arithmetic
-    * (`(10⁶·num) DIV den`) — zero floats anywhere, so the oracle
-    * replays bit-exactly. (Magnitude bound: 10⁶·4·c12·T stays under
-    * 2⁶³ while c12·T < 2.3e12 — the fixture ladder is ~5 orders below;
-    * at real corpus scale promote the arithmetic to DECIMAL or
-    * rescale T out of the numerator.)
+    * and ships as `floor(10⁶·p)` computed in exact fixed-point
+    * arithmetic (`(10⁶·num) DIV den` over DECIMAL(38,0)) — zero floats
+    * anywhere, so the oracle replays bit-exactly. DECIMAL promotion
+    * (r10 verdict #4) moves the magnitude ceiling from the old Long
+    * bound (c12·T < 2.3e12 — within reach of a real corpus) to
+    * 10⁶·4·c12·T < 10³⁸, i.e. c12·T < 2.5e31 — past any physical
+    * corpus (10¹⁴ bigram tokens × 10¹⁴ types is 10²⁸). The absurd
+    * regime FAILS LOUDLY instead of wrapping: a decimal overflow
+    * yields NULL under non-ANSI semantics, and the expression guards
+    * every computed probability with `raise_error` on NULL
+    * ([[KnFixedPointSql]], property-tested at adversarial magnitudes).
     *
     * Table rows (uniform integer schema `(ngram, level, a, b)`):
     *  - level 2: seen bigram "w1 w2", a = floor(10⁶·p_kn), b = 0
@@ -2964,6 +2969,20 @@ object TextPipeline {
     * the table is vocab-sized and broadcasts at score time (the
     * train-on-sample / score-everything discipline the backoff LM and
     * classifier already follow). */
+  /** The seen-bigram KN fixed point `floor(10⁶·p_kn)` over columns
+    * (c12, c1, n1p, ncont, t), in DECIMAL(38,0) with a raise_error
+    * guard on overflow-NULL (the inner joins make every input non-null,
+    * so NULL here can ONLY mean the 10³⁸ ceiling was breached).
+    * Factored out so the overflow property test evaluates the exact
+    * production expression against BigInt reference arithmetic. */
+  private[engine] val KnFixedPointSql: String = {
+    val p = "(1000000 * ((4 * CAST(c12 AS DECIMAL(20,0)) - 3) * t + " +
+      "3 * CAST(n1p AS DECIMAL(20,0)) * ncont)) DIV (4 * CAST(c1 AS DECIMAL(20,0)) * t)"
+    s"""CASE WHEN ($p) IS NULL
+       |  THEN CAST(raise_error('lmTableKn: KN fixed point overflowed DECIMAL(38,0) — c12*T breached 2.5e31; rescale T') AS BIGINT)
+       |  ELSE ($p) END""".stripMargin
+  }
+
   def lmTableKn(documents: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.engine.functions.GraftFunctions.register(documents.sparkSession)
     val big = documents.select(
@@ -2976,7 +2995,7 @@ object TextPipeline {
     val tot = big.agg(count(lit(1)).as("t"))
     val seen = big.join(ctx, "w1").join(cont, "w2").crossJoin(broadcast(tot))
       .select(col("g").as("ngram"), lit(2L).as("level"),
-        expr("(1000000 * ((4 * c12 - 3) * t + 3 * n1p * ncont)) DIV (4 * c1 * t)").as("a"),
+        expr(KnFixedPointSql).as("a"),
         lit(0L).as("b"))
     val lvl1 = ctx.select(col("w1").as("ngram"), lit(1L).as("level"),
       col("c1").as("a"), col("n1p").as("b"))
@@ -3012,14 +3031,27 @@ object TextPipeline {
       .join(broadcast(l1), Seq("w1"), "left_outer")
       .join(broadcast(l0), Seq("w2"), "left_outer")
       .select(col("doc_id"),
-        coalesce(col("cond2"), expr(
-          """CASE
-            |  WHEN c1 IS NOT NULL AND ncont IS NOT NULL
-            |    THEN (1000000 * 3 * n1p * ncont) DIV (4 * c1 * t)
-            |  WHEN c1 IS NOT NULL THEN 0L
-            |  WHEN ncont IS NOT NULL THEN (1000000 * ncont) DIV t
-            |  ELSE 0L
-            |END""".stripMargin)).as("sc"))
+        // same DECIMAL(38,0) promotion + loud-overflow guard as the
+        // table build ([[KnFixedPointSql]]): each THEN arm is non-null
+        // by construction, so a NULL sc can only be decimal overflow
+        expr(
+          """CASE WHEN coalesce(cond2,
+            |  CASE
+            |    WHEN c1 IS NOT NULL AND ncont IS NOT NULL
+            |      THEN (1000000 * 3 * CAST(n1p AS DECIMAL(20,0)) * ncont) DIV (4 * CAST(c1 AS DECIMAL(20,0)) * t)
+            |    WHEN c1 IS NOT NULL THEN 0L
+            |    WHEN ncont IS NOT NULL THEN (1000000 * CAST(ncont AS DECIMAL(20,0))) DIV t
+            |    ELSE 0L
+            |  END) IS NULL
+            |  THEN CAST(raise_error('lmScoreKn: KN fixed point overflowed DECIMAL(38,0) — rescale T') AS BIGINT)
+            |  ELSE coalesce(cond2,
+            |  CASE
+            |    WHEN c1 IS NOT NULL AND ncont IS NOT NULL
+            |      THEN (1000000 * 3 * CAST(n1p AS DECIMAL(20,0)) * ncont) DIV (4 * CAST(c1 AS DECIMAL(20,0)) * t)
+            |    WHEN c1 IS NOT NULL THEN 0L
+            |    WHEN ncont IS NOT NULL THEN (1000000 * CAST(ncont AS DECIMAL(20,0))) DIV t
+            |    ELSE 0L
+            |  END) END""".stripMargin).as("sc"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("sc").as("s"))
       .select(col("doc_id"), col("n_bigrams"),
@@ -3424,22 +3456,25 @@ object TextPipeline {
     * one build per session (the frames are already localCheckpoint-
     * materialized by construction, so the memo stores handles, not
     * lineage). Stopped-session entries purge on the next call. */
+  // A strong session handle, deliberately: the memoized DataFrames
+  // already reference the session through their lineage, so a weak ref
+  // here could never clear (r10 advice) — the ONLY eviction that can
+  // work is the isStopped purge on the next call, and the value type
+  // now says so instead of implying GC-based cleanup.
   private val twinMemo =
     new java.util.concurrent.ConcurrentHashMap[String,
-      (java.lang.ref.WeakReference[SparkSession], (DataFrame, DataFrame, DataFrame))]()
+      (SparkSession, (DataFrame, DataFrame, DataFrame))]()
   private def sharedTwins(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val it = twinMemo.entrySet().iterator()
     while (it.hasNext) {
-      val owner = it.next().getValue._1.get()
-      if (owner == null || owner.sparkContext.isStopped) it.remove()
+      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
     }
     val key = sessionKey(s) + "|" + d + "|twins"
     val existing = twinMemo.get(key)
     if (existing != null) existing._2
     else {
       val built = twinDecomposition(sharedPairs(s, d))
-      val prev = twinMemo.putIfAbsent(key,
-        (new java.lang.ref.WeakReference(s), built))
+      val prev = twinMemo.putIfAbsent(key, (s, built))
       if (prev != null) prev._2 else built
     }
   }

@@ -68,6 +68,13 @@ object StreamBench {
   def measure(spark: SparkSession, measured: Int, warmup: Int,
               sinkDir: String, ckptDir: String, mirrorDir: String): Series = {
     import spark.implicits._
+    // recentProgress is a ring buffer capped at numRecentProgressUpdates
+    // (default 100): a warmup+measured total above the cap would SILENTLY
+    // truncate the measured distribution while nBatches still reported
+    // the smaller size (r10 advice). Raise the cap to cover the whole run
+    // before it starts, and hard-assert the series is complete below.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      (warmup + measured + 8).toString)
     val timed = new TimedStore(new Streams.AtomicFileOffsetStore(mirrorDir))
     val mirror = new Streams.DurableOffsetMirror(timed)
     spark.streams.addListener(mirror)
@@ -87,6 +94,9 @@ object StreamBench {
         Thread.sleep(20)
       val prog = q.recentProgress.toSeq
         .filter(p => p.numInputRows > 0 && p.batchId >= warmup)
+      require(prog.size == measured,
+        s"progress series incomplete: ${prog.size} of $measured measured " +
+          "batches present — raise numRecentProgressUpdates above the run length")
       def d(key: String): Seq[Double] =
         prog.map(_.durationMs.getOrDefault(key, 0L).toDouble)
       Series(

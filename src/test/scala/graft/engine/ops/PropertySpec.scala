@@ -397,4 +397,40 @@ class PropertySpec extends SparkSuite {
       got == want
     })
   }
+
+  test("KN fixed point matches BigInt arithmetic at adversarial magnitudes (incl. past the old Long bound)") {
+    // r10 verdict #4: the old pure-Long form wrapped silently once
+    // 10⁶·4·c12·T neared 2⁶³ (c12·T ≈ 2.3e12). The DECIMAL(38,0) form
+    // must agree with exact BigInt arithmetic well past that regime.
+    val rnd = new scala.util.Random(42)
+    def mag(): Long = { // log-uniform in [1, 1e15]
+      val e = rnd.nextDouble() * 15.0
+      math.max(1L, math.pow(10.0, e).toLong)
+    }
+    val rows = (1 to 300).map { _ =>
+      val c12 = mag(); val c1 = c12 + mag(); val n1p = mag()
+      val ncont = mag(); val t = math.max(n1p, ncont) + mag()
+      (c12, c1, n1p, ncont, t)
+    } :+ ((3000000000000L, 4000000000000L, 1000000L, 1000000L, 3000000000000L))
+    // the appended row has c12·T = 9e24 — 12 orders past the old bound
+    val got = rows.toDF("c12", "c1", "n1p", "ncont", "t")
+      .selectExpr("c12", "c1", "n1p", "ncont", "t", s"(${TextPipeline.KnFixedPointSql}) AS a")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    got.foreach { case (c12, c1, n1p, ncont, t, a) =>
+      val want = (BigInt(1000000) * ((4 * BigInt(c12) - 3) * BigInt(t) +
+        3 * BigInt(n1p) * BigInt(ncont))) / (4 * BigInt(c1) * BigInt(t))
+      assert(BigInt(a) == want, s"($c12,$c1,$n1p,$ncont,$t): got $a want $want")
+    }
+  }
+
+  test("KN fixed point fails loudly (raise_error) past the DECIMAL(38,0) ceiling instead of wrapping") {
+    val absurd = Seq((9000000000000000000L, 9000000000000000000L, 1L, 1L,
+      9000000000000000000L)).toDF("c12", "c1", "n1p", "ncont", "t")
+    val ex = intercept[Exception] {
+      absurd.selectExpr(s"(${TextPipeline.KnFixedPointSql}) AS a").collect()
+    }
+    def msgs(e: Throwable): Seq[String] =
+      if (e == null) Nil else Option(e.getMessage).toSeq ++ msgs(e.getCause)
+    assert(msgs(ex).exists(_.contains("overflowed DECIMAL(38,0)")), msgs(ex).mkString(" | "))
+  }
 }
