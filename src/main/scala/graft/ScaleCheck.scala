@@ -1,33 +1,50 @@
 package graft
 import graft.engine.GraftSession
 
-/** Scale-slope audit (r7): times a curated set of the heaviest /
-  * quadratic-risk operators at TWO scale factors (default sf0.01 and
-  * sf0.1 — a 10× data ladder) and records the empirical slope
-  * `t(large) / t(small)` per query, writing `SCALECHECK.json`.
+/** Scale-slope audit (r7, ladder widened each round): times a curated
+  * set of the heaviest / quadratic-risk operators at up to FOUR scale
+  * factors — sf0.01 (1×), sf0.1 (10×), the 3× replica sf0.3 (30×) and,
+  * since r11, the 10× replica sf1 (100×) — and records the empirical
+  * per-rung slopes plus a log-log fitted exponent per query, writing
+  * `SCALECHECK.json`.
   *
   * Purpose: the 100 TB scale claims are otherwise argued from plan
   * shapes (PlanShapeSpec pins partial aggs, broadcast sides, absence of
   * cartesians / single-partition exchanges). This artifact makes them
-  * MEASURED: a blocked/bucketed operator should scale ~linearly in the
-  * data (slope ≲ 10 on a 10× ladder — usually far below, because
-  * fixed per-job scheduling and plan overhead dominates the small
-  * point), while an accidentally quadratic stage shows up as a slope
-  * well past the data growth. Anything past `FlagSlope` lands in the
-  * `flagged` list and owes a writeup or a fix.
+  * MEASURED over two decades of data: a blocked/bucketed operator
+  * should grow ~linearly in the data, while an accidentally quadratic
+  * stage shows up as per-rung growth well past the rung's own data
+  * ratio and as a fitted exponent pushing 2.
+  *
+  * Flags (r10 advice: normalize by the rung's data ratio, so the
+  * threshold measures SUPERLINEARITY rather than data growth — the old
+  * flat `flag_slope_xl: 2.5` sat below the 30× rung's own 3× ratio and
+  * flagged perfectly linear operators by construction):
+  *  - `flagged`: first-rung slope > [[FlagSlope]] (10× data; the
+  *    historical coarse flag, kept for artifact continuity);
+  *  - `superlinear`: fitted exponent > [[FlagExponent]];
+  *  - `flagged_norm`: LAST-rung slope ÷ that rung's data ratio >
+  *    [[FlagRungNorm]] — e.g. on the 30×→100× rung (ratio 10/3) a
+  *    linear operator scores ~1.0 and flags only past ~1.25× faster
+  *    growth than the data.
+  * Exceptions must be DECLARED, not tolerated: [[DeclaredQuadratic]]
+  * (ground-truth audit tiers, O(n²) by design with sampled production
+  * twins) and [[DeclaredXlExempt]] (fixture-shaped trends with a
+  * documented production path).
   *
   * Methodology (see the bench-noise notes in Bench.scala): run1 of a
   * query in a fresh JVM pays codegen/JIT warmup, so each (query, sf)
   * point is timed `Runs` times and scored as the MIN of runs 2.. —
-  * steady state, resistant to co-tenant stalls. The small SF runs
-  * first so its page cache is warm before the large point (both read
-  * the same tables the driver bench reads). Evaluation is the same
-  * noop sink Bench uses — full operator execution, no driver collect.
+  * steady state, resistant to co-tenant stalls. Rungs run smallest
+  * first so the page cache is warm before the larger points. Evaluation
+  * is the same noop sink Bench uses — full operator execution, no
+  * driver collect.
   *
   * Not part of the driver contract — a committed audit artifact.
-  * Usage: `runMain graft.ScaleCheck [q_names...]` (default: the
-  * curated set below); env `SPARK_GRAFT_SF_SMALL` / `SPARK_GRAFT_SF_LARGE`
-  * override the ladder.
+  * Usage: `runMain graft.ScaleCheck [q_names...]` (default: the curated
+  * set below); env `SPARK_GRAFT_SF_SMALL` / `SPARK_GRAFT_SF_LARGE` /
+  * `SPARK_GRAFT_SF_XL` / `SPARK_GRAFT_SF_XXL` override the ladder
+  * (absent xl/xxl dirs degrade to the shorter ladder).
   */
 object ScaleCheck {
   /** Heaviest bench entries + every quadratic-risk family member:
@@ -91,13 +108,18 @@ object ScaleCheck {
     // phrase-boosted retrieval, the multi-probe ANN
     "q_graph_triangles", "q_interval_coverage", "q_bm25_proximity",
     "q_ann_multiprobe", "q_market_basket", "q_jaccard_prefix_incremental",
+    // r11: the recall-repair consumer (queue-bounded expansion + exact
+    // verify — its claim is cost ~ queue, not corpus) and the now
+    // convergence-gated pagerank (rounds are data-dependent; the ladder
+    // pins that the fixpoint loop stays near-linear in the graph)
+    "q_missing_links_verify",
     // linear controls (wide scans, shuffles, windows)
     "q_agg_group", "q_window_rank", "q_topk_per_group", "q_join_bucketed",
     "q_profile", "q_zorder", "q_outlier_mad", "q_vocab_build")
 
   val Runs = 3
-  /** 10× data; slopes beyond this on the ladder mean the operator did
-    * MORE than proportionally more work — quadratic-risk territory. */
+  /** First-rung (10× data) coarse flag: slopes beyond this mean the
+    * operator did MORE than proportionally more work. */
   val FlagSlope = 12.0
 
   /** Ground-truth audit tiers that are O(n²) BY DECLARATION (SURVEY
@@ -116,57 +138,65 @@ object ScaleCheck {
     * ~1.2 once fixed overhead is amortized). */
   val FlagExponent = 1.5
 
-  /** Last-rung slope flag (r9 verdict #4): the sf0.1→sf0.3 rung is 3×
-    * data with fixed overhead already amortized, so a steady-state
-    * operator should grow ≤ ~3×; past 2.5 WITH the first rung already
-    * sublinear-looking is the soft-quadratic signature the old flat
-    * `flag_slope: 12` could never see (r9's q_fuzzy_match measured a
-    * 4.99× rung while passing every old flag). Exceptions must be
-    * DECLARED, not tolerated: [[DeclaredQuadratic]] (audit tiers) plus
-    * [[DeclaredXlExempt]] (fixture-shaped trends with a documented
-    * production path). */
-  val FlagSlopeXl = 2.5
+  /** Normalized last-rung flag (replaces r10's flat `flag_slope_xl`,
+    * per its advice): the last measured rung's slope divided by that
+    * rung's own data ratio. A linear operator scores ~1.0 regardless of
+    * which rung is last; past 1.25 it grew ≥25% faster than the data on
+    * the largest measured decade — the soft-quadratic signature. */
+  val FlagRungNorm = 1.25
 
-  /** Per-entry declared exemptions from [[FlagSlopeXl]] beyond the
+  /** Per-entry declared exemptions from [[FlagRungNorm]] beyond the
     * audit tiers — each with the reason the measured trend is the
     * fixture's, not the operator's:
     *  - `q_semantic_dedup`: the fixture binds the FIXED 8-cell literal
     *    codebook, so cell population grows with the corpus and the
     *    within-cell verify grows with its square. The production path
-    *    (the trained-codebook overload, `q_semantic_dedup_trained` —
-    *    measured rung 2.03× vs the literal twin's 3.19×) grows k with
-    *    the corpus so cell population stays bounded — the operator is
-    *    linear in (n · cell_size); only the 8-cell fixture pin is
-    *    quadratic.
+    *    (the trained-codebook overload, `q_semantic_dedup_trained`)
+    *    grows k with the corpus so cell population stays bounded — the
+    *    operator is linear in (n · cell_size); only the 8-cell fixture
+    *    pin is quadratic.
     *  - `q_fuzzy_match2`: the DECLARED general-maxDist fallback tier —
     *    a blocked self-join whose in-block verify is quadratic by
     *    contract (deletion neighborhoods explode combinatorially past
     *    d=1). The scale path IS `q_fuzzy_match`'s deletion-neighborhood
-    *    strategy (measured rung 1.0–2.2×); at d≥2 a caller at scale
-    *    composes a tighter key into blockCols, exactly as the operator
-    *    scaladoc instructs.
-    *  - `q_missing_links`: rung 2.70× for 3× data with fitted exponent
-    *    0.79 — LINEAR growth whose last rung simply tracks the data
-    *    ratio (the replica fixture triples the family count and the
-    *    quotient wedge stage is linear in families once per-family
-    *    density is fixed), not a quadratic signature; the flag fired
-    *    because 2.5 < the rung's own data ratio 3, and the
-    *    investigation is this note. */
+    *    strategy; at d≥2 a caller at scale composes a tighter key into
+    *    blockCols, exactly as the operator scaladoc instructs.
+    * (r10's `q_missing_links` exemption is GONE: it existed only
+    * because the un-normalized 2.5 threshold sat below the rung's own
+    * 3× data ratio — normalized, its 0.9 is ordinary linear growth.) */
   val DeclaredXlExempt: Set[String] =
-    Set("q_semantic_dedup", "q_fuzzy_match2", "q_missing_links")
+    Set("q_semantic_dedup", "q_fuzzy_match2")
+
+  /** Rungs each query is allowed to skip: the declared-quadratic audit
+    * tiers and the two quadratic-by-fixture exemptions stop at the 30×
+    * rung — at 100× their cost is ~100× the 10× point by design (the
+    * declaration IS that they don't ride the ladder; their sampled /
+    * trained / deletion-neighborhood production twins run the full
+    * ladder in their place). */
+  val XxlSkip: Set[String] = DeclaredQuadratic ++ DeclaredXlExempt
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
     val large = sys.env.getOrElse("SPARK_GRAFT_SF_LARGE", "/root/testdata/sf0.1")
     // third rung (r8 verdict #7): the 3× replica built by MakeScale —
     // two points cannot distinguish linear-with-overhead from
-    // soft-quadratic; the fitted exponent needs curvature. Optional:
-    // absent dir degrades to the 2-point ladder.
+    // soft-quadratic; the fitted exponent needs curvature.
     val xl = sys.env.getOrElse("SPARK_GRAFT_SF_XL", "target/testdata/sf0.3")
-    val haveXl = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(xl))
+    // fourth rung (r10 verdict #1): the 10× replica — a full second
+    // decade, so the 100 TB claims rest on measured curvature, not a 3×
+    // extrapolation. Optional: absent dirs degrade the ladder.
+    val xxl = sys.env.getOrElse("SPARK_GRAFT_SF_XXL", "target/testdata/sf1")
+    def have(d: String) = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val names = if (args.nonEmpty) args.toSeq else Curated
     val spark = GraftSession.local(cpus)
+
+    // (dir, relative data size, json suffix) — suffix "" = the base
+    // t_small/t_large fields, "_xl"/"_xxl" = the replica rungs
+    val ladder: Seq[(String, Double, String)] =
+      Seq((small, 1.0, "small"), (large, 10.0, "large")) ++
+        (if (have(xl)) Seq((xl, 30.0, "xl")) else Nil) ++
+        (if (have(xxl)) Seq((xxl, 100.0, "xxl")) else Nil)
 
     def steady(name: String, sfDir: String): Double = {
       val fn = SparkEntry.queries(name)
@@ -192,13 +222,30 @@ object ScaleCheck {
       num / den
     }
 
-    // relative data sizes: sf0.01 = 1, sf0.1 = 10, sf0.3 = 30
-    val rows = names.map { n =>
-      val ts = steady(n, small)
-      val tl = steady(n, large)
-      val txl = if (haveXl) Some(steady(n, xl)) else None
-      val pts = Seq((1.0, ts), (10.0, tl)) ++ txl.map(t => (30.0, t))
-      (n, ts, tl, txl, tl / ts, fitExponent(pts))
+    val rows: Seq[(String, String)] = names.map { n =>
+      val rungs = ladder.filter { case (_, size, _) => size <= 30.0 || !XxlSkip(n) }
+      val pts: Seq[(Double, Double, String)] = rungs.map { case (d, size, sfx) =>
+        (size, steady(n, d), sfx)
+      }
+      val times = pts.map { case (_, t, sfx) => s""""t_$sfx":${fmt(t)}""" }
+      // per-rung raw slopes (t ratio) for the replica rungs, plus the
+      // normalized last rung: slope ÷ the rung's data ratio
+      val rungSlopes = pts.sliding(2).collect {
+        case Seq((_, tPrev, _), (_, tCur, sfx)) if sfx == "xl" || sfx == "xxl" =>
+          s""""slope_$sfx":${fmt(tCur / tPrev)}"""
+      }.toSeq
+      val normLast = pts.takeRight(2) match {
+        case Seq((szPrev, tPrev, _), (szLast, tLast, _)) =>
+          Some((tLast / tPrev) / (szLast / szPrev))
+        case _ => None
+      }
+      val body = (times ++
+        Seq(s""""slope":${fmt(pts(1)._2 / pts(0)._2)}""") ++
+        rungSlopes ++
+        normLast.map(v => s""""norm_last":${fmt(v)}""").toSeq ++
+        Seq(s""""exponent":${fmt(fitExponent(pts.map(p => (p._1, p._2))))}"""))
+        .mkString(",")
+      n -> s"{$body}"
     }
     // Named-query reruns MERGE into the existing artifact instead of
     // truncating it to the named set: a single entry caught inside a
@@ -222,11 +269,7 @@ object ScaleCheck {
           }
         }
       } catch { case _: Throwable => Map.empty }
-    val freshBody = rows.map { case (n, ts, tl, txl, sl, ex) =>
-      val xlPart = txl.map(t => s""","t_xl":${fmt(t)},"slope_xl":${fmt(t / tl)}""").getOrElse("")
-      n -> s"""{"t_small":${fmt(ts)},"t_large":${fmt(tl)}$xlPart,"slope":${fmt(sl)},"exponent":${fmt(ex)}}"""
-    }.toMap
-    val merged = priorBody ++ freshBody
+    val merged = priorBody ++ rows.toMap
     val body = merged.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString(",")
     // flags recompute over the MERGED map (a rerun that clears a flag
@@ -248,21 +291,22 @@ object ScaleCheck {
       case (k, v) if field(v, "exponent").exists(_ > FlagExponent) &&
         !DeclaredQuadratic(k) => k
     }
-    val flaggedXl = merged.toSeq.sortBy(_._1).collect {
-      case (k, v) if field(v, "slope_xl").exists(_ > FlagSlopeXl) &&
+    val flaggedNorm = merged.toSeq.sortBy(_._1).collect {
+      case (k, v) if field(v, "norm_last").exists(_ > FlagRungNorm) &&
         !DeclaredQuadratic(k) && !DeclaredXlExempt(k) => k
     }
-    val ladder = (Seq(small, large) ++ (if (haveXl) Seq(xl) else Nil))
-      .map("\"" + _ + "\"").mkString(",")
+    val ladderJson = ladder.map("\"" + _._1 + "\"").mkString(",")
+    val sizesJson = ladder.map(_._2.toInt).mkString(",")
     val json =
-      s"""{"ladder":[$ladder],"data_sizes":[1,10${if (haveXl) ",30" else ""}],"runs":$Runs,""" +
+      s"""{"ladder":[$ladderJson],"data_sizes":[$sizesJson],"runs":$Runs,""" +
       s""""score":"min of runs 2..$Runs (steady state)","flag_slope":$FlagSlope,""" +
-      s""""flag_exponent":$FlagExponent,"flag_slope_xl":$FlagSlopeXl,""" +
+      s""""flag_exponent":$FlagExponent,"flag_rung_norm":$FlagRungNorm,""" +
+      s""""xxl_skip":[${XxlSkip.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""declared_quadratic":[${DeclaredQuadratic.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""declared_xl_exempt":[${DeclaredXlExempt.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""flagged":[${flagged.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""superlinear":[${superlinear.map("\"" + _ + "\"").mkString(",")}],""" +
-      s""""flagged_xl":[${flaggedXl.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""flagged_norm":[${flaggedNorm.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""queries":{$body}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALECHECK.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

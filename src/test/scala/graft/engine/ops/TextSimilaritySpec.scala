@@ -1628,6 +1628,68 @@ class TextSimilaritySpec extends SparkSuite {
     assert(got(2L) > got(1L))
   }
 
+  test("pairGraphPagerankConverged: rank (and scores) are iteration-budget invariant at the fixpoint") {
+    // r10 verdict #8: the registered query must not depend on an
+    // iteration constant. Mixed structure — a path (slow-converging,
+    // irregular), a triangle clique (fixpoint at round 0) and an
+    // isolated pair — exercises both regimes.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L))
+      .toDF("doc_id_1", "doc_id_2")
+    val converged = TextPipeline.pairGraphPagerankConverged(pairs)
+      .as[(Long, Long)].collect().toMap
+    // ANY budget at or past the convergence round returns bit-identical
+    // scores — the fixpoint is the fixpoint
+    val bigger = TextPipeline.pairGraphPagerankConverged(pairs, maxIters = 200)
+      .as[(Long, Long)].collect().toMap
+    assert(converged == bigger)
+    // and it IS a fixpoint of the fixed-round form: one more round of
+    // pairGraphPagerank on a converged-score seed cannot move (checked
+    // via a large fixed budget landing on the same table)
+    val fixed40 = TextPipeline.pairGraphPagerank(pairs, iters = 40)
+      .as[(Long, Long)].collect().toMap
+    assert(converged == fixed40)
+    // regular components sit at the uniform fixpoint untouched
+    assert(converged(10L) == 1000000L && converged(11L) == 1000000L &&
+      converged(12L) == 1000000L && converged(20L) == 1000000L)
+    // the path's interior outranks its leaves at the fixpoint
+    assert(converged(2L) > converged(1L) && converged(3L) > converged(4L))
+  }
+
+  test("missingLinksVerify/Repair: a banding-missed true pair is recovered and its clusters merge") {
+    // The premise the queue encodes: B near-dups A and C (edges exist),
+    // A~C is a TRUE pair (exact jaccard ≥ 0.9) the banding missed (no
+    // edge). The verify pass must confirm exactly that pair, and the
+    // repair must collapse {A,B,C} into one cluster — which greedy
+    // banding alone could never do.
+    val w = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, w),                                             // A = {w1..w20}
+      (2L, w + " x"),                                      // B = A ∪ {x}
+      (3L, (1 to 19).map(i => s"w$i").mkString(" ") + " x"), // C: jac(A,C)=19/21≈0.9048
+      // negative control: a drift chain whose endpoints are NOT a true
+      // pair — queued, verified, refuted, clusters untouched
+      (10L, (1 to 12).map(i => s"u$i").mkString(" ")),
+      (11L, (1 to 12).map(i => s"u$i").mkString(" ") + " z"),
+      (12L, (1 to 8).map(i => s"u$i").mkString(" ") + " y1 y2 y3 y4")
+    ).toDF("doc_id", "text")
+    // the pair graph AS BANDING LEFT IT: both bridges missing
+    val pairs = Seq((1L, 2L, 0.9524), (2L, 3L, 0.9524),
+      (10L, 11L, 0.9231), (11L, 12L, 0.5))
+      .toDF("doc_id_1", "doc_id_2", "jaccard")
+    val verified = TextPipeline.missingLinksVerify(docs, "doc_id", "text", 0.9,
+        minCommon = 1, precomputedPairs = Some(pairs))
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(verified == Seq((1L, 3L, 0.9048, true), (10L, 12L, 0.5, false)))
+    val repaired = TextPipeline.missingLinksRepair(docs, "doc_id", "text", 0.9,
+        minCommon = 1, precomputedPairs = Some(pairs))
+      .as[(Long, Long)].collect().toMap
+    // A/B/C now one cluster; the refuted chain keeps its (already-
+    // connected) component, singleton-free
+    assert(repaired == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("bitextMine: nearest target neighbor with the margin to the runner-up") {
     val docs = Seq((1L, "de"), (2L, "en"), (3L, "en"), (4L, "en"))
       .toDF("doc_id", "lang")
