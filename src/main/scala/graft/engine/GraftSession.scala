@@ -27,6 +27,14 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
+      // inject the engine's native expression kernels at SESSION BUILD
+      // (r10 verdict #7): a pure-SQL user reaches poly_hash62 /
+      // simhash_text64 / char_diversity_stats / gimg_decode / … from
+      // `spark.sql` text without any engine operator having run first —
+      // the same GraftExtensions a cluster job passes via
+      // --conf spark.sql.extensions (runtime register() remains for
+      // sessions built outside this builder)
+      .config("spark.sql.extensions", "graft.engine.functions.GraftExtensions")
       // let AQE coalesce shuffle partitions INSIDE persisted plans too
       // (off by default): iterative operators persist small hot tables
       // (dedup edge lists, label tables) and without this every cached

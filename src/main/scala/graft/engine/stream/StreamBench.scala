@@ -54,6 +54,14 @@ object StreamBench {
                           addBatch: Seq[Double], trigger: Seq[Double],
                           nBatches: Int)
 
+  /** Per-trigger series of the STATEFUL tier ([[measureStateful]]):
+    * whole-trigger and batch-execution wall clock plus the state-store
+    * commit time the stateful operator reports, with the pair count as
+    * the work receipt. */
+  final case class StatefulSeries(trigger: Seq[Double], addBatch: Seq[Double],
+                                  stateCommit: Seq[Double], stateRows: Long,
+                                  pairsEmitted: Long, nBatches: Int)
+
   def pct(xs: Seq[Double], p: Double): Double =
     if (xs.isEmpty) Double.NaN
     else {
@@ -110,5 +118,83 @@ object StreamBench {
         trigger = d("triggerExecution"),
         nBatches = prog.size)
     } finally spark.streams.removeListener(mirror)
+  }
+
+  /** Deterministic synthetic document for the stateful bench: 16 tokens
+    * from a 2000-token vocabulary via an LCG over the id (no RNG — the
+    * run replays exactly); every 5th doc is a near-copy of `id − 3`
+    * (one token swapped) so the pair-emit path does real work. */
+  private def docText(id: Long): String = {
+    val base = if (id % 5 == 0 && id > 3) id - 3 else id
+    val toks = (0 until 16).map { i =>
+      val h = (base * 6364136223846793005L + i * 1442695040888963407L) >>> 33
+      s"t${(h % 2000 + 2000) % 2000}"
+    }
+    if (base == id) toks.mkString(" ")
+    else (toks.init :+ s"swap$id").mkString(" ") // near-dup, est ≈ 15/16
+  }
+
+  /** r10 verdict #9: the state-store tier's own budget series —
+    * per-trigger latency of the streaming LSH dedup operator
+    * ([[Streams.streamingNearDupLsh]]) on the RocksDB provider (the
+    * declared large-state scale path) at a DECLARED arrival rate of
+    * `docsPerTrigger` documents per trigger. BENCH_STREAM.json's first
+    * section budgets the landing path's bookkeeping; this one budgets
+    * the stateful operator itself: whole-trigger and addBatch wall
+    * clock plus the state-store commit time the operator reports, with
+    * emitted pairs and final state rows as the work receipt. Event time
+    * advances 1 ms/doc so the 10 s horizon keeps state ACCUMULATING
+    * across the run — the store is measured while growing, not while
+    * being evicted empty. */
+  def measureStateful(spark: SparkSession, measured: Int, warmup: Int,
+                      docsPerTrigger: Int, ckptDir: String): StatefulSeries = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      (warmup + measured + 8).toString)
+    val priorProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+      val pairs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val hits = Streams.streamingNearDupLsh(
+        in.toDF().toDF("doc_id", "text", "ts"), "text")
+      val q = hits.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.NearDupHit], _: Long) =>
+          pairs.addAndGet(b.count()); ()
+        }
+        .start()
+      val total = warmup + measured
+      var id = 0L
+      (1 to total).foreach { _ =>
+        val batch = (1 to docsPerTrigger).map { _ =>
+          id += 1
+          (id, docText(id), new java.sql.Timestamp(1700000000000L + id))
+        }
+        in.addData(batch)
+        q.processAllAvailable()
+      }
+      val prog = q.recentProgress.toSeq
+        .filter(p => p.numInputRows > 0 && p.batchId >= warmup)
+      q.stop(); q.awaitTermination()
+      require(prog.size == measured,
+        s"stateful progress series incomplete: ${prog.size} of $measured")
+      def d(key: String): Seq[Double] =
+        prog.map(_.durationMs.getOrDefault(key, 0L).toDouble)
+      StatefulSeries(
+        trigger = d("triggerExecution"),
+        addBatch = d("addBatch"),
+        stateCommit = prog.map(_.stateOperators.map(_.commitTimeMs.toDouble).sum),
+        stateRows = prog.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L),
+        pairsEmitted = pairs.get(),
+        nBatches = prog.size)
+    } finally {
+      priorProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 }
