@@ -149,8 +149,21 @@ object StreamBench {
   def measureStateful(spark: SparkSession, measured: Int, warmup: Int,
                       docsPerTrigger: Int, ckptDir: String): StatefulSeries = {
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
-      (warmup + measured + 8).toString)
+    // A watermarked append query interleaves NO-DATA batches (watermark-
+    // advance emits) between the data batches, so recentProgress's ring
+    // buffer holds up to 2× the trigger count and a cap sized to the run
+    // length evicts data batches from the head (observed: 26 of 40
+    // survived under cap warmup+measured+8). Collect the series through a
+    // listener instead — every progress event, immune to retention.
+    val collected = new ConcurrentLinkedQueue[org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    val collector = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        collected.add(e.progress); ()
+      }
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(collector)
     val priorProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -176,9 +189,16 @@ object StreamBench {
         in.addData(batch)
         q.processAllAvailable()
       }
-      val prog = q.recentProgress.toSeq
-        .filter(p => p.numInputRows > 0 && p.batchId >= warmup)
       q.stop(); q.awaitTermination()
+      // listener events are async — drain until the data-batch count
+      // reaches the trigger count (or time out and fail the require)
+      val deadline = System.nanoTime() + 30e9.toLong
+      def dataProg = collected.asScala.toSeq
+        .filter(p => p.id == q.id && p.numInputRows > 0)
+        .sortBy(_.batchId)
+      while (dataProg.size < total && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      val prog = dataProg.drop(warmup)
       require(prog.size == measured,
         s"stateful progress series incomplete: ${prog.size} of $measured")
       def d(key: String): Seq[Double] =
@@ -191,6 +211,7 @@ object StreamBench {
         pairsEmitted = pairs.get(),
         nBatches = prog.size)
     } finally {
+      spark.streams.removeListener(collector)
       priorProvider match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
