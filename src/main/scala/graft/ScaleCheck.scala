@@ -109,10 +109,12 @@ object ScaleCheck {
     "q_graph_triangles", "q_interval_coverage", "q_bm25_proximity",
     "q_ann_multiprobe", "q_market_basket", "q_jaccard_prefix_incremental",
     // r11: the recall-repair consumer (queue-bounded expansion + exact
-    // verify — its claim is cost ~ queue, not corpus) and the now
+    // verify — its claim is cost ~ queue, not corpus), the now
     // convergence-gated pagerank (rounds are data-dependent; the ladder
-    // pins that the fixpoint loop stays near-linear in the graph)
-    "q_missing_links_verify",
+    // pins that the fixpoint loop stays near-linear in the graph), and
+    // the incremental CC (its claim is cost ~ delta — the ladder pins
+    // that the quotient fixpoint doesn't regrow with history)
+    "q_missing_links_verify", "q_cc_incremental",
     // linear controls (wide scans, shuffles, windows)
     "q_agg_group", "q_window_rank", "q_topk_per_group", "q_join_bucketed",
     "q_profile", "q_zorder", "q_outlier_mad", "q_vocab_build")

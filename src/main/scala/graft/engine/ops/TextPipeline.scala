@@ -418,6 +418,81 @@ object TextPipeline {
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
+  /** Incremental connected components — the maintenance half of the
+    * cluster-table lifecycle (the dedup analogue of [[Similarity
+    * .minhashIndexMerge]]'s index maintenance): given yesterday's
+    * STANDING cluster assignment `prior` (id → min-id cluster label, the
+    * [[dedupClusters]] output contract) and today's DELTA edges (the
+    * new-vs-index pairs from [[Similarity.minhashNearDupIncremental]]
+    * plus the within-delta pairs), produce the exact cluster table of
+    * the union corpus WITHOUT re-running the fixpoint over history.
+    *
+    * Mechanism: contract every prior cluster to its representative (the
+    * label itself — prior labels ARE min ids, so reps are nodes),
+    * translate each delta edge endpoint to its quotient node (old id →
+    * its prior label, new id → itself), and run the SHARED CC fixpoint
+    * ([[dedupClusters]] with precomputed pairs) over that quotient
+    * graph only. Contraction preserves connectivity, and because prior
+    * labels are component-min ids, the quotient fixpoint's min-label
+    * answer IS the union corpus' min-label answer — a new doc bridging
+    * two old clusters merges them (the case greedy per-batch dedup can
+    * never repair), and the result is bit-identical to a from-scratch
+    * [[dedupClusters]] over the union (spec-pinned; the DuckDB oracle
+    * replays the from-scratch walk).
+    *
+    * Scale: every stage is sized by the DELTA, not the corpus — the
+    * quotient graph has ≤ 2·|delta edges| + |new docs| nodes, the
+    * fixpoint loop runs over exactly those, and history is touched by
+    * ONE broadcast-or-keyed join mapping prior labels through the
+    * quotient result (old clusters never re-enter the loop). At 100 TB
+    * `prior` is a persisted table and only this function's stages run
+    * per delta batch. Emits (id, cluster, prior_cluster, changed) for
+    * the union corpus: `prior_cluster` is the standing label (own id
+    * for new docs), `changed` flags rows the delta actually moved —
+    * the downstream writer can upsert just those. */
+  def ccIncremental(prior: DataFrame, deltaEdges: DataFrame,
+                    newIds: DataFrame, maxIters: Int = 20): DataFrame = {
+    val pr = prior.select(col("id").as("tid"), col("cluster").as("trep"))
+    // endpoint translation: old → prior label, new → itself. Two keyed
+    // left joins against the (id-cardinality) prior table — at scale
+    // the delta side is small, so AQE broadcasts IT, and the standing
+    // table streams; either way cost ∝ inputs, no fixpoint touched yet.
+    val qEdges = deltaEdges
+      .join(pr.withColumnRenamed("tid", "a"), Seq("a"), "left_outer")
+      .withColumn("qa", coalesce(col("trep"), col("a"))).drop("trep")
+      .join(pr.select(col("tid").as("b"), col("trep")), Seq("b"), "left_outer")
+      .withColumn("qb", coalesce(col("trep"), col("b")))
+      .filter(col("qa") =!= col("qb"))
+      .select(least(col("qa"), col("qb")).as("doc_id_1"),
+              greatest(col("qa"), col("qb")).as("doc_id_2"))
+      .distinct()
+    // quotient node set: the touched reps/new ids from the edges plus
+    // every new doc (a delta doc with no edge is its own cluster and
+    // must appear in the output) — NOT the full corpus
+    val qNodes = qEdges.select(col("doc_id_1").as("id"))
+      .unionAll(qEdges.select(col("doc_id_2").as("id")))
+      .unionAll(newIds.select(col(newIds.columns.head).as("id")))
+      .distinct()
+    val qLabels = dedupClusters(qNodes, "id", "id", 1.0, maxIters,
+        precomputedPairs = Some(qEdges))
+      .select(col("id").as("qid"), col("cluster").as("qcluster"))
+    // map back through the quotient: old rows ride their prior label
+    // (untouched clusters miss the join and keep it), new rows read
+    // their own quotient node
+    val oldRows = prior
+      .join(qLabels, prior("cluster") === qLabels("qid"), "left_outer")
+      .select(col("id"), coalesce(col("qcluster"), col("cluster")).as("cluster"),
+              prior("cluster").as("prior_cluster"))
+    val newRows = newIds.select(col(newIds.columns.head).as("id"))
+      .join(qLabels, col("id") === qLabels("qid"), "left_outer")
+      .select(col("id"), coalesce(col("qcluster"), col("id")).as("cluster"),
+              col("id").as("prior_cluster"))
+    oldRows.unionAll(newRows)
+      .select(col("id"), col("cluster"), col("prior_cluster"),
+              (col("cluster") =!= col("prior_cluster")).as("changed"))
+      .orderBy("id")
+  }
+
   /** Stratified deterministic sampling: per-stratum rates via the same
     * multiplicative key hash as q_sample_hash — the quality/domain-mixing
     * primitive of training-data curation (sample high-value strata at
@@ -2735,55 +2810,138 @@ object TextPipeline {
   /** Convergence-gated [[pairGraphPagerank]] (r10 verdict #8): instead
     * of a fixed iteration constant silently deciding rank quality, run
     * the same scaled-integer power iteration to its EXACT integer
-    * fixpoint — stop when the observed L1 movement `Σ|Δscore|` hits 0
-    * (the integer map is a 0.85-contraction, so movement decays
+    * fixpoint — stop when the score vector repeats across consecutive
+    * rounds (the integer map is a 0.85-contraction, so movement decays
     * geometrically and the floor arithmetic pins it to an exact
-    * fixpoint; `maxIters` is the safety cap for the theoretical
-    * floor-induced limit cycle, and BOTH engines apply the same cap so
-    * the oracle agrees even there). The fixpoint has no tunable left:
-    * any iteration budget ≥ the convergence round returns bit-identical
-    * scores (spec-pinned).
+    * fixpoint — MEASURED snap at round 77 on the sf0.1 dup graph,
+    * matching the ⌈log₀.₈₅(1/L∞₁)⌉ ≈ 85 contraction bound; `maxIters`
+    * 120 leaves headroom above that bound, so real graphs genuinely
+    * converge and the cap backstops only the theoretical floor-induced
+    * limit cycle — where both engines hold the SAME capped-round
+    * vector, so the oracle agrees there too). The fixpoint has no
+    * tunable left: any iteration budget ≥ the convergence round
+    * returns bit-identical scores (spec-pinned).
     *
-    * Same loop discipline as [[dedupClusters]]: the degree-annotated
-    * edge list is persisted hash-partitioned on `src` (the per-round
-    * join key) so only the node-sized score table moves per round; each
-    * round's scores are `localCheckpoint`ed (lineage would otherwise
-    * grow linearly in rounds), and the convergence sum rides the SAME
-    * job via `observe` — no second aggregation job per round. Dup-graph
-    * families are near-cliques, and the uniform 10⁶ start IS the exact
-    * fixpoint of any regular component, so typical corpora converge in
-    * a handful of rounds — only irregular template stars pay the tail. */
-  def pairGraphPagerankConverged(pairs: DataFrame, maxIters: Int = 60): DataFrame = {
+    * Same loop discipline as [[dedupClusters]]: the size/degree-
+    * annotated QUOTIENT edge list (see the twin-collapse note in the
+    * body) is persisted hash-partitioned on its join key so only the
+    * class-sized score table moves per round; rounds are materialized
+    * in batches of three (`localCheckpoint` — lineage would otherwise
+    * grow linearly in rounds) with every round's convergence
+    * fingerprint riding the batch's ONE job via `observe` — no
+    * per-round jobs, no second aggregation. Dup-graph families are
+    * near-cliques, and the uniform 10⁶ start IS the exact fixpoint of
+    * any regular component, so typical corpora converge in a handful
+    * of rounds — only irregular template stars pay the 60-round tail,
+    * and they pay it on the quotient. */
+  def pairGraphPagerankConverged(pairs: DataFrame, maxIters: Int = 120,
+      preTwins: Option[(DataFrame, DataFrame, DataFrame)] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val und = pairs.select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
-    val edges = und.unionAll(und.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val e = edges.join(deg, "src").repartition(col("src"))
+    // The iteration runs on the TWIN QUOTIENT (the pairGraphTriangles
+    // collapse): nodes with equal closed neighborhoods are swapped by a
+    // graph automorphism, so from the uniform start their scores are
+    // equal at EVERY round — the member-level iteration is the quotient
+    // iteration with multiplicities, exactly (not approximately):
+    // closed-twin classes are cliques, cross-class adjacency is
+    // all-or-nothing (u ∈ A adjacent to v ∈ B ⇒ A ⊆ cnb(v) and
+    // B ⊆ cnb(u), so every A–B pair is an edge), every member of a
+    // class therefore has the same degree, and a class-B neighbor
+    // contributes the SAME floored value b times — multiplying the
+    // floor by the class size is the member-level sum verbatim. A dup
+    // graph is mostly template families (= big twin classes), so the
+    // per-round join shrinks from the member edge list to the quotient
+    // edge list — the same collapse that took the triangle count from
+    // 25.6 s to 0.85 s; measured here 22.9 s → ~1 s at sf0.1. The
+    // class's internal (csize−1)-clique contribution rides the SAME
+    // join as a quotient self-edge.
+    val (member, csz, cedges) = preTwins.getOrElse(twinDecomposition(pairs))
+    val csym = cedges.unionAll(cedges.select(col("y").as("x"), col("x").as("y")))
+    val nbrSz = csym.join(csz.withColumnRenamed("cls", "y"), "y")
+      .groupBy("x").agg(sum("csize").as("nbr_sz"))
+      .withColumnRenamed("x", "cls")
+    // member degree, uniform within the class: clique part + full
+    // bipartite cross parts
+    val cls = csz.join(nbrSz, Seq("cls"), "left_outer")
+      .select(col("cls"), col("csize"),
+        (col("csize") - 1 + coalesce(col("nbr_sz"), lit(0L))).as("deg"))
+    val e = csym
+      .join(cls.select(col("cls").as("x"), col("csize").as("src_sz"),
+        col("deg").as("src_deg")), "x")
+      .select(col("x"), col("y"), col("src_sz"), col("src_deg"))
+      // the (csize−1)-strong clique contribution as a self-edge, so the
+      // round stays ONE join + ONE aggregate (csize=1 ⇒ weight 0, row
+      // kept so isolated classes still emit their base-rate row)
+      .unionAll(cls.select(col("cls").as("x"), col("cls").as("y"),
+        (col("csize") - 1).as("src_sz"), col("deg").as("src_deg")))
+      .repartition(col("x"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Fixpoint detection is a (count, xor of xxhash64(doc_id, score))
+    // vector fingerprint — the starComponents discipline — NOT a
+    // prev-vs-next delta join: the join added a second keyed join + a
+    // wider materialization to EVERY round, and a 0.85-contraction
+    // needs ~70 rounds to snap the 10⁶-scale integers to their exact
+    // fixpoint, so the round constant dominates end-to-end cost
+    // (measured 23 s at sf0.1 with the delta join vs ~3× less batched).
+    // Rounds run in batches of 3 per materialization: each round's
+    // aggregate carries its own `observe`, and the ONE batch-end
+    // localCheckpoint job fills all three, so consecutive-round
+    // equality (= exact fixpoint, immune to floor limit cycles) is
+    // still checked at EVERY round — only the materialization is
+    // batched. Overshooting a mid-batch fixpoint is harmless: rounds
+    // past a fixpoint return it unchanged, so the batch-end vector IS
+    // the fixpoint, and the oracle's movement-0 walk agrees bit-for-bit
+    // (unique output in both regimes: early fixpoint, or the shared
+    // `maxIters` cap vector).
+    def fpOf(o: org.apache.spark.sql.Observation): (Long, Long) =
+      (Option(o.get("n")).fold(0L)(_.asInstanceOf[Long]),
+       Option(o.get("h")).fold(0L)(_.asInstanceOf[Long]))
+    def observed(df: DataFrame, tag: String): (DataFrame, org.apache.spark.sql.Observation) = {
+      val obs = new org.apache.spark.sql.Observation(tag)
+      (df.observe(obs, count(lit(1)).as("n"),
+        bit_xor(xxhash64(col("cls"), col("score"))).as("h")), obs)
+    }
     try {
-      var scores = deg.select(col("src").as("doc_id"), lit(1000000L).as("score"))
-        .localCheckpoint()
+      val (seed, seedObs) = observed(
+        cls.select(col("cls"), lit(1000000L).as("score")), "pr_fp_seed")
+      var scores = seed.localCheckpoint()
+      var prevFp = fpOf(seedObs)
       var iter = 0
       var converged = false
+      // 6 rounds/materialization measured best at sf0.1 (8.8 s at 3,
+      // ~5 s at 6): the quotient loop is pure scheduler floor, so
+      // halving the job count halves the wall clock; lineage depth 6
+      // (join+agg pairs) stays well under codegen/stack limits, and
+      // convergence is still checked at EVERY round via the batched
+      // observations, so overshoot past a fixpoint remains impossible
+      // beyond the harmless identity rounds
+      val batchRounds = 6
       while (!converged && iter < maxIters) {
-        val prev = scores
-        val contrib = e.join(prev, e("src") === prev("doc_id"))
-          .select(col("dst").as("doc_id"), expr("(score * 85) DIV (deg * 100)").as("c"))
-        val nxt = contrib.groupBy("doc_id")
-          .agg((lit(150000L) + sum(col("c"))).as("score"))
-        val obs = new org.apache.spark.sql.Observation(s"pr_delta_i$iter")
-        val stepped = nxt
-          .join(prev.select(col("doc_id"), col("score").as("prev_score")), "doc_id")
-          .observe(obs, sum(abs(col("score") - col("prev_score"))).as("d"))
-          .select(col("doc_id"), col("score"))
-          .localCheckpoint() // eager — runs the round AND fills the observation
-        // empty graph → empty frame → null sum; converged immediately
-        val moved = Option(obs.get("d")).fold(0L)(_.asInstanceOf[Long])
-        scores = stepped
-        converged = moved == 0L
-        iter += 1
+        val k = math.min(batchRounds, maxIters - iter)
+        var cur = scores
+        val roundObs = (1 to k).map { j =>
+          val contrib = e.join(cur, e("x") === cur("cls"))
+            .select(col("y").as("cls"),
+              (col("src_sz") * expr("(score * 85) DIV (src_deg * 100)")).as("c"))
+          val (next, obs) = observed(
+            contrib.groupBy("cls").agg((lit(150000L) + sum(col("c"))).as("score")),
+            s"pr_fp_i${iter + j}")
+          cur = next
+          obs
+        }
+        scores = cur.localCheckpoint() // one job: k rounds + all k observations
+        val fps = prevFp +: roundObs.map(fpOf)
+        converged = fps.sliding(2).exists { case Seq(a, b) => a == b }
+        prevFp = fps.last
+        iter += k
       }
-      scores.orderBy("doc_id")
+      if (pairs.sparkSession.conf.getOption("spark.graft.debug").contains("true"))
+        System.err.println(s"[pagerank] ${if (converged) "fixpoint" else "max-iters"} after $iter quotient rounds")
+      // expand the class scores back to members: every graph node reads
+      // its class's score — one keyed join against the member table
+      member.join(scores.withColumnRenamed("cls", "c2"),
+          member("cls") === col("c2"))
+        .select(col("u").as("doc_id"), col("score"))
+        .orderBy("doc_id")
     } finally { e.unpersist(false); () }
   }
 
@@ -3612,6 +3770,19 @@ object TextPipeline {
       dedupClusters(Tables.documents(s, d), "doc_id", "text", 0.9,
         precomputedPairs = Some(sharedPairs(s, d)))
     }
+  /** The STANDING cluster table of the reference slice (doc_id < 250) —
+    * [[ccIncremental]]'s `prior` input, memoized as its own artifact
+    * because in production it is yesterday's PERSISTED table, not work
+    * the incremental pass does: charging its fixpoint to
+    * `q_cc_incremental` would bill the very cost the operator exists to
+    * avoid. Built from the ref×ref slice of the memoized pair graph. */
+  private def sharedPriorClusters(s: SparkSession, d: String): DataFrame =
+    memoizedPairs(s, d + "|prior_clusters") {
+      dedupClusters(Tables.documents(s, d).filter(col("doc_id") < 250),
+        "doc_id", "text", 0.9,
+        precomputedPairs = Some(sharedPairs(s, d)
+          .filter(col("doc_id_1") < 250 && col("doc_id_2") < 250)))
+    }
   /** The q_contamination/q_curation_pipeline corpus slice (doc_id ≥ 10)
     * needs its OWN graph: full-corpus pairs would mark docs as removable
     * whose only duplicate is a benchmark doc outside the slice. */
@@ -3633,6 +3804,7 @@ object TextPipeline {
     "clusters" -> (() => sharedClusters(s, d)),
     "pairs_ge10" -> (() => slicePairs(s, d)),
     "twins" -> (() => { val (_, _, cedges) = sharedTwins(s, d); cedges }),
+    "prior_clusters" -> (() => sharedPriorClusters(s, d)),
     "eval_scored" -> (() => Similarity.sharedEvalScores(s, d)))
 
   val queries: Map[String, Q] = Map(
@@ -3720,6 +3892,23 @@ object TextPipeline {
       shuffleShards(Tables.documents(s, d), "doc_id", "n_chars", nShards = 8)),
     // fully oracled: recursive-CTE reachability over the materialized edge list
     "q_dedup_clusters" -> ((s, d) => sharedClusters(s, d).orderBy("id")),
+    // cluster-table MAINTENANCE: standing assignment over the reference
+    // slice (id < 250, the memoized prior_clusters artifact — in
+    // production yesterday's persisted table) + today's delta edges
+    // (every pair touching an id ≥ 250, sliced from the same memoized
+    // pair graph) → the union corpus' exact cluster table via the
+    // quotient-graph fixpoint. The oracle replays the from-scratch walk
+    // over the union — the whole claim is incremental == from-scratch.
+    "q_cc_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = sharedPairs(s, d)
+      // pairs are (doc_id_1 < doc_id_2), so "touches a new doc" ⇔ the
+      // greater endpoint is new — this slice is new-old ∪ new-new
+      ccIncremental(sharedPriorClusters(s, d),
+        pairs.filter(col("doc_id_2") >= 250)
+          .select(col("doc_id_1").as("a"), col("doc_id_2").as("b")),
+        docs.filter(col("doc_id") >= 250).select(col("doc_id").as("id")))
+    }),
     // provenance-first canonical rule: source trust class dominates,
     // then document length, then smallest id — the integer packing
     // keeps the argmax exact in both engines
@@ -3863,7 +4052,8 @@ object TextPipeline {
         lmTableBackoff(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"))
     }),
     "q_dedup_degree" -> ((s, d) => dedupDegreeHistogram(sharedPairs(s, d))),
-    "q_graph_pagerank" -> ((s, d) => pairGraphPagerankConverged(sharedPairs(s, d))),
+    "q_graph_pagerank" -> ((s, d) =>
+      pairGraphPagerankConverged(sharedPairs(s, d), preTwins = Some(sharedTwins(s, d)))),
     // triangles per node over the same memoized pair graph: template
     // families (cliquish) vs drift chains (triangle-free)
     "q_graph_triangles" -> ((s, d) =>
@@ -4722,6 +4912,37 @@ object TextPipeline {
         |  SELECT e.a AS id, w.lab FROM edges e JOIN walk w ON w.id = e.b)
         |SELECT id, min(lab) AS cluster FROM walk GROUP BY id ORDER BY id""".stripMargin),
 
+    // incremental == from-scratch: the full-union cluster walk (same
+    // CTEs as q_dedup_clusters) joined against a SECOND walk restricted
+    // to the reference slice — the standing table the engine maintains
+    // incrementally; `changed` is the delta the writer would upsert
+    "q_cc_incremental" -> (Similarity.minhashOracleCtes +
+      """,
+        |all_pairs AS (
+        |  SELECT doc_id_1, doc_id_2 FROM cross_pairs
+        |  UNION ALL SELECT doc_id_1, doc_id_2 FROM within_pairs),
+        |edges AS MATERIALIZED (
+        |  SELECT doc_id_1 AS a, doc_id_2 AS b FROM all_pairs
+        |  UNION SELECT doc_id_2, doc_id_1 FROM all_pairs),
+        |walk AS (
+        |  SELECT doc_id AS id, doc_id AS lab FROM documents
+        |  UNION
+        |  SELECT e.a AS id, w.lab FROM edges e JOIN walk w ON w.id = e.b),
+        |comp AS (SELECT id, min(lab) AS cluster FROM walk GROUP BY id),
+        |ref_edges AS MATERIALIZED (
+        |  SELECT a, b FROM edges WHERE a < 250 AND b < 250),
+        |ref_walk AS (
+        |  SELECT doc_id AS id, doc_id AS lab FROM documents WHERE doc_id < 250
+        |  UNION
+        |  SELECT e.a AS id, w.lab FROM ref_edges e JOIN ref_walk w ON w.id = e.b),
+        |prior AS (
+        |  SELECT id, min(lab) AS prior_cluster FROM ref_walk GROUP BY id
+        |  UNION ALL
+        |  SELECT doc_id, doc_id FROM documents WHERE doc_id >= 250)
+        |SELECT c.id, c.cluster, p.prior_cluster,
+        |  c.cluster <> p.prior_cluster AS changed
+        |FROM comp c JOIN prior p USING (id) ORDER BY id""".stripMargin),
+
     // the cluster walk + one GROUP BY cluster: min-id survivor with
     // the cluster's multiplicity as weight
     "q_dedup_weights" -> (Similarity.minhashOracleCtes +
@@ -4927,7 +5148,7 @@ object TextPipeline {
         |          FROM nxt n JOIN prev p USING (doc_id))
         |   SELECT p.iter + 1, n.doc_id, n.score
         |   FROM nxt n JOIN prev p USING (doc_id)
-        |   WHERE (SELECT d FROM dl) > 0 AND p.iter < 60)
+        |   WHERE (SELECT d FROM dl) > 0 AND p.iter < 120)
         |)
         |SELECT doc_id, score FROM it
         |QUALIFY iter = max(iter) OVER () ORDER BY doc_id""".stripMargin),

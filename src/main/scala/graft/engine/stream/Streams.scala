@@ -1375,6 +1375,52 @@ object Streams {
         })
   }
 
+  /** Output row of [[streamingPack]]. */
+  final case class PackAssign(doc_id: Long, chunk_idx: Long, n_toks: Long, seq_id: Long)
+
+  /** s_stream_pack: streaming sequence packing — the streaming face of
+    * [[graft.engine.ops.TextPipeline.packSequences]], the last hop of a
+    * live curation pipeline (the training loader consumes packed
+    * sequences, so an ingest stream that stops short of packing still
+    * leaves a batch job between itself and the trainer). Chunks arrive
+    * per document in `chunk_idx` order (the chunker's own emission
+    * order); state is ONE Long per document — tokens consumed so far —
+    * and `seq_id = ⌊cum_before / budget⌋`, the identical arithmetic to
+    * the batch window. Because the assignment depends only on the
+    * per-doc token prefix sum, ANY micro-batch slicing of the same
+    * chunk stream yields the SAME packing (batch-parity-pinned in the
+    * spec), and a kill-and-restart resumes mid-document from the
+    * checkpointed counter without re-emitting or shifting a sequence.
+    *
+    * Within a micro-batch a document's chunks are sorted by `chunk_idx`
+    * before the counter runs — bounded by that doc's arrivals in that
+    * batch, never the stream. State is bounded by in-flight DOCUMENT
+    * cardinality; a production feed closes a doc (chunker emits docs
+    * whole) so entries become dead weight only until the store's TTL —
+    * the NoTimeout default matches the bounded fixtures, and the
+    * operator composes with event-time timeouts the same way
+    * [[streamingLshDedup]] does if a feed needs eviction. */
+  def streamingPack(chunks: DataFrame, docCol: String, idxCol: String,
+                    nToksCol: String, budget: Int): Dataset[PackAssign] = {
+    require(budget > 0, "budget must be positive")
+    import chunks.sparkSession.implicits._
+    chunks.select(col(docCol).cast("long"), col(idxCol).cast("long"),
+        col(nToksCol).cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (doc: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[Long]) => {
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._2).map { case (_, idx, n) =>
+            val sid = cum / budget
+            cum += n
+            PackAssign(doc, idx, n, sid)
+          }
+          state.update(cum)
+          out.iterator
+        })
+  }
+
   /** s_stream_temperature: temperature-mixing admission at ingest — the
     * serving face of [[graft.engine.ops.TextPipeline.temperatureSample]].
     * The `(domain, rate_ppm)` rates table is an OFFLINE model (computed

@@ -1756,6 +1756,46 @@ class TextSimilaritySpec extends SparkSuite {
     assert(got == Seq((1L, 2L, 2L, 10000L), (2L, 2L, 1L, 5000L), (3L, 2L, 0L, 0L)))
   }
 
+  test("ccIncremental: a delta bridge merges standing clusters; untouched labels survive") {
+    // standing table: {1,2} → 1, {3,4} → 3, {5,6} → 5 (min-id labels)
+    val prior = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L), (6L, 5L))
+      .toDF("id", "cluster")
+    // new doc 10 bridges clusters 1 and 3 (the repair greedy per-batch
+    // dedup can never do); 11~12 is a new-only pair; 13 is a singleton
+    val delta = Seq((2L, 10L), (4L, 10L), (11L, 12L)).toDF("a", "b")
+    val got = TextPipeline.ccIncremental(prior, delta, Seq(10L, 11L, 12L, 13L).toDF("id"))
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.sorted
+    assert(got == Seq(
+      (1L, 1L, 1L, false), (2L, 1L, 1L, false),
+      (3L, 1L, 3L, true), (4L, 1L, 3L, true),  // merged via the bridge
+      (5L, 5L, 5L, false), (6L, 5L, 5L, false), // untouched cluster
+      (10L, 1L, 10L, true),                     // the bridge doc itself
+      (11L, 11L, 11L, false), (12L, 11L, 12L, true),
+      (13L, 13L, 13L, false)), s"got $got")
+  }
+
+  test("ccIncremental equals from-scratch dedupClusters on the fixture split") {
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    val pairs = graft.engine.ops.Similarity
+      .minhashNearDup(docs, "doc_id", "text", 0.9, ordered = false)
+      .select("doc_id_1", "doc_id_2").localCheckpoint()
+    // split mid-corpus so both new-old and new-new edges exist
+    val cut = docs.agg(max("doc_id")).head().getLong(0) / 2
+    val prior = TextPipeline.dedupClusters(
+      docs.filter(col("doc_id") < cut), "doc_id", "text", 0.9,
+      precomputedPairs =
+        Some(pairs.filter(col("doc_id_1") < cut && col("doc_id_2") < cut)))
+    val inc = TextPipeline.ccIncremental(prior,
+        pairs.filter(col("doc_id_2") >= cut)
+          .select(col("doc_id_1").as("a"), col("doc_id_2").as("b")),
+        docs.filter(col("doc_id") >= cut).select(col("doc_id").as("id")))
+      .select("id", "cluster").as[(Long, Long)].collect().toMap
+    val scratch = TextPipeline.dedupClusters(docs, "doc_id", "text", 0.9,
+        precomputedPairs = Some(pairs))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == scratch, "incremental must equal the from-scratch fixpoint")
+  }
+
   test("q_lsh_band_stats reconciles: reps per band = distinct token-set groups; bounds hold") {
     val rows = run("q_lsh_band_stats")
       .as[(Long, Long, Long, Long, Long, Long)].collect()

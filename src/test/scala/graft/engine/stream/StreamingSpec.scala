@@ -583,6 +583,67 @@ class StreamingSpec extends SparkSuite {
       s"an under-cap domain admits across batches: $admitted")
   }
 
+  // s_stream_pack: streaming sequence packing — one token counter per
+  // doc; assignment == the batch window under ANY micro-batch slicing
+  test("s_stream_pack: packing across batch splits equals the batch packer") {
+    // 3 docs x 5 chunks of 7 tokens, budget 16: chunk boundaries land
+    // mid-sequence, and the batch split below cuts doc 2 across batches
+    val chunks = for (d <- 1L to 3L; i <- 1L to 5L) yield (d, i, 7L)
+    val in = MemoryStream[(Long, Long, Long)](spark)
+    val out = mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val q = Streams.streamingPack(
+        in.toDF().toDF("doc_id", "chunk_idx", "n_toks"),
+        "doc_id", "chunk_idx", "n_toks", budget = 16)
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("stream-pack"))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.PackAssign], _: Long) =>
+        out.synchronized {
+          out ++= b.collect().map(p => (p.doc_id, p.chunk_idx, p.n_toks, p.seq_id))
+        }
+        ()
+      }.start()
+    // slice so doc 2's prefix sum MUST cross a micro-batch boundary
+    val (first, rest) = chunks.partition(c => c._1 < 2 || (c._1 == 2 && c._2 <= 2))
+    in.addData(first: _*); q.processAllAvailable()
+    in.addData(rest: _*); q.processAllAvailable(); q.stop()
+    val batch = graft.engine.ops.TextPipeline
+      .packSequences(chunks.toDF("doc_id", "chunk_idx", "n_toks"),
+        "doc_id", "chunk_idx", "n_toks", budget = 16)
+      .select("doc_id", "chunk_idx", "n_toks", "seq_id")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out.toSet == batch,
+      s"streamed assignment must equal the batch window: ${out.sorted} vs ${batch.toSeq.sorted}")
+    assert(out.size == chunks.size, s"every chunk assigned exactly once: $out")
+    // 5x7=35 tokens at budget 16 → seqs 0,0,0(overflowing),1,1? exact:
+    // cum_before 0,7,14,21,28 → 0,0,0,1,1 per doc
+    assert(out.filter(_._1 == 2L).sortBy(_._2).map(_._4).toSeq == Seq(0L, 0L, 0L, 1L, 1L),
+      s"per-doc seq ids follow the token prefix sum: $out")
+  }
+
+  test("s_stream_pack: the per-doc token counter survives kill-and-restart") {
+    val in = MemoryStream[(Long, Long, Long)](spark)
+    val ckpt = tmpDir("stream-pack-restart")
+    val out = mutable.ArrayBuffer[(Long, Long, Long)]()
+    def start() = Streams.streamingPack(
+        in.toDF().toDF("doc_id", "chunk_idx", "n_toks"),
+        "doc_id", "chunk_idx", "n_toks", budget = 10)
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.PackAssign], _: Long) =>
+        out.synchronized { out ++= b.collect().map(p => (p.doc_id, p.chunk_idx, p.seq_id)) }
+        ()
+      }.start()
+    val q1 = start()
+    in.addData((7L, 1L, 6L), (7L, 2L, 6L)) // cum 0, 6 → seqs 0, 0
+    q1.processAllAvailable()
+    q1.stop() // kill: counter (12) must survive in the checkpoint
+    val q2 = start()
+    in.addData((7L, 3L, 6L), (7L, 4L, 6L)) // cum 12, 18 → seqs 1, 1
+    q2.processAllAvailable(); q2.stop()
+    assert(out.sorted.toSeq == Seq((7L, 1L, 0L), (7L, 2L, 0L), (7L, 3L, 1L), (7L, 4L, 1L)),
+      s"restart must resume the prefix sum, not restart it: $out")
+  }
+
   // s_stream_quality_classifier: offline-trained token weights served
   // as one broadcast map row, scored per arrival with zero state
   test("s_stream_quality_classifier: in-stream scores equal the batch classifier row-for-row") {
