@@ -1,6 +1,6 @@
 package graft.engine.stream
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, StreamingQueryListener, Trigger}
 import java.util.concurrent.ConcurrentLinkedQueue
@@ -1374,6 +1374,63 @@ object Streams {
           admitted.iterator.map(r => DomainAdmit(r._1, domain))
         })
   }
+
+  /** s_stream_cluster_maintenance: the cluster-table LIFECYCLE on a
+    * live ingest — the foreachBatch composition a production dedup
+    * actually schedules per micro-batch: probe the arriving slice
+    * against the standing corpus ([[graft.engine.ops.Similarity
+    * .minhashNearDupIncremental]] — new-vs-history pairs), band the
+    * slice against itself (within-batch pairs), and advance the
+    * standing (id, cluster) table through [[graft.engine.ops
+    * .TextPipeline.ccIncremental]] at DELTA cost — history enters one
+    * label-mapping join, never the fixpoint. A later-batch doc bridging
+    * two earlier families merges them, the repair no per-batch greedy
+    * dedup can do. INVARIANT (spec-pinned across batch splits): after
+    * EVERY batch the standing table is bit-identical to from-scratch
+    * [[graft.engine.ops.TextPipeline.dedupClusters]] over everything
+    * ingested so far.
+    *
+    * State is a pair of `localCheckpoint`ed frames advanced per batch —
+    * the MemoryStream-scale harness shape; at 100 TB both are PERSISTED
+    * artifacts (the corpus side as the banded index via
+    * `minhashIndexMerge` so only the delta tokenizes, the cluster table
+    * as an upsertable sink keyed by the operator's `changed` flag) and
+    * the per-batch plan is identical. Ids must be unique across the
+    * ingest (upstream exact-dedup's contract). */
+  final class ClusterMaintenance(idCol: String, textCol: String, threshold: Double) {
+    @volatile private var corpus: Option[DataFrame] = None
+    @volatile private var standing: Option[DataFrame] = None
+    /** The standing (id, cluster) table over everything ingested. */
+    def current: Option[DataFrame] = standing
+    def ingest(batch: DataFrame): Unit = synchronized {
+      val b = batch.select(col(idCol), col(textCol)).localCheckpoint()
+      if (b.isEmpty) { b.unpersist(); return }
+      val next = (corpus, standing) match {
+        case (Some(ref), Some(prior)) =>
+          val newOld = graft.engine.ops.Similarity
+            .minhashNearDupIncremental(ref, b, idCol, textCol, threshold, ordered = false)
+            .select(col("doc_id_ref").as("a"), col("doc_id_new").as("b"))
+          val newNew = graft.engine.ops.Similarity
+            .minhashNearDup(b, idCol, textCol, threshold, ordered = false)
+            .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
+          graft.engine.ops.TextPipeline
+            .ccIncremental(prior, newOld.unionAll(newNew), b.select(col(idCol).as("id")))
+            .select("id", "cluster")
+        case _ =>
+          graft.engine.ops.TextPipeline.dedupClusters(b, idCol, textCol, threshold)
+      }
+      standing = Some(next.localCheckpoint())
+      corpus = Some(corpus.fold(b)(c => c.unionAll(b).localCheckpoint()))
+    }
+  }
+
+  /** Drives [[ClusterMaintenance]] from a document stream. */
+  def streamingClusterMaintenance(docs: DataFrame, checkpoint: String,
+                                  maint: ClusterMaintenance): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) => maint.ingest(batch.toDF()); () }
+      .start()
 
   /** Output row of [[streamingPack]]. */
   final case class PackAssign(doc_id: Long, chunk_idx: Long, n_toks: Long, seq_id: Long)

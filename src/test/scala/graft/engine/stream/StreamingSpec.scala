@@ -644,6 +644,41 @@ class StreamingSpec extends SparkSuite {
       s"restart must resume the prefix sum, not restart it: $out")
   }
 
+  // s_stream_cluster_maintenance: per-batch incremental cluster-table
+  // lifecycle — standing table == from-scratch clustering at EVERY batch
+  test("s_stream_cluster_maintenance: standing table equals from-scratch clustering after every batch") {
+    val fixture = graft.engine.io.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val in = MemoryStream[Doc](spark)
+    val maint = new Streams.ClusterMaintenance("doc_id", "text", 0.9)
+    val q = Streams.streamingClusterMaintenance(
+      in.toDF().select(col("doc_id"), col("text")),
+      tmpDir("cluster-maint"), maint)
+    // three uneven batches — the self-similar fixture guarantees real
+    // cross-batch near-dup pairs, so the incremental path (probe +
+    // within-batch + ccIncremental) does real merging work
+    val cuts = Seq(fixture.length / 4, fixture.length / 2, fixture.length)
+    var from = 0
+    for (to <- cuts) {
+      in.addData(fixture.slice(from, to).map { case (id, t) => Doc(id, ts(id), t) }: _*)
+      q.processAllAvailable()
+      val ingested = fixture.take(to)
+      val got = maint.current.get.as[(Long, Long)].collect().toMap
+      val scratch = graft.engine.ops.TextPipeline
+        .dedupClusters(ingested.toSeq.toDF("doc_id", "text"), "doc_id", "text", 0.9)
+        .as[(Long, Long)].collect().toMap
+      assert(got == scratch,
+        s"standing table must equal from-scratch clustering after ${to} docs")
+      from = to
+    }
+    q.stop()
+    // the maintained table must contain real multi-doc clusters (the
+    // fixture is self-similar), or the parity assertions were vacuous
+    val sizes = maint.current.get.groupBy("cluster").count()
+      .agg(max("count")).head().getLong(0)
+    assert(sizes > 1, "fixture must produce at least one multi-doc cluster")
+  }
+
   // s_stream_quality_classifier: offline-trained token weights served
   // as one broadcast map row, scored per arrival with zero state
   test("s_stream_quality_classifier: in-stream scores equal the batch classifier row-for-row") {
