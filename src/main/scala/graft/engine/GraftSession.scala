@@ -72,21 +72,26 @@ object GraftSession {
     // checkpointLocation would resolve onto that remote fs). Env
     // override SPARK_GRAFT_CKPT_FM=fast|default forces either way for
     // operators who know their checkpoint scheme better than the gate.
-    val defaultFsIsLocal =
-      new org.apache.hadoop.conf.Configuration()
-        .get("fs.defaultFS", "file:///").startsWith("file:")
+    val spark = base.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // The gate reads the SESSION's effective Hadoop configuration (which
+    // folds in spark.hadoop.* from properties/defaults), not a bare
+    // `new Configuration()` — the two can disagree exactly when it
+    // matters (fs.defaultFS supplied via spark.hadoop.fs.defaultFS
+    // rather than a classpath core-site.xml), and disagreeing the wrong
+    // way would install the non-atomic manager on a remote checkpoint
+    // fs. checkpointFileManagerClass is a runtime SQLConf, so deciding
+    // after getOrCreate is safe.
+    val defaultFsIsLocal = spark.sparkContext.hadoopConfiguration
+      .get("fs.defaultFS", "file:///").startsWith("file:")
     val useFastCkptFm = sys.env.get("SPARK_GRAFT_CKPT_FM") match {
       case Some("fast") => true
       case Some("default") => false
       case _ => defaultFsIsLocal
     }
-    val withCkpt =
-      if (useFastCkptFm)
-        base.config("spark.sql.streaming.checkpointFileManagerClass",
-          "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
-      else base
-    val spark = withCkpt.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    if (useFastCkptFm)
+      spark.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
     spark
   }
 }

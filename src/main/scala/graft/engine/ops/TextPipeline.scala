@@ -448,8 +448,9 @@ object TextPipeline {
     * `prior` is a persisted table and only this function's stages run
     * per delta batch. Emits (id, cluster, prior_cluster, changed) for
     * the union corpus: `prior_cluster` is the standing label (own id
-    * for new docs), `changed` flags rows the delta actually moved —
-    * the downstream writer can upsert just those. */
+    * for new docs), `changed` flags every row the writer must persist:
+    * moved old rows plus ALL new rows (a new singleton is still an
+    * insert) — the downstream writer upserts just those. */
   def ccIncremental(prior: DataFrame, deltaEdges: DataFrame,
                     newIds: DataFrame, maxIters: Int = 20): DataFrame = {
     val pr = prior.select(col("id").as("tid"), col("cluster").as("trep"))
@@ -479,18 +480,21 @@ object TextPipeline {
     // map back through the quotient: old rows ride their prior label
     // (untouched clusters miss the join and keep it), new rows read
     // their own quotient node
+    // `changed` = rows the downstream writer must persist: every moved
+    // OLD row, and EVERY new row — a new singleton's cluster equals its
+    // own id, but it is still an INSERT the standing table lacks
+    // (skipping it would drop the doc from the table permanently, and a
+    // later delta bridging through it would find no prior entry)
     val oldRows = prior
       .join(qLabels, prior("cluster") === qLabels("qid"), "left_outer")
       .select(col("id"), coalesce(col("qcluster"), col("cluster")).as("cluster"),
-              prior("cluster").as("prior_cluster"))
+              prior("cluster").as("prior_cluster"),
+              coalesce(col("qcluster") =!= prior("cluster"), lit(false)).as("changed"))
     val newRows = newIds.select(col(newIds.columns.head).as("id"))
       .join(qLabels, col("id") === qLabels("qid"), "left_outer")
       .select(col("id"), coalesce(col("qcluster"), col("id")).as("cluster"),
-              col("id").as("prior_cluster"))
-    oldRows.unionAll(newRows)
-      .select(col("id"), col("cluster"), col("prior_cluster"),
-              (col("cluster") =!= col("prior_cluster")).as("changed"))
-      .orderBy("id")
+              col("id").as("prior_cluster"), lit(true).as("changed"))
+    oldRows.unionAll(newRows).orderBy("id")
   }
 
   /** Stratified deterministic sampling: per-stratum rates via the same
@@ -2870,9 +2874,15 @@ object TextPipeline {
       .select(col("x"), col("y"), col("src_sz"), col("src_deg"))
       // the (csize−1)-strong clique contribution as a self-edge, so the
       // round stays ONE join + ONE aggregate (csize=1 ⇒ weight 0, row
-      // kept so isolated classes still emit their base-rate row)
+      // kept so isolated classes still emit their base-rate row). The
+      // divisor is floored at 1: a deg-0 class cannot arise from
+      // twinDecomposition (every graph node has a neighbor), but a
+      // caller-supplied preTwins containing one would otherwise turn
+      // 0·(score·85 DIV 0) into NULL and poison the sum — with the
+      // floor, weight 0 × anything = 0 and the base-rate row survives
       .unionAll(cls.select(col("cls").as("x"), col("cls").as("y"),
-        (col("csize") - 1).as("src_sz"), col("deg").as("src_deg")))
+        (col("csize") - 1).as("src_sz"),
+        greatest(col("deg"), lit(1L)).as("src_deg")))
       .repartition(col("x"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Fixpoint detection is a (count, xor of xxhash64(doc_id, score))
@@ -3265,6 +3275,26 @@ object TextPipeline {
        |  ELSE ($p) END""".stripMargin
   }
 
+  /** Score-time twin of [[KnFixedPointSql]]: the unseen-bigram backoff
+    * composition (discount weight × continuation), written ONCE and
+    * spliced into both the NULL probe and the value branch of the
+    * overflow guard — the THEN arms are non-null by construction, so a
+    * NULL result can only be DECIMAL(38,0) overflow. */
+  private[engine] val KnScoreSql: String = {
+    val backoff =
+      """coalesce(cond2,
+        |  CASE
+        |    WHEN c1 IS NOT NULL AND ncont IS NOT NULL
+        |      THEN (1000000 * 3 * CAST(n1p AS DECIMAL(20,0)) * ncont) DIV (4 * CAST(c1 AS DECIMAL(20,0)) * t)
+        |    WHEN c1 IS NOT NULL THEN 0L
+        |    WHEN ncont IS NOT NULL THEN (1000000 * CAST(ncont AS DECIMAL(20,0))) DIV t
+        |    ELSE 0L
+        |  END)""".stripMargin
+    s"""CASE WHEN ($backoff) IS NULL
+       |  THEN CAST(raise_error('lmScoreKn: KN fixed point overflowed DECIMAL(38,0) — rescale T') AS BIGINT)
+       |  ELSE ($backoff) END""".stripMargin
+  }
+
   def lmTableKn(documents: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.engine.functions.GraftFunctions.register(documents.sparkSession)
     val big = documents.select(
@@ -3315,25 +3345,12 @@ object TextPipeline {
       .select(col("doc_id"),
         // same DECIMAL(38,0) promotion + loud-overflow guard as the
         // table build ([[KnFixedPointSql]]): each THEN arm is non-null
-        // by construction, so a NULL sc can only be decimal overflow
-        expr(
-          """CASE WHEN coalesce(cond2,
-            |  CASE
-            |    WHEN c1 IS NOT NULL AND ncont IS NOT NULL
-            |      THEN (1000000 * 3 * CAST(n1p AS DECIMAL(20,0)) * ncont) DIV (4 * CAST(c1 AS DECIMAL(20,0)) * t)
-            |    WHEN c1 IS NOT NULL THEN 0L
-            |    WHEN ncont IS NOT NULL THEN (1000000 * CAST(ncont AS DECIMAL(20,0))) DIV t
-            |    ELSE 0L
-            |  END) IS NULL
-            |  THEN CAST(raise_error('lmScoreKn: KN fixed point overflowed DECIMAL(38,0) — rescale T') AS BIGINT)
-            |  ELSE coalesce(cond2,
-            |  CASE
-            |    WHEN c1 IS NOT NULL AND ncont IS NOT NULL
-            |      THEN (1000000 * 3 * CAST(n1p AS DECIMAL(20,0)) * ncont) DIV (4 * CAST(c1 AS DECIMAL(20,0)) * t)
-            |    WHEN c1 IS NOT NULL THEN 0L
-            |    WHEN ncont IS NOT NULL THEN (1000000 * CAST(ncont AS DECIMAL(20,0))) DIV t
-            |    ELSE 0L
-            |  END) END""".stripMargin).as("sc"))
+        // by construction, so a NULL sc can only be decimal overflow.
+        // The backoff expression is FACTORED (one source of truth inside
+        // the guard) for the same reason KnFixedPointSql is a constant:
+        // a probe/value copy pair edited apart would silently change
+        // which rows error vs what they return
+        expr(KnScoreSql).as("sc"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("sc").as("s"))
       .select(col("doc_id"), col("n_bigrams"),
@@ -4940,7 +4957,7 @@ object TextPipeline {
         |  UNION ALL
         |  SELECT doc_id, doc_id FROM documents WHERE doc_id >= 250)
         |SELECT c.id, c.cluster, p.prior_cluster,
-        |  c.cluster <> p.prior_cluster AS changed
+        |  (c.cluster <> p.prior_cluster OR c.id >= 250) AS changed
         |FROM comp c JOIN prior p USING (id) ORDER BY id""".stripMargin),
 
     // the cluster walk + one GROUP BY cluster: min-id survivor with

@@ -81,6 +81,7 @@ object StreamBench {
     // truncate the measured distribution while nBatches still reported
     // the smaller size (r10 advice). Raise the cap to cover the whole run
     // before it starts, and hard-assert the series is complete below.
+    val priorCap = spark.conf.getOption("spark.sql.streaming.numRecentProgressUpdates")
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
       (warmup + measured + 8).toString)
     val timed = new TimedStore(new Streams.AtomicFileOffsetStore(mirrorDir))
@@ -117,7 +118,17 @@ object StreamBench {
         addBatch = d("addBatch"),
         trigger = d("triggerExecution"),
         nBatches = prog.size)
-    } finally spark.streams.removeListener(mirror)
+    } finally {
+      spark.streams.removeListener(mirror)
+      // restore the shared session's ring-buffer cap (the same
+      // try/finally discipline measureStateful applies to its provider
+      // conf): leaking a SHRUNK cap to later streaming work is exactly
+      // the silent-truncation hazard the comment above describes
+      priorCap match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", v)
+        case None => spark.conf.unset("spark.sql.streaming.numRecentProgressUpdates")
+      }
+    }
   }
 
   /** Deterministic synthetic document for the stateful bench: 16 tokens
@@ -149,6 +160,16 @@ object StreamBench {
   def measureStateful(spark: SparkSession, measured: Int, warmup: Int,
                       docsPerTrigger: Int, ckptDir: String): StatefulSeries = {
     import spark.implicits._
+    // the accumulating-state premise holds only while the run's event-
+    // time span (1 ms/doc) stays inside streamingNearDupLsh's 10 s
+    // watermark horizon — past it, EventTimeTimeout evicts buckets
+    // mid-run and the series silently measures an evicting store while
+    // still being presented as the growth-phase budget. Fail loudly
+    // instead (both knobs are env-tunable).
+    require((warmup + measured).toLong * docsPerTrigger < 10000L,
+      s"run spans ${(warmup + measured).toLong * docsPerTrigger} ms of event time " +
+        "- past the operator's 10 s watermark horizon the state store " +
+        "evicts mid-run and the series no longer measures a growing store")
     // A watermarked append query interleaves NO-DATA batches (watermark-
     // advance emits) between the data batches, so recentProgress's ring
     // buffer holds up to 2× the trigger count and a cap sized to the run

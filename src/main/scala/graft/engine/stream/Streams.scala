@@ -119,6 +119,27 @@ object Streams {
     def readBack(): Seq[OffsetRecord]
   }
 
+  /** ONE wire codec for every [[OffsetStore]] provider (file, HTTP —
+    * any store persisting the record as its JSON line): the format, its
+    * escaping, and the parse regex live here exactly once, so a format
+    * change cannot make two stores silently unable to read each other's
+    * records (the parse side drops non-matching lines, so a divergence
+    * would surface as missing audit rows, not an error). */
+  private[stream] object OffsetRecordCodec {
+    private def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    private def unesc(s: String): String = s.replace("\\\"", "\"").replace("\\\\", "\\")
+    private val Re =
+      ("\\{\"batchId\":(\\d+),\"source\":\"(.*)\",\"startOffset\":\"(.*)\",\"endOffset\":\"(.*)\"\\}").r
+    def toJson(rec: OffsetRecord): String =
+      s"""{"batchId":${rec.batchId},"source":"${esc(rec.source)}",""" +
+        s""""startOffset":"${esc(rec.startOffset)}","endOffset":"${esc(rec.endOffset)}"}"""
+    def fromJson(line: String): Option[OffsetRecord] = line.trim match {
+      case Re(b, src, st, en) =>
+        Some(OffsetRecord(b.toLong, unesc(src), unesc(st), unesc(en)))
+      case _ => None
+    }
+  }
+
   /** Default [[OffsetStore]]: one JSON file per (batch, source) under
     * `dir`, written temp-then-atomic-rename — same guarantees as the
     * reference's single-znode ZK write (atomic, per-batch, tail-able),
@@ -126,13 +147,9 @@ object Streams {
   final class AtomicFileOffsetStore(dir: String) extends OffsetStore {
     private val path = java.nio.file.Paths.get(dir)
 
-    private def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    private def unesc(s: String): String = s.replace("\\\"", "\"").replace("\\\\", "\\")
-
     override def write(rec: OffsetRecord, sourceIdx: Int): Unit = {
       java.nio.file.Files.createDirectories(path)
-      val json = s"""{"batchId":${rec.batchId},"source":"${esc(rec.source)}",""" +
-        s""""startOffset":"${esc(rec.startOffset)}","endOffset":"${esc(rec.endOffset)}"}"""
+      val json = OffsetRecordCodec.toJson(rec)
       val name = f"batch-${rec.batchId}%012d-src$sourceIdx%d.json"
       val tmp = path.resolve(name + ".tmp")
       java.nio.file.Files.write(tmp, (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -143,17 +160,12 @@ object Streams {
 
     override def readBack(): Seq[OffsetRecord] = {
       if (!java.nio.file.Files.isDirectory(path)) return Seq.empty
-      val re = ("""\{"batchId":(\d+),"source":"(.*)","startOffset":"(.*)","endOffset":"(.*)"\}""").r
       val files = java.nio.file.Files.list(path).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".json")).toSeq
         .sortBy(_.getFileName.toString)
       files.flatMap { f =>
-        new String(java.nio.file.Files.readAllBytes(f),
-          java.nio.charset.StandardCharsets.UTF_8).trim match {
-          case re(b, src, st, en) =>
-            Some(OffsetRecord(b.toLong, unesc(src), unesc(st), unesc(en)))
-          case _ => None
-        }
+        OffsetRecordCodec.fromJson(new String(java.nio.file.Files.readAllBytes(f),
+          java.nio.charset.StandardCharsets.UTF_8))
       }
     }
   }
@@ -193,12 +205,9 @@ object Streams {
     * a torn one — and batch replay converges to one record per key. */
   final class HttpOffsetStore(baseUrl: String) extends OffsetStore {
     private val client = java.net.http.HttpClient.newHttpClient()
-    private def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    private def unesc(s: String): String = s.replace("\\\"", "\"").replace("\\\\", "\\")
 
     override def write(rec: OffsetRecord, sourceIdx: Int): Unit = {
-      val json = s"""{"batchId":${rec.batchId},"source":"${esc(rec.source)}",""" +
-        s""""startOffset":"${esc(rec.startOffset)}","endOffset":"${esc(rec.endOffset)}"}"""
+      val json = OffsetRecordCodec.toJson(rec)
       val req = java.net.http.HttpRequest.newBuilder(
           java.net.URI.create(s"$baseUrl/offsets/${rec.batchId}/$sourceIdx"))
         .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(json))
@@ -214,12 +223,7 @@ object Streams {
       val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
       require(resp.statusCode() == 200,
         s"offset service read failed: HTTP ${resp.statusCode()}")
-      val re = ("""\{"batchId":(\d+),"source":"(.*)","startOffset":"(.*)","endOffset":"(.*)"\}""").r
-      resp.body().linesIterator.flatMap {
-        case re(b, src, st, en) =>
-          Some(OffsetRecord(b.toLong, unesc(src), unesc(st), unesc(en)))
-        case _ => None
-      }.toSeq
+      resp.body().linesIterator.flatMap(OffsetRecordCodec.fromJson).toSeq
     }
   }
 

@@ -1770,8 +1770,10 @@ class TextSimilaritySpec extends SparkSuite {
       (3L, 1L, 3L, true), (4L, 1L, 3L, true),  // merged via the bridge
       (5L, 5L, 5L, false), (6L, 5L, 5L, false), // untouched cluster
       (10L, 1L, 10L, true),                     // the bridge doc itself
-      (11L, 11L, 11L, false), (12L, 11L, 12L, true),
-      (13L, 13L, 13L, false)), s"got $got")
+      // every NEW row is changed=true — an insert even when its cluster
+      // is its own id (a writer that skipped 11/13 would lose them)
+      (11L, 11L, 11L, true), (12L, 11L, 12L, true),
+      (13L, 13L, 13L, true)), s"got $got")
   }
 
   test("ccIncremental equals from-scratch dedupClusters on the fixture split") {
