@@ -1406,6 +1406,19 @@ object Streams {
     @volatile private var standing: Option[DataFrame] = None
     /** The standing (id, cluster) table over everything ingested. */
     def current: Option[DataFrame] = standing
+    /** The standing corpus the incremental probe runs against. */
+    def corpusDocs: Option[DataFrame] = corpus
+    /** Kill-and-restart: re-seed from the PERSISTED standing tables a
+      * production writer maintains (corpus + cluster assignment read
+      * back from storage). Paired with resuming the streaming query
+      * from its original checkpoint — the source then re-delivers only
+      * post-crash batches, so the id-uniqueness contract holds and the
+      * resumed maintenance continues the same invariant (spec-pinned:
+      * restart mid-ingest, parity with from-scratch still holds). */
+    def resume(seedCorpus: DataFrame, seedStanding: DataFrame): Unit = synchronized {
+      corpus = Some(seedCorpus.select(col(idCol), col(textCol)).localCheckpoint())
+      standing = Some(seedStanding.select(col("id"), col("cluster")).localCheckpoint())
+    }
     def ingest(batch: DataFrame): Unit = synchronized {
       val b = batch.select(col(idCol), col(textCol)).localCheckpoint()
       if (b.isEmpty) { b.unpersist(); return }

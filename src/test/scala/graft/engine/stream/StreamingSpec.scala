@@ -679,6 +679,40 @@ class StreamingSpec extends SparkSuite {
     assert(sizes > 1, "fixture must produce at least one multi-doc cluster")
   }
 
+  test("s_stream_cluster_maintenance: kill-and-restart resumes from the persisted standing tables") {
+    val fixture = graft.engine.io.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val cut = fixture.length / 2
+    val in = MemoryStream[Doc](spark)
+    val ckpt = tmpDir("cluster-maint-restart") // ONE checkpoint across the kill
+    val m1 = new Streams.ClusterMaintenance("doc_id", "text", 0.9)
+    val q1 = Streams.streamingClusterMaintenance(
+      in.toDF().select(col("doc_id"), col("text")), ckpt, m1)
+    in.addData(fixture.take(cut).map { case (id, t) => Doc(id, ts(id), t) }: _*)
+    q1.processAllAvailable()
+    q1.stop() // kill
+    // the production writer's persisted artifacts, round-tripped through
+    // storage: the standing corpus and the cluster table
+    val store = Files.createTempDirectory("graft-maint-store").toString
+    m1.corpusDocs.get.write.parquet(s"$store/corpus")
+    m1.current.get.write.parquet(s"$store/standing")
+    // fresh process: re-seed from storage, resume the SAME checkpoint —
+    // the source re-delivers only post-crash batches
+    val m2 = new Streams.ClusterMaintenance("doc_id", "text", 0.9)
+    m2.resume(spark.read.parquet(s"$store/corpus"),
+              spark.read.parquet(s"$store/standing"))
+    val q2 = Streams.streamingClusterMaintenance(
+      in.toDF().select(col("doc_id"), col("text")), ckpt, m2)
+    in.addData(fixture.drop(cut).map { case (id, t) => Doc(id, ts(id), t) }: _*)
+    q2.processAllAvailable(); q2.stop()
+    val got = m2.current.get.as[(Long, Long)].collect().toMap
+    val scratch = graft.engine.ops.TextPipeline
+      .dedupClusters(fixture.toSeq.toDF("doc_id", "text"), "doc_id", "text", 0.9)
+      .as[(Long, Long)].collect().toMap
+    assert(got == scratch,
+      "resumed maintenance must continue the from-scratch invariant across the restart")
+  }
+
   // s_stream_quality_classifier: offline-trained token weights served
   // as one broadcast map row, scored per arrival with zero state
   test("s_stream_quality_classifier: in-stream scores equal the batch classifier row-for-row") {
