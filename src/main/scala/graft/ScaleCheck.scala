@@ -115,6 +115,10 @@ object ScaleCheck {
     // the incremental CC (its claim is cost ~ delta — the ladder pins
     // that the quotient fixpoint doesn't regrow with history)
     "q_missing_links_verify", "q_cc_incremental",
+    // r13: the C4 line family — corpus-wide groupBy(line) dedup and the
+    // reflow reassembly are the two wide stages; the ladder pins that
+    // line-count growth (data × ~lines/doc) stays linear end-to-end
+    "q_line_dedup", "q_doc_reflow",
     // linear controls (wide scans, shuffles, windows)
     "q_agg_group", "q_window_rank", "q_topk_per_group", "q_join_bucketed",
     "q_profile", "q_zorder", "q_outlier_mad", "q_vocab_build")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.io.Sources
-import graft.engine.ops.{Analytics, Multimodal, Relational, Similarity, Temporal, TextPipeline}
+import graft.engine.ops.{Analytics, Lines, Multimodal, Relational, Similarity, Temporal, TextPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,11 +19,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextPipeline.queries ++ Similarity.queries ++ Multimodal.queries ++ Analytics.queries ++ Temporal.queries ++ Sources.queries
+    Relational.queries ++ TextPipeline.queries ++ Similarity.queries ++ Multimodal.queries ++ Analytics.queries ++ Temporal.queries ++ Sources.queries ++ Lines.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (approx/LSH/stubbed queries) → driver records a rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ TextPipeline.oracle ++ Similarity.oracle ++ Multimodal.oracle ++ Analytics.oracle ++ Temporal.oracle ++ Sources.oracle
+    Relational.oracle ++ TextPipeline.oracle ++ Similarity.oracle ++ Multimodal.oracle ++ Analytics.oracle ++ Temporal.oracle ++ Sources.oracle ++ Lines.oracle
 }

@@ -1,0 +1,232 @@
+package graft.engine.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.io.Tables
+
+/** C4 / RefinedWeb-style LINE-LEVEL curation (SURVEY.md §2.2-I, r11
+  * verdict item 1): line segmentation, per-line quality filters with
+  * per-rule accounting, corpus-wide exact line deduplication, and
+  * document reflow from the surviving lines.
+  *
+  * The driver fixture's `documents.text` is single-line (space-separated
+  * tokens, no newlines/punctuation), which structurally blocks line
+  * operators — any green would be fake. So the family runs on a DERIVED
+  * multi-line fixture [[mlLines]]: a deterministic, SQL-replayable
+  * re-segmentation of each document into punctuated lines with injected
+  * cross-document boilerplate (the exact dup/filter targets C4's line
+  * rules exist for). The derivation is pure column arithmetic on
+  * (doc_id, text), so the DuckDB oracle replays it verbatim as a CTE and
+  * every query in the family is hash-oracled end-to-end.
+  *
+  * Derivation (per document; all arithmetic exact in BIGINT):
+  *  - tokens = split(text) dropping empties; W = 4 + doc_id % 5 words
+  *    per line; line j (1-based) takes tokens [(j-1)W+1 .. jW] — the
+  *    final line keeps the short remainder (a natural `too_few_words`
+  *    target);
+  *  - boilerplate override: (doc_id + 3j) % 13 = 0 → "all rights
+  *    reserved."; = 1 → "click here to subscribe to our newsletter"
+  *    (deliberately unterminated — a double violation). Identical
+  *    strings across thousands of docs = the cross-doc exact-dup shape;
+  *  - terminal punctuation: (doc_id + j) % 5 → 0..2 '.', 3 '!', 4 none
+  *    (the `no_terminal_punct` target).
+  *
+  * Scale (100 TB): segmentation is a narrow generator (split + sequence +
+  * explode — no shuffle); the only wide ops in the family are
+  * groupBy(line) for corpus-wide dedup and groupBy(doc_id) for reflow,
+  * both plain hash aggregates on explicit keys. At cluster scale the
+  * dedup key would be a 128-bit line digest rather than the line string
+  * (same plan shape, ~10× less shuffle payload — C4 dedups span hashes
+  * for the same reason); the fixture keys on the string so the oracle
+  * compares exact survivors. Reflow's collect_list is per-document
+  * (bounded by doc length), never per-corpus.
+  */
+object Lines {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def words(c: Column): Column =
+    filter(split(c, " "), t => length(t) > 0)
+
+  /** The derived multi-line fixture: one row per (doc_id, line_no, line). */
+  def mlLines(documents: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val seg = documents
+      .select(col(idCol).cast("long").as("doc_id"), words(col(textCol)).as("tk"))
+      .withColumn("w", (lit(4) + pmod(col("doc_id"), lit(5L))).cast("int"))
+      .filter(size(col("tk")) > 0)
+      .withColumn("line_no",
+        explode(sequence(lit(1),
+          ceil(size(col("tk")).cast("double") / col("w")).cast("int"))))
+    val j = col("line_no").cast("long")
+    val b = pmod(col("doc_id") + lit(3L) * j, lit(13L))
+    val p = pmod(col("doc_id") + j, lit(5L))
+    val base = concat_ws(" ",
+      slice(col("tk"), (col("line_no") - 1) * col("w") + 1, col("w")))
+    val punct = when(p <= 2, lit(".")).when(p === 3, lit("!")).otherwise(lit(""))
+    seg.select(col("doc_id"), j.as("line_no"),
+      when(b === 0, lit("all rights reserved."))
+        .when(b === 1, lit("click here to subscribe to our newsletter"))
+        .otherwise(concat(base, punct)).as("line"))
+  }
+
+  // The three C4-style line rules (RefinedWeb §Line-wise filtering):
+  // each is an independent Column predicate so q_line_filters can
+  // account per-rule while q_doc_reflow drops on their disjunction.
+  private def ruleNoPunct(line: Column): Column =
+    !(line.endsWith(".") || line.endsWith("!") || line.endsWith("?"))
+  private def ruleShort(line: Column): Column =
+    size(words(line)) < 3
+  private def ruleBoiler(line: Column): Column =
+    line.contains("subscribe") || line.contains("rights reserved")
+
+  /** Corpus-wide exact line dedup accounting: per document, how many of
+    * its lines survive when each distinct line keeps only its FIRST
+    * occurrence (ordered by doc_id, line_no — the deterministic survivor
+    * rule every dedup operator in this repo uses). groupBy(line) +
+    * min(struct) is the scale shape: one hash aggregate on the line key,
+    * no window over the full corpus. */
+  def lineDedup(lines: DataFrame): DataFrame = {
+    val kept = lines
+      .groupBy("line")
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("s"))
+      .select(col("s.doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
+    lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-rule drop accounting (the q_gopher_rules discipline at line
+    * granularity): for each rule, how many lines it flags and how many
+    * documents it touches, plus the `any_rule` disjunction row. One
+    * global aggregate over the flagged projection — the count-distincts
+    * are per-rule doc sets, expanded map-side. */
+  def lineFilters(lines: DataFrame): DataFrame = {
+    val l = col("line")
+    val f = lines.select(col("doc_id"),
+      ruleNoPunct(l).as("r1"), ruleShort(l).as("r2"), ruleBoiler(l).as("r3"))
+      .withColumn("r0", col("r1") || col("r2") || col("r3"))
+    f.agg(
+        sum(when(col("r0"), 1L).otherwise(0L)).as("d0"),
+        countDistinct(when(col("r0"), col("doc_id"))).as("n0"),
+        sum(when(col("r1"), 1L).otherwise(0L)).as("d1"),
+        countDistinct(when(col("r1"), col("doc_id"))).as("n1"),
+        sum(when(col("r2"), 1L).otherwise(0L)).as("d2"),
+        countDistinct(when(col("r2"), col("doc_id"))).as("n2"),
+        sum(when(col("r3"), 1L).otherwise(0L)).as("d3"),
+        countDistinct(when(col("r3"), col("doc_id"))).as("n3"))
+      .select(expr(
+        """stack(4,
+          |  'any_rule',         d0, n0,
+          |  'boilerplate',      d3, n3,
+          |  'no_terminal_punct', d1, n1,
+          |  'too_few_words',    d2, n2) as (rule, n_dropped, n_docs)""".stripMargin))
+      .orderBy("rule")
+  }
+
+  /** Reflow: apply all three line filters, then corpus-wide exact line
+    * dedup over the survivors, then reassemble each document from its
+    * surviving lines in original order ('\n'-joined). Documents with no
+    * surviving line drop out — the C4 output contract. The per-doc
+    * collect_list is bounded by document length; ordering is pinned by
+    * array_sort over (line_no, line) structs, not by shuffle luck. */
+  def docReflow(lines: DataFrame): DataFrame = {
+    val l = col("line")
+    val kept = lines.filter(!ruleNoPunct(l) && !ruleShort(l) && !ruleBoiler(l))
+    val surv = kept
+      .groupBy("line")
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("s"))
+      .select(col("s.doc_id").as("doc_id"), col("s.line_no").as("line_no"),
+        col("line"))
+    surv.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+            x => x.getField("line")), "\n").as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  private def ml(s: SparkSession, d: String): DataFrame =
+    mlLines(Tables.documents(s, d), "doc_id", "text")
+
+  val queries: Map[String, Q] = Map(
+    "q_line_dedup" -> ((s, d) => lineDedup(ml(s, d))),
+    "q_line_filters" -> ((s, d) => lineFilters(ml(s, d))),
+    "q_doc_reflow" -> ((s, d) => docReflow(ml(s, d))))
+
+  /** Shared CTE prefix replaying [[mlLines]] in DuckDB: same token
+    * filter, same W/boilerplate/punctuation arithmetic (doc_id ≥ 0 so
+    * `%` ≡ pmod), list slice `tk[a:b]` is 1-based inclusive clamped —
+    * exactly Spark's slice(tk, a, w). */
+  private val mlCte: String =
+    """WITH mld AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk,
+      |         4 + (doc_id % 5) AS w
+      |  FROM documents),
+      |ml AS (
+      |  SELECT doc_id, j AS line_no,
+      |    CASE WHEN (doc_id + 3*j) % 13 = 0 THEN 'all rights reserved.'
+      |         WHEN (doc_id + 3*j) % 13 = 1 THEN 'click here to subscribe to our newsletter'
+      |         ELSE array_to_string(tk[((j-1)*w + 1):(j*w)], ' ') ||
+      |              CASE WHEN (doc_id + j) % 5 <= 2 THEN '.'
+      |                   WHEN (doc_id + j) % 5 = 3 THEN '!' ELSE '' END
+      |    END AS line
+      |  FROM (SELECT doc_id, tk, w,
+      |               unnest(range(1, CAST(ceil(len(tk) / w) AS BIGINT) + 1)) AS j
+      |        FROM mld WHERE len(tk) > 0))""".stripMargin
+
+  private val sqlRules: String =
+    """(line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?') AS ok_punct,
+      |len(list_filter(string_split(line, ' '), t -> len(t) > 0)) >= 3 AS ok_words,
+      |NOT (line LIKE '%subscribe%' OR line LIKE '%rights reserved%') AS ok_boiler""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_line_dedup" -> s"""$mlCte,
+      |surv AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+      |    FROM ml) WHERE rn = 1),
+      |k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept FROM surv GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+      |       coalesce(k.n_kept, 0) AS n_kept
+      |FROM (SELECT doc_id, count(*) AS n_lines FROM ml GROUP BY doc_id) t
+      |LEFT JOIN k USING (doc_id)
+      |ORDER BY doc_id""".stripMargin,
+
+    "q_line_filters" -> s"""$mlCte,
+      |fl AS (SELECT doc_id, $sqlRules FROM ml)
+      |SELECT * FROM (
+      |  SELECT 'any_rule' AS rule,
+      |    CAST(count(*) FILTER (WHERE NOT (ok_punct AND ok_words AND ok_boiler)) AS BIGINT) AS n_dropped,
+      |    CAST(count(DISTINCT doc_id) FILTER (WHERE NOT (ok_punct AND ok_words AND ok_boiler)) AS BIGINT) AS n_docs
+      |  FROM fl
+      |  UNION ALL
+      |  SELECT 'boilerplate',
+      |    CAST(count(*) FILTER (WHERE NOT ok_boiler) AS BIGINT),
+      |    CAST(count(DISTINCT doc_id) FILTER (WHERE NOT ok_boiler) AS BIGINT) FROM fl
+      |  UNION ALL
+      |  SELECT 'no_terminal_punct',
+      |    CAST(count(*) FILTER (WHERE NOT ok_punct) AS BIGINT),
+      |    CAST(count(DISTINCT doc_id) FILTER (WHERE NOT ok_punct) AS BIGINT) FROM fl
+      |  UNION ALL
+      |  SELECT 'too_few_words',
+      |    CAST(count(*) FILTER (WHERE NOT ok_words) AS BIGINT),
+      |    CAST(count(DISTINCT doc_id) FILTER (WHERE NOT ok_words) AS BIGINT) FROM fl)
+      |ORDER BY rule""".stripMargin,
+
+    "q_doc_reflow" -> s"""$mlCte,
+      |fl AS (SELECT doc_id, line_no, line, $sqlRules FROM ml),
+      |kept AS (SELECT doc_id, line_no, line FROM fl
+      |         WHERE ok_punct AND ok_words AND ok_boiler),
+      |surv AS (
+      |  SELECT doc_id, line_no, line FROM (
+      |    SELECT doc_id, line_no, line,
+      |           row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+      |    FROM kept) WHERE rn = 1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+      |       string_agg(line, chr(10) ORDER BY line_no) AS text,
+      |       CAST(len(string_agg(line, chr(10) ORDER BY line_no)) AS BIGINT) AS n_chars
+      |FROM surv GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,101 @@
+package graft.engine.ops
+
+import graft.{SparkEntry, SparkSuite}
+import org.apache.spark.sql.functions._
+
+/** Pins the C4-style line-curation family (SURVEY §2.2-I, r11 verdict
+  * item 1): the derived multi-line fixture must actually contain the
+  * structures the rules target (cross-doc duplicate lines, unterminated
+  * lines, short lines, boilerplate), every rule must fire non-trivially,
+  * and reflow output must be clean under the rules it claims to apply —
+  * the "filters demonstrably fire" requirement, so a no-op green is
+  * impossible. */
+class LinesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = graft.engine.io.Tables.documents(spark, sfDir)
+  private lazy val ml = Lines.mlLines(docs, "doc_id", "text").cache()
+
+  test("mlLines: segmentation is exact — ceil(n/W) lines per doc, tokens preserved in order on non-boiler lines") {
+    val expected = docs
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => length(t) > 0)).as("n"))
+      .withColumn("w", lit(4) + pmod(col("doc_id"), lit(5L)))
+      .select(col("doc_id"), ceil(col("n").cast("double") / col("w")).cast("long").as("n_lines"))
+    val got = ml.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+    assert(expected.join(got, Seq("doc_id"))
+      .filter(expected("n_lines") =!= got("n_lines")).count() === 0)
+
+    // non-boiler lines re-concatenated must reproduce the original
+    // token stream (minus the injected overrides): check one doc fully
+    val d0 = docs.filter(col("doc_id") === 1L).select("text").head().getString(0)
+    val toks = d0.split(" ").filter(_.nonEmpty)
+    val w = (4 + 1 % 5).toInt
+    val lines = ml.filter(col("doc_id") === 1L).orderBy("line_no")
+      .select("line_no", "line").as[(Long, String)].collect()
+    lines.foreach { case (j, line) =>
+      val b = (1 + 3 * j) % 13
+      if (b != 0 && b != 1) {
+        val base = toks.slice(((j - 1) * w).toInt, (j * w).toInt).mkString(" ")
+        assert(line.stripSuffix(".").stripSuffix("!") === base,
+          s"line $j of doc 1 mismatch: $line vs $base")
+      }
+    }
+  }
+
+  test("fixture has the dup/filter targets: cross-doc duplicate lines, unterminated, short, boilerplate all present") {
+    val boiler = ml.filter(col("line") === "all rights reserved.").count()
+    val boiler2 = ml.filter(col("line") === "click here to subscribe to our newsletter").count()
+    assert(boiler > 10 && boiler2 > 10, s"boilerplate must appear across many docs ($boiler/$boiler2)")
+    val unterminated = ml.filter(!(col("line").endsWith(".") || col("line").endsWith("!") || col("line").endsWith("?"))).count()
+    assert(unterminated > 10)
+    val short = ml.filter(size(filter(split(col("line"), " "), t => length(t) > 0)) < 3).count()
+    assert(short > 0)
+    // cross-doc exact dup lines beyond boilerplate (duplicated fixture texts)
+    val dupLines = ml.groupBy("line")
+      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") > 1).count()
+    assert(dupLines > 2, s"need cross-doc duplicate lines, got $dupLines")
+  }
+
+  test("q_line_dedup: accounting sums to the corpus distinct-line count; duplicates genuinely removed") {
+    val dd = SparkEntry.queries("q_line_dedup")(spark, sfDir).cache()
+    val totLines = dd.agg(sum("n_lines")).head().getLong(0)
+    val totKept = dd.agg(sum("n_kept")).head().getLong(0)
+    val distinctLines = ml.select("line").distinct().count()
+    assert(totKept === distinctLines, "survivors must equal distinct lines")
+    assert(totKept < totLines, "dedup must remove a non-trivial number of lines")
+    assert(totLines === ml.count())
+  }
+
+  test("q_line_filters: every rule fires; any_rule bounded by the rule sum and at least the max rule") {
+    val byRule = SparkEntry.queries("q_line_filters")(spark, sfDir)
+      .select("rule", "n_dropped").as[(String, Long)].collect().toMap
+    Seq("any_rule", "boilerplate", "no_terminal_punct", "too_few_words").foreach { r =>
+      assert(byRule(r) > 0, s"rule $r never fired — fixture is not exercising it")
+    }
+    val partSum = byRule("boilerplate") + byRule("no_terminal_punct") + byRule("too_few_words")
+    assert(byRule("any_rule") <= partSum)
+    assert(byRule("any_rule") >= Seq("boilerplate", "no_terminal_punct", "too_few_words").map(byRule).max)
+    // the unterminated-boilerplate line violates two rules at once →
+    // strict inclusion-exclusion overlap, pinning per-rule independence
+    assert(byRule("any_rule") < partSum)
+  }
+
+  test("q_doc_reflow: output is clean (every line passes all rules, no duplicate line corpus-wide) and loses only dropped docs") {
+    val rf = SparkEntry.queries("q_doc_reflow")(spark, sfDir).cache()
+    val outLines = rf.select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+    assert(outLines.filter(
+      !(col("line").endsWith(".") || col("line").endsWith("!") || col("line").endsWith("?")) ||
+      size(filter(split(col("line"), " "), t => length(t) > 0)) < 3 ||
+      col("line").contains("subscribe") || col("line").contains("rights reserved")).count() === 0,
+      "reflowed text must contain only rule-passing lines")
+    assert(outLines.groupBy("line").count().filter(col("count") > 1).count() === 0,
+      "reflowed corpus must be exactly line-deduped")
+    assert(rf.count() <= docs.count())
+    assert(rf.count() > 0)
+    // n_chars is the reflowed length, not the original
+    assert(rf.filter(length(col("text")) =!= col("n_chars")).count() === 0)
+    // line counts match the reassembled text
+    assert(rf.filter(size(split(col("text"), "\n")) =!= col("n_lines_kept")).count() === 0)
+  }
+}
