@@ -1401,7 +1401,16 @@ object Streams {
     * as an upsertable sink keyed by the operator's `changed` flag) and
     * the per-batch plan is identical. Ids must be unique across the
     * ingest (upstream exact-dedup's contract). */
-  final class ClusterMaintenance(idCol: String, textCol: String, threshold: Double) {
+  final class ClusterMaintenance(idCol: String, textCol: String, threshold: Double,
+      // The production writer's seam (r11 verdict item 7): when set,
+      // every ingest hands the sink exactly the operator's `changed`
+      // slice — moved old rows plus every new row — tagged with the
+      // micro-batch's checkpointed batchId (monotone across restarts),
+      // i.e. the versioned keyed upsert a 100 TB standing table
+      // persists per batch. The sink owns atomicity/visibility
+      // (StreamingSpec's snapshot spec commits each version through the
+      // Compaction overlay manifest and pins readers to a generation).
+      upsertSink: Option[(DataFrame, Long) => Unit] = None) {
     @volatile private var corpus: Option[DataFrame] = None
     @volatile private var standing: Option[DataFrame] = None
     /** The standing (id, cluster) table over everything ingested. */
@@ -1419,7 +1428,7 @@ object Streams {
       corpus = Some(seedCorpus.select(col(idCol), col(textCol)).localCheckpoint())
       standing = Some(seedStanding.select(col("id"), col("cluster")).localCheckpoint())
     }
-    def ingest(batch: DataFrame): Unit = synchronized {
+    def ingest(batch: DataFrame, version: Long = 0L): Unit = synchronized {
       val b = batch.select(col(idCol), col(textCol)).localCheckpoint()
       if (b.isEmpty) { b.unpersist(); return }
       val next = (corpus, standing) match {
@@ -1430,23 +1439,139 @@ object Streams {
           val newNew = graft.engine.ops.Similarity
             .minhashNearDup(b, idCol, textCol, threshold, ordered = false)
             .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
-          graft.engine.ops.TextPipeline
+          val full = graft.engine.ops.TextPipeline
             .ccIncremental(prior, newOld.unionAll(newNew), b.select(col(idCol).as("id")))
-            .select("id", "cluster")
+            .localCheckpoint()
+          upsertSink.foreach(_(full.filter(col("changed")).select("id", "cluster"), version))
+          full.select("id", "cluster")
         case _ =>
-          graft.engine.ops.TextPipeline.dedupClusters(b, idCol, textCol, threshold)
+          val full = graft.engine.ops.TextPipeline
+            .dedupClusters(b, idCol, textCol, threshold).localCheckpoint()
+          // cold start: the whole table is the insert set
+          upsertSink.foreach(_(full, version))
+          full
       }
       standing = Some(next.localCheckpoint())
       corpus = Some(corpus.fold(b)(c => c.unionAll(b).localCheckpoint()))
     }
   }
 
-  /** Drives [[ClusterMaintenance]] from a document stream. */
+  /** Drives [[ClusterMaintenance]] from a document stream; the
+    * checkpointed batchId rides along as the upsert version (monotone
+    * across kill-and-restart, so a resumed writer keeps appending
+    * versions the reader's latest-per-key resolve orders correctly). */
   def streamingClusterMaintenance(docs: DataFrame, checkpoint: String,
                                   maint: ClusterMaintenance): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Row], _: Long) => maint.ingest(batch.toDF()); () }
+      .foreachBatch { (batch: Dataset[Row], bid: Long) => maint.ingest(batch.toDF(), bid); () }
+      .start()
+
+  /** s_stream_missing_links: the recall-repair loop as a per-batch
+    * stage over the incremental dedup stream (r11 verdict item 8) —
+    * [[ClusterMaintenance]]'s lifecycle EXTENDED with the standing EDGE
+    * list, so each micro-batch can run the batch operators verbatim
+    * (the one-implementation rule): banded probe → wedge queue over the
+    * twin-collapsed standing graph → exact verify of only the queued
+    * families (`TextPipeline.missingLinksVerify` with the standing
+    * edges as `precomputedPairs`) → confirmed banding-missed TRUE pairs
+    * union into the edge list and ride the SAME `ccIncremental` delta
+    * as the batch's own probe edges.
+    *
+    * Because a confirmed edge joins the standing graph, its wedge is
+    * CLOSED from the next batch on — each missing link is confirmed
+    * exactly once per lifecycle, and the audit log is the append-only
+    * record a production repair persists. After a kill, `resume`
+    * re-seeds corpus/edges/standing from the writer's artifacts; a
+    * confirmed edge whose artifacts committed never re-verifies, one
+    * that crashed pre-commit is re-confirmed from the replayed queue —
+    * the same at-least-once-into-idempotent-state story as the offset
+    * mirror.
+    *
+    * Scale: the queue pass is dup-GRAPH-shaped (twin quotient + wedge
+    * scan), never corpus-shaped, but it does walk the standing graph
+    * each batch — at 100 TB schedule it at maintenance cadence (every
+    * N batches) rather than per trigger; the per-batch probe/CC path is
+    * identical either way. */
+  final class RecallRepairMaintenance(idCol: String, textCol: String,
+      threshold: Double, minCommon: Int = 2) {
+    @volatile private var corpus: Option[DataFrame] = None
+    @volatile private var edges: Option[DataFrame] = None    // (doc_id_1 < doc_id_2)
+    @volatile private var standing: Option[DataFrame] = None // (id, cluster)
+    @volatile private var audit: Option[DataFrame] = None    // confirmed (pair, jaccard, version)
+    def current: Option[DataFrame] = standing
+    def corpusDocs: Option[DataFrame] = corpus
+    def standingEdges: Option[DataFrame] = edges
+    /** Append-only log of banding-missed pairs the verify confirmed:
+      * (doc_id_1, doc_id_2, jaccard, version). */
+    def confirmedAudit: Option[DataFrame] = audit
+
+    /** Kill-and-restart: re-seed from the writer's persisted artifacts —
+      * corpus, standing EDGE list (the graph as banding + prior repairs
+      * left it), cluster table. Paired with resuming the stream from
+      * its original checkpoint. */
+    def resume(seedCorpus: DataFrame, seedEdges: DataFrame,
+               seedStanding: DataFrame): Unit = synchronized {
+      corpus = Some(seedCorpus.select(col(idCol), col(textCol)).localCheckpoint())
+      edges = Some(seedEdges.select(col("doc_id_1"), col("doc_id_2")).localCheckpoint())
+      standing = Some(seedStanding.select(col("id"), col("cluster")).localCheckpoint())
+    }
+
+    def ingest(batch: DataFrame, version: Long = 0L): Unit = synchronized {
+      val b = batch.select(col(idCol), col(textCol)).localCheckpoint()
+      if (b.isEmpty) { b.unpersist(); return }
+      val newNew = graft.engine.ops.Similarity
+        .minhashNearDup(b, idCol, textCol, threshold, ordered = false)
+        .select(col("doc_id_1"), col("doc_id_2"))
+      val batchEdges = (corpus match {
+        case Some(ref) =>
+          graft.engine.ops.Similarity
+            .minhashNearDupIncremental(ref, b, idCol, textCol, threshold, ordered = false)
+            .select(least(col("doc_id_ref"), col("doc_id_new")).as("doc_id_1"),
+                    greatest(col("doc_id_ref"), col("doc_id_new")).as("doc_id_2"))
+            .unionAll(newNew)
+        case None => newNew
+      }).distinct()
+      val corpusNext = corpus.fold(b)(_.unionAll(b)).localCheckpoint()
+      val graphEdges = edges.fold(batchEdges)(_.unionAll(batchEdges))
+        .distinct().localCheckpoint()
+      // queue-consume + exact verify, verbatim batch operator over the
+      // standing graph (wedges the banding left open, families expanded,
+      // native sorted-merge Jaccard)
+      val verified = graft.engine.ops.TextPipeline
+        .missingLinksVerify(corpusNext, idCol, textCol, threshold, minCommon,
+          precomputedPairs = Some(graphEdges))
+        .localCheckpoint()
+      val confirmed = verified.filter(col("confirmed"))
+        .select(col("doc_id_1"), col("doc_id_2"))
+      val logged = verified.filter(col("confirmed"))
+        .select(col("doc_id_1"), col("doc_id_2"), col("jaccard"),
+          lit(version).as("version"))
+      audit = Some(audit.fold(logged)(_.unionAll(logged)).localCheckpoint())
+      // confirmed edges close their wedges for every later batch
+      edges = Some(graphEdges.unionAll(confirmed).distinct().localCheckpoint())
+      val deltaForCc = batchEdges.unionAll(confirmed)
+        .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
+      val next = standing match {
+        case Some(prior) =>
+          graft.engine.ops.TextPipeline
+            .ccIncremental(prior, deltaForCc, b.select(col(idCol).as("id")))
+            .select("id", "cluster")
+        case None =>
+          graft.engine.ops.TextPipeline.dedupClusters(corpusNext, idCol, textCol,
+            threshold, precomputedPairs = Some(edges.get))
+      }
+      standing = Some(next.localCheckpoint())
+      corpus = Some(corpusNext)
+    }
+  }
+
+  /** Drives [[RecallRepairMaintenance]] from a document stream. */
+  def streamingRecallRepair(docs: DataFrame, checkpoint: String,
+                            maint: RecallRepairMaintenance): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], bid: Long) => maint.ingest(batch.toDF(), bid); () }
       .start()
 
   /** Output row of [[streamingPack]]. */

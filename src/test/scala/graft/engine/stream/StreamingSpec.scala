@@ -713,6 +713,143 @@ class StreamingSpec extends SparkSuite {
       "resumed maintenance must continue the from-scratch invariant across the restart")
   }
 
+  // s_stream_cluster_snapshot (r11 verdict item 7): the standing table's
+  // versioned upserts commit through the Compaction overlay manifest;
+  // a reader pinned to the pre-batch generation sees a CONSISTENT
+  // snapshot while (and after) the next batch's upsert lands — the
+  // snapshot-isolation story a 100 TB standing table needs.
+  test("s_stream_cluster_snapshot: a reader pinned to the pre-batch generation is isolated from a mid-flight upsert") {
+    val fixture = graft.engine.io.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val landing = tmpDir("cluster-snap")
+    // the production writer: each batch's `changed` slice appended as a
+    // versioned keyed upsert (≥2 files so compaction always has a bin)
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (chg, v) =>
+      chg.withColumn("version", lit(v)).repartition(2)
+        .write.mode("append").parquet(landing)
+    val in = MemoryStream[Doc](spark)
+    val maint = new Streams.ClusterMaintenance("doc_id", "text", 0.9, Some(sink))
+    val q = Streams.streamingClusterMaintenance(
+      in.toDF().select(col("doc_id"), col("text")), tmpDir("cluster-snap-ckpt"), maint)
+    // reader side: latest-per-key resolve over a manifest-pinned file set
+    def resolve(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.engine.ops.TextPipeline.latestPerKey(df, "id", "version", "version")
+        .select("id", "cluster").as[(Long, Long)].collect().toMap
+    def scratch(n: Int): Map[Long, Long] = graft.engine.ops.TextPipeline
+      .dedupClusters(fixture.take(n).toSeq.toDF("doc_id", "text"), "doc_id", "text", 0.9)
+      .as[(Long, Long)].collect().toMap
+
+    val cut = fixture.length / 2
+    in.addData(fixture.take(cut).map { case (id, t) => Doc(id, ts(id), t) }: _*)
+    q.processAllAvailable()
+    val res1 = Compaction.compact(spark, landing, 512L * 1024 * 1024)
+    assert(res1.gen == 1L, "first upsert commit must open generation 1")
+    val v1 = resolve(Compaction.readAt(spark, landing, 1L))
+    assert(v1 == scratch(cut), "generation 1 must resolve to the post-batch-1 table")
+
+    // batch 2's upsert LANDS (files appended) but no generation commits
+    // yet — the mid-upsert window
+    in.addData(fixture.drop(cut).map { case (id, t) => Doc(id, ts(id), t) }: _*)
+    q.processAllAvailable()
+    assert(resolve(Compaction.readAt(spark, landing, 1L)) == v1,
+      "a reader pinned to generation 1 must not see the in-flight upsert")
+    // the CURRENT manifest-aware read picks the landed upsert up at once
+    // (sink semantics), and matches the writer's own standing table
+    val cur = resolve(Compaction.read(spark, landing))
+    assert(cur == scratch(fixture.length))
+    assert(cur == maint.current.get.as[(Long, Long)].collect().toMap)
+    q.stop()
+
+    // commit generation 2: both generations resolve, each to its own
+    // consistent point-in-time table
+    val res2 = Compaction.compact(spark, landing, 512L * 1024 * 1024)
+    assert(res2.gen == 2L)
+    assert(resolve(Compaction.readAt(spark, landing, 2L)) == scratch(fixture.length))
+    assert(resolve(Compaction.readAt(spark, landing, 1L)) == v1,
+      "the pinned pre-batch view must outlive the new generation's commit")
+    // retention ≥ the pinned generation keeps its snapshot alive through
+    // vacuum; dropping retention to 1 is the documented end of time travel
+    Compaction.vacuum(spark, landing, retainGenerations = 2)
+    assert(resolve(Compaction.readAt(spark, landing, 1L)) == v1)
+    Compaction.vacuum(spark, landing, retainGenerations = 1)
+    intercept[Exception](Compaction.readAt(spark, landing, 1L).collect())
+    assert(resolve(Compaction.read(spark, landing)) == scratch(fixture.length))
+  }
+
+  // s_stream_missing_links (r11 verdict item 8): the recall-repair loop
+  // as a per-batch stage — a banding-missed TRUE pair in the standing
+  // graph is confirmed mid-stream exactly once, closes its wedge, and
+  // the confirmation survives kill-and-restart without duplicating.
+  test("s_stream_missing_links: a banding-missed pair is recovered mid-stream once, kill-and-restart safe") {
+    // the batch premise (TextSimilaritySpec missingLinksVerify): B
+    // near-dups A and C, A~C is a TRUE pair (jac 19/21 ≈ 0.9048) the
+    // banding missed; 10-11-12 is the drift chain whose endpoints are
+    // NOT a true pair (queued, verified, refuted)
+    val w = (1 to 20).map(i => s"w$i").mkString(" ")
+    val u = (1 to 12).map(i => s"u$i").mkString(" ")
+    val seedCorpus = Seq(
+      (1L, w), (2L, w + " x"),
+      (3L, (1 to 19).map(i => s"w$i").mkString(" ") + " x"),
+      (10L, u), (11L, u + " z"),
+      (12L, (1 to 8).map(i => s"u$i").mkString(" ") + " y1 y2 y3 y4"))
+      .toDF("doc_id", "text")
+    // the standing graph AS BANDING LEFT IT: both bridges missing
+    val seedEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L))
+      .toDF("doc_id_1", "doc_id_2")
+    val seedStanding = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L)).toDF("id", "cluster")
+
+    val in = MemoryStream[Doc](spark)
+    val ckpt = tmpDir("recall-repair-ckpt") // ONE checkpoint across the kill
+    val m1 = new Streams.RecallRepairMaintenance("doc_id", "text", 0.9, minCommon = 1)
+    m1.resume(seedCorpus, seedEdges, seedStanding)
+    val q1 = Streams.streamingRecallRepair(
+      in.toDF().select(col("doc_id"), col("text")), ckpt, m1)
+    // batch 0: an unrelated arrival triggers the queue pass
+    in.addData(Doc(100L, ts(100), (1 to 9).map(i => s"q$i").mkString(" ")))
+    q1.processAllAvailable()
+    val audit1 = m1.confirmedAudit.get
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(audit1 == Set((1L, 3L, 0.9048, 0L)),
+      "the banding-missed pair must be confirmed mid-stream; the drift chain refuted")
+    assert(m1.standingEdges.get.as[(Long, Long)].collect().toSet.contains((1L, 3L)),
+      "the confirmed edge must join the standing graph")
+    // batch 1: the wedge is closed — no re-confirmation
+    in.addData(Doc(101L, ts(101), (1 to 9).map(i => s"r$i").mkString(" ")))
+    q1.processAllAvailable()
+    assert(m1.confirmedAudit.get.count() == 1L,
+      "a confirmed link must be confirmed exactly once per lifecycle")
+    q1.stop() // kill
+
+    // the writer's persisted artifacts, round-tripped through storage
+    val store = Files.createTempDirectory("graft-repair-store").toString
+    m1.corpusDocs.get.write.parquet(s"$store/corpus")
+    m1.standingEdges.get.write.parquet(s"$store/edges")
+    m1.current.get.write.parquet(s"$store/standing")
+    val m2 = new Streams.RecallRepairMaintenance("doc_id", "text", 0.9, minCommon = 1)
+    m2.resume(spark.read.parquet(s"$store/corpus"),
+      spark.read.parquet(s"$store/edges"),
+      spark.read.parquet(s"$store/standing"))
+    val q2 = Streams.streamingRecallRepair(
+      in.toDF().select(col("doc_id"), col("text")), ckpt, m2)
+    in.addData(Doc(102L, ts(102), (1 to 9).map(i => s"s$i").mkString(" ")))
+    q2.processAllAvailable(); q2.stop()
+    // the committed confirmation survived the restart: the resumed
+    // lifecycle re-verifies nothing it already repaired
+    assert(m2.confirmedAudit.forall(_.count() == 0L),
+      "a restart from committed artifacts must not re-confirm the repaired link")
+    // and the standing table stays the from-scratch fixpoint over the
+    // WIDENED graph: {A,B,C} one family, the drift chain untouched
+    val got = m2.current.get.as[(Long, Long)].collect().toMap
+    val expect = graft.engine.ops.TextPipeline.dedupClusters(
+      m2.corpusDocs.get, "doc_id", "text", 0.9,
+      precomputedPairs = Some(m2.standingEdges.get))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect, "resumed standing table must equal from-scratch over the repaired graph")
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(10L) == got(11L) && got(11L) == got(12L) && got(10L) != got(1L))
+  }
+
   // s_stream_quality_classifier: offline-trained token weights served
   // as one broadcast map row, scored per arrival with zero state
   test("s_stream_quality_classifier: in-stream scores equal the batch classifier row-for-row") {
