@@ -22,11 +22,30 @@ object BenchStream {
     def stats(xs: Seq[Double]): String =
       s"""{"p50":${fmt(StreamBench.pct(xs, 50))},"p95":${fmt(StreamBench.pct(xs, 95))},"max":${fmt(if (xs.isEmpty) Double.NaN else xs.max)}}"""
     // second section (r10 verdict #9): the stateful tier's own budget —
-    // the streaming LSH dedup operator on RocksDB at a declared rate
+    // the streaming LSH dedup operator on RocksDB at a declared rate.
+    // r11 verdict item 4 widened it into a LADDER: the same series at
+    // 1×/3×/10× the arrival rate (and therefore ~1×/3×/10× final state
+    // rows), with the ScaleCheck-style flag rule declared below.
     val docsPerTrigger =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS_PER_TRIGGER", "200").toInt
-    val st = StreamBench.measureStateful(spark, measured, warmup = 5,
-      docsPerTrigger, ckptDir = tmp("stateckpt"))
+    val ladderRates = Seq(docsPerTrigger, 3 * docsPerTrigger, 10 * docsPerTrigger)
+    val ladder = ladderRates.map { rate =>
+      rate -> StreamBench.measureStateful(spark, measured, warmup = 5,
+        rate, ckptDir = tmp(s"stateckpt-$rate"))
+    }
+    val st = ladder.head._2
+    // Flag rule (declared, ScaleCheck's flagged_norm discipline): per
+    // rung, normalized slope = (trigger p50 ratio) ÷ (rate ratio). A
+    // stateful operator whose per-trigger cost tracks the ARRIVAL RATE
+    // scores ~1.0 even as standing state grows 10× — a slope past 1.6
+    // means per-trigger latency is growing with the STORE, not the
+    // batch, the exact failure a RocksDB-backed LSH state must not have.
+    val normSlopes = ladder.sliding(2).collect {
+      case Seq((r1, s1), (r2, s2)) =>
+        (r2, (StreamBench.pct(s2.trigger, 50) / StreamBench.pct(s1.trigger, 50)) /
+          (r2.toDouble / r1))
+    }.toSeq
+    val flagged = normSlopes.collect { case (r, sl) if sl > 1.6 => r }
     val budgetMs = 18.0
     val line =
       s"""{"metric":"stream_trigger_overhead","unit":"ms","n_batches":${s.nBatches},""" +
@@ -42,7 +61,18 @@ object BenchStream {
       s""""stateful_lsh_rocksdb":{"docs_per_trigger":$docsPerTrigger,""" +
       s""""n_batches":${st.nBatches},"trigger":${stats(st.trigger)},""" +
       s""""add_batch":${stats(st.addBatch)},"state_commit":${stats(st.stateCommit)},""" +
-      s""""state_rows":${st.stateRows},"pairs_emitted":${st.pairsEmitted}}}"""
+      s""""state_rows":${st.stateRows},"pairs_emitted":${st.pairsEmitted}},""" +
+      s""""stateful_ladder":{"rates":[${ladderRates.mkString(",")}],""" +
+      s""""rungs":[${ladder.map { case (r, s) =>
+        s"""{"docs_per_trigger":$r,"trigger":${stats(s.trigger)},""" +
+        s""""state_commit":${stats(s.stateCommit)},"state_rows":${s.stateRows},""" +
+        s""""pairs_emitted":${s.pairsEmitted}}"""
+      }.mkString(",")}],""" +
+      s""""norm_slopes":[${normSlopes.map { case (r, sl) =>
+        s"""{"docs_per_trigger":$r,"norm_slope":${fmt(sl)}}"""
+      }.mkString(",")}],""" +
+      s""""flag_rule":"trigger p50 ratio / rate ratio > 1.6",""" +
+      s""""flagged":[${flagged.mkString(",")}]}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_STREAM.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -158,18 +158,22 @@ object StreamBench {
     * across the run — the store is measured while growing, not while
     * being evicted empty. */
   def measureStateful(spark: SparkSession, measured: Int, warmup: Int,
-                      docsPerTrigger: Int, ckptDir: String): StatefulSeries = {
+                      docsPerTrigger: Int, ckptDir: String,
+                      eventSpanMs: Long = 9000L): StatefulSeries = {
     import spark.implicits._
     // the accumulating-state premise holds only while the run's event-
-    // time span (1 ms/doc) stays inside streamingNearDupLsh's 10 s
-    // watermark horizon — past it, EventTimeTimeout evicts buckets
-    // mid-run and the series silently measures an evicting store while
-    // still being presented as the growth-phase budget. Fail loudly
-    // instead (both knobs are env-tunable).
-    require((warmup + measured).toLong * docsPerTrigger < 10000L,
-      s"run spans ${(warmup + measured).toLong * docsPerTrigger} ms of event time " +
-        "- past the operator's 10 s watermark horizon the state store " +
-        "evicts mid-run and the series no longer measures a growing store")
+    // time span stays inside streamingNearDupLsh's 10 s watermark
+    // horizon — past it, EventTimeTimeout evicts buckets mid-run and
+    // the series silently measures an evicting store while still being
+    // presented as the growth-phase budget. Fail loudly instead. The
+    // whole run is mapped onto `eventSpanMs` of event time (r11 verdict
+    // item 4: the state LADDER runs 10× the docs, so a fixed 1 ms/doc
+    // would blow the horizon — compressing event time instead keeps
+    // state accumulating at every rung; at the base rate the mapping
+    // reproduces the original 1 ms/doc timeline exactly).
+    require(eventSpanMs < 10000L,
+      s"event span $eventSpanMs ms must stay under the operator's 10 s " +
+        "watermark horizon or the state store evicts mid-run")
     // A watermarked append query interleaves NO-DATA batches (watermark-
     // advance emits) between the data batches, so recentProgress's ring
     // buffer holds up to 2× the trigger count and a cap sized to the run
@@ -201,11 +205,13 @@ object StreamBench {
         }
         .start()
       val total = warmup + measured
+      val totalDocs = total.toLong * docsPerTrigger
       var id = 0L
       (1 to total).foreach { _ =>
         val batch = (1 to docsPerTrigger).map { _ =>
           id += 1
-          (id, docText(id), new java.sql.Timestamp(1700000000000L + id))
+          (id, docText(id),
+            new java.sql.Timestamp(1700000000000L + id * eventSpanMs / totalDocs))
         }
         in.addData(batch)
         q.processAllAvailable()
