@@ -148,13 +148,52 @@ object Lines {
       .orderBy("doc_id")
   }
 
+  /** FREQUENCY-based boilerplate detection (the CCNet/RefinedWeb move
+    * the static blocklist can't make: boilerplate is whatever repeats
+    * across unrelated documents, discovered from the corpus itself):
+    * every line occurring in ≥ `minDocs` DISTINCT documents, with its
+    * document reach and total occurrence count — the versioned
+    * blocklist artifact a curation pipeline persists and serves to
+    * [[lineFilters]]-style drops downstream. One hash aggregate on the
+    * line key; at 100 TB the output is boilerplate-vocabulary-sized
+    * (Zipf head), candidate for broadcast at apply time. */
+  def lineFreqBoilerplate(lines: DataFrame, minDocs: Int): DataFrame =
+    lines.groupBy("line")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy("line")
+
+  /** The C4 DOCUMENT-level gate over line statistics: a page whose
+    * lines are mostly unterminated or mostly fragments is dropped
+    * whole, regardless of any single line's quality. Per doc:
+    * line count, terminated-line count, the floored basis-point
+    * termination ratio, short-line count, and the keep verdict
+    * (≥ 60% terminated AND ≥ 2 lines) — every intermediate exact in
+    * BIGINT so the verdict hash-oracles. One narrow flag projection +
+    * one doc-keyed hash aggregate. */
+  def docLineQuality(lines: DataFrame): DataFrame = {
+    val l = col("line")
+    lines.select(col("doc_id"),
+        (!ruleNoPunct(l)).cast("long").as("term"),
+        ruleShort(l).cast("long").as("short"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"), sum("term").as("n_terminated"),
+        sum("short").as("n_short"))
+      .withColumn("term_bp",
+        floor(lit(10000L) * col("n_terminated") / col("n_lines")).cast("long"))
+      .withColumn("keep", col("term_bp") >= 6000 && col("n_lines") >= 2)
+      .orderBy("doc_id")
+  }
+
   private def ml(s: SparkSession, d: String): DataFrame =
     mlLines(Tables.documents(s, d), "doc_id", "text")
 
   val queries: Map[String, Q] = Map(
     "q_line_dedup" -> ((s, d) => lineDedup(ml(s, d))),
     "q_line_filters" -> ((s, d) => lineFilters(ml(s, d))),
-    "q_doc_reflow" -> ((s, d) => docReflow(ml(s, d))))
+    "q_doc_reflow" -> ((s, d) => docReflow(ml(s, d))),
+    "q_line_freq_boilerplate" -> ((s, d) => lineFreqBoilerplate(ml(s, d), minDocs = 3)),
+    "q_doc_line_quality" -> ((s, d) => docLineQuality(ml(s, d))))
 
   /** Shared CTE prefix replaying [[mlLines]] in DuckDB: same token
     * filter, same W/boilerplate/punctuation arithmetic (doc_id ≥ 0 so
@@ -215,6 +254,22 @@ object Lines {
       |    CAST(count(*) FILTER (WHERE NOT ok_words) AS BIGINT),
       |    CAST(count(DISTINCT doc_id) FILTER (WHERE NOT ok_words) AS BIGINT) FROM fl)
       |ORDER BY rule""".stripMargin,
+
+    "q_line_freq_boilerplate" -> s"""$mlCte
+      |SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |       CAST(count(*) AS BIGINT) AS n_occ
+      |FROM ml GROUP BY line
+      |HAVING count(DISTINCT doc_id) >= 3
+      |ORDER BY line""".stripMargin,
+
+    "q_doc_line_quality" -> s"""$mlCte
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(count(*) FILTER (WHERE line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?') AS BIGINT) AS n_terminated,
+      |  CAST(count(*) FILTER (WHERE len(list_filter(string_split(line, ' '), t -> len(t) > 0)) < 3) AS BIGINT) AS n_short,
+      |  CAST(floor(10000 * count(*) FILTER (WHERE line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?') / count(*)) AS BIGINT) AS term_bp,
+      |  (floor(10000 * count(*) FILTER (WHERE line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?') / count(*)) >= 6000
+      |   AND count(*) >= 2) AS keep
+      |FROM ml GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_doc_reflow" -> s"""$mlCte,
       |fl AS (SELECT doc_id, line_no, line, $sqlRules FROM ml),

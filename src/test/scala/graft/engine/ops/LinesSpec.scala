@@ -81,6 +81,47 @@ class LinesSpec extends SparkSuite {
     assert(byRule("any_rule") < partSum)
   }
 
+  test("q_line_freq_boilerplate: discovers the injected boilerplate from frequency alone and ranks it at the head") {
+    val got = SparkEntry.queries("q_line_freq_boilerplate")(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    val byLine = got.map(r => r._1 -> r._2).toMap
+    // the two injected strings must be discovered — by REACH, with no
+    // blocklist knowledge — and dominate every organic duplicate line
+    assert(byLine.contains("all rights reserved."))
+    assert(byLine.contains("click here to subscribe to our newsletter"))
+    val injected = Set("all rights reserved.", "click here to subscribe to our newsletter")
+    val organicMax = got.filterNot(r => injected(r._1)).map(_._2).maxOption.getOrElse(0L)
+    assert(injected.forall(byLine(_) > organicMax * 10),
+      "injected boilerplate must dominate organic duplicate lines by an order of magnitude")
+    // threshold genuinely filters: some organic lines qualify, most don't
+    assert(got.length > 2, "organic cross-doc duplicates must also qualify at the threshold")
+    val all2 = ml.groupBy("line").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).count()
+    assert(got.length < all2, "the minDocs threshold must drop the 2-doc tail")
+    // n_occ >= n_docs always (a line can repeat within a doc)
+    assert(got.forall(r => r._3 >= r._2))
+  }
+
+  test("q_doc_line_quality: the doc-level gate fires both ways and its ratio is exact") {
+    val rows = SparkEntry.queries("q_doc_line_quality")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.length === docs.count())
+    val (kept, dropped) = rows.partition(_._6)
+    assert(kept.nonEmpty && dropped.nonEmpty,
+      "the 60%-terminated gate must fire in both directions on the fixture")
+    rows.foreach { case (id, nLines, nTerm, nShort, termBp, keep) =>
+      assert(termBp === 10000L * nTerm / nLines, s"doc $id ratio must be exact floor bp")
+      assert(keep === (termBp >= 6000L && nLines >= 2L), s"doc $id verdict must follow the rule")
+      assert(nTerm <= nLines && nShort <= nLines)
+    }
+    // reconcile one doc's counts against the derived lines directly
+    val id0 = rows.head._1
+    val manual = ml.filter(col("doc_id") === id0)
+      .select(col("line")).as[String].collect()
+    assert(rows.head._2 === manual.length)
+    assert(rows.head._3 === manual.count(l => l.endsWith(".") || l.endsWith("!") || l.endsWith("?")))
+  }
+
   test("q_doc_reflow: output is clean (every line passes all rules, no duplicate line corpus-wide) and loses only dropped docs") {
     val rf = SparkEntry.queries("q_doc_reflow")(spark, sfDir).cache()
     val outLines = rf.select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
