@@ -1574,6 +1574,72 @@ object Streams {
       .foreachBatch { (batch: Dataset[Row], bid: Long) => maint.ingest(batch.toDF(), bid); () }
       .start()
 
+  /** s_stream_line_dedup: C4-style corpus-wide exact LINE dedup at
+    * INGEST — the streaming face of `Lines.lineDedup`/`docReflow`
+    * (boilerplate-strip before anything lands, so downstream tokenizers
+    * never see the ten-thousandth "all rights reserved."). Arriving
+    * documents split on '\n'; a line survives iff it is the FIRST
+    * occurrence both within the micro-batch (min (doc_id, line_no) —
+    * the batch family's survivor rule) and against the STANDING line
+    * registry; survivors reassemble per document in original order and
+    * documents stripped of every line drop. With id-ordered arrival the
+    * emitted accounting is BIT-IDENTICAL to the batch operator over the
+    * concatenated corpus at any batch slicing (spec-pinned).
+    *
+    * State is the standing line registry — at harness scale a
+    * localCheckpointed frame (the ClusterMaintenance discipline); at
+    * 100 TB a line-DIGEST-keyed state store or standing table (the
+    * registry is distinct-line-sized, Zipf-bounded well under the
+    * corpus). Kill-and-restart: [[resume]] re-seeds the registry from
+    * the writer's persisted artifact; the checkpointed source then
+    * re-delivers only post-crash batches. */
+  final class LineDedupMaintenance(idCol: String, textCol: String) {
+    @volatile private var standing: Option[DataFrame] = None // (line)
+    @volatile private var emitted: Option[DataFrame] = None  // per-doc output
+    /** Accumulated per-doc output: (doc_id, n_lines, n_kept, text). */
+    def current: Option[DataFrame] = emitted
+    /** The standing first-occurrence line registry. */
+    def standingLines: Option[DataFrame] = standing
+    def resume(seedLines: DataFrame): Unit = synchronized {
+      standing = Some(seedLines.select(col("line")).localCheckpoint())
+    }
+    def ingest(batch: DataFrame): Unit = synchronized {
+      val b = batch.select(col(idCol).cast("long").as("doc_id"), col(textCol))
+        .localCheckpoint()
+      if (b.isEmpty) { b.unpersist(); return }
+      val lines = b.select(col("doc_id"),
+          posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+        .select(col("doc_id"), (col("idx") + 1).cast("long").as("line_no"), col("line"))
+        .filter(length(col("line")) > 0)
+      // within-batch first occurrence, the batch survivor rule
+      val firstInBatch = lines.groupBy("line")
+        .agg(min(struct(col("doc_id"), col("line_no"))).as("s"))
+        .select(col("s.doc_id").as("doc_id"), col("s.line_no").as("line_no"), col("line"))
+      // then against the standing registry
+      val fresh = standing.fold(firstInBatch)(reg =>
+        firstInBatch.join(reg, Seq("line"), "left_anti")).localCheckpoint()
+      standing = Some(standing.fold(fresh.select(col("line")))(
+        _.unionAll(fresh.select(col("line")))).localCheckpoint())
+      val perDoc = lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+      val out = fresh.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("line_no"), col("line")))),
+            x => x.getField("line")), "\n").as("text"))
+        .join(perDoc, Seq("doc_id"))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"), col("text"))
+      emitted = Some(emitted.fold(out)(_.unionAll(out)).localCheckpoint())
+    }
+  }
+
+  /** Drives [[LineDedupMaintenance]] from a document stream. */
+  def streamingLineDedup(docs: DataFrame, checkpoint: String,
+                         maint: LineDedupMaintenance): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) => maint.ingest(batch.toDF()); () }
+      .start()
+
   /** Output row of [[streamingPack]]. */
   final case class PackAssign(doc_id: Long, chunk_idx: Long, n_toks: Long, seq_id: Long)
 

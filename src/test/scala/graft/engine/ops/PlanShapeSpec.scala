@@ -658,6 +658,24 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  // r13: the line family's scale claims — segmentation is a narrow
+  // generator (explode, no join), dedup/reflow/boilerplate are hash
+  // aggregates with PARTIAL (map-side) phases on explicit keys, and
+  // nothing in the family joins non-equi or cartesian. A regression to
+  // a windowed global sort or a nested-loop would still pass the value
+  // oracle at sf0.01 and die at 100 TB.
+  test("line family: hash aggregates with partial phases, equi-joins only, no corpus-wide window") {
+    Seq("q_line_dedup", "q_doc_reflow", "q_line_freq_boilerplate",
+        "q_doc_line_quality").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must stay key-equi-joined:\n" + p.take(2000))
+      assert(!p.contains("Window"), s"$name must not window over the corpus:\n" + p.take(2000))
+      assert(p.contains("HashAggregate"), s"$name must hash-aggregate:\n" + p.take(1500))
+      assert(p.contains("partial"), s"$name aggregates need a map-side partial phase:\n" + p.take(2000))
+    }
+  }
+
   test("q_graph_pagerank: every round joins and aggregates on doc_id, nothing cartesian") {
     val p = plan("q_graph_pagerank")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

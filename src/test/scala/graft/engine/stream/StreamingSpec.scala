@@ -850,6 +850,60 @@ class StreamingSpec extends SparkSuite {
     assert(got(10L) == got(11L) && got(11L) == got(12L) && got(10L) != got(1L))
   }
 
+  // s_stream_line_dedup: C4-style exact line dedup at ingest — batch
+  // parity at any slicing, doc drop-out, kill-and-restart from the
+  // persisted line registry
+  test("s_stream_line_dedup: first-occurrence lines survive across batches, parity with the batch operator, restart-safe") {
+    val d1 = (1L, "a b c.\nall rights reserved.\nfoo bar baz.")
+    val d2 = (2L, "all rights reserved.\nqux quux corge.")
+    val d3 = (3L, "all rights reserved.")            // loses its only line
+    val d4 = (4L, "foo bar baz.\nbrand new line.")
+    val in = MemoryStream[Doc](spark)
+    val ckpt = tmpDir("line-dedup-ckpt")
+    val m1 = new Streams.LineDedupMaintenance("doc_id", "text")
+    val q1 = Streams.streamingLineDedup(
+      in.toDF().select(col("doc_id"), col("text")), ckpt, m1)
+    in.addData(Doc(d1._1, ts(1), d1._2), Doc(d2._1, ts(2), d2._2))
+    q1.processAllAvailable()
+    in.addData(Doc(d3._1, ts(3), d3._2), Doc(d4._1, ts(4), d4._2))
+    q1.processAllAvailable()
+    val got = m1.current.get.as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 3L, d1._2)), "the first doc keeps everything")
+    assert(got(2L) == ((2L, 1L, "qux quux corge.")),
+      "the within-batch duplicate line must strip")
+    assert(!got.contains(3L), "a doc stripped of every line drops out")
+    assert(got(4L) == ((2L, 1L, "brand new line.")),
+      "a line standing from an earlier batch must strip")
+    // batch parity: the same lines through the BATCH operator agree on
+    // every emitted doc's accounting (id order == arrival order)
+    val allLines = Seq(d1, d2, d3, d4).toDF("doc_id", "text")
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("i", "line")))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("line_no"), col("line"))
+    val batchSide = graft.engine.ops.Lines.lineDedup(allLines)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    got.foreach { case (id, (nl, nk, _)) =>
+      assert(batchSide(id) == ((nl, nk)), s"doc $id must match the batch accounting")
+    }
+    assert(batchSide(3L)._2 == 0L)
+    q1.stop() // kill
+
+    // restart from the persisted registry; the source re-delivers only
+    // post-crash batches through the same checkpoint
+    val store = Files.createTempDirectory("graft-linereg").toString + "/registry"
+    m1.standingLines.get.write.parquet(store)
+    val m2 = new Streams.LineDedupMaintenance("doc_id", "text")
+    m2.resume(spark.read.parquet(store))
+    val q2 = Streams.streamingLineDedup(
+      in.toDF().select(col("doc_id"), col("text")), ckpt, m2)
+    in.addData(Doc(5L, ts(5), "qux quux corge.\nfresh after restart."))
+    q2.processAllAvailable(); q2.stop()
+    val got2 = m2.current.get.as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got2 == Map(5L -> ((2L, 1L, "fresh after restart."))),
+      "the resumed registry must keep stripping lines committed before the crash")
+  }
+
   // s_stream_quality_classifier: offline-trained token weights served
   // as one broadcast map row, scored per arrival with zero state
   test("s_stream_quality_classifier: in-stream scores equal the batch classifier row-for-row") {
