@@ -34,18 +34,29 @@ object BenchStream {
         rate, ckptDir = tmp(s"stateckpt-$rate"))
     }
     val st = ladder.head._2
-    // Flag rule (declared, ScaleCheck's flagged_norm discipline): per
-    // rung, normalized slope = (trigger p50 ratio) ÷ (rate ratio). A
-    // stateful operator whose per-trigger cost tracks the ARRIVAL RATE
-    // scores ~1.0 even as standing state grows 10× — a slope past 1.6
-    // means per-trigger latency is growing with the STORE, not the
-    // batch, the exact failure a RocksDB-backed LSH state must not have.
+    // Two declared flag rules (ScaleCheck's flagged_norm discipline),
+    // because a store-proportional cost hides from either alone:
+    //  - CROSS-RUNG: normalized slope = (trigger p50 ratio) ÷ (rate
+    //    ratio) between rungs. Catches per-doc cost growing with the
+    //    arrival rate (super-linear batch work). But state also scales
+    //    with rate across rungs, so cost ∝ store ALSO scores ~1.0 here.
+    //  - WITHIN-RUN: at FIXED rate the store grows ~(warmup+measured)×
+    //    across a run, so growth = p50(last 10 triggers) ÷ p50(first 10
+    //    measured triggers) isolates store-dependence: batch-
+    //    proportional cost scores ~1.0, a full-store scan tracks the
+    //    state and scores ≫ 1.
+    // Either metric past 1.6 flags its rung.
     val normSlopes = ladder.sliding(2).collect {
       case Seq((r1, s1), (r2, s2)) =>
         (r2, (StreamBench.pct(s2.trigger, 50) / StreamBench.pct(s1.trigger, 50)) /
           (r2.toDouble / r1))
     }.toSeq
     val flagged = normSlopes.collect { case (r, sl) if sl > 1.6 => r }
+    val inRunGrowth = ladder.map { case (r, s) =>
+      (r, StreamBench.pct(s.trigger.takeRight(10), 50) /
+        StreamBench.pct(s.trigger.take(10), 50))
+    }
+    val flaggedInRun = inRunGrowth.collect { case (r, g) if g > 1.6 => r }
     val budgetMs = 18.0
     val line =
       s"""{"metric":"stream_trigger_overhead","unit":"ms","n_batches":${s.nBatches},""" +
@@ -71,8 +82,12 @@ object BenchStream {
       s""""norm_slopes":[${normSlopes.map { case (r, sl) =>
         s"""{"docs_per_trigger":$r,"norm_slope":${fmt(sl)}}"""
       }.mkString(",")}],""" +
-      s""""flag_rule":"trigger p50 ratio / rate ratio > 1.6",""" +
-      s""""flagged":[${flagged.mkString(",")}]}}"""
+      s""""inrun_growth":[${inRunGrowth.map { case (r, g) =>
+        s"""{"docs_per_trigger":$r,"growth":${fmt(g)}}"""
+      }.mkString(",")}],""" +
+      s""""flag_rule":"cross-rung: trigger p50 ratio / rate ratio > 1.6; within-run: last-10 p50 / first-10 p50 > 1.6",""" +
+      s""""flagged":[${flagged.mkString(",")}],""" +
+      s""""flagged_inrun":[${flaggedInRun.mkString(",")}]}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_STREAM.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -3161,7 +3161,8 @@ object TextPipeline {
   def missingLinksVerify(documents: DataFrame, idCol: String, textCol: String,
       threshold: Double, minCommon: Int = 2,
       precomputedPairs: Option[DataFrame] = None,
-      preTwins: Option[(DataFrame, DataFrame, DataFrame)] = None): DataFrame = {
+      preTwins: Option[(DataFrame, DataFrame, DataFrame)] = None,
+      excludePairs: Option[DataFrame] = None): DataFrame = {
     val spark = documents.sparkSession
     graft.engine.functions.GraftFunctions.register(spark)
     val pairs = precomputedPairs.getOrElse(
@@ -3173,10 +3174,19 @@ object TextPipeline {
     val m2 = member.select(col("cls").as("cls_2"), col("u").as("d2"))
     // classes are disjoint and the queue is (cls_1 < cls_2)-unique, so
     // the expansion emits each doc pair exactly once
-    val cand = queue.select("cls_1", "cls_2")
+    val expanded = queue.select("cls_1", "cls_2")
       .join(m1, "cls_1").join(m2, "cls_2")
       .select(least(col("d1"), col("d2")).as("doc_id_1"),
               greatest(col("d1"), col("d2")).as("doc_id_2"))
+    // already-audited pairs (a REFUTED ledger, in the streaming
+    // lifecycle) anti-join out BEFORE the exact verify — a confirmed
+    // edge closes its wedge structurally, but a refuted pair's wedge
+    // stays open forever, and without the ledger every later pass
+    // would re-pay its expansion and exact verify (the ledger is
+    // audited-pairs-sized, far under the graph)
+    val cand = excludePairs.fold(expanded)(x =>
+      expanded.join(x.select(col("doc_id_1"), col("doc_id_2")),
+        Seq("doc_id_1", "doc_id_2"), "left_anti"))
     val docs = documents.select(col(idCol).as("doc_id"),
       call_function("token_set_hashes62", col(textCol)).as("hsh"))
     val sa = docs.select(col("doc_id").as("doc_id_1"), col("hsh").as("sa"))

@@ -1431,29 +1431,56 @@ object Streams {
     def ingest(batch: DataFrame, version: Long = 0L): Unit = synchronized {
       val b = batch.select(col(idCol), col(textCol)).localCheckpoint()
       if (b.isEmpty) { b.unpersist(); return }
+      // the intermediate materialization (the 4-column ccIncremental
+      // output / the cold-start insert set) exists ONLY to feed the
+      // upsert sink exactly-what-ran; the default sinkless path keeps
+      // the original single standing-table checkpoint per batch
       val next = (corpus, standing) match {
         case (Some(ref), Some(prior)) =>
-          val newOld = graft.engine.ops.Similarity
-            .minhashNearDupIncremental(ref, b, idCol, textCol, threshold, ordered = false)
-            .select(col("doc_id_ref").as("a"), col("doc_id_new").as("b"))
-          val newNew = graft.engine.ops.Similarity
-            .minhashNearDup(b, idCol, textCol, threshold, ordered = false)
-            .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
-          val full = graft.engine.ops.TextPipeline
-            .ccIncremental(prior, newOld.unionAll(newNew), b.select(col(idCol).as("id")))
-            .localCheckpoint()
-          upsertSink.foreach(_(full.filter(col("changed")).select("id", "cluster"), version))
-          full.select("id", "cluster")
+          val inc = graft.engine.ops.TextPipeline.ccIncremental(prior,
+            probeEdges(ref, b, idCol, textCol, threshold)
+              .select(col("doc_id_1").as("a"), col("doc_id_2").as("b")),
+            b.select(col(idCol).as("id")))
+          upsertSink match {
+            case Some(sink) =>
+              val full = inc.localCheckpoint()
+              sink(full.filter(col("changed")).select("id", "cluster"), version)
+              full.select("id", "cluster")
+            case None => inc.select("id", "cluster")
+          }
         case _ =>
-          val full = graft.engine.ops.TextPipeline
-            .dedupClusters(b, idCol, textCol, threshold).localCheckpoint()
-          // cold start: the whole table is the insert set
-          upsertSink.foreach(_(full, version))
-          full
+          val cold = graft.engine.ops.TextPipeline
+            .dedupClusters(b, idCol, textCol, threshold)
+          upsertSink match {
+            case Some(sink) =>
+              // cold start: the whole table is the insert set
+              val full = cold.localCheckpoint()
+              sink(full, version)
+              full
+            case None => cold
+          }
       }
       standing = Some(next.localCheckpoint())
       corpus = Some(corpus.fold(b)(c => c.unionAll(b).localCheckpoint()))
     }
+  }
+
+  /** The per-batch banded probe both maintenance lifecycles share:
+    * arriving docs vs the standing corpus (`minhashNearDupIncremental`)
+    * plus within-batch banding, normalized to ordered (doc_id_1 <
+    * doc_id_2) pairs. Kept as the ONE implementation so a probe fix
+    * (skew salting, threshold change) cannot silently diverge between
+    * the cluster-maintenance and recall-repair faces. */
+  private def probeEdges(corpus: DataFrame, b: DataFrame, idCol: String,
+                         textCol: String, threshold: Double): DataFrame = {
+    val newOld = graft.engine.ops.Similarity
+      .minhashNearDupIncremental(corpus, b, idCol, textCol, threshold, ordered = false)
+      .select(least(col("doc_id_ref"), col("doc_id_new")).as("doc_id_1"),
+              greatest(col("doc_id_ref"), col("doc_id_new")).as("doc_id_2"))
+    val newNew = graft.engine.ops.Similarity
+      .minhashNearDup(b, idCol, textCol, threshold, ordered = false)
+      .select(col("doc_id_1"), col("doc_id_2"))
+    newOld.unionAll(newNew)
   }
 
   /** Drives [[ClusterMaintenance]] from a document stream; the
@@ -1499,48 +1526,54 @@ object Streams {
     @volatile private var edges: Option[DataFrame] = None    // (doc_id_1 < doc_id_2)
     @volatile private var standing: Option[DataFrame] = None // (id, cluster)
     @volatile private var audit: Option[DataFrame] = None    // confirmed (pair, jaccard, version)
+    @volatile private var refuted: Option[DataFrame] = None  // refuted (doc_id_1, doc_id_2)
     def current: Option[DataFrame] = standing
     def corpusDocs: Option[DataFrame] = corpus
     def standingEdges: Option[DataFrame] = edges
     /** Append-only log of banding-missed pairs the verify confirmed:
       * (doc_id_1, doc_id_2, jaccard, version). */
     def confirmedAudit: Option[DataFrame] = audit
+    /** The REFUTED ledger: audited pairs whose wedge stays open forever
+      * (a refuted pair gets no edge) — anti-joined out of every later
+      * queue pass so each pair pays its expansion + exact verify ONCE
+      * per lifecycle, confirmed or not. Persisted alongside the other
+      * artifacts; audited-pairs-sized, far under the graph. */
+    def refutedPairs: Option[DataFrame] = refuted
 
     /** Kill-and-restart: re-seed from the writer's persisted artifacts —
       * corpus, standing EDGE list (the graph as banding + prior repairs
-      * left it), cluster table. Paired with resuming the stream from
-      * its original checkpoint. */
+      * left it), cluster table, and the refuted ledger. Paired with
+      * resuming the stream from its original checkpoint. */
     def resume(seedCorpus: DataFrame, seedEdges: DataFrame,
-               seedStanding: DataFrame): Unit = synchronized {
+               seedStanding: DataFrame,
+               seedRefuted: Option[DataFrame] = None): Unit = synchronized {
       corpus = Some(seedCorpus.select(col(idCol), col(textCol)).localCheckpoint())
       edges = Some(seedEdges.select(col("doc_id_1"), col("doc_id_2")).localCheckpoint())
       standing = Some(seedStanding.select(col("id"), col("cluster")).localCheckpoint())
+      refuted = seedRefuted.map(_.select(col("doc_id_1"), col("doc_id_2")).localCheckpoint())
     }
 
     def ingest(batch: DataFrame, version: Long = 0L): Unit = synchronized {
       val b = batch.select(col(idCol), col(textCol)).localCheckpoint()
       if (b.isEmpty) { b.unpersist(); return }
-      val newNew = graft.engine.ops.Similarity
-        .minhashNearDup(b, idCol, textCol, threshold, ordered = false)
-        .select(col("doc_id_1"), col("doc_id_2"))
       val batchEdges = (corpus match {
-        case Some(ref) =>
-          graft.engine.ops.Similarity
-            .minhashNearDupIncremental(ref, b, idCol, textCol, threshold, ordered = false)
-            .select(least(col("doc_id_ref"), col("doc_id_new")).as("doc_id_1"),
-                    greatest(col("doc_id_ref"), col("doc_id_new")).as("doc_id_2"))
-            .unionAll(newNew)
-        case None => newNew
+        case Some(ref) => probeEdges(ref, b, idCol, textCol, threshold)
+        case None => graft.engine.ops.Similarity
+          .minhashNearDup(b, idCol, textCol, threshold, ordered = false)
+          .select(col("doc_id_1"), col("doc_id_2"))
       }).distinct()
       val corpusNext = corpus.fold(b)(_.unionAll(b)).localCheckpoint()
+      // one distinct covers both the probe result and any at-least-once
+      // replay duplicates against the standing list
       val graphEdges = edges.fold(batchEdges)(_.unionAll(batchEdges))
         .distinct().localCheckpoint()
       // queue-consume + exact verify, verbatim batch operator over the
       // standing graph (wedges the banding left open, families expanded,
-      // native sorted-merge Jaccard)
+      // native sorted-merge Jaccard); the refuted ledger is excluded
+      // BEFORE expansion so nothing is ever audited twice
       val verified = graft.engine.ops.TextPipeline
         .missingLinksVerify(corpusNext, idCol, textCol, threshold, minCommon,
-          precomputedPairs = Some(graphEdges))
+          precomputedPairs = Some(graphEdges), excludePairs = refuted)
         .localCheckpoint()
       val confirmed = verified.filter(col("confirmed"))
         .select(col("doc_id_1"), col("doc_id_2"))
@@ -1548,8 +1581,13 @@ object Streams {
         .select(col("doc_id_1"), col("doc_id_2"), col("jaccard"),
           lit(version).as("version"))
       audit = Some(audit.fold(logged)(_.unionAll(logged)).localCheckpoint())
-      // confirmed edges close their wedges for every later batch
-      edges = Some(graphEdges.unionAll(confirmed).distinct().localCheckpoint())
+      val newRefuted = verified.filter(!col("confirmed"))
+        .select(col("doc_id_1"), col("doc_id_2"))
+      refuted = Some(refuted.fold(newRefuted)(_.unionAll(newRefuted)).localCheckpoint())
+      // confirmed edges close their wedges structurally for every later
+      // batch; they are disjoint from graphEdges by construction (the
+      // queue only proposes ABSENT edges), so no second distinct
+      edges = Some(graphEdges.unionAll(confirmed).localCheckpoint())
       val deltaForCc = batchEdges.unionAll(confirmed)
         .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
       val next = standing match {
@@ -1582,9 +1620,13 @@ object Streams {
     * occurrence both within the micro-batch (min (doc_id, line_no) —
     * the batch family's survivor rule) and against the STANDING line
     * registry; survivors reassemble per document in original order and
-    * documents stripped of every line drop. With id-ordered arrival the
-    * emitted accounting is BIT-IDENTICAL to the batch operator over the
-    * concatenated corpus at any batch slicing (spec-pinned).
+    * documents stripped of every line drop. EMPTY lines (consecutive /
+    * trailing newlines) are not lines: they are dropped before any
+    * accounting, so `n_lines` counts content lines only — the batch
+    * parity claim below is over the same empty-filtered line relation.
+    * With id-ordered arrival the emitted accounting is BIT-IDENTICAL to
+    * the batch operator over the concatenated corpus at any batch
+    * slicing (spec-pinned, including a blank-line document).
     *
     * State is the standing line registry — at harness scale a
     * localCheckpointed frame (the ClusterMaintenance discipline); at

@@ -814,11 +814,16 @@ class StreamingSpec extends SparkSuite {
       "the banding-missed pair must be confirmed mid-stream; the drift chain refuted")
     assert(m1.standingEdges.get.as[(Long, Long)].collect().toSet.contains((1L, 3L)),
       "the confirmed edge must join the standing graph")
-    // batch 1: the wedge is closed — no re-confirmation
+    assert(m1.refutedPairs.get.as[(Long, Long)].collect().toSeq == Seq((10L, 12L)),
+      "the refuted drift-chain pair must enter the ledger")
+    // batch 1: the confirmed wedge is closed AND the refuted pair is
+    // ledger-excluded — nothing is audited twice
     in.addData(Doc(101L, ts(101), (1 to 9).map(i => s"r$i").mkString(" ")))
     q1.processAllAvailable()
     assert(m1.confirmedAudit.get.count() == 1L,
       "a confirmed link must be confirmed exactly once per lifecycle")
+    assert(m1.refutedPairs.get.count() == 1L,
+      "a refuted pair must be audited exactly once per lifecycle — its open wedge is ledger-excluded")
     q1.stop() // kill
 
     // the writer's persisted artifacts, round-tripped through storage
@@ -826,18 +831,23 @@ class StreamingSpec extends SparkSuite {
     m1.corpusDocs.get.write.parquet(s"$store/corpus")
     m1.standingEdges.get.write.parquet(s"$store/edges")
     m1.current.get.write.parquet(s"$store/standing")
+    m1.refutedPairs.get.write.parquet(s"$store/refuted")
     val m2 = new Streams.RecallRepairMaintenance("doc_id", "text", 0.9, minCommon = 1)
     m2.resume(spark.read.parquet(s"$store/corpus"),
       spark.read.parquet(s"$store/edges"),
-      spark.read.parquet(s"$store/standing"))
+      spark.read.parquet(s"$store/standing"),
+      seedRefuted = Some(spark.read.parquet(s"$store/refuted")))
     val q2 = Streams.streamingRecallRepair(
       in.toDF().select(col("doc_id"), col("text")), ckpt, m2)
     in.addData(Doc(102L, ts(102), (1 to 9).map(i => s"s$i").mkString(" ")))
     q2.processAllAvailable(); q2.stop()
     // the committed confirmation survived the restart: the resumed
-    // lifecycle re-verifies nothing it already repaired
+    // lifecycle re-verifies nothing it already repaired — and the
+    // resumed refuted ledger keeps the drift pair excluded too
     assert(m2.confirmedAudit.forall(_.count() == 0L),
       "a restart from committed artifacts must not re-confirm the repaired link")
+    assert(m2.refutedPairs.get.count() == 1L,
+      "the resumed ledger must keep the refuted pair excluded, not re-audit it")
     // and the standing table stays the from-scratch fixpoint over the
     // WIDENED graph: {A,B,C} one family, the drift chain untouched
     val got = m2.current.get.as[(Long, Long)].collect().toMap
@@ -855,9 +865,9 @@ class StreamingSpec extends SparkSuite {
   // persisted line registry
   test("s_stream_line_dedup: first-occurrence lines survive across batches, parity with the batch operator, restart-safe") {
     val d1 = (1L, "a b c.\nall rights reserved.\nfoo bar baz.")
-    val d2 = (2L, "all rights reserved.\nqux quux corge.")
+    val d2 = (2L, "all rights reserved.\n\nqux quux corge.") // blank line: not a line
     val d3 = (3L, "all rights reserved.")            // loses its only line
-    val d4 = (4L, "foo bar baz.\nbrand new line.")
+    val d4 = (4L, "foo bar baz.\nbrand new line.\n") // trailing newline: not a line
     val in = MemoryStream[Doc](spark)
     val ckpt = tmpDir("line-dedup-ckpt")
     val m1 = new Streams.LineDedupMaintenance("doc_id", "text")
@@ -880,6 +890,7 @@ class StreamingSpec extends SparkSuite {
     val allLines = Seq(d1, d2, d3, d4).toDF("doc_id", "text")
       .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("i", "line")))
       .select(col("doc_id"), (col("i") + 1).cast("long").as("line_no"), col("line"))
+      .filter(length(col("line")) > 0) // the operator's empty-line contract
     val batchSide = graft.engine.ops.Lines.lineDedup(allLines)
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     got.foreach { case (id, (nl, nk, _)) =>
