@@ -31,6 +31,46 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  // r13: the multi-line derivation behind the whole C4 line family —
+  // replayed here as a pure-Scala reference so the Spark slice/ceil/
+  // modular arithmetic is pinned at every awkward length (n < W,
+  // n == W, n == kW, n == kW+1), not just the fixture's
+  private val randomDocForLines: Gen[List[(Long, String)]] =
+    Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 5000L),
+        Gen.chooseNum(0, 23).flatMap(n =>
+          Gen.listOfN(n, Gen.oneOf("alpha", "bravo", "charlie", "delta", "x"))
+            .map(_.mkString(" ")))))
+      .map(_.groupBy(_._1).map(_._2.head).toList)
+      .suchThat(_.nonEmpty)
+
+  private def mlReference(docId: Long, text: String): Seq[(Long, Long, String)] = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    if (toks.isEmpty) Seq.empty
+    else {
+      val w = (4 + docId % 5).toInt
+      val nLines = math.ceil(toks.length.toDouble / w).toLong
+      (1L to nLines).map { j =>
+        val b = (docId + 3 * j) % 13
+        val p = (docId + j) % 5
+        val line =
+          if (b == 0) "all rights reserved."
+          else if (b == 1) "click here to subscribe to our newsletter"
+          else toks.slice(((j - 1) * w).toInt, (j * w).toInt).mkString(" ") +
+            (if (p <= 2) "." else if (p == 3) "!" else "")
+        (docId, j, line)
+      }
+    }
+  }
+
+  test("mlLines equals the pure-Scala reference segmentation on random docs (5 iters)") {
+    check("mllines", 5)(Prop.forAll(randomDocForLines) { docs =>
+      val got = Lines.mlLines(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Long, String)].collect().toSet
+      val expect = docs.flatMap { case (id, t) => mlReference(id, t) }.toSet
+      got == expect
+    })
+  }
+
   private val smallRows: Gen[List[(Int, Double)]] =
     Gen.listOfN(60, Gen.zip(Gen.chooseNum(0, 8), Gen.chooseNum(-100.0, 100.0)))
 
