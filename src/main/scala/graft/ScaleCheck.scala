@@ -118,7 +118,7 @@ object ScaleCheck {
     // r13: the C4 line family — corpus-wide groupBy(line) dedup and the
     // reflow reassembly are the two wide stages; the ladder pins that
     // line-count growth (data × ~lines/doc) stays linear end-to-end
-    "q_line_dedup", "q_doc_reflow",
+    "q_line_dedup", "q_doc_reflow", "q_line_dedup_incremental",
     // linear controls (wide scans, shuffles, windows)
     "q_agg_group", "q_window_rank", "q_topk_per_group", "q_join_bucketed",
     "q_profile", "q_zorder", "q_outlier_mad", "q_vocab_build")

@@ -185,6 +185,28 @@ object Lines {
       .orderBy("doc_id")
   }
 
+  /** Incremental line dedup — the batch twin of the streaming line
+    * registry (`s_stream_line_dedup`) and the line-granular sibling of
+    * `q_dedup_incremental`: the job a daily crawl actually runs. Delta
+    * lines survive iff FIRST within the delta (min (doc_id, line_no))
+    * AND absent from the STANDING registry; per delta doc, the
+    * accounting (n_lines, n_kept). Cost ∝ delta lines + one anti-join
+    * against the registry (line-keyed, registry side distinct-line-
+    * sized) — the standing corpus never re-segments. */
+  def lineDedupIncremental(standing: DataFrame, delta: DataFrame): DataFrame = {
+    val firstInDelta = delta.groupBy("line")
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("s"))
+      .select(col("s.doc_id").as("doc_id"), col("line"))
+    val kept = firstInDelta
+      .join(standing.select(col("line")).distinct(), Seq("line"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
+    delta.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("doc_id")
+  }
+
   private def ml(s: SparkSession, d: String): DataFrame =
     mlLines(Tables.documents(s, d), "doc_id", "text")
 
@@ -193,7 +215,14 @@ object Lines {
     "q_line_filters" -> ((s, d) => lineFilters(ml(s, d))),
     "q_doc_reflow" -> ((s, d) => docReflow(ml(s, d))),
     "q_line_freq_boilerplate" -> ((s, d) => lineFreqBoilerplate(ml(s, d), minDocs = 3)),
-    "q_doc_line_quality" -> ((s, d) => docLineQuality(ml(s, d))))
+    "q_doc_line_quality" -> ((s, d) => docLineQuality(ml(s, d))),
+    // the standing/delta boundary is the same keyBucket 90/10 hash
+    // carve as q_cc_incremental — a fixed 10% delta at every scale
+    "q_line_dedup_incremental" -> ((s, d) => {
+      val lines = ml(s, d)
+      val old = TextPipeline.keyBucket(col("doc_id")) < 90
+      lineDedupIncremental(lines.filter(old), lines.filter(!old))
+    }))
 
   /** Shared CTE prefix replaying [[mlLines]] in DuckDB: same token
     * filter, same W/boilerplate/punctuation arithmetic (doc_id ≥ 0 so
@@ -270,6 +299,24 @@ object Lines {
       |  (floor(10000 * count(*) FILTER (WHERE line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?') / count(*)) >= 6000
       |   AND count(*) >= 2) AS keep
       |FROM ml GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_line_dedup_incremental" -> s"""$mlCte,
+      |delta AS (SELECT * FROM ml WHERE ${TextPipeline.keyBucketSql("doc_id")} >= 90),
+      |standing AS (SELECT DISTINCT line FROM ml WHERE ${TextPipeline.keyBucketSql("doc_id")} < 90),
+      |firstd AS (
+      |  SELECT doc_id, line FROM (
+      |    SELECT doc_id, line,
+      |           row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+      |    FROM delta) WHERE rn = 1),
+      |kept AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept
+      |  FROM firstd ANTI JOIN standing USING (line)
+      |  GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+      |       coalesce(k.n_kept, 0) AS n_kept
+      |FROM (SELECT doc_id, count(*) AS n_lines FROM delta GROUP BY doc_id) t
+      |LEFT JOIN kept k USING (doc_id)
+      |ORDER BY doc_id""".stripMargin,
 
     "q_doc_reflow" -> s"""$mlCte,
       |fl AS (SELECT doc_id, line_no, line, $sqlRules FROM ml),

@@ -122,6 +122,31 @@ class LinesSpec extends SparkSuite {
     assert(rows.head._3 === manual.count(l => l.endsWith(".") || l.endsWith("!") || l.endsWith("?")))
   }
 
+  test("q_line_dedup_incremental: delta-only accounting — standing lines strip, fresh lines survive, boilerplate never re-enters") {
+    val got = SparkEntry.queries("q_line_dedup_incremental")(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    val old = ml.filter(graft.engine.ops.TextPipeline.keyBucket(col("doc_id")) < 90)
+    val delta = ml.filter(graft.engine.ops.TextPipeline.keyBucket(col("doc_id")) >= 90)
+    // one row per delta doc, none for standing docs
+    val deltaDocs = delta.select("doc_id").distinct().as[Long].collect().toSet
+    assert(got.map(_._1).toSet === deltaDocs)
+    // the injected boilerplate exists on BOTH sides of the carve, so
+    // every delta occurrence must strip (the operator's whole point)
+    val standingLines = old.select("line").distinct().as[String].collect().toSet
+    assert(standingLines.contains("all rights reserved."))
+    val stripped = got.map(r => r._2 - r._3).sum
+    assert(stripped > 0, "standing lines must strip from the delta")
+    assert(got.map(_._3).sum > 0, "fresh delta lines must survive")
+    // reconcile against a direct recomputation
+    val manual = delta.as[(Long, Long, String)].collect()
+      .groupBy(_._3).map { case (_, occ) => occ.minBy(o => (o._1, o._2)) }
+      .filterNot(o => standingLines.contains(o._3))
+      .groupBy(_._1).map { case (id, xs) => id -> xs.size.toLong }
+    got.foreach { case (id, _, nKept) =>
+      assert(nKept === manual.getOrElse(id, 0L), s"doc $id survivor count")
+    }
+  }
+
   test("q_doc_reflow: output is clean (every line passes all rules, no duplicate line corpus-wide) and loses only dropped docs") {
     val rf = SparkEntry.queries("q_doc_reflow")(spark, sfDir).cache()
     val outLines = rf.select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
