@@ -78,6 +78,13 @@ object Lines {
   private def ruleBoiler(line: Column): Column =
     line.contains("subscribe") || line.contains("rights reserved")
 
+  /** The rule conjunction every keep-decision uses — the ONE
+    * implementation shared by [[docReflow]] and the streaming
+    * reflow-at-ingest face, so the batch and stream can never filter
+    * by different rules. */
+  def passesAllRules(line: Column): Column =
+    !ruleNoPunct(line) && !ruleShort(line) && !ruleBoiler(line)
+
   /** Corpus-wide exact line dedup accounting: per document, how many of
     * its lines survive when each distinct line keeps only its FIRST
     * occurrence (ordered by doc_id, line_no — the deterministic survivor
@@ -132,8 +139,7 @@ object Lines {
     * collect_list is bounded by document length; ordering is pinned by
     * array_sort over (line_no, line) structs, not by shuffle luck. */
   def docReflow(lines: DataFrame): DataFrame = {
-    val l = col("line")
-    val kept = lines.filter(!ruleNoPunct(l) && !ruleShort(l) && !ruleBoiler(l))
+    val kept = lines.filter(passesAllRules(col("line")))
     val surv = kept
       .groupBy("line")
       .agg(min(struct(col("doc_id"), col("line_no"))).as("s"))

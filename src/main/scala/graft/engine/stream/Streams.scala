@@ -1635,7 +1635,14 @@ object Streams {
     * corpus). Kill-and-restart: [[resume]] re-seeds the registry from
     * the writer's persisted artifact; the checkpointed source then
     * re-delivers only post-crash batches. */
-  final class LineDedupMaintenance(idCol: String, textCol: String) {
+  final class LineDedupMaintenance(idCol: String, textCol: String,
+      // applyFilters = true upgrades the face to the FULL C4 reflow at
+      // ingest: the batch family's line rules (`Lines.passesAllRules`,
+      // the one shared implementation) run BEFORE the registry — with
+      // id-ordered arrival the emitted (doc_id, text) is then
+      // bit-identical to batch `docReflow` over the same corpus
+      // (spec-pinned). false = dedup-only (the registry face).
+      applyFilters: Boolean = false) {
     @volatile private var standing: Option[DataFrame] = None // (line)
     @volatile private var emitted: Option[DataFrame] = None  // per-doc output
     /** Accumulated per-doc output: (doc_id, n_lines, n_kept, text). */
@@ -1649,10 +1656,14 @@ object Streams {
       val b = batch.select(col(idCol).cast("long").as("doc_id"), col(textCol))
         .localCheckpoint()
       if (b.isEmpty) { b.unpersist(); return }
-      val lines = b.select(col("doc_id"),
+      val rawLines = b.select(col("doc_id"),
           posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
         .select(col("doc_id"), (col("idx") + 1).cast("long").as("line_no"), col("line"))
         .filter(length(col("line")) > 0)
+      val lines =
+        if (applyFilters)
+          rawLines.filter(graft.engine.ops.Lines.passesAllRules(col("line")))
+        else rawLines
       // within-batch first occurrence, the batch survivor rule
       val firstInBatch = lines.groupBy("line")
         .agg(min(struct(col("doc_id"), col("line_no"))).as("s"))

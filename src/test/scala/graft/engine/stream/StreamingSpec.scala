@@ -915,6 +915,43 @@ class StreamingSpec extends SparkSuite {
       "the resumed registry must keep stripping lines committed before the crash")
   }
 
+  // s_stream_line_dedup (reflow face): rules + registry at ingest must
+  // reproduce the batch docReflow output bit-for-bit over the whole
+  // fixture corpus, at an arbitrary batch slicing
+  test("s_stream_line_dedup: the reflow-at-ingest face equals batch docReflow over the streamed fixture corpus") {
+    import graft.engine.ops.Lines
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    val mlDocs = Lines.mlLines(docs, "doc_id", "text")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("line_no"), col("line")))),
+        x => x.getField("line")), "\n").as("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val in = MemoryStream[Doc](spark)
+    val maint = new Streams.LineDedupMaintenance("doc_id", "text", applyFilters = true)
+    val q = Streams.streamingLineDedup(
+      in.toDF().select(col("doc_id"), col("text")), tmpDir("reflow-ingest"), maint)
+    // three uneven id-ordered batches — the batch survivor rule's order
+    val cuts = Seq(mlDocs.length / 5, mlDocs.length / 2, mlDocs.length)
+    var from = 0
+    for (to <- cuts) {
+      in.addData(mlDocs.slice(from, to).map { case (id, t) => Doc(id, ts(id), t) }: _*)
+      q.processAllAvailable()
+      from = to
+    }
+    q.stop()
+    val streamed = maint.current.get
+      .select("doc_id", "n_kept", "text").as[(Long, Long, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val batch = Lines.docReflow(Lines.mlLines(docs, "doc_id", "text"))
+      .select("doc_id", "n_lines_kept", "text").as[(Long, Long, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(streamed == batch,
+      "reflow at ingest must be bit-identical to batch docReflow (same docs kept, same text)")
+    assert(streamed.nonEmpty && streamed.size < mlDocs.length,
+      "parity must be non-vacuous: some docs reflow, some drop")
+  }
+
   // s_stream_quality_classifier: offline-trained token weights served
   // as one broadcast map row, scored per arrival with zero state
   test("s_stream_quality_classifier: in-stream scores equal the batch classifier row-for-row") {
