@@ -114,7 +114,13 @@ object ScaleCheck {
     // pins that the fixpoint loop stays near-linear in the graph), and
     // the incremental CC (its claim is cost ~ delta — the ladder pins
     // that the quotient fixpoint doesn't regrow with history)
-    "q_missing_links_verify", "q_cc_incremental",
+    // r13: verify's exact pass moved into the memoized verified_links
+    // artifact (bench attribution), so the registered q_missing_links_
+    // verify key now measures an artifact read (its entry below is that
+    // honest near-flat read; the verify pass's own growth shows in each
+    // rung's run-1 build time). The ladder operator for the family is
+    // the REPAIR — artifact consume + CC re-run over the widened graph.
+    "q_missing_links_verify", "q_missing_links_repair", "q_cc_incremental",
     // r13: the C4 line family — corpus-wide groupBy(line) dedup and the
     // reflow reassembly are the two wide stages; the ladder pins that
     // line-count growth (data × ~lines/doc) stays linear end-to-end
