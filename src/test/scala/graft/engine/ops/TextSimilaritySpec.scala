@@ -1654,6 +1654,16 @@ class TextSimilaritySpec extends SparkSuite {
       converged(12L) == 1000000L && converged(20L) == 1000000L)
     // the path's interior outranks its leaves at the fixpoint
     assert(converged(2L) > converged(1L) && converged(3L) > converged(4L))
+    // r13: the size-guarded single-task path and the distributed
+    // keyed-join loop must be BIT-IDENTICAL on the same graph — force
+    // the distributed path by zeroing the threshold and compare
+    spark.conf.set("spark.graft.pagerank.localMaxEdges", "0")
+    try {
+      val distributed = TextPipeline.pairGraphPagerankConverged(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(distributed == converged,
+        "adaptive path selection must not change a single score")
+    } finally spark.conf.unset("spark.graft.pagerank.localMaxEdges")
   }
 
   test("missingLinksVerify/Repair: a banding-missed true pair is recovered and its clusters merge") {
