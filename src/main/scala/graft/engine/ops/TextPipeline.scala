@@ -183,6 +183,59 @@ object TextPipeline {
       .repartition(col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // ADAPTIVE PATH SELECTION (r13, the same counted-threshold
+      // discipline as the pagerank fixpoint): the iteration's input is
+      // the dup-graph edge list — graph-sized, ≪ corpus. When it fits
+      // one task (`spark.graft.cc.localMaxEdges`, default 2M rows),
+      // connected components run as ONE executor task: union-find with
+      // min-id component labels, which is the EXACT fixpoint the
+      // label-prop loop converges to (min id per component — the loop's
+      // monotone decrease has no other stable point), so the paths are
+      // result-identical whenever the loop converges (it always has:
+      // convergence is observed, the cap has never bound, and the
+      // DuckDB oracle's reachability walk pins the true components
+      // regardless of path). At fixture scale the loop is ~6 rounds of
+      // pure scheduler floor; the fused task removes it from EVERY
+      // consumer (clusters artifact, fuzzy/entity clusters, incremental
+      // CC, recall repair). Past the threshold — or whenever the caller
+      // asked for `reliable` fault-tolerant checkpoints, whose whole
+      // point is surviving executor loss mid-iteration — the
+      // distributed loop below runs unchanged. No driver collect on
+      // either path.
+      val ccLocalMax = documents.sparkSession.conf
+        .getOption("spark.graft.cc.localMaxEdges").map(_.toLong)
+        .getOrElse(2000000L)
+      if (!reliable && edges.count() <= ccLocalMax) {
+        import documents.sparkSession.implicits._
+        val localLabels = edges.select(col("a"), col("b")).as[(Long, Long)]
+          .coalesce(1)
+          .mapPartitions { it =>
+            val es = it.toArray
+            // compact ids, union-find with path halving, then map each
+            // component to its min member id — the label-prop fixpoint
+            val ids = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct.sorted
+            val idx = ids.zipWithIndex.toMap
+            val parent = Array.tabulate(ids.length)(identity)
+            def find(x0: Int): Int = {
+              var x = x0
+              while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+              x
+            }
+            es.foreach { case (a, b) =>
+              val ra = find(idx(a)); val rb = find(idx(b))
+              if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+            }
+            // union kept the smaller compacted index as root, and ids
+            // are sorted ascending, so the root's own id IS the
+            // component minimum
+            ids.iterator.zipWithIndex.map { case (id, k) => (id, ids(find(k))) }
+          }
+          .toDF("id", "cl")
+          .localCheckpoint() // materialize while the edge cache is live
+        return documents.select(col(idCol).as("id"))
+          .join(localLabels, Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("cl"), col("id")).as("cluster"))
+      }
       val obs0 = new org.apache.spark.sql.Observation("labelsum_init")
       // The loop iterates over GRAPH NODES ONLY — every node of the
       // symmetric edge list appears as a `b`, and a node with no

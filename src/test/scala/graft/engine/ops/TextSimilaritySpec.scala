@@ -1786,6 +1786,23 @@ class TextSimilaritySpec extends SparkSuite {
       (13L, 13L, 13L, true)), s"got $got")
   }
 
+  test("dedupClusters: the fused union-find path equals the distributed label-prop loop on the fixture") {
+    // r13 adaptive path selection — both execution strategies must
+    // emit the identical (id, min-component-id) table
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    val fused = TextPipeline.dedupClusters(docs, "doc_id", "text", 0.9)
+      .as[(Long, Long)].collect().toMap
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+    try {
+      val distributed = TextPipeline.dedupClusters(docs, "doc_id", "text", 0.9)
+        .as[(Long, Long)].collect().toMap
+      assert(distributed == fused,
+        "adaptive CC path selection must not change a single label")
+    } finally spark.conf.unset("spark.graft.cc.localMaxEdges")
+    // non-vacuous: the fixture has real multi-doc clusters
+    assert(fused.groupBy(_._2).values.map(_.size).max > 1)
+  }
+
   test("ccIncremental equals from-scratch dedupClusters on the fixture split") {
     val docs = graft.engine.io.Tables.documents(spark, sfDir)
     val pairs = graft.engine.ops.Similarity
