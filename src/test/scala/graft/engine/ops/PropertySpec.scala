@@ -290,6 +290,30 @@ class PropertySpec extends SparkSuite {
         .distinct)
       .suchThat(_.nonEmpty)
 
+  // r13: both adaptive execution paths (single-task pagerank fixpoint,
+  // union-find CC) must agree with their distributed twins on RANDOM
+  // graphs, not just the fixture — chains, cliques, isolated pairs and
+  // disconnected unions all land here
+  test("adaptive paths: fused and distributed CC + pagerank agree on random graphs (3 iters)") {
+    check("adaptive", 3)(Prop.forAll(randomEdges) { edges =>
+      val pairs = edges.toDF("doc_id_1", "doc_id_2")
+      val docs = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => (id, s"tok$id")).toDF("doc_id", "text")
+      def cc() = TextPipeline.dedupClusters(docs, "doc_id", "text", 0.9,
+        precomputedPairs = Some(pairs)).as[(Long, Long)].collect().toMap
+      def pr() = TextPipeline.pairGraphPagerankConverged(pairs)
+        .as[(Long, Long)].collect().toMap
+      val ccFused = cc(); val prFused = pr()
+      spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+      spark.conf.set("spark.graft.pagerank.localMaxEdges", "0")
+      try cc() == ccFused && pr() == prFused
+      finally {
+        spark.conf.unset("spark.graft.cc.localMaxEdges")
+        spark.conf.unset("spark.graft.pagerank.localMaxEdges")
+      }
+    })
+  }
+
   private val fileInventory: Gen[List[(String, Long)]] =
     Gen.chooseNum(0, 60).flatMap { n =>
       Gen.listOfN(n, Gen.chooseNum(1L, 1000L)).map(_.zipWithIndex.map {
