@@ -1878,7 +1878,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   // Catch-up drain (reference restart pattern R:160-176, generalized)
-  test("drainAvailable processes the backlog then self-terminates; restart sees only new data") {
+  test("s_drain_available: drainAvailable processes the backlog then self-terminates; restart sees only new data") {
     val ckpt = tmpDir("drain")
     val in = MemoryStream[(String, String)](spark)
     val seen = mutable.ArrayBuffer[String]()
