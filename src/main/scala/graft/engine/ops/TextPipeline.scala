@@ -205,25 +205,52 @@ object TextPipeline {
       val ccLocalMax = documents.sparkSession.conf
         .getOption("spark.graft.cc.localMaxEdges").map(_.toLong)
         .getOrElse(2000000L)
-      if (!reliable && edges.count() <= ccLocalMax) {
+      // the fused path is the EXACT fixpoint, so it only stands in when
+      // the caller's cap cannot bind semantically: a deliberately small
+      // maxIters asks for TRUNCATED propagation (partial labels), which
+      // only the round-based loop can honor — every production call
+      // site uses the default (20, ≥ the measured convergence depth)
+      if (!reliable && maxIters >= 20 && edges.count() <= ccLocalMax) {
         import documents.sparkSession.implicits._
         val localLabels = edges.select(col("a"), col("b")).as[(Long, Long)]
           .coalesce(1)
           .mapPartitions { it =>
-            val es = it.toArray
-            // compact ids, union-find with path halving, then map each
-            // component to its min member id — the label-prop fixpoint
-            val ids = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct.sorted
-            val idx = ids.zipWithIndex.toMap
+            // stream into primitive builders (boxed pairs never
+            // retained: ~200 B/edge transient vs 16 B here), compact
+            // ids by sort + in-place dedup, union-find with path
+            // halving, then map each component to its min member id —
+            // the label-prop fixpoint
+            val ab = scala.collection.mutable.ArrayBuilder.make[Long]
+            val bb = scala.collection.mutable.ArrayBuilder.make[Long]
+            it.foreach { e => ab += e._1; bb += e._2 }
+            val ea = ab.result(); val eb = bb.result()
+            val m = ea.length
+            val ids = {
+              val s = new Array[Long](2 * m)
+              System.arraycopy(ea, 0, s, 0, m)
+              System.arraycopy(eb, 0, s, m, m)
+              java.util.Arrays.sort(s)
+              var w = 0; var r = 0
+              while (r < 2 * m) {
+                if (w == 0 || s(r) != s(w - 1)) { s(w) = s(r); w += 1 }
+                r += 1
+              }
+              java.util.Arrays.copyOf(s, w)
+            }
+            val idx = new scala.collection.mutable.LongMap[Int](ids.length * 2)
+            var k0 = 0
+            while (k0 < ids.length) { idx.update(ids(k0), k0); k0 += 1 }
             val parent = Array.tabulate(ids.length)(identity)
             def find(x0: Int): Int = {
               var x = x0
               while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
               x
             }
-            es.foreach { case (a, b) =>
-              val ra = find(idx(a)); val rb = find(idx(b))
+            var j = 0
+            while (j < m) {
+              val ra = find(idx(ea(j))); val rb = find(idx(eb(j)))
               if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+              j += 1
             }
             // union kept the smaller compacted index as root, and ids
             // are sorted ascending, so the root's own id IS the
@@ -2967,9 +2994,11 @@ object TextPipeline {
       // ADAPTIVE PATH SELECTION (r13, the BroadcastHashJoin discipline
       // applied to the fixpoint): the iteration's input is the QUOTIENT
       // edge list — counted here, not assumed. When it fits one task
-      // (`spark.graft.pagerank.localMaxEdges`, default 200k rows ≈ a
-      // few MB), the ~78-round walk runs as ONE executor task via
-      // mapPartitions (the repo's third justified mapPartitions): the
+      // (`spark.graft.pagerank.localMaxEdges`, default 2M rows — the
+      // edges stream straight into primitive arrays, 32 B/edge, so the
+      // task holds ~64 MB at the threshold), the ~78-round walk runs as
+      // ONE executor task via mapPartitions (the repo's third justified
+      // mapPartitions): the
       // distributed loop's cost at that size is pure scheduler floor —
       // 2 stages × ~78 rounds × ~45 ms ≈ 7 s of DAGScheduler latency
       // over kilobytes of data — which the fused task eliminates
@@ -3003,23 +3032,39 @@ object TextPipeline {
           .as[(Long, Long, Long, Long)]
           .coalesce(1)
           .mapPartitions { rows =>
-            val raw = rows.toArray
+            // stream the edges straight into primitive builders — the
+            // boxed tuples are never retained (at the threshold the
+            // boxed form would be ~300 B/edge transient vs 32 B here)
+            val xb = scala.collection.mutable.ArrayBuilder.make[Long]
+            val yb = scala.collection.mutable.ArrayBuilder.make[Long]
+            val szb = scala.collection.mutable.ArrayBuilder.make[Long]
+            val degb = scala.collection.mutable.ArrayBuilder.make[Long]
+            rows.foreach { r => xb += r._1; yb += r._2; szb += r._3; degb += r._4 }
+            val xa = xb.result(); val ya = yb.result()
+            val esz = szb.result(); val edeg = degb.result()
+            val m = xa.length
             // every class appears as x (and as y) via its self-edge, so
             // the node set and the per-round key set are both `distinct
-            // x`. Ids compact to 0..n-1 so each round is two primitive
-            // array sweeps — no hashing in the inner loop (measured
-            // ~10× over a map-based round at the sf1 rung's ~1M edges).
-            val ids = raw.map(_._1).distinct.sorted
-            val idx = ids.zipWithIndex.toMap
-            val m = raw.length
-            val ex = new Array[Int](m); val ey = new Array[Int](m)
-            val esz = new Array[Long](m); val edeg = new Array[Long](m)
-            var i = 0
-            while (i < m) {
-              val (x, y, sz, deg) = raw(i)
-              ex(i) = idx(x); ey(i) = idx(y); esz(i) = sz; edeg(i) = deg
-              i += 1
+            // x` (sort + in-place dedup, no boxing). Ids compact to
+            // 0..n-1 so each round is two primitive array sweeps — no
+            // hashing in the inner loop (measured ~10× over a map-based
+            // round at the sf1 rung's ~1M edges).
+            val ids = {
+              val s = java.util.Arrays.copyOf(xa, m)
+              java.util.Arrays.sort(s)
+              var w = 0; var r = 0
+              while (r < m) {
+                if (w == 0 || s(r) != s(w - 1)) { s(w) = s(r); w += 1 }
+                r += 1
+              }
+              java.util.Arrays.copyOf(s, w)
             }
+            val idx = new scala.collection.mutable.LongMap[Int](ids.length * 2)
+            var k0 = 0
+            while (k0 < ids.length) { idx.update(ids(k0), k0); k0 += 1 }
+            val ex = new Array[Int](m); val ey = new Array[Int](m)
+            var i = 0
+            while (i < m) { ex(i) = idx(xa(i)); ey(i) = idx(ya(i)); i += 1 }
             val n = ids.length
             var cur = Array.fill(n)(1000000L)
             var it = 0
@@ -3041,6 +3086,11 @@ object TextPipeline {
             ids.iterator.zipWithIndex.map { case (id, k) => (id, cur(k)) }
           }
           .toDF("cls", "score")
+          // materialize while the persisted edge list is live: the
+          // finally-block unpersist below runs before the CALLER's
+          // first action, so an un-checkpointed plan would re-derive
+          // the quotient AND re-run the whole walk per action
+          .localCheckpoint()
         return member.join(localScores.withColumnRenamed("cls", "c2"),
             member("cls") === col("c2"))
           .select(col("u").as("doc_id"), col("score"))

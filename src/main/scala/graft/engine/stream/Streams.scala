@@ -1622,8 +1622,12 @@ object Streams {
     * registry; survivors reassemble per document in original order and
     * documents stripped of every line drop. EMPTY lines (consecutive /
     * trailing newlines) are not lines: they are dropped before any
-    * accounting, so `n_lines` counts content lines only — the batch
-    * parity claim below is over the same empty-filtered line relation.
+    * accounting, so `n_lines` counts content lines only — and under
+    * `applyFilters` the rules run before the accounting too, so
+    * `n_lines` then counts RULE-PASSING lines (n_lines − n_kept is
+    * always the dedup-stripped count, never the filter drop, on both
+    * faces). The batch parity claim below is over the same
+    * empty-filtered line relation.
     * With id-ordered arrival the emitted accounting is BIT-IDENTICAL to
     * the batch operator over the concatenated corpus at any batch
     * slicing (spec-pinned, including a blank-line document).
