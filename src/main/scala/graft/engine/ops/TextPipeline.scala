@@ -159,14 +159,9 @@ object TextPipeline {
     def mat(df: DataFrame, round: Int): DataFrame =
       if (reliable && round % math.max(1, checkpointEvery) == 0) df.checkpoint()
       else df.localCheckpoint()
-    if (algo == "star")
-      return starComponents(documents, idCol,
-        precomputedPairs.getOrElse(
-          Similarity.minhashNearDup(documents, idCol, textCol, threshold, ordered = false)),
-        maxIters, mat)
-    val pairs = precomputedPairs
+    val rawPairs = precomputedPairs
       .getOrElse(Similarity.minhashNearDup(documents, idCol, textCol, threshold, ordered = false))
-      .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
+    val pairs = rawPairs.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
     // undirected edge list, materialized once, hash-partitioned on the
     // join key: every propagation round equi-joins edges on `b`, so the
     // cached partitioning is reused and only the (tiny) label table
@@ -202,6 +197,26 @@ object TextPipeline {
       // point is surviving executor loss mid-iteration — the
       // distributed loop below runs unchanged. No driver collect on
       // either path.
+      //
+      // The gate applies to BOTH distributed algorithms (r14): the
+      // union-find fixpoint is min-id components regardless of how the
+      // loop would have walked there, so `algo="star"` routes through
+      // the same fused task when the graph fits — previously it
+      // early-returned above the gate and q_fuzzy_clusters paid ~N
+      // star-contraction rounds of scheduler floor on a graph that
+      // fits one task. Past the gate each algo keeps its own loop.
+      //
+      // RAISING `spark.graft.cc.localMaxEdges` SCALES WITH maxIters:
+      // the fused path returns the exact fixpoint, while the
+      // distributed label-prop loop runs ≤ maxIters pointer-jumping
+      // rounds — enough for any graph admitted by the DEFAULT 2M cap
+      // (jump-composed chains shrink geometrically, so 20 rounds cover
+      // diameters ≫ 2M-edge graphs can realize under the observed-
+      // convergence discipline), but a much larger cap on a
+      // pathological high-diameter graph could admit a graph whose
+      // loop would truncate where the fused path converges. If you
+      // raise the cap by k decades, raise maxIters accordingly (the
+      // loop self-reports truncation under spark.graft.debug).
       val ccLocalMax = documents.sparkSession.conf
         .getOption("spark.graft.cc.localMaxEdges").map(_.toLong)
         .getOrElse(2000000L)
@@ -263,6 +278,12 @@ object TextPipeline {
           .join(localLabels, Seq("id"), "left_outer")
           .select(col("id"), coalesce(col("cl"), col("id")).as("cluster"))
       }
+      // past the gate, each distributed algorithm keeps its own loop;
+      // star re-symmetrizes internally from the raw pair list (the
+      // persisted symmetric edge cache is label-prop's join layout, not
+      // star's — the `finally` releases it on this return)
+      if (algo == "star")
+        return starComponents(documents, idCol, rawPairs, maxIters, mat)
       val obs0 = new org.apache.spark.sql.Observation("labelsum_init")
       // The loop iterates over GRAPH NODES ONLY — every node of the
       // symmetric edge list appears as a `b`, and a node with no
@@ -438,7 +459,10 @@ object TextPipeline {
     * independent of diameter, edges shrinking toward stars) needs
     * per-round DATA cost to dominate — i.e. an edge list too big to
     * persist partitioned — which is the opposite of this regime. The
-    * flag stays for that regime and for the equivalence spec. */
+    * flag stays for that regime and for the equivalence spec. Since
+    * r14 this loop only runs PAST [[dedupClusters]]' counted
+    * union-find gate — a graph that fits one task never pays the
+    * star rounds' scheduler floor. */
   private def starComponents(documents: DataFrame, idCol: String,
                              pairs: DataFrame, maxIters: Int,
                              mat: (DataFrame, Int) => DataFrame): DataFrame = {

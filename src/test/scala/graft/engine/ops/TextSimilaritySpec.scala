@@ -200,19 +200,32 @@ class TextSimilaritySpec extends SparkSuite {
     val docs = graft.engine.io.Tables.documents(spark, sfDir)
     val lp = TextPipeline.dedupClusters(docs, "doc_id", "text", 0.9)
       .as[(Long, Long)].collect().sorted.toSeq
-    val star = TextPipeline.dedupClusters(docs, "doc_id", "text", 0.9, algo = "star")
+    // r14: under the default gate algo="star" routes through the same
+    // fused union-find task (assert that first), so this spec forces
+    // the distributed loop to keep the star-contraction rounds
+    // themselves exercised
+    val starFused = TextPipeline.dedupClusters(docs, "doc_id", "text", 0.9, algo = "star")
       .as[(Long, Long)].collect().sorted.toSeq
+    assert(starFused == lp, s"gated star CC diverged from label-prop")
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+    val star = try TextPipeline.dedupClusters(docs, "doc_id", "text", 0.9, algo = "star")
+      .as[(Long, Long)].collect().sorted.toSeq
+    finally spark.conf.unset("spark.graft.cc.localMaxEdges")
     assert(star == lp, s"star CC diverged from label-prop")
     assert(lp.exists { case (id, c) => id != c }, "fixture must have non-trivial clusters")
     // chain graph: the case pointer-jumping needs rounds for and star
     // collapses differently — both must still agree on min-id roots
+    // (forced distributed for the same reason)
     val chain = Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("doc_id", "text")
     val chainPairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0)).toDF("doc_id_1", "doc_id_2", "jaccard")
-    val lpc = TextPipeline.dedupClusters(chain, "doc_id", "text", 0.9,
-      precomputedPairs = Some(chainPairs)).as[(Long, Long)].collect().sorted.toSeq
-    val stc = TextPipeline.dedupClusters(chain, "doc_id", "text", 0.9,
-      precomputedPairs = Some(chainPairs), algo = "star").as[(Long, Long)].collect().sorted.toSeq
-    assert(lpc == Seq((1L, 1L), (2L, 1L), (3L, 1L)) && stc == lpc, s"lp=$lpc star=$stc")
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+    try {
+      val lpc = TextPipeline.dedupClusters(chain, "doc_id", "text", 0.9,
+        precomputedPairs = Some(chainPairs)).as[(Long, Long)].collect().sorted.toSeq
+      val stc = TextPipeline.dedupClusters(chain, "doc_id", "text", 0.9,
+        precomputedPairs = Some(chainPairs), algo = "star").as[(Long, Long)].collect().sorted.toSeq
+      assert(lpc == Seq((1L, 1L), (2L, 1L), (3L, 1L)) && stc == lpc, s"lp=$lpc star=$stc")
+    } finally spark.conf.unset("spark.graft.cc.localMaxEdges")
   }
 
   test("packGlobal: bins never exceed the budget; cross-doc fill beats the per-doc tails it consumed") {
