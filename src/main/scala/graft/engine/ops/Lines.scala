@@ -191,6 +191,25 @@ object Lines {
       .orderBy("doc_id")
   }
 
+  /** The RefinedWeb-order HEAD stage for the composed corpus build
+    * ([[TextPipeline.curationPipeline]]): line-level curation BEFORE
+    * any document-level gate — segment ([[mlLines]]), line filters +
+    * corpus-wide exact line dedup + reassembly ([[docReflow]], reused
+    * verbatim per the one-implementation rule), then re-attach the
+    * document dims the manifest groups by. Real C4/RefinedWeb runs in
+    * exactly this order (line filters/dedup → Gopher rules → LM floor →
+    * decontaminate → near-dup → split); feeding THIS frame to
+    * `curationPipeline` gives that order without the operator changing.
+    * Docs whose every line drops never reach the doc gates (the C4
+    * contract). One dims join on the doc_id partitioning reflow
+    * already produced. */
+  def lineCuratedCorpus(documents: DataFrame, idCol: String, textCol: String,
+                        dims: Seq[String]): DataFrame =
+    docReflow(mlLines(documents, idCol, textCol))
+      .select(col("doc_id"), col("text"))
+      .join(documents.select(col(idCol).cast("long").as("doc_id") +: dims.map(col): _*),
+        Seq("doc_id"))
+
   /** Incremental line dedup — the batch twin of the streaming line
     * registry (`s_stream_line_dedup`) and the line-granular sibling of
     * `q_dedup_incremental`: the job a daily crawl actually runs. Delta
@@ -234,8 +253,8 @@ object Lines {
     * filter, same W/boilerplate/punctuation arithmetic (doc_id ≥ 0 so
     * `%` ≡ pmod), list slice `tk[a:b]` is 1-based inclusive clamped —
     * exactly Spark's slice(tk, a, w). */
-  private val mlCte: String =
-    """WITH mld AS (
+  private val mlCteBody: String =
+    """mld AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk,
       |         4 + (doc_id % 5) AS w
       |  FROM documents),
@@ -251,10 +270,37 @@ object Lines {
       |               unnest(range(1, CAST(ceil(len(tk) / w) AS BIGINT) + 1)) AS j
       |        FROM mld WHERE len(tk) > 0))""".stripMargin
 
+  private val mlCte: String = "WITH " + mlCteBody
+
   private val sqlRules: String =
     """(line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?') AS ok_punct,
       |len(list_filter(string_split(line, ' '), t -> len(t) > 0)) >= 3 AS ok_words,
       |NOT (line LIKE '%subscribe%' OR line LIKE '%rights reserved%') AS ok_boiler""".stripMargin
+
+  /** CTE BODY (no WITH prefix) replaying [[lineCuratedCorpus]]: the
+    * mlLines derivation, the three line rules, corpus-wide first-
+    * occurrence line dedup, and reassembly — ending in
+    * `refl_docs(doc_id, text, lang)`. Composed oracles (the
+    * q_curation_pipeline chain) prepend this and read their corpus
+    * FROM refl_docs instead of documents. The reflow arithmetic is
+    * byte-identical to the q_doc_reflow oracle (same rules, same
+    * survivor rule, same chr(10) ORDER BY line_no reassembly). */
+  val reflowDocsCtesBody: String =
+    s"""$mlCteBody,
+      |rfl AS (SELECT doc_id, line_no, line, $sqlRules FROM ml),
+      |rkept AS (SELECT doc_id, line_no, line FROM rfl
+      |          WHERE ok_punct AND ok_words AND ok_boiler),
+      |rsurv AS (
+      |  SELECT doc_id, line_no, line FROM (
+      |    SELECT doc_id, line_no, line,
+      |           row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+      |    FROM rkept) WHERE rn = 1),
+      |refl0 AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+      |  FROM rsurv GROUP BY doc_id),
+      |refl_docs AS (
+      |  SELECT r.doc_id, r.text, d.lang
+      |  FROM refl0 r JOIN documents d USING (doc_id))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_line_dedup" -> s"""$mlCte,

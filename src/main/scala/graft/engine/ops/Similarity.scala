@@ -2419,7 +2419,7 @@ object Similarity {
   /** The token-set docs CTE body over a `documents` slice (poly_hash62
     * replayed as two list_reduce folds — see the hsh scaladoc in
     * [[minhashNearDup]]). */
-  private def minhashDocsSql(where: String): String =
+  private def minhashDocsSql(where: String, from: String = "documents"): String =
     s"""  SELECT doc_id,
       |    list_sort(list_distinct(list_transform(list_distinct(string_split(text, ' ')),
       |      tok -> list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -2428,7 +2428,7 @@ object Similarity {
       |           + list_reduce(list_prepend(CAST(0 AS BIGINT),
       |               list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
       |             (a, b) -> (a * 37 + b) % 2147483647)))) AS hsh
-      |  FROM documents $where""".stripMargin
+      |  FROM $from $where""".stripMargin
 
   /** The k signature min() lines, generated from the native family. */
   private def minhashSigMinsSql(k: Int): String = {
@@ -2452,10 +2452,18 @@ object Similarity {
     }.mkString("\n  UNION ALL\n")
 
   def minhashOracleCtesFor(where: String, k: Int = 16,
-                           bands: Int = 2, rows: Int = 8): String = {
+                           bands: Int = 2, rows: Int = 8): String =
+    "WITH RECURSIVE " + minhashOracleCtesBodyFor(where, "documents", k, bands, rows)
+
+  /** The same CTE chain WITHOUT the `WITH RECURSIVE` prefix and with a
+    * pluggable source relation — for composed oracles that prepend
+    * their own CTEs (e.g. q_curation_pipeline's line-reflow head reads
+    * the pair graph over `refl_docs`, not `documents`). */
+  def minhashOracleCtesBodyFor(where: String, from: String, k: Int = 16,
+                               bands: Int = 2, rows: Int = 8): String = {
     require(bands * rows == k, s"bands ($bands) x rows ($rows) must equal k ($k)")
-    s"""WITH RECURSIVE docs AS (
-      |${minhashDocsSql(where)}),
+    s"""docs AS (
+      |${minhashDocsSql(where, from)}),
       |grps AS (
       |  SELECT min(doc_id) AS rep, list_sort(list(doc_id)) AS members, hsh
       |  FROM docs GROUP BY hsh),

@@ -3832,6 +3832,12 @@ object TextPipeline {
   /** The composed corpus build — the end-to-end operator a training
     * pipeline actually runs, chaining the individually-oracled stages:
     *
+    *   0. LINE CURATION (head stage, supplied by the CALLER as the
+    *      corpus frame — [[Lines.lineCuratedCorpus]], i.e.
+    *      [[Lines.docReflow]] verbatim): real C4/RefinedWeb pipelines
+    *      run line filters + corpus line dedup + reflow BEFORE any
+    *      document-level gate, so every stage below sees the reflowed
+    *      text (q_curation_pipeline feeds exactly that);
     *   1. RULE FILTER: Gopher-style quality verdict (keep = true);
     *   2. REPETITION GATE (optional, `repCaps`): drop docs whose
     *      duplicate-bigram/trigram basis points exceed the caps — the
@@ -4044,12 +4050,19 @@ object TextPipeline {
         precomputedPairs = Some(sharedPairs(s, d)
           .filter(ccOldSide(col("doc_id_1")) && ccOldSide(col("doc_id_2")))))
     }
-  /** The q_contamination/q_curation_pipeline corpus slice (doc_id ≥ 10)
-    * needs its OWN graph: full-corpus pairs would mark docs as removable
-    * whose only duplicate is a benchmark doc outside the slice. */
+  /** The q_curation_pipeline corpus slice needs its OWN graph: full-
+    * corpus pairs would mark docs as removable whose only duplicate is
+    * a benchmark doc outside the slice. Since r14 the pipeline's corpus
+    * is the LINE-CURATED reflow of the slice (RefinedWeb order — line
+    * stage before every doc gate), so the pair graph runs over the
+    * reflowed text: near-dup detection after boilerplate-line removal
+    * is exactly why production pipelines run the stages in this order
+    * (shared boilerplate no longer glues unrelated docs together). */
   private def slicePairs(s: SparkSession, d: String): DataFrame =
-    memoizedPairs(s, d + "|ge10") {
-      Similarity.minhashNearDup(Tables.documents(s, d).filter(col("doc_id") >= 10),
+    memoizedPairs(s, d + "|ge10refl") {
+      Similarity.minhashNearDup(
+        Lines.lineCuratedCorpus(Tables.documents(s, d), "doc_id", "text", Seq("lang"))
+          .filter(col("doc_id") >= 10),
         "doc_id", "text", 0.9, ordered = false)
     }
 
@@ -4423,7 +4436,15 @@ object TextPipeline {
     // near-dup dedup -> split manifest
     "q_curation_pipeline" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      curationPipeline(docs.filter(col("doc_id") >= 10), "doc_id", "text",
+      // RefinedWeb order (r14): LINE-level curation heads the pipeline —
+      // segment → line filters → corpus line dedup → reflow
+      // (Lines.docReflow verbatim via lineCuratedCorpus) — and every
+      // doc-level gate (Gopher, repetition, LM floor, decontamination,
+      // near-dup, split) runs over the REFLOWED corpus. The benchmark
+      // side stays raw: eval sets aren't line-curated.
+      val corpus = Lines.lineCuratedCorpus(docs, "doc_id", "text", Seq("lang"))
+        .filter(col("doc_id") >= 10)
+      curationPipeline(corpus, "doc_id", "text",
         docs.filter(col("doc_id") < 10), Seq("lang"),
         pairs = Some(slicePairs(s, d)),
         repCaps = Some((1000L, 500L)), lmFloor = Some(32000L))
@@ -5510,12 +5531,17 @@ object TextPipeline {
         |WHERE dist <= 2
         |ORDER BY id_1, id_2""".stripMargin,
 
-    // The composed corpus build: minhash pairs over the corpus slice
-    // (doc_id >= 10), gopher keep, repetition caps, LM-fluency floor
-    // (back-off table trained on the slice's even half), shingle
-    // decontamination vs the benchmark slice, split manifest — each CTE
-    // block is the same replication its standalone oracle uses.
-    "q_curation_pipeline" -> (Similarity.minhashOracleCtesFor("WHERE doc_id >= 10") +
+    // The composed corpus build, RefinedWeb order (r14): the line-
+    // curation reflow CTEs head the chain (Lines.reflowDocsCtesBody —
+    // byte-identical to the q_doc_reflow oracle) and EVERY doc-level
+    // stage reads the reflowed corpus `refl_docs`: minhash pairs over
+    // the reflowed slice (doc_id >= 10), gopher keep, repetition caps,
+    // LM-fluency floor (back-off table trained on the reflowed slice's
+    // even half), shingle decontamination vs the RAW benchmark slice,
+    // split manifest — each CTE block is the same replication its
+    // standalone oracle uses.
+    "q_curation_pipeline" -> ("WITH RECURSIVE " + Lines.reflowDocsCtesBody + ",\n" +
+      Similarity.minhashOracleCtesBodyFor("WHERE doc_id >= 10", "refl_docs") +
       s""",
         |all_pairs AS (
         |  SELECT doc_id_1, doc_id_2 FROM cross_pairs
@@ -5524,7 +5550,7 @@ object TextPipeline {
         |pertok AS (
         |  SELECT doc_id, token, count(*) AS c
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |        FROM documents WHERE doc_id >= 10)
+        |        FROM refl_docs WHERE doc_id >= 10)
         |  WHERE len(token) > 0
         |  GROUP BY doc_id, token),
         |stats AS (
@@ -5548,7 +5574,7 @@ object TextPipeline {
         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
         |         ELSE CAST([] AS VARCHAR[]) END AS g3
         |  FROM (SELECT doc_id, string_split(text, ' ') AS t
-        |        FROM documents WHERE doc_id >= 10)),
+        |        FROM refl_docs WHERE doc_id >= 10)),
         |repkeep AS (
         |  SELECT doc_id FROM repg
         |  WHERE (CASE WHEN len(g2) > 0
@@ -5561,7 +5587,7 @@ object TextPipeline {
         |         ELSE 0 END) <= 500),
         |lmttk AS (
         |  SELECT list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
-        |  FROM documents WHERE doc_id >= 10 AND doc_id % 2 = 0),
+        |  FROM refl_docs WHERE doc_id >= 10 AND doc_id % 2 = 0),
         |lmc3 AS (SELECT g, count(*) AS c3 FROM (
         |        SELECT unnest(list_transform(range(1, len(tk)-1),
         |                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
@@ -5587,7 +5613,7 @@ object TextPipeline {
         |         unnest(list_transform(range(1, len(tk)-1),
         |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
         |       FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
-        |             FROM documents WHERE doc_id >= 10)),
+        |             FROM refl_docs WHERE doc_id >= 10)),
         |lmscored AS (
         |  SELECT doc_id, coalesce(lml3.cond3, lml2.cond2, lml1.cond1, CAST(0 AS BIGINT)) AS sc
         |  FROM lmsg LEFT JOIN lml3 ON lmsg.g = lml3.g
@@ -5596,23 +5622,30 @@ object TextPipeline {
         |lmkeep AS (
         |  SELECT doc_id FROM lmscored GROUP BY doc_id
         |  HAVING CAST(floor(CAST(sum(sc) AS BIGINT) / count(*)) AS BIGINT) >= 32000),
-        |sh AS (
+        |shc AS (
         |  SELECT doc_id, unnest(list_distinct(
         |    list_transform(range(1, len(string_split(text, ' ')) - 1),
         |      i -> string_split(text, ' ')[i] || ' ' ||
         |           string_split(text, ' ')[i+1] || ' ' ||
         |           string_split(text, ' ')[i+2]))) AS s
-        |  FROM documents),
+        |  FROM refl_docs WHERE doc_id >= 10),
+        |shb AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1] || ' ' ||
+        |           string_split(text, ' ')[i+2]))) AS s
+        |  FROM documents WHERE doc_id < 10),
         |cont0 AS (
         |  SELECT cs.doc_id, bs.bench_id, count(*) AS n
-        |  FROM (SELECT doc_id, s FROM sh WHERE doc_id >= 10) cs
-        |  JOIN (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 10) bs USING (s)
+        |  FROM shc cs
+        |  JOIN (SELECT doc_id AS bench_id, s FROM shb) bs USING (s)
         |  GROUP BY cs.doc_id, bs.bench_id HAVING count(*) >= 2),
         |contaminated AS (SELECT DISTINCT doc_id FROM cont0),
         |base AS (
         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks,
         |    ${splitCaseSql("doc_id")} AS split
-        |  FROM documents WHERE doc_id >= 10)
+        |  FROM refl_docs WHERE doc_id >= 10)
         |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
         |FROM base
         |WHERE doc_id IN (SELECT doc_id FROM keep)

@@ -14,7 +14,11 @@ class PipelineSpec extends SparkSuite {
 
   test("q_curation_pipeline manifest reconciles with its standalone stages") {
     val docs = Tables.documents(spark, sfDir)
-    val corpus = docs.filter(col("doc_id") >= 10)
+    // r14: the pipeline's corpus is the LINE-CURATED reflow of the
+    // slice (RefinedWeb order) — the reconciliation models the same
+    // head stage; the benchmark side stays raw
+    val corpus = Lines.lineCuratedCorpus(docs, "doc_id", "text", Seq("lang"))
+      .filter(col("doc_id") >= 10)
     val bench = docs.filter(col("doc_id") < 10)
     // recompute ALL FIVE gates from the standalone operators, at the
     // q_curation_pipeline binding's exact settings (this reconciliation
@@ -46,6 +50,36 @@ class PipelineSpec extends SparkSuite {
     val bySplit = manifest.groupBy("split").agg(sum("n_docs").as("n"))
       .as[(String, Long)].collect().toMap
     assert(bySplit("train").toDouble / nDocs > 0.6, s"train share collapsed: $bySplit")
+  }
+
+  test("line-stage head changes a boilerplate-heavy doc's verdict vs the doc-level-only pipeline") {
+    // the r13 pipeline started at doc-level Gopher rules over raw text;
+    // the r14 head runs line curation first. The pin: some document
+    // passes the doc gate on its RAW text but is dropped once its
+    // boilerplate/fragment lines are stripped (reflow dropout or the
+    // Gopher floor on the shrunken text) — i.e. the line stage is
+    // load-bearing, not a pass-through.
+    val docs = Tables.documents(spark, sfDir)
+    val raw = docs.filter(col("doc_id") >= 10)
+    val refl = Lines.lineCuratedCorpus(docs, "doc_id", "text", Seq("lang"))
+      .filter(col("doc_id") >= 10)
+    def gopherKeeps(c: org.apache.spark.sql.DataFrame): Set[Long] =
+      TextPipeline.gopherRules(c, "doc_id", "text")
+        .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    val keptOld = gopherKeeps(raw)
+    val presentNew = refl.select("doc_id").as[Long].collect().toSet
+    val keptNew = gopherKeeps(refl)
+    val flipped = keptOld -- keptNew // dropped by reflow or by the gate on reflowed text
+    assert(flipped.nonEmpty, "line stage changed no doc's verdict — it would be a pass-through")
+    // at least one flipped doc is genuinely boilerplate-heavy: its
+    // derived lines include an injected boilerplate line
+    val boilerDocs = Lines.mlLines(docs, "doc_id", "text")
+      .filter(col("line").contains("subscribe") || col("line").contains("rights reserved"))
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert((flipped & boilerDocs).nonEmpty,
+      s"no flipped doc is boilerplate-heavy (flipped=${flipped.take(5)})")
+    // sanity: the head does not annihilate the corpus
+    assert(keptNew.nonEmpty && presentNew.nonEmpty)
   }
 
   test("curation pipeline composes and shrinks monotonically with sane stats") {
