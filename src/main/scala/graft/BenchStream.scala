@@ -52,11 +52,45 @@ object BenchStream {
           (r2.toDouble / r1))
     }.toSeq
     val flagged = normSlopes.collect { case (r, sl) if sl > 1.6 => r }
-    val inRunGrowth = ladder.map { case (r, s) =>
-      (r, StreamBench.pct(s.trigger.takeRight(10), 50) /
-        StreamBench.pct(s.trigger.take(10), 50))
-    }
+    // within-run metric guard (r13 ADVICE): the first-10/last-10
+    // windows only measure growth when they don't overlap — under 20
+    // measured triggers the ratio is vacuously ~1.0 and the flag is
+    // silently green. Skip (and say so in the JSON) instead.
+    val inRunValid = measured >= 20
+    val inRunGrowth =
+      if (inRunValid)
+        ladder.map { case (r, s) =>
+          (r, StreamBench.pct(s.trigger.takeRight(10), 50) /
+            StreamBench.pct(s.trigger.take(10), 50))
+        }
+      else Seq.empty
     val flaggedInRun = inRunGrowth.collect { case (r, g) if g > 1.6 => r }
+    // STATE-GROWTH ladder (r13 verdict item 6): the rate ladder varies
+    // arrival rate at ~12k–90k final state rows; the 100 TB question is
+    // standing-REGISTRY growth. Run the TOP rung (10× rate) for ~10×
+    // the batches so the RocksDB LSH band store grows well past 100k
+    // rows, then key trigger cost by STORE SIZE: quartile the measured
+    // series, report each quartile's trigger p50 against the state-row
+    // count it ended at, and flag drift (last-quartile p50 ÷ first-
+    // quartile p50 > 1.6 — a full-store-scan cost tracks the store and
+    // trips this; per-batch cost stays flat as the store grows 4×
+    // within the run on top of the rate ladder's 8× head start).
+    val growthBatches = sys.env.getOrElse(
+      "SPARK_GRAFT_STREAM_GROWTH_BATCHES", (10 * measured).toString).toInt
+    val grow = StreamBench.measureStateful(spark, growthBatches, warmup = 5,
+      10 * docsPerTrigger, ckptDir = tmp("stateckpt-growth"))
+    val quartiles = {
+      val n = grow.trigger.size
+      (0 until 4).map { i =>
+        val lo = i * n / 4; val hi = (i + 1) * n / 4
+        (grow.stateRowsSeries.slice(lo, hi).lastOption.getOrElse(0L),
+          StreamBench.pct(grow.trigger.slice(lo, hi), 50))
+      }
+    }
+    val growthDrift =
+      if (quartiles.head._2 > 0) quartiles.last._2 / quartiles.head._2
+      else Double.NaN
+    val flaggedGrowth = growthDrift > 1.6
     val budgetMs = 18.0
     val line =
       s"""{"metric":"stream_trigger_overhead","unit":"ms","n_batches":${s.nBatches},""" +
@@ -85,9 +119,20 @@ object BenchStream {
       s""""inrun_growth":[${inRunGrowth.map { case (r, g) =>
         s"""{"docs_per_trigger":$r,"growth":${fmt(g)}}"""
       }.mkString(",")}],""" +
+      s""""inrun_metric_skipped":${!inRunValid},""" +
+      (if (inRunValid) ""
+       else s""""inrun_skip_reason":"measured=$measured < 20: first-10/last-10 windows overlap",""") +
       s""""flag_rule":"cross-rung: trigger p50 ratio / rate ratio > 1.6; within-run: last-10 p50 / first-10 p50 > 1.6",""" +
       s""""flagged":[${flagged.mkString(",")}],""" +
-      s""""flagged_inrun":[${flaggedInRun.mkString(",")}]}}"""
+      s""""flagged_inrun":[${flaggedInRun.mkString(",")}]},""" +
+      s""""state_growth":{"docs_per_trigger":${10 * docsPerTrigger},""" +
+      s""""n_batches":${grow.nBatches},"final_state_rows":${grow.stateRows},""" +
+      s""""pairs_emitted":${grow.pairsEmitted},""" +
+      s""""quartiles":[${quartiles.map { case (rows, p50) =>
+        s"""{"state_rows":$rows,"trigger_p50":${fmt(p50)}}"""
+      }.mkString(",")}],""" +
+      s""""flag_rule":"last-quartile trigger p50 / first-quartile > 1.6",""" +
+      s""""drift":${fmt(growthDrift)},"flagged":$flaggedGrowth}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_STREAM.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

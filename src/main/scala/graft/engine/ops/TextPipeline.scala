@@ -3379,20 +3379,49 @@ object TextPipeline {
     val twins = preTwins.getOrElse(twinDecomposition(pairs))
     val (member, _, _) = twins
     val queue = missingLinks(pairs, minCommon, Some(twins))
+    val (_, csz, _) = twins
+    // PRE-EXPANSION family prune over the refuted ledger (r14, the
+    // ADVICE finding that refuted pairs re-paid the member expansion
+    // every batch): map the DISTINCT refuted doc pairs through the
+    // CURRENT membership and drop any queue family whose refuted count
+    // equals its full expansion size (csize_1 × csize_2) — no
+    // unaudited pair left, nothing to expand. This is exact, not
+    // heuristic: classes are disjoint, so the family expands to
+    // exactly sz1·sz2 distinct pairs. It is also the steady state —
+    // the verify audits EVERY pair of a family in one pass, so the
+    // whole family lands in the ledger together and the next batch
+    // prunes it pre-expansion. A family whose membership re-formed
+    // since the audit fails the count equality and re-expands safely
+    // (twin classes share neighborhoods, NOT token sets, so a
+    // one-refutation-kills-the-family shortcut would be unsound).
+    val prunedQueue = excludePairs.fold(queue.select("cls_1", "cls_2")) { x =>
+      val mcA = member.select(col("u").as("doc_id_1"), col("cls").as("ca"))
+      val mcB = member.select(col("u").as("doc_id_2"), col("cls").as("cb"))
+      val refutedPerFam = x.select(col("doc_id_1"), col("doc_id_2")).distinct()
+        .join(mcA, "doc_id_1").join(mcB, "doc_id_2")
+        .select(least(col("ca"), col("cb")).as("cls_1"),
+                greatest(col("ca"), col("cb")).as("cls_2"))
+        .groupBy("cls_1", "cls_2").agg(count(lit(1)).as("n_refuted"))
+      queue.select("cls_1", "cls_2")
+        .join(csz.select(col("cls").as("cls_1"), col("csize").as("sz1")), "cls_1")
+        .join(csz.select(col("cls").as("cls_2"), col("csize").as("sz2")), "cls_2")
+        .join(refutedPerFam, Seq("cls_1", "cls_2"), "left_outer")
+        .filter(coalesce(col("n_refuted"), lit(0L)) < col("sz1") * col("sz2"))
+        .select("cls_1", "cls_2")
+    }
     val m1 = member.select(col("cls").as("cls_1"), col("u").as("d1"))
     val m2 = member.select(col("cls").as("cls_2"), col("u").as("d2"))
     // classes are disjoint and the queue is (cls_1 < cls_2)-unique, so
     // the expansion emits each doc pair exactly once
-    val expanded = queue.select("cls_1", "cls_2")
+    val expanded = prunedQueue
       .join(m1, "cls_1").join(m2, "cls_2")
       .select(least(col("d1"), col("d2")).as("doc_id_1"),
               greatest(col("d1"), col("d2")).as("doc_id_2"))
-    // already-audited pairs (a REFUTED ledger, in the streaming
-    // lifecycle) anti-join out BEFORE the exact verify — a confirmed
-    // edge closes its wedge structurally, but a refuted pair's wedge
-    // stays open forever, and without the ledger every later pass
-    // would re-pay its expansion and exact verify (the ledger is
-    // audited-pairs-sized, far under the graph)
+    // residual doc-pair anti-join for PARTIALLY re-formed families
+    // (some but not all of the expansion already refuted): the exact
+    // verify below is the expensive stage and never re-audits a
+    // ledgered pair (the ledger is audited-pairs-sized, far under the
+    // graph; a confirmed edge closes its wedge structurally instead)
     val cand = excludePairs.fold(expanded)(x =>
       expanded.join(x.select(col("doc_id_1"), col("doc_id_2")),
         Seq("doc_id_1", "doc_id_2"), "left_anti"))

@@ -57,10 +57,14 @@ object StreamBench {
   /** Per-trigger series of the STATEFUL tier ([[measureStateful]]):
     * whole-trigger and batch-execution wall clock plus the state-store
     * commit time the stateful operator reports, with the pair count as
-    * the work receipt. */
+    * the work receipt. `stateRowsSeries` is the per-trigger standing
+    * row count — the x-axis of the state-GROWTH ladder (r13 verdict
+    * item 6), which keys trigger cost by how big the store has become
+    * rather than by arrival rate. */
   final case class StatefulSeries(trigger: Seq[Double], addBatch: Seq[Double],
                                   stateCommit: Seq[Double], stateRows: Long,
-                                  pairsEmitted: Long, nBatches: Int)
+                                  pairsEmitted: Long, nBatches: Int,
+                                  stateRowsSeries: Seq[Long])
 
   def pct(xs: Seq[Double], p: Double): Double =
     if (xs.isEmpty) Double.NaN
@@ -236,7 +240,8 @@ object StreamBench {
         stateCommit = prog.map(_.stateOperators.map(_.commitTimeMs.toDouble).sum),
         stateRows = prog.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L),
         pairsEmitted = pairs.get(),
-        nBatches = prog.size)
+        nBatches = prog.size,
+        stateRowsSeries = prog.map(_.stateOperators.map(_.numRowsTotal).sum))
     } finally {
       spark.streams.removeListener(collector)
       priorProvider match {

@@ -1569,8 +1569,12 @@ object Streams {
         .distinct().localCheckpoint()
       // queue-consume + exact verify, verbatim batch operator over the
       // standing graph (wedges the banding left open, families expanded,
-      // native sorted-merge Jaccard); the refuted ledger is excluded
-      // BEFORE expansion so nothing is ever audited twice
+      // native sorted-merge Jaccard). The refuted ledger prunes FULLY
+      // refuted families BEFORE expansion (count-matched against the
+      // csize product — the steady state, since a verify audits every
+      // pair of a family in one pass) and anti-joins the residue before
+      // the exact verify, so nothing is ever audited twice and a
+      // settled family never re-pays its expansion
       val verified = graft.engine.ops.TextPipeline
         .missingLinksVerify(corpusNext, idCol, textCol, threshold, minCommon,
           precomputedPairs = Some(graphEdges), excludePairs = refuted)
@@ -1678,13 +1682,27 @@ object Streams {
       standing = Some(standing.fold(fresh.select(col("line")))(
         _.unionAll(fresh.select(col("line")))).localCheckpoint())
       val perDoc = lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
-      val out = fresh.groupBy("doc_id")
+      val keptAgg = fresh.groupBy("doc_id")
         .agg(count(lit(1)).as("n_kept"),
           array_join(transform(
             array_sort(collect_list(struct(col("line_no"), col("line")))),
             x => x.getField("line")), "\n").as("text"))
-        .join(perDoc, Seq("doc_id"))
-        .select(col("doc_id"), col("n_lines"), col("n_kept"), col("text"))
+      // face-dependent doc drop-out (the r13 ADVICE asymmetry): the
+      // reflow face keeps the C4 contract — a doc with no surviving
+      // line drops out, exactly like batch docReflow. The dedup-only
+      // face is the REGISTRY accounting, and batch Lines.lineDedup
+      // emits (doc_id, n_lines, 0) for a fully-deduped doc — so this
+      // face left-joins and emits the zero row, matching the batch
+      // twin over EVERY ingested doc, not just the emitted ones.
+      val out =
+        if (applyFilters)
+          keptAgg.join(perDoc, Seq("doc_id"))
+            .select(col("doc_id"), col("n_lines"), col("n_kept"), col("text"))
+        else
+          perDoc.join(keptAgg, Seq("doc_id"), "left_outer")
+            .select(col("doc_id"), col("n_lines"),
+              coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+              coalesce(col("text"), lit("")).as("text"))
       emitted = Some(emitted.fold(out)(_.unionAll(out)).localCheckpoint())
     }
   }

@@ -1713,6 +1713,39 @@ class TextSimilaritySpec extends SparkSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("missingLinksVerify: ledger prunes settled families; partially-covered families verify the residue") {
+    // A(1) and its exact twin A2(4) share the closed neighborhood
+    // {1,2,4} (both pair with bridge B(2) and each other) → one twin
+    // class {1,4}; C(3) pairs with B only. The queue family
+    // ({1,4},{3}) expands to TWO doc pairs (1,3) and (3,4). The r14
+    // pre-expansion prune drops a family only when the ledger covers
+    // its FULL csize product — so a half-covered ledger must still
+    // verify the residue, and a full ledger must emit nothing.
+    val w = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, w), (2L, w + " x"), (4L, w),
+      (3L, (1 to 19).map(i => s"w$i").mkString(" ") + " x"),
+      (10L, (1 to 12).map(i => s"u$i").mkString(" ")),
+      (11L, (1 to 12).map(i => s"u$i").mkString(" ") + " z"),
+      (12L, (1 to 8).map(i => s"u$i").mkString(" ") + " y1 y2 y3 y4")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, 0.9524), (2L, 3L, 0.9524), (1L, 4L, 1.0),
+      (2L, 4L, 0.9524), (10L, 11L, 0.9231), (11L, 12L, 0.5))
+      .toDF("doc_id_1", "doc_id_2", "jaccard")
+    def run(ledger: Option[Seq[(Long, Long)]]) =
+      TextPipeline.missingLinksVerify(docs, "doc_id", "text", 0.9,
+          minCommon = 1, precomputedPairs = Some(pairs),
+          excludePairs = ledger.map(_.toDF("doc_id_1", "doc_id_2")))
+        .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(run(None) == Seq((1L, 3L, 0.9048, true), (3L, 4L, 0.9048, true),
+      (10L, 12L, 0.5, false)))
+    // half-covered family: (1,3) ledgered, (3,4) must still verify
+    assert(run(Some(Seq((1L, 3L)))) ==
+      Seq((3L, 4L, 0.9048, true), (10L, 12L, 0.5, false)))
+    // fully-covered ledger: every family prunes pre-expansion, output empty
+    assert(run(Some(Seq((1L, 3L), (3L, 4L), (10L, 12L)))).isEmpty)
+  }
+
   test("bitextMine: nearest target neighbor with the margin to the runner-up") {
     val docs = Seq((1L, "de"), (2L, "en"), (3L, "en"), (4L, "en"))
       .toDF("doc_id", "lang")
