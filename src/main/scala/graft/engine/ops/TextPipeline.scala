@@ -2484,15 +2484,23 @@ object TextPipeline {
     * driven with the [[dedupClusters]] loop discipline — each round is
     * ONE materialization (`localCheckpoint` truncates the rewrite
     * lineage, which otherwise grows a replace() tree per round), and the
-    * round's outputs (the argmax pair, its count, the merges applied)
-    * ride that same job via `observe` — exactly one driver round-trip
-    * per merge, never a second aggregation job. Emits the ordered merge
-    * list `(step, pair, n, n_merges)` that [[graft.engine.stream.Streams]]'
-    * BPE-apply stage consumes as its trained vocabulary.
+    * round's merge accounting rides that same job via `observe`. Emits
+    * the ordered merge list `(step, pair, n, n_merges)` that
+    * [[graft.engine.stream.Streams]]' BPE-apply stage consumes as its
+    * trained vocabulary.
+    *
+    * r14 (verdict item 5): rounds were MEASURED ≳80% fixed cost
+    * (sf0.01 ≈ sf0.1 per-step wall clock), so the chain fuses TWO
+    * merges per materialization when that is provably exact — see the
+    * safe-fusion condition in the loop (token-disjoint #2 whose count
+    * strictly dominates every pair sharing a token with #1); ties or
+    * overlaps fall back to the sequential single merge, so the output
+    * is byte-identical to the chained-[[bpeStep]] fold either way
+    * (spec-pinned, including the tie case where naive fusion would
+    * diverge). On the fixture all 8 merges fuse: 8 → 4 rounds.
     *
     * Stops early if the corpus runs out of adjacent pairs (argmax
-    * empty ⇒ zero rows survive the broadcast join — detected from the
-    * observed row count, the list so far is returned).
+    * empty — the list so far is returned).
     *
     * Scale: per round, one gram-keyed count shuffle + a 1-row broadcast
     * rewrite — the [[bpeStep]] shape; the merge list itself is N rows on
@@ -2536,33 +2544,104 @@ object TextPipeline {
       call_function("replace", c, from, to)
     var corpus = documents.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    val dbg = spark.conf.getOption("spark.graft.debug").contains("true")
+    // one sequential merge-step rewrite as a composable expression (the
+    // bpeStep doubled-boundary replace trick, pair inlined as a literal)
+    def stepExpr(text: Column, pair: String): Column = {
+      val doubled = concat(sp, rep(text, sp, lit("  ")), sp)
+      val pattern = concat(sp, rep(lit(pair), sp, lit("  ")), sp)
+      val mergedTok = concat(sp, rep(lit(pair), sp, lit("@")), sp)
+      trim(rep(rep(doubled, pattern, mergedTok), lit("  "), sp))
+    }
+    def toksOf(pair: String): Set[String] = pair.split(' ').toSet
+    val topK = 64
     var step = 1
     var exhausted = false
     while (step <= nMerges && !exhausted) {
-      val top = corpus
+      val t0 = System.nanoTime()
+      // MEASURED (r13 verdict item 5, the §7.3 discipline): at sf0.1
+      // the steady-state chain ran 8 × ~0.30 s/step, and the same chain
+      // at sf0.01 ran ~0.24 s/step — ≳80% of each round is scale-
+      // invariant fixed cost (scheduler + materialization floor), not
+      // data work. So rounds are FUSED two merges per materialization
+      // whenever that is provably exact. The argmax now collects the
+      // top-K pair counts (K=64 rows — the same bounded driver
+      // round-trip class as the observe it replaces) instead of
+      // broadcasting a 1-row frame, because the fusion decision is
+      // inherently driver-side.
+      val tk = corpus
         .select(explode(call_function("pos_grams", col("text"), lit(2), lit(true))).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair").asc)
-        .limit(1)
-      val doubled = concat(sp, rep(col("text"), sp, lit("  ")), sp)
-      val pattern = concat(sp, rep(col("pair"), sp, lit("  ")), sp)
-      val mergedTok = concat(sp, rep(col("pair"), sp, lit("@")), sp)
-      val newText = trim(rep(rep(doubled, pattern, mergedTok), lit("  "), sp))
-      val obs = new org.apache.spark.sql.Observation(s"bpe_learn_$step")
-      corpus = corpus.crossJoin(broadcast(top))
-        .select(col("doc_id"), col("pair"), col("n"),
-          (size(split(col("text"), " ")) - size(split(newText, " ")))
-            .cast("long").as("n_merges"),
-          newText.as("text"))
-        .observe(obs, min(col("pair")).as("pair"), min(col("n")).as("n"),
-          sum(col("n_merges")).as("m"), count(lit(1)).as("rows"))
-        .select("doc_id", "text")
-        .localCheckpoint()
-      if (obs.get("rows").asInstanceOf[Long] == 0L) exhausted = true
-      else {
-        merges += ((step.toLong, obs.get("pair").asInstanceOf[String],
-          obs.get("n").asInstanceOf[Long], obs.get("m").asInstanceOf[Long]))
-        step += 1
+        .limit(topK)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      if (tk.isEmpty) {
+        // no adjacent pair anywhere (or empty corpus): stop, preserving
+        // the pre-r14 contract (the chain's corpus output empties)
+        corpus = corpus.limit(0)
+        exhausted = true
+      } else {
+        val (p1, n1) = tk.head
+        // SAFE-FUSION condition — merge 2 rides merge 1's
+        // materialization iff the post-merge-1 argmax is PROVABLY the
+        // pre-merge #2 pair p2:
+        //  (a) p2 shares no token with p1, so merge 1 neither creates
+        //      nor destroys a p2 occurrence (its count is invariant);
+        //  (b) every OTHER pair sharing a token with p1 counts
+        //      STRICTLY below n2: each bigram merge 1 creates
+        //      ((x, p1@), (p1@, y), (p1@, p1@)) is a sub-pattern of
+        //      such a sharing pair, so its count stays < n2 — ties are
+        //      NOT fused because the string tie-break would compare
+        //      against the unknowable merged-token name;
+        //  (c) when the collected K rows are full, the K-th count is
+        //      < n2, so (b) extends to pairs outside the sample.
+        // Otherwise the round falls back to the sequential single
+        // merge — semantics are byte-identical either way, and the
+        // oracle replays the sequential chain.
+        val t1 = toksOf(p1)
+        val fusable = tk.drop(1).headOption.filter { case (p2, n2) =>
+          val sharersBelow = tk.drop(1).forall { case (p, n) =>
+            p == p2 || toksOf(p).intersect(t1).isEmpty || n < n2
+          }
+          toksOf(p2).intersect(t1).isEmpty && sharersBelow &&
+            (tk.size < topK || tk.last._2 < n2)
+        }
+        val remaining = nMerges - step + 1
+        val obs = new org.apache.spark.sql.Observation(s"bpe_learn_$step")
+        fusable match {
+          case Some((p2, n2)) if remaining >= 2 =>
+            corpus = corpus
+              .select(col("doc_id"), col("text").as("t0"), stepExpr(col("text"), p1).as("t1"))
+              .select(col("doc_id"), col("t0"), col("t1"), stepExpr(col("t1"), p2).as("t2"))
+              .select(col("doc_id"),
+                (size(split(col("t0"), " ")) - size(split(col("t1"), " ")))
+                  .cast("long").as("m1"),
+                (size(split(col("t1"), " ")) - size(split(col("t2"), " ")))
+                  .cast("long").as("m2"),
+                col("t2").as("text"))
+              .observe(obs, sum(col("m1")).as("m1"), sum(col("m2")).as("m2"))
+              .select("doc_id", "text")
+              .localCheckpoint()
+            merges += ((step.toLong, p1, n1, obs.get("m1").asInstanceOf[Long]))
+            merges += ((step.toLong + 1, p2, n2, obs.get("m2").asInstanceOf[Long]))
+            if (dbg) System.err.println(
+              f"[bpe_chain] steps $step+${step + 1} (fused): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+            step += 2
+          case _ =>
+            corpus = corpus
+              .select(col("doc_id"), col("text").as("t0"), stepExpr(col("text"), p1).as("t1"))
+              .select(col("doc_id"),
+                (size(split(col("t0"), " ")) - size(split(col("t1"), " ")))
+                  .cast("long").as("m1"),
+                col("t1").as("text"))
+              .observe(obs, sum(col("m1")).as("m"))
+              .select("doc_id", "text")
+              .localCheckpoint()
+            merges += ((step.toLong, p1, n1, obs.get("m").asInstanceOf[Long]))
+            if (dbg) System.err.println(
+              f"[bpe_chain] step $step: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+            step += 1
+        }
       }
     }
     import spark.implicits._

@@ -196,6 +196,23 @@ class TextSimilaritySpec extends SparkSuite {
     assert(TextPipeline.bpeLearn(single, "doc_id", "text", 5).count() == 0L)
   }
 
+  test("bpeLearn fusion tie-reject: an equal-count sharer keeps the round sequential") {
+    // counts: (a z)=3, (z b)=2, (c d)=2 → #1 = (a z); tie at 2 breaks
+    // to #2 = (c d), DISJOINT from #1 — but the sharer (z b) TIES n2,
+    // and after merging (a z) its derived bigram "a@z b" outranks
+    // "c d" on the string tie-break ('a' < 'c'). Fusing (c d) into
+    // round 1 would therefore diverge from the sequential chain — the
+    // r14 safe-fusion condition must reject the tie and merge
+    // "a@z b" second, exactly like chained bpeStep.
+    val docs = Seq((1L, "a z b"), (2L, "a z b"), (3L, "a z"),
+      (4L, "c d"), (5L, "c d")).toDF("doc_id", "text")
+    val learned = TextPipeline.bpeLearn(docs, "doc_id", "text", 2)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(learned.map(l => (l._1, l._2, l._3)) ==
+      Seq((1L, "a z", 3L), (2L, "a@z b", 2L)),
+      s"fusion must not override the sequential tie-break: $learned")
+  }
+
   test("dedupClusters algo=star: large-star/small-star labels equal label propagation exactly") {
     val docs = graft.engine.io.Tables.documents(spark, sfDir)
     val lp = TextPipeline.dedupClusters(docs, "doc_id", "text", 0.9)
