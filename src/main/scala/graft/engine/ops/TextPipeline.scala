@@ -159,9 +159,31 @@ object TextPipeline {
     def mat(df: DataFrame, round: Int): DataFrame =
       if (reliable && round % math.max(1, checkpointEvery) == 0) df.checkpoint()
       else df.localCheckpoint()
-    val rawPairs = precomputedPairs
+    // the star route consumes the pair list twice (the gate count and
+    // the contraction loop); when the pairs were NOT precomputed each
+    // consumption would re-run the whole minhash banding — materialize
+    // once on that route only (label-prop's single consumption rides
+    // the symmetric edge persist below instead)
+    val rawPairs0 = precomputedPairs
       .getOrElse(Similarity.minhashNearDup(documents, idCol, textCol, threshold, ordered = false))
+    val rawPairs =
+      if (algo == "star" && precomputedPairs.isEmpty) rawPairs0.localCheckpoint()
+      else rawPairs0
     val pairs = rawPairs.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
+    val ccLocalMax = documents.sparkSession.conf
+      .getOption("spark.graft.cc.localMaxEdges").map(_.toLong)
+      .getOrElse(2000000L)
+    if (algo == "star") {
+      // the star route gates on the RAW pair count (2× = the symmetric
+      // edge count, same units as the config) without ever building
+      // label-prop's persisted symmetric join layout — star past the
+      // gate re-symmetrizes internally per round, and the fused task
+      // needs each undirected edge only once (union-find is
+      // direction-free)
+      if (!reliable && maxIters >= 20 && 2 * rawPairs.count() <= ccLocalMax)
+        return fusedUnionFind(documents, idCol, pairs)
+      return starComponents(documents, idCol, rawPairs, maxIters, mat)
+    }
     // undirected edge list, materialized once, hash-partitioned on the
     // join key: every propagation round equi-joins edges on `b`, so the
     // cached partitioning is reused and only the (tiny) label table
@@ -201,10 +223,11 @@ object TextPipeline {
       // The gate applies to BOTH distributed algorithms (r14): the
       // union-find fixpoint is min-id components regardless of how the
       // loop would have walked there, so `algo="star"` routes through
-      // the same fused task when the graph fits — previously it
-      // early-returned above the gate and q_fuzzy_clusters paid ~N
-      // star-contraction rounds of scheduler floor on a graph that
-      // fits one task. Past the gate each algo keeps its own loop.
+      // the same fused task when the graph fits (gated above, on the
+      // raw pair count) — previously it early-returned above the gate
+      // and q_fuzzy_clusters paid ~N star-contraction rounds of
+      // scheduler floor on a graph that fits one task. Past the gate
+      // each algo keeps its own loop.
       //
       // RAISING `spark.graft.cc.localMaxEdges` SCALES WITH maxIters:
       // the fused path returns the exact fixpoint, while the
@@ -217,73 +240,13 @@ object TextPipeline {
       // loop would truncate where the fused path converges. If you
       // raise the cap by k decades, raise maxIters accordingly (the
       // loop self-reports truncation under spark.graft.debug).
-      val ccLocalMax = documents.sparkSession.conf
-        .getOption("spark.graft.cc.localMaxEdges").map(_.toLong)
-        .getOrElse(2000000L)
       // the fused path is the EXACT fixpoint, so it only stands in when
       // the caller's cap cannot bind semantically: a deliberately small
       // maxIters asks for TRUNCATED propagation (partial labels), which
       // only the round-based loop can honor — every production call
       // site uses the default (20, ≥ the measured convergence depth)
-      if (!reliable && maxIters >= 20 && edges.count() <= ccLocalMax) {
-        import documents.sparkSession.implicits._
-        val localLabels = edges.select(col("a"), col("b")).as[(Long, Long)]
-          .coalesce(1)
-          .mapPartitions { it =>
-            // stream into primitive builders (boxed pairs never
-            // retained: ~200 B/edge transient vs 16 B here), compact
-            // ids by sort + in-place dedup, union-find with path
-            // halving, then map each component to its min member id —
-            // the label-prop fixpoint
-            val ab = scala.collection.mutable.ArrayBuilder.make[Long]
-            val bb = scala.collection.mutable.ArrayBuilder.make[Long]
-            it.foreach { e => ab += e._1; bb += e._2 }
-            val ea = ab.result(); val eb = bb.result()
-            val m = ea.length
-            val ids = {
-              val s = new Array[Long](2 * m)
-              System.arraycopy(ea, 0, s, 0, m)
-              System.arraycopy(eb, 0, s, m, m)
-              java.util.Arrays.sort(s)
-              var w = 0; var r = 0
-              while (r < 2 * m) {
-                if (w == 0 || s(r) != s(w - 1)) { s(w) = s(r); w += 1 }
-                r += 1
-              }
-              java.util.Arrays.copyOf(s, w)
-            }
-            val idx = new scala.collection.mutable.LongMap[Int](ids.length * 2)
-            var k0 = 0
-            while (k0 < ids.length) { idx.update(ids(k0), k0); k0 += 1 }
-            val parent = Array.tabulate(ids.length)(identity)
-            def find(x0: Int): Int = {
-              var x = x0
-              while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
-              x
-            }
-            var j = 0
-            while (j < m) {
-              val ra = find(idx(ea(j))); val rb = find(idx(eb(j)))
-              if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-              j += 1
-            }
-            // union kept the smaller compacted index as root, and ids
-            // are sorted ascending, so the root's own id IS the
-            // component minimum
-            ids.iterator.zipWithIndex.map { case (id, k) => (id, ids(find(k))) }
-          }
-          .toDF("id", "cl")
-          .localCheckpoint() // materialize while the edge cache is live
-        return documents.select(col(idCol).as("id"))
-          .join(localLabels, Seq("id"), "left_outer")
-          .select(col("id"), coalesce(col("cl"), col("id")).as("cluster"))
-      }
-      // past the gate, each distributed algorithm keeps its own loop;
-      // star re-symmetrizes internally from the raw pair list (the
-      // persisted symmetric edge cache is label-prop's join layout, not
-      // star's — the `finally` releases it on this return)
-      if (algo == "star")
-        return starComponents(documents, idCol, rawPairs, maxIters, mat)
+      if (!reliable && maxIters >= 20 && edges.count() <= ccLocalMax)
+        return fusedUnionFind(documents, idCol, edges.select(col("a"), col("b")))
       val obs0 = new org.apache.spark.sql.Observation("labelsum_init")
       // The loop iterates over GRAPH NODES ONLY — every node of the
       // symmetric edge list appears as a `b`, and a node with no
@@ -371,6 +334,69 @@ object TextPipeline {
         .join(labels.withColumnRenamed("cluster", "cl"), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("cl"), col("id")).as("cluster"))
     } finally edges.unpersist()
+  }
+
+  /** The counted-gate FUSED connected-components task ([[dedupClusters]]'
+    * adaptive path, shared by both distributed algorithms): union-find
+    * with min-id component labels over an edge frame `(a, b)` — each
+    * undirected edge may appear once or symmetrically, union-find is
+    * direction-free — run as ONE executor task via the house-justified
+    * mapPartitions (at the gate's admission size the distributed loops
+    * are pure DAGScheduler latency over kilobytes). No driver collect:
+    * the labels stay a DataFrame and join back to the corpus. */
+  private def fusedUnionFind(documents: DataFrame, idCol: String,
+                             e: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val localLabels = e.as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        // stream into primitive builders (boxed pairs never
+        // retained: ~200 B/edge transient vs 16 B here), compact
+        // ids by sort + in-place dedup, union-find with path
+        // halving, then map each component to its min member id —
+        // the label-prop fixpoint
+        val ab = scala.collection.mutable.ArrayBuilder.make[Long]
+        val bb = scala.collection.mutable.ArrayBuilder.make[Long]
+        it.foreach { e => ab += e._1; bb += e._2 }
+        val ea = ab.result(); val eb = bb.result()
+        val m = ea.length
+        val ids = {
+          val s = new Array[Long](2 * m)
+          System.arraycopy(ea, 0, s, 0, m)
+          System.arraycopy(eb, 0, s, m, m)
+          java.util.Arrays.sort(s)
+          var w = 0; var r = 0
+          while (r < 2 * m) {
+            if (w == 0 || s(r) != s(w - 1)) { s(w) = s(r); w += 1 }
+            r += 1
+          }
+          java.util.Arrays.copyOf(s, w)
+        }
+        val idx = new scala.collection.mutable.LongMap[Int](ids.length * 2)
+        var k0 = 0
+        while (k0 < ids.length) { idx.update(ids(k0), k0); k0 += 1 }
+        val parent = Array.tabulate(ids.length)(identity)
+        def find(x0: Int): Int = {
+          var x = x0
+          while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+          x
+        }
+        var j = 0
+        while (j < m) {
+          val ra = find(idx(ea(j))); val rb = find(idx(eb(j)))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+          j += 1
+        }
+        // union kept the smaller compacted index as root, and ids
+        // are sorted ascending, so the root's own id IS the
+        // component minimum
+        ids.iterator.zipWithIndex.map { case (id, k) => (id, ids(find(k))) }
+      }
+      .toDF("id", "cl")
+      .localCheckpoint() // materialize while the caller's edge source is live
+    documents.select(col(idCol).as("id"))
+      .join(localLabels, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("cl"), col("id")).as("cluster"))
   }
 
   /** Policy-based canonical selection over the near-dup clusters — the
