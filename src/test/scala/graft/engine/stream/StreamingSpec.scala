@@ -955,6 +955,27 @@ class StreamingSpec extends SparkSuite {
       "reflow at ingest must be bit-identical to batch docReflow (same docs kept, same text)")
     assert(streamed.nonEmpty && streamed.size < mlDocs.length,
       "parity must be non-vacuous: some docs reflow, some drop")
+
+    // END-TO-END handoff (r14, the RefinedWeb-order pipeline): the
+    // stream-ingested reflow corpus piped through the BATCH doc gates
+    // must reproduce q_curation_pipeline's manifest exactly — i.e. a
+    // deployment that line-curates at ingest (this maintenance) and
+    // runs the doc-level gates as a downstream batch job produces the
+    // same corpus build as the all-batch pipeline.
+    import graft.engine.ops.TextPipeline
+    val docsTbl = graft.engine.io.Tables.documents(spark, sfDir)
+    val corpusFromStream = maint.current.get.select(col("doc_id"), col("text"))
+      .join(docsTbl.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .filter(col("doc_id") >= 10)
+      .localCheckpoint()
+    val viaStream = TextPipeline.curationPipeline(corpusFromStream, "doc_id", "text",
+        docsTbl.filter(col("doc_id") < 10), Seq("lang"),
+        repCaps = Some((1000L, 500L)), lmFloor = Some(32000L))
+      .as[(String, String, Long, Long)].collect().toSeq
+    val allBatch = graft.SparkEntry.queries("q_curation_pipeline")(spark, sfDir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(viaStream == allBatch,
+      s"stream-fed pipeline manifest diverged from the batch pipeline:\n$viaStream\nvs\n$allBatch")
   }
 
   // s_stream_quality_classifier: offline-trained token weights served
