@@ -91,6 +91,56 @@ object BenchStream {
       if (quartiles.head._2 > 0) quartiles.last._2 / quartiles.head._2
       else Double.NaN
     val flaggedGrowth = growthDrift > 1.6
+    // LINE-REGISTRY growth — the OTHER standing store named by the r13
+    // item (the LSH band store above lives in RocksDB; the exact line
+    // registry lives in executor blocks via LineDedupMaintenance).
+    // Deterministic multi-line docs ingest batch-by-batch through the
+    // reflow face; per-ingest wall clock quartiles against the standing
+    // registry row count. Exact dedup probes the whole registry per
+    // batch (the anti-join's build side), so RAW drift tracks the store
+    // by design — the flag is the NORMALIZED drift: per-registry-row
+    // ingest time must not grow (superlinear-in-store = a rewrite bug,
+    // e.g. re-checkpointing the full registry every batch).
+    val lrBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_LINEREG_BATCHES", "120").toInt
+    val lrDocsPerBatch = 300
+    val lrMaint = new graft.engine.stream.Streams.LineDedupMaintenance(
+      "doc_id", "text", applyFilters = true)
+    val lrTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val lrRowsAtQuartile = scala.collection.mutable.ArrayBuffer.empty[Long]
+    locally {
+      import spark.implicits._
+      var lid = 0L
+      (1 to lrBatches).foreach { bi =>
+        val docs = (1 to lrDocsPerBatch).map { _ =>
+          lid += 1
+          val lines = (1 to 5).map { j =>
+            if ((lid + j) % 11 == 0) "all rights reserved."
+            else s"fresh line $lid $j with payload tokens."
+          }
+          (lid, lines.mkString("\n"))
+        }.toDF("doc_id", "text")
+        val t0 = System.nanoTime()
+        lrMaint.ingest(docs)
+        lrTimes += (System.nanoTime() - t0) / 1e6
+        if (bi % math.max(1, lrBatches / 4) == 0)
+          lrRowsAtQuartile += lrMaint.standingLines.get.count()
+      }
+    }
+    val lrQuartiles = (0 until 4).map { i =>
+      val lo = i * lrBatches / 4; val hi = (i + 1) * lrBatches / 4
+      (lrRowsAtQuartile.lift(i).getOrElse(0L),
+        StreamBench.pct(lrTimes.slice(lo, hi).toSeq, 50))
+    }
+    val lrDriftRaw =
+      if (lrQuartiles.head._2 > 0) lrQuartiles.last._2 / lrQuartiles.head._2
+      else Double.NaN
+    // normalized: per-registry-row p50 in Q4 vs Q1 (rows at each end)
+    val lrDriftNorm =
+      if (lrQuartiles.head._1 > 0 && lrQuartiles.head._2 > 0)
+        (lrQuartiles.last._2 / lrQuartiles.last._1) /
+          (lrQuartiles.head._2 / lrQuartiles.head._1)
+      else Double.NaN
+    val flaggedLineReg = lrDriftNorm > 1.3
     val budgetMs = 18.0
     val line =
       s"""{"metric":"stream_trigger_overhead","unit":"ms","n_batches":${s.nBatches},""" +
@@ -132,7 +182,15 @@ object BenchStream {
         s"""{"state_rows":$rows,"trigger_p50":${fmt(p50)}}"""
       }.mkString(",")}],""" +
       s""""flag_rule":"last-quartile trigger p50 / first-quartile > 1.6",""" +
-      s""""drift":${fmt(growthDrift)},"flagged":$flaggedGrowth}}"""
+      s""""drift":${fmt(growthDrift)},"flagged":$flaggedGrowth},""" +
+      s""""line_registry_growth":{"n_batches":$lrBatches,""" +
+      s""""docs_per_batch":$lrDocsPerBatch,""" +
+      s""""quartiles":[${lrQuartiles.map { case (rows, p50) =>
+        s"""{"registry_rows":$rows,"ingest_p50_ms":${fmt(p50)}}"""
+      }.mkString(",")}],""" +
+      s""""flag_rule":"normalized per-registry-row Q4/Q1 p50 > 1.3 (raw drift tracks the store by design: exact dedup probes the registry per batch)",""" +
+      s""""drift_raw":${fmt(lrDriftRaw)},"drift_norm":${fmt(lrDriftNorm)},""" +
+      s""""flagged":$flaggedLineReg}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_STREAM.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

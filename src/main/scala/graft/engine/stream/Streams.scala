@@ -1650,8 +1650,20 @@ object Streams {
       // id-ordered arrival the emitted (doc_id, text) is then
       // bit-identical to batch `docReflow` over the same corpus
       // (spec-pinned). false = dedup-only (the registry face).
-      applyFilters: Boolean = false) {
+      applyFilters: Boolean = false,
+      // registry compaction period (r14): the standing registry is a
+      // lazy union of per-batch checkpointed DELTA parts, collapsed
+      // into one frame every `compactEvery` batches — re-checkpointing
+      // the WHOLE registry every batch (the pre-r14 shape) rewrites
+      // O(registry) blocks per batch, which at a production registry
+      // size dwarfs the batch itself; amortized the rewrite is
+      // O(registry / compactEvery). The anti-join probe still scans
+      // the registry each batch — inherent to exact dedup without a
+      // keyed state store (BENCH_STREAM's line_registry_growth section
+      // watches exactly this with a normalized drift flag).
+      compactEvery: Int = 8) {
     @volatile private var standing: Option[DataFrame] = None // (line)
+    private var partsSinceCompact = 0
     @volatile private var emitted: Option[DataFrame] = None  // per-doc output
     /** Accumulated per-doc output: (doc_id, n_lines, n_kept, text). */
     def current: Option[DataFrame] = emitted
@@ -1679,8 +1691,15 @@ object Streams {
       // then against the standing registry
       val fresh = standing.fold(firstInBatch)(reg =>
         firstInBatch.join(reg, Seq("line"), "left_anti")).localCheckpoint()
+      // append the DELTA part only (fresh is already checkpointed; the
+      // projection is free) and collapse periodically — see compactEvery
       standing = Some(standing.fold(fresh.select(col("line")))(
-        _.unionAll(fresh.select(col("line")))).localCheckpoint())
+        _.unionAll(fresh.select(col("line")))))
+      partsSinceCompact += 1
+      if (partsSinceCompact >= math.max(1, compactEvery)) {
+        standing = Some(standing.get.localCheckpoint())
+        partsSinceCompact = 0
+      }
       val perDoc = lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
       val keptAgg = fresh.groupBy("doc_id")
         .agg(count(lit(1)).as("n_kept"),
