@@ -1494,6 +1494,33 @@ object Streams {
       .foreachBatch { (batch: Dataset[Row], bid: Long) => maint.ingest(batch.toDF(), bid); () }
       .start()
 
+  /** Append-only STANDING frame with periodic compaction (r14, the
+    * shared discipline of every maintenance class below): deltas are
+    * caller-materialized (checkpointed) frames; the standing value is
+    * their LAZY union, collapsed into one checkpointed frame every
+    * `compactEvery` appends. Re-checkpointing the whole store per batch
+    * (the pre-r14 shape) rewrites O(store) executor blocks per batch —
+    * at a production store size that dwarfs the batch itself; amortized
+    * the rewrite is O(store / compactEvery), while consumers see the
+    * identical row set either way (a union of materialized legs). */
+  private final class AppendOnlyFrame(compactEvery: Int = 8) {
+    @volatile private var frame: Option[DataFrame] = None
+    private var appends = 0
+    def get: Option[DataFrame] = frame
+    /** Re-seed from a caller-materialized frame (kill-and-restart). */
+    def seed(df: DataFrame): Unit = { frame = Some(df); appends = 0 }
+    /** Append a caller-materialized delta; returns the new standing value. */
+    def append(delta: DataFrame): DataFrame = {
+      frame = Some(frame.fold(delta)(_.unionAll(delta)))
+      appends += 1
+      if (appends >= math.max(1, compactEvery)) {
+        frame = Some(frame.get.localCheckpoint())
+        appends = 0
+      }
+      frame.get
+    }
+  }
+
   /** s_stream_missing_links: the recall-repair loop as a per-batch
     * stage over the incremental dedup stream (r11 verdict item 8) —
     * [[ClusterMaintenance]]'s lifecycle EXTENDED with the standing EDGE
@@ -1522,23 +1549,29 @@ object Streams {
     * identical either way. */
   final class RecallRepairMaintenance(idCol: String, textCol: String,
       threshold: Double, minCommon: Int = 2) {
-    @volatile private var corpus: Option[DataFrame] = None
-    @volatile private var edges: Option[DataFrame] = None    // (doc_id_1 < doc_id_2)
+    // append-only standing frames (corpus, edge list, audit log, refuted
+    // ledger) follow the AppendOnlyFrame compaction discipline: the
+    // per-batch write is the DELTA, the store collapses every 8 appends.
+    // The cluster table is NOT append-only (labels move on merges), so
+    // it stays a whole-frame checkpoint — it is 2 longs per doc id, the
+    // cheapest of the five stores by an order of magnitude.
+    private val corpusF = new AppendOnlyFrame()
+    private val edgesF = new AppendOnlyFrame()  // (doc_id_1 < doc_id_2)
+    private val auditF = new AppendOnlyFrame()  // confirmed (pair, jaccard, version)
+    private val refutedF = new AppendOnlyFrame() // refuted (doc_id_1, doc_id_2)
     @volatile private var standing: Option[DataFrame] = None // (id, cluster)
-    @volatile private var audit: Option[DataFrame] = None    // confirmed (pair, jaccard, version)
-    @volatile private var refuted: Option[DataFrame] = None  // refuted (doc_id_1, doc_id_2)
     def current: Option[DataFrame] = standing
-    def corpusDocs: Option[DataFrame] = corpus
-    def standingEdges: Option[DataFrame] = edges
+    def corpusDocs: Option[DataFrame] = corpusF.get
+    def standingEdges: Option[DataFrame] = edgesF.get
     /** Append-only log of banding-missed pairs the verify confirmed:
       * (doc_id_1, doc_id_2, jaccard, version). */
-    def confirmedAudit: Option[DataFrame] = audit
+    def confirmedAudit: Option[DataFrame] = auditF.get
     /** The REFUTED ledger: audited pairs whose wedge stays open forever
       * (a refuted pair gets no edge) — anti-joined out of every later
       * queue pass so each pair pays its expansion + exact verify ONCE
       * per lifecycle, confirmed or not. Persisted alongside the other
       * artifacts; audited-pairs-sized, far under the graph. */
-    def refutedPairs: Option[DataFrame] = refuted
+    def refutedPairs: Option[DataFrame] = refutedF.get
 
     /** Kill-and-restart: re-seed from the writer's persisted artifacts —
       * corpus, standing EDGE list (the graph as banding + prior repairs
@@ -1547,26 +1580,34 @@ object Streams {
     def resume(seedCorpus: DataFrame, seedEdges: DataFrame,
                seedStanding: DataFrame,
                seedRefuted: Option[DataFrame] = None): Unit = synchronized {
-      corpus = Some(seedCorpus.select(col(idCol), col(textCol)).localCheckpoint())
-      edges = Some(seedEdges.select(col("doc_id_1"), col("doc_id_2")).localCheckpoint())
+      corpusF.seed(seedCorpus.select(col(idCol), col(textCol)).localCheckpoint())
+      edgesF.seed(seedEdges.select(col("doc_id_1"), col("doc_id_2")).localCheckpoint())
       standing = Some(seedStanding.select(col("id"), col("cluster")).localCheckpoint())
-      refuted = seedRefuted.map(_.select(col("doc_id_1"), col("doc_id_2")).localCheckpoint())
+      seedRefuted.foreach(r =>
+        refutedF.seed(r.select(col("doc_id_1"), col("doc_id_2")).localCheckpoint()))
     }
 
     def ingest(batch: DataFrame, version: Long = 0L): Unit = synchronized {
       val b = batch.select(col(idCol), col(textCol)).localCheckpoint()
       if (b.isEmpty) { b.unpersist(); return }
-      val batchEdges = (corpus match {
+      // ONE probe materialization per batch: the edge delta feeds the
+      // standing anti-join, the verify's pair graph, AND the CC delta
+      // (the pre-r14 shape recomputed the banded probe for ccIncremental)
+      val batchEdges = (corpusF.get match {
         case Some(ref) => probeEdges(ref, b, idCol, textCol, threshold)
         case None => graft.engine.ops.Similarity
           .minhashNearDup(b, idCol, textCol, threshold, ordered = false)
           .select(col("doc_id_1"), col("doc_id_2"))
-      }).distinct()
-      val corpusNext = corpus.fold(b)(_.unionAll(b)).localCheckpoint()
-      // one distinct covers both the probe result and any at-least-once
-      // replay duplicates against the standing list
-      val graphEdges = edges.fold(batchEdges)(_.unionAll(batchEdges))
-        .distinct().localCheckpoint()
+      }).distinct().localCheckpoint()
+      val corpusNext = corpusF.append(b)
+      // standing edge-set maintenance as DELTA anti-join + append (the
+      // pre-r14 full-union distinct re-shuffled AND re-wrote the whole
+      // store per batch; at-least-once replay duplicates and probe
+      // overlap now land in the anti-join instead — same row set)
+      val newEdges = edgesF.get.fold(batchEdges)(st =>
+        batchEdges.join(st, Seq("doc_id_1", "doc_id_2"), "left_anti")
+          .localCheckpoint())
+      val graphEdges = edgesF.append(newEdges)
       // queue-consume + exact verify, verbatim batch operator over the
       // standing graph (wedges the banding left open, families expanded,
       // native sorted-merge Jaccard). The refuted ledger prunes FULLY
@@ -1577,21 +1618,26 @@ object Streams {
       // settled family never re-pays its expansion
       val verified = graft.engine.ops.TextPipeline
         .missingLinksVerify(corpusNext, idCol, textCol, threshold, minCommon,
-          precomputedPairs = Some(graphEdges), excludePairs = refuted)
+          precomputedPairs = Some(graphEdges), excludePairs = refutedF.get)
         .localCheckpoint()
       val confirmed = verified.filter(col("confirmed"))
         .select(col("doc_id_1"), col("doc_id_2"))
       val logged = verified.filter(col("confirmed"))
         .select(col("doc_id_1"), col("doc_id_2"), col("jaccard"),
           lit(version).as("version"))
-      audit = Some(audit.fold(logged)(_.unionAll(logged)).localCheckpoint())
-      val newRefuted = verified.filter(!col("confirmed"))
-        .select(col("doc_id_1"), col("doc_id_2"))
-      refuted = Some(refuted.fold(newRefuted)(_.unionAll(newRefuted)).localCheckpoint())
+      auditF.append(logged)
+      refutedF.append(verified.filter(!col("confirmed"))
+        .select(col("doc_id_1"), col("doc_id_2")))
       // confirmed edges close their wedges structurally for every later
       // batch; they are disjoint from graphEdges by construction (the
-      // queue only proposes ABSENT edges), so no second distinct
-      edges = Some(graphEdges.unionAll(confirmed).localCheckpoint())
+      // queue only proposes ABSENT edges), so they append as a second
+      // delta part with no distinct
+      val edgesNext = edgesF.append(confirmed)
+      // the CC delta keeps the FULL batch probe (not just newEdges):
+      // a replayed edge already reflected in `standing` re-applies
+      // idempotently through the quotient, preserving the
+      // at-least-once-into-idempotent-state story even if a resume's
+      // seed artifacts were written at slightly different versions
       val deltaForCc = batchEdges.unionAll(confirmed)
         .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
       val next = standing match {
@@ -1601,10 +1647,9 @@ object Streams {
             .select("id", "cluster")
         case None =>
           graft.engine.ops.TextPipeline.dedupClusters(corpusNext, idCol, textCol,
-            threshold, precomputedPairs = Some(edges.get))
+            threshold, precomputedPairs = Some(edgesNext))
       }
       standing = Some(next.localCheckpoint())
-      corpus = Some(corpusNext)
     }
   }
 
@@ -1651,10 +1696,10 @@ object Streams {
       // bit-identical to batch `docReflow` over the same corpus
       // (spec-pinned). false = dedup-only (the registry face).
       applyFilters: Boolean = false,
-      // registry compaction period (r14): the standing registry is a
-      // lazy union of per-batch checkpointed DELTA parts, collapsed
-      // into one frame every `compactEvery` batches — re-checkpointing
-      // the WHOLE registry every batch (the pre-r14 shape) rewrites
+      // registry compaction period (r14): the standing registry is an
+      // [[AppendOnlyFrame]] — per-batch checkpointed DELTA parts,
+      // collapsed every `compactEvery` batches. Re-checkpointing the
+      // WHOLE registry each batch (the pre-r14 shape) rewrites
       // O(registry) blocks per batch, which at a production registry
       // size dwarfs the batch itself; amortized the rewrite is
       // O(registry / compactEvery). The anti-join probe still scans
@@ -1662,15 +1707,14 @@ object Streams {
       // keyed state store (BENCH_STREAM's line_registry_growth section
       // watches exactly this with a normalized drift flag).
       compactEvery: Int = 8) {
-    @volatile private var standing: Option[DataFrame] = None // (line)
-    private var partsSinceCompact = 0
+    private val reg = new AppendOnlyFrame(compactEvery)
     @volatile private var emitted: Option[DataFrame] = None  // per-doc output
     /** Accumulated per-doc output: (doc_id, n_lines, n_kept, text). */
     def current: Option[DataFrame] = emitted
     /** The standing first-occurrence line registry. */
-    def standingLines: Option[DataFrame] = standing
+    def standingLines: Option[DataFrame] = reg.get
     def resume(seedLines: DataFrame): Unit = synchronized {
-      standing = Some(seedLines.select(col("line")).localCheckpoint())
+      reg.seed(seedLines.select(col("line")).localCheckpoint())
     }
     def ingest(batch: DataFrame): Unit = synchronized {
       val b = batch.select(col(idCol).cast("long").as("doc_id"), col(textCol))
@@ -1689,17 +1733,11 @@ object Streams {
         .agg(min(struct(col("doc_id"), col("line_no"))).as("s"))
         .select(col("s.doc_id").as("doc_id"), col("s.line_no").as("line_no"), col("line"))
       // then against the standing registry
-      val fresh = standing.fold(firstInBatch)(reg =>
-        firstInBatch.join(reg, Seq("line"), "left_anti")).localCheckpoint()
+      val fresh = reg.get.fold(firstInBatch)(r =>
+        firstInBatch.join(r, Seq("line"), "left_anti")).localCheckpoint()
       // append the DELTA part only (fresh is already checkpointed; the
-      // projection is free) and collapse periodically — see compactEvery
-      standing = Some(standing.fold(fresh.select(col("line")))(
-        _.unionAll(fresh.select(col("line")))))
-      partsSinceCompact += 1
-      if (partsSinceCompact >= math.max(1, compactEvery)) {
-        standing = Some(standing.get.localCheckpoint())
-        partsSinceCompact = 0
-      }
+      // projection is free); the frame compacts itself — see compactEvery
+      reg.append(fresh.select(col("line")))
       val perDoc = lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
       val keptAgg = fresh.groupBy("doc_id")
         .agg(count(lit(1)).as("n_kept"),
