@@ -1411,12 +1411,16 @@ object Streams {
       // (StreamingSpec's snapshot spec commits each version through the
       // Compaction overlay manifest and pins readers to a generation).
       upsertSink: Option[(DataFrame, Long) => Unit] = None) {
-    @volatile private var corpus: Option[DataFrame] = None
+    // corpus is append-only → the shared AppendOnlyFrame compaction
+    // discipline (delta writes, collapse every 8 appends); the cluster
+    // table is not (labels move on merges) and stays a whole-frame
+    // checkpoint — 2 longs per doc, the cheap one
+    private val corpusF = new AppendOnlyFrame()
     @volatile private var standing: Option[DataFrame] = None
     /** The standing (id, cluster) table over everything ingested. */
     def current: Option[DataFrame] = standing
     /** The standing corpus the incremental probe runs against. */
-    def corpusDocs: Option[DataFrame] = corpus
+    def corpusDocs: Option[DataFrame] = corpusF.get
     /** Kill-and-restart: re-seed from the PERSISTED standing tables a
       * production writer maintains (corpus + cluster assignment read
       * back from storage). Paired with resuming the streaming query
@@ -1425,7 +1429,7 @@ object Streams {
       * resumed maintenance continues the same invariant (spec-pinned:
       * restart mid-ingest, parity with from-scratch still holds). */
     def resume(seedCorpus: DataFrame, seedStanding: DataFrame): Unit = synchronized {
-      corpus = Some(seedCorpus.select(col(idCol), col(textCol)).localCheckpoint())
+      corpusF.seed(seedCorpus.select(col(idCol), col(textCol)).localCheckpoint())
       standing = Some(seedStanding.select(col("id"), col("cluster")).localCheckpoint())
     }
     def ingest(batch: DataFrame, version: Long = 0L): Unit = synchronized {
@@ -1435,7 +1439,7 @@ object Streams {
       // output / the cold-start insert set) exists ONLY to feed the
       // upsert sink exactly-what-ran; the default sinkless path keeps
       // the original single standing-table checkpoint per batch
-      val next = (corpus, standing) match {
+      val next = (corpusF.get, standing) match {
         case (Some(ref), Some(prior)) =>
           val inc = graft.engine.ops.TextPipeline.ccIncremental(prior,
             probeEdges(ref, b, idCol, textCol, threshold)
@@ -1461,7 +1465,7 @@ object Streams {
           }
       }
       standing = Some(next.localCheckpoint())
-      corpus = Some(corpus.fold(b)(c => c.unionAll(b).localCheckpoint()))
+      corpusF.append(b)
     }
   }
 
