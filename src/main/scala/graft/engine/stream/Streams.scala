@@ -1765,6 +1765,9 @@ object Streams {
               coalesce(col("n_kept"), lit(0L)).as("n_kept"),
               coalesce(col("text"), lit("")).as("text"))
       emitted = Some(emitted.fold(out)(_.unionAll(out)).localCheckpoint())
+      // (emitted is harness-side accumulation for the specs/bench — a
+      // production deployment sinks `out` per batch and never
+      // accumulates it; the registry above is the real standing store)
     }
   }
 
