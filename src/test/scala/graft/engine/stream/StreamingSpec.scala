@@ -920,6 +920,30 @@ class StreamingSpec extends SparkSuite {
       "the resumed registry must keep stripping lines committed before the crash")
   }
 
+  // r14 compaction boundary: the standing stores are lazy unions of
+  // delta parts collapsed every compactEvery appends — the registry row
+  // SET must be invariant to where the collapse lands (every period,
+  // incl. collapsing on the final append and never collapsing at all)
+  test("line registry compaction: row set invariant across compactEvery periods") {
+    val docs = (1L to 9L).map { i =>
+      // every third doc repeats doc 1's line — cross-batch dups exist
+      val line = if (i % 3 == 0) "shared boilerplate line." else s"unique line $i."
+      (i, s"$line\nalways line $i.")
+    }
+    def registry(compactEvery: Int): Seq[String] = {
+      val m = new Streams.LineDedupMaintenance("doc_id", "text", compactEvery = compactEvery)
+      docs.grouped(2).foreach { g =>
+        m.ingest(g.toDF("doc_id", "text"))
+      }
+      m.standingLines.get.as[String].collect().sorted.toSeq
+    }
+    val baseline = registry(compactEvery = 100) // never collapses in 5 batches
+    assert(baseline.nonEmpty && baseline.size < 18, "dups must exist for the pin to bite")
+    Seq(1, 2, 3, 5).foreach { k =>
+      assert(registry(k) == baseline, s"compactEvery=$k changed the registry row set")
+    }
+  }
+
   // s_stream_line_dedup (reflow face): rules + registry at ingest must
   // reproduce the batch docReflow output bit-for-bit over the whole
   // fixture corpus, at an arbitrary batch slicing
