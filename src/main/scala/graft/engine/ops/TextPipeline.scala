@@ -2615,12 +2615,20 @@ object TextPipeline {
         //      nor destroys a p2 occurrence (its count is invariant);
         //  (b) every OTHER pair sharing a token with p1 counts
         //      STRICTLY below n2: each bigram merge 1 creates
-        //      ((x, p1@), (p1@, y), (p1@, p1@)) is a sub-pattern of
-        //      such a sharing pair, so its count stays < n2 — ties are
-        //      NOT fused because the string tie-break would compare
-        //      against the unknowable merged-token name;
+        //      ((x, p1@), (p1@, y)) is a sub-pattern of such a sharing
+        //      pair, so its count stays < n2 — ties are NOT fused
+        //      because the string tie-break would compare against the
+        //      unknowable merged-token name;
         //  (c) when the collected K rows are full, the K-th count is
-        //      < n2, so (b) extends to pairs outside the sample.
+        //      < n2, so (b) extends to pairs outside the sample;
+        //  (d) p1's two tokens are DISTINCT: when p1 = "t t" a run of
+        //      t's yields consecutive merged tokens, creating the pair
+        //      (p1@, p1@) whose count is bounded only by n1 itself —
+        //      it is a sub-pattern of p1, not of any sharer (b) sees,
+        //      so it can overtake p2 (corpus of "t"×10 repeated: after
+        //      merging "t t", ("t@t","t@t") counts 4 > any n2 ≤ 2).
+        //      Only with distinct tokens is every merge-1-created pair
+        //      a sub-pattern of a (b)/(c)-covered sharer.
         // Otherwise the round falls back to the sequential single
         // merge — semantics are byte-identical either way, and the
         // oracle replays the sequential chain.
@@ -2629,7 +2637,8 @@ object TextPipeline {
           val sharersBelow = tk.drop(1).forall { case (p, n) =>
             p == p2 || toksOf(p).intersect(t1).isEmpty || n < n2
           }
-          toksOf(p2).intersect(t1).isEmpty && sharersBelow &&
+          t1.size == 2 &&
+            toksOf(p2).intersect(t1).isEmpty && sharersBelow &&
             (tk.size < topK || tk.last._2 < n2)
         }
         val remaining = nMerges - step + 1

@@ -213,6 +213,25 @@ class TextSimilaritySpec extends SparkSuite {
       s"fusion must not override the sequential tie-break: $learned")
   }
 
+  test("bpeLearn fusion doubled-token reject: p1 with a repeated token stays sequential") {
+    // counts: (t t)=9, (c d)=2 → #1 = (t t), #2 = (c d) disjoint from
+    // #1 with no other sharer — every PRE-r15 fusion condition holds.
+    // But merging the doubled-token pair (t t) over the run creates
+    // "t@t t@t t@t t@t t@t", whose new pair (t@t, t@t) counts 4 > 2:
+    // it is a sub-pattern of p1 itself, not of any sharer the sample
+    // check sees, so fusing (c d) would diverge from the sequential
+    // chain the oracle replays. The r15 condition (d) — p1's tokens
+    // must be distinct — must keep the round sequential, and merge 2
+    // must be the true post-merge-1 argmax (t@t t@t).
+    val docs = Seq((1L, "t t t t t t t t t t"), (2L, "c d"), (3L, "c d"))
+      .toDF("doc_id", "text")
+    val learned = TextPipeline.bpeLearn(docs, "doc_id", "text", 2)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(learned.map(l => (l._1, l._2, l._3)) ==
+      Seq((1L, "t t", 9L), (2L, "t@t t@t", 4L)),
+      s"doubled-token p1 must not fuse: $learned")
+  }
+
   test("dedupClusters algo=star: large-star/small-star labels equal label propagation exactly") {
     val docs = graft.engine.io.Tables.documents(spark, sfDir)
     val lp = TextPipeline.dedupClusters(docs, "doc_id", "text", 0.9)
