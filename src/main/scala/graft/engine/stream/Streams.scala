@@ -1394,13 +1394,16 @@ object Streams {
     * [[graft.engine.ops.TextPipeline.dedupClusters]] over everything
     * ingested so far.
     *
-    * State is a pair of `localCheckpoint`ed frames advanced per batch —
-    * the MemoryStream-scale harness shape; at 100 TB both are PERSISTED
-    * artifacts (the corpus side as the banded index via
-    * `minhashIndexMerge` so only the delta tokenizes, the cluster table
-    * as an upsertable sink keyed by the operator's `changed` flag) and
-    * the per-batch plan is identical. Ids must be unique across the
-    * ingest (upstream exact-dedup's contract). */
+    * State: the corpus rides the [[AppendOnlyFrame]] delta discipline;
+    * the cluster table rides the [[UpsertFrame]] — per batch only the
+    * operator's `changed` slice is written, versioned by the
+    * checkpointed batchId, with the standing value the latest-per-key
+    * resolve (r15: the last O(store)-per-batch whole-frame rewrite
+    * removed). At 100 TB both are PERSISTED artifacts (the corpus side
+    * as the banded index via `minhashIndexMerge` so only the delta
+    * tokenizes, the cluster table as an upsertable sink keyed by the
+    * same `changed` flag) and the per-batch plan is identical. Ids must
+    * be unique across the ingest (upstream exact-dedup's contract). */
   final class ClusterMaintenance(idCol: String, textCol: String, threshold: Double,
       // The production writer's seam (r11 verdict item 7): when set,
       // every ingest hands the sink exactly the operator's `changed`
@@ -1413,12 +1416,13 @@ object Streams {
       upsertSink: Option[(DataFrame, Long) => Unit] = None) {
     // corpus is append-only → the shared AppendOnlyFrame compaction
     // discipline (delta writes, collapse every 8 appends); the cluster
-    // table is not (labels move on merges) and stays a whole-frame
-    // checkpoint — 2 longs per doc, the cheap one
+    // table moves labels on merges → the UpsertFrame versioned-upsert
+    // discipline (r15: write the changed slice, resolve latest-per-key)
     private val corpusF = new AppendOnlyFrame()
-    @volatile private var standing: Option[DataFrame] = None
-    /** The standing (id, cluster) table over everything ingested. */
-    def current: Option[DataFrame] = standing
+    private val standingF = new UpsertFrame()
+    /** The standing (id, cluster) table over everything ingested —
+      * the latest-per-key view over the versioned upsert store. */
+    def current: Option[DataFrame] = standingF.latest
     /** The standing corpus the incremental probe runs against. */
     def corpusDocs: Option[DataFrame] = corpusF.get
     /** Kill-and-restart: re-seed from the PERSISTED standing tables a
@@ -1430,41 +1434,31 @@ object Streams {
       * restart mid-ingest, parity with from-scratch still holds). */
     def resume(seedCorpus: DataFrame, seedStanding: DataFrame): Unit = synchronized {
       corpusF.seed(seedCorpus.select(col(idCol), col(textCol)).localCheckpoint())
-      standing = Some(seedStanding.select(col("id"), col("cluster")).localCheckpoint())
+      standingF.seed(seedStanding.select(col("id"), col("cluster")))
     }
     def ingest(batch: DataFrame, version: Long = 0L): Unit = synchronized {
       val b = batch.select(col(idCol), col(textCol)).localCheckpoint()
       if (b.isEmpty) { b.unpersist(); return }
-      // the intermediate materialization (the 4-column ccIncremental
-      // output / the cold-start insert set) exists ONLY to feed the
-      // upsert sink exactly-what-ran; the default sinkless path keeps
-      // the original single standing-table checkpoint per batch
-      val next = (corpusF.get, standing) match {
+      // ONE materialization per batch, and it is DELTA-sized: the
+      // changed slice (moved old rows + every new row / the cold-start
+      // insert set) feeds the upsert sink AND the standing store —
+      // the pre-r15 shape checkpointed the full O(corpus-ids) table
+      // here every batch
+      val v = standingF.nextVersion(version)
+      val changed = ((corpusF.get, standingF.latest) match {
         case (Some(ref), Some(prior)) =>
-          val inc = graft.engine.ops.TextPipeline.ccIncremental(prior,
-            probeEdges(ref, b, idCol, textCol, threshold)
-              .select(col("doc_id_1").as("a"), col("doc_id_2").as("b")),
-            b.select(col(idCol).as("id")))
-          upsertSink match {
-            case Some(sink) =>
-              val full = inc.localCheckpoint()
-              sink(full.filter(col("changed")).select("id", "cluster"), version)
-              full.select("id", "cluster")
-            case None => inc.select("id", "cluster")
-          }
+          graft.engine.ops.TextPipeline.ccIncremental(prior,
+              probeEdges(ref, b, idCol, textCol, threshold)
+                .select(col("doc_id_1").as("a"), col("doc_id_2").as("b")),
+              b.select(col(idCol).as("id")))
+            .filter(col("changed")).select("id", "cluster")
         case _ =>
-          val cold = graft.engine.ops.TextPipeline
+          // cold start: the whole table is the insert set
+          graft.engine.ops.TextPipeline
             .dedupClusters(b, idCol, textCol, threshold)
-          upsertSink match {
-            case Some(sink) =>
-              // cold start: the whole table is the insert set
-              val full = cold.localCheckpoint()
-              sink(full, version)
-              full
-            case None => cold
-          }
-      }
-      standing = Some(next.localCheckpoint())
+      }).localCheckpoint()
+      upsertSink.foreach(sink => sink(changed, v))
+      standingF.append(changed, v)
       corpusF.append(b)
     }
   }
@@ -1525,6 +1519,61 @@ object Streams {
     }
   }
 
+  /** Standing KEYED table held as versioned upsert deltas (r15 — the
+    * one store the r14 AppendOnlyFrame wave left as a whole-frame
+    * checkpoint, because cluster labels MOVE on merges and a plain
+    * append can't retract). The write per batch is only the operator's
+    * `changed` slice — `ccIncremental`'s moved old rows plus every new
+    * row — tagged with the micro-batch's monotone version; the standing
+    * value is the LATEST-PER-KEY resolve over base + deltas (newest
+    * version wins, exactly the rule the on-disk snapshot face
+    * `s_stream_cluster_snapshot` already applies), collapsed back into
+    * one resolved checkpoint every `compactEvery` appends. Amortized
+    * rewrite is O(store / compactEvery) + O(changed) per batch vs the
+    * pre-r15 O(corpus-ids) whole-frame rewrite; the resolve itself is
+    * one keyed agg over base + ≤compactEvery deltas, the same order of
+    * work as the label-mapping join that reads the table anyway. */
+  private final class UpsertFrame(compactEvery: Int = 8) {
+    @volatile private var frame: Option[DataFrame] = None // (id, cluster, version)
+    private var appends = 0
+    private var lastVer = -1L
+    private def resolve(df: DataFrame): DataFrame =
+      df.groupBy("id")
+        .agg(max(struct(col("version"), col("cluster"))).as("s"))
+        .select(col("id"), col("s.cluster").as("cluster"), col("s.version").as("version"))
+    /** Latest-per-key view: one (id, cluster) row per id. */
+    def latest: Option[DataFrame] = frame.map(f => resolve(f).select("id", "cluster"))
+    /** Next monotone version: max(caller's checkpointed batchId, last+1)
+      * — so versionless direct calls (specs, harness loops) still
+      * advance, and at-least-once replays of one version stay
+      * idempotent under the resolve (same id+version+cluster rows). */
+    def nextVersion(requested: Long): Long = {
+      lastVer = math.max(lastVer + 1, requested)
+      lastVer
+    }
+    /** Re-seed from a persisted (id, cluster) artifact; later appends
+      * must use versions from [[nextVersion]], which stay above it. */
+    def seed(df: DataFrame, version: Long = 0L): Unit = {
+      frame = Some(df.select(col("id"), col("cluster"), lit(version).as("version"))
+        .localCheckpoint())
+      lastVer = version
+      appends = 0
+    }
+    /** Append one CALLER-MATERIALIZED (id, cluster) upsert slice at
+      * `version` (the caller checkpoints the O(changed) delta once and
+      * hands the same frame to its sink seam; the version projection
+      * here is free over it). */
+    def append(changed: DataFrame, version: Long): Unit = {
+      val delta = changed.select(col("id"), col("cluster"), lit(version).as("version"))
+      frame = Some(frame.fold(delta)(_.unionAll(delta)))
+      appends += 1
+      if (appends >= math.max(1, compactEvery)) {
+        frame = Some(resolve(frame.get).localCheckpoint())
+        appends = 0
+      }
+    }
+  }
+
   /** s_stream_missing_links: the recall-repair loop as a per-batch
     * stage over the incremental dedup stream (r11 verdict item 8) —
     * [[ClusterMaintenance]]'s lifecycle EXTENDED with the standing EDGE
@@ -1557,14 +1606,15 @@ object Streams {
     // ledger) follow the AppendOnlyFrame compaction discipline: the
     // per-batch write is the DELTA, the store collapses every 8 appends.
     // The cluster table is NOT append-only (labels move on merges), so
-    // it stays a whole-frame checkpoint — it is 2 longs per doc id, the
-    // cheapest of the five stores by an order of magnitude.
+    // it rides the UpsertFrame versioned-upsert discipline instead
+    // (r15): per batch only ccIncremental's changed slice is written,
+    // and the standing value is the latest-per-key resolve.
     private val corpusF = new AppendOnlyFrame()
     private val edgesF = new AppendOnlyFrame()  // (doc_id_1 < doc_id_2)
     private val auditF = new AppendOnlyFrame()  // confirmed (pair, jaccard, version)
     private val refutedF = new AppendOnlyFrame() // refuted (doc_id_1, doc_id_2)
-    @volatile private var standing: Option[DataFrame] = None // (id, cluster)
-    def current: Option[DataFrame] = standing
+    private val standingF = new UpsertFrame()   // (id, cluster) upserts
+    def current: Option[DataFrame] = standingF.latest
     def corpusDocs: Option[DataFrame] = corpusF.get
     def standingEdges: Option[DataFrame] = edgesF.get
     /** Append-only log of banding-missed pairs the verify confirmed:
@@ -1586,7 +1636,7 @@ object Streams {
                seedRefuted: Option[DataFrame] = None): Unit = synchronized {
       corpusF.seed(seedCorpus.select(col(idCol), col(textCol)).localCheckpoint())
       edgesF.seed(seedEdges.select(col("doc_id_1"), col("doc_id_2")).localCheckpoint())
-      standing = Some(seedStanding.select(col("id"), col("cluster")).localCheckpoint())
+      standingF.seed(seedStanding.select(col("id"), col("cluster")))
       seedRefuted.foreach(r =>
         refutedF.seed(r.select(col("doc_id_1"), col("doc_id_2")).localCheckpoint()))
     }
@@ -1644,16 +1694,19 @@ object Streams {
       // seed artifacts were written at slightly different versions
       val deltaForCc = batchEdges.unionAll(confirmed)
         .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
-      val next = standing match {
+      // the standing cluster table advances by its DELTA-sized changed
+      // slice (r15 — see UpsertFrame); cold start inserts the whole table
+      val v = standingF.nextVersion(version)
+      val changed = (standingF.latest match {
         case Some(prior) =>
           graft.engine.ops.TextPipeline
             .ccIncremental(prior, deltaForCc, b.select(col(idCol).as("id")))
-            .select("id", "cluster")
+            .filter(col("changed")).select("id", "cluster")
         case None =>
           graft.engine.ops.TextPipeline.dedupClusters(corpusNext, idCol, textCol,
             threshold, precomputedPairs = Some(edgesNext))
-      }
-      standing = Some(next.localCheckpoint())
+      }).localCheckpoint()
+      standingF.append(changed, v)
     }
   }
 
