@@ -253,11 +253,8 @@ object Lines {
     * filter, same W/boilerplate/punctuation arithmetic (doc_id ≥ 0 so
     * `%` ≡ pmod), list slice `tk[a:b]` is 1-based inclusive clamped —
     * exactly Spark's slice(tk, a, w). */
-  private val mlCteBody: String =
-    """mld AS (
-      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk,
-      |         4 + (doc_id % 5) AS w
-      |  FROM documents),
+  private val mlCteTail: String =
+    """
       |ml AS (
       |  SELECT doc_id, j AS line_no,
       |    CASE WHEN (doc_id + 3*j) % 13 = 0 THEN 'all rights reserved.'
@@ -269,6 +266,14 @@ object Lines {
       |  FROM (SELECT doc_id, tk, w,
       |               unnest(range(1, CAST(ceil(len(tk) / w) AS BIGINT) + 1)) AS j
       |        FROM mld WHERE len(tk) > 0))""".stripMargin
+
+  private def mlCteBodyWhere(pred: String): String =
+    s"""mld AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk,
+      |         4 + (doc_id % 5) AS w
+      |  FROM documents${if (pred.isEmpty) "" else s" WHERE $pred"}),""".stripMargin +
+    mlCteTail
+  private val mlCteBody: String = mlCteBodyWhere("")
 
   private val mlCte: String = "WITH " + mlCteBody
 
@@ -284,9 +289,13 @@ object Lines {
     * q_curation_pipeline chain) prepend this and read their corpus
     * FROM refl_docs instead of documents. The reflow arithmetic is
     * byte-identical to the q_doc_reflow oracle (same rules, same
-    * survivor rule, same chr(10) ORDER BY line_no reassembly). */
-  val reflowDocsCtesBody: String =
-    s"""$mlCteBody,
+    * survivor rule, same chr(10) ORDER BY line_no reassembly).
+    * `pred` slices the DOCUMENTS feeding the whole derivation (r15:
+    * the curation pipeline line-curates only the corpus slice, so
+    * held-out eval docs can't win first-occurrence survivorship in
+    * the corpus line-dedup registry). */
+  def reflowDocsCtesBody(pred: String = ""): String =
+    s"""${mlCteBodyWhere(pred)},
       |rfl AS (SELECT doc_id, line_no, line, $sqlRules FROM ml),
       |rkept AS (SELECT doc_id, line_no, line FROM rfl
       |          WHERE ok_punct AND ok_words AND ok_boiler),

@@ -16,9 +16,10 @@ class PipelineSpec extends SparkSuite {
     val docs = Tables.documents(spark, sfDir)
     // r14: the pipeline's corpus is the LINE-CURATED reflow of the
     // slice (RefinedWeb order) — the reconciliation models the same
-    // head stage; the benchmark side stays raw
-    val corpus = Lines.lineCuratedCorpus(docs, "doc_id", "text", Seq("lang"))
-      .filter(col("doc_id") >= 10)
+    // head stage; the benchmark side stays raw. r15: the slice filter
+    // precedes curation (held-out docs don't enter the line registry).
+    val corpus = Lines.lineCuratedCorpus(docs.filter(col("doc_id") >= 10),
+      "doc_id", "text", Seq("lang"))
     val bench = docs.filter(col("doc_id") < 10)
     // recompute ALL FIVE gates from the standalone operators, at the
     // q_curation_pipeline binding's exact settings (this reconciliation
@@ -61,8 +62,7 @@ class PipelineSpec extends SparkSuite {
     // load-bearing, not a pass-through.
     val docs = Tables.documents(spark, sfDir)
     val raw = docs.filter(col("doc_id") >= 10)
-    val refl = Lines.lineCuratedCorpus(docs, "doc_id", "text", Seq("lang"))
-      .filter(col("doc_id") >= 10)
+    val refl = Lines.lineCuratedCorpus(raw, "doc_id", "text", Seq("lang"))
     def gopherKeeps(c: org.apache.spark.sql.DataFrame): Set[Long] =
       TextPipeline.gopherRules(c, "doc_id", "text")
         .filter(col("keep")).select("doc_id").as[Long].collect().toSet
