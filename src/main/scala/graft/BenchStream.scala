@@ -102,54 +102,99 @@ object BenchStream {
     // ingest time must not grow (superlinear-in-store = a rewrite bug,
     // e.g. re-checkpointing the full registry every batch).
     val lrBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_LINEREG_BATCHES", "120").toInt
+    // r15 verdict item 5: the amortized-compaction claim is about
+    // UNBOUNDED store growth, so the section is now a RUNG LADDER —
+    // the standard rung plus an env-gated extended rung one decade up
+    // (≥1M registry rows at 1200 batches). The extended rung is run
+    // once per plan change (SCALECHECK chunking discipline) and MERGED
+    // forward: on write, prior rungs whose batch count was not
+    // re-measured in this run are preserved from the existing artifact.
+    val lrExtBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_LINEREG_EXT_BATCHES", "0").toInt
     val lrDocsPerBatch = 300
-    val lrMaint = new graft.engine.stream.Streams.LineDedupMaintenance(
-      "doc_id", "text", applyFilters = true)
-    val lrTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val lrRows = scala.collection.mutable.ArrayBuffer.empty[Long]
-    locally {
-      import spark.implicits._
-      var lid = 0L
-      (1 to lrBatches).foreach { _ =>
-        val docs = (1 to lrDocsPerBatch).map { _ =>
-          lid += 1
-          val lines = (1 to 5).map { j =>
-            if ((lid + j) % 11 == 0) "all rights reserved."
-            else s"fresh line $lid $j with payload tokens."
-          }
-          (lid, lines.mkString("\n"))
-        }.toDF("doc_id", "text")
-        val t0 = System.nanoTime()
-        lrMaint.ingest(docs)
-        lrTimes += (System.nanoTime() - t0) / 1e6
-        // row count recorded UNTIMED every batch so the quartile row
-        // markers derive from the exact slice bounds used for lrTimes
-        // (the pre-r15 modulo marker misaligned when lrBatches % 4 != 0)
-        lrRows += lrMaint.standingLines.get.count()
+    def lrRun(batches: Int): (Seq[(Long, Double)], Double, Double, Boolean) = {
+      val lrMaint = new graft.engine.stream.Streams.LineDedupMaintenance(
+        "doc_id", "text", applyFilters = true)
+      val lrTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val lrRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+      locally {
+        import spark.implicits._
+        var lid = 0L
+        (1 to batches).foreach { _ =>
+          val docs = (1 to lrDocsPerBatch).map { _ =>
+            lid += 1
+            val lines = (1 to 5).map { j =>
+              if ((lid + j) % 11 == 0) "all rights reserved."
+              else s"fresh line $lid $j with payload tokens."
+            }
+            (lid, lines.mkString("\n"))
+          }.toDF("doc_id", "text")
+          val t0 = System.nanoTime()
+          lrMaint.ingest(docs)
+          lrTimes += (System.nanoTime() - t0) / 1e6
+          // row count recorded UNTIMED every batch so the quartile row
+          // markers derive from the exact slice bounds used for lrTimes
+          // (the pre-r15 modulo marker misaligned when batches % 4 != 0)
+          lrRows += lrMaint.standingLines.get.count()
+        }
       }
+      // each quartile pairs its p50 ingest time with the MID-quartile
+      // registry row count: the median time reflects the store size at
+      // the middle of the window, so normalizing by the quartile-END
+      // rows understated Q1's per-row cost ~4x more than Q4's — a
+      // healthy linear store scan read drift_norm ≈ (7/8)/(1/2) ≈ 1.75
+      // and false-flagged once scan cost dominates the per-batch floor
+      val quartiles = (0 until 4).map { i =>
+        val lo = i * batches / 4; val hi = (i + 1) * batches / 4
+        val mid = math.min(lrRows.size - 1, (lo + hi - 1) / 2)
+        (if (mid >= 0) lrRows(mid) else 0L,
+          StreamBench.pct(lrTimes.slice(lo, hi).toSeq, 50))
+      }
+      val driftRaw =
+        if (quartiles.head._2 > 0) quartiles.last._2 / quartiles.head._2
+        else Double.NaN
+      // normalized: per-registry-row p50 in Q4 vs Q1 (mid-quartile rows)
+      val driftNorm =
+        if (quartiles.head._1 > 0 && quartiles.head._2 > 0)
+          (quartiles.last._2 / quartiles.last._1) /
+            (quartiles.head._2 / quartiles.head._1)
+        else Double.NaN
+      (quartiles, driftRaw, driftNorm, driftNorm > 1.3)
     }
-    // each quartile pairs its p50 ingest time with the MID-quartile
-    // registry row count: the median time reflects the store size at
-    // the middle of the window, so normalizing by the quartile-END
-    // rows understated Q1's per-row cost ~4x more than Q4's — a
-    // healthy linear store scan read drift_norm ≈ (7/8)/(1/2) ≈ 1.75
-    // and false-flagged once scan cost dominates the per-batch floor
-    val lrQuartiles = (0 until 4).map { i =>
-      val lo = i * lrBatches / 4; val hi = (i + 1) * lrBatches / 4
-      val mid = math.min(lrRows.size - 1, (lo + hi - 1) / 2)
-      (if (mid >= 0) lrRows(mid) else 0L,
-        StreamBench.pct(lrTimes.slice(lo, hi).toSeq, 50))
-    }
-    val lrDriftRaw =
-      if (lrQuartiles.head._2 > 0) lrQuartiles.last._2 / lrQuartiles.head._2
-      else Double.NaN
-    // normalized: per-registry-row p50 in Q4 vs Q1 (mid-quartile rows)
-    val lrDriftNorm =
-      if (lrQuartiles.head._1 > 0 && lrQuartiles.head._2 > 0)
-        (lrQuartiles.last._2 / lrQuartiles.last._1) /
-          (lrQuartiles.head._2 / lrQuartiles.head._1)
-      else Double.NaN
-    val flaggedLineReg = lrDriftNorm > 1.3
+    val lrRungBatches = Seq(lrBatches) ++ (if (lrExtBatches > 0) Seq(lrExtBatches) else Nil)
+    val lrRungs: Seq[(Int, (Seq[(Long, Double)], Double, Double, Boolean))] =
+      lrRungBatches.map(b => b -> lrRun(b))
+    def lrRungJson(b: Int, r: (Seq[(Long, Double)], Double, Double, Boolean)): String =
+      s"""{"n_batches":$b,"docs_per_batch":$lrDocsPerBatch,""" +
+      s""""quartiles":[${r._1.map { case (rows, p50) =>
+        s"""{"registry_rows_mid":$rows,"ingest_p50_ms":${fmt(p50)}}"""
+      }.mkString(",")}],""" +
+      s""""drift_raw":${fmt(r._2)},"drift_norm":${fmt(r._3)},"flagged":${r._4}}"""
+    // merge-forward: preserve prior artifact rungs not re-measured now
+    val lrPriorRungs: Seq[(Int, String)] = try {
+      val p = java.nio.file.Paths.get("BENCH_STREAM.json")
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else {
+        import org.json4s._
+        org.json4s.jackson.JsonMethods.parse(new String(
+          java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)) \ "line_registry_growth" \ "rungs" match {
+          case JArray(rs) => rs.flatMap { r =>
+            r \ "n_batches" match {
+              case JInt(n) => Some(n.toInt ->
+                org.json4s.jackson.JsonMethods.compact(r))
+              case _ => None
+            }
+          }
+          case _ => Seq.empty
+        }
+      }
+    } catch { case _: Throwable => Seq.empty }
+    val lrMergedRungs: Seq[String] =
+      (lrPriorRungs.toMap ++ lrRungs.map { case (b, r) => b -> lrRungJson(b, r) })
+        .toSeq.sortBy(_._1).map(_._2)
+    // the flag recomputes over the MERGED rung set (a preserved rung's
+    // flag must not vanish just because it wasn't re-measured)
+    val flaggedLineReg = lrMergedRungs.exists(_.contains("\"flagged\":true"))
     // CLUSTER-TABLE growth ladder (r15 verdict item 1): the standing
     // (id, cluster) table now rides the UpsertFrame versioned-upsert
     // discipline — the per-batch write is ccIncremental's changed
@@ -247,13 +292,9 @@ object BenchStream {
       }.mkString(",")}],""" +
       s""""flag_rule":"last-quartile trigger p50 / first-quartile > 1.6",""" +
       s""""drift":${fmt(growthDrift)},"flagged":$flaggedGrowth},""" +
-      s""""line_registry_growth":{"n_batches":$lrBatches,""" +
-      s""""docs_per_batch":$lrDocsPerBatch,""" +
-      s""""quartiles":[${lrQuartiles.map { case (rows, p50) =>
-        s"""{"registry_rows_mid":$rows,"ingest_p50_ms":${fmt(p50)}}"""
-      }.mkString(",")}],""" +
-      s""""flag_rule":"normalized per-registry-row Q4/Q1 p50 > 1.3, rows at mid-quartile (raw drift tracks the store by design: exact dedup probes the registry per batch)",""" +
-      s""""drift_raw":${fmt(lrDriftRaw)},"drift_norm":${fmt(lrDriftNorm)},""" +
+      s""""line_registry_growth":{""" +
+      s""""flag_rule":"per rung: normalized per-registry-row Q4/Q1 p50 > 1.3, rows at mid-quartile (raw drift tracks the store by design: exact dedup probes the registry per batch); rungs not re-measured this run merge forward from the prior artifact",""" +
+      s""""rungs":[${lrMergedRungs.mkString(",")}],""" +
       s""""flagged":$flaggedLineReg},""" +
       s""""cluster_table_growth":{"n_batches":$ctBatches,""" +
       s""""docs_per_batch":$ctDocsPerBatch,""" +

@@ -985,12 +985,28 @@ class StreamingSpec extends SparkSuite {
     // must reproduce q_curation_pipeline's manifest exactly — i.e. a
     // deployment that line-curates at ingest (this maintenance) and
     // runs the doc-level gates as a downstream batch job produces the
-    // same corpus build as the all-batch pipeline.
+    // same corpus build as the all-batch pipeline. r15: the batch
+    // pipeline slices BEFORE curation (held-out eval docs never enter
+    // the corpus line registry), so the production-ingest model here is
+    // a stream carrying ONLY the trainable corpus — a second
+    // maintenance ingests the doc_id >= 10 slice (the full-corpus
+    // stream above keeps the unsliced batch-parity pin).
     import graft.engine.ops.TextPipeline
     val docsTbl = graft.engine.io.Tables.documents(spark, sfDir)
-    val corpusFromStream = maint.current.get.select(col("doc_id"), col("text"))
+    val inC = MemoryStream[Doc](spark)
+    val maintC = new Streams.LineDedupMaintenance("doc_id", "text", applyFilters = true)
+    val qC = Streams.streamingLineDedup(
+      inC.toDF().select(col("doc_id"), col("text")), tmpDir("reflow-ingest-ge10"), maintC)
+    val mlCorpus = mlDocs.filter(_._1 >= 10)
+    var fromC = 0
+    for (to <- Seq(mlCorpus.length / 3, mlCorpus.length)) {
+      inC.addData(mlCorpus.slice(fromC, to).map { case (id, t) => Doc(id, ts(id), t) }: _*)
+      qC.processAllAvailable()
+      fromC = to
+    }
+    qC.stop()
+    val corpusFromStream = maintC.current.get.select(col("doc_id"), col("text"))
       .join(docsTbl.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .filter(col("doc_id") >= 10)
       .localCheckpoint()
     val viaStream = TextPipeline.curationPipeline(corpusFromStream, "doc_id", "text",
         docsTbl.filter(col("doc_id") < 10), Seq("lang"),
