@@ -760,6 +760,111 @@ object TextPipeline {
   private[engine] def temperatureKeep(id: Column, ratePpm: Column): Column =
     keyMix(id) * lit(1000000L) < ratePpm * lit(4294967296L)
 
+  /** Static domain-MIXTURE plan (r15) — the recipe table every
+    * pretraining data build commits to before sampling (the Pile /
+    * DoReMi / Llama-style "X% web, Y% code, Z% books" sheet), computed
+    * FROM the corpus instead of folklore: given declared target shares
+    * (basis points, the editorial decision) and a global token budget
+    * (pct of the corpus's total tokens), emit per domain its measured
+    * token mass, its target token allocation, the DOWN-sampling rate
+    * (ppm, capped at 10⁶) a sampler like [[temperatureSample]] would
+    * apply, and the UP-sampling factor (`epochs_bp` — >10000 means the
+    * domain must repeat to fill its share, the number an epoch
+    * scheduler consumes) with a `deficit` flag. All-integer arithmetic
+    * (DIV chains, no floats) so the plan hash-oracles exactly.
+    *
+    * The two directions matter at 100 TB: head domains (web crawl) are
+    * cut by rate, tail domains (reference text) repeat for multiple
+    * epochs — the plan is where both numbers come from, and disagreeing
+    * implementations of it are a classic silent corpus bug.
+    *
+    * Scale shape: one domain-keyed partial+final agg (count + token
+    * sum), a 1-row total broadcast back, pure column arithmetic —
+    * output is domain-cardinality-sized, the corpus never shuffles. */
+  def domainMixture(documents: DataFrame, domainCol: String, textCol: String,
+                    targetBp: Map[String, Long], budgetPct: Int): DataFrame = {
+    val toks = size(filter(split(col(textCol), " "), t => length(t) > 0)).cast("long")
+    val perDomain = documents
+      .select(col(domainCol).as("domain"), toks.as("n_toks"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+    val total = perDomain.agg(sum("n_tokens").as("total_tokens"))
+    // declared shares fold into one CASE ladder (sorted for a stable plan)
+    val tbp = targetBp.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col("domain") === k, lit(v)).otherwise(acc)
+    }
+    perDomain.crossJoin(broadcast(total))
+      .withColumn("target_bp", tbp)
+      .withColumn("target_tokens",
+        expr(s"((total_tokens * $budgetPct) DIV 100) * target_bp DIV 10000"))
+      .select(col("domain"), col("n_docs"), col("n_tokens"), col("target_bp"),
+        col("target_tokens"),
+        least(lit(1000000L),
+          expr("(target_tokens * 1000000) DIV n_tokens")).as("sample_rate_ppm"),
+        expr("(target_tokens * 10000) DIV n_tokens").as("epochs_bp"),
+        (col("n_tokens") < col("target_tokens")).as("deficit"))
+      .orderBy("domain")
+  }
+
+  /** URL-canonicalization exact dedup (r15) — the crawl-level dedup
+    * stage that runs BEFORE any content pass (CCNet/C4 drop re-crawled
+    * URLs first; it is the cheapest tier of the whole dedup cascade
+    * because it never reads the body): canonicalize each document's
+    * URL (lowercase; strip scheme and a leading `www.`; strip the query
+    * string — the tracking-parameter junk that makes one page look like
+    * forty; strip the trailing slash) and collapse to the minimum
+    * doc_id per canonical URL.
+    *
+    * The fixture's `source` column is a flat label, so the URL is a
+    * DERIVED fixture in the [[Lines.mlLines]] discipline — pure column
+    * arithmetic on (doc_id, source) the oracle replays verbatim, with
+    * every canonicalization target injected (three scheme spellings,
+    * two tracking-query shapes, a trailing slash) and real collisions
+    * (same source + same `doc_id % 7` path ⇒ one canonical URL across
+    * different raw spellings).
+    *
+    * Scale shape: a narrow derive/canonicalize projection + ONE
+    * url-keyed partial+final agg — no pairwise stage, no content read;
+    * at 100 TB this is the op that cuts a crawl 20-40% for the cost of
+    * a string pass. */
+  def urlDedup(documents: DataFrame, idCol: String, sourceCol: String): DataFrame =
+    documents
+      .select(col(idCol).cast("long").as("doc_id"),
+        deriveUrl(col(idCol).cast("long"), col(sourceCol)).as("url"))
+      .withColumn("canonical_url", canonicalUrl(col("url")))
+      .groupBy("canonical_url")
+      .agg(min(col("doc_id")).as("survivor"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("url")).as("n_variants"))
+      .orderBy("canonical_url")
+
+  /** The derived URL fixture (see [[urlDedup]]) — shared by the batch
+    * op and the streaming admission face so the derivation can never
+    * drift between them. */
+  private[engine] def deriveUrl(id: Column, source: Column): Column = {
+    val scheme = when(pmod(id, lit(3L)) === 0, lit("https://"))
+      .when(pmod(id, lit(3L)) === 1, lit("http://"))
+      .otherwise(lit("HTTPS://www."))
+    val tail = when(pmod(id, lit(4L)) === 0, lit("?utm_source=feed"))
+      .when(pmod(id, lit(4L)) === 1, lit("?ref=home&utm_campaign=x"))
+      .when(pmod(id, lit(4L)) === 2, lit("/"))
+      .otherwise(lit(""))
+    concat(scheme, source, lit(".example.com/page/"),
+      pmod(id, lit(7L)).cast("string"), tail)
+  }
+
+  /** The ONE canonicalization rule (lowercase; strip scheme + leading
+    * `www.`; strip the query string; strip the trailing slash) — shared
+    * by [[urlDedup]] and the streaming face. */
+  private[engine] def canonicalUrl(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(url), "^https?://", ""),
+          "^www\\.", ""),
+        "\\?.*$", ""),
+      "/$", "")
+
   /** Bloom-prefiltered incremental exact dedup: is each delta document's
     * text already in the reference corpus? The EXACT answer, computed
     * the 100 TB way — a Bloom filter over the reference (built
@@ -4628,6 +4733,17 @@ object TextPipeline {
     // branches of min(1, ·) are exercised under the hash oracle
     "q_sample_temperature" -> ((s, d) =>
       temperatureSample(Tables.documents(s, d), "doc_id", "lang", targetN = 400)),
+    // declared shares sum to 10000 bp; budget = 60% of corpus tokens.
+    // Chosen so BOTH plan directions fire at EVERY fixture scale
+    // (token shares are stable across sf): en (~37-44% of tokens,
+    // target 25% of the budget) down-samples (rate < 10⁶), zh (~15%,
+    // target 30%) runs a deficit (epochs_bp > 10000, rate capped)
+    "q_domain_mixture" -> ((s, d) =>
+      domainMixture(Tables.documents(s, d), "lang", "text",
+        Map("en" -> 2500L, "zh" -> 3000L, "es" -> 1500L,
+            "de" -> 1500L, "fr" -> 1500L), budgetPct = 60)),
+    "q_dedup_url" -> ((s, d) =>
+      urlDedup(Tables.documents(s, d), "doc_id", "source")),
     // same reference/delta carve as q_dedup_incremental: history is
     // doc_id < 250, the new batch is the rest — PLUS a re-crawl slice of
     // the history itself (every 10th reference doc re-arrives under a
@@ -6354,6 +6470,48 @@ object TextPipeline {
         |  CAST(len(regexp_extract_all(text, '\b(customer|key|value)\b')) AS BIGINT) AS n_hits,
         |  regexp_replace(text, '\b(customer|key|value)\b', '<PII>', 'g') AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_domain_mixture" ->
+      """WITH pd AS (
+        |  SELECT lang AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(list_filter(string_split(text, ' '), t -> len(t) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM pd),
+        |tgt0 AS (
+        |  SELECT domain, n_docs, n_tokens, total_tokens,
+        |    CAST(CASE domain WHEN 'en' THEN 2500 WHEN 'zh' THEN 3000 WHEN 'es' THEN 1500
+        |                     WHEN 'de' THEN 1500 WHEN 'fr' THEN 1500 ELSE 0 END AS BIGINT) AS target_bp
+        |  FROM pd CROSS JOIN tot),
+        |tgt AS (
+        |  SELECT domain, n_docs, n_tokens, target_bp,
+        |    (((total_tokens * 60) // 100) * target_bp) // 10000 AS target_tokens
+        |  FROM tgt0)
+        |SELECT domain, n_docs, n_tokens, target_bp,
+        |  CAST(target_tokens AS BIGINT) AS target_tokens,
+        |  CAST(least(1000000, (target_tokens * 1000000) // n_tokens) AS BIGINT) AS sample_rate_ppm,
+        |  CAST((target_tokens * 10000) // n_tokens AS BIGINT) AS epochs_bp,
+        |  n_tokens < target_tokens AS deficit
+        |FROM tgt ORDER BY domain""".stripMargin,
+
+    "q_dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'https://'
+        |          WHEN doc_id % 3 = 1 THEN 'http://' ELSE 'HTTPS://www.' END)
+        |    || source || '.example.com/page/' || CAST(doc_id % 7 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed'
+        |             WHEN doc_id % 4 = 1 THEN '?ref=home&utm_campaign=x'
+        |             WHEN doc_id % 4 = 2 THEN '/' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(url),
+        |      '^https?://', ''), '^www\.', ''), '\?.*$', ''), '/$', '') AS canonical_url
+        |  FROM u)
+        |SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS survivor,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+        |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
 
     "q_mixture_weights" ->
       """WITH c AS (SELECT source AS stratum, count(*) AS n_docs FROM documents GROUP BY source),

@@ -1379,6 +1379,44 @@ object Streams {
         })
   }
 
+  /** Output row of [[streamingUrlDedup]]. */
+  final case class UrlAdmit(doc_id: Long, canonical_url: String)
+
+  /** s_stream_url_dedup (r15): crawl-frontier URL dedup AT INGEST — the
+    * streaming face of [[graft.engine.ops.TextPipeline.urlDedup]] and
+    * the cheapest admission gate a live crawl runs (a re-crawled URL
+    * drops before its body is ever stored or content-hashed): arrivals
+    * canonicalize through the ONE shared rule
+    * ([[graft.engine.ops.TextPipeline.canonicalUrl]] over the shared
+    * derived-URL fixture — the one-implementation discipline), and a
+    * canonical URL is admitted exactly once per lifecycle. State is one
+    * Boolean per DISTINCT canonical URL (`flatMapGroupsWithState` —
+    * bounded by frontier cardinality, not stream length; RocksDB-backed
+    * at 100 TB), carried in the checkpoint state store across
+    * kill-and-restart exactly like `s_stream_domain_cap`'s counters
+    * (same machinery, restart-tested there). Within a micro-batch the
+    * batch operator's survivor rule (min doc_id) picks the admitted
+    * copy, so a corpus ingested in id order at ANY batching admits
+    * exactly the batch op's survivor set (parity-pinned). */
+  def streamingUrlDedup(docs: DataFrame, idCol: String,
+                        sourceCol: String): Dataset[UrlAdmit] = {
+    import docs.sparkSession.implicits._
+    val id = col(idCol).cast("long")
+    docs.select(id.as("doc_id"),
+        graft.engine.ops.TextPipeline.canonicalUrl(
+          graft.engine.ops.TextPipeline.deriveUrl(id, col(sourceCol))).as("cu"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (cu: String, rows: Iterator[(Long, String)], state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(UrlAdmit(rows.map(_._1).min, cu))
+          }
+        })
+  }
+
   /** s_stream_cluster_maintenance: the cluster-table LIFECYCLE on a
     * live ingest — the foreachBatch composition a production dedup
     * actually schedules per micro-batch: probe the arriving slice
@@ -1765,9 +1803,15 @@ object Streams {
       // watches exactly this with a normalized drift flag).
       compactEvery: Int = 8) {
     private val reg = new AppendOnlyFrame(compactEvery)
-    @volatile private var emitted: Option[DataFrame] = None  // per-doc output
+    // per-doc output is append-only by construction (each doc is emitted
+    // in exactly one batch), so the harness-side accumulator rides the
+    // same AppendOnlyFrame (r15: the pre-r15 whole-frame re-checkpoint
+    // per batch was an O(total-emitted) rewrite INSIDE the timed ingest —
+    // it polluted the registry-growth ladder with an avoidable linear
+    // term and was the one store the r14 wave missed)
+    private val emittedF = new AppendOnlyFrame(compactEvery)
     /** Accumulated per-doc output: (doc_id, n_lines, n_kept, text). */
-    def current: Option[DataFrame] = emitted
+    def current: Option[DataFrame] = emittedF.get
     /** The standing first-occurrence line registry. */
     def standingLines: Option[DataFrame] = reg.get
     def resume(seedLines: DataFrame): Unit = synchronized {
@@ -1817,7 +1861,7 @@ object Streams {
             .select(col("doc_id"), col("n_lines"),
               coalesce(col("n_kept"), lit(0L)).as("n_kept"),
               coalesce(col("text"), lit("")).as("text"))
-      emitted = Some(emitted.fold(out)(_.unionAll(out)).localCheckpoint())
+      emittedF.append(out.localCheckpoint())
       // (emitted is harness-side accumulation for the specs/bench — a
       // production deployment sinks `out` per batch and never
       // accumulates it; the registry above is the real standing store)

@@ -232,6 +232,45 @@ class TextSimilaritySpec extends SparkSuite {
       s"doubled-token p1 must not fuse: $learned")
   }
 
+  test("q_domain_mixture: plan reconciles with per-domain token masses; both directions fire") {
+    val rows = run("q_domain_mixture")
+      .as[(String, Long, Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(rows.map(_._4).sum == 10000L, "declared shares must sum to 10000 bp")
+    val budget = rows.map(_._3).sum * 60 / 100
+    rows.foreach { r =>
+      assert(r._5 == budget * r._4 / 10000, s"target_tokens must be the budget share: $r")
+      assert(r._6 == math.min(1000000L, r._5 * 1000000L / r._3), s"rate must follow: $r")
+      assert(r._7 == r._5 * 10000L / r._3, s"epochs must follow: $r")
+      assert(r._8 == (r._3 < r._5), s"deficit flag must follow: $r")
+    }
+    assert(rows.exists(r => r._8 && r._7 > 10000L && r._6 == 1000000L),
+      s"an upsampled (deficit, >1 epoch) domain must exist: $rows")
+    assert(rows.exists(r => !r._8 && r._6 < 1000000L),
+      s"a down-sampled domain must exist: $rows")
+  }
+
+  test("q_dedup_url: canonicalization collapses exactly the scheme/query/slash variants") {
+    val rows = run("q_dedup_url")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    assert(rows.map(_._3).sum == docs.count(),
+      "every doc lands in exactly one canonical group")
+    assert(rows.exists(_._3 > 1), "real URL collisions must exist")
+    assert(rows.exists(_._4 > 1),
+      "some group must collapse DIFFERENT raw spellings (scheme/query junk)")
+    rows.foreach { case (cu, _, _, _) =>
+      assert(!cu.contains("?") && !cu.startsWith("www.") && !cu.endsWith("/") &&
+        cu == cu.toLowerCase && !cu.startsWith("http"),
+        s"canonical url not canonical: $cu")
+    }
+    // and ONLY those: distinct pages never collapse — group count equals
+    // the corpus's distinct (source, doc_id % 7) page identities
+    val expectedGroups = docs
+      .select(col("source"), pmod(col("doc_id"), lit(7L))).distinct().count()
+    assert(rows.size.toLong == expectedGroups,
+      s"groups ${rows.size} must equal distinct page identities $expectedGroups")
+  }
+
   test("dedupClusters algo=star: large-star/small-star labels equal label propagation exactly") {
     val docs = graft.engine.io.Tables.documents(spark, sfDir)
     val lp = TextPipeline.dedupClusters(docs, "doc_id", "text", 0.9)

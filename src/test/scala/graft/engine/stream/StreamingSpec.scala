@@ -521,6 +521,41 @@ class StreamingSpec extends SparkSuite {
       s"a full bucket must not store post-cap arrivals: $out")
   }
 
+  // s_stream_url_dedup (r15): crawl-frontier URL admission at ingest —
+  // one Boolean of state per distinct canonical URL
+  test("s_stream_url_dedup: id-ordered ingest at any batching admits the batch survivor set") {
+    val corpus = graft.engine.io.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val in = MemoryStream[LDoc](spark)
+    val out = mutable.ArrayBuffer[(Long, String)]()
+    // LDoc's lang slot carries the source column
+    val q = Streams.streamingUrlDedup(
+        in.toDF().select(col("doc_id"), col("lang").as("source")), "doc_id", "source")
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpDir("url-dedup"))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.UrlAdmit], _: Long) =>
+        out.synchronized { out ++= b.collect().map(a => (a.doc_id, a.canonical_url)) }
+        ()
+      }.start()
+    // three uneven id-ordered batches: re-crawled URLs straddle cuts
+    var from = 0
+    for (to <- Seq(corpus.length / 4, (2 * corpus.length) / 3, corpus.length)) {
+      in.addData(corpus.slice(from, to).map { case (id, src) =>
+        LDoc(id, ts(id), src, s"body $id") }: _*)
+      q.processAllAvailable()
+      from = to
+    }
+    q.stop()
+    val batch = graft.engine.ops.TextPipeline
+      .urlDedup(corpus.toSeq.toDF("doc_id", "source"), "doc_id", "source")
+      .select("survivor", "canonical_url").as[(Long, String)].collect().toSet
+    assert(out.toSet == batch,
+      s"streamed admissions must equal the batch survivor set (${out.size} vs ${batch.size})")
+    assert(out.size < corpus.length,
+      "parity must be non-vacuous: re-crawled URLs must have been bounced")
+  }
+
   // s_stream_domain_cap: per-domain ingest quota, one counter per domain
   test("s_stream_domain_cap: one-batch ingest replays the batch domainCap keep set") {
     val docs = (1L to 20L).map(i =>
