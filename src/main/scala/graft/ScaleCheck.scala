@@ -133,7 +133,12 @@ object ScaleCheck {
     // the fused-path gate on the high-diameter digit-ladder customer
     // graph, so the r6 "star wins when edges can't persist partitioned"
     // note gets measured ladder points instead of a one-off figure
-    "x_cc_star_forced", "x_cc_labelprop_forced")
+    "x_cc_star_forced", "x_cc_labelprop_forced",
+    // r15 new queries (ladder-on-introduction discipline): the mixture
+    // plan (domain-keyed agg + 1-row broadcast-back — should ride flat)
+    // and the URL dedup (narrow derive + one url-keyed agg — the
+    // cheapest dedup tier's whole claim is a single linear string pass)
+    "q_domain_mixture", "q_dedup_url")
 
   val Runs = 3
   /** First-rung (10× data) coarse flag: slopes beyond this mean the

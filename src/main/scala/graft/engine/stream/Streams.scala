@@ -1471,19 +1471,19 @@ object Streams {
       * resumed maintenance continues the same invariant (spec-pinned:
       * restart mid-ingest, parity with from-scratch still holds). */
     def resume(seedCorpus: DataFrame, seedStanding: DataFrame): Unit = synchronized {
-      corpusF.seed(seedCorpus.select(col(idCol), col(textCol)).localCheckpoint())
+      corpusF.seed(ckpt(seedCorpus.select(col(idCol), col(textCol))))
       standingF.seed(seedStanding.select(col("id"), col("cluster")))
     }
     def ingest(batch: DataFrame, version: Long = 0L): Unit = synchronized {
-      val b = batch.select(col(idCol), col(textCol)).localCheckpoint()
-      if (b.isEmpty) { b.unpersist(); return }
+      val b = ckpt(batch.select(col(idCol), col(textCol)))
+      if (b.isEmpty) { CkptLease.release(b); return }
       // ONE materialization per batch, and it is DELTA-sized: the
       // changed slice (moved old rows + every new row / the cold-start
       // insert set) feeds the upsert sink AND the standing store —
       // the pre-r15 shape checkpointed the full O(corpus-ids) table
       // here every batch
       val v = standingF.nextVersion(version)
-      val changed = ((corpusF.get, standingF.latest) match {
+      val changed = ckpt((corpusF.get, standingF.latest) match {
         case (Some(ref), Some(prior)) =>
           graft.engine.ops.TextPipeline.ccIncremental(prior,
               probeEdges(ref, b, idCol, textCol, threshold)
@@ -1494,7 +1494,7 @@ object Streams {
           // cold start: the whole table is the insert set
           graft.engine.ops.TextPipeline
             .dedupClusters(b, idCol, textCol, threshold)
-      }).localCheckpoint()
+      })
       upsertSink.foreach(sink => sink(changed, v))
       standingF.append(changed, v)
       corpusF.append(b)
@@ -1530,6 +1530,50 @@ object Streams {
       .foreachBatch { (batch: Dataset[Row], bid: Long) => maint.ingest(batch.toDF(), bid); () }
       .start()
 
+  /** Explicit release of a localCheckpoint's persisted blocks (r15).
+    * `Dataset.unpersist` does NOT free a localCheckpoint (it only
+    * uncaches `persist`-style cache entries), and the ContextCleaner
+    * frees a checkpoint's blocks only after a GC notices the RDD is
+    * unreachable — which lags allocation badly on a long ingest: the
+    * extended registry-growth rung (1200 batches) OOMed an 8 g heap on
+    * the ~150 superseded full-store compaction copies alone. The
+    * standing-frame classes below therefore release superseded legs
+    * DETERMINISTICALLY, by unpersisting the `LogicalRDD` leaf behind
+    * each checkpointed frame once a full batch has passed since it was
+    * superseded (a released local checkpoint cannot recompute — its
+    * lineage was truncated — so release timing is part of the frames'
+    * ownership contract: every appended delta must be an exclusively
+    * owned checkpoint, and standing values read via get/latest are
+    * valid until the owner's next ingest). */
+  private object CkptLease {
+    /** Unpersist the checkpoint behind `df` — only when the plan is a
+      * pure view of exactly ONE `LogicalRDD` leaf (an exclusively owned
+      * checkpoint). An ambiguous plan leaks rather than corrupts. */
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      } match {
+        case Seq(rdd) => rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+  }
+
+  /** The ONE checkpoint form every standing-maintenance store uses:
+    * `localCheckpoint` with the carried origin statistics STRIPPED
+    * ([[org.apache.spark.sql.graft.CkptStats]]). A per-batch store
+    * checkpoint that re-enters the next batch's plan through a join
+    * forms a feedback loop in Catalyst's size estimator — the
+    * incremental-CC quotient joins the standing table twice, so the
+    * carried `sizeInBytes` squares per batch and its bit-length
+    * DOUBLES: the 48-batch cluster ladder spent 39 minutes planning
+    * batch ~30 and OOMed on statistics `BigInteger`s over a 7k-row
+    * table. Stripping resets each checkpoint to the default leaf
+    * estimate, which cannot compound (in-batch join depth is bounded);
+    * the same persisted RDD backs the frame, so [[CkptLease]] release
+    * is unaffected. */
+  private def ckpt(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.CkptStats.stripCarriedStats(df.localCheckpoint())
+
   /** Append-only STANDING frame with periodic compaction (r14, the
     * shared discipline of every maintenance class below): deltas are
     * caller-materialized (checkpointed) frames; the standing value is
@@ -1538,19 +1582,35 @@ object Streams {
     * (the pre-r14 shape) rewrites O(store) executor blocks per batch —
     * at a production store size that dwarfs the batch itself; amortized
     * the rewrite is O(store / compactEvery), while consumers see the
-    * identical row set either way (a union of materialized legs). */
+    * identical row set either way (a union of materialized legs).
+    *
+    * Ownership (r15): the frame OWNS every appended/seeded checkpoint.
+    * Legs superseded by a compaction are released via [[CkptLease]] at
+    * the START of the next append — one full batch later, so every
+    * plan built over them during their batch has finished — keeping
+    * standing memory O(store), not O(store × compactions). */
   private final class AppendOnlyFrame(compactEvery: Int = 8) {
     @volatile private var frame: Option[DataFrame] = None
     private var appends = 0
+    private var parts: List[DataFrame] = Nil
+    private var pendingRelease: List[DataFrame] = Nil
     def get: Option[DataFrame] = frame
     /** Re-seed from a caller-materialized frame (kill-and-restart). */
-    def seed(df: DataFrame): Unit = { frame = Some(df); appends = 0 }
+    def seed(df: DataFrame): Unit = {
+      pendingRelease = pendingRelease ++ parts
+      frame = Some(df); parts = List(df); appends = 0
+    }
     /** Append a caller-materialized delta; returns the new standing value. */
     def append(delta: DataFrame): DataFrame = {
+      pendingRelease.foreach(CkptLease.release); pendingRelease = Nil
       frame = Some(frame.fold(delta)(_.unionAll(delta)))
+      parts = parts :+ delta
       appends += 1
       if (appends >= math.max(1, compactEvery)) {
-        frame = Some(frame.get.localCheckpoint())
+        val collapsed = ckpt(frame.get)
+        pendingRelease = parts
+        parts = List(collapsed)
+        frame = Some(collapsed)
         appends = 0
       }
       frame.get
@@ -1575,6 +1635,8 @@ object Streams {
     @volatile private var frame: Option[DataFrame] = None // (id, cluster, version)
     private var appends = 0
     private var lastVer = -1L
+    private var parts: List[DataFrame] = Nil
+    private var pendingRelease: List[DataFrame] = Nil
     private def resolve(df: DataFrame): DataFrame =
       df.groupBy("id")
         .agg(max(struct(col("version"), col("cluster"))).as("s"))
@@ -1592,8 +1654,10 @@ object Streams {
     /** Re-seed from a persisted (id, cluster) artifact; later appends
       * must use versions from [[nextVersion]], which stay above it. */
     def seed(df: DataFrame, version: Long = 0L): Unit = {
-      frame = Some(df.select(col("id"), col("cluster"), lit(version).as("version"))
-        .localCheckpoint())
+      pendingRelease = pendingRelease ++ parts
+      val base = ckpt(df.select(col("id"), col("cluster"), lit(version).as("version")))
+      frame = Some(base)
+      parts = List(base)
       lastVer = version
       appends = 0
     }
@@ -1602,11 +1666,16 @@ object Streams {
       * hands the same frame to its sink seam; the version projection
       * here is free over it). */
     def append(changed: DataFrame, version: Long): Unit = {
+      pendingRelease.foreach(CkptLease.release); pendingRelease = Nil
       val delta = changed.select(col("id"), col("cluster"), lit(version).as("version"))
       frame = Some(frame.fold(delta)(_.unionAll(delta)))
+      parts = parts :+ changed
       appends += 1
       if (appends >= math.max(1, compactEvery)) {
-        frame = Some(resolve(frame.get).localCheckpoint())
+        val collapsed = ckpt(resolve(frame.get))
+        pendingRelease = parts
+        parts = List(collapsed)
+        frame = Some(collapsed)
         appends = 0
       }
     }
@@ -1672,33 +1741,33 @@ object Streams {
     def resume(seedCorpus: DataFrame, seedEdges: DataFrame,
                seedStanding: DataFrame,
                seedRefuted: Option[DataFrame] = None): Unit = synchronized {
-      corpusF.seed(seedCorpus.select(col(idCol), col(textCol)).localCheckpoint())
-      edgesF.seed(seedEdges.select(col("doc_id_1"), col("doc_id_2")).localCheckpoint())
+      corpusF.seed(ckpt(seedCorpus.select(col(idCol), col(textCol))))
+      edgesF.seed(ckpt(seedEdges.select(col("doc_id_1"), col("doc_id_2"))))
       standingF.seed(seedStanding.select(col("id"), col("cluster")))
       seedRefuted.foreach(r =>
-        refutedF.seed(r.select(col("doc_id_1"), col("doc_id_2")).localCheckpoint()))
+        refutedF.seed(ckpt(r.select(col("doc_id_1"), col("doc_id_2")))))
     }
 
     def ingest(batch: DataFrame, version: Long = 0L): Unit = synchronized {
-      val b = batch.select(col(idCol), col(textCol)).localCheckpoint()
-      if (b.isEmpty) { b.unpersist(); return }
+      val b = ckpt(batch.select(col(idCol), col(textCol)))
+      if (b.isEmpty) { CkptLease.release(b); return }
       // ONE probe materialization per batch: the edge delta feeds the
       // standing anti-join, the verify's pair graph, AND the CC delta
       // (the pre-r14 shape recomputed the banded probe for ccIncremental)
-      val batchEdges = (corpusF.get match {
+      val batchEdges0 = (corpusF.get match {
         case Some(ref) => probeEdges(ref, b, idCol, textCol, threshold)
         case None => graft.engine.ops.Similarity
           .minhashNearDup(b, idCol, textCol, threshold, ordered = false)
           .select(col("doc_id_1"), col("doc_id_2"))
-      }).distinct().localCheckpoint()
+      }).distinct()
+      val batchEdgesCp = ckpt(batchEdges0)
       val corpusNext = corpusF.append(b)
       // standing edge-set maintenance as DELTA anti-join + append (the
       // pre-r14 full-union distinct re-shuffled AND re-wrote the whole
       // store per batch; at-least-once replay duplicates and probe
       // overlap now land in the anti-join instead — same row set)
-      val newEdges = edgesF.get.fold(batchEdges)(st =>
-        batchEdges.join(st, Seq("doc_id_1", "doc_id_2"), "left_anti")
-          .localCheckpoint())
+      val newEdges = edgesF.get.fold(batchEdgesCp)(st =>
+        ckpt(batchEdgesCp.join(st, Seq("doc_id_1", "doc_id_2"), "left_anti")))
       val graphEdges = edgesF.append(newEdges)
       // queue-consume + exact verify, verbatim batch operator over the
       // standing graph (wedges the banding left open, families expanded,
@@ -1708,18 +1777,23 @@ object Streams {
       // pair of a family in one pass) and anti-joins the residue before
       // the exact verify, so nothing is ever audited twice and a
       // settled family never re-pays its expansion
-      val verified = graft.engine.ops.TextPipeline
+      val verified = ckpt(graft.engine.ops.TextPipeline
         .missingLinksVerify(corpusNext, idCol, textCol, threshold, minCommon,
-          precomputedPairs = Some(graphEdges), excludePairs = refutedF.get)
-        .localCheckpoint()
-      val confirmed = verified.filter(col("confirmed"))
-        .select(col("doc_id_1"), col("doc_id_2"))
-      val logged = verified.filter(col("confirmed"))
-        .select(col("doc_id_1"), col("doc_id_2"), col("jaccard"),
-          lit(version).as("version"))
-      auditF.append(logged)
-      refutedF.append(verified.filter(!col("confirmed"))
+          precomputedPairs = Some(graphEdges), excludePairs = refutedF.get))
+      // each store's delta gets its OWN checkpoint (r15, the CkptLease
+      // ownership contract): `verified` used to back the audit, refuted
+      // AND confirmed-edge parts through one shared RDD, so no store
+      // could release its superseded legs without corrupting a sibling
+      // compacting on a different cadence. The slices are wedge-queue
+      // sized, so the extra materializations are noise.
+      val confirmed = ckpt(verified.filter(col("confirmed"))
         .select(col("doc_id_1"), col("doc_id_2")))
+      val logged = ckpt(verified.filter(col("confirmed"))
+        .select(col("doc_id_1"), col("doc_id_2"), col("jaccard"),
+          lit(version).as("version")))
+      auditF.append(logged)
+      refutedF.append(ckpt(verified.filter(!col("confirmed"))
+        .select(col("doc_id_1"), col("doc_id_2"))))
       // confirmed edges close their wedges structurally for every later
       // batch; they are disjoint from graphEdges by construction (the
       // queue only proposes ABSENT edges), so they append as a second
@@ -1730,12 +1804,12 @@ object Streams {
       // idempotently through the quotient, preserving the
       // at-least-once-into-idempotent-state story even if a resume's
       // seed artifacts were written at slightly different versions
-      val deltaForCc = batchEdges.unionAll(confirmed)
+      val deltaForCc = batchEdgesCp.unionAll(confirmed)
         .select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
       // the standing cluster table advances by its DELTA-sized changed
       // slice (r15 — see UpsertFrame); cold start inserts the whole table
       val v = standingF.nextVersion(version)
-      val changed = (standingF.latest match {
+      val changed = ckpt(standingF.latest match {
         case Some(prior) =>
           graft.engine.ops.TextPipeline
             .ccIncremental(prior, deltaForCc, b.select(col(idCol).as("id")))
@@ -1743,8 +1817,13 @@ object Streams {
         case None =>
           graft.engine.ops.TextPipeline.dedupClusters(corpusNext, idCol, textCol,
             threshold, precomputedPairs = Some(edgesNext))
-      }).localCheckpoint()
+      })
       standingF.append(changed, v)
+      // per-batch temps: every consumer above materialized eagerly, so
+      // their checkpoints release now. `batchEdges` is a temp only on
+      // the warm path (cold start appends it to the edge store itself).
+      CkptLease.release(verified)
+      if (newEdges ne batchEdgesCp) CkptLease.release(batchEdgesCp)
     }
   }
 
@@ -1815,12 +1894,11 @@ object Streams {
     /** The standing first-occurrence line registry. */
     def standingLines: Option[DataFrame] = reg.get
     def resume(seedLines: DataFrame): Unit = synchronized {
-      reg.seed(seedLines.select(col("line")).localCheckpoint())
+      reg.seed(ckpt(seedLines.select(col("line"))))
     }
     def ingest(batch: DataFrame): Unit = synchronized {
-      val b = batch.select(col(idCol).cast("long").as("doc_id"), col(textCol))
-        .localCheckpoint()
-      if (b.isEmpty) { b.unpersist(); return }
+      val b = ckpt(batch.select(col(idCol).cast("long").as("doc_id"), col(textCol)))
+      if (b.isEmpty) { CkptLease.release(b); return }
       val rawLines = b.select(col("doc_id"),
           posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
         .select(col("doc_id"), (col("idx") + 1).cast("long").as("line_no"), col("line"))
@@ -1834,8 +1912,8 @@ object Streams {
         .agg(min(struct(col("doc_id"), col("line_no"))).as("s"))
         .select(col("s.doc_id").as("doc_id"), col("s.line_no").as("line_no"), col("line"))
       // then against the standing registry
-      val fresh = reg.get.fold(firstInBatch)(r =>
-        firstInBatch.join(r, Seq("line"), "left_anti")).localCheckpoint()
+      val fresh = ckpt(reg.get.fold(firstInBatch)(r =>
+        firstInBatch.join(r, Seq("line"), "left_anti")))
       // append the DELTA part only (fresh is already checkpointed; the
       // projection is free); the frame compacts itself — see compactEvery
       reg.append(fresh.select(col("line")))
@@ -1861,10 +1939,13 @@ object Streams {
             .select(col("doc_id"), col("n_lines"),
               coalesce(col("n_kept"), lit(0L)).as("n_kept"),
               coalesce(col("text"), lit("")).as("text"))
-      emittedF.append(out.localCheckpoint())
+      emittedF.append(ckpt(out))
       // (emitted is harness-side accumulation for the specs/bench — a
       // production deployment sinks `out` per batch and never
       // accumulates it; the registry above is the real standing store)
+      // per-batch temp: `fresh` and `out` are checkpointed and owned by
+      // their frames; nothing lazy still reads the input batch
+      CkptLease.release(b)
     }
   }
 
