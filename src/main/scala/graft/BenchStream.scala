@@ -75,22 +75,50 @@ object BenchStream {
     // quartile p50 > 1.6 — a full-store-scan cost tracks the store and
     // trips this; per-batch cost stays flat as the store grows 4×
     // within the run on top of the rate ladder's 8× head start).
+    // r16: sections are individually SKIPPABLE (env batches = 0) and
+    // merge forward from the prior committed artifact — so a targeted
+    // quiet-window re-measurement of ONE long section (the r15 verdict's
+    // 400-batch state-growth adjudication) doesn't have to re-pay every
+    // other ladder, and a skipped section's prior evidence is preserved
+    // verbatim instead of silently vanishing (the r15 ADVICE finding on
+    // the dropped line-registry rung, generalized).
+    lazy val priorArtifact: Option[org.json4s.JValue] = try {
+      val p = java.nio.file.Paths.get("BENCH_STREAM.json")
+      if (!java.nio.file.Files.exists(p)) None
+      else Some(org.json4s.jackson.JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)))
+    } catch { case _: Throwable => None }
+    def priorSection(name: String): Option[String] =
+      priorArtifact.map(_ \ name).collect {
+        case o: org.json4s.JObject => org.json4s.jackson.JsonMethods.compact(o)
+      }
     val growthBatches = sys.env.getOrElse(
       "SPARK_GRAFT_STREAM_GROWTH_BATCHES", (10 * measured).toString).toInt
-    val grow = StreamBench.measureStateful(spark, growthBatches, warmup = 5,
-      10 * docsPerTrigger, ckptDir = tmp("stateckpt-growth"))
-    val quartiles = {
-      val n = grow.trigger.size
-      (0 until 4).map { i =>
-        val lo = i * n / 4; val hi = (i + 1) * n / 4
-        (grow.stateRowsSeries.slice(lo, hi).lastOption.getOrElse(0L),
-          StreamBench.pct(grow.trigger.slice(lo, hi), 50))
+    val stateGrowthJson: String = if (growthBatches > 0) {
+      val grow = StreamBench.measureStateful(spark, growthBatches, warmup = 5,
+        10 * docsPerTrigger, ckptDir = tmp("stateckpt-growth"))
+      val quartiles = {
+        val n = grow.trigger.size
+        (0 until 4).map { i =>
+          val lo = i * n / 4; val hi = (i + 1) * n / 4
+          (grow.stateRowsSeries.slice(lo, hi).lastOption.getOrElse(0L),
+            StreamBench.pct(grow.trigger.slice(lo, hi), 50))
+        }
       }
-    }
-    val growthDrift =
-      if (quartiles.head._2 > 0) quartiles.last._2 / quartiles.head._2
-      else Double.NaN
-    val flaggedGrowth = growthDrift > 1.6
+      val growthDrift =
+        if (quartiles.head._2 > 0) quartiles.last._2 / quartiles.head._2
+        else Double.NaN
+      s"""{"docs_per_trigger":${10 * docsPerTrigger},""" +
+      s""""n_batches":${grow.nBatches},"final_state_rows":${grow.stateRows},""" +
+      s""""pairs_emitted":${grow.pairsEmitted},""" +
+      s""""quartiles":[${quartiles.map { case (rows, p50) =>
+        s"""{"state_rows":$rows,"trigger_p50":${fmt(p50)}}"""
+      }.mkString(",")}],""" +
+      s""""flag_rule":"last-quartile trigger p50 / first-quartile > 1.6",""" +
+      s""""drift":${fmt(growthDrift)},"flagged":${growthDrift > 1.6}}"""
+    } else priorSection("state_growth").getOrElse(
+      sys.error("state_growth skipped but no prior artifact section to merge forward"))
     // LINE-REGISTRY growth — the OTHER standing store named by the r13
     // item (the LSH band store above lives in RocksDB; the exact line
     // registry lives in executor blocks via LineDedupMaintenance).
@@ -160,7 +188,8 @@ object BenchStream {
         else Double.NaN
       (quartiles, driftRaw, driftNorm, driftNorm > 1.3)
     }
-    val lrRungBatches = Seq(lrBatches) ++ (if (lrExtBatches > 0) Seq(lrExtBatches) else Nil)
+    val lrRungBatches = (if (lrBatches > 0) Seq(lrBatches) else Nil) ++
+      (if (lrExtBatches > 0) Seq(lrExtBatches) else Nil)
     val lrRungs: Seq[(Int, (Seq[(Long, Double)], Double, Double, Boolean))] =
       lrRungBatches.map(b => b -> lrRun(b))
     def lrRungJson(b: Int, r: (Seq[(Long, Double)], Double, Double, Boolean)): String =
@@ -169,28 +198,33 @@ object BenchStream {
         s"""{"registry_rows_mid":$rows,"ingest_p50_ms":${fmt(p50)}}"""
       }.mkString(",")}],""" +
       s""""drift_raw":${fmt(r._2)},"drift_norm":${fmt(r._3)},"flagged":${r._4}}"""
-    // merge-forward: preserve prior artifact rungs not re-measured now
-    val lrPriorRungs: Seq[(Int, String)] = try {
-      val p = java.nio.file.Paths.get("BENCH_STREAM.json")
-      if (!java.nio.file.Files.exists(p)) Seq.empty
-      else {
+    // merge-forward: preserve prior artifact rungs not re-measured now.
+    // A prior artifact in the pre-rung FLAT schema (quartiles directly
+    // under the section) is lifted into a rung instead of dropped —
+    // the r15 ADVICE finding on the silently-lost baseline rung.
+    def priorRungs(section: String): Seq[(Int, String)] =
+      priorArtifact.toSeq.flatMap { pa =>
         import org.json4s._
-        org.json4s.jackson.JsonMethods.parse(new String(
-          java.nio.file.Files.readAllBytes(p),
-          java.nio.charset.StandardCharsets.UTF_8)) \ "line_registry_growth" \ "rungs" match {
-          case JArray(rs) => rs.flatMap { r =>
+        (pa \ section \ "rungs", pa \ section \ "n_batches") match {
+          case (JArray(rs), _) => rs.flatMap { r =>
             r \ "n_batches" match {
               case JInt(n) => Some(n.toInt ->
                 org.json4s.jackson.JsonMethods.compact(r))
               case _ => None
             }
           }
+          case (_, JInt(n)) => // flat prior schema → lift as one rung
+            (pa \ section) match {
+              case o: JObject => Seq(n.toInt ->
+                org.json4s.jackson.JsonMethods.compact(o))
+              case _ => Seq.empty
+            }
           case _ => Seq.empty
         }
       }
-    } catch { case _: Throwable => Seq.empty }
     val lrMergedRungs: Seq[String] =
-      (lrPriorRungs.toMap ++ lrRungs.map { case (b, r) => b -> lrRungJson(b, r) })
+      (priorRungs("line_registry_growth").toMap ++
+        lrRungs.map { case (b, r) => b -> lrRungJson(b, r) })
         .toSeq.sortBy(_._1).map(_._2)
     // the flag recomputes over the MERGED rung set (a preserved rung's
     // flag must not vanish just because it wasn't re-measured)
@@ -208,48 +242,69 @@ object BenchStream {
     // index); the flag is the NORMALIZED per-standing-id drift, which
     // a superlinear store cost (e.g. re-checkpointing the whole table
     // per batch AND re-reading it through the resolve) would trip.
+    // r16 (verdict item 2): the section is now a RUNG LADDER like
+    // line_registry_growth — the standard 48-batch rung plus an
+    // env-gated extended rung a decade up (~480 batches, the depth at
+    // which the CkptLease leak bit at ~900 and the stats-squaring bug
+    // at ~30), merged forward across runs.
     val ctBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_CLUSTER_BATCHES", "48").toInt
+    val ctExtBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_CLUSTER_EXT_BATCHES", "0").toInt
     val ctDocsPerBatch = 200
-    val ctMaint = new graft.engine.stream.Streams.ClusterMaintenance(
-      "doc_id", "text", 0.8)
-    val ctTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val ctIds = scala.collection.mutable.ArrayBuffer.empty[Long]
-    locally {
-      import spark.implicits._
-      var cid = 0L
-      (1 to ctBatches).foreach { bi =>
-        val docs = (1 to ctDocsPerBatch).map { _ =>
-          cid += 1
-          // cid % 5 == 0 → anchor ≡ 4 (mod 5), so the anchor doc itself
-          // was NOT a dup and this text exactly repeats it: one
-          // cross-batch near-dup edge per dup doc, distinct anchors
-          val anchor = if (cid % 5 == 0 && cid > 41) cid - 41 else cid
-          (cid, s"shared shingle run alpha beta gamma delta epsilon zeta " +
-            s"eta theta iota kappa payload $anchor tail ${anchor % 7}")
-        }.toDF("doc_id", "text")
-        val t0 = System.nanoTime()
-        ctMaint.ingest(docs, bi.toLong)
-        ctTimes += (System.nanoTime() - t0) / 1e6
-        // standing id count recorded UNTIMED every batch (drives the
-        // mid-quartile row markers, same discipline as line_registry)
-        ctIds += ctMaint.current.get.count()
+    def ctRun(batches: Int): (Seq[(Long, Double)], Double, Double, Boolean) = {
+      val ctMaint = new graft.engine.stream.Streams.ClusterMaintenance(
+        "doc_id", "text", 0.8)
+      val ctTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val ctIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      locally {
+        import spark.implicits._
+        var cid = 0L
+        (1 to batches).foreach { bi =>
+          val docs = (1 to ctDocsPerBatch).map { _ =>
+            cid += 1
+            // cid % 5 == 0 → anchor ≡ 4 (mod 5), so the anchor doc itself
+            // was NOT a dup and this text exactly repeats it: one
+            // cross-batch near-dup edge per dup doc, distinct anchors
+            val anchor = if (cid % 5 == 0 && cid > 41) cid - 41 else cid
+            (cid, s"shared shingle run alpha beta gamma delta epsilon zeta " +
+              s"eta theta iota kappa payload $anchor tail ${anchor % 7}")
+          }.toDF("doc_id", "text")
+          val t0 = System.nanoTime()
+          ctMaint.ingest(docs, bi.toLong)
+          ctTimes += (System.nanoTime() - t0) / 1e6
+          // standing id count recorded UNTIMED every batch (drives the
+          // mid-quartile row markers, same discipline as line_registry)
+          ctIds += ctMaint.current.get.count()
+        }
       }
+      val quartiles = (0 until 4).map { i =>
+        val lo = i * batches / 4; val hi = (i + 1) * batches / 4
+        val mid = math.min(ctIds.size - 1, (lo + hi - 1) / 2)
+        (if (mid >= 0) ctIds(mid) else 0L,
+          StreamBench.pct(ctTimes.slice(lo, hi).toSeq, 50))
+      }
+      val driftRaw =
+        if (quartiles.head._2 > 0) quartiles.last._2 / quartiles.head._2
+        else Double.NaN
+      val driftNorm =
+        if (quartiles.head._1 > 0 && quartiles.head._2 > 0)
+          (quartiles.last._2 / quartiles.last._1) /
+            (quartiles.head._2 / quartiles.head._1)
+        else Double.NaN
+      (quartiles, driftRaw, driftNorm, driftNorm > 1.3)
     }
-    val ctQuartiles = (0 until 4).map { i =>
-      val lo = i * ctBatches / 4; val hi = (i + 1) * ctBatches / 4
-      val mid = math.min(ctIds.size - 1, (lo + hi - 1) / 2)
-      (if (mid >= 0) ctIds(mid) else 0L,
-        StreamBench.pct(ctTimes.slice(lo, hi).toSeq, 50))
-    }
-    val ctDriftRaw =
-      if (ctQuartiles.head._2 > 0) ctQuartiles.last._2 / ctQuartiles.head._2
-      else Double.NaN
-    val ctDriftNorm =
-      if (ctQuartiles.head._1 > 0 && ctQuartiles.head._2 > 0)
-        (ctQuartiles.last._2 / ctQuartiles.last._1) /
-          (ctQuartiles.head._2 / ctQuartiles.head._1)
-      else Double.NaN
-    val flaggedClusterTable = ctDriftNorm > 1.3
+    def ctRungJson(b: Int, r: (Seq[(Long, Double)], Double, Double, Boolean)): String =
+      s"""{"n_batches":$b,"docs_per_batch":$ctDocsPerBatch,""" +
+      s""""quartiles":[${r._1.map { case (ids, p50) =>
+        s"""{"standing_ids_mid":$ids,"ingest_p50_ms":${fmt(p50)}}"""
+      }.mkString(",")}],""" +
+      s""""drift_raw":${fmt(r._2)},"drift_norm":${fmt(r._3)},"flagged":${r._4}}"""
+    val ctRungBatches = (if (ctBatches > 0) Seq(ctBatches) else Nil) ++
+      (if (ctExtBatches > 0) Seq(ctExtBatches) else Nil)
+    val ctMergedRungs: Seq[String] =
+      (priorRungs("cluster_table_growth").toMap ++
+        ctRungBatches.map(b => b -> ctRungJson(b, ctRun(b))))
+        .toSeq.sortBy(_._1).map(_._2)
+    val flaggedClusterTable = ctMergedRungs.exists(_.contains("\"flagged\":true"))
     val budgetMs = 18.0
     val line =
       s"""{"metric":"stream_trigger_overhead","unit":"ms","n_batches":${s.nBatches},""" +
@@ -284,25 +339,14 @@ object BenchStream {
       s""""flag_rule":"cross-rung: trigger p50 ratio / rate ratio > 1.6; within-run: last-10 p50 / first-10 p50 > 1.6",""" +
       s""""flagged":[${flagged.mkString(",")}],""" +
       s""""flagged_inrun":[${flaggedInRun.mkString(",")}]},""" +
-      s""""state_growth":{"docs_per_trigger":${10 * docsPerTrigger},""" +
-      s""""n_batches":${grow.nBatches},"final_state_rows":${grow.stateRows},""" +
-      s""""pairs_emitted":${grow.pairsEmitted},""" +
-      s""""quartiles":[${quartiles.map { case (rows, p50) =>
-        s"""{"state_rows":$rows,"trigger_p50":${fmt(p50)}}"""
-      }.mkString(",")}],""" +
-      s""""flag_rule":"last-quartile trigger p50 / first-quartile > 1.6",""" +
-      s""""drift":${fmt(growthDrift)},"flagged":$flaggedGrowth},""" +
+      s""""state_growth":$stateGrowthJson,""" +
       s""""line_registry_growth":{""" +
       s""""flag_rule":"per rung: normalized per-registry-row Q4/Q1 p50 > 1.3, rows at mid-quartile (raw drift tracks the store by design: exact dedup probes the registry per batch); rungs not re-measured this run merge forward from the prior artifact",""" +
       s""""rungs":[${lrMergedRungs.mkString(",")}],""" +
       s""""flagged":$flaggedLineReg},""" +
-      s""""cluster_table_growth":{"n_batches":$ctBatches,""" +
-      s""""docs_per_batch":$ctDocsPerBatch,""" +
-      s""""quartiles":[${ctQuartiles.map { case (ids, p50) =>
-        s"""{"standing_ids_mid":$ids,"ingest_p50_ms":${fmt(p50)}}"""
-      }.mkString(",")}],""" +
-      s""""flag_rule":"normalized per-standing-id Q4/Q1 ingest p50 > 1.3, ids at mid-quartile (raw drift tracks the corpus by design: the harness-scale probe re-minhashes the standing corpus per batch)",""" +
-      s""""drift_raw":${fmt(ctDriftRaw)},"drift_norm":${fmt(ctDriftNorm)},""" +
+      s""""cluster_table_growth":{""" +
+      s""""flag_rule":"per rung: normalized per-standing-id Q4/Q1 ingest p50 > 1.3, ids at mid-quartile (raw drift tracks the corpus by design: the harness-scale probe re-minhashes the standing corpus per batch); rungs not re-measured this run merge forward from the prior artifact",""" +
+      s""""rungs":[${ctMergedRungs.mkString(",")}],""" +
       s""""flagged":$flaggedClusterTable}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_STREAM.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

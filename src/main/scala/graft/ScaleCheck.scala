@@ -138,7 +138,13 @@ object ScaleCheck {
     // plan (domain-keyed agg + 1-row broadcast-back — should ride flat)
     // and the URL dedup (narrow derive + one url-keyed agg — the
     // cheapest dedup tier's whole claim is a single linear string pass)
-    "q_domain_mixture", "q_dedup_url")
+    "q_domain_mixture", "q_dedup_url",
+    // r16 new queries (ladder-on-introduction discipline): the mixture
+    // EXECUTOR (plan broadcast + epoch-spine explode — output scales
+    // with corpus × epochs, so the per-output-row cost should ride
+    // flat) and the composed dedup cascade (three linear tiers chained
+    // by semi/anti joins — the pairwise stage stays banded)
+    "q_mixture_apply", "q_dedup_cascade")
 
   val Runs = 3
   /** First-rung (10× data) coarse flag: slopes beyond this mean the
@@ -178,17 +184,17 @@ object ScaleCheck {
     *    grows k with the corpus so cell population stays bounded — the
     *    operator is linear in (n · cell_size); only the 8-cell fixture
     *    pin is quadratic.
-    *  - `q_fuzzy_match2`: the DECLARED general-maxDist fallback tier —
-    *    a blocked self-join whose in-block verify is quadratic by
-    *    contract (deletion neighborhoods explode combinatorially past
-    *    d=1). The scale path IS `q_fuzzy_match`'s deletion-neighborhood
-    *    strategy; at d≥2 a caller at scale composes a tighter key into
-    *    blockCols, exactly as the operator scaladoc instructs.
     * (r10's `q_missing_links` exemption is GONE: it existed only
     * because the un-normalized 2.5 threshold sat below the rung's own
-    * 3× data ratio — normalized, its 0.9 is ordinary linear growth.) */
+    * 3× data ratio — normalized, its 0.9 is ordinary linear growth.
+    * r16: `q_fuzzy_match2`'s exemption is GONE too — the d=2 path now
+    * rides the FastSS ≤2-deletion neighborhood under the corpus
+    * length gate (TextPipeline.fuzzyMatchDel2), so the quadratic
+    * in-block verify the exemption covered no longer runs on the
+    * fixture; the blocked join remains only as the long-string /
+    * d≥3 fallback.) */
   val DeclaredXlExempt: Set[String] =
-    Set("q_semantic_dedup", "q_fuzzy_match2")
+    Set("q_semantic_dedup")
 
   /** DIAGNOSTIC comparison entries (r15 verdict item 6), not
     * production-path linearity claims: both distributed CC loops run

@@ -865,6 +865,109 @@ object TextPipeline {
         "\\?.*$", ""),
       "/$", "")
 
+  /** Mixture-plan EXECUTOR (r16, verdict item 3) — [[domainMixture]]
+    * emits the recipe (`sample_rate_ppm` down, `epochs_bp` up); this
+    * operator MATERIALIZES the planned corpus, because plan→execution
+    * disagreement is exactly the silent corpus bug the plan table
+    * exists to prevent. Per document the plan row decides:
+    *
+    *  - head domains (`epochs_bp ≤ 10000`): the doc survives its single
+    *    epoch iff `keyMix(id)·10⁶ < sample_rate_ppm·2³²` — the same
+    *    seeded-hash ppm thresholding every sampler in this file uses,
+    *    at the plan's ppm precision ("en cut to its target ppm");
+    *  - deficit domains (`epochs_bp > 10000`): the doc repeats once per
+    *    FULL epoch (`epochs_bp DIV 10000` — an epoch spine via
+    *    `sequence`/`explode`, never a driver loop), plus a FRACTIONAL
+    *    tail epoch carved at `epochs_bp mod 10000` basis points with an
+    *    epoch-SALTED key (`keyMix(id + 1000003·epoch)`), so each tail
+    *    epoch selects its own deterministic survivor slice instead of
+    *    re-reading the same docs (the "per-epoch survivor carve").
+    *
+    * Both directions are pure integer column arithmetic over the
+    * broadcast plan, so the materialized (doc_id, domain, epoch) corpus
+    * hash-oracles exactly and reconciles row-for-row against the plan.
+    *
+    * Scale shape: the plan is domain-cardinality-sized and broadcasts;
+    * the corpus is touched once, inflated only by its own planned epoch
+    * count, and never shuffles — output ∝ Σ_d n_d · epochs_d, the size
+    * of the corpus a pretraining build actually writes. */
+  def mixtureApply(documents: DataFrame, idCol: String, domainCol: String,
+                   textCol: String, targetBp: Map[String, Long],
+                   budgetPct: Int): DataFrame = {
+    val plan = domainMixture(documents, domainCol, textCol, targetBp, budgetPct)
+      .select(col("domain"), col("sample_rate_ppm"), col("epochs_bp"))
+    val fullEpochs = expr("epochs_bp DIV 10000")
+    val fracBp = pmod(col("epochs_bp"), lit(10000L))
+    documents
+      .select(col(idCol).cast("long").as("doc_id"), col(domainCol).as("domain"))
+      .join(broadcast(plan), Seq("domain"))
+      .withColumn("epoch", explode(sequence(lit(0L), fullEpochs)))
+      .filter(col("epoch") < fullEpochs ||
+        when(fullEpochs === 0L,
+          keyMix(col("doc_id")) * lit(1000000L) <
+            col("sample_rate_ppm") * lit(4294967296L))
+        .otherwise(
+          keyMix(col("doc_id") + lit(1000003L) * col("epoch")) * lit(10000L) <
+            fracBp * lit(4294967296L)))
+      .select(col("doc_id"), col("domain"), col("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  /** The composed dedup CASCADE (r16, verdict item 4) — the production
+    * order every crawl-scale pipeline runs, cheapest tier first, each
+    * tier only seeing the previous tier's survivors:
+    *
+    *   1. URL canonicalization ([[urlDedup]]'s rule): min-id survivor
+    *      per canonical URL — a string pass, no content read;
+    *   2. exact text ([[exactDedup]]'s rule): min-id survivor per
+    *      verbatim text over the URL survivors — one text-keyed agg;
+    *   3. MinHash near-dup ([[dedupCorpus]]'s rule): drop every
+    *      remaining doc that appears as the greater id of a verified
+    *      near-dup pair — the banded pair graph, the ONLY pairwise
+    *      tier, and it runs over the smallest corpus.
+    *
+    * The product is the ATTRIBUTION table — per tier its input size,
+    * drop count, output size and a survivor id-sum pinning the exact
+    * survivor SET — because the attribution is what decides whether
+    * the expensive tier runs at all (a crawl where tier 1 cuts 40%
+    * sizes tier 3's cluster differently than one where it cuts 4%).
+    * `pairs` is the caller's verified near-dup pair set over the BASE
+    * corpus (the memoized shared graph); banding depends only on each
+    * doc's own signature, so restricting it to pairs with both
+    * endpoints surviving tiers 1-2 equals re-running the banding on
+    * the survivor corpus.
+    *
+    * Scale shape: each tier is one keyed aggregate plus an id-keyed
+    * semi/anti join back — three linear passes and the already-banded
+    * pair graph; nothing all-pairs, no driver loops, counts via
+    * partial+final aggs. */
+  def dedupCascade(documents: DataFrame, idCol: String, sourceCol: String,
+                   textCol: String, pairs: DataFrame): DataFrame = {
+    val docs0 = documents.select(col(idCol).cast("long").as("doc_id"),
+      col(sourceCol).as("source"), col(textCol).as("text"))
+    val urlSurvIds = docs0
+      .withColumn("cu", canonicalUrl(deriveUrl(col("doc_id"), col("source"))))
+      .groupBy("cu").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val s1 = docs0.join(urlSurvIds, Seq("doc_id"), "left_semi")
+    val exactSurvIds = s1.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val s2 = s1.join(exactSurvIds, Seq("doc_id"), "left_semi")
+    val removed = pairs.select(col("doc_id_2").as("doc_id")).distinct()
+    val s3 = s2.join(removed, Seq("doc_id"), "left_anti")
+    def tierRow(tier: String, in: DataFrame, out: DataFrame): DataFrame =
+      in.agg(count(lit(1)).as("n_in"))
+        .crossJoin(out.agg(count(lit(1)).as("n_out"),
+          coalesce(sum("doc_id"), lit(0L)).as("survivor_id_sum")))
+        .select(lit(tier).as("tier"), col("n_in"),
+          (col("n_in") - col("n_out")).as("n_dropped"),
+          col("n_out"), col("survivor_id_sum"))
+    tierRow("1_url", docs0, s1)
+      .unionByName(tierRow("2_exact", s1, s2))
+      .unionByName(tierRow("3_near", s2, s3))
+      .orderBy("tier")
+  }
+
   /** Bloom-prefiltered incremental exact dedup: is each delta document's
     * text already in the reference corpus? The EXACT answer, computed
     * the 100 TB way — a Bloom filter over the reference (built
@@ -4003,15 +4106,46 @@ object TextPipeline {
     *    at 4.99×/3× data; this path removes the quadratic stage rather
     *    than capping it). Cost: ~(len+1)× row inflation through one
     *    shuffle — meant for short attribute strings, not documents.
-    *  - `maxDist ≥ 2`: the blocked self-join with length-band guard
-    *    (deletion neighborhoods grow combinatorially in d, so the
-    *    block-local quadratic verify is the honest fallback; compose a
-    *    tighter key into `blockCols` to bound blocks).
+    *  - `maxDist == 2` with short strings (r16): the SAME deletion-
+    *    neighborhood family one level up — each string emits its
+    *    ≤2-deletion neighborhood (identity + single + ordered double
+    *    deletions, ~len²/2 variants). dist(a,b) ≤ 2 guarantees a shared
+    *    member (the FastSS superset property: align the ≤2 edit
+    *    positions and delete them from both sides), and the exact
+    *    thresholded verify discards the excess, so the output is
+    *    identical to the block join (property-tested). Candidate volume
+    *    tracks true-pair volume, not block population² — the r15 ladder
+    *    showed the blocked join's norm_last at 1.90; this path removes
+    *    the quadratic stage. The len²-fold row inflation is the cost,
+    *    so the strategy is GATED on the corpus's measured max string
+    *    length (≤ [[Del2MaxLen]] — attribute strings, not documents);
+    *    the gate is one max() aggregate, the counted-gate discipline
+    *    the CC union-find fuse already uses.
+    *  - `maxDist ≥ 3`, or d = 2 past the length gate: the blocked
+    *    self-join with length-band guard (deletion neighborhoods grow
+    *    combinatorially in d, so the block-local quadratic verify is
+    *    the honest long-string/high-d fallback; compose a tighter key
+    *    into `blockCols` to bound blocks).
     */
   def fuzzyMatch(records: DataFrame, idCol: String, strCol: String,
                  blockCols: Seq[String], maxDist: Int): DataFrame =
     if (maxDist == 1) fuzzyMatchDel1(records, idCol, strCol, blockCols)
+    else if (maxDist == 2 && maxStrLen(records, strCol) <= Del2MaxLen)
+      fuzzyMatchDel2(records, idCol, strCol, blockCols)
     else fuzzyMatchBlockJoin(records, idCol, strCol, blockCols, maxDist)
+
+  /** Length gate for the d=2 deletion strategy: past this the ~len²/2
+    * variant inflation outweighs removing the block-quadratic verify
+    * (48² / 2 ≈ 1.1k variant rows per string is the accepted ceiling —
+    * name/title attributes sit far under it, documents far over). */
+  private val Del2MaxLen = 48
+
+  /** The one driver-held scalar behind the d=2 strategy gate — a max()
+    * aggregate, not data (the counted-gate discipline). */
+  private def maxStrLen(records: DataFrame, strCol: String): Int = {
+    val r = records.agg(max(length(col(strCol)))).head()
+    if (r.isNullAt(0)) 0 else r.getInt(0)
+  }
 
   /** [[fuzzyMatch]]'s deletion-neighborhood strategy (maxDist = 1). */
   private def fuzzyMatchDel1(records: DataFrame, idCol: String, strCol: String,
@@ -4034,13 +4168,101 @@ object TextPipeline {
       col("id").as("id_1") +: col("s").as("sa") +: col("vk") +: blockCols.map(col): _*)
     val b = variants.select(
       col("id").as("id_2") +: col("s").as("sb") +: col("vk") +: blockCols.map(col): _*)
-    a.join(b, blockCols :+ "vk")
+    // shuffle-hash, never broadcast: a Generate keeps its INPUT's size
+    // estimate, so Catalyst would broadcast the whole (len+1)×-inflated
+    // variant side — collecting the neighborhood of the entire corpus
+    // to the driver, which at scale is an OOM, not a plan (r16)
+    a.join(b.hint("shuffle_hash"), blockCols :+ "vk")
       .filter(col("id_1") < col("id_2"))
       // a pair can share several variants (equal strings share all of
       // them) — collapse before the verify so the distance runs once
       .select("id_1", "id_2", "sa", "sb").distinct()
       .withColumn("dist", levenshtein(col("sa"), col("sb"), 1).cast("long"))
       .filter(col("dist") >= 0 && col("dist") <= 1)
+      .select("id_1", "id_2", "sa", "sb", "dist")
+      .orderBy("id_1", "id_2")
+  }
+
+  /** [[fuzzyMatch]]'s deletion-neighborhood strategy at maxDist = 2
+    * (r16, verdict item 6). Each string emits one row per member of its
+    * ≤2-deletion neighborhood, encoded as an ordered position pair
+    * (i, j): (0, 0) = the string itself, (0, j ≥ 1) = char j deleted,
+    * (1 ≤ i < j) = chars i and j deleted — each member exactly once, no
+    * (len+1)²-shaped duplicate emission. Candidates are pairs sharing
+    * (block, variant-hash); sharing any member bounds the distance by
+    * the two sides' deletion counts (≤ 4), and the FastSS superset
+    * property guarantees every true dist-≤2 pair shares one, so the
+    * exact thresholded verify below returns precisely the block join's
+    * answer. Joining the 64-bit variant hash instead of the variant
+    * text keeps the shuffled candidate key 8 bytes; a hash collision
+    * only adds a false candidate the verify discards. */
+  private[engine] def fuzzyMatchDel2(records: DataFrame, idCol: String, strCol: String,
+                                     blockCols: Seq[String]): DataFrame = {
+    // the ~len²/2 variant expansion happens per INPUT row, so the input
+    // must be spread across the cluster even when it arrives as one
+    // small file — a single-partition input serializes the whole
+    // neighborhood pass (the same finding fuzzyMatchBlockJoin records;
+    // measured here 11.6 s → 2.9 s at sf0.1). Layout-only: the pair
+    // set and output order are unchanged.
+    val par = records.sparkSession.sparkContext.defaultParallelism
+    val base = records.select(
+      col(idCol).as("id") +: col(strCol).as("s") +: blockCols.map(col): _*)
+      .repartition(par)
+    // the ordered (i, j) deletion-position pairs via TWO chained
+    // generators — i = 0 keeps all j (identity + single deletions),
+    // i ≥ 1 takes j > i (double deletions emitted once, ordered). Plain
+    // explode + scalar column ops so the whole variant pass stays in
+    // whole-stage codegen (a transform-lambda formulation of the same
+    // neighborhood evaluated INTERPRETED and cost ~10× — the
+    // higher-order-function trap).
+    val s0 = col("s")
+    val withI = base.select(
+      (col("id") +: s0 +: blockCols.map(col)) :+
+        explode(sequence(lit(0), length(s0))).as("i"): _*)
+    val withIJ = withI.select(
+      (col("id") +: s0 +: col("i") +: blockCols.map(col)) :+
+        explode(
+          when(col("i") === 0, sequence(lit(0), length(s0)))
+            .when(col("i") < length(s0), sequence(col("i") + 1, length(s0)))
+            .otherwise(array().cast("array<int>"))).as("j"): _*)
+    val i = col("i"); val j = col("j")
+    def at(p: Column) = s0.substr(p, lit(1))
+    // RUN-CANONICAL filter: distinct positions often yield the SAME
+    // variant (deleting any char of a same-char run), and on run-dense
+    // strings (zero-padded ids — this fixture) that per-pair
+    // multiplicity SQUARES through the candidate join (measured 23 s at
+    // sf0.1). Keep only the LEFTMOST position per run: every achievable
+    // variant keeps its lexicographically-minimal position pair (if a
+    // deleted char equals its left neighbor, shifting the deletion one
+    // left yields the same variant with smaller positions), so the
+    // filter is lossless for the candidate SET while cutting the
+    // run-squared duplicates in codegen, no shuffle. Cross-run
+    // coincidences (delete {1,2} vs {2,3} of "aba") survive it — the
+    // pair-level distinct below absorbs those rare residuals.
+    val canonical = when(i === 0,
+        j === 0 || j === 1 || at(j) =!= at(j - 1))
+      .otherwise((i === 1 || at(i) =!= at(i - 1)) &&
+        (j === i + 1 || at(j) =!= at(j - 1)))
+    val variants = withIJ.filter(canonical)
+      .withColumn("vk", xxhash64(
+        when(i === 0 && j === 0, s0)
+          .when(i === 0,
+            concat(s0.substr(lit(1), j - 1), s0.substr(j + 1, length(s0))))
+          .otherwise(concat(s0.substr(lit(1), i - 1),
+            s0.substr(i + 1, j - i - 1), s0.substr(j + 1, length(s0))))))
+      .drop("i", "j")
+    val a = variants.select(
+      col("id").as("id_1") +: col("s").as("sa") +: col("vk") +: blockCols.map(col): _*)
+    val b = variants.select(
+      col("id").as("id_2") +: col("s").as("sb") +: col("vk") +: blockCols.map(col): _*)
+    // shuffle-hash, never broadcast — see fuzzyMatchDel1's join note
+    a.join(b.hint("shuffle_hash"), blockCols :+ "vk")
+      .filter(col("id_1") < col("id_2"))
+      // a pair shares one variant per aligned deletion choice — collapse
+      // before the verify so the distance runs once per pair
+      .select("id_1", "id_2", "sa", "sb").distinct()
+      .withColumn("dist", levenshtein(col("sa"), col("sb"), 2).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= 2)
       .select("id_1", "id_2", "sa", "sb", "dist")
       .orderBy("id_1", "id_2")
   }
@@ -4744,6 +4966,31 @@ object TextPipeline {
             "de" -> 1500L, "fr" -> 1500L), budgetPct = 60)),
     "q_dedup_url" -> ((s, d) =>
       urlDedup(Tables.documents(s, d), "doc_id", "source")),
+    // the mixture plan EXECUTED (r16): same declared shares/budget as
+    // q_domain_mixture, so the oracle pins plan→execution agreement in
+    // both directions — en's single epoch is ppm-carved, zh's deficit
+    // repeats through a full epoch plus a bp-carved fractional tail
+    "q_mixture_apply" -> ((s, d) =>
+      mixtureApply(Tables.documents(s, d), "doc_id", "lang", "text",
+        Map("en" -> 2500L, "zh" -> 3000L, "es" -> 1500L,
+            "de" -> 1500L, "fr" -> 1500L), budgetPct = 60)),
+    // the cascade fixture (r16): base corpus + a RE-CRAWL slice (every
+    // 10th doc re-fetched under a shifted id — its derived URL lands in
+    // an existing canonical group, so tier 1 catches it) + a MIRROR
+    // slice (every (10k+5)th doc's text republished on a '-m' host —
+    // passes tier 1 on its distinct canonical URL, caught by tier 2
+    // exact text where its base twin survived tier 1). Tier 3 consumes
+    // the memoized shared pair graph restricted to tier-1/2 survivors.
+    "q_dedup_cascade" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      val recrawl = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"), col("text"))
+      val mirror = base.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("source"), lit("-m")).as("source"), col("text"))
+      dedupCascade(base.unionAll(recrawl).unionAll(mirror),
+        "doc_id", "source", "text", sharedPairs(s, d))
+    }),
     // same reference/delta carve as q_dedup_incremental: history is
     // doc_id < 250, the new batch is the rest — PLUS a re-crawl slice of
     // the history itself (every 10th reference doc re-arrives under a
@@ -6512,6 +6759,94 @@ object TextPipeline {
         |  CAST(count(*) AS BIGINT) AS n_copies,
         |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants
         |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+
+    // the mixture executor replays the FULL q_domain_mixture plan CTE
+    // chain, then the epoch spine + the two keyMix carve rules — the
+    // oracle is the plan→execution agreement proof
+    "q_mixture_apply" ->
+      s"""WITH pd AS (
+        |  SELECT lang AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(list_filter(string_split(text, ' '), t -> len(t) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM pd),
+        |tgt0 AS (
+        |  SELECT domain, n_tokens, total_tokens,
+        |    CAST(CASE domain WHEN 'en' THEN 2500 WHEN 'zh' THEN 3000 WHEN 'es' THEN 1500
+        |                     WHEN 'de' THEN 1500 WHEN 'fr' THEN 1500 ELSE 0 END AS BIGINT) AS target_bp
+        |  FROM pd CROSS JOIN tot),
+        |plan AS (
+        |  SELECT domain,
+        |    CAST(least(1000000, ((((total_tokens * 60) // 100) * target_bp) // 10000) * 1000000 // n_tokens) AS BIGINT) AS sample_rate_ppm,
+        |    CAST(((((total_tokens * 60) // 100) * target_bp) // 10000) * 10000 // n_tokens AS BIGINT) AS epochs_bp
+        |  FROM tgt0),
+        |ex AS (
+        |  SELECT d.doc_id, p.domain, p.sample_rate_ppm,
+        |    p.epochs_bp // 10000 AS full_epochs, p.epochs_bp % 10000 AS frac_bp
+        |  FROM documents d JOIN plan p ON d.lang = p.domain),
+        |spine AS (
+        |  SELECT doc_id, domain, sample_rate_ppm, full_epochs, frac_bp,
+        |    CAST(unnest(range(0, full_epochs + 1)) AS BIGINT) AS epoch
+        |  FROM ex)
+        |SELECT doc_id, domain, epoch FROM spine
+        |WHERE epoch < full_epochs
+        |   OR (CASE WHEN full_epochs = 0
+        |        THEN ${keyMixSql("doc_id")} * 1000000 < sample_rate_ppm * 4294967296
+        |        ELSE ${keyMixSql("(doc_id + 1000003 * epoch)")} * 10000 < frac_bp * 4294967296 END)
+        |ORDER BY doc_id, epoch""".stripMargin,
+
+    // the cascade chains the three existing oracle blocks: the derived
+    // URL + canonicalization chain (q_dedup_url), the exact min-id text
+    // rule (q_dedup_exact), and the shared minhash pair CTEs'
+    // doc_id_2 removal rule (q_dedup_survivors) — over the augmented
+    // base ∪ recrawl ∪ mirror corpus the registration builds
+    "q_dedup_cascade" -> (Similarity.minhashOracleCtes +
+      """,
+        |all_pairs AS (
+        |  SELECT doc_id_1, doc_id_2 FROM cross_pairs
+        |  UNION ALL SELECT doc_id_1, doc_id_2 FROM within_pairs),
+        |removed AS (SELECT DISTINCT doc_id_2 AS doc_id FROM all_pairs),
+        |corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, source, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, source || '-m' AS source, text
+        |  FROM documents WHERE doc_id % 10 = 5),
+        |cu AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(
+        |      (CASE WHEN doc_id % 3 = 0 THEN 'https://'
+        |            WHEN doc_id % 3 = 1 THEN 'http://' ELSE 'HTTPS://www.' END)
+        |      || source || '.example.com/page/' || CAST(doc_id % 7 AS VARCHAR)
+        |      || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed'
+        |               WHEN doc_id % 4 = 1 THEN '?ref=home&utm_campaign=x'
+        |               WHEN doc_id % 4 = 2 THEN '/' ELSE '' END)),
+        |      '^https?://', ''), '^www\.', ''), '\?.*$', ''), '/$', '') AS canon
+        |  FROM corpus),
+        |s1 AS (SELECT doc_id, source, text FROM cu
+        |       WHERE doc_id IN (SELECT min(doc_id) FROM cu GROUP BY canon)),
+        |s2 AS (SELECT doc_id, text FROM s1
+        |       WHERE doc_id IN (SELECT min(doc_id) FROM s1 GROUP BY text)),
+        |s3 AS (SELECT doc_id FROM s2
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM removed))
+        |SELECT '1_url' AS tier,
+        |  CAST((SELECT count(*) FROM corpus) AS BIGINT) AS n_in,
+        |  CAST((SELECT count(*) FROM corpus) - (SELECT count(*) FROM s1) AS BIGINT) AS n_dropped,
+        |  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_out,
+        |  CAST((SELECT coalesce(sum(doc_id), 0) FROM s1) AS BIGINT) AS survivor_id_sum
+        |UNION ALL
+        |SELECT '2_exact' AS tier,
+        |  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_in,
+        |  CAST((SELECT count(*) FROM s1) - (SELECT count(*) FROM s2) AS BIGINT) AS n_dropped,
+        |  CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_out,
+        |  CAST((SELECT coalesce(sum(doc_id), 0) FROM s2) AS BIGINT) AS survivor_id_sum
+        |UNION ALL
+        |SELECT '3_near' AS tier,
+        |  CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_in,
+        |  CAST((SELECT count(*) FROM s2) - (SELECT count(*) FROM s3) AS BIGINT) AS n_dropped,
+        |  CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_out,
+        |  CAST((SELECT coalesce(sum(doc_id), 0) FROM s3) AS BIGINT) AS survivor_id_sum
+        |ORDER BY tier""".stripMargin),
 
     "q_mixture_weights" ->
       """WITH c AS (SELECT source AS stratum, count(*) AS n_docs FROM documents GROUP BY source),

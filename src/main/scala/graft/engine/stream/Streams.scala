@@ -1417,6 +1417,128 @@ object Streams {
         })
   }
 
+  /** Output row of [[streamingDedupCascade]]'s stateful URL stage —
+    * every arrival, flagged rather than dropped, so the downstream
+    * tiers can attribute. */
+  final case class CascadeAdmit(doc_id: Long, text: String, url_dup: Boolean)
+
+  /** s_stream_dedup_cascade (r16, verdict item 4): the dedup CASCADE at
+    * the ingest firehose — the streaming composition of the three
+    * existing tier faces in production order, cheapest first, with
+    * ZERO new state machinery:
+    *
+    *   1. URL admission (`s_stream_url_dedup`'s exact machinery): the
+    *      ONE stateful stage — a Boolean of `flatMapGroupsWithState`
+    *      state per distinct canonical URL (the shared
+    *      [[graft.engine.ops.TextPipeline.canonicalUrl]] rule), here
+    *      emitting every arrival with a `url_dup` flag instead of
+    *      dropping, because the cascade's product is the ATTRIBUTION;
+    *   2. exact text vs the reference (`s_stream_bloom_dedup`'s plan
+    *      verbatim): the construction-time Bloom literal prefilters,
+    *      the broadcast confirm join decides — stateless;
+    *   3. near-dup vs the reference ([[streamingNearDupIncremental]]'s
+    *      banded probe against the construction-time
+    *      `minhashBandedIndex`): collapsed to a per-doc verdict in
+    *      batch-land — stateless.
+    *
+    * Tiers 2-3 are firehose-vs-REFERENCE by design (the zero-state
+    * property): within-stream exact/near dups across batches are the
+    * registry-backed faces' job (`s_stream_line_dedup`,
+    * `s_stream_cluster_maintenance`); this face is the admission
+    * cascade a crawler runs against its standing store. The per-doc
+    * near verdict needs a doc-keyed collapse of band-collision hits,
+    * so the tier composition runs in `foreachBatch` (the maintenance
+    * lifecycle pattern) — each micro-batch's verdicts are handed to
+    * `sink` as one (doc_id, dropped_at) frame, `dropped_at` ∈
+    * ('url' | 'exact' | 'near' | NULL = admitted). The sink must
+    * consume the frame within the callback (micro-batch lifetime).
+    *
+    * Batching-invariance (spec-pinned): tiers 2-3 are per-doc pure
+    * functions of (text, reference), and tier 1 admits the min-id
+    * copy per canonical URL under id-ordered arrival — so the verdict
+    * set equals the batch twins' at ANY batch slicing. */
+  def streamingDedupCascade(docs: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, reference: DataFrame, threshold: Double,
+      checkpoint: String, sink: DataFrame => Unit): StreamingQuery = {
+    val spark = reference.sparkSession
+    graft.engine.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // tier-2/3 reference models, built ONCE at stream construction
+    // (the offline-model discipline the bloom/index faces established)
+    val refTexts = reference.select(col(textCol).as("text")).distinct()
+    val bloomBytes = refTexts
+      .agg(call_function("bloom_agg", xxhash64(col("text")), lit(100000L)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val index = graft.engine.ops.Similarity
+      .minhashBandedIndex(reference, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val id = col(idCol).cast("long")
+    val gated = docs
+      .select(id.as("doc_id"), col(textCol).as("text"),
+        graft.engine.ops.TextPipeline.canonicalUrl(
+          graft.engine.ops.TextPipeline.deriveUrl(id, col(sourceCol))).as("cu"))
+      .as[(Long, String, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[(Long, String, String)],
+         state: GroupState[Boolean]) => {
+          val rs = rows.toList
+          if (state.exists)
+            rs.iterator.map(r => CascadeAdmit(r._1, r._2, url_dup = true))
+          else {
+            state.update(true)
+            val keep = rs.iterator.map(_._1).min
+            rs.iterator.map(r => CascadeAdmit(r._1, r._2, r._1 != keep))
+          }
+        })
+    gated.toDF().writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        sink(cascadeVerdicts(batch.toDF(), bloomBytes, refTexts, index, threshold))
+        ()
+      }
+      .start()
+  }
+
+  /** The stateless tier-2/3 composition behind [[streamingDedupCascade]]
+    * — batch-land over one micro-batch's gated rows, exposed for the
+    * parity spec's batch twin. */
+  private[stream] def cascadeVerdicts(gated: DataFrame, bloomBytes: Array[Byte],
+      refTexts: DataFrame, index: DataFrame, threshold: Double): DataFrame = {
+    val spark = gated.sparkSession
+    graft.engine.functions.GraftFunctions.register(spark)
+    // exact tier (bloomDedup's plan): the Bloom literal prefilters, the
+    // broadcast confirm join decides — only url-survivors pay it
+    val exactFlag =
+      if (bloomBytes == null) gated.select(col("doc_id"), lit(false).as("exact_dup"))
+      else {
+        val hitProbe = call_function("bloom_contains",
+          lit(bloomBytes), xxhash64(col("text")))
+        val misses = gated.filter(!hitProbe)
+          .select(col("doc_id"), lit(false).as("exact_dup"))
+        val hits = gated.filter(hitProbe)
+          .join(broadcast(refTexts.withColumn("confirmed", lit(true))),
+            Seq("text"), "left_outer")
+          .select(col("doc_id"), coalesce(col("confirmed"), lit(false)).as("exact_dup"))
+        hits.unionByName(misses)
+      }
+    val tiered = gated.join(exactFlag, Seq("doc_id"))
+    // near tier: the banded incremental probe, collapsed per doc —
+    // batch-land, so the doc-keyed distinct is an ordinary agg
+    val nearIds = streamingNearDupIncremental(
+        tiered.filter(!col("url_dup") && !col("exact_dup"))
+          .select(col("doc_id"), col("text")),
+        "text", index, threshold)
+      .select(col("doc_id_new").as("doc_id")).distinct()
+      .withColumn("near_dup", lit(true))
+    tiered.join(nearIds, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("url_dup"), "url")
+          .when(col("exact_dup"), "exact")
+          .when(coalesce(col("near_dup"), lit(false)), "near")
+          .otherwise(lit(null).cast("string")).as("dropped_at"))
+  }
+
   /** s_stream_cluster_maintenance: the cluster-table LIFECYCLE on a
     * live ingest — the foreachBatch composition a production dedup
     * actually schedules per micro-batch: probe the arriving slice
@@ -1451,6 +1573,15 @@ object Streams {
       // persists per batch. The sink owns atomicity/visibility
       // (StreamingSpec's snapshot spec commits each version through the
       // Compaction overlay manifest and pins readers to a generation).
+      // LIFETIME CONTRACT (r16, ADVICE): the frame handed to the sink
+      // is the SAME checkpointed `changed` slice the standing store
+      // rides, and the store deterministically releases superseded
+      // checkpoints at a later ingest boundary (CkptLease — lineage is
+      // truncated, a released frame cannot recompute). The sink must
+      // therefore fully materialize/write `changed` WITHIN the
+      // callback; retaining the DataFrame lazily past it reads missing
+      // checkpoint blocks. (The in-repo parquet sink consumes
+      // synchronously.)
       upsertSink: Option[(DataFrame, Long) => Unit] = None) {
     // corpus is append-only → the shared AppendOnlyFrame compaction
     // discipline (delta writes, collapse every 8 appends); the cluster
@@ -1475,6 +1606,8 @@ object Streams {
       standingF.seed(seedStanding.select(col("id"), col("cluster")))
     }
     def ingest(batch: DataFrame, version: Long = 0L): Unit = synchronized {
+      // ingest boundary: release legs superseded during PRIOR batches
+      corpusF.beginBatch(); standingF.beginBatch()
       val b = ckpt(batch.select(col(idCol), col(textCol)))
       if (b.isEmpty) { CkptLease.release(b); return }
       // ONE materialization per batch, and it is DELTA-sized: the
@@ -1584,17 +1717,30 @@ object Streams {
     * the rewrite is O(store / compactEvery), while consumers see the
     * identical row set either way (a union of materialized legs).
     *
-    * Ownership (r15): the frame OWNS every appended/seeded checkpoint.
-    * Legs superseded by a compaction are released via [[CkptLease]] at
-    * the START of the next append — one full batch later, so every
+    * Ownership (r15, release gating r16): the frame OWNS every
+    * appended/seeded checkpoint. Legs superseded by a compaction are
+    * released via [[CkptLease]] at the owner's next [[beginBatch]] —
+    * an explicit INGEST-boundary hook, one full batch later, so every
     * plan built over them during their batch has finished — keeping
-    * standing memory O(store), not O(store × compactions). */
+    * standing memory O(store), not O(store × compactions). (r16,
+    * ADVICE: release used to ride the next `append`, which for an
+    * owner appending twice per ingest — RecallRepairMaintenance's
+    * edge store — fired MID-batch and was safe only through an
+    * incidental eager checkpoint between the two appends; gating on
+    * the ingest boundary makes the one-full-batch contract
+    * structural.) Owners MUST call beginBatch() on every frame they
+    * hold at the top of each ingest/measure cycle. */
   private final class AppendOnlyFrame(compactEvery: Int = 8) {
     @volatile private var frame: Option[DataFrame] = None
     private var appends = 0
     private var parts: List[DataFrame] = Nil
     private var pendingRelease: List[DataFrame] = Nil
     def get: Option[DataFrame] = frame
+    /** Ingest-boundary hook: release every leg superseded during a
+      * PRIOR batch (never the current one — appends only enqueue). */
+    def beginBatch(): Unit = {
+      pendingRelease.foreach(CkptLease.release); pendingRelease = Nil
+    }
     /** Re-seed from a caller-materialized frame (kill-and-restart). */
     def seed(df: DataFrame): Unit = {
       pendingRelease = pendingRelease ++ parts
@@ -1602,7 +1748,6 @@ object Streams {
     }
     /** Append a caller-materialized delta; returns the new standing value. */
     def append(delta: DataFrame): DataFrame = {
-      pendingRelease.foreach(CkptLease.release); pendingRelease = Nil
       frame = Some(frame.fold(delta)(_.unionAll(delta)))
       parts = parts :+ delta
       appends += 1
@@ -1637,6 +1782,10 @@ object Streams {
     private var lastVer = -1L
     private var parts: List[DataFrame] = Nil
     private var pendingRelease: List[DataFrame] = Nil
+    /** Ingest-boundary hook — see [[AppendOnlyFrame.beginBatch]]. */
+    def beginBatch(): Unit = {
+      pendingRelease.foreach(CkptLease.release); pendingRelease = Nil
+    }
     private def resolve(df: DataFrame): DataFrame =
       df.groupBy("id")
         .agg(max(struct(col("version"), col("cluster"))).as("s"))
@@ -1666,7 +1815,6 @@ object Streams {
       * hands the same frame to its sink seam; the version projection
       * here is free over it). */
     def append(changed: DataFrame, version: Long): Unit = {
-      pendingRelease.foreach(CkptLease.release); pendingRelease = Nil
       val delta = changed.select(col("id"), col("cluster"), lit(version).as("version"))
       frame = Some(frame.fold(delta)(_.unionAll(delta)))
       parts = parts :+ changed
@@ -1749,6 +1897,14 @@ object Streams {
     }
 
     def ingest(batch: DataFrame, version: Long = 0L): Unit = synchronized {
+      // ingest boundary: release legs superseded during PRIOR batches.
+      // The edge store appends TWICE per ingest (newEdges, confirmed) —
+      // with release gated here instead of on append count, a leg a
+      // compaction supersedes in the first append survives the whole
+      // batch structurally, not by the accident of an eager checkpoint
+      // between the appends (r16 ADVICE item 2).
+      corpusF.beginBatch(); edgesF.beginBatch(); auditF.beginBatch()
+      refutedF.beginBatch(); standingF.beginBatch()
       val b = ckpt(batch.select(col(idCol), col(textCol)))
       if (b.isEmpty) { CkptLease.release(b); return }
       // ONE probe materialization per batch: the edge delta feeds the
@@ -1897,6 +2053,8 @@ object Streams {
       reg.seed(ckpt(seedLines.select(col("line"))))
     }
     def ingest(batch: DataFrame): Unit = synchronized {
+      // ingest boundary: release legs superseded during PRIOR batches
+      reg.beginBatch(); emittedF.beginBatch()
       val b = ckpt(batch.select(col(idCol).cast("long").as("doc_id"), col(textCol)))
       if (b.isEmpty) { CkptLease.release(b); return }
       val rawLines = b.select(col("doc_id"),

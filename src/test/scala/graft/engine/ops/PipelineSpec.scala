@@ -167,4 +167,92 @@ class PipelineSpec extends SparkSuite {
       s"classifier-gated manifest covers $nDocs docs, recomposition leaves ${expected.size}")
     assert(clfKeep.size < corpus.count(), "the learned gate must actually drop something")
   }
+
+  // r16 (verdict item 3): the mixture EXECUTOR must reconcile exactly
+  // against the plan table in BOTH directions — plan→execution
+  // disagreement is the silent corpus bug the plan exists to prevent.
+  test("q_mixture_apply reconciles exactly against the domainMixture plan, both directions") {
+    val docs = Tables.documents(spark, sfDir)
+    val shares = Map("en" -> 2500L, "zh" -> 3000L, "es" -> 1500L,
+                     "de" -> 1500L, "fr" -> 1500L)
+    val plan = TextPipeline.domainMixture(docs, "lang", "text", shares, 60)
+      .select("domain", "n_docs", "sample_rate_ppm", "epochs_bp")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val out = TextPipeline.mixtureApply(docs, "doc_id", "lang", "text", shares, 60)
+      .select("doc_id", "domain", "epoch").as[(Long, String, Long)].collect()
+    // direction 1 — a HEAD domain (epochs_bp ≤ 10000) emits one epoch,
+    // carved to exactly the plan's ppm rate via the shared keyMix rule
+    val (_, enDocs, enPpm, enBp) = plan("en")
+    assert(enBp < 10000L, "fixture: en must be a down-sampled head domain")
+    val enEmitted = out.filter(_._2 == "en")
+    assert(enEmitted.forall(_._3 == 0L), "a head domain never repeats")
+    assert(enEmitted.length < enDocs, "en must actually be cut")
+    val enExpected = docs.filter(col("lang") === "en")
+      .filter(TextPipeline.keyMix(col("doc_id")) * lit(1000000L) <
+        lit(enPpm) * lit(4294967296L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(enEmitted.map(_._1).toSet == enExpected,
+      "en's emitted set must be exactly the plan-rate keyMix survivors")
+    // direction 2 — the DEFICIT domain repeats: every full epoch is the
+    // whole domain, the fractional tail is the epoch-salted bp carve
+    val (_, zhDocs, _, zhBp) = plan("zh")
+    assert(zhBp > 10000L, "fixture: zh must run a deficit")
+    val full = zhBp / 10000L
+    val fracBp = zhBp % 10000L
+    val zhByEpoch = out.filter(_._2 == "zh").groupBy(_._3)
+    (0L until full).foreach(e =>
+      assert(zhByEpoch(e).length == zhDocs, s"full epoch $e must carry the whole domain"))
+    assert(fracBp > 0L && zhByEpoch.contains(full), "fixture: zh must have a fractional tail")
+    val zhTail = zhByEpoch(full).map(_._1).toSet
+    assert(zhTail.nonEmpty && zhTail.size < zhDocs, "the tail epoch is a strict carve")
+    val zhTailExpected = docs.filter(col("lang") === "zh")
+      .filter(TextPipeline.keyMix(col("doc_id") + lit(1000003L * full)) * lit(10000L) <
+        lit(fracBp) * lit(4294967296L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(zhTail == zhTailExpected,
+      "the tail epoch must be exactly the epoch-salted bp-carve survivors")
+    // per-epoch determinism: a second run is bit-identical
+    val again = TextPipeline.mixtureApply(docs, "doc_id", "lang", "text", shares, 60)
+      .select("doc_id", "domain", "epoch").as[(Long, String, Long)].collect()
+    assert(out.toSeq == again.toSeq, "the executor must be exactly replayable")
+  }
+
+  // r16 (verdict item 4): the cascade's attribution must reconcile
+  // tier-by-tier against the standalone operators composed in order.
+  test("q_dedup_cascade attribution reconciles against the composed standalone tiers") {
+    val rows = graft.SparkEntry.queries("q_dedup_cascade")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("1_url", "2_exact", "3_near"))
+    // conservation + arithmetic + every tier genuinely cuts
+    assert(rows(0)._4 == rows(1)._2 && rows(1)._4 == rows(2)._2,
+      "each tier's output must be the next tier's input")
+    rows.foreach { r =>
+      assert(r._3 == r._2 - r._4, s"tier ${r._1}: dropped must equal in - out")
+      assert(r._3 > 0, s"tier ${r._1} must cut on the fixture")
+    }
+    assert(rows(0)._3 > rows(1)._3 && rows(0)._3 > rows(2)._3,
+      "the cheapest tier must do the bulk of the cutting on a crawl-shaped fixture")
+    // independent recomposition from the standalone public ops
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"), col("text"))
+    val recrawl = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"), col("text"))
+    val mirror = base.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("source"), lit("-m")).as("source"), col("text"))
+    val corpus = base.unionAll(recrawl).unionAll(mirror)
+    val s1 = corpus.join(
+      TextPipeline.urlDedup(corpus, "doc_id", "source")
+        .select(col("survivor").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val s2 = s1.join(
+      TextPipeline.exactDedup(s1, "doc_id", "text").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val removed = Similarity
+      .minhashNearDup(Tables.documents(spark, sfDir), "doc_id", "text", 0.9, ordered = false)
+      .select(col("doc_id_2").as("doc_id")).distinct()
+    val s3 = s2.join(removed, Seq("doc_id"), "left_anti")
+    val (n3, sum3) = s3.agg(count(lit(1)), sum("doc_id")).as[(Long, Long)].head()
+    assert(rows(2)._4 == n3 && rows(2)._5 == sum3,
+      "cascade survivors must equal the standalone composition's survivor set")
+  }
 }

@@ -434,6 +434,20 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  // r16: the d=2 FastSS law on the same adversarial generator — short
+  // random 3-letter-alphabet strings maximize double-deletion variant
+  // collisions (equal strings, transposition-like double subs, pure
+  // 2-char inserts/deletes at every position pair).
+  test("fuzzyMatch d=2 deletion path equals the block join on random strings (5 iters)") {
+    check("fuzzy-del2", 5)(Prop.forAll(fuzzyRecords) { recs =>
+      val df = recs.toDF("id", "s", "blk")
+      def pairs(d: org.apache.spark.sql.DataFrame) =
+        d.as[(Long, Long, String, String, Long)].collect().toSet
+      pairs(TextPipeline.fuzzyMatchDel2(df, "id", "s", Seq("blk"))) ==
+        pairs(TextPipeline.fuzzyMatchBlockJoin(df, "id", "s", Seq("blk"), 2))
+    })
+  }
+
   // r10: prefix-filter completeness on RANDOM token sets (shingleK=1 —
   // the token-set form, so the law covers the regime the fixture
   // binding does not): the candidate equi-join must reproduce the

@@ -1285,6 +1285,39 @@ class TextSimilaritySpec extends SparkSuite {
       s"strategies diverge: only-fast=${(fast -- slow).take(3)} only-slow=${(slow -- fast).take(3)}")
   }
 
+  // r16 (verdict item 6): the d=2 FastSS path must ALSO reproduce the
+  // quadratic block join exactly on the registered fixture — the
+  // property that let q_fuzzy_match2 come off the xl-exempt list.
+  test("fuzzy match d=2: the FastSS 2-deletion strategy equals the quadratic block join exactly") {
+    val cust = graft.engine.io.Tables.customer(spark, sfDir)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, String, String, Long)].collect().toSet
+    val fast = pairSet(graft.engine.ops.TextPipeline
+      .fuzzyMatchDel2(cust, "c_custkey", "c_name", Seq("c_nationkey")))
+    val slow = pairSet(graft.engine.ops.TextPipeline
+      .fuzzyMatchBlockJoin(cust, "c_custkey", "c_name", Seq("c_nationkey"), 2))
+    assert(fast.exists(_._5 == 2L), "fixture must contain distance-2 pairs")
+    assert(fast == slow,
+      s"strategies diverge: only-fast=${(fast -- slow).take(3)} only-slow=${(slow -- fast).take(3)}")
+    // the registered key routes through the gate: customer names are
+    // short, so fuzzyMatch(…, 2) must take the deletion path — pinned
+    // by plan shape (a deletion-path plan carries a generator/explode;
+    // the block join has none)
+    val gatedPlan = graft.engine.ops.TextPipeline
+      .fuzzyMatch(cust, "c_custkey", "c_name", Seq("c_nationkey"), 2)
+      .queryExecution.optimizedPlan.toString
+    assert(gatedPlan.contains("Generate"),
+      "short-string d=2 must route through the deletion-neighborhood path")
+    // …and a corpus past the length gate falls back to the block join
+    val long = Seq((1L, "x" * 60, 0), (2L, "x" * 59 + "y", 0))
+      .toDF("id", "s", "blk")
+    val fallbackPlan = graft.engine.ops.TextPipeline
+      .fuzzyMatch(long, "id", "s", Seq("blk"), 2)
+      .queryExecution.optimizedPlan.toString
+    assert(!fallbackPlan.contains("Generate"),
+      "past-gate strings must route through the blocked self-join")
+  }
+
   test("regex scrub: counts and masking agree, clean text carries no denylist hits") {
     val docs = Seq(
       (1L, "customer key value keychain customer"),

@@ -556,6 +556,56 @@ class StreamingSpec extends SparkSuite {
       "parity must be non-vacuous: re-crawled URLs must have been bounced")
   }
 
+  // s_stream_dedup_cascade (r16): the composed admission cascade at the
+  // firehose — the URL gate's Boolean state plus the stateless
+  // bloom/banded reference tiers, with per-tier ATTRIBUTION
+  test("s_stream_dedup_cascade: per-tier verdicts are exact and batching-invariant") {
+    val reference = (1L to 20L).map(i =>
+      (i, s"ref tok${i}a tok${i}b alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val ref5 = s"ref tok5a tok5b alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // ref doc 3's token SET permuted: raw text differs (tier 2 misses),
+    // token-set Jaccard is 1.0 (the banded tier collides deterministically)
+    val near3 = s"kappa iota theta eta zeta epsilon delta gamma beta alpha tok3b tok3a ref"
+    // arrivals (lang slot carries source): 100/114/107 share one
+    // canonical URL (same source, ids ≡ 2 mod 7); 101 is a verbatim
+    // reference copy; 102 the permuted near-dup; 103 fresh
+    val arrivals = Map[Long, String](
+      100L -> "fresh text one hundred with its own tokens",
+      114L -> "different body, same canonical page",
+      101L -> ref5,
+      107L -> "yet another body on the shared page",
+      102L -> near3,
+      103L -> "another genuinely fresh document body")
+    val expected = Map[Long, Option[String]](
+      100L -> None, 114L -> Some("url"), 101L -> Some("exact"),
+      107L -> Some("url"), 102L -> Some("near"), 103L -> None)
+    def drive(tag: String, batches: Seq[Seq[Long]]): Map[Long, Option[String]] = {
+      val in = MemoryStream[LDoc](spark)
+      val out = mutable.ArrayBuffer[(Long, Option[String])]()
+      val q = Streams.streamingDedupCascade(
+        in.toDF().select(col("doc_id"), col("lang").as("source"), col("text")),
+        "doc_id", "source", "text", reference, 0.9, tmpDir(tag),
+        b => out.synchronized {
+          out ++= b.collect().map(r => (r.getLong(0), Option(r.getString(1))))
+        })
+      batches.foreach { ids =>
+        in.addData(ids.map(id => LDoc(id, ts(id), "srca", arrivals(id))): _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      out.toMap
+    }
+    // the URL-dup trio straddles a batch cut: 100+114 same batch
+    // (min-id admits 100), 107 a later batch (state bounces it)
+    val straddled = drive("cascade-a", Seq(Seq(100L, 114L, 101L), Seq(107L, 102L, 103L)))
+    assert(straddled == expected, s"straddled-batch verdicts diverge: $straddled")
+    // batching invariance: the whole id-ordered corpus as ONE batch
+    // yields the identical verdict set
+    val oneShot = drive("cascade-b", Seq(Seq(100L, 101L, 102L, 103L, 107L, 114L)))
+    assert(oneShot == expected, s"one-batch verdicts diverge: $oneShot")
+  }
+
   // s_stream_domain_cap: per-domain ingest quota, one counter per domain
   test("s_stream_domain_cap: one-batch ingest replays the batch domainCap keep set") {
     val docs = (1L to 20L).map(i =>
