@@ -4251,16 +4251,26 @@ object TextPipeline {
           .otherwise(concat(s0.substr(lit(1), i - 1),
             s0.substr(i + 1, j - i - 1), s0.substr(j + 1, length(s0))))))
       .drop("i", "j")
+    // the candidate join and its collapse run NARROW — (id, vk, block)
+    // only, no strings: a candidate row is 2 ids, and the distinct
+    // that collapses shared-variant multiplicity (a true pair shares
+    // up to ~|s| variants) shuffles 16-byte pairs instead of pairs
+    // with both strings attached (~3× less exchange at the 100× ladder
+    // rung's 28M candidate rows). Strings re-attach to the collapsed
+    // pair set from the corpus-sized base — broadcast-able here,
+    // key-shuffled at scale, either way sized by PAIRS not candidates —
+    // and the exact thresholded verify runs once per distinct pair.
     val a = variants.select(
-      col("id").as("id_1") +: col("s").as("sa") +: col("vk") +: blockCols.map(col): _*)
+      col("id").as("id_1") +: col("vk") +: blockCols.map(col): _*)
     val b = variants.select(
-      col("id").as("id_2") +: col("s").as("sb") +: col("vk") +: blockCols.map(col): _*)
+      col("id").as("id_2") +: col("vk") +: blockCols.map(col): _*)
     // shuffle-hash, never broadcast — see fuzzyMatchDel1's join note
-    a.join(b.hint("shuffle_hash"), blockCols :+ "vk")
+    val cand = a.join(b.hint("shuffle_hash"), blockCols :+ "vk")
       .filter(col("id_1") < col("id_2"))
-      // a pair shares one variant per aligned deletion choice — collapse
-      // before the verify so the distance runs once per pair
-      .select("id_1", "id_2", "sa", "sb").distinct()
+      .select("id_1", "id_2").distinct()
+    cand
+      .join(base.select(col("id").as("id_1"), col("s").as("sa")), "id_1")
+      .join(base.select(col("id").as("id_2"), col("s").as("sb")), "id_2")
       .withColumn("dist", levenshtein(col("sa"), col("sb"), 2).cast("long"))
       .filter(col("dist") >= 0 && col("dist") <= 2)
       .select("id_1", "id_2", "sa", "sb", "dist")
