@@ -932,10 +932,17 @@ object TextPipeline {
     * the expensive tier runs at all (a crawl where tier 1 cuts 40%
     * sizes tier 3's cluster differently than one where it cuts 4%).
     * `pairs` is the caller's verified near-dup pair set over the BASE
-    * corpus (the memoized shared graph); banding depends only on each
-    * doc's own signature, so restricting it to pairs with both
-    * endpoints surviving tiers 1-2 equals re-running the banding on
-    * the survivor corpus.
+    * corpus (the memoized shared graph), and tier 3 RESTRICTS it to
+    * the tier-1/2 survivors before removing: banding depends only on
+    * each doc's own signature and the verify only on the pair, so the
+    * base graph restricted to pairs whose endpoints survive equals
+    * re-running band+verify on the survivor corpus. The restriction is
+    * a semi-join on the pair's min-id REPRESENTATIVE (`doc_id_1`) —
+    * checking `doc_id_2` too would be output-neutral, since a doc
+    * already dropped at tiers 1-2 is not in tier 3's input and the
+    * removal is an anti-join (r17, ADVICE: the unrestricted graph
+    * over-dropped docs whose representative died at tier 1/2, leaving
+    * a content family with NO surviving member).
     *
     * Scale shape: each tier is one keyed aggregate plus an id-keyed
     * semi/anti join back — three linear passes and the already-banded
@@ -953,7 +960,9 @@ object TextPipeline {
     val exactSurvIds = s1.groupBy("text").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     val s2 = s1.join(exactSurvIds, Seq("doc_id"), "left_semi")
-    val removed = pairs.select(col("doc_id_2").as("doc_id")).distinct()
+    val removed = pairs
+      .join(s2.select(col("doc_id").as("doc_id_1")), Seq("doc_id_1"), "left_semi")
+      .select(col("doc_id_2").as("doc_id")).distinct()
     val s3 = s2.join(removed, Seq("doc_id"), "left_anti")
     def tierRow(tier: String, in: DataFrame, out: DataFrame): DataFrame =
       in.agg(count(lit(1)).as("n_in"))
@@ -1929,6 +1938,62 @@ object TextPipeline {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** ROUGE-N overlap audit (r17) — CLIPPED-multiset n-gram
+    * recall/precision/F1 between candidate and reference texts: the
+    * canonical summarization/eval metric, and the decontamination
+    * family's multiset-aware face. [[contamination]] counts DISTINCT
+    * shared shingles, so a candidate repeating one leaked reference
+    * gram 50× scores the same as one occurrence; ROUGE clips instead —
+    * per gram the pair scores `min(c_cand(g), c_ref(g))`, the exact
+    * n-gram co-occurrence credit. All-integer ppm arithmetic (this
+    * file's no-transcendentals rule):
+    *
+    *   shared        = Σ_g min(c_cand(g), c_ref(g))
+    *   recall_ppm    = ⌊10⁶·shared / ref_total⌋
+    *   precision_ppm = ⌊10⁶·shared / cand_total⌋
+    *   f1_ppm        = ⌊2·r·p / (r+p)⌋  (harmonic mean of the ppms)
+    *
+    * Scale shape: references are an EVAL SET — small by construction —
+    * so their per-(ref, gram) count table broadcasts (the
+    * [[contamination]] discipline) and the corpus side never shuffles
+    * for the probe; the per-(cand, gram) count and the pair overlap are
+    * partial+final aggs; pairs exist only where a gram matches, so the
+    * output is overlap-sized, never cand × ref. The one non-broadcast
+    * join attaches cand_total to the overlap rows — overlap-sized
+    * against a doc-count-sized total table, both keyed by cand_id. */
+  def rougeOverlap(candidates: DataFrame, candIdCol: String, candTextCol: String,
+                   references: DataFrame, refIdCol: String, refTextCol: String,
+                   n: Int = 2): DataFrame = {
+    require(n == 2, "fixture contract pins bigrams")
+    def grams(c: Column): Column = {
+      val t = toks(c)
+      when(size(t) >= 2,
+        transform(arrays_zip(slice(t, lit(1), size(t) - 1),
+                             slice(t, lit(2), size(t) - 1)),
+          s => concat_ws(" ", s("0"), s("1"))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val cg = candidates.select(col(candIdCol).as("cand_id"),
+        explode(grams(col(candTextCol))).as("g"))
+      .groupBy("cand_id", "g").agg(count(lit(1)).as("c_cand"))
+    val candTot = cg.groupBy("cand_id").agg(sum("c_cand").as("cand_total"))
+    val rg = references.select(col(refIdCol).as("ref_id"),
+        explode(grams(col(refTextCol))).as("g"))
+      .groupBy("ref_id", "g").agg(count(lit(1)).as("c_ref"))
+    val refTot = rg.groupBy("ref_id").agg(sum("c_ref").as("ref_total"))
+    cg.join(broadcast(rg), "g")
+      .groupBy("cand_id", "ref_id")
+      .agg(sum(least(col("c_cand"), col("c_ref"))).as("shared"))
+      .join(broadcast(refTot), "ref_id")
+      .join(candTot, "cand_id")
+      .select(col("cand_id"), col("ref_id"), col("shared"),
+        expr("1000000 * shared DIV ref_total").as("recall_ppm"),
+        expr("1000000 * shared DIV cand_total").as("precision_ppm"))
+      .withColumn("f1_ppm",
+        expr("2 * recall_ppm * precision_ppm DIV (recall_ppm + precision_ppm)"))
+      .orderBy("cand_id", "ref_id")
+  }
+
   /** Unicode NFC normalization pass — canonical composition of the text
     * column plus a changed flag, the "fix the text before you hash it"
     * curation step (decomposed accents, legacy encodings round-tripped
@@ -2769,6 +2834,14 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** SAMPLE-TIER CONTRACT (r17, declaring the scale boundary every
+    * other operator states): the learn loop below materializes the
+    * corpus O(nMerges/2) times — inherent to BPE, whose merge i+1's
+    * counts depend on merge i's rewrite. At 100 TB a tokenizer is
+    * trained on a BOUNDED SAMPLE (reservoir / hash-carve, the
+    * `q_sample_*` operators) with identical arithmetic, then APPLIED
+    * at full scale via [[bpeApply]]'s single linear pass — train-on-
+    * sample, apply-everywhere, the kmeansTrain/ivfCodebook loop. */
   private def bpeChain(documents: DataFrame, idCol: String, textCol: String,
                        nMerges: Int): (DataFrame, DataFrame) = {
     val spark = documents.sparkSession
@@ -4126,6 +4199,14 @@ object TextPipeline {
     *    combinatorially in d, so the block-local quadratic verify is
     *    the honest long-string/high-d fallback; compose a tighter key
     *    into `blockCols` to bound blocks).
+    *
+    * NOTE (r17, ADVICE): with `maxDist == 2` this function is NOT pure
+    * plan construction — the strategy gate runs one EAGER `max(length)`
+    * aggregate over `records` at call time (the counted-gate
+    * discipline, like the CC union-find fuse), i.e. one narrow scan of
+    * the input before the returned frame executes. Callers
+    * constructing plans speculatively pay that scan per construction;
+    * construct once and reuse the frame.
     */
   def fuzzyMatch(records: DataFrame, idCol: String, strCol: String,
                  blockCols: Seq[String], maxDist: Int): DataFrame =
@@ -4786,6 +4867,12 @@ object TextPipeline {
     "q_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       contamination(docs.filter(col("doc_id") >= 10), "doc_id", "text",
+        docs.filter(col("doc_id") < 10), "doc_id", "text")
+    }),
+    // same corpus/eval-set split as q_contamination; clipped bigrams
+    "q_rouge_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      rougeOverlap(docs.filter(col("doc_id") >= 10), "doc_id", "text",
         docs.filter(col("doc_id") < 10), "doc_id", "text")
     }),
     "q_dedup_paragraph" -> ((s, d) =>
@@ -5575,6 +5662,33 @@ object TextPipeline {
         |GROUP BY cs.doc_id, bs.bench_id
         |HAVING count(*) >= 2
         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // clipped-multiset bigram overlap, replayed relationally: per-side
+    // (doc, gram) counts, least() under the gram join, integer ppm
+    "q_rouge_overlap" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM tk),
+        |cg AS (SELECT doc_id AS cand_id, g, count(*) AS c_cand
+        |       FROM g WHERE doc_id >= 10 GROUP BY 1, 2),
+        |rg AS (SELECT doc_id AS ref_id, g, count(*) AS c_ref
+        |       FROM g WHERE doc_id < 10 GROUP BY 1, 2),
+        |ct AS (SELECT cand_id, sum(c_cand) AS cand_total FROM cg GROUP BY 1),
+        |rt AS (SELECT ref_id, sum(c_ref) AS ref_total FROM rg GROUP BY 1),
+        |ov AS (SELECT cand_id, ref_id, sum(least(c_cand, c_ref)) AS shared
+        |       FROM cg JOIN rg USING (g) GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT cand_id, ref_id, CAST(shared AS BIGINT) AS shared,
+        |    CAST(1000000 * shared // ref_total AS BIGINT) AS recall_ppm,
+        |    CAST(1000000 * shared // cand_total AS BIGINT) AS precision_ppm
+        |  FROM ov JOIN rt USING (ref_id) JOIN ct USING (cand_id))
+        |SELECT cand_id, ref_id, shared, recall_ppm, precision_ppm,
+        |  CAST(2 * recall_ppm * precision_ppm //
+        |       (recall_ppm + precision_ppm) AS BIGINT) AS f1_ppm
+        |FROM scored
+        |ORDER BY cand_id, ref_id""".stripMargin,
 
     // NFC is NFC on both engines (Unicode stability policy)
     "q_normalize_text" ->
@@ -6808,13 +6922,15 @@ object TextPipeline {
     // URL + canonicalization chain (q_dedup_url), the exact min-id text
     // rule (q_dedup_exact), and the shared minhash pair CTEs'
     // doc_id_2 removal rule (q_dedup_survivors) — over the augmented
-    // base ∪ recrawl ∪ mirror corpus the registration builds
+    // base ∪ recrawl ∪ mirror corpus the registration builds. Tier 3's
+    // removal is RESTRICTED to pairs whose min-id representative
+    // survived tiers 1-2 (r17) — the operator's semi-join, replayed
+    // relationally after s2 is available
     "q_dedup_cascade" -> (Similarity.minhashOracleCtes +
       """,
         |all_pairs AS (
         |  SELECT doc_id_1, doc_id_2 FROM cross_pairs
         |  UNION ALL SELECT doc_id_1, doc_id_2 FROM within_pairs),
-        |removed AS (SELECT DISTINCT doc_id_2 AS doc_id FROM all_pairs),
         |corpus AS (
         |  SELECT doc_id, source, text FROM documents
         |  UNION ALL
@@ -6837,6 +6953,8 @@ object TextPipeline {
         |       WHERE doc_id IN (SELECT min(doc_id) FROM cu GROUP BY canon)),
         |s2 AS (SELECT doc_id, text FROM s1
         |       WHERE doc_id IN (SELECT min(doc_id) FROM s1 GROUP BY text)),
+        |removed AS (SELECT DISTINCT doc_id_2 AS doc_id FROM all_pairs
+        |            WHERE doc_id_1 IN (SELECT doc_id FROM s2)),
         |s3 AS (SELECT doc_id FROM s2
         |       WHERE doc_id NOT IN (SELECT doc_id FROM removed))
         |SELECT '1_url' AS tier,

@@ -1452,6 +1452,9 @@ object Streams {
     * `sink` as one (doc_id, dropped_at) frame, `dropped_at` ∈
     * ('url' | 'exact' | 'near' | NULL = admitted). The sink must
     * consume the frame within the callback (micro-batch lifetime).
+    * The construction-time banded index is persisted for the query's
+    * lifetime and RELEASED by a terminate-hooked listener when the
+    * query stops (r17) — callers own nothing.
     *
     * Batching-invariance (spec-pinned): tiers 2-3 are per-doc pure
     * functions of (text, reference), and tier 1 admits the min-id
@@ -1491,13 +1494,40 @@ object Streams {
             rs.iterator.map(r => CascadeAdmit(r._1, r._2, r._1 != keep))
           }
         })
-    gated.toDF().writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        sink(cascadeVerdicts(batch.toDF(), bloomBytes, refTexts, index, threshold))
-        ()
+    // the banded index persisted above lives exactly as long as THIS
+    // query (r17, ADVICE): a terminate-hooked listener releases it, so
+    // repeated stream starts in one session don't stack cached indexes.
+    // The listener registers BEFORE start so no terminate event can slip
+    // past it; the id holder is set right after start — if the query
+    // could somehow terminate in that gap the event is ignored and the
+    // index merely reverts to session-lifetime (the pre-r17 behavior),
+    // never a double-release or a premature one.
+    val queryId = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
+    val release = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == queryId.get()) {
+          index.unpersist(blocking = false)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(release)
+    val query =
+      try gated.toDF().writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          sink(cascadeVerdicts(batch.toDF(), bloomBytes, refTexts, index, threshold))
+          ()
+        }
+        .start()
+      catch { case t: Throwable =>
+        spark.streams.removeListener(release)
+        index.unpersist(blocking = false)
+        throw t
       }
-      .start()
+    queryId.set(query.id)
+    query
   }
 
   /** The stateless tier-2/3 composition behind [[streamingDedupCascade]]
@@ -1507,36 +1537,44 @@ object Streams {
       refTexts: DataFrame, index: DataFrame, threshold: Double): DataFrame = {
     val spark = gated.sparkSession
     graft.engine.functions.GraftFunctions.register(spark)
+    // url-dups take their verdict straight to the union (r17, ADVICE):
+    // only url-survivors pay the exact/near tiers, and carrying `text`
+    // through the exact flag instead of equi-joining back on doc_id
+    // means a doc_id arriving twice in one micro-batch keeps its input
+    // multiplicity instead of squaring through the join
+    val urlDups = gated.filter(col("url_dup"))
+      .select(col("doc_id"), lit("url").as("dropped_at"))
+    val surv = gated.filter(!col("url_dup")).select(col("doc_id"), col("text"))
     // exact tier (bloomDedup's plan): the Bloom literal prefilters, the
-    // broadcast confirm join decides — only url-survivors pay it
+    // broadcast confirm join decides
     val exactFlag =
-      if (bloomBytes == null) gated.select(col("doc_id"), lit(false).as("exact_dup"))
+      if (bloomBytes == null)
+        surv.select(col("doc_id"), col("text"), lit(false).as("exact_dup"))
       else {
         val hitProbe = call_function("bloom_contains",
           lit(bloomBytes), xxhash64(col("text")))
-        val misses = gated.filter(!hitProbe)
-          .select(col("doc_id"), lit(false).as("exact_dup"))
-        val hits = gated.filter(hitProbe)
+        val misses = surv.filter(!hitProbe)
+          .select(col("doc_id"), col("text"), lit(false).as("exact_dup"))
+        val hits = surv.filter(hitProbe)
           .join(broadcast(refTexts.withColumn("confirmed", lit(true))),
             Seq("text"), "left_outer")
-          .select(col("doc_id"), coalesce(col("confirmed"), lit(false)).as("exact_dup"))
+          .select(col("doc_id"), col("text"),
+            coalesce(col("confirmed"), lit(false)).as("exact_dup"))
         hits.unionByName(misses)
       }
-    val tiered = gated.join(exactFlag, Seq("doc_id"))
     // near tier: the banded incremental probe, collapsed per doc —
     // batch-land, so the doc-keyed distinct is an ordinary agg
     val nearIds = streamingNearDupIncremental(
-        tiered.filter(!col("url_dup") && !col("exact_dup"))
-          .select(col("doc_id"), col("text")),
+        exactFlag.filter(!col("exact_dup")).select(col("doc_id"), col("text")),
         "text", index, threshold)
       .select(col("doc_id_new").as("doc_id")).distinct()
       .withColumn("near_dup", lit(true))
-    tiered.join(nearIds, Seq("doc_id"), "left_outer")
+    exactFlag.join(nearIds, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
-        when(col("url_dup"), "url")
-          .when(col("exact_dup"), "exact")
+        when(col("exact_dup"), "exact")
           .when(coalesce(col("near_dup"), lit(false)), "near")
           .otherwise(lit(null).cast("string")).as("dropped_at"))
+      .unionByName(urlDups)
   }
 
   /** s_stream_cluster_maintenance: the cluster-table LIFECYCLE on a
@@ -1953,7 +1991,10 @@ object Streams {
       // confirmed edges close their wedges structurally for every later
       // batch; they are disjoint from graphEdges by construction (the
       // queue only proposes ABSENT edges), so they append as a second
-      // delta part with no distinct
+      // delta part with no distinct. If THIS append triggers a
+      // compaction, the superseded legs (including the first append's)
+      // are NOT released here — release stays gated at the next
+      // ingest's beginBatch(), see the ingest header
       val edgesNext = edgesF.append(confirmed)
       // the CC delta keeps the FULL batch probe (not just newEdges):
       // a replayed edge already reflected in `standing` re-applies

@@ -247,12 +247,42 @@ class PipelineSpec extends SparkSuite {
     val s2 = s1.join(
       TextPipeline.exactDedup(s1, "doc_id", "text").select("doc_id"),
       Seq("doc_id"), "left_semi")
-    val removed = Similarity
+    val basePairs = Similarity
       .minhashNearDup(Tables.documents(spark, sfDir), "doc_id", "text", 0.9, ordered = false)
+    // r17 (ADVICE): tier 3 removes only along pairs whose min-id
+    // REPRESENTATIVE survived tiers 1-2 — the base graph restricted to
+    // survivors equals re-running band+verify on the survivor corpus
+    val removed = basePairs
+      .join(s2.select(col("doc_id").as("doc_id_1")), Seq("doc_id_1"), "left_semi")
       .select(col("doc_id_2").as("doc_id")).distinct()
     val s3 = s2.join(removed, Seq("doc_id"), "left_anti")
     val (n3, sum3) = s3.agg(count(lit(1)), sum("doc_id")).as[(Long, Long)].head()
     assert(rows(2)._4 == n3 && rows(2)._5 == sum3,
       "cascade survivors must equal the standalone composition's survivor set")
+    // (on THIS fixture the restricted and unrestricted tier-3 removals
+    // coincide — every removed doc also pairs with a surviving rep —
+    // which is exactly why the restriction needs its own pin below)
+  }
+
+  // r17 (ADVICE): tier 3 must remove only along pairs whose min-id
+  // REPRESENTATIVE survived tiers 1-2. Synthetic corpus where the
+  // composed fixture can't reach: doc 85 shares doc 1's canonical URL
+  // (ids ≡ 1 mod 84 align every deriveUrl modulus) so tier 1 kills it,
+  // and the pair (85, 90) must then NOT drop 90 — its content family
+  // has no surviving representative. The control pair (1, 95) keeps
+  // the tier-3 drop path exercised in the same run.
+  test("dedupCascade tier 3 spares docs whose pair representative died upstream") {
+    val docs = Seq(
+      (1L, "srca", "text one"), (85L, "srca", "text eighty-five"),
+      (90L, "srcb", "text ninety"), (95L, "srcc", "text ninety-five"))
+      .toDF("doc_id", "source", "text")
+    val pairs = Seq((85L, 90L), (1L, 95L)).toDF("doc_id_1", "doc_id_2")
+    val rows = TextPipeline.dedupCascade(docs, "doc_id", "source", "text", pairs)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows(0) == ("1_url", 4L, 1L, 3L, 186L),
+      s"tier 1 must drop exactly doc 85 (1's canonical twin): ${rows(0)}")
+    assert(rows(1) == ("2_exact", 3L, 0L, 3L, 186L), s"no exact dups: ${rows(1)}")
+    assert(rows(2) == ("3_near", 3L, 1L, 2L, 91L),
+      s"tier 3 must drop 95 (rep 1 survives) and SPARE 90 (rep 85 died): ${rows(2)}")
   }
 }
