@@ -249,7 +249,14 @@ object BenchStream {
     // at ~30), merged forward across runs.
     val ctBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_CLUSTER_BATCHES", "48").toInt
     val ctExtBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_CLUSTER_EXT_BATCHES", "0").toInt
-    val ctDocsPerBatch = 200
+    // r17 (the r16 §7.3 recipe): the decade rung's probe mass is
+    // env-sizable so 480 batches fit a round window — the r16 attempt
+    // at 200 docs/batch was killed unfinished at 3h20m because the
+    // harness-scale probe re-minhashes the standing corpus per batch,
+    // making the rung's total ~quadratic in (batches × docs). Each rung
+    // records its own docs_per_batch and its drift is within-rung, so
+    // mixed-mass rungs stay comparable.
+    val ctDocsPerBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_CLUSTER_DOCS", "200").toInt
     def ctRun(batches: Int): (Seq[(Long, Double)], Double, Double, Boolean) = {
       val ctMaint = new graft.engine.stream.Streams.ClusterMaintenance(
         "doc_id", "text", 0.8)

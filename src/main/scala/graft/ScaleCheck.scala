@@ -144,7 +144,11 @@ object ScaleCheck {
     // with corpus × epochs, so the per-output-row cost should ride
     // flat) and the composed dedup cascade (three linear tiers chained
     // by semi/anti joins — the pairwise stage stays banded)
-    "q_mixture_apply", "q_dedup_cascade")
+    "q_mixture_apply", "q_dedup_cascade",
+    // r17 new query: clipped-multiset ROUGE overlap (gram-keyed counts
+    // + broadcast reference join — the contamination shape with
+    // multiplicity; should ride linear like its distinct-count twin)
+    "q_rouge_overlap")
 
   val Runs = 3
   /** First-rung (10× data) coarse flag: slopes beyond this mean the
@@ -175,15 +179,7 @@ object ScaleCheck {
   val FlagRungNorm = 1.25
 
   /** Per-entry declared exemptions from [[FlagRungNorm]] beyond the
-    * audit tiers — each with the reason the measured trend is the
-    * fixture's, not the operator's:
-    *  - `q_semantic_dedup`: the fixture binds the FIXED 8-cell literal
-    *    codebook, so cell population grows with the corpus and the
-    *    within-cell verify grows with its square. The production path
-    *    (the trained-codebook overload, `q_semantic_dedup_trained`)
-    *    grows k with the corpus so cell population stays bounded — the
-    *    operator is linear in (n · cell_size); only the 8-cell fixture
-    *    pin is quadratic.
+    * audit tiers. EMPTY since r17 — the history of the retirements:
     * (r10's `q_missing_links` exemption is GONE: it existed only
     * because the un-normalized 2.5 threshold sat below the rung's own
     * 3× data ratio — normalized, its 0.9 is ordinary linear growth.
@@ -192,9 +188,15 @@ object ScaleCheck {
     * length gate (TextPipeline.fuzzyMatchDel2), so the quadratic
     * in-block verify the exemption covered no longer runs on the
     * fixture; the blocked join remains only as the long-string /
-    * d≥3 fallback.) */
-  val DeclaredXlExempt: Set[String] =
-    Set("q_semantic_dedup")
+    * d≥3 fallback.
+    * r17: `q_semantic_dedup`'s exemption — the last one — is GONE:
+    * the literal-codebook overload now carries a counted
+    * cell-population gate (Similarity.MaxLiteralCellPop) that retrains
+    * a corpus-sized codebook via ivfCodebookSized past n > NCells·256,
+    * so the within-cell verify stays bounded at every rung; the oracle
+    * SFs sit under the gate and hash unchanged, the xl/xxl rungs sit
+    * past it and ride the trained path.) */
+  val DeclaredXlExempt: Set[String] = Set.empty
 
   /** DIAGNOSTIC comparison entries (r15 verdict item 6), not
     * production-path linearity claims: both distributed CC loops run

@@ -1013,6 +1013,60 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
       .select(col("cell"), transform(col("dc"), x => x("c")).as("centroid"))
 
+  /** CORPUS-SIZED k-means codebook (r17, retiring the ladder's last
+    * xl exemption): [[kmeansTrain]]/[[ivfCodebook]] are seeded from the
+    * [[NCells]] literal centroids, so their k is pinned — the right
+    * contract for the hash-oracled fixtures, the wrong one for the
+    * SemDeDup scale story, which is precisely that k GROWS with the
+    * corpus so cell population stays bounded. This trainer takes k:
+    * seeds are the k lowest-keyMix corpus vectors (deterministic, no
+    * RNG — the sampling discipline every `q_sample_*` operator uses),
+    * then `iters` Lloyd rounds of the exact kmeansTrain arithmetic
+    * (broadcast-argmax assignment, floored integer mean statistics).
+    * Cells that lose all members drop out. Returns (cell, centroid),
+    * the [[ivfCodebook]] schema.
+    *
+    * Scale shape: the codebook is model-sized (k rows — the seed
+    * window's single partition holds k rows, not data); each round is
+    * one corpus-wide broadcast argmax + one (cell, dim)-keyed agg. At
+    * 100 TB the trainer runs on a bounded sample (the kmeansTrain
+    * contract), the assignment on everything. */
+  private[ops] def ivfCodebookSized(vectors: DataFrame, idCol: String,
+                                    vecCol: String, k: Int, iters: Int): DataFrame = {
+    val e = canonVec(vectors, idCol, vecCol)
+    val seedKey = TextPipeline.keyMix(col("vec_id"))
+    val wSeed = org.apache.spark.sql.expressions.Window
+      .orderBy(seedKey, col("vec_id"))
+    var cb = e.orderBy(seedKey, col("vec_id")).limit(k)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("cell", row_number().over(wSeed).cast("long"))
+      .select(col("cell"), col("embedding").as("centroid"))
+      .localCheckpoint()
+    var r = 0
+    while (r < iters) {
+      val assigned = e.crossJoin(broadcast(cb))
+        .select(col("vec_id"),
+          struct(dot(col("embedding"), col("centroid")).as("d"),
+            (-col("cell")).as("negc"), col("embedding").as("emb")).as("sc"))
+        .groupBy("vec_id").agg(max("sc").as("m"))
+        .select((-col("m.negc")).as("cell"), col("m.emb").as("embedding"))
+      cb = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim0", "v")))
+        .groupBy("cell", "dim0")
+        .agg(sum(floor(col("v").cast("double") * lit(1000000.0)).cast("long")).as("sum_x1e6"),
+          count(lit(1)).as("n"))
+        .select(col("cell"), col("dim0"),
+          (floor(col("sum_x1e6").cast("double") / col("n")).cast("long")
+            .cast("double") / lit(1000000.0)).as("c"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim0"), col("c")))).as("dc"))
+        .select(col("cell"), transform(col("dc"), x => x("c")).as("centroid"))
+        .localCheckpoint()
+      r += 1
+    }
+    cb
+  }
+
   /** Nearest-centroid assignment as a standalone narrow projection — the
     * streaming face of [[kmeansStep]]: every row maps to its cell with
     * zero state (the codebook is plan literals), so the same expression
@@ -1128,24 +1182,54 @@ object Similarity {
     * the partition key, so each block's self-join is partition-local). */
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
                     minCosine: Double): DataFrame = {
+    // COUNTED CELL-POPULATION GATE (r17, retiring the ladder's last xl
+    // exemption): a FIXED literal codebook stops being SemDeDup past
+    // the point where mean cell population (n / NCells) outgrows
+    // MaxLiteralCellPop — the within-cell verify turns quadratic in the
+    // corpus, the operator's defining approximation violated, not just
+    // a slow plan. Past the bound this overload RETRAINS: k sized as
+    // n / TargetCellSize via ivfCodebookSized (bounded cells by
+    // construction), then the trained-codebook overload below. Under
+    // the bound the literal path runs bit-identically to the hash
+    // oracle (both oracle SFs sit far under it; the ladder's xl/xxl
+    // rungs sit past it). Like every counted gate (fuzzyMatch's length
+    // gate, the CC union-find fuse) this makes the call NON-lazy: one
+    // count() at construction.
     val e = canonVec(vectors, idCol, vecCol)
-    val dots = array((0 until NCells).map(j => dot(col("embedding"), centroidCol(j))): _*)
-    val cells = e.withColumn("dots", dots)
-      .select(col("vec_id"), col("embedding"),
-              array_position(col("dots"), array_max(col("dots"))).as("cell"),
-              norm(col("embedding")).as("nrm"))
-    verifyWithinCells(cells, minCosine)
+    val n = e.count() // the counted gate — one narrow scan
+    if (n > NCells.toLong * MaxLiteralCellPop) {
+      val k = math.max(NCells, math.ceil(n.toDouble / TargetCellSize).toInt)
+      semanticDedup(vectors, idCol, vecCol, minCosine,
+        ivfCodebookSized(vectors, idCol, vecCol, k, iters = 2))
+    } else {
+      val dots = array((0 until NCells).map(j => dot(col("embedding"), centroidCol(j))): _*)
+      val cells = e.withColumn("dots", dots)
+        .select(col("vec_id"), col("embedding"),
+                array_position(col("dots"), array_max(col("dots"))).as("cell"),
+                norm(col("embedding")).as("nrm"))
+      verifyWithinCells(cells, minCosine)
+    }
   }
 
+  /** Mean-cell-population bound past which [[semanticDedup]]'s literal
+    * codebook retrains (n > NCells·256: the within-cell quadratic has
+    * outgrown the fixed tiling; both oracle SFs sit far under it). */
+  private val MaxLiteralCellPop = 256L
+
+  /** Cell size the retrained codebook targets: k = ceil(n / 128) keeps
+    * the within-cell verify at ~128²/2 pairs per cell — linear in n. */
+  private val TargetCellSize = 128.0
+
   /** [[semanticDedup]] with a TRAINED, caller-sized codebook — the
-    * production form of the operator and the reason the fixture
-    * binding's quadratic ladder trend is declared rather than fixed
-    * (SCALECHECK `declared_xl_exempt`): SemDeDup's scale story is that
+    * production form of the operator: SemDeDup's scale story is that
     * k grows with the corpus so cell population stays bounded (k ≈
     * n / target_cell_size), making the within-cell verify linear in
-    * n · cell_size. The literal-codebook overload above pins k = 8 for
-    * the hash oracle; this one takes the [[kmeansTrain]] /
-    * [[ivfCodebook]] output (broadcast-sized by construction) and
+    * n · cell_size. The literal-codebook overload above pins k =
+    * NCells for the hash oracle and, since r17, falls over to THIS
+    * path (via [[ivfCodebookSized]]) past its counted population gate
+    * — which is what retired the ladder's last `declared_xl_exempt`
+    * entry. Takes the [[kmeansTrain]] / [[ivfCodebook]] /
+    * [[ivfCodebookSized]] output (broadcast-sized by construction) and
     * assigns by broadcast argmax, same tie rule as [[clusterPrune]]. */
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
                     minCosine: Double, codebook: DataFrame): DataFrame = {

@@ -25,6 +25,26 @@ class TextSimilaritySpec extends SparkSuite {
     assert(bad < 1e-9)
   }
 
+  // r17: ROUGE must CLIP — a candidate repeating a leaked gram scores
+  // min(c_cand, c_ref), not its own count, and the ppm arithmetic is
+  // pinned to the hand computation.
+  test("rougeOverlap clips multiset counts; ppm arithmetic exact") {
+    val cand = Seq((10L, "a b a b a b")).toDF("doc_id", "text") // "a b"×3, "b a"×2
+    val ref = Seq((1L, "a b c")).toDF("doc_id", "text") // "a b"×1, "b c"×1
+    val got = TextPipeline.rougeOverlap(cand, "doc_id", "text", ref, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // shared = min(3,1) = 1; recall = 1/2 -> 500000 ppm;
+    // precision = 1/5 -> 200000 ppm; f1 = 2*5e5*2e5/7e5 = 285714
+    assert(got == Seq((10L, 1L, 1L, 500000L, 200000L, 285714L)),
+      s"clipped overlap must score min(c_cand, c_ref): $got")
+    // the registered fixture is non-vacuous and emits no full-overlap
+    // artifacts of the split (a candidate is never its own reference)
+    val reg = graft.SparkEntry.queries("q_rouge_overlap")(spark, sfDir)
+    assert(reg.count() > 0, "fixture must produce overlap pairs")
+    assert(reg.filter(col("cand_id") === col("ref_id")).isEmpty,
+      "candidate and reference sides are disjoint by the id split")
+  }
+
   test("contaminationExact recovers exact maximal run lengths; scattered shingles don't qualify") {
     val bench = Seq((1L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")).toDF("doc_id", "text")
     val corpus = Seq(
@@ -576,10 +596,11 @@ class TextSimilaritySpec extends SparkSuite {
 
   // r10: the production form of SemDeDup — trained, caller-sized
   // codebook (k grows with the corpus so cell population stays bounded;
-  // the fixture's 8-cell literal binding is why q_semantic_dedup sits on
-  // SCALECHECK's declared_xl_exempt list). Verified against a full
-  // driver-side replication: same argmax tie rule, same per-element
-  // float->double left-to-right dot, same HALF_UP rounding.
+  // since r17 the literal overload falls over to this path past its
+  // counted population gate, which retired the ladder's last
+  // declared_xl_exempt entry). Verified against a full driver-side
+  // replication: same argmax tie rule, same per-element float->double
+  // left-to-right dot, same HALF_UP rounding.
   test("semanticDedup(trained codebook): exactly the same-cell exact-cosine hits") {
     val emb = graft.engine.io.Tables.embeddings(spark, sfDir)
     val cb = Similarity.ivfCodebook(emb, "vec_id", "embedding", 2)
@@ -607,6 +628,62 @@ class TextSimilaritySpec extends SparkSuite {
     assert(got.nonEmpty, "trained-cell blocking must find topic-level pairs")
     assert(got == want,
       s"only-engine=${(got -- want).take(3)} only-ref=${(want -- got).take(3)}")
+  }
+
+  // r17 (retiring the ladder's last xl exemption): past the counted
+  // cell-population gate the literal overload retrains a corpus-sized
+  // codebook (ivfCodebookSized, deterministic keyMix seeds) and runs
+  // the trained path. Pinned by FULL driver replication — the sized
+  // trainer is deterministic, so rebuilding the same codebook and
+  // replaying assignment + within-cell cosine on the driver must
+  // reproduce the gated call's pair set exactly. Identical vectors
+  // always share a cell (same dots, id-free tie rule), so every
+  // replica-twin pair is structurally guaranteed in the output.
+  test("semanticDedup: past the population gate, the retrained-codebook path is exact") {
+    val base = graft.engine.io.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val big = (0 until 9).map(r =>
+        base.select((col("vec_id") + lit(10000L * r)).as("vec_id"), col("embedding")))
+      .reduce(_ unionAll _)
+    val n = big.count()
+    assert(n > 16L * 256L, s"fixture must sit past the gate: n=$n")
+    val got = Similarity.semanticDedup(big, "vec_id", "embedding", 0.35)
+      .select("cell", "vec_id_1", "vec_id_2", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got.exists(_._1 > 16L),
+      "hits in cells beyond the 16 literal centroids prove the retrain fired")
+    val k = math.max(16, math.ceil(n.toDouble / 128.0).toInt)
+    val cbl = Similarity.ivfCodebookSized(big, "vec_id", "embedding", k, 2)
+      .as[(Long, Seq[Double])].collect().toSeq
+    val vecs = big.as[(Long, Seq[Float])].collect().toSeq
+      .map { case (id, v) => id -> v.map(_.toDouble) }
+    def dotp(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.size) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val cell = vecs.map { case (id, v) =>
+      id -> -cbl.map { case (c, ctr) => (dotp(v, ctr), -c) }.max._2
+    }.toMap
+    val want = vecs.groupBy { case (id, _) => cell(id) }.iterator.flatMap {
+      case (c, members) =>
+        for {
+          (i, vi) <- members; (j, vj) <- members
+          if i < j
+          cs = BigDecimal(dotp(vi, vj) / (math.sqrt(dotp(vi, vi)) * math.sqrt(dotp(vj, vj))))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if cs >= 0.35
+        } yield (c, i, j, cs)
+    }.toSet
+    assert(got == want,
+      s"only-engine=${(got -- want).take(3)} only-ref=${(want -- got).take(3)}")
+    // the structural recall floor: every replica-twin pair is present
+    val ids = vecs.map(_._1).toSet
+    val missingTwin = (for {
+      id <- ids; r <- 1 to 8; twin = id + 10000L * r
+      if ids.contains(twin) && id % 10000L == twin % 10000L
+    } yield (id, twin)).find(p => !got.exists(g => g._2 == p._1 && g._3 == p._2))
+    assert(missingTwin.isEmpty, s"identical vectors must always pair: $missingTwin")
   }
 
   // r10: multi-probe candidates are a strict SUPERSET of the exact-
