@@ -145,10 +145,15 @@ object ScaleCheck {
     // flat) and the composed dedup cascade (three linear tiers chained
     // by semi/anti joins — the pairwise stage stays banded)
     "q_mixture_apply", "q_dedup_cascade",
-    // r17 new query: clipped-multiset ROUGE overlap (gram-keyed counts
-    // + broadcast reference join — the contamination shape with
-    // multiplicity; should ride linear like its distinct-count twin)
-    "q_rouge_overlap")
+    // r17 new queries (ladder-on-introduction discipline): clipped-
+    // multiset ROUGE overlap (gram-keyed counts + broadcast reference
+    // join — the contamination shape with multiplicity; should ride
+    // linear like its distinct-count twin), segment-level language ID
+    // (narrow sequence-explode + one doc-keyed agg — a pure map+agg,
+    // should ride flat), and the cluster audit (two keyed joins over
+    // the memoized cluster fixpoint + one agg — linear in membership,
+    // never pairwise)
+    "q_rouge_overlap", "q_langid_segments", "q_dedup_cluster_audit")
 
   val Runs = 3
   /** First-rung (10× data) coarse flag: slopes beyond this mean the

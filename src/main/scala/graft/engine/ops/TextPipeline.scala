@@ -460,6 +460,53 @@ object TextPipeline {
       .select("doc_id", "cluster", "weight")
       .orderBy("doc_id")
 
+  /** Near-dup CLUSTER QUALITY AUDIT (r17) — per cluster, the exact
+    * member-to-REPRESENTATIVE token-set Jaccard, the transitive-chain
+    * check a banding dedup needs: connected components merge A–B and
+    * B–C into one cluster even when jaccard(A, C) is far below the
+    * banding threshold, so "one survivor per cluster" silently drops
+    * content that never resembled the survivor. A low
+    * `min_rep_jaccard_ppm` is exactly that false merge surfacing; the
+    * mean tracks overall cluster tightness. All-integer ppm (this
+    * file's no-transcendentals rule).
+    *
+    * Scale shape: LINEAR in cluster membership — each member scores
+    * against its representative only (the all-pairs within-cluster
+    * audit is the [[dedupEval]] run-on-sample tier; this is the
+    * audit you can afford on the full corpus). Two equi-joins attach
+    * member and representative token sets to the cluster table (both
+    * keyed joins over doc-count-sized frames; the representative side
+    * is at most one row per cluster after the member join's
+    * cluster-keyed shuffle), then ONE partial+final aggregate per
+    * cluster. Singletons carry no member rows and drop out — the
+    * output is non-singleton-cluster-sized. */
+  def dedupClusterAudit(documents: DataFrame, idCol: String, textCol: String,
+                        threshold: Double,
+                        precomputedPairs: Option[DataFrame] = None,
+                        precomputedClusters: Option[DataFrame] = None): DataFrame = {
+    val clusters = precomputedClusters.getOrElse(
+      dedupClusters(documents, idCol, textCol, threshold,
+        precomputedPairs = precomputedPairs))
+    val sets = documents.select(col(idCol).as("id"),
+      array_distinct(toks(col(textCol))).as("sh"))
+    // members only: the representative's self-jaccard is 1 by identity
+    // and would dilute both stats toward 10⁶
+    val members = clusters.filter(col("id") =!= col("cluster"))
+    val scored = members.join(sets, "id")
+      .join(sets.select(col("id").as("cluster"), col("sh").as("rep_sh")), "cluster")
+      .select(col("cluster"),
+        size(array_intersect(col("sh"), col("rep_sh"))).cast("long").as("inter"),
+        size(col("sh")).cast("long").as("na"),
+        size(col("rep_sh")).cast("long").as("nb"))
+      .withColumn("jac_ppm",
+        expr("1000000 * inter DIV (na + nb - inter)"))
+    scored.groupBy("cluster")
+      .agg((count(lit(1)) + 1).as("cluster_size"),
+        min("jac_ppm").as("min_rep_jaccard_ppm"),
+        expr("sum(jac_ppm) DIV count(1)").as("mean_rep_jaccard_ppm"))
+      .orderBy("cluster")
+  }
+
   /** Alternating large-star/small-star connected components (the
     * MapReduce-CC formulation) over a canonical `(a < b)` pair list —
     * the structural alternative to [[dedupClusters]]' label-propagation
@@ -1380,6 +1427,69 @@ object TextPipeline {
     } // foldRight ⇒ first alphabetical winner takes the tie, matching the SQL CASE
     scored.withColumn("pred_lang", pred)
       .withColumn("is_match", col("pred_lang") === col("true_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** SEGMENT-level language ID (r17) — [[langId]] at paragraph
+    * granularity: the document is cut into fixed `segTokens`-token
+    * segments (the [[dedupParagraph]] segmentation — the fixture corpus
+    * carries no newline structure), each segment votes through the same
+    * signature scorer and tie rule, and the document reduces to its
+    * majority language plus a MIXED fraction. Whole-doc language ID
+    * mislabels code-switched and template-stitched pages (an English
+    * boilerplate frame around a German article scores "en" overall);
+    * the per-segment vote surfaces them: `mixed_ppm` is the ppm of
+    * segments disagreeing with the doc majority — the filter threshold
+    * a multilingual curation pass gates on. Majority ties break
+    * alphabetical-first over {de, en, es, fr, und, zh}, the same CASE
+    * cascade as the per-segment rule, so the whole query is
+    * deterministic integer arithmetic.
+    *
+    * Scale shape: one narrow explode (`sequence` over the segment
+    * count — segment text never materializes outside its own row's
+    * `slice`), per-segment scoring is a codegen'd scalar projection,
+    * and the reduce is ONE doc-keyed partial+final aggregate. The
+    * 100 TB form is a map stage plus one aggregate — no join, no
+    * pairwise stage. */
+  def langIdSegments(documents: DataFrame, idCol: String, textCol: String,
+                     trueLangCol: String, segTokens: Int = 30): DataFrame = {
+    val t = toks(col(textCol))
+    val nSeg = greatest(
+      ceil(size(t).cast("double") / lit(segTokens.toDouble)).cast("int"), lit(1))
+    val segs = documents.select(col(idCol).as("doc_id"),
+        col(trueLangCol).as("true_lang"), t.as("tk"),
+        explode(sequence(lit(0), nSeg - 1)).as("seg_id"))
+      .select(col("doc_id"), col("true_lang"),
+        slice(col("tk"), col("seg_id") * segTokens + 1, lit(segTokens)).as("seg"))
+    val scored = segs.select(
+      (col("doc_id") +: col("true_lang") +:
+        langSigs.map { case (l, sig) =>
+          size(filter(col("seg"), x => x.isin(sig.map(lit(_)): _*)))
+            .cast("long").as(s"score_$l")
+        }): _*)
+    val m = greatest(langSigs.map { case (l, _) => col(s"score_$l") }: _*)
+    val segPred = langSigs.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(col(s"score_$l") === m && m > 0, lit(l)).otherwise(acc)
+    } // foldRight ⇒ first alphabetical winner takes the tie (the langId rule)
+    val labels = langSigs.map(_._1).patch(4, Seq("und"), 0) // de,en,es,fr,und,zh
+    val aggCols = count(lit(1)).as("n_segments") +:
+      labels.map(l =>
+        sum(when(col("pred") === l, 1L).otherwise(0L)).as(s"c_$l"))
+    val counted = scored.withColumn("pred", segPred)
+      .groupBy("doc_id", "true_lang")
+      .agg(aggCols.head, aggCols.tail: _*)
+    val mx = greatest(labels.map(l => col(s"c_$l")): _*)
+    val majority = labels.foldRight(lit(labels.last)) { case (l, acc) =>
+      when(col(s"c_$l") === mx, lit(l)).otherwise(acc)
+    } // first alphabetical winner among tied majority counts
+    counted
+      .withColumn("majority_lang", majority)
+      .withColumn("n_majority", mx)
+      .withColumn("mixed_ppm",
+        expr("1000000 * (n_segments - n_majority) DIV n_segments"))
+      .withColumn("is_match", col("majority_lang") === col("true_lang"))
+      .select("doc_id", "true_lang", "n_segments", "majority_lang",
+        "n_majority", "mixed_ppm", "is_match")
       .orderBy("doc_id")
   }
 
@@ -4691,6 +4801,8 @@ object TextPipeline {
         .orderBy("user_id")),
     "q_text_stats" -> ((s, d) => textStats(Tables.documents(s, d), "lang", "text", "n_chars")),
     "q_lang_id" -> ((s, d) => langId(Tables.documents(s, d), "doc_id", "text", "lang")),
+    "q_langid_segments" -> ((s, d) =>
+      langIdSegments(Tables.documents(s, d), "doc_id", "text", "lang")),
     "q_quality_score" -> ((s, d) => qualityScore(Tables.documents(s, d), "doc_id", "text", "n_chars")),
     // learned quality filter, trained to extend the rule-based signal:
     // pseudo-label the even-id half with the quality_band discriminant
@@ -4785,6 +4897,11 @@ object TextPipeline {
         precomputedClusters = Some(sharedClusters(s, d)))),
     "q_dedup_weights" -> ((s, d) =>
       dedupWeights(Tables.documents(s, d), "doc_id", "text", 0.9,
+        precomputedClusters = Some(sharedClusters(s, d)))),
+    // transitive-chain audit over the SAME memoized cluster fixpoint
+    // the survivors/canonical/weights family consumes
+    "q_dedup_cluster_audit" -> ((s, d) =>
+      dedupClusterAudit(Tables.documents(s, d), "doc_id", "text", 0.9,
         precomputedClusters = Some(sharedClusters(s, d)))),
     "q_span_pairs" -> ((s, d) => spanPairs(Tables.documents(s, d), "doc_id", "text")),
     "q_sample_fixed" -> ((s, d) =>
@@ -5457,6 +5574,54 @@ object TextPipeline {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // the langId scorer replayed per 30-token segment (list slice ≡
+    // Spark's slice: both 1-based, both clamp at the list end), then
+    // the doc-level majority + mixed fraction; both CASE cascades are
+    // the alphabetical-first tie rule
+    "q_langid_segments" -> {
+      val segScores = langSigs.map { case (l, sig) =>
+        s"len(list_filter(seg, x -> x IN ${sigList(sig)})) AS score_$l"
+      }.mkString(",\n  ")
+      val m = langSigs.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+      val cases = langSigs.map { case (l, _) =>
+        s"WHEN score_$l = $m AND $m > 0 THEN '$l'"
+      }.mkString("\n    ")
+      val labels = langSigs.map(_._1).patch(4, Seq("und"), 0)
+      val cCols = labels.map(l =>
+        s"sum(CASE WHEN pred = '$l' THEN 1 ELSE 0 END) AS c_$l").mkString(",\n  ")
+      val mx = labels.map(l => s"c_$l").mkString("greatest(", ", ", ")")
+      val majCases = labels.init.map(l =>
+        s"WHEN c_$l = mx THEN '$l'").mkString("\n    ")
+      s"""WITH tkx AS (SELECT doc_id, lang AS true_lang, string_split(text, ' ') AS tk
+         |  FROM documents),
+         |segx AS (
+         |  SELECT doc_id, true_lang,
+         |    unnest(generate_series(0,
+         |      CAST(greatest(ceil(len(tk) / 30.0), 1) AS BIGINT) - 1)) AS seg_id,
+         |    tk
+         |  FROM tkx),
+         |seg AS (SELECT doc_id, true_lang,
+         |  tk[(seg_id * 30 + 1):(seg_id * 30 + 30)] AS seg FROM segx),
+         |scored AS (SELECT doc_id, true_lang,
+         |  $segScores
+         |  FROM seg),
+         |pred AS (SELECT doc_id, true_lang, CASE $cases ELSE 'und' END AS pred
+         |  FROM scored),
+         |cnt AS (SELECT doc_id, true_lang, count(*) AS n_segments,
+         |  $cCols
+         |  FROM pred GROUP BY doc_id, true_lang),
+         |fin AS (SELECT *, $mx AS mx FROM cnt)
+         |SELECT doc_id, true_lang, n_segments, majority_lang, n_majority,
+         |  mixed_ppm, majority_lang = true_lang AS is_match
+         |FROM (
+         |  SELECT doc_id, true_lang, CAST(n_segments AS BIGINT) AS n_segments,
+         |    CASE $majCases ELSE '${labels.last}' END AS majority_lang,
+         |    CAST(mx AS BIGINT) AS n_majority,
+         |    CAST(1000000 * (n_segments - mx) // n_segments AS BIGINT) AS mixed_ppm
+         |  FROM fin)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "q_quality_score" ->
       """SELECT doc_id, n_chars, n_tokens, distinct_ratio, avg_token_len, stopword_ratio,
         |  CASE WHEN distinct_ratio >= 0.6 THEN 'high'
@@ -5909,6 +6074,36 @@ object TextPipeline {
         |comp AS (SELECT id, min(lab) AS cluster FROM walk GROUP BY id)
         |SELECT min(id) AS doc_id, cluster, count(*) AS weight
         |FROM comp GROUP BY cluster ORDER BY doc_id""".stripMargin),
+
+    // the cluster walk + member-to-representative exact jaccard (the
+    // ngram_jaccard token-set rule) + one GROUP BY cluster
+    "q_dedup_cluster_audit" -> (Similarity.minhashOracleCtes +
+      """,
+        |all_pairs AS (
+        |  SELECT doc_id_1, doc_id_2 FROM cross_pairs
+        |  UNION ALL SELECT doc_id_1, doc_id_2 FROM within_pairs),
+        |edges AS MATERIALIZED (
+        |  SELECT doc_id_1 AS a, doc_id_2 AS b FROM all_pairs
+        |  UNION SELECT doc_id_2, doc_id_1 FROM all_pairs),
+        |walk AS (
+        |  SELECT doc_id AS id, doc_id AS lab FROM documents
+        |  UNION
+        |  SELECT e.a AS id, w.lab FROM edges e JOIN walk w ON w.id = e.b),
+        |comp AS (SELECT id, min(lab) AS cluster FROM walk GROUP BY id),
+        |sets AS (SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS sh
+        |  FROM documents),
+        |audit AS (
+        |  SELECT c.cluster,
+        |    CAST(1000000 * len(list_intersect(m.sh, r.sh)) //
+        |      (len(m.sh) + len(r.sh) - len(list_intersect(m.sh, r.sh)))
+        |      AS BIGINT) AS jac_ppm
+        |  FROM comp c JOIN sets m ON m.id = c.id
+        |  JOIN sets r ON r.id = c.cluster
+        |  WHERE c.id <> c.cluster)
+        |SELECT cluster, CAST(count(*) + 1 AS BIGINT) AS cluster_size,
+        |  min(jac_ppm) AS min_rep_jaccard_ppm,
+        |  CAST(sum(jac_ppm) // count(*) AS BIGINT) AS mean_rep_jaccard_ppm
+        |FROM audit GROUP BY cluster ORDER BY cluster""".stripMargin),
 
     "q_sample_fixed" ->
       s"""SELECT doc_id, lang, source FROM (

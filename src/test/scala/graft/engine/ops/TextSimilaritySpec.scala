@@ -830,6 +830,45 @@ class TextSimilaritySpec extends SparkSuite {
     assert(w.map(p => (p._1, p._2)).toSet == expect)
   }
 
+  // r17: the transitive-chain audit — CC merges A–B and B–C into one
+  // cluster whether or not A resembles C; the audit's min must surface
+  // exactly jac(member, representative), hand-computed here.
+  test("dedupClusterAudit: chain A-B-C surfaces jac(C, A); ppm arithmetic exact") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 x1"),  // jac(B,A) = 9/11
+      (3L, "t1 t2 t3 t4 t5 y1 y2 y3 y4 y5"),  // jac(C,A) = 5/15 — never banded with A
+      (4L, "lone doc far from everything")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_id_1", "doc_id_2")
+    val got = TextPipeline.dedupClusterAudit(docs, "doc_id", "text", 0.8,
+        precomputedPairs = Some(pairs))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // min = ⌊5e6/15⌋ = 333333; mean = ⌊(818181 + 333333)/2⌋ = 575757;
+    // the singleton never emits
+    assert(got == Seq((1L, 3L, 333333L, 575757L)), s"$got")
+  }
+
+  test("q_dedup_cluster_audit recomposes from the cluster table + exact jaccard") {
+    val audit = run("q_dedup_cluster_audit")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val clusters = run("q_dedup_clusters").as[(Long, Long)].collect().toSeq
+    val sets = graft.engine.io.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("sh"))
+      .as[(Long, Seq[String])].collect().map(r => r._1 -> r._2.toSet).toMap
+    val expect = clusters.filter(p => p._1 != p._2).groupBy(_._2)
+      .map { case (cl, rows) =>
+        val rep = sets(cl)
+        val ppms = rows.map { case (id, _) =>
+          val s = sets(id); val i = (s & rep).size
+          1000000L * i / (s.size + rep.size - i)
+        }
+        (cl, rows.size + 1L, ppms.min, ppms.sum / ppms.size)
+      }.toSeq.sortBy(_._1)
+    assert(audit == expect, "audit must equal the driver recomposition")
+    assert(audit.nonEmpty, "fixture must carry non-singleton clusters")
+  }
+
   test("spanPairs: disjoint same-doc spans, deterministic offsets, faithful text") {
     val got = run("q_span_pairs").as[(Long, Long, Long, Long, String, String)].collect().toSeq
     val docs = graft.engine.io.Tables.documents(spark, sfDir)
@@ -1008,6 +1047,49 @@ class TextSimilaritySpec extends SparkSuite {
       .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "de", 2L -> "en", 3L -> "es", 4L -> "fr",
                       5L -> "zh", 6L -> "und", 7L -> "es"), s"$got")
+  }
+
+  // r17: segment-level language ID — the code-switch detector. The
+  // majority, its alphabetical tie rule, and the mixed fraction pinned
+  // by hand on docs whose 30-token segments carry different languages.
+  test("langIdSegments: per-segment vote, alphabetical majority tie, mixed_ppm exact") {
+    val de = Seq.fill(6)("der die und nicht katze").mkString(" ") // 30 tokens
+    val en = Seq.fill(6)("the a of and house").mkString(" ")      // 30 tokens
+    val docs = Seq(
+      (1L, "xx", de + " " + en),            // de|en → 1-1 tie → de, half mixed
+      (2L, "en", en + " " + en),            // en|en → pure
+      (3L, "xx", en + " " + en + " " + de), // en majority, one dissenting segment
+      (4L, "xx", "zzz qqq www")             // single no-signal segment → und
+    ).toDF("doc_id", "lang", "text")
+    val got = TextPipeline.langIdSegments(docs, "doc_id", "text", "lang")
+      .select("doc_id", "n_segments", "majority_lang", "n_majority", "mixed_ppm")
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, "de", 1L, 500000L),
+      (2L, 2L, "en", 2L, 0L),
+      (3L, 3L, "en", 2L, 333333L),
+      (4L, 1L, "und", 1L, 0L)), s"$got")
+  }
+
+  test("langIdSegments: total on the fixture; single-segment docs equal whole-doc langId") {
+    val seg = run("q_langid_segments").cache()
+    assert(seg.count() == 500)
+    assert(seg.filter(col("majority_lang").isNull).count() == 0)
+    assert(seg.filter(col("mixed_ppm") < 0 || col("mixed_ppm") >= 1000000).count() == 0)
+    assert(seg.filter(col("n_majority") > col("n_segments")).count() == 0)
+    // a doc that fits one segment sees exactly the whole-doc scorer, so
+    // the two operators must agree there by construction
+    val docs = graft.engine.io.Tables.documents(spark, sfDir)
+    val short = docs.filter(size(split(col("text"), " ")) <= 30)
+    val whole = TextPipeline.langId(short, "doc_id", "text", "lang")
+      .select(col("doc_id"), col("pred_lang"))
+    val one = seg.join(short.select("doc_id"), "doc_id")
+    assert(one.filter(col("n_segments") =!= 1).count() == 0,
+      "a ≤30-token doc must segment to exactly one vote")
+    assert(one.join(whole, "doc_id")
+      .filter(col("majority_lang") =!= col("pred_lang")).count() == 0,
+      "single-segment majority must equal whole-doc langId")
+    seg.unpersist()
   }
 
   test("multimodal pipeline: every source aggregated, decode clean, stats in byte range") {
