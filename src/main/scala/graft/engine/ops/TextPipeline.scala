@@ -1405,7 +1405,7 @@ object TextPipeline {
   /** Stopword-signature language ID (n-gram heuristic, SURVEY §2.2-I).
     * Deterministic: score per language = #tokens in that language's
     * signature set; argmax with alphabetical tiebreak. */
-  private[ops] val langSigs: Seq[(String, Seq[String])] = Seq(
+  private[engine] val langSigs: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "nicht"),
     "en" -> Seq("the", "a", "of", "and"),
     "es" -> Seq("el", "la", "de", "que"),

@@ -794,6 +794,51 @@ object Streams {
       .drop("bench_sh")
   }
 
+  /** s_stream_langid_segments: segment-level language ID at the ingest
+    * firehose — the code-switch detector
+    * ([[graft.engine.ops.TextPipeline.langIdSegments]]) restated for a
+    * document stream. The batch op's explode + groupBy reduces WITHIN
+    * one document only, so the streaming face flattens that reduce into
+    * a pure per-row ARRAY projection (per-segment predictions and the
+    * majority vote as `transform`/`filter` expressions over the same
+    * 30-token slices, same signature scorer, same alphabetical tie
+    * rules): append mode, ZERO streaming state, zero shuffle — each doc
+    * routes on its own mixed_ppm verdict at arrival. Spec-pinned equal
+    * to the batch operator row-for-row on identical input. */
+  def streamingLangIdSegments(docs: DataFrame, idCol: String, textCol: String,
+                              segTokens: Int = 30): DataFrame = {
+    import graft.engine.ops.TextPipeline.langSigs
+    val t = split(col(textCol), " ")
+    val nSeg = greatest(
+      ceil(size(t).cast("double") / lit(segTokens.toDouble)).cast("int"), lit(1))
+    def segPred(seg: Column): Column = {
+      val scores = langSigs.map { case (l, sig) =>
+        l -> size(filter(seg, x => x.isin(sig.map(lit(_)): _*)))
+      }
+      val m = greatest(scores.map(_._2): _*)
+      scores.foldRight(lit("und")) { case ((l, sc), acc) =>
+        when(sc === m && m > 0, lit(l)).otherwise(acc)
+      } // first alphabetical winner takes the tie (the langId rule)
+    }
+    val preds = transform(sequence(lit(0), nSeg - 1),
+      i => segPred(slice(t, i * segTokens + 1, lit(segTokens))))
+    val labels = langSigs.map(_._1).patch(4, Seq("und"), 0) // de,en,es,fr,und,zh
+    def cnt(l: String): Column =
+      size(filter(col("seg_preds"), p => p === l)).cast("long")
+    val mx = greatest(labels.map(cnt): _*)
+    val majority = labels.foldRight(lit(labels.last)) { case (l, acc) =>
+      when(cnt(l) === mx, lit(l)).otherwise(acc)
+    }
+    docs.withColumnRenamed(idCol, "doc_id")
+      .withColumn("seg_preds", preds)
+      .withColumn("n_segments", size(col("seg_preds")).cast("long"))
+      .withColumn("majority_lang", majority)
+      .withColumn("n_majority", mx)
+      .withColumn("mixed_ppm",
+        expr("1000000 * (n_segments - n_majority) DIV n_segments"))
+      .drop("seg_preds")
+  }
+
   /** s_stream_split: deterministic train/val/test routing in-stream —
     * the batch assignSplits' multiplicative bucket as a narrow per-doc
     * projection with ZERO state: an ingest firehose routes each doc to

@@ -1625,6 +1625,41 @@ class StreamingSpec extends SparkSuite {
       s"only the diverse doc passes the high-band filter: $out")
   }
 
+  // s_stream_langid_segments (r17): the code-switch detector as a pure
+  // per-row ARRAY projection (no explode, no agg) — append mode, zero
+  // state, pinned equal to the batch explode+groupBy operator
+  test("s_stream_langid_segments: in-stream majority/mixed equals the batch operator") {
+    val in = MemoryStream[Doc](spark)
+    val out = mutable.ArrayBuffer[(Long, Long, String, Long, Long)]()
+    val scored = Streams.streamingLangIdSegments(in.toDF(), "doc_id", "text")
+    val q = scored.writeStream
+      .option("checkpointLocation", tmpDir("streamlangseg"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.select("doc_id", "n_segments", "majority_lang",
+            "n_majority", "mixed_ppm").as[(Long, Long, String, Long, Long)].collect()
+        }
+        ()
+      }.start()
+    val de = Seq.fill(6)("der die und nicht katze").mkString(" ") // 30 tokens
+    val en = Seq.fill(6)("the a of and house").mkString(" ")      // 30 tokens
+    val texts = Seq(1L -> (de + " " + en), 2L -> (en + " " + en + " " + de),
+      3L -> "zzz qqq www")
+    in.addData(texts.map { case (id, t) => Doc(id, ts(1), t) }: _*)
+    q.processAllAvailable(); q.stop()
+    val batch = graft.engine.ops.TextPipeline.langIdSegments(
+      texts.toDF("doc_id", "text").withColumn("lang", lit("xx")),
+      "doc_id", "text", "lang")
+      .select("doc_id", "n_segments", "majority_lang", "n_majority", "mixed_ppm")
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+    assert(out.sortBy(_._1).toSeq == batch,
+      s"stream ${out.sortBy(_._1).toSeq} vs batch $batch")
+    // the tie and the dissent both fire: de|en ties to de at half mixed,
+    // en-majority doc carries one dissenting segment
+    assert(out.exists(r => r._1 == 1L && r._3 == "de" && r._5 == 500000L))
+    assert(out.exists(r => r._1 == 2L && r._3 == "en" && r._5 == 333333L))
+  }
+
   // s_stream_scrub: the regex scrubber is a narrow projection — PII
   // masking runs at the ingest firehose before anything persists
   test("s_stream_scrub: regex masking scrubs a document stream in append mode") {
