@@ -57,6 +57,9 @@ object GraftFunctions {
     (FunctionIdentifier("gram_set_hashes62"),
       new ExpressionInfo(classOf[GramSetHashes62].getName, "gram_set_hashes62"),
       (children: Seq[Expression]) => GramSetHashes62(children(0), children(1))),
+    (FunctionIdentifier("del_variant_hashes"),
+      new ExpressionInfo(classOf[DelVariantHashes].getName, "del_variant_hashes"),
+      (children: Seq[Expression]) => DelVariantHashes(children(0), children(1))),
     (FunctionIdentifier("dup_ngram_bp"),
       new ExpressionInfo(classOf[DupNgramBp].getName, "dup_ngram_bp"),
       (children: Seq[Expression]) => DupNgramBp(children(0), children(1))),

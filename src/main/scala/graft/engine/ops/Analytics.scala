@@ -978,14 +978,16 @@ object Analytics {
     * codegen'd hash agg on (group, value), the median pass buffers each
     * group once, and the join is group-cardinality-sized. */
   private val qAggMisc: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
-    val plain = li.groupBy("l_linestatus")
+    // ONE groupBy carrying the distinct aggregate alongside the plain
+    // ones (r17): Spark plans mixed distinct/non-distinct via a single
+    // scan + Expand, which replaces the r16 shape's second full scan,
+    // second shuffle and (l_linestatus)-keyed join — 2 exchanges + 1
+    // join fewer, values identical (the oracle hash pins them).
+    Tables.lineitem(s, d).groupBy("l_linestatus")
       .agg(count_if(col("l_quantity") > 25).as("n_big"),
            round(median(col("l_extendedprice")), 4).as("med_price"),
+           sum_distinct(col("l_quantity").cast("long")).as("sum_dq"),
            count(lit(1)).as("n_rows"))
-    val dq = li.groupBy("l_linestatus")
-      .agg(sum_distinct(col("l_quantity").cast("long")).as("sum_dq"))
-    plain.join(dq, Seq("l_linestatus"))
       .select(col("l_linestatus"), col("n_big"), col("med_price"),
         col("sum_dq"), col("n_rows"))
       .orderBy("l_linestatus")

@@ -997,30 +997,57 @@ object TextPipeline {
     * partial+final aggs. */
   def dedupCascade(documents: DataFrame, idCol: String, sourceCol: String,
                    textCol: String, pairs: DataFrame): DataFrame = {
+    // ONE flagged corpus pass instead of materialized per-tier survivor
+    // frames (r17): the r16 shape re-derived s1 inside s2's lineage and
+    // s2 inside s3's, and the three attribution rows each re-spliced
+    // their input subtrees — a 10.8k-line physical plan, 22 AQE stages
+    // and ~3× recompute of every tier at sf0.1 (the formatted plan is
+    // plans/r17/q_dedup_cascade_before.txt). Survivorship per tier is a
+    // min-id comparison, so each tier is a WINDOW over its key instead
+    // of a groupBy+semi-join (one exchange per tier, not two), flags
+    // accumulate on the same corpus-shaped frame, and the attribution
+    // table is ONE aggregate exploded to its three rows. Tier semantics
+    // are unchanged and the oracle hash pins them:
+    //  - url_surv  ⟺ doc_id = min(doc_id) over canonical url;
+    //  - exact_surv⟺ url_surv ∧ doc_id = min(url-surviving doc_id) over
+    //    verbatim text (the min-over-s1 rule, via min(when(url_surv)));
+    //  - near_surv ⟺ exact_surv ∧ doc_id ∉ removed, where removed =
+    //    doc_id_2 of pairs whose representative doc_id_1 survived
+    //    tiers 1-2 (the r17-ADVICE restriction, unchanged).
     val docs0 = documents.select(col(idCol).cast("long").as("doc_id"),
       col(sourceCol).as("source"), col(textCol).as("text"))
-    val urlSurvIds = docs0
-      .withColumn("cu", canonicalUrl(deriveUrl(col("doc_id"), col("source"))))
-      .groupBy("cu").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-    val s1 = docs0.join(urlSurvIds, Seq("doc_id"), "left_semi")
-    val exactSurvIds = s1.groupBy("text").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-    val s2 = s1.join(exactSurvIds, Seq("doc_id"), "left_semi")
+    val wUrl = Window.partitionBy(
+      canonicalUrl(deriveUrl(col("doc_id"), col("source"))))
+    val wText = Window.partitionBy(col("text"))
+    val flagged = docs0
+      .withColumn("url_surv", min("doc_id").over(wUrl) === col("doc_id"))
+      .withColumn("exact_surv", col("url_surv") &&
+        min(when(col("url_surv"), col("doc_id"))).over(wText) === col("doc_id"))
+      .select("doc_id", "url_surv", "exact_surv")
     val removed = pairs
-      .join(s2.select(col("doc_id").as("doc_id_1")), Seq("doc_id_1"), "left_semi")
+      .join(flagged.filter(col("exact_surv")).select(col("doc_id").as("doc_id_1")),
+        Seq("doc_id_1"), "left_semi")
       .select(col("doc_id_2").as("doc_id")).distinct()
-    val s3 = s2.join(removed, Seq("doc_id"), "left_anti")
-    def tierRow(tier: String, in: DataFrame, out: DataFrame): DataFrame =
-      in.agg(count(lit(1)).as("n_in"))
-        .crossJoin(out.agg(count(lit(1)).as("n_out"),
-          coalesce(sum("doc_id"), lit(0L)).as("survivor_id_sum")))
-        .select(lit(tier).as("tier"), col("n_in"),
-          (col("n_in") - col("n_out")).as("n_dropped"),
-          col("n_out"), col("survivor_id_sum"))
-    tierRow("1_url", docs0, s1)
-      .unionByName(tierRow("2_exact", s1, s2))
-      .unionByName(tierRow("3_near", s2, s3))
+    val full = flagged.join(removed.withColumn("hit", lit(true)), Seq("doc_id"), "left_outer")
+      .withColumn("near_surv", col("exact_surv") && col("hit").isNull)
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    def idSum(c: Column) = coalesce(sum(when(c, col("doc_id"))), lit(0L))
+    val agg = full.agg(
+      count(lit(1)).as("n0"),
+      cnt(col("url_surv")).as("n1"), idSum(col("url_surv")).as("s1"),
+      cnt(col("exact_surv")).as("n2"), idSum(col("exact_surv")).as("s2"),
+      cnt(col("near_surv")).as("n3"), idSum(col("near_surv")).as("s3"))
+    agg.select(explode(array(
+        struct(lit("1_url").as("tier"), col("n0").as("n_in"),
+          (col("n0") - col("n1")).as("n_dropped"), col("n1").as("n_out"),
+          col("s1").as("survivor_id_sum")),
+        struct(lit("2_exact").as("tier"), col("n1").as("n_in"),
+          (col("n1") - col("n2")).as("n_dropped"), col("n2").as("n_out"),
+          col("s2").as("survivor_id_sum")),
+        struct(lit("3_near").as("tier"), col("n2").as("n_in"),
+          (col("n2") - col("n3")).as("n_dropped"), col("n3").as("n_out"),
+          col("s3").as("survivor_id_sum")))).as("t"))
+      .select("t.tier", "t.n_in", "t.n_dropped", "t.n_out", "t.survivor_id_sum")
       .orderBy("tier")
   }
 
@@ -4338,41 +4365,20 @@ object TextPipeline {
     if (r.isNullAt(0)) 0 else r.getInt(0)
   }
 
-  /** [[fuzzyMatch]]'s deletion-neighborhood strategy (maxDist = 1). */
+  /** [[fuzzyMatch]]'s deletion-neighborhood strategy (maxDist = 1).
+    * Variant keys come from the native [[graft.engine.functions.DelVariantHashes]]
+    * pass (r17): one codegen'd expression emits the sorted distinct
+    * 64-bit hashes of the run-canonical ≤1-deletion neighborhood with
+    * O(len) splice arithmetic per variant and no variant-string
+    * materialization. Joining the hash instead of the variant text keeps
+    * the shuffled candidate key 8 bytes; a hash collision only adds a
+    * false CANDIDATE, which the exact verify below discards. The
+    * candidate join runs NARROW — (id, vk, block) only — and strings
+    * re-attach to the collapsed pair set from the corpus-sized base
+    * (the [[fuzzyMatchDel2]] discipline). */
   private def fuzzyMatchDel1(records: DataFrame, idCol: String, strCol: String,
-                             blockCols: Seq[String]): DataFrame = {
-    val base = records.select(
-      col(idCol).as("id") +: col(strCol).as("s") +: blockCols.map(col): _*)
-    // i = 0 → the string itself; i ≥ 1 → the string with char i deleted.
-    // Join on the variant's 64-bit hash, not the variant text: same
-    // bucketing, ~8-byte shuffle key; a hash collision only adds a
-    // false CANDIDATE, which the exact verify below discards.
-    val variants = base
-      .select((col("id") +: col("s") +: blockCols.map(col)) :+
-        explode(sequence(lit(0), length(col("s")))).as("i"): _*)
-      .withColumn("vk", xxhash64(
-        when(col("i") === 0, col("s")).otherwise(concat(
-          col("s").substr(lit(1), col("i") - 1),
-          col("s").substr(col("i") + 1, length(col("s")))))))
-      .drop("i")
-    val a = variants.select(
-      col("id").as("id_1") +: col("s").as("sa") +: col("vk") +: blockCols.map(col): _*)
-    val b = variants.select(
-      col("id").as("id_2") +: col("s").as("sb") +: col("vk") +: blockCols.map(col): _*)
-    // shuffle-hash, never broadcast: a Generate keeps its INPUT's size
-    // estimate, so Catalyst would broadcast the whole (len+1)×-inflated
-    // variant side — collecting the neighborhood of the entire corpus
-    // to the driver, which at scale is an OOM, not a plan (r16)
-    a.join(b.hint("shuffle_hash"), blockCols :+ "vk")
-      .filter(col("id_1") < col("id_2"))
-      // a pair can share several variants (equal strings share all of
-      // them) — collapse before the verify so the distance runs once
-      .select("id_1", "id_2", "sa", "sb").distinct()
-      .withColumn("dist", levenshtein(col("sa"), col("sb"), 1).cast("long"))
-      .filter(col("dist") >= 0 && col("dist") <= 1)
-      .select("id_1", "id_2", "sa", "sb", "dist")
-      .orderBy("id_1", "id_2")
-  }
+                             blockCols: Seq[String]): DataFrame =
+    delVariantMatch(records, idCol, strCol, blockCols, 1)
 
   /** [[fuzzyMatch]]'s deletion-neighborhood strategy at maxDist = 2
     * (r16, verdict item 6). Each string emits one row per member of its
@@ -4388,82 +4394,66 @@ object TextPipeline {
     * text keeps the shuffled candidate key 8 bytes; a hash collision
     * only adds a false candidate the verify discards. */
   private[engine] def fuzzyMatchDel2(records: DataFrame, idCol: String, strCol: String,
-                                     blockCols: Seq[String]): DataFrame = {
-    // the ~len²/2 variant expansion happens per INPUT row, so the input
-    // must be spread across the cluster even when it arrives as one
-    // small file — a single-partition input serializes the whole
-    // neighborhood pass (the same finding fuzzyMatchBlockJoin records;
-    // measured here 11.6 s → 2.9 s at sf0.1). Layout-only: the pair
-    // set and output order are unchanged.
+                                     blockCols: Seq[String]): DataFrame =
+    delVariantMatch(records, idCol, strCol, blockCols, 2)
+
+  /** Shared body of the d = 1 / d = 2 deletion-neighborhood strategies.
+    *
+    * Variant keys come from the native
+    * [[graft.engine.functions.DelVariantHashes]] expression (r17): one
+    * codegen'd pass computes the sorted distinct 64-bit hashes of the
+    * RUN-CANONICAL ≤d-deletion neighborhood via prefix polynomial
+    * splicing — O(1) arithmetic per variant, no variant-string
+    * materialization. The r16 explode-chain formulation built every
+    * variant as substr+concat UTF8Strings feeding xxhash64; at sf0.1
+    * that allocation traffic measured ~84 s of summed task time (~5 s
+    * GC) for q_fuzzy_match2 alone, vs ~1 s for the whole hash pass
+    * here. The RUN-CANONICAL rule (keep only the leftmost deletion
+    * position of any same-char run — lossless for the variant SET,
+    * kills the run-squared candidate multiplicity zero-padded ids pay)
+    * and the per-record hash dedupe both live inside the expression.
+    *
+    * The candidate join and its collapse run NARROW — (id, vk, block)
+    * only, no strings: a candidate row is 2 ids, and the distinct that
+    * collapses shared-variant multiplicity (a true pair shares up to
+    * ~|s| variants) shuffles 16-byte pairs instead of pairs with both
+    * strings attached (~3× less exchange at the 100× ladder rung's 28M
+    * candidate rows). Strings re-attach to the collapsed pair set from
+    * the corpus-sized base — broadcast-able here, key-shuffled at
+    * scale, either way sized by PAIRS not candidates — and the exact
+    * thresholded verify runs once per distinct pair. */
+  private def delVariantMatch(records: DataFrame, idCol: String, strCol: String,
+                              blockCols: Seq[String], d: Int): DataFrame = {
+    graft.engine.functions.GraftFunctions.register(records.sparkSession)
+    // the ~len²/2 (d = 2) variant expansion happens per INPUT row, so
+    // the input must be spread across the cluster even when it arrives
+    // as one small file — a single-partition input serializes the whole
+    // neighborhood-join map side (the same finding fuzzyMatchBlockJoin
+    // records). Layout-only: the pair set and output order are
+    // unchanged.
     val par = records.sparkSession.sparkContext.defaultParallelism
     val base = records.select(
       col(idCol).as("id") +: col(strCol).as("s") +: blockCols.map(col): _*)
       .repartition(par)
-    // the ordered (i, j) deletion-position pairs via TWO chained
-    // generators — i = 0 keeps all j (identity + single deletions),
-    // i ≥ 1 takes j > i (double deletions emitted once, ordered). Plain
-    // explode + scalar column ops so the whole variant pass stays in
-    // whole-stage codegen (a transform-lambda formulation of the same
-    // neighborhood evaluated INTERPRETED and cost ~10× — the
-    // higher-order-function trap).
-    val s0 = col("s")
-    val withI = base.select(
-      (col("id") +: s0 +: blockCols.map(col)) :+
-        explode(sequence(lit(0), length(s0))).as("i"): _*)
-    val withIJ = withI.select(
-      (col("id") +: s0 +: col("i") +: blockCols.map(col)) :+
-        explode(
-          when(col("i") === 0, sequence(lit(0), length(s0)))
-            .when(col("i") < length(s0), sequence(col("i") + 1, length(s0)))
-            .otherwise(array().cast("array<int>"))).as("j"): _*)
-    val i = col("i"); val j = col("j")
-    def at(p: Column) = s0.substr(p, lit(1))
-    // RUN-CANONICAL filter: distinct positions often yield the SAME
-    // variant (deleting any char of a same-char run), and on run-dense
-    // strings (zero-padded ids — this fixture) that per-pair
-    // multiplicity SQUARES through the candidate join (measured 23 s at
-    // sf0.1). Keep only the LEFTMOST position per run: every achievable
-    // variant keeps its lexicographically-minimal position pair (if a
-    // deleted char equals its left neighbor, shifting the deletion one
-    // left yields the same variant with smaller positions), so the
-    // filter is lossless for the candidate SET while cutting the
-    // run-squared duplicates in codegen, no shuffle. Cross-run
-    // coincidences (delete {1,2} vs {2,3} of "aba") survive it — the
-    // pair-level distinct below absorbs those rare residuals.
-    val canonical = when(i === 0,
-        j === 0 || j === 1 || at(j) =!= at(j - 1))
-      .otherwise((i === 1 || at(i) =!= at(i - 1)) &&
-        (j === i + 1 || at(j) =!= at(j - 1)))
-    val variants = withIJ.filter(canonical)
-      .withColumn("vk", xxhash64(
-        when(i === 0 && j === 0, s0)
-          .when(i === 0,
-            concat(s0.substr(lit(1), j - 1), s0.substr(j + 1, length(s0))))
-          .otherwise(concat(s0.substr(lit(1), i - 1),
-            s0.substr(i + 1, j - i - 1), s0.substr(j + 1, length(s0))))))
-      .drop("i", "j")
-    // the candidate join and its collapse run NARROW — (id, vk, block)
-    // only, no strings: a candidate row is 2 ids, and the distinct
-    // that collapses shared-variant multiplicity (a true pair shares
-    // up to ~|s| variants) shuffles 16-byte pairs instead of pairs
-    // with both strings attached (~3× less exchange at the 100× ladder
-    // rung's 28M candidate rows). Strings re-attach to the collapsed
-    // pair set from the corpus-sized base — broadcast-able here,
-    // key-shuffled at scale, either way sized by PAIRS not candidates —
-    // and the exact thresholded verify runs once per distinct pair.
+    val variants = base.select(
+      (col("id") +: blockCols.map(col)) :+
+        explode(call_function("del_variant_hashes", col("s"), lit(d))).as("vk"): _*)
     val a = variants.select(
       col("id").as("id_1") +: col("vk") +: blockCols.map(col): _*)
     val b = variants.select(
       col("id").as("id_2") +: col("vk") +: blockCols.map(col): _*)
-    // shuffle-hash, never broadcast — see fuzzyMatchDel1's join note
+    // shuffle-hash, never broadcast: a Generate keeps its INPUT's size
+    // estimate, so Catalyst would broadcast the whole inflated variant
+    // side — collecting the neighborhood of the entire corpus to the
+    // driver, which at scale is an OOM, not a plan (r16)
     val cand = a.join(b.hint("shuffle_hash"), blockCols :+ "vk")
       .filter(col("id_1") < col("id_2"))
       .select("id_1", "id_2").distinct()
     cand
       .join(base.select(col("id").as("id_1"), col("s").as("sa")), "id_1")
       .join(base.select(col("id").as("id_2"), col("s").as("sb")), "id_2")
-      .withColumn("dist", levenshtein(col("sa"), col("sb"), 2).cast("long"))
-      .filter(col("dist") >= 0 && col("dist") <= 2)
+      .withColumn("dist", levenshtein(col("sa"), col("sb"), d).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= d)
       .select("id_1", "id_2", "sa", "sb", "dist")
       .orderBy("id_1", "id_2")
   }
