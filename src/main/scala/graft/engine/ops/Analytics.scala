@@ -402,8 +402,14 @@ object Analytics {
     * minsup prunes BEFORE the lift join; the item-frequency table is
     * catalog-sized and broadcasts; N is one scalar broadcast back. */
   private val qMarketBasket: Q = (s, d) => {
+    // the distinct basket frame feeds FOUR subtrees (both self-join
+    // sides, the item counts, the order count); materialize it once
+    // (r17) instead of paying the scan+distinct shuffle per reference —
+    // ReuseExchange only collapses the two identical join-side
+    // exchanges, not the differently-keyed item/order aggregates
     val b = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint()
     val nOrders = b.agg(countDistinct("l_orderkey").as("n_orders"))
     val items = b.groupBy("l_partkey").agg(count(lit(1)).as("c1"))
     val pairs = b.as("x").join(b.as("y"), "l_orderkey")
@@ -535,10 +541,19 @@ object Analytics {
       .groupBy("user_id", "session_id")
       .agg(min(col("ts")).cast("long").as("start_s"),
            max(col("ts")).cast("long").as("end_s"))
-    val deltas = sess.select(col("start_s").as("t_s"), lit(1L).as("dd"))
-      .unionAll(sess.select((col("end_s") + 1L).as("t_s"), lit(-1L).as("dd")))
+    // both boundaries emit from ONE pass over the session table (r17):
+    // the former two-select union re-executed the full sessionize
+    // window chain once per branch; the exploded struct pair is the
+    // same rows from a single execution. The bucketed delta table is
+    // then materialized once — it feeds BOTH the offset table and the
+    // final join, which otherwise re-run the whole chain again.
+    val deltas = sess.select(explode(array(
+        struct(col("start_s").as("t_s"), lit(1L).as("dd")),
+        struct((col("end_s") + 1L).as("t_s"), lit(-1L).as("dd")))).as("b"))
+      .select(col("b.t_s").as("t_s"), col("b.dd").as("dd"))
       .groupBy("t_s").agg(sum("dd").as("delta"))
       .withColumn("bkt", expr("t_s DIV 86400"))
+      .localCheckpoint()
     val wB = Window
       .partitionBy(graft.engine.functions.GraftFunctions.constWindowKey(col("bkt")))
       .orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)

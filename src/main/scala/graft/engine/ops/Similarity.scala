@@ -223,7 +223,14 @@ object Similarity {
     * fused dot per pair. */
   def allPairsTopK(vectors: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val e = canonVec(vectors, idCol, vecCol)
-    val a = e.select(col("vec_id").as("vec_id_1"), col("embedding").as("ea"), norm(col("embedding")).as("na"))
+    // the n²/2 dot products happen per PROBE row of the broadcast
+    // nested-loop join, so the probe side must be spread across the
+    // cluster even when the input arrives as one small file (the
+    // fuzzyMatchBlockJoin finding, r17 here: the whole quadratic stage
+    // ran as one task). Layout-only — pair set and order unchanged.
+    val par = vectors.sparkSession.sparkContext.defaultParallelism
+    val a = e.repartition(par)
+      .select(col("vec_id").as("vec_id_1"), col("embedding").as("ea"), norm(col("embedding")).as("na"))
     val b = e.select(col("vec_id").as("vec_id_2"), col("embedding").as("eb"), norm(col("embedding")).as("nb"))
     a.join(b, col("vec_id_1") < col("vec_id_2"))
       .select(col("vec_id_1"), col("vec_id_2"),
@@ -516,11 +523,23 @@ object Similarity {
     * `q_sim_pairs_topk` discipline — an audit tier you run on a sample,
     * not a serving path; the single-block ngramJaccard call makes that
     * explicit). The confusion join runs over pair sets, not the corpus. */
+  /** Salt-group cap for the all-pairs truth joins (0/negative → unsalted
+    * single-task join). Env-tunable for A/B measurement and for hosts
+    * whose core count makes a different spread optimal; the default
+    * bounds per-task pair count at ~(2·cap)². */
+  private def evalSaltCap: Option[Int] =
+    sys.env.get("SPARK_GRAFT_EVAL_SALTCAP").map(_.toInt)
+      .orElse(Some(256)).filter(_ > 0)
+
   def dedupEval(documents: DataFrame, idCol: String, textCol: String,
                 threshold: Double): DataFrame = {
     val keys = Seq("doc_id_1", "doc_id_2")
+    // saltCap (r17): the single-block truth join otherwise runs the
+    // whole corpus² verify in ONE task — triangle salt spreads it,
+    // same pair set (see ngramJaccard's salt note)
     val truth = TextPipeline.ngramJaccard(
-        documents.withColumn("all_blk", lit(1)), idCol, textCol, Seq("all_blk"), threshold)
+        documents.withColumn("all_blk", lit(1)), idCol, textCol, Seq("all_blk"), threshold,
+        saltCap = evalSaltCap)
       .select(keys.map(col): _*)
     val found = minhashNearDup(documents, idCol, textCol, threshold, ordered = false)
       .select(keys.map(col): _*)
@@ -585,8 +604,11 @@ object Similarity {
     * prune at tMin−0.001 is inert for every higher gate). */
   private def scoredEvalTable(documents: DataFrame, idCol: String,
                               textCol: String, tMin: Double): DataFrame = {
+    // saltCap (r17): see dedupEval — the eval_scored artifact's truth
+    // pass ran single-threaded without it (~19 s at sf0.1)
     val truth = TextPipeline.ngramJaccard(
-        documents.withColumn("all_blk", lit(1)), idCol, textCol, Seq("all_blk"), tMin)
+        documents.withColumn("all_blk", lit(1)), idCol, textCol, Seq("all_blk"), tMin,
+        saltCap = evalSaltCap)
       .select(col("doc_id_1"), col("doc_id_2"), col("jaccard").as("tj"))
     val found = minhashNearDup(documents, idCol, textCol, tMin, ordered = false)
       .select(col("doc_id_1"), col("doc_id_2"), col("jaccard").as("fj"))
@@ -702,7 +724,9 @@ object Similarity {
     * embedding-less candidates to an error sink). */
   def hybridRerank(documents: DataFrame, docIdCol: String, textCol: String,
                    vectors: DataFrame, vecIdCol: String, vecCol: String,
-                   queryId: Long, nCand: Int, k: Int): DataFrame = {
+                   queryId: Long, nCand: Int, k: Int,
+                   preTokens: Option[DataFrame] = None,
+                   preDl: Option[DataFrame] = None): DataFrame = {
     // keyword query = the query doc's first 16 tokens, not its full
     // text: a retrieval query is short by nature, and a corpus-sized
     // term set would defeat the BM25 leg's query-term pruning
@@ -710,7 +734,8 @@ object Similarity {
       .select(col(docIdCol).as("query_id"),
         concat_ws(" ", slice(split(col(textCol), " "), 1, 16)).as("qtext"))
     val bmIds = TextPipeline.bm25TopK(documents, docIdCol, textCol,
-        qdoc, "query_id", "qtext", nCand + 1)
+        qdoc, "query_id", "qtext", nCand + 1,
+        preTokens = preTokens, preDl = preDl)
       .filter(col("doc_id") =!= queryId)
       .select(col("doc_id").as("cand_id"), lit(true).as("in_bm25"))
     val annIds = annLsh(vectors, vecIdCol, vecCol, queryId, nCand)
@@ -926,14 +951,17 @@ object Similarity {
     * ≤ nCand-row frames. Nothing touches the corpus beyond the legs. */
   def rankFusion(documents: DataFrame, docIdCol: String, textCol: String,
                  vectors: DataFrame, vecIdCol: String, vecCol: String,
-                 queryId: Long, nCand: Int, k: Int): DataFrame = {
+                 queryId: Long, nCand: Int, k: Int,
+                 preTokens: Option[DataFrame] = None,
+                 preDl: Option[DataFrame] = None): DataFrame = {
     val qdoc = documents.filter(col(docIdCol) === queryId)
       .select(col(docIdCol).as("query_id"),
         concat_ws(" ", slice(split(col(textCol), " "), 1, 16)).as("qtext"))
     val wBm = org.apache.spark.sql.expressions.Window
       .partitionBy(GraftFunctions.constWindowKey(col("cand_id"))).orderBy(col("rk"))
     val bm = TextPipeline.bm25TopK(documents, docIdCol, textCol,
-        qdoc, "query_id", "qtext", nCand + 1)
+        qdoc, "query_id", "qtext", nCand + 1,
+        preTokens = preTokens, preDl = preDl)
       .filter(col("doc_id") =!= queryId)
       .select(col("doc_id").as("cand_id"), col("rk"))
       .withColumn("bm_rank", row_number().over(wBm).cast("long"))
@@ -1006,12 +1034,50 @@ object Similarity {
     * components are `mean_x1e6 / 10⁶` — exact doubles, both engines. */
   def ivfCodebook(vectors: DataFrame, idCol: String, vecCol: String,
                   iters: Int): DataFrame =
-    kmeansTrain(vectors, idCol, vecCol, iters)
+    statsToIvfCodebook(kmeansTrain(vectors, idCol, vecCol, iters))
+
+  /** The [[kmeansTrain]] statistics → (cell, centroid) fold, shared by
+    * [[ivfCodebook]] and the memoized trained-codebook bindings. */
+  private def statsToIvfCodebook(stats: DataFrame): DataFrame =
+    stats
       .select(col("cell"), col("dim"),
         (col("mean_x1e6").cast("double") / lit(1000000.0)).as("c"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
       .select(col("cell"), transform(col("dc"), x => x("c")).as("centroid"))
+
+  /** Session-memoized [[kmeansTrain]](embeddings, 3) final-round
+    * statistics — the ONE trained k-means model five declared queries
+    * consume (`q_kmeans_train` returns it; `q_ann_ivf_trained`,
+    * `q_cluster_prune`, `q_semantic_dedup_trained` and
+    * `q_cluster_balance` serve against its codebook fold). In
+    * production this is a versioned offline artifact trained once and
+    * served many times — each consumer re-running the 3-round Lloyd
+    * loop (3 eager checkpoints + 3 corpus passes each, ~8 near-empty
+    * AQE stage jobs per round at sf0.1) billed the train to every
+    * serve query. The r8 shared-artifact discipline applies verbatim:
+    * built once per session, forced by `graft.Bench` under its own
+    * `kmeans_stats` label, consumers measure pure serve cost. */
+  private[ops] def sharedKmeansStats(s: SparkSession, d: String): DataFrame =
+    TextPipeline.memoizedPairs(s, d + "|kmeans_stats3") {
+      kmeansTrain(Tables.embeddings(s, d), "vec_id", "embedding", 3)
+    }
+
+  /** The broadcast-ready (cell, centroid) codebook over
+    * [[sharedKmeansStats]] — model-sized (≤ NCells rows), so the fold
+    * itself is trivial; memoization of the STATS is what removes the
+    * repeated training loops. */
+  private def sharedIvfCodebook(s: SparkSession, d: String): DataFrame =
+    statsToIvfCodebook(sharedKmeansStats(s, d))
+
+  /** Session-memoized [[pqTrain]] statistics over the embeddings
+    * fixture — the single-round PQ model `q_pq_train` returns and
+    * `q_pq_encode` / `q_ann_ivfpq_trained` fold into sub-codebooks
+    * (same shared-model discipline as [[sharedKmeansStats]]). */
+  private[ops] def sharedPqStats(s: SparkSession, d: String): DataFrame =
+    TextPipeline.memoizedPairs(s, d + "|pq_stats1") {
+      pqTrain(Tables.embeddings(s, d), "vec_id", "embedding")
+    }
 
   /** CORPUS-SIZED k-means codebook (r17, retiring the ladder's last
     * xl exemption): [[kmeansTrain]]/[[ivfCodebook]] are seeded from the
@@ -1284,8 +1350,8 @@ object Similarity {
     * measured 7× over the unsalted join on a corpus with no hot buckets
     * at all, i.e. pure overhead exactly where the fallback should be
     * free. */
-  private def saltCells(df: DataFrame, keys: Seq[String], idCol: String,
-                        cap: Int): DataFrame = {
+  private[ops] def saltCells(df: DataFrame, keys: Seq[String], idCol: String,
+                             cap: Int): DataFrame = {
     val hot = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > cap)
     df.join(broadcast(hot), keys, "left_outer")
@@ -1301,7 +1367,7 @@ object Similarity {
   /** Keep each unordered pair exactly once after a salted self-join:
     * cross-group pairs collide in one cell; same-group pairs only count
     * in their diagonal cell. */
-  private def saltPairFilter: Column =
+  private[ops] def saltPairFilter: Column =
     col("x.g") =!= col("y.g") ||
       (col("salt_lo") === col("x.g") && col("salt_hi") === col("x.g"))
 
@@ -2274,7 +2340,9 @@ object Similarity {
       ncmEval(Tables.embeddings(s, d), "vec_id", "embedding", "label")),
     "q_rank_fusion" -> ((s, d) =>
       rankFusion(Tables.documents(s, d), "doc_id", "text",
-        Tables.embeddings(s, d), "vec_id", "embedding", 0, 20, 10)),
+        Tables.embeddings(s, d), "vec_id", "embedding", 0, 20, 10,
+        preTokens = Some(TextPipeline.sharedCorpusTokens(s, d)),
+        preDl = Some(TextPipeline.sharedCorpusDl(s, d)))),
     // SemDeDup closed to clusters: the cell-blocked cosine pair graph
     // through the SAME label-prop CC the text dedup uses (textCol is
     // dead weight with precomputed pairs — only the id universe reads)
@@ -2387,30 +2455,32 @@ object Similarity {
     "q_dedup_embedding" -> ((s, d) =>
       embeddingNearDup(withPlantedNearDups(Tables.embeddings(s, d)), "vec_id", "embedding", 0.99)),
     "q_kmeans_step" -> ((s, d) => kmeansStep(Tables.embeddings(s, d), "vec_id", "embedding")),
-    "q_kmeans_train" -> ((s, d) => kmeansTrain(Tables.embeddings(s, d), "vec_id", "embedding", 3)),
+    // the trained family reads the ONE memoized 3-round model
+    // (sharedKmeansStats — the r8 shared-artifact discipline): the
+    // train is forced and timed by Bench under its own label, the five
+    // consumer queries measure serve cost
+    "q_kmeans_train" -> ((s, d) => sharedKmeansStats(s, d)),
     // the trained-IVF serve path: kmeansTrain's codebook drives the
     // broadcast-codebook ANN — train with one operator, serve with the
     // other, both under the hash oracle
-    "q_ann_ivf_trained" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      annIvfBroadcast(emb, "vec_id", "embedding",
-        ivfCodebook(emb, "vec_id", "embedding", 3), 0, 10)
-    }),
-    "q_cluster_prune" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      clusterPrune(emb, "vec_id", "embedding",
-        ivfCodebook(emb, "vec_id", "embedding", 3), 16)
-    }),
+    "q_ann_ivf_trained" -> ((s, d) =>
+      annIvfBroadcast(Tables.embeddings(s, d), "vec_id", "embedding",
+        sharedIvfCodebook(s, d), 0, 10)),
+    "q_cluster_prune" -> ((s, d) =>
+      clusterPrune(Tables.embeddings(s, d), "vec_id", "embedding",
+        sharedIvfCodebook(s, d), 16)),
     "q_embed_quantize" -> ((s, d) => quantizeEmbeddings(Tables.embeddings(s, d), "vec_id", "embedding")),
     "q_ann_quantized" -> ((s, d) => annQuantized(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
-    "q_pq_train" -> ((s, d) => pqTrain(Tables.embeddings(s, d), "vec_id", "embedding")),
+    // q_pq_train returns the memoized single-round PQ stats (the same
+    // shared-model discipline as sharedKmeansStats: q_pq_encode and the
+    // trained IVFPQ stack fold the identical stats into sub-codebooks)
+    "q_pq_train" -> ((s, d) => sharedPqStats(s, d)),
     "q_pq_train_iters" -> ((s, d) =>
       pqTrainIters(Tables.embeddings(s, d), "vec_id", "embedding", 2)),
-    "q_pq_encode" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      pqEncode(emb, "vec_id", "embedding", pqCodebook(emb, "vec_id", "embedding"))
-        .orderBy("vec_id", "subspace")
-    }),
+    "q_pq_encode" -> ((s, d) =>
+      pqEncode(Tables.embeddings(s, d), "vec_id", "embedding",
+        statsToPqCodebook(sharedPqStats(s, d)))
+        .orderBy("vec_id", "subspace")),
     "q_ann_pq" -> ((s, d) => annPq(Tables.embeddings(s, d), "vec_id", "embedding", 0, 10)),
     "q_ann_pq_rerank" -> ((s, d) =>
       annPqRerank(Tables.embeddings(s, d), "vec_id", "embedding", 0, 50, 10)),
@@ -2422,9 +2492,13 @@ object Similarity {
       annIvfPqRerank(Tables.embeddings(s, d), "vec_id", "embedding", 0, 30, 10)),
     // the fully-trained stack: kmeans coarse codebook (2 Lloyd rounds —
     // the oracle's CTE namespace caps it) + trained PQ sub-codebooks
-    // serving probe → ADC → exact rerank
+    // serving probe → ADC → exact rerank; the PQ sub-codebooks fold the
+    // memoized sharedPqStats model (identical frame — pqCodebook is
+    // statsToPqCodebook ∘ pqTrain)
     "q_ann_ivfpq_trained" -> ((s, d) =>
-      annIvfPqRerankTrained(Tables.embeddings(s, d), "vec_id", "embedding", 2, 0, 30, 10)),
+      annIvfPqRerankWith(Tables.embeddings(s, d), "vec_id", "embedding",
+        ivfCodebook(Tables.embeddings(s, d), "vec_id", "embedding", 2),
+        statsToPqCodebook(sharedPqStats(s, d)), 0, 30, 10)),
     // 0.35: the raw corpus is near-orthogonal (max pair cos ~0.5), so a
     // low threshold surfaces the genuinely-related tail within each cell
     "q_semantic_dedup" -> ((s, d) =>
@@ -2432,11 +2506,9 @@ object Similarity {
     // the production SemDeDup loop: trained (corpus-sized) codebook
     // assigns cells by broadcast argmax, then the same within-cell
     // verify — the scale path whose cell population stays bounded
-    "q_semantic_dedup_trained" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      semanticDedup(emb, "vec_id", "embedding", 0.35,
-        ivfCodebook(emb, "vec_id", "embedding", 3))
-    }),
+    "q_semantic_dedup_trained" -> ((s, d) =>
+      semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding", 0.35,
+        sharedIvfCodebook(s, d))),
     // drift between the even- and odd-id cohorts (the two-epoch stand-in)
     "q_embedding_drift" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -2445,11 +2517,9 @@ object Similarity {
     }),
     // codebook-health audit: per-cell population + corpus share bp —
     // run before committing an IVF/SemDeDup index (skew = stragglers)
-    "q_cluster_balance" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      clusterBalance(emb, "vec_id", "embedding",
-        ivfCodebook(emb, "vec_id", "embedding", 3))
-    }),
+    "q_cluster_balance" -> ((s, d) =>
+      clusterBalance(Tables.embeddings(s, d), "vec_id", "embedding",
+        sharedIvfCodebook(s, d))),
     // doc/vec id spaces coincide in the fixture: doc 0's text is the
     // keyword query, vec 0 the vector query; 20 candidates/leg. k=25
     // EXCEEDS the ANN leg's 20, so keyword-only candidates must surface
@@ -2458,7 +2528,9 @@ object Similarity {
     // in_bm25 column was constant-false (r9 all-constant-column audit)
     "q_hybrid_rerank" -> ((s, d) =>
       hybridRerank(Tables.documents(s, d), "doc_id", "text",
-        Tables.embeddings(s, d), "vec_id", "embedding", 0, 20, 25)),
+        Tables.embeddings(s, d), "vec_id", "embedding", 0, 20, 25,
+        preTokens = Some(TextPipeline.sharedCorpusTokens(s, d)),
+        preDl = Some(TextPipeline.sharedCorpusDl(s, d)))),
   )
 
   /** The synthetic embeddings are near-orthogonal (max pair cosine ~0.5 at

@@ -2426,7 +2426,10 @@ object TextPipeline {
     * is unchanged — banding only ever ADDS candidates. */
   def ngramJaccard(documents: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], threshold: Double,
-                   bandCol: Option[(String, Int)] = None): DataFrame = {
+                   bandCol: Option[(String, Int)] = None,
+                   saltCap: Option[Int] = None): DataFrame = {
+    require(bandCol.isEmpty || saltCap.isEmpty,
+      "ngramJaccard: saltCap is implemented for the plain block join only")
     // token sets are carried as SORTED DISTINCT 62-bit hash arrays, not
     // string arrays: |hash set| = |token set| and |hash ∩| = |token ∩|
     // (equal tokens hash equally; the 62-bit space makes a collision
@@ -2470,8 +2473,61 @@ object TextPipeline {
     // with compatible sizes.
     val sizeBound = least(size(col("sa")), size(col("sb"))).cast("double") >=
       greatest(size(col("sa")), size(col("sb"))) * lit(threshold - 0.001)
-    a.join(b, joinCols)
-      .filter(col("doc_id_1") < col("doc_id_2") && sizeBound)
+    // optional hot-block TILING (r17): a block key holding a huge
+    // population turns this equi-join into ONE straggler task computing
+    // |block|² merge walks — on the all-pairs audit tier (`all_blk = 1`,
+    // the q_dedup_eval truth side) that is the WHOLE corpus in one task
+    // (AQE's skew splitting cannot divide a single key). Balanced 2-D
+    // pair tiling: rows hash into `s = ⌈cnt/cap⌉` groups (the count
+    // broadcast back under the table, the saltCells discipline — no
+    // driver action, cap stays the scale knob), the LEFT side emits one
+    // replica per cell (g, v) for v ≥ g and the RIGHT side per cell
+    // (u, g) for u ≤ g, and the join keys on the cell. Every unordered
+    // pair meets in EXACTLY ONE cell — cross-group pairs as
+    // (min-group, max-group) with no duplicate and no wasted probe,
+    // same-group pairs on the diagonal where the id< filter dedupes —
+    // so total probes are ~n²/2 (HALF the unsalted join's n², which
+    // probes both orderings) spread over s(s+1)/2 even cells instead
+    // of one task. An earlier triangle-salt variant (the minhash
+    // hot-BUCKET fallback, where hot buckets are small fractions of
+    // the corpus) replicated BOTH sides into every cell and measured
+    // ~3× the probe volume when the "bucket" was the whole corpus.
+    // Ids are emitted least/greatest per pair (jaccard is symmetric),
+    // so the output is byte-identical to the unsalted join.
+    val joined = saltCap match {
+      case None =>
+        a.join(b, joinCols)
+          .filter(col("doc_id_1") < col("doc_id_2") && sizeBound)
+      case Some(cap) =>
+        // persist: the group count and both join sides otherwise each
+        // re-run the scan→tokenize→hash pipeline
+        val t = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cnts = t.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+        val grouped = t.join(broadcast(cnts), blockCols)
+          .withColumn("ns",
+            greatest(floor((col("cnt") + (cap - 1)) / lit(cap.toDouble)), lit(1L))
+              .cast("int"))
+          .withColumn("g", pmod(xxhash64(col("doc_id")), col("ns")).cast("int"))
+        val lhs = grouped
+          .withColumn("cv", explode(sequence(col("g"), col("ns") - 1)))
+          .select(col("doc_id").as("id_x") +: col("shingles").as("sx") +:
+            col("g").as("cu") +: col("cv") +: blockCols.map(col): _*)
+        val rhs = grouped
+          .withColumn("cu", explode(sequence(lit(0), col("g"))))
+          .select(col("doc_id").as("id_y") +: col("shingles").as("sy") +:
+            col("cu") +: col("g").as("cv") +: blockCols.map(col): _*)
+        lhs.join(rhs, blockCols ++ Seq("cu", "cv"))
+          // diagonal cells hold the same group on both sides: keep one
+          // ordering; cross cells hold each unordered pair exactly once
+          .filter(col("cu") =!= col("cv") || col("id_x") < col("id_y"))
+          .select(
+            least(col("id_x"), col("id_y")).as("doc_id_1"),
+            greatest(col("id_x"), col("id_y")).as("doc_id_2"),
+            when(col("id_x") < col("id_y"), col("sx")).otherwise(col("sy")).as("sa"),
+            when(col("id_x") < col("id_y"), col("sy")).otherwise(col("sx")).as("sb"))
+          .filter(sizeBound)
+    }
+    joined
       .withColumn("jaccard", round(inter / (size(col("sa")) + size(col("sb")) - inter), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_id_1", "doc_id_2", "jaccard")
@@ -2658,12 +2714,16 @@ object TextPipeline {
     * corpus. */
   def bm25TopK(documents: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qIdCol: String, qTextCol: String,
-               k: Int): DataFrame = {
+               k: Int,
+               preTokens: Option[DataFrame] = None,
+               preDl: Option[DataFrame] = None,
+               preTotals: Option[DataFrame] = None): DataFrame = {
     val qterms = queries
       .select(col(qIdCol).as("query_id"), explode(toks(col(qTextCol))).as("token"))
       .filter(length(col("token")) > 0)
       .distinct()
-    bm25ScoreTerms(documents, idCol, textCol, qterms, k)
+    bm25ScoreTerms(documents, idCol, textCol, qterms, k,
+      preTokens = preTokens, preDl = preDl, preTotals = preTotals)
   }
 
   /** The BM25 scoring core behind [[bm25TopK]] and [[queryExpansion]]:
@@ -2741,15 +2801,17 @@ object TextPipeline {
     * not a positional index. */
   def bm25Proximity(documents: DataFrame, idCol: String, textCol: String,
                     queries: DataFrame, qIdCol: String, qTextCol: String,
-                    k: Int, phraseBonus: Long = 500000L): DataFrame = {
+                    k: Int, phraseBonus: Long = 500000L,
+                    preTokens: Option[DataFrame] = None,
+                    preDl: Option[DataFrame] = None): DataFrame = {
     graft.engine.functions.GraftFunctions.register(documents.sparkSession)
     val qterms = queries
       .select(col(qIdCol).as("query_id"), explode(toks(col(qTextCol))).as("token"))
       .filter(length(col("token")) > 0).distinct()
-    val tokens = documents
+    val tokens = preTokens.getOrElse(documents
       .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
-      .filter(length(col("token")) > 0)
-    val dl = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .filter(length(col("token")) > 0))
+    val dl = preDl.getOrElse(tokens.groupBy("doc_id").agg(count(lit(1)).as("dl")))
     val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
     val base = bm25ScoredPairs(tokens, dl, totals, qterms)
       .groupBy("query_id", "doc_id")
@@ -2810,18 +2872,23 @@ object TextPipeline {
     * the corpus outside the two posting joins. */
   def queryExpansion(documents: DataFrame, idCol: String, textCol: String,
                      queries: DataFrame, qIdCol: String, qTextCol: String,
-                     nFeedback: Int, mExpand: Int, k: Int): DataFrame = {
+                     nFeedback: Int, mExpand: Int, k: Int,
+                     preTokens: Option[DataFrame] = None,
+                     preDl: Option[DataFrame] = None): DataFrame = {
     // ONE tokenization pass feeds both retrieval stages, the feedback
     // tf and the corpus df — 2 narrow columns per token, the hottest
-    // shared frame in the loop
-    val tokens = documents
+    // shared frame in the loop. A caller-supplied pre-materialized
+    // stream (the sharedCorpusTokens artifact) skips both the pass and
+    // its eager checkpoint.
+    val tokens = preTokens.getOrElse(documents
       .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
-      .localCheckpoint()
+      .localCheckpoint())
     // ONE doc-length aggregate serves both BM25 passes (it is doc-keyed
     // — one row per doc, tiny — but BUILDING it is a full token-stream
     // shuffle, so computing it twice was the loop's top waste)
-    val dl = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl")).localCheckpoint()
+    val dl = preDl.getOrElse(
+      tokens.groupBy("doc_id").agg(count(lit(1)).as("dl")).localCheckpoint())
     val qterms = queries
       .select(col(qIdCol).as("query_id"), explode(toks(col(qTextCol))).as("token"))
       .filter(length(col("token")) > 0)
@@ -4649,6 +4716,28 @@ object TextPipeline {
     memoizedPairs(s, d + "|full") {
       Similarity.minhashNearDup(Tables.documents(s, d), "doc_id", "text", 0.9, ordered = false)
     }
+  /** The session-memoized corpus (doc_id, token) stream under the house
+    * tokenization rule (`toks` + empty-token filter) — the posting-list
+    * input every BM25-family retrieval query re-derived per run (r17).
+    * In production this is the materialized inverted-index input, not
+    * per-query work; five declared queries consume it (`q_bm25_topk`,
+    * `q_bm25_proximity`, `q_query_expansion`, `q_hybrid_rerank`,
+    * `q_rank_fusion`), so the r8 shared-artifact discipline applies:
+    * Bench forces it under the `corpus_tokens` label. */
+  private[ops] def sharedCorpusTokens(s: SparkSession, d: String): DataFrame =
+    memoizedPairs(s, d + "|corpus_tokens") {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+    }
+  /** The (doc_id, dl) length table over [[sharedCorpusTokens]] — the
+    * heaviest shuffle in the BM25 scorer after the posting join itself
+    * (the r8 verdict #3 finding, now hoisted ACROSS queries instead of
+    * only across the PRF loop's two stages). */
+  private[ops] def sharedCorpusDl(s: SparkSession, d: String): DataFrame =
+    memoizedPairs(s, d + "|corpus_dl") {
+      sharedCorpusTokens(s, d).groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    }
   /** The twin decomposition of [[sharedPairs]], memoized like the graph
     * it derives from: triangles and the missing-link queue both consume
     * the identical (member, csz, cedges) tables, and the decomposition's
@@ -4742,6 +4831,53 @@ object TextPipeline {
         "doc_id", "text", Seq("lang"))
     }
 
+  /** Session-memoized [[bpeChain]] at the fixture's merge budget — ONE
+    * tokenizer train per session: `q_bpe_learn` returns its merge table
+    * and `q_bpe_apply` its applied corpus, two faces of the identical
+    * sequential loop (the sharedKmeansStats discipline; previously each
+    * ran the full nMerges materialization chain separately). The memo
+    * stores handles — both outputs are already materialized by
+    * construction (merges via the driver argmax, corpus via the
+    * per-round localCheckpoints). */
+  private val bpeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (SparkSession, (DataFrame, DataFrame))]()
+  private[ops] def sharedBpeChain(s: SparkSession, d: String,
+                                  nMerges: Int): (DataFrame, DataFrame) = {
+    val it = bpeMemo.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+    }
+    val key = sessionKey(s) + "|" + d + "|bpe" + nMerges
+    val existing = bpeMemo.get(key)
+    if (existing != null) existing._2
+    else {
+      val built = bpeChain(Tables.documents(s, d), "doc_id", "text", nMerges)
+      val prev = bpeMemo.putIfAbsent(key, (s, built))
+      if (prev != null) prev._2 else built
+    }
+  }
+
+  /** Session-memoized interpolated-KN bigram table over the even-id
+    * train half — `q_lm_table_kn` returns it and `q_lm_score_kn` scores
+    * against it (one table build per session; Bench label
+    * `lm_table_kn`). */
+  private[ops] def sharedLmTableKn(s: SparkSession, d: String): DataFrame =
+    memoizedPairs(s, d + "|lm_table_kn") {
+      lmTableKn(Tables.documents(s, d).filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+    }
+
+  /** Session-memoized DSIR per-doc scores (unordered form) — the shared
+    * head of `q_dsir_weights` (ordered view) and `q_dsir_sample` (the
+    * resampling tail); Bench label `dsir_scores`. */
+  private[ops] def sharedDsirScores(s: SparkSession, d: String): DataFrame =
+    memoizedPairs(s, d + "|dsir_scores") {
+      val docs = Tables.documents(s, d)
+      dsirScore(docs, "doc_id", "text",
+        dsirTable(docs, "doc_id", "text", col("lang") === "en"), ordered = false)
+    }
+
   /** The session-scoped shared artifacts by name, in dependency order
     * (`clusters` builds FROM `pairs_full`, so forcing them in this order
     * charges each build only its own incremental cost). Exposed for
@@ -4757,7 +4893,13 @@ object TextPipeline {
     "twins" -> (() => { val (_, _, cedges) = sharedTwins(s, d); cedges }),
     "prior_clusters" -> (() => sharedPriorClusters(s, d)),
     "verified_links" -> (() => sharedVerifiedLinks(s, d)),
-    "eval_scored" -> (() => Similarity.sharedEvalScores(s, d)))
+    "eval_scored" -> (() => Similarity.sharedEvalScores(s, d)),
+    "kmeans_stats" -> (() => Similarity.sharedKmeansStats(s, d)),
+    "pq_stats" -> (() => Similarity.sharedPqStats(s, d)),
+    "corpus_tokens" -> (() => sharedCorpusDl(s, d)),
+    "bpe_chain" -> (() => sharedBpeChain(s, d, 8)._2),
+    "lm_table_kn" -> (() => sharedLmTableKn(s, d)),
+    "dsir_scores" -> (() => sharedDsirScores(s, d)))
 
   /** The audited re-verify queue output — in production the PERSISTED
     * artifact the re-verify scheduler writes once and the repair pass
@@ -4806,18 +4948,11 @@ object TextPipeline {
       qualityClassifierScore(docs, "doc_id", "text",
         qualityClassifierTrain(labeled, "text", "pos"))
     }),
-    "q_dsir_weights" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      dsirScore(docs, "doc_id", "text",
-        dsirTable(docs, "doc_id", "text", col("lang") === "en"))
-    }),
-    "q_dsir_sample" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      dsirSample(
-        dsirScore(docs, "doc_id", "text",
-          dsirTable(docs, "doc_id", "text", col("lang") === "en"), ordered = false),
-        "doc_id", "dsir_score")
-    }),
+    // weights and sample share ONE memoized scoring pass (r17): the
+    // ordered view and the resampling tail of the same per-doc scores
+    "q_dsir_weights" -> ((s, d) => sharedDsirScores(s, d).orderBy("doc_id")),
+    "q_dsir_sample" -> ((s, d) =>
+      dsirSample(sharedDsirScores(s, d), "doc_id", "dsir_score")),
     "q_token_count" -> ((s, d) => tokenCounts(Tables.documents(s, d), "doc_id", "text")),
     "q_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d), "doc_id", "text")),
     "q_ngram_jaccard" -> ((s, d) =>
@@ -5003,13 +5138,17 @@ object TextPipeline {
     "q_bm25_topk" -> ((s, d) => {
       import s.implicits._
       bm25TopK(Tables.documents(s, d), "doc_id", "text",
-        bm25FixtureQueries.toDF("query_id", "qtext"), "query_id", "qtext", 10)
+        bm25FixtureQueries.toDF("query_id", "qtext"), "query_id", "qtext", 10,
+        preTokens = Some(sharedCorpusTokens(s, d)),
+        preDl = Some(sharedCorpusDl(s, d)))
     }),
     // the phrase-boosted ranking over the same fixture queries
     "q_bm25_proximity" -> ((s, d) => {
       import s.implicits._
       bm25Proximity(Tables.documents(s, d), "doc_id", "text",
-        bm25FixtureQueries.toDF("query_id", "qtext"), "query_id", "qtext", 10)
+        bm25FixtureQueries.toDF("query_id", "qtext"), "query_id", "qtext", 10,
+        preTokens = Some(sharedCorpusTokens(s, d)),
+        preDl = Some(sharedCorpusDl(s, d)))
     }),
     // PRF loop over the same fixture queries: 5 feedback docs, 3
     // expansion terms per query, final top-10
@@ -5017,11 +5156,24 @@ object TextPipeline {
       import s.implicits._
       queryExpansion(Tables.documents(s, d), "doc_id", "text",
         bm25FixtureQueries.toDF("query_id", "qtext"), "query_id", "qtext",
-        nFeedback = 5, mExpand = 3, k = 10)
+        nFeedback = 5, mExpand = 3, k = 10,
+        preTokens = Some(sharedCorpusTokens(s, d)),
+        preDl = Some(sharedCorpusDl(s, d)))
     }),
     "q_bpe_step" -> ((s, d) => bpeStep(Tables.documents(s, d), "doc_id", "text")),
-    "q_bpe_learn" -> ((s, d) => bpeLearn(Tables.documents(s, d), "doc_id", "text", 8)),
-    "q_bpe_apply" -> ((s, d) => bpeApply(Tables.documents(s, d), "doc_id", "text", 8)),
+    // learn and apply are two faces of ONE memoized merge chain (r17)
+    "q_bpe_learn" -> ((s, d) => sharedBpeChain(s, d, 8)._1),
+    "q_bpe_apply" -> ((s, d) => {
+      val applied = sharedBpeChain(s, d, 8)._2
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens_raw"))
+        .join(applied, "doc_id")
+        .select(col("doc_id"), col("n_tokens_raw"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens_bpe"),
+          col("text").as("bpe_text"))
+        .orderBy("doc_id")
+    }),
     "q_lm_score" -> ((s, d) => lmScore(Tables.documents(s, d), "doc_id", "text")),
     // train on the even half, score EVERYTHING: odd docs carry unseen
     // trigrams, so every back-off level (3 → 2 → 1 → 0) is exercised
@@ -5070,14 +5222,11 @@ object TextPipeline {
       corpusFingerprint(Tables.documents(s, d), "doc_id", "text")),
     // Kneser-Ney: table trained on the even-id half (the backoff-LM
     // split), scores over the whole corpus; all-integer fixed point
+    // table and scorer share ONE memoized KN table build (r17)
     "q_lm_table_kn" -> ((s, d) =>
-      lmTableKn(Tables.documents(s, d).filter(col("doc_id") % 2 === 0),
-        "doc_id", "text").orderBy("level", "ngram")),
-    "q_lm_score_kn" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      lmScoreKn(docs, "doc_id", "text",
-        lmTableKn(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"))
-    }),
+      sharedLmTableKn(s, d).orderBy("level", "ngram")),
+    "q_lm_score_kn" -> ((s, d) =>
+      lmScoreKn(Tables.documents(s, d), "doc_id", "text", sharedLmTableKn(s, d))),
     // exact Jaccard ≥ 0.9 pairs with NO blocking key: prefix-filtered
     // rare-token candidates, native merge-walk verify
     "q_jaccard_prefix" -> ((s, d) =>
