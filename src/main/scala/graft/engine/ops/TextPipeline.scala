@@ -2043,23 +2043,19 @@ object TextPipeline {
     * broadcasts and the corpus side never shuffles for the probe; the
     * per-(doc, bench) overlap count is an ordinary partial+final
     * aggregate. Exact (no hashing), hence oracle-checkable. */
-  /** Distinct 3-token shingle set of a text column, via zipped slices —
-    * NOT element_at(tokens, i) inside the lambda: higher-order functions
-    * evaluate interpreted, so a lambda that captures the token-array
-    * EXPRESSION re-evaluates it (the full split) per element × per
-    * element_at — O(tokens²) per document, measured 7× slower on the
-    * corpus side at sf0.1 (3.4 s vs 0.5 s). The zip's lambda touches only
-    * its own struct; the slices evaluate once per row. */
-  private[engine] def shingles3(c: Column): Column = {
-    val t = toks(c)
-    when(size(t) >= 3,
-      array_distinct(transform(
-        arrays_zip(slice(t, lit(1), size(t) - 2),
-                   slice(t, lit(2), size(t) - 2),
-                   slice(t, lit(3), size(t) - 2)),
-        s => concat_ws(" ", s("0"), s("1"), s("2")))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Distinct 3-token shingle set of a text column — the native
+    * [[graft.engine.functions.PosGrams]] pass + array_distinct (r17).
+    * The previous zipped-slice transform∘arrays_zip form (itself a fix
+    * over the O(tokens²) element_at lambda) still evaluated its lambda
+    * INTERPRETED and materialized every token twice; pos_grams is
+    * pinned value-identical in FunctionsSpec and emits zero-copy gram
+    * views in codegen. Null text coalesces to the empty array the old
+    * `when` form produced (the streaming decontaminate consumer uses
+    * this as an array VALUE, not only under a generator). */
+  private[engine] def shingles3(c: Column): Column =
+    coalesce(
+      array_distinct(call_function("pos_grams", c, lit(3), lit(false))),
+      array().cast("array<string>"))
 
   def contamination(corpus: DataFrame, idCol: String, textCol: String,
                     benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
@@ -2102,14 +2098,12 @@ object TextPipeline {
                    references: DataFrame, refIdCol: String, refTextCol: String,
                    n: Int = 2): DataFrame = {
     require(n == 2, "fixture contract pins bigrams")
-    def grams(c: Column): Column = {
-      val t = toks(c)
-      when(size(t) >= 2,
-        transform(arrays_zip(slice(t, lit(1), size(t) - 1),
-                             slice(t, lit(2), size(t) - 1)),
-          s => concat_ws(" ", s("0"), s("1"))))
-        .otherwise(array().cast("array<string>"))
-    }
+    graft.engine.functions.GraftFunctions.register(candidates.sparkSession)
+    // native pos_grams (r17): the transform∘arrays_zip bigram form ran
+    // interpreted (pinned value-identical in FunctionsSpec); both
+    // consumers are generators, where pos_grams' null and the old
+    // form's empty array behave identically
+    def grams(c: Column): Column = call_function("pos_grams", c, lit(2), lit(false))
     val cg = candidates.select(col(candIdCol).as("cand_id"),
         explode(grams(col(candTextCol))).as("g"))
       .groupBy("cand_id", "g").agg(count(lit(1)).as("c_cand"))
@@ -3317,8 +3311,12 @@ object TextPipeline {
       lmTableBackoff(documents.filter(col(idCol) % 2 === 0), idCol, textCol))
     val scored = lmScoreBackoff(documents, idCol, textCol, table, ordered = false)
       .select("doc_id", "lm_score")
+    // materialize the scored frame once (r17): it feeds BOTH the
+    // tercile-threshold aggregate and the final bucket join — without
+    // this the whole backoff-scoring chain executes twice
     val wl = documents.select(col(idCol).as("doc_id"), col(strataCol).as("stratum"))
       .join(scored, Seq("doc_id"))
+      .localCheckpoint()
     wl.join(broadcast(pplThresholdsFrom(wl)), Seq("stratum"))
       .select(col("doc_id"), col("stratum").as(strataCol), col("lm_score"),
         when(col("lm_score") >= col("t_head"), "head")
@@ -4868,6 +4866,15 @@ object TextPipeline {
         "doc_id", "text")
     }
 
+  /** Session-memoized Stupid-Backoff trigram table over the even-id
+    * train half — shared by `q_lm_score_backoff` and `q_ppl_buckets`
+    * (one table build per session; Bench label `lm_table_backoff`). */
+  private[ops] def sharedLmTableBackoff(s: SparkSession, d: String): DataFrame =
+    memoizedPairs(s, d + "|lm_table_backoff") {
+      lmTableBackoff(Tables.documents(s, d).filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+    }
+
   /** Session-memoized DSIR per-doc scores (unordered form) — the shared
     * head of `q_dsir_weights` (ordered view) and `q_dsir_sample` (the
     * resampling tail); Bench label `dsir_scores`. */
@@ -4899,6 +4906,7 @@ object TextPipeline {
     "corpus_tokens" -> (() => sharedCorpusDl(s, d)),
     "bpe_chain" -> (() => sharedBpeChain(s, d, 8)._2),
     "lm_table_kn" -> (() => sharedLmTableKn(s, d)),
+    "lm_table_backoff" -> (() => sharedLmTableBackoff(s, d)),
     "dsir_scores" -> (() => sharedDsirScores(s, d)))
 
   /** The audited re-verify queue output — in production the PERSISTED
@@ -5178,11 +5186,9 @@ object TextPipeline {
     // train on the even half, score EVERYTHING: odd docs carry unseen
     // trigrams, so every back-off level (3 → 2 → 1 → 0) is exercised
     // under the hash oracle
-    "q_lm_score_backoff" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      lmScoreBackoff(docs, "doc_id", "text",
-        lmTableBackoff(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"))
-    }),
+    "q_lm_score_backoff" -> ((s, d) =>
+      lmScoreBackoff(Tables.documents(s, d), "doc_id", "text",
+        sharedLmTableBackoff(s, d))),
     "q_dedup_degree" -> ((s, d) => dedupDegreeHistogram(sharedPairs(s, d))),
     "q_graph_pagerank" -> ((s, d) =>
       pairGraphPagerankConverged(sharedPairs(s, d), preTwins = Some(sharedTwins(s, d)))),
@@ -5296,7 +5302,8 @@ object TextPipeline {
     "q_winnow_pairs" -> ((s, d) =>
       winnowPairs(Tables.documents(s, d), "doc_id", "text")),
     "q_ppl_buckets" -> ((s, d) =>
-      perplexityBuckets(Tables.documents(s, d), "doc_id", "text", "lang")),
+      perplexityBuckets(Tables.documents(s, d), "doc_id", "text", "lang",
+        lm = Some(sharedLmTableBackoff(s, d)))),
     // vocabSize 16 < the fixture's 31-token vocabulary: the rare tail
     // is genuinely out-of-vocabulary, so the OOV branch carries real
     // rows (at the 256 default every token was in-vocab and n_oov was 0
