@@ -2904,7 +2904,10 @@ object TextPipeline {
     val fbTf = tokens.join(broadcast(fb), "doc_id")
       .groupBy("query_id", "token").agg(count(lit(1)).as("n_fb"))
       .localCheckpoint()
-    val nDocs = dl.agg(count(lit(1)).as("n_docs"))
+    // n_docs rides the already-materialized totals row (r17) — the
+    // former separate dl.agg re-ran a full aggregate for a count the
+    // checkpointed totals frame already holds
+    val nDocs = totals.select("n_docs")
     val dfAll = tokens
       .join(broadcast(fbTf.select("token").distinct()), "token")
       .groupBy("token").agg(countDistinct("doc_id").as("df"))
