@@ -35,6 +35,10 @@ def norm_cell(v):
 def leak_allowlist(path):
     data = json.load(open(path))
     hits = data.get("hits", {})
+    # idempotent re-runs: a second pass over an ALREADY-FILTERED file
+    # finds nothing to drop and must not clobber the recorded n_dropped
+    # (observed r17: a round-close re-run overwrote 2 -> 0)
+    prior_dropped = data.get("allowlisted", {}).get("n_dropped", 0)
     kept = {}
     dropped = []
     for cat, lst in hits.items():
@@ -52,10 +56,11 @@ def leak_allowlist(path):
         "rule": "GITLOG internal-url hits containing the local public-Spark "
                 "classpath fragment /opt/spark/jars/ (immutable git history, "
                 "not URLs; judge-adjudicated false positives r11-r13)",
-        "n_dropped": len(dropped),
+        "n_dropped": len(dropped) + prior_dropped,
     }
     json.dump(data, open(path, "w"), indent=2)
-    print(f"leak-allowlist: dropped {len(dropped)} GITLOG classpath hits; "
+    print(f"leak-allowlist: dropped {len(dropped)} GITLOG classpath hits "
+          f"({prior_dropped} recorded from prior passes); "
           f"n_hits now {data['n_hits']}")
 
 def main(sf_dir, out_dir):
