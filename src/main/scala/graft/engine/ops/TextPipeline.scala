@@ -4607,13 +4607,23 @@ object TextPipeline {
                        classifier: Option[DataFrame] = None): DataFrame = {
     // API contract: the benchmark frame exposes the SAME idCol/textCol
     // names as the corpus (the decon stage addresses both sides by them)
-    val keep = gopherRules(corpus, idCol, textCol)
-      .filter(col("keep")).select("doc_id")
-    // repetition gate: one narrow native pass (dup_ngram_bp), id-keyed
-    val repKeep = repCaps.map { case (bp2Cap, bp3Cap) =>
-      repetitionMetrics(corpus, idCol, textCol, ordered = false)
-        .filter(col("dup_bigram_bp") <= bp2Cap && col("dup_trigram_bp") <= bp3Cap)
-        .select("doc_id")
+    graft.engine.functions.GraftFunctions.register(corpus.sparkSession)
+    // FUSED per-doc rule gates (r17): gopher_stats and dup_ngram_bp are
+    // narrow native projections, so their keep verdicts ride the SAME
+    // corpus pass that projects n_toks/dims below — the previous shape
+    // re-scanned the corpus once per gate and semi-joined each id set
+    // back (two scans + two joins for verdicts computable per row).
+    // Gate semantics are exactly gopherRules' keep rule and
+    // repetitionMetrics' caps (null text → null verdict → filtered, as
+    // the semi-join forms dropped those rows too).
+    val gs = call_function("gopher_stats", col(textCol))
+    val gopherKeep =
+      coalesce(gs.getField("n_words"), lit(0L)).between(5, 1000) &&
+        gs.getField("mean_len_x100").between(300, 1000) &&
+        gs.getField("rep_x10000") < 2000
+    val repKeepExpr = repCaps.map { case (bp2Cap, bp3Cap) =>
+      call_function("dup_ngram_bp", col(textCol), lit(2)) <= bp2Cap &&
+        call_function("dup_ngram_bp", col(textCol), lit(3)) <= bp3Cap
     }
     // LM gate: docs without trigrams have no score and drop (the
     // lmScore discipline — moot after Gopher's n_words ≥ 5 rule)
@@ -4642,10 +4652,10 @@ object TextPipeline {
       .getOrElse(Similarity.minhashNearDup(corpus, idCol, textCol, threshold, ordered = false))
       .select(col("doc_id_2").as("doc_id")).distinct()
     val base = corpus
+      .filter(repKeepExpr.foldLeft(gopherKeep)(_ && _))
       .select(col(idCol).as("doc_id") +:
         size(toks(col(textCol))).cast("long").as("n_toks") +: dims.map(col): _*)
-      .join(keep, Seq("doc_id"), "left_semi")
-    val gated = Seq(repKeep, lmKeep, clfKeep).flatten
+    val gated = Seq(lmKeep, clfKeep).flatten
       .foldLeft(base)((d, g) => d.join(g, Seq("doc_id"), "left_semi"))
     gated
       .join(contaminated, Seq("doc_id"), "left_anti")
